@@ -1,24 +1,38 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times the headline queries on SPARK_GRAFT_SF_DIR and
+  * prints one JSON line (driver contract). Each query runs once warm-up
+  * free; the metric is end-to-end plan execution (count() forces it). */
 object Bench {
+
+  /** Headliners: the scans/joins/aggs that dominate a real deployment,
+    * plus the pipeline operators that must hold at 100 TB. */
+  val HEADLINERS: Seq[String] = Seq(
+    "q01_agg", "q02_broadcast_join", "q03_multi_join_topk", "q05_star_join",
+    "q06_filter_pushdown", "q07_window", "q12_sessionize", "q13_time_window",
+    "s15_sacct_ingest", "s17_eff_view", "s24_seff_peruser",
+    "d01_dedup_exact", "d02_minhash_lsh", "d05_cosine_pairs",
+    "d06_ann_topk", "d08_lang_id", "d10_token_count")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Tables.session("graft-bench", cpus)
+    val results = HEADLINERS.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val n = try SparkEntry.queries(name)(spark, sfDir).count()
+              catch { case e: Throwable =>
+                System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-22s $dt%8.3f s  ($n rows)")
+      name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,13 +1,24 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{PipelineQueries, RelationalQueries, SlurmQueries}
+
+/** Driver contract — see SURVEY.md §2 for the inventory behind each
+  * query key and §5 for the oracle mechanics. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the full sacct→typed-slurm-table ingest (SURVEY §2.2 #15)
+    * on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    SlurmQueries.queries("s15_sacct_ingest")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    SlurmQueries.queries ++ RelationalQueries.queries ++ PipelineQueries.queries
+
+  /** DuckDB-equivalent SQL for every SQL-expressible query; keys absent
+    * here (d02/d03/d04/d07/d11/d12) are sketch/LSH/stub operators under
+    * the driver's rows-only check. */
+  def oracleSql: Map[String, String] =
+    SlurmQueries.oracles ++ RelationalQueries.oracles ++ PipelineQueries.oracles
 }

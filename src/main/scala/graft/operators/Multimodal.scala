@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (SURVEY §2.5 #51): image/audio/video as
+  * opaque `binary` payloads + typed metadata, with a batched decode /
+  * feature-extract stage.
+  *
+  * The decode itself is STUBBED (no image/audio libs in this container):
+  * `fakeDecode` produces a deterministic feature from the bytes. The
+  * Spark-side plumbing is real — binary column, metadata struct, and a
+  * mapPartitions stage that drains the iterator in fixed-size batches
+  * exactly the way an Arrow/pandas-UDF batch decode would on a cluster
+  * (batch shape: Array[Array[Byte]] of ≤ batchSize payloads).
+  */
+object Multimodal {
+
+  val BATCH_SIZE = 32
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("format", StringType),
+    StructField("n_bytes", LongType),
+    StructField("feature", ArrayType(FloatType))))
+
+  /** Attach a fake binary payload + typed metadata to documents (the
+    * driver corpus has no real media; payload = utf8 bytes of text). */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        (lit(100) + col("n_chars") % 540).cast("int").as("width"),
+        (lit(100) + (col("n_chars") * 7) % 380).cast("int").as("height"),
+        element_at(array(lit("png"), lit("jpeg"), lit("webp")),
+          (col("doc_id") % 3 + 1).cast("int")).as("format")).as("meta"))
+
+  /** STUB decoder: deterministic 4-float feature from payload bytes.
+    * A real deployment swaps this body for the image/audio decode; the
+    * signature (one batch of payloads in, one feature array per payload
+    * out) is the contract a GPU/native decoder needs. */
+  def fakeDecode(batch: Array[Array[Byte]]): Array[Array[Float]] =
+    batch.map { bytes =>
+      var h = 1125899906842597L
+      var i = 0
+      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+      Array((h & 0xFFFF).toFloat, ((h >> 16) & 0xFFFF).toFloat,
+        ((h >> 32) & 0xFFFF).toFloat, bytes.length.toFloat)
+    }
+
+  /** Batched decode stage: mapPartitions drains rows in BATCH_SIZE
+    * groups — the Scala analog of `mapInPandas` batch decode. */
+  def decodeFeatures(spark: SparkSession, withPayloads: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(featureSchema)
+    withPayloads.select(col("doc_id"), col("payload"),
+      col("meta.width"), col("meta.height"), col("meta.format"))
+      .mapPartitions { rows =>
+        rows.grouped(BATCH_SIZE).flatMap { chunk =>
+          val payloads = chunk.map(_.getAs[Array[Byte]]("payload")).toArray
+          val feats = fakeDecode(payloads)
+          chunk.iterator.zipWithIndex.map { case (r, i) =>
+            Row(r.getAs[Long]("doc_id"), r.getAs[Int]("width"),
+              r.getAs[Int]("height"), r.getAs[String]("format"),
+              payloads(i).length.toLong, feats(i))
+          }
+        }
+      }(enc)
+  }
+}

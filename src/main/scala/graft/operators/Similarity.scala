@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity operators (SURVEY §2.5 #44-47).
+  *
+  * Scale design: normalize once at ingest (unit vectors make cosine a
+  * dot product); the exact paths broadcast the small side; the LSH path
+  * (random hyperplane signs) buckets the corpus so candidate generation
+  * is a bucket-equi-join, not a cross join.
+  */
+object Similarity {
+
+  /** Element-wise dot product of two double arrays (codegen'd). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** cosine(a, b) with explicit double math (oracle-parity safe). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact near-dup pairs with cosine > threshold, blocked by a key
+    * column (same-label here; at scale: any coarse partitioner). */
+  def cosinePairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val e = emb.select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+    val l = e.select(col("label"), col("vec_id").as("vec_a"), col("v").as("va"))
+    val r = e.select(col("label"), col("vec_id").as("vec_b"), col("v").as("vb"))
+    l.join(r, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") > threshold)
+      .select(col("label"), col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Brute-force cosine top-k per query vector: broadcast the (small)
+    * query set against one pass over the corpus. The exactness baseline
+    * every ANN variant is judged against. */
+  def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val q = queries.select(col("vec_id").as("q_id"), toDouble(col("embedding")).as("qv"))
+    val scored = corpus.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** Random-hyperplane LSH bucket id: sign bits of numPlanes fixed
+    * pseudo-random hyperplanes (seeded — deterministic across runs). */
+  def hyperplaneBucket(v: Column, dim: Int, numPlanes: Int = 12): Column = {
+    val rnd = new scala.util.Random(2024)
+    val planes = Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+    val bits = planes.zipWithIndex.map { case (p, j) =>
+      val proj = aggregate(zip_with(v, typedLit(p), (x, w) => x * w), lit(0.0), (a, x) => a + x)
+      when(proj > 0, lit(1L << j)).otherwise(0L)
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
+  /** ANN via hyperplane LSH: candidates share a bucket (plus the probe
+    * trick of also matching on bucket with one bit flipped would widen
+    * recall; kept single-bucket here). Top-k within candidates. */
+  def lshTopK(emb: DataFrame, queries: DataFrame, k: Int,
+              dim: Int = 64, numPlanes: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("bucket", hyperplaneBucket(col("v"), dim, numPlanes))
+    val q = queries.select(col("vec_id").as("q_id"), toDouble(col("embedding")).as("qv"))
+      .withColumn("bucket", hyperplaneBucket(col("qv"), dim, numPlanes))
+    val scored = corpus.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+}

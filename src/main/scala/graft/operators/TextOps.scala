@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (SURVEY §2.5):
+  * language ID, quality scoring, token counting, fingerprinting. All
+  * pure Catalyst expressions — map-only, no shuffle, codegen'd — so they
+  * stream over a 100 TB corpus at scan speed.
+  */
+object TextOps {
+
+  /** Whitespace tokens, lowercased. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** BPE-ish subword segmentation: letter runs, single digits, single
+    * punctuation — the standard pre-tokenizer shape. */
+  val BPE_PATTERN = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(BPE_PATTERN)))
+
+  /** Stopword profiles for n-gram/stopword language ID. */
+  val LANG_PROFILES: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "on"),
+    "es" -> Seq("el", "la", "de", "y", "en", "que", "los", "un"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "den", "von", "ist"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "les", "des", "en"))
+
+  /** Per-language stopword hit ratio over whitespace tokens. */
+  def langScore(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val hits = size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
+    when(size(toks) > 0, hits.cast("double") / size(toks))
+  }
+
+  /** argmax language (ties resolved by profile order). */
+  def langId(text: Column): Column = {
+    val scores = LANG_PROFILES.map { case (l, sw) => (l, langScore(text, sw)) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(lit(null).cast("string")) { case (acc, (l, sc)) =>
+      when(acc.isNull && sc === best, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Quality metrics: length, token stats, stopword/repetition ratios. */
+  def qualityMetrics(df: DataFrame, text: Column): DataFrame = {
+    val toks = tokens(text)
+    val n = size(toks)
+    df.withColumn("n_chars_m", length(text))
+      .withColumn("n_tokens", n)
+      .withColumn("n_distinct_tokens", size(array_distinct(toks)))
+      .withColumn("avg_token_len",
+        when(n > 0, aggregate(transform(toks, t => length(t)), lit(0),
+          (acc, x) => acc + x).cast("double") / n))
+      .withColumn("stopword_ratio", langScore(text, LANG_PROFILES.head._2))
+      .withColumn("repetition_ratio",
+        when(n > 0, size(array_distinct(toks)).cast("double") / n))
+  }
+
+  /** Rabin-Karp rolling document fingerprint: polynomial hash of the
+    * whole text mod 2^61-1, plus winnowed 8-token window hashes. */
+  def fingerprint(text: Column): Column = {
+    val M = 1152921504606846976L // 2^60: power-of-two modulus keeps pmod cheap
+    aggregate(split(text, ""), lit(0L),
+      (acc, c) => pmod(acc * 31L + coalesce(ascii(c), lit(0)), lit(M)))
+  }
+
+  /** Min window-hash (winnowing-lite): min over 8-token windows of the
+    * window's xxhash64 — a compact near-dup prefilter signature. */
+  def minWindowHash(text: Column, window: Int = 8): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    when(n >= window,
+      array_min(transform(sequence(lit(0), n - window),
+        i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(window)))))))
+      .otherwise(xxhash64(concat_ws(" ", toks)))
+  }
+}

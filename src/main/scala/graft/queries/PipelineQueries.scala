@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators._
+
+/** Training-data pipeline queries d01–d12 (SURVEY §2.5) over the
+  * `documents` / `embeddings` tables. SQL-expressible ones carry a
+  * DuckDB oracle; the sketch/LSH ones are deterministic (seeded) and
+  * run under the driver's rows-only check.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  /** Corpus with injected near-duplicates (doc_id+1000000, last word
+    * dropped) so near-dup operators have true positives to find. */
+  private def corpusWithDups(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val toks = split(col("text"), "\\s+")
+    val perturbed = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", slice(toks, lit(1), greatest(size(toks) - 1, lit(1)))).as("text"))
+    d.unionByName(perturbed)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "d01_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir), col("text"), col("doc_id"))
+        .orderBy("content_hash")),
+
+    "d02_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashCandidates(corpusWithDups(s, dir), col("text"), col("doc_id"))
+        .orderBy("doc_a", "doc_b")),
+
+    "d03_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(corpusWithDups(s, dir), col("text"), col("doc_id"), maxHamming = 3)
+        .orderBy("doc_a", "doc_b")),
+
+    "d04_ngram_jaccard" -> ((s, dir) => {
+      val corpus = corpusWithDups(s, dir)
+      val cand = Dedup.minhashCandidates(corpus, col("text"), col("doc_id"))
+      Dedup.jaccardVerify(cand, corpus, col("text"), col("doc_id"), minJaccard = 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "d05_cosine_pairs" -> ((s, dir) =>
+      Similarity.cosinePairs(emb(s, dir), threshold = 0.3)
+        .orderBy("label", "vec_a", "vec_b")),
+
+    "d06_ann_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
+        .orderBy("q_id", "rank")
+    }),
+
+    "d07_ann_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 50), k = 5)
+        .orderBy("q_id", "rank")
+    }),
+
+    "d08_lang_id" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextOps.langId(col("text")).as("pred_lang"),
+        round(TextOps.langScore(col("text"), TextOps.LANG_PROFILES.head._2), 6)
+          .as("en_score"))
+        .orderBy("doc_id")),
+
+    "d09_quality_score" -> ((s, dir) =>
+      TextOps.qualityMetrics(docs(s, dir).select(col("doc_id"), col("text")), col("text"))
+        .select(col("doc_id"), col("n_chars_m").cast("long").as("n_chars_m"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("n_distinct_tokens").cast("long").as("n_distinct_tokens"),
+          round(col("avg_token_len"), 6).as("avg_token_len"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio"),
+          round(col("repetition_ratio"), 6).as("repetition_ratio"))
+        .orderBy("doc_id")),
+
+    "d10_token_count" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("ws_tokens"),
+        TextOps.bpeTokenCount(col("text")).cast("long").as("bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars_m"))
+        .orderBy("doc_id")),
+
+    "d11_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fingerprint"),
+        TextOps.minWindowHash(col("text")).as("min_window_hash"))
+        .orderBy("doc_id")),
+
+    "d12_multimodal" -> ((s, dir) => {
+      val withP = Multimodal.withPayload(docs(s, dir))
+      Multimodal.decodeFeatures(s, withP)
+        .select(col("doc_id"), col("width"), col("height"), col("format"),
+          col("n_bytes"), round(element_at(col("feature"), 1), 1).as("f0"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d01_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keeper_id
+        | FROM documents GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
+    "d05_cosine_pairs" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+        | SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+        | FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        | WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) > 0.3
+        | ORDER BY label, vec_a, vec_b""".stripMargin.replaceAll("\n", " "),
+    "d06_ann_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+        | scored AS (SELECT q_id, vec_id,
+        |   list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS c
+        |  FROM e CROSS JOIN q WHERE vec_id != q_id),
+        | ranked AS (SELECT q_id, vec_id, c,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rank FROM scored)
+        | SELECT q_id, rank, vec_id AS neighbor_id, round(c, 6) AS cos
+        | FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin.replaceAll("\n", " "),
+    "d08_lang_id" -> {
+      val profs = TextOps.LANG_PROFILES.map { case (l, sw) =>
+        l -> sw.map(w => s"'$w'").mkString("(", ", ", ")")
+      }
+      val scores = profs.map { case (l, set) =>
+        s"len(list_filter(toks, x -> x IN $set))::DOUBLE / len(toks) AS s_$l"
+      }.mkString(", ")
+      val langs = profs.map(_._1)
+      val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val pick = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString("CASE ", " ", " END")
+      s"""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents),
+         | sc AS (SELECT doc_id, $scores FROM t)
+         | SELECT doc_id, $pick AS pred_lang, round(s_en, 6) AS en_score
+         | FROM sc ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    },
+    "d09_quality_score" ->
+      """WITH t AS (SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks FROM documents)
+        | SELECT doc_id, length(text) AS n_chars_m, len(toks) AS n_tokens,
+        |  len(list_distinct(toks)) AS n_distinct_tokens,
+        |  round(list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks), 6) AS avg_token_len,
+        |  round(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'on')))::DOUBLE / len(toks), 6) AS stopword_ratio,
+        |  round(len(list_distinct(toks))::DOUBLE / len(toks), 6) AS repetition_ratio
+        | FROM t ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "d10_token_count" ->
+      """SELECT doc_id,
+        | len(string_split_regex(lower(text), '\s+')) AS ws_tokens,
+        | len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS bpe_tokens,
+        | length(text) AS n_chars_m
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+  )
+}

@@ -1,0 +1,317 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational core q01–q15 (SURVEY.md §2.4): the query surface the
+  * reference's users get from SQLite/DuckDB over the `slurm` table,
+  * re-expressed as Catalyst plans over the driver tables.
+  *
+  * Scale notes per query are in the inline comments; dims are
+  * broadcast, aggregates partial, filters pushed to the parquet scan.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // scan→filter→groupBy multi-agg; map-side partial agg, one shuffle.
+    "q01_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // fact ⋈ small dim: part is broadcast — no fact shuffle.
+    "q02_broadcast_join" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").filter(col("p_size") < 15)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")),
+
+    // customer ⋈ orders ⋈ lineitem, agg + top-k by revenue.
+    "q03_multi_join_topk" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(20)
+    }),
+
+    // EXISTS / NOT EXISTS as left_semi / left_anti (no row explosion).
+    "q04_semi_anti" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+      val semi = o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(lit("with_bulk_item").as("kind"), col("o_totalprice"))
+      val anti = o.join(l, col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select(lit("without_bulk_item").as("kind"), col("o_totalprice"))
+      semi.unionByName(anti)
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+        .orderBy("kind")
+    }),
+
+    // 5-way star join; all dims broadcast, single fact pass.
+    "q05_star_join" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
+    // selective filter + narrow projection — pushed to the parquet scan.
+    "q06_filter_pushdown" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n_items"))),
+
+    // ranking + running sum windows; one shuffle on the partition key.
+    "q07_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"),
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_quantity"))
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("running_qty", round(sum(col("l_quantity"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+        .filter(col("rn") <= 3)
+        .select(col("l_suppkey"), col("rn"), col("l_orderkey"),
+          col("l_linenumber"), col("running_qty"))
+        .orderBy("l_suppkey", "rn")
+    }),
+
+    // exact distinct + conditional aggregation in one pass.
+    "q08_distinct" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"),
+          sum(when(col("o_totalprice") > 200000, 1L).otherwise(0L)).as("n_big"))
+        .orderBy("o_orderpriority")),
+
+    // global top-k: TakeOrderedAndProject, no full sort at scale.
+    "q09_topk_sort" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25)),
+
+    // union + dedup (hash aggregate on the full row).
+    "q10_union_dedup" -> ((s, dir) => {
+      val a = t(s, dir, "orders").filter(col("o_totalprice") > 150000)
+        .select(col("o_custkey"))
+      val b = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      a.union(b).distinct()
+        .agg(count(lit(1)).as("n_custkeys"))
+    }),
+
+    // pivot via conditional aggregation (no per-key pass).
+    "q11_conditional_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          round(sum(when(col("o_orderstatus") === "F", col("o_totalprice"))), 2).as("price_f"),
+          round(sum(when(col("o_orderstatus") === "O", col("o_totalprice"))), 2).as("price_o"),
+          round(sum(when(col("o_orderstatus") === "P", col("o_totalprice"))), 2).as("price_p"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment")),
+
+    // sessionization: 30-min-gap sessions via lag + cumulative flag sum.
+    "q12_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("session_value"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // tumbling-window batch agg — batch twin of the streaming module.
+    "q13_time_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour_bucket"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy("hour_bucket", "event_type")),
+
+    // hierarchical rollup (region → nation) with partial aggregation.
+    "q14_rollup" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal")), 2).as("total_acctbal"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)),
+
+    // as-of join: latest event at-or-before each order date per customer
+    // key-group. Spark-first: union both sides tagged, one window pass
+    // (last_value of event attrs over time order) — no O(n²) range join,
+    // single shuffle on the key (SURVEY §2.4 #39).
+    "q15_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("user_id") < 100)
+        .select(col("user_id").as("uid"), col("ts"),
+          col("value").as("ev_value"), lit(0).as("is_probe"),
+          lit(null).cast("long").as("o_orderkey"))
+      val probes = t(s, dir, "orders")
+        .filter(col("o_custkey") < 100)
+        // probe time = o_orderdate mapped into the events' 2024 timeline:
+        // deterministic per-order probe timestamps spread over the year
+        .select(col("o_custkey").as("uid"),
+          to_timestamp(concat(lit("2024-01-01 00:00:00"))).plus(
+            expr("make_interval(0, 0, 0, 0, 0, 0, o_orderkey % 31536000)")).as("ts"),
+          lit(null).cast("double").as("ev_value"), lit(1).as("is_probe"),
+          col("o_orderkey"))
+      val w = Window.partitionBy(col("uid"))
+        .orderBy(col("ts"), col("is_probe"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      ev.unionByName(probes)
+        .withColumn("asof_value", last(col("ev_value"), ignoreNulls = true).over(w))
+        .filter(col("is_probe") === 1)
+        .select(col("o_orderkey"), col("uid"), col("asof_value"))
+        .orderBy("o_orderkey")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_quantity), 6) AS avg_qty,
+        | round(avg(l_discount), 6) AS avg_disc,
+        | count(*) AS count_order
+        | FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
+    "q02_broadcast_join" ->
+      """SELECT p_brand, round(sum(l_extendedprice), 2) AS revenue, count(*) AS n_items
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE p_size < 15 GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
+    "q03_multi_join_topk" ->
+      """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | WHERE c_mktsegment = 'BUILDING'
+        | GROUP BY 1 ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin.replaceAll("\n", " "),
+    "q04_semi_anti" ->
+      """WITH bulk AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity > 45)
+        | SELECT kind, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price FROM (
+        |   SELECT 'with_bulk_item' AS kind, o_totalprice FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM bulk)
+        |   UNION ALL
+        |   SELECT 'without_bulk_item' AS kind, o_totalprice FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM bulk)
+        | ) GROUP BY kind ORDER BY kind""".stripMargin.replaceAll("\n", " "),
+    "q05_star_join" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n_items
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        | WHERE r_name = 'ASIA' GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
+    "q06_filter_pushdown" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n_items
+        | FROM lineitem WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin.replaceAll("\n", " "),
+    "q07_window" ->
+      """SELECT l_suppkey, rn, l_orderkey, l_linenumber, running_qty FROM (
+        | SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  row_number() OVER w AS rn,
+        |  round(sum(l_quantity) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+        | FROM lineitem
+        | WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_quantity)
+        |) WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin.replaceAll("\n", " "),
+    "q08_distinct" ->
+      """SELECT o_orderpriority,
+        | count(DISTINCT o_custkey) AS n_customers,
+        | count(*) AS n_orders,
+        | sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END)::BIGINT AS n_big
+        | FROM orders GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
+    "q09_topk_sort" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25",
+    "q10_union_dedup" ->
+      """SELECT count(*) AS n_custkeys FROM (
+        | SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+        | UNION
+        | SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin.replaceAll("\n", " "),
+    "q11_conditional_pivot" ->
+      """SELECT c_mktsegment,
+        | round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS price_f,
+        | round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS price_o,
+        | round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS price_p,
+        | count(*) AS n_orders
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
+    "q12_sessionize" ->
+      """SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 2) AS session_value FROM (
+        | SELECT user_id, value,
+        |  (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id
+        | FROM (
+        |  SELECT user_id, ts, event_id, value,
+        |   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |     OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))::BIGINT > 1800
+        |   THEN 1 ELSE 0 END AS new_sess
+        |  FROM events))
+        | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
+    "q13_time_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_bucket, event_type,
+        | count(*) AS n, round(sum(value), 2) AS total_value
+        | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
+    "q14_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_acctbal
+        | FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        | GROUP BY ROLLUP (r_name, n_name)
+        | ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin.replaceAll("\n", " "),
+    "q15_asof_join" ->
+      """SELECT o_orderkey, o_custkey AS uid, e.value AS asof_value
+        | FROM (SELECT o_orderkey, o_custkey,
+        |        TIMESTAMP '2024-01-01 00:00:00' + to_seconds(o_orderkey % 31536000) AS probe_ts
+        |       FROM orders WHERE o_custkey < 100) o
+        | ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE user_id < 100) e
+        |   ON o.o_custkey = e.user_id AND o.probe_ts >= e.ts
+        | ORDER BY o_orderkey""".stripMargin.replaceAll("\n", " ")
+  )
+}

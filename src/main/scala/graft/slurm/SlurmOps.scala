@@ -1,0 +1,104 @@
+package graft.slurm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Update/upsert semantics of the reference's `INSERT OR REPLACE`
+  * (slurm2sql.py:1023-1027): later loads replace earlier rows with the
+  * same JobID. Spark-first: tag each load, one window per key, keep the
+  * newest — a single shuffle on the key, no row-at-a-time writes. */
+object IncrementalLoad {
+  def upsert(loads: Seq[DataFrame], key: String = "JobID"): DataFrame = {
+    val tagged = loads.zipWithIndex.map { case (df, i) =>
+      df.withColumn("_load_seq", lit(i))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy(col(key)).orderBy(col("_load_seq").desc)
+    tagged.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_load_seq")
+  }
+}
+
+/** Day-by-day history collection (slurm2sql.py:791-851): the reference
+  * loops `sacct -S day -E day+1`; at scale the same batching is a
+  * date_trunc bucketing of one scan, and the resume bookmark
+  * (meta_slurm_lastupdate, slurm2sql.py:1104-1120) is max(ts). */
+object HistoryLoader {
+  /** Per-day batch summary + the resume timestamp each batch would
+    * persist (max event ts seen so far ≤ batch end). */
+  def dayBatches(events: DataFrame, tsCol: String = "ts"): DataFrame =
+    events.groupBy(date_format(date_trunc("day", col(tsCol)), "yyyy-MM-dd").as("batch_day"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        floor(unix_timestamp(max(col(tsCol)))).cast("long").as("last_timestamp"))
+
+  /** Rows newer than the persisted resume timestamp (--history-resume). */
+  def resumeFrom(events: DataFrame, lastTs: Long, tsCol: String = "ts"): DataFrame =
+    events.filter(unix_timestamp(col(tsCol)) > lastTs)
+}
+
+/** deidentify.py re-expressed: replace each distinct value of a column
+  * with `<col>_<i>`. The reference UPDATEs row-by-row over sqlite
+  * (deidentify.py:27-46); graft builds the distinct→index mapping as a
+  * dataframe (dense_rank over the value order — deterministic under
+  * parallelism, unlike first-seen order) and broadcast-joins it back. */
+object Deidentify {
+  def relabel(df: DataFrame, colName: String): DataFrame = {
+    val w = Window.orderBy(col(colName))
+    val mapping = df.select(col(colName)).where(col(colName).isNotNull).distinct()
+      .withColumn("_anon", concat(lit(colName + "_"), dense_rank().over(w) - 1))
+    df.join(broadcast(mapping), Seq(colName), "left")
+      .withColumn(colName, coalesce(col("_anon"), col(colName)))
+      .drop("_anon")
+  }
+}
+
+/** The reporting CLIs (slurm2sql-sacct / slurm2sql-seff,
+  * slurm2sql.py:1160-1371) as DataFrame transforms. Formatting (tabulate,
+  * printf %) is presentation-layer and stays out; the numbers match. */
+object Reports {
+
+  /** sacct-style listing: field select + user/partition filters + order
+    * (args_to_sql_where, slurm2sql.py:1071-1077). */
+  def sacct(slurm: DataFrame, user: Option[String] = None,
+            partition: Option[String] = None): DataFrame = {
+    val f1 = user.map(u => col("User") === u).getOrElse(lit(true))
+    val f2 = partition.map(p => col("Partition").contains(p)).getOrElse(lit(true))
+    slurm.filter(f1 && f2)
+  }
+
+  /** seff per-job report (slurm2sql.py:1332-1358), numeric columns. */
+  def seffPerJob(eff: DataFrame): DataFrame =
+    eff.filter(col("Start").isNotNull && col("End").isNotNull)
+      .select(
+        col("JobID"), col("User"),
+        round(col("Elapsed") / 3600, 2).as("hours"),
+        substring(col("State"), 1, 2).as("ST"),
+        col("NCPUS"),
+        col("CPUeff"),
+        round(col("AllocMem") / 1073741824L, 2).as("MemAllocGiB"),
+        round(col("TotalMem") / 1073741824L, 2).as("MemTotGiB"),
+        col("MemEff"),
+        col("NGpus"),
+        col("GpuEff"),
+        round(SlurmViews.safeDiv(col("TotDiskRead"), col("Elapsed")) / 1048576L, 2).as("read_MiBps"),
+        round(SlurmViews.safeDiv(col("TotDiskWrite"), col("Elapsed")) / 1048576L, 2).as("write_MiBps"))
+
+  /** seff --aggregate-user (slurm2sql.py:1300-1330): resource-days and
+    * usage-weighted efficiencies per user. */
+  def seffPerUser(eff: DataFrame): DataFrame =
+    eff.filter(col("End").isNotNull)
+      .groupBy(col("User"))
+      .agg(
+        round(sum(col("Elapsed")) / 86400, 1).as("days"),
+        round(sum(col("Elapsed") * col("NCPUS")) / 86400, 1).as("cpu_day"),
+        round(SlurmViews.safeDiv(sum(col("Elapsed") * col("NCPUS") * col("CPUeff")),
+          sum(col("Elapsed") * col("NCPUS"))) * 100, 4).as("cpueff_pct"),
+        round(sum(col("Elapsed") * col("AllocMem")) / 1073741824L / 86400, 1).as("mem_GiB_day"),
+        round(sum(col("Elapsed") * col("NGpus")) / 86400, 1).as("gpu_day"),
+        round(SlurmViews.safeDiv(sum(col("Elapsed") * col("NGpus") * col("GpuEff")),
+          sum(col("Elapsed") * col("NGpus"))) * 100, 4).as("gpueff_pct"),
+        round(SlurmViews.safeDiv(sum(col("TotDiskRead") / 1048576L), sum(col("Elapsed"))), 2).as("read_MiBps"),
+        round(SlurmViews.safeDiv(sum(col("TotDiskWrite") / 1048576L), sum(col("Elapsed"))), 2).as("write_MiBps"))
+}
