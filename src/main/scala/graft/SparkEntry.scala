@@ -20,5 +20,6 @@ object SparkEntry {
     * here (d02/d03/d04/d07/d11/d12) are sketch/LSH/stub operators under
     * the driver's rows-only check. */
   def oracleSql: Map[String, String] =
-    SlurmQueries.oracles ++ RelationalQueries.oracles ++ PipelineQueries.oracles
+    (SlurmQueries.oracles ++ RelationalQueries.oracles ++ PipelineQueries.oracles)
+      .view.mapValues(graft.functions.OracleSql.fixRounds).toMap
 }

@@ -47,9 +47,10 @@ object SlurmFunctions {
     * synthetic slurm source). `d-hh:mm:ss` when days>0 else `hh:mm:ss`. */
   def formatSlurmTime(secs: Column): Column = {
     val t = secs.cast("long")
-    val d = t / 86400L
-    val h = (t % 86400L) / 3600L
-    val m = (t % 3600L) / 60L
+    def fdiv(a: Column, b: Long): Column = floor(a / b).cast("long")
+    val d = fdiv(t, 86400L)
+    val h = fdiv(t % 86400L, 3600L)
+    val m = fdiv(t % 3600L, 60L)
     val sec = t % 60L
     when(d > 0, format_string("%d-%02d:%02d:%02d", d, h, m, sec))
       .otherwise(format_string("%02d:%02d:%02d", h, m, sec))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.Round.rd
 
 /** Deduplication operators (SURVEY §2.5 #40-43), designed for the
   * 100 TB path: exact dedup is one hash aggregate; near-dup never goes
@@ -73,7 +74,7 @@ object Dedup {
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), rd(col("jaccard"), 6).as("jaccard"))
   }
 
   /** 64-bit SimHash fingerprint: per-bit ±1 votes over token hashes.

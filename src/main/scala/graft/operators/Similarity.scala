@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.Round.rd
 
 /** Embedding similarity operators (SURVEY §2.5 #44-47).
   *
@@ -34,7 +35,7 @@ object Similarity {
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos", cosine(col("va"), col("vb")))
       .filter(col("cos") > threshold)
-      .select(col("label"), col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+      .select(col("label"), col("vec_a"), col("vec_b"), rd(col("cos"), 6).as("cos"))
   }
 
   /** Brute-force cosine top-k per query vector: broadcast the (small)
@@ -48,10 +49,10 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", cosine(col("qv"), col("v")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        round(col("cos"), 6).as("cos"))
+        rd(col("cos"), 6).as("cos"))
   }
 
   /** Random-hyperplane LSH bucket id: sign bits of numPlanes fixed
@@ -80,9 +81,9 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", cosine(col("qv"), col("v")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        round(col("cos"), 6).as("cos"))
+        rd(col("cos"), 6).as("cos"))
   }
 }

@@ -17,7 +17,7 @@ object TextOps {
     * punctuation — the standard pre-tokenizer shape. */
   val BPE_PATTERN = "[a-z]+|[0-9]|[^a-z0-9\\s]"
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(lower(text), lit(BPE_PATTERN)))
+    size(regexp_extract_all(lower(text), lit(BPE_PATTERN), lit(0)))
 
   /** Stopword profiles for n-gram/stopword language ID. */
   val LANG_PROFILES: Seq[(String, Seq[String])] = Seq(

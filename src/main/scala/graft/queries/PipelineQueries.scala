@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators._
+import graft.functions.Round.rd
 
 /** Training-data pipeline queries d01–d12 (SURVEY §2.5) over the
   * `documents` / `embeddings` tables. SQL-expressible ones carry a
@@ -66,7 +67,7 @@ object PipelineQueries {
     "d08_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextOps.langId(col("text")).as("pred_lang"),
-        round(TextOps.langScore(col("text"), TextOps.LANG_PROFILES.head._2), 6)
+        rd(TextOps.langScore(col("text"), TextOps.LANG_PROFILES.head._2), 6)
           .as("en_score"))
         .orderBy("doc_id")),
 
@@ -75,9 +76,9 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_chars_m").cast("long").as("n_chars_m"),
           col("n_tokens").cast("long").as("n_tokens"),
           col("n_distinct_tokens").cast("long").as("n_distinct_tokens"),
-          round(col("avg_token_len"), 6).as("avg_token_len"),
-          round(col("stopword_ratio"), 6).as("stopword_ratio"),
-          round(col("repetition_ratio"), 6).as("repetition_ratio"))
+          rd(col("avg_token_len"), 6).as("avg_token_len"),
+          rd(col("stopword_ratio"), 6).as("stopword_ratio"),
+          rd(col("repetition_ratio"), 6).as("repetition_ratio"))
         .orderBy("doc_id")),
 
     "d10_token_count" -> ((s, dir) =>
@@ -97,7 +98,7 @@ object PipelineQueries {
       val withP = Multimodal.withPayload(docs(s, dir))
       Multimodal.decodeFeatures(s, withP)
         .select(col("doc_id"), col("width"), col("height"), col("format"),
-          col("n_bytes"), round(element_at(col("feature"), 1), 1).as("f0"))
+          col("n_bytes"), rd(element_at(col("feature"), 1), 1).as("f0"))
         .orderBy("doc_id")
     })
   )

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.Round.rd
 
 /** Relational core q01–q15 (SURVEY.md §2.4): the query surface the
   * reference's users get from SQLite/DuckDB over the `slurm` table,
@@ -24,11 +25,11 @@ object RelationalQueries {
         .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(avg(col("l_quantity")), 6).as("avg_qty"),
-          round(avg(col("l_discount")), 6).as("avg_disc"),
+          rd(sum(col("l_quantity")), 2).as("sum_qty"),
+          rd(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          rd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          rd(avg(col("l_quantity")), 6).as("avg_qty"),
+          rd(avg(col("l_discount")), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
@@ -38,7 +39,7 @@ object RelationalQueries {
         .join(broadcast(t(s, dir, "part").filter(col("p_size") < 15)),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
-        .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
+        .agg(rd(sum(col("l_extendedprice")), 2).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("p_brand")),
 
@@ -50,7 +51,7 @@ object RelationalQueries {
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(rd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(20)
     }),
@@ -66,7 +67,7 @@ object RelationalQueries {
       semi.unionByName(anti)
         .groupBy(col("kind"))
         .agg(count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice")), 2).as("total_price"))
+          rd(sum(col("o_totalprice")), 2).as("total_price"))
         .orderBy("kind")
     }),
 
@@ -84,7 +85,7 @@ object RelationalQueries {
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        .agg(rd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("n_name")
     }),
@@ -93,7 +94,7 @@ object RelationalQueries {
     "q06_filter_pushdown" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        .agg(rd(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
           count(lit(1)).as("n_items"))),
 
     // ranking + running sum windows; one shuffle on the partition key.
@@ -102,7 +103,7 @@ object RelationalQueries {
         col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_quantity"))
       t(s, dir, "lineitem")
         .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("running_qty", round(sum(col("l_quantity"))
+        .withColumn("running_qty", rd(sum(col("l_quantity"))
           .over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
         .filter(col("rn") <= 3)
         .select(col("l_suppkey"), col("rn"), col("l_orderkey"),
@@ -143,9 +144,9 @@ object RelationalQueries {
         .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(
-          round(sum(when(col("o_orderstatus") === "F", col("o_totalprice"))), 2).as("price_f"),
-          round(sum(when(col("o_orderstatus") === "O", col("o_totalprice"))), 2).as("price_o"),
-          round(sum(when(col("o_orderstatus") === "P", col("o_totalprice"))), 2).as("price_p"),
+          rd(sum(when(col("o_orderstatus") === "F", col("o_totalprice"))), 2).as("price_f"),
+          rd(sum(when(col("o_orderstatus") === "O", col("o_totalprice"))), 2).as("price_o"),
+          rd(sum(when(col("o_orderstatus") === "P", col("o_totalprice"))), 2).as("price_p"),
           count(lit(1)).as("n_orders"))
         .orderBy("c_mktsegment")),
 
@@ -162,7 +163,7 @@ object RelationalQueries {
           .over(w.rowsBetween(Window.unboundedPreceding, 0)))
         .groupBy(col("user_id"), col("session_id"))
         .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value")), 2).as("session_value"))
+          rd(sum(col("value")), 2).as("session_value"))
         .orderBy("user_id", "session_id")
     }),
 
@@ -173,7 +174,7 @@ object RelationalQueries {
           date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour_bucket"),
           col("event_type"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("value")), 2).as("total_value"))
+          rd(sum(col("value")), 2).as("total_value"))
         .orderBy("hour_bucket", "event_type")),
 
     // hierarchical rollup (region → nation) with partial aggregation.
@@ -183,7 +184,7 @@ object RelationalQueries {
         .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_customers"),
-          round(sum(col("c_acctbal")), 2).as("total_acctbal"))
+          rd(sum(col("c_acctbal")), 2).as("total_acctbal"))
         .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)),
 
     // as-of join: latest event at-or-before each order date per customer

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{SlurmFunctions => F}
 import graft.slurm._
+import graft.functions.Round.rd
 
 /** Correctness-gate queries s01–s24: every slurm2sql capability from
   * SURVEY.md §2.1-§2.3, exercised over the driver's test tables.
@@ -87,8 +88,8 @@ object SlurmQueries {
         F.exitSignal(col("ExitCode")).as("exit_signal")).orderBy("k")),
     "s09_mem_derived" -> ((s, dir) =>
       raw(s, dir).select(col("k"),
-        F.reqMemNode(col("ReqMem"), col("nnodes"), col("cpus")).as("memnode_b"),
-        F.reqMemCpu(col("ReqMem"), col("nnodes"), col("cpus")).as("memcpu_b"))
+        F.reqMemNode(col("ReqMem"), col("NNodes"), col("NCPUS")).as("memnode_b"),
+        F.reqMemCpu(col("ReqMem"), col("NNodes"), col("NCPUS")).as("memcpu_b"))
         .orderBy("k")),
     "s10_queue_billing" -> ((s, dir) =>
       raw(s, dir).select(col("k"),
@@ -155,8 +156,8 @@ object SlurmQueries {
         col("AllocMem").as("allocmem_b"), col("TotalMem").as("totalmem_b"),
         col("MemEff").as("memeff"), col("mem_s_reserved"),
         col("NGpus").as("ngpus"), col("GPUType").as("gputype"),
-        col("gpu_s_reserved"), round(col("gpu_s_used"), 6).as("gpu_s_used"),
-        round(col("GpuEff"), 6).as("gpueff"), col("GpuMem").as("gpumem_b"),
+        col("gpu_s_reserved"), rd(col("gpu_s_used"), 6).as("gpu_s_used"),
+        rd(col("GpuEff"), 6).as("gpueff"), col("GpuMem").as("gpumem_b"),
         col("TotDiskRead").as("totdiskread_b"),
         col("TotDiskWrite").as("totdiskwrite_b"))
         .orderBy("jobid")),
@@ -174,7 +175,7 @@ object SlurmQueries {
       t.groupBy(col("Partition").as("partition")).agg(
         count(lit(1)).as("n_jobs"),
         sum(col("NCPUS")).as("sum_cpus"),
-        round(avg(col("Elapsed")), 4).as("avg_elapsed_s"))
+        rd(avg(col("Elapsed")), 4).as("avg_elapsed_s"))
         .orderBy("partition")
     }),
     "s20_history_batch" -> ((s, dir) =>
@@ -201,7 +202,7 @@ object SlurmQueries {
         col("CPUeff").as("cpueff"),
         col("MemAllocGiB").as("memallocgib"), col("MemTotGiB").as("memtotgib"),
         col("MemEff").as("memeff"), col("NGpus").as("ngpus"),
-        round(col("GpuEff"), 6).as("gpueff"),
+        rd(col("GpuEff"), 6).as("gpueff"),
         col("read_MiBps").as("read_mibps"), col("write_MiBps").as("write_mibps"))
         .orderBy("jobid")),
     "s24_seff_peruser" -> ((s, dir) =>
@@ -259,7 +260,7 @@ object SlurmQueries {
       | CASE WHEN i.e * i.cpus = 0 THEN NULL ELSE s.cpu_used_sum / ((i.e * i.cpus)::DOUBLE) END AS cpueff,
       | (i.e * i.cpus)::DOUBLE AS cpu_s_reserved,
       | s.cpu_used_sum AS cpu_s_used,
-      | (i.amt * $UNITF) / i.nnodes AS memreq_b,
+      | (i.amt * ${UNITF.replace("CASE k", "CASE i.k")}) / i.nnodes AS memreq_b,
       | i.memmb * 1048576.0 AS allocmem_b,
       | s.mu_max * 1048576.0 AS totalmem_b,
       | (s.mu_max * 1048576.0) / (i.memmb * 1048576.0) AS memeff,
@@ -267,8 +268,8 @@ object SlurmQueries {
       | CASE WHEN i.gpus > 0 THEN i.gpus::DOUBLE END AS ngpus,
       | CASE WHEN i.gpus > 0 THEN 'a100' END AS gputype,
       | CASE WHEN i.gpus > 0 THEN i.gpus::DOUBLE * (i.e::DOUBLE) END AS gpu_s_reserved,
-      | CASE WHEN i.gpus > 0 THEN round(i.gpus::DOUBLE * (i.e::DOUBLE) * (s.util_max::DOUBLE / 100.0), 6) END AS gpu_s_used,
-      | CASE WHEN i.gpus > 0 AND i.gpus * i.e != 0 THEN round(s.gpuutil_elapsed_sum / (i.gpus::DOUBLE * (i.e::DOUBLE)), 6) END AS gpueff,
+      | CASE WHEN i.gpus > 0 THEN i.gpus::DOUBLE * (i.e::DOUBLE) * (s.util_max::DOUBLE / 100.0) END AS gpu_s_used,
+      | CASE WHEN i.gpus > 0 AND i.gpus * i.e != 0 THEN s.gpuutil_elapsed_sum / (i.gpus::DOUBLE * (i.e::DOUBLE)) END AS gpueff,
       | CASE WHEN i.gpus > 0 THEN s.mu_max * 1000000.0 END AS gpumem_b,
       | s.dr_sum AS totdiskread_b,
       | s.dw_sum AS totdiskwrite_b
@@ -331,7 +332,13 @@ object SlurmQueries {
     "s16_allocations_steps" ->
       (P + s"""SELECT $PART AS "partition", sum(CASE WHEN m4 IN (0,1) THEN 1 ELSE 0 END)::BIGINT AS n_alloc, sum(CASE WHEN m4 IN (0,1) THEN 0 ELSE 1 END)::BIGINT AS n_steps, sum(CASE WHEN m4 IN (0,1) THEN cpus END)::BIGINT AS alloc_cpus FROM ints GROUP BY 1 ORDER BY 1"""),
     "s17_eff_view" ->
-      (EFFCTE + "SELECT * FROM eff ORDER BY jobid"),
+      (EFFCTE + """SELECT jobid, user_name, jobname, account, state, time_ts,
+        | timelimit_s, start_ts, end_ts, nnodes, elapsed_s, ncpus, cpueff,
+        | cpu_s_reserved, cpu_s_used, memreq_b, allocmem_b, totalmem_b,
+        | memeff, mem_s_reserved, ngpus, gputype, gpu_s_reserved,
+        | round(gpu_s_used, 6) AS gpu_s_used, round(gpueff, 6) AS gpueff,
+        | gpumem_b, totdiskread_b, totdiskwrite_b
+        | FROM eff ORDER BY jobid""".stripMargin.replaceAll("\n", " ")),
     "s18_update_dedup" ->
       (P + s"SELECT k, $JOBID AS jobid, CASE WHEN k % 2 = 0 THEN 'RESUBMIT' ELSE $STATE END AS state, e::DOUBLE AS elapsed_s, 'user_' || uid::VARCHAR AS user_name FROM ints ORDER BY k"),
     "s19_jobs_only" ->
@@ -353,7 +360,7 @@ object SlurmQueries {
         | substr(state, 1, 2) AS st, ncpus, cpueff,
         | round(allocmem_b / 1073741824, 2) AS memallocgib,
         | round(totalmem_b / 1073741824, 2) AS memtotgib,
-        | memeff, ngpus, gpueff,
+        | memeff, ngpus, round(gpueff, 6) AS gpueff,
         | round(totdiskread_b / elapsed_s / 1048576, 2) AS read_mibps,
         | round(totdiskwrite_b / elapsed_s / 1048576, 2) AS write_mibps
         | FROM eff WHERE start_ts IS NOT NULL AND end_ts IS NOT NULL

@@ -3,6 +3,7 @@ package graft.slurm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Round.rd
 
 /** Update/upsert semantics of the reference's `INSERT OR REPLACE`
   * (slurm2sql.py:1023-1027): later loads replace earlier rows with the
@@ -73,17 +74,17 @@ object Reports {
     eff.filter(col("Start").isNotNull && col("End").isNotNull)
       .select(
         col("JobID"), col("User"),
-        round(col("Elapsed") / 3600, 2).as("hours"),
+        rd(col("Elapsed") / 3600, 2).as("hours"),
         substring(col("State"), 1, 2).as("ST"),
         col("NCPUS"),
         col("CPUeff"),
-        round(col("AllocMem") / 1073741824L, 2).as("MemAllocGiB"),
-        round(col("TotalMem") / 1073741824L, 2).as("MemTotGiB"),
+        rd(col("AllocMem") / 1073741824L, 2).as("MemAllocGiB"),
+        rd(col("TotalMem") / 1073741824L, 2).as("MemTotGiB"),
         col("MemEff"),
         col("NGpus"),
         col("GpuEff"),
-        round(SlurmViews.safeDiv(col("TotDiskRead"), col("Elapsed")) / 1048576L, 2).as("read_MiBps"),
-        round(SlurmViews.safeDiv(col("TotDiskWrite"), col("Elapsed")) / 1048576L, 2).as("write_MiBps"))
+        rd(SlurmViews.safeDiv(col("TotDiskRead"), col("Elapsed")) / 1048576L, 2).as("read_MiBps"),
+        rd(SlurmViews.safeDiv(col("TotDiskWrite"), col("Elapsed")) / 1048576L, 2).as("write_MiBps"))
 
   /** seff --aggregate-user (slurm2sql.py:1300-1330): resource-days and
     * usage-weighted efficiencies per user. */
@@ -91,14 +92,14 @@ object Reports {
     eff.filter(col("End").isNotNull)
       .groupBy(col("User"))
       .agg(
-        round(sum(col("Elapsed")) / 86400, 1).as("days"),
-        round(sum(col("Elapsed") * col("NCPUS")) / 86400, 1).as("cpu_day"),
-        round(SlurmViews.safeDiv(sum(col("Elapsed") * col("NCPUS") * col("CPUeff")),
+        rd(sum(col("Elapsed")) / 86400, 1).as("days"),
+        rd(sum(col("Elapsed") * col("NCPUS")) / 86400, 1).as("cpu_day"),
+        rd(SlurmViews.safeDiv(sum(col("Elapsed") * col("NCPUS") * col("CPUeff")),
           sum(col("Elapsed") * col("NCPUS"))) * 100, 4).as("cpueff_pct"),
-        round(sum(col("Elapsed") * col("AllocMem")) / 1073741824L / 86400, 1).as("mem_GiB_day"),
-        round(sum(col("Elapsed") * col("NGpus")) / 86400, 1).as("gpu_day"),
-        round(SlurmViews.safeDiv(sum(col("Elapsed") * col("NGpus") * col("GpuEff")),
+        rd(sum(col("Elapsed") * col("AllocMem")) / 1073741824L / 86400, 1).as("mem_GiB_day"),
+        rd(sum(col("Elapsed") * col("NGpus")) / 86400, 1).as("gpu_day"),
+        rd(SlurmViews.safeDiv(sum(col("Elapsed") * col("NGpus") * col("GpuEff")),
           sum(col("Elapsed") * col("NGpus"))) * 100, 4).as("gpueff_pct"),
-        round(SlurmViews.safeDiv(sum(col("TotDiskRead") / 1048576L), sum(col("Elapsed"))), 2).as("read_MiBps"),
-        round(SlurmViews.safeDiv(sum(col("TotDiskWrite") / 1048576L), sum(col("Elapsed"))), 2).as("write_MiBps"))
+        rd(SlurmViews.safeDiv(sum(col("TotDiskRead") / 1048576L), sum(col("Elapsed"))), 2).as("read_MiBps"),
+        rd(SlurmViews.safeDiv(sum(col("TotDiskWrite") / 1048576L), sum(col("Elapsed"))), 2).as("write_MiBps"))
 }

@@ -69,7 +69,9 @@ object SlurmSim {
     val gpuUsage = when(col("gpus") > 0,
       concat(lit(",gres/gpumem="), col("mem_used"), lit("M,gres/gpuutil="), col("util"))).otherwise(lit(""))
     i.select(
-      i.columns.map(col) ++ Seq[Column](
+      // nnodes rides along as the NNodes sacct column (case-insensitive
+      // name collision otherwise)
+      i.columns.filterNot(_ == "nnodes").map(col) ++ Seq[Column](
         when(col("m4") === 0, k.cast("string"))
           .when(col("m4") === 1, format_string("%d_%d", k, col("arr")))
           .when(col("m4") === 2, format_string("%d.%d", k, col("stp")))

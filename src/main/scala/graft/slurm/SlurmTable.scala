@@ -84,7 +84,9 @@ object SlurmTable {
       F.totalMem(usageIn).as("TotalMem"),
       F.allocMem(allocTres).as("AllocMem"),
       F.memEff(allocTres, usageIn).as("MemEff"),
-      F.floatBytes(reqMem).as("ReqMem"),
+      // slurmMem rather than float_bytes: tolerates legacy per-node/
+      // per-core n/c suffixes the reference would choke on (SURVEY §4)
+      F.slurmMem(reqMem).as("ReqMem"),
       F.reqMemNode(reqMem, nNodes, nCpus).as("ReqMemNode"),
       F.reqMemCpu(reqMem, nNodes, nCpus).as("ReqMemCPU"),
       F.slurmMem(in(raw, "AveRSS")).as("AveRSS"),
