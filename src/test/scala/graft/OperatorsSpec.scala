@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+/** Behavioral specs for the pipeline operators: the near-dup stack must
+  * actually find planted duplicates, ANN must agree with brute force on
+  * easy queries, the multimodal batch stage must preserve row identity. */
+class OperatorsSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  val dir = "/root/testdata/sf0.001"
+  lazy val docs = Tables.load(spark, dir, "documents")
+
+  /** corpus with exact + near duplicates planted at known ids */
+  lazy val planted = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val exact = base.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+    val near = base.filter(col("doc_id").between(5, 9))
+      .select((col("doc_id") + 600000L).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text"))
+    base.unionByName(exact).unionByName(near).cache()
+  }
+
+  test("exact dedup finds planted exact duplicates") {
+    val groups = Dedup.exact(planted, col("text"), col("doc_id"))
+    assert(groups.filter(col("n_copies") >= 2).count() == 5)
+    // keeper is the original (min id)
+    assert(groups.filter(col("n_copies") >= 2)
+      .filter(col("keeper_id") >= 500000L).count() == 0)
+  }
+
+  test("minhash LSH recalls planted near-duplicates") {
+    val cand = Dedup.minhashCandidates(planted, col("text"), col("doc_id"))
+    val hits = cand.filter(col("doc_b") === col("doc_a") + 600000L ||
+      col("doc_b") === col("doc_a") + 500000L).count()
+    assert(hits >= 8, s"LSH recall too low: $hits/10 planted pairs")
+  }
+
+  test("jaccard verification keeps true pairs, scores them high") {
+    val cand = Dedup.minhashCandidates(planted, col("text"), col("doc_id"))
+    val verified = Dedup.jaccardVerify(cand, planted, col("text"), col("doc_id"), 0.5)
+    assert(verified.filter(col("jaccard") === 1.0).count() >= 5) // exact dups
+    assert(verified.filter(col("jaccard") < 0.5).count() == 0)
+  }
+
+  test("simhash hamming distance of exact dup is 0") {
+    val pairs = Dedup.simhashPairs(planted, col("text"), col("doc_id"))
+    assert(pairs.filter(col("hamming") === 0).count() >= 5)
+  }
+
+  test("LSH ANN results are a subset-consistent approximation of brute force") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(e, q, 5)
+      .filter(col("rank") === 1).select("q_id", "neighbor_id", "cos")
+    val lsh = Similarity.lshTopK(e, q, 5)
+      .filter(col("rank") === 1).select(col("q_id"),
+        col("neighbor_id").as("lsh_neighbor"), col("cos").as("lsh_cos"))
+    // every LSH rank-1 cos must be ≤ the brute-force rank-1 cos (it
+    // searched a subset) and both must be valid cosines
+    val joined = bf.join(lsh, "q_id")
+    assert(joined.filter(col("lsh_cos") > col("cos") + 1e-9).count() == 0)
+  }
+
+  test("multimodal batch decode preserves identity and is deterministic") {
+    val withP = Multimodal.withPayload(docs)
+    val out = Multimodal.decodeFeatures(spark, withP).cache()
+    assert(out.count() == docs.count())
+    assert(out.filter(size(col("feature")) =!= 4).count() == 0)
+    // deterministic: second run identical
+    val again = Multimodal.decodeFeatures(spark, withP)
+    assert(out.join(again, Seq("doc_id"))
+      .filter(out("feature") =!= again("feature")).count() == 0)
+    // n_bytes = utf8 length of the text payload
+    val chk = out.join(docs, "doc_id")
+      .filter(col("n_bytes") =!= length(col("text")).cast("long"))
+    assert(chk.count() == 0)
+  }
+
+  test("language id picks the profile with the best stopword hit rate") {
+    val df = Seq(
+      (1L, "the cat is on the mat and the dog is in the house"),
+      (2L, "el gato y la casa de los perros en el sol"),
+      (3L, "der hund und die katze ist von den bergen")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextOps.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "es")
+    assert(got(3L) == "de")
+  }
+
+  test("fingerprint is stable and order-sensitive") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "c b a")).toDF("doc_id", "text")
+    val fps = df.select(TextOps.fingerprint(col("text"))).collect().map(_.getLong(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+}

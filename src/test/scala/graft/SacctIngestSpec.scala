@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.slurm.{SacctSource, SlurmViews}
+
+/** End-to-end ingest of the reference's own CSV fixtures
+  * (/root/reference/tests/test-data{1,3}.csv) into the typed slurm
+  * table — the Spark twin of test.py:91-118.
+  *
+  * Timestamps: the reference parses in server-local time (its tests pin
+  * TZ=Europe/Helsinki); graft standardizes on UTC (SURVEY §4), so epoch
+  * assertions here are the UTC equivalents.
+  */
+class SacctIngestSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+
+  val data1 = "/root/reference/tests/test-data1.csv"
+  val data3 = "/root/reference/tests/test-data3.csv"
+
+  lazy val slurm1 = SacctSource.loadSlurmTable(spark, data1, sep = "|").cache()
+
+  test("test-data1 loads all rows with JobName/Start parsed") {
+    val r = slurm1.filter(col("JobID") === "43974388")
+      .select("JobName", "Start").collect()(0)
+    assert(r.getString(0) == "spawner-jupyterhub")
+    // reference asserts 1564601354 under Europe/Helsinki (UTC+3);
+    // UTC parse of 2019-07-31T22:29:14 is 3h later
+    assert(r.getLong(1) == 1564601354L + 3 * 3600)
+    assert(slurm1.count() == 5)
+  }
+
+  test("jobs-only filter leaves the two allocation rows") {
+    assert(SlurmViews.allocations(slurm1).count() == 2)
+    assert(SlurmViews.steps(slurm1).count() == 3)
+  }
+
+  test("typed columns: memory, time, exit codes") {
+    val r = slurm1.filter(col("JobID") === "43974388.batch")
+      .select("MaxRSS", "Elapsed", "ExitSignal", "NCPUS").collect()(0)
+    assert(r.getDouble(0) == 231092.0 * 1024) // 231092K
+    assert(r.getDouble(1) == 3 * 3600 + 33 * 60 + 56.0) // 03:33:56
+    assert(r.getInt(2) == 9) // 0:9
+    assert(r.getLong(3) == 2L)
+  }
+
+  test("queue time = start - submit") {
+    val r = slurm1.filter(col("JobID") === "43974388")
+      .select("QueueTime").collect()(0)
+    assert(r.getLong(0) == 1L) // reference test_queuetime
+  }
+
+  test("test-data3 (plain CSV) ingests") {
+    val s3 = SacctSource.loadSlurmTable(spark, data3)
+    val r = s3.filter(col("JobID") === "1").select("JobName", "Start").collect()(0)
+    assert(r.getString(0) == "job1")
+    // fixture Start = 1970-01-01T03:00:00; reference asserts 3600 under
+    // Helsinki (UTC+2 in 1970) — in UTC that string is epoch 10800
+    assert(r.getLong(1) == 10800L)
+  }
+
+  test("eff view rolls steps into the job") {
+    val eff = SlurmViews.eff(slurm1)
+    assert(eff.count() == 2)
+    val r = eff.filter(col("JobID") === "43974388").collect()(0)
+    assert(r.getAs[Long]("NCPUS") == 2L)
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStream
+
+/** Streaming twins produce the same answers as their batch forms
+  * (SURVEY §2.6), driven synchronously through a MemoryStream. */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+
+  test("windowedCounts matches the batch tumbling-window aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("ts"), col("event_type"), col("value"))
+    val rows = events.as[(java.sql.Timestamp, String, Double)].collect().toSeq
+
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val sdf = stream.toDF().toDF("ts", "event_type", "value")
+    val q = EventStream.windowedCounts(sdf).writeStream
+      .outputMode("append").format("memory").queryName("win_out").start()
+    stream.addData(rows)
+    q.processAllAvailable()
+    // append mode emits only watermark-closed windows; push a late
+    // sentinel far in the future to flush, then stop
+    stream.addData(Seq((java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), "flush", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("win_out")
+      .filter(col("event_type") =!= "flush")
+      .groupBy("window_start", "event_type").agg(sum("n").as("n"))
+    val want = events
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(got.count() == want.count())
+    assert(got.join(want, Seq("window_start", "event_type"))
+      .filter(got("n") =!= want("n")).count() == 0)
+  }
+
+  test("sessionize state machine closes gap>30min sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val sdf = stream.toDF().toDF("user_id", "ts", "value")
+    val q = EventStream.sessionize(spark, sdf).writeStream
+      .outputMode("append").format("memory").queryName("sess_out").start()
+    stream.addData(Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:10:00"), 2.0),  // same session
+      (1L, ts("2024-01-01 11:00:00"), 4.0),  // gap 50min → new session
+      (2L, ts("2024-01-01 10:00:00"), 8.0)))
+    q.processAllAvailable()
+    q.stop()
+    // only CLOSED sessions are emitted: user 1's first session
+    val out = spark.table("sess_out").collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Long]("user_id") == 1L)
+    assert(r.getAs[Long]("n_events") == 2L)
+    assert(r.getAs[Double]("session_value") == 3.0)
+  }
+}
