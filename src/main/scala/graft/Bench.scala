@@ -20,6 +20,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Tables.session("graft-bench", cpus)
+    // JIT/codegen/scan warmup so the first timed query isn't penalized
+    Tables.load(spark, sfDir, "lineitem").count()
+    Tables.load(spark, sfDir, "orders").count()
     val results = HEADLINERS.map { name =>
       val t0 = System.nanoTime()
       val n = try SparkEntry.queries(name)(spark, sfDir).count()

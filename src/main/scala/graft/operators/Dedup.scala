@@ -26,17 +26,32 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
-  /** MinHash signature: numPerms permutations h_i(x) = (a_i·x + b_i)
-    * mod p over xxhash64 shingle hashes; one array column, map-only. */
-  def minhashSignature(text: Column, numPerms: Int = 32): Column = {
-    val p = 2305843009213693951L // 2^61 - 1 (Mersenne prime)
+  /** MinHash signatures for every doc: shingle-explode → hash once →
+    * one hash-aggregate computing all numPerms `min((a·h + b) mod p)`
+    * at once.
+    *
+    * Tokenizing once and aggregating numerics is the scale-critical
+    * choice: expressing the signature as one nested Column would inline
+    * (and re-execute) the string shingling once per permutation — 32×
+    * the string work. Here each shingle is hashed exactly once and the
+    * permutations are long-arithmetic on exploded rows; p = 2^31−1 keeps
+    * a·h+b inside 64-bit range (no overflow wrap). */
+  def minhashSignatures(docs: DataFrame, text: Column, id: Column,
+                        numPerms: Int): DataFrame = {
+    val p = 2147483647L // 2^31 - 1 (Mersenne prime); a·h+b < 2^62
     val rnd = new scala.util.Random(42)
     val coefs = Seq.fill(numPerms)((math.abs(rnd.nextLong()) % (p - 1) + 1,
       math.abs(rnd.nextLong()) % p))
-    val sh = shingles(text)
-    array(coefs.map { case (a, b) =>
-      array_min(transform(sh, s => pmod(pmod(xxhash64(s), lit(p)) * a + b, lit(p))))
-    }: _*)
+    val exploded = docs.select(id.as("doc_id"),
+      explode(shingles(text)).as("sh"))
+      .select(col("doc_id"), pmod(xxhash64(col("sh")), lit(p)).as("h"))
+    val mins = coefs.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(p))).as(s"m$i")
+    }
+    exploded.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numPerms).map(i => col(s"m$i")): _*).as("sig"))
   }
 
   /** LSH banding: explode the signature into (band_idx, band_hash).
@@ -44,8 +59,7 @@ object Dedup {
     * (band, hash), never a cartesian. bands×rows must = numPerms. */
   def lshBands(docs: DataFrame, text: Column, id: Column,
                bands: Int = 8, rows: Int = 4): DataFrame = {
-    val withSig = docs.select(id.as("doc_id"),
-      minhashSignature(text, bands * rows).as("sig"))
+    val withSig = minhashSignatures(docs, text, id, bands * rows)
     withSig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", transform(slice(col("sig"), b * rows + 1, lit(rows)),
@@ -77,16 +91,22 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), rd(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** 64-bit SimHash fingerprint: per-bit ±1 votes over token hashes.
-    * Map-only (aggregate over the token array — no explode shuffle). */
-  def simhash(text: Column): Column = {
-    val hashes = transform(TextOps.tokens(text), t => xxhash64(t))
-    val bitCols = (0 until 64).map { j =>
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << j)).otherwise(0L)
+  /** 64-bit SimHash fingerprints: per-bit ±1 votes over token hashes.
+    * Token-explode → hash once → one aggregate with 64 vote sums (same
+    * one-tokenize rationale as [[minhashSignatures]]). */
+  def simhashFingerprints(docs: DataFrame, text: Column, id: Column): DataFrame = {
+    val exploded = docs.select(id.as("doc_id"),
+      explode(TextOps.tokens(text)).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val votes = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"v$j")
     }
-    bitCols.reduce(_ bitwiseOR _)
+    val fp = (0 until 64).map { j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ bitwiseOR _)
+    exploded.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fp.as("fp"))
   }
 
   /** SimHash near-dup pairs: 4×16-bit band blocking (any equal band ⇒
@@ -94,7 +114,7 @@ object Dedup {
     * bit_count(xor) ≤ maxHamming. */
   def simhashPairs(docs: DataFrame, text: Column, id: Column,
                    maxHamming: Int = 3): DataFrame = {
-    val f = docs.select(id.as("doc_id"), simhash(text).as("fp"))
+    val f = simhashFingerprints(docs, text, id)
     val banded = f.select(col("doc_id"), col("fp"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("fp"), b * 16).bitwiseAND(0xFFFFL)): _*))

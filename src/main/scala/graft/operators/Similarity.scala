@@ -28,12 +28,16 @@ object Similarity {
   /** Exact near-dup pairs with cosine > threshold, blocked by a key
     * column (same-label here; at scale: any coarse partitioner). */
   def cosinePairs(emb: DataFrame, threshold: Double): DataFrame = {
+    // norms once per vector BEFORE the pair join — not once per pair
     val e = emb.select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
-    val l = e.select(col("label"), col("vec_id").as("vec_a"), col("v").as("va"))
-    val r = e.select(col("label"), col("vec_id").as("vec_b"), col("v").as("vb"))
+      .withColumn("n", norm(col("v")))
+    val l = e.select(col("label"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("n").as("na"))
+    val r = e.select(col("label"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("n").as("nb"))
     l.join(r, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") > threshold)
       .select(col("label"), col("vec_a"), col("vec_b"), rd(col("cos"), 6).as("cos"))
   }
@@ -44,10 +48,12 @@ object Similarity {
   def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val corpus = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("n", norm(col("v")))
     val q = queries.select(col("vec_id").as("q_id"), toDouble(col("embedding")).as("qv"))
+      .withColumn("qn", norm(col("qv")))
     val scored = corpus.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("n")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -75,11 +81,13 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val corpus = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("bucket", hyperplaneBucket(col("v"), dim, numPlanes))
+      .withColumn("n", norm(col("v")))
     val q = queries.select(col("vec_id").as("q_id"), toDouble(col("embedding")).as("qv"))
       .withColumn("bucket", hyperplaneBucket(col("qv"), dim, numPlanes))
+      .withColumn("qn", norm(col("qv")))
     val scored = corpus.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("n")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
