@@ -8,8 +8,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+  /** Load a test table. `spread=true` redistributes right after the
+    * (pushdown-preserving) scan: the driver test files are single-row-
+    * group parquet, so a scan can never split below one task — callers
+    * with CPU-heavy map stages (string parsing, shingling, vector math)
+    * opt in to model the multi-file splits a cluster input has
+    * naturally. Cheap scan→agg paths skip the extra exchange. */
+  def load(spark: SparkSession, dir: String, name: String,
+           spread: Boolean = false): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    val df =
+      if (spread && sys.env.getOrElse("SPARK_GRAFT_SPREAD", "1") == "1")
+        raw.repartition(spark.sparkContext.defaultParallelism)
+      else raw
     // events.ts is parquet TIMESTAMP(NANOS): with nanosAsLong it scans
     // as a long; truncate to micros (exactly what DuckDB's reader does).
     if (name == "events")

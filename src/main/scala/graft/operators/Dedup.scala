@@ -68,14 +68,24 @@ object Dedup {
 
   /** MinHash+LSH near-dup candidate pairs (doc_a < doc_b). */
   def minhashCandidates(docs: DataFrame, text: Column, id: Column,
-                        bands: Int = 8, rows: Int = 4): DataFrame = {
-    val b = lshBands(docs, text, id, bands, rows)
-    val l = b.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
-    val r = b.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_b"))
-    l.join(r, Seq("band_idx", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
-  }
+                        bands: Int = 8, rows: Int = 4): DataFrame =
+    // single pass: collect bucket members per (band, hash) and expand
+    // i<j pairs inline — a self-join would run the whole signature
+    // pipeline twice; bucket lists stay small by LSH construction
+    pairsInBuckets(lshBands(docs, text, id, bands, rows),
+      Seq("band_idx", "band_hash"), col("doc_id"))
+
+  /** All i<j pairs of `member` within each bucket key. */
+  private[operators] def pairsInBuckets(df: DataFrame, bucket: Seq[String],
+                                        member: Column): DataFrame =
+    df.groupBy(bucket.map(col): _*)
+      .agg(sort_array(collect_set(member)).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids) - i - 1), " +
+          "b -> named_struct('doc_a', a, 'doc_b', b))))")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
 
   /** n-gram Jaccard verification over candidate pairs only. */
   def jaccardVerify(candidates: DataFrame, docs: DataFrame,
@@ -119,14 +129,14 @@ object Dedup {
       posexplode(array((0 until 4).map(b =>
         shiftright(col("fp"), b * 16).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("band_idx", "band_val")))
-    val l = banded.select(col("band_idx"), col("band_val"),
-      col("doc_id").as("doc_a"), col("fp").as("fp_a"))
-    val r = banded.select(col("band_idx"), col("band_val"),
-      col("doc_id").as("doc_b"), col("fp").as("fp_b"))
-    l.join(r, Seq("band_idx", "band_val"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+    banded.groupBy(col("band_idx"), col("band_val"))
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("fp")))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(expr(
+        "flatten(transform(xs, (a, i) -> transform(slice(xs, i + 2, size(xs) - i - 1), " +
+          "b -> named_struct('doc_a', a.doc_id, 'doc_b', b.doc_id, " +
+          "'hamming', bit_count(a.fp ^ b.fp)))))")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

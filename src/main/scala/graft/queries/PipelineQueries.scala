@@ -13,8 +13,8 @@ import graft.functions.Round.rd
   */
 object PipelineQueries {
 
-  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
-  private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents", spread = true)
+  private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings", spread = true)
 
   /** Corpus with injected near-duplicates (doc_id+1000000, last word
     * dropped) so near-dup operators have true positives to find. */

@@ -19,7 +19,7 @@ object SlurmSim {
 
   /** Spark-side: integer derivation columns from orders. */
   def ints(spark: SparkSession, dir: String): DataFrame = {
-    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val o = graft.Tables.load(spark, dir, "orders", spread = true)
     val k = col("o_orderkey")
     o.select(
       k.as("k"),
@@ -143,7 +143,7 @@ object SlurmSim {
       lit("").as("TRESUsageOutTot"),
       format_string("%d:%d", col("code"), col("sig")).as("ExitCode"))
 
-    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val li = graft.Tables.load(spark, dir, "lineitem", spread = true)
       .select(col("l_orderkey").as("k"), col("l_linenumber").cast("long").as("ln"))
     val st = li.join(i, "k")
       .withColumn("se", expr("(e * (100 - ln)) div 100"))
