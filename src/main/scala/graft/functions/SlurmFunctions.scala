@@ -20,8 +20,15 @@ object SlurmFunctions {
     * Without: anchored from the RIGHT — `hh:mm:ss`, `mm:ss`, or bare
     * minutes. Seconds may be fractional (`00:15.057`). `UNLIMITED` and
     * `Partition_Limit` → NULL. Returns seconds as DOUBLE.
+    *
+    * Hot path: native [[SlurmTimeParse]] expression (one pass, codegen).
+    * [[slurmTimeComposed]] keeps the built-ins-only form; the two are
+    * pinned equivalent by SlurmTimeParseSpec.
     */
-  def slurmTime(x: Column): Column = {
+  def slurmTime(x: Column): Column = SlurmTimeParse.column(x)
+
+  /** Composed-built-ins form of [[slurmTime]] (reference semantics). */
+  def slurmTimeComposed(x: Column): Column = {
     val s = nonEmpty(x)
     val valid = s.isNotNull && !s.isin("UNLIMITED", "Partition_Limit")
     val hasDay = s.contains("-")

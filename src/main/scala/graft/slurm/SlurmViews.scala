@@ -28,14 +28,21 @@ object SlurmViews {
   def steps(slurm: DataFrame): DataFrame =
     slurm.filter(col("JobStep").isNotNull)
 
-  /** `eff` view: per-job efficiency rollup, GROUP BY JobIDnostep. */
-  def eff(slurm: DataFrame): DataFrame = {
+  /** `eff` view: per-job efficiency rollup, GROUP BY JobIDnostep.
+    *
+    * `withSubmitLines` (the reference's group_concat(SubmitLine)) is
+    * opt-in: collect_list forces an ObjectHashAggregate/sort-based agg
+    * and the column is presentation-only — leaving it out keeps the
+    * rollup a codegen'd HashAggregate. */
+  def eff(slurm: DataFrame, withSubmitLines: Boolean = false): DataFrame = {
     val isAlloc = col("JobStep").isNull
-    slurm.groupBy(col("JobIDnostep").as("JobID")).agg(
-      max("User").as("User"),
+    val submitLines =
+      if (withSubmitLines)
+        Seq(concat_ws("\n", collect_list(col("SubmitLine"))).as("SubmitLines"))
+      else Seq.empty
+    val aggs = Seq(
       max("Partition").as("Partition"),
-      max(when(isAlloc, col("JobName"))).as("JobName"),
-      concat_ws("\n", collect_list(col("SubmitLine"))).as("SubmitLines"),
+      max(when(isAlloc, col("JobName"))).as("JobName")) ++ submitLines ++ Seq(
       max("Account").as("Account"),
       max(when(isAlloc, col("State"))).as("State"),
       max("NodeList").as("NodeList"),
@@ -67,5 +74,7 @@ object SlurmViews {
       max("MaxDiskWrite").as("MaxDiskWrite"),
       sum("TotDiskRead").as("TotDiskRead"),
       sum("TotDiskWrite").as("TotDiskWrite"))
+    slurm.groupBy(col("JobIDnostep").as("JobID"))
+      .agg(max("User").as("User"), aggs: _*)
   }
 }
