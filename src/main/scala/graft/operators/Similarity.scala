@@ -73,6 +73,43 @@ object Similarity {
     bits.reduce(_ bitwiseOR _)
   }
 
+  /** IVF (inverted-file) ANN: partition the corpus into cells around
+    * nCells deterministic centroid vectors (the lowest vec_ids — an
+    * IVF-flat assignment pass; a production build would k-means them),
+    * then search only the nProbe cells nearest each query. The cell
+    * assignment is one broadcast pass; search cost drops from n to
+    * ~n·nProbe/nCells per query. */
+  def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = emb.orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cell_seed"), toDouble(col("embedding")).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    def assign(df: DataFrame, vcol: String, ncol: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("cell_cos").desc, col("cell_seed"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("cell_cos", dot(col(vcol), col("cv")) / (col(ncol) * col("cn")))
+        .withColumn("cell_rank", row_number().over(w))
+        .filter(col("cell_rank") <= keep)
+        .drop("cv", "cn", "cell_cos", "cell_rank")
+    }
+    val corpus = assign(emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("n", norm(col("v"))), "v", "n", keep = 1)
+      .withColumnRenamed("cell_seed", "cell")
+    val q = assign(queries.select(col("vec_id"), toDouble(col("embedding")).as("qv"))
+      .withColumn("qn", norm(col("qv"))), "qv", "qn", keep = nProbe)
+      .select(col("vec_id").as("q_id"), col("qv"), col("qn"),
+        col("cell_seed").as("cell"))
+    val scored = corpus.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("n")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        rd(col("cos"), 6).as("cos"))
+  }
+
   /** ANN via hyperplane LSH: candidates share a bucket (plus the probe
     * trick of also matching on bucket with one bit flipped would widen
     * recall; kept single-bucket here). Top-k within candidates. */

@@ -64,6 +64,12 @@ object PipelineQueries {
         .orderBy("q_id", "rank")
     }),
 
+    "d13_ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 50), k = 5)
+        .orderBy("q_id", "rank")
+    }),
+
     "d08_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextOps.langId(col("text")).as("pred_lang"),

@@ -45,6 +45,16 @@ object HistoryLoader {
   * dataframe (dense_rank over the value order — deterministic under
   * parallelism, unlike first-seen order) and broadcast-joins it back. */
 object Deidentify {
+  /** Reference default column set (deidentify.py:7). */
+  val DEFAULT_COLUMNS: Seq[String] =
+    Seq("JobName", "User", "Group", "SubmitLine", "Comment")
+
+  /** Relabel every identifier column present in the frame. */
+  def relabelAll(df: DataFrame,
+                 cols: Seq[String] = DEFAULT_COLUMNS): DataFrame =
+    cols.filter(c => df.columns.exists(_.equalsIgnoreCase(c)))
+      .foldLeft(df)(relabel)
+
   def relabel(df: DataFrame, colName: String): DataFrame = {
     val w = Window.orderBy(col(colName))
     val mapping = df.select(col(colName)).where(col(colName).isNotNull).distinct()

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators._
+import graft.slurm.Deidentify
 
 /** Behavioral specs for the pipeline operators: the near-dup stack must
   * actually find planted duplicates, ANN must agree with brute force on
@@ -65,6 +66,27 @@ class OperatorsSpec extends AnyFunSuite {
     // searched a subset) and both must be valid cosines
     val joined = bf.join(lsh, "q_id")
     assert(joined.filter(col("lsh_cos") > col("cos") + 1e-9).count() == 0)
+  }
+
+  test("IVF ANN: rank-1 cos never beats brute force; cells partition the corpus") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(e, q, 5)
+      .filter(col("rank") === 1).select(col("q_id"), col("cos"))
+    val ivf = Similarity.ivfTopK(e, q, 5)
+      .filter(col("rank") === 1).select(col("q_id"), col("cos").as("ivf_cos"))
+    assert(ivf.count() > 0)
+    assert(bf.join(ivf, "q_id").filter(col("ivf_cos") > col("cos") + 1e-9).count() == 0)
+  }
+
+  test("relabelAll anonymizes every identifier column present") {
+    val df = Seq(("alice", "jobA"), ("bob", "jobB"), ("alice", "jobC"))
+      .toDF("User", "JobName")
+    val out = Deidentify.relabelAll(df).collect()
+    assert(out.forall(r => r.getString(0).startsWith("User_") &&
+      r.getString(1).startsWith("JobName_")))
+    // same input value → same label
+    assert(out.filter(_.getString(0) == "User_0").length == 2)
   }
 
   test("multimodal batch decode preserves identity and is deterministic") {
