@@ -44,21 +44,42 @@ object Similarity {
 
   /** Brute-force cosine top-k per query vector: broadcast the (small)
     * query set against one pass over the corpus. The exactness baseline
-    * every ANN variant is judged against. */
+    * every ANN variant is judged against.
+    *
+    * Ranking uses the custom [[graft.functions.TopKByScore]] aggregate:
+    * O(k) state per query with map-side partial aggregation, instead of
+    * a window sort over every scored candidate (equivalence to the
+    * window form is spec-pinned). */
   def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = scoreAll(emb, queries)
+    scored.groupBy(col("q_id"))
+      .agg(graft.functions.TopKByScore.column(
+        col("cos"), col("vec_id"), lit(k)).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("neighbor_id"), rd(col("t.score"), 6).as("cos"))
+  }
+
+  /** Window-sort form of [[bruteForceTopK]] (the composed baseline the
+    * custom aggregate is checked against). */
+  def bruteForceTopKWindow(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val corpus = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      .withColumn("n", norm(col("v")))
-    val q = queries.select(col("vec_id").as("q_id"), toDouble(col("embedding")).as("qv"))
-      .withColumn("qn", norm(col("qv")))
-    val scored = corpus.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("n")))
+    val scored = scoreAll(emb, queries)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
         rd(col("cos"), 6).as("cos"))
+  }
+
+  private def scoreAll(emb: DataFrame, queries: DataFrame): DataFrame = {
+    val corpus = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("n", norm(col("v")))
+    val q = queries.select(col("vec_id").as("q_id"), toDouble(col("embedding")).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    corpus.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("n")))
   }
 
   /** Random-hyperplane LSH bucket id: sign bits of numPlanes fixed
