@@ -111,8 +111,16 @@ object SlurmFunctions {
   }
 
   /** `ExtractField` (slurm2sql.py:178-197): pull `field=value` out of a
-    * TRES-style comma-separated string. Returns the raw string value. */
-  def tresExtract(c: Column, field: String): Column = {
+    * TRES-style comma-separated string. Returns the raw string value.
+    *
+    * Hot path: native [[TresExtractExpr]] (single indexOf scan,
+    * codegen'd); [[tresExtractComposed]] keeps the regex form the two
+    * are spec-pinned against. */
+  def tresExtract(c: Column, field: String): Column =
+    TresExtractExpr.column(c, field)
+
+  /** Composed regex form of [[tresExtract]]. */
+  def tresExtractComposed(c: Column, field: String): Column = {
     val pat = "\\b" + java.util.regex.Pattern.quote(field) + "=([^,]*)"
     nonEmpty(regexp_extract(c, pat, 1))
   }
