@@ -230,7 +230,7 @@ object SlurmQueries {
       | (e * (100 - ln)) // 100 AS se,
       | (((e * (100 - ln)) // 100) * cpus * pct) // 100 AS cu,
       | (memmb * ((k + ln) % 90)) // 100 AS mu,
-      | (k + ln) % 101 AS utls,
+      | ((k + ln) % 5) * 25 AS utls,
       | (k * ln) % 100000 AS drln,
       | (k * ln) % 70000 AS dwln
       | FROM sl""".stripMargin.replaceAll("\n", " ")

@@ -149,7 +149,7 @@ object SlurmSim {
       .withColumn("se", expr("(e * (100 - ln)) div 100"))
       .withColumn("cu", expr("(se * cpus * pct) div 100"))
       .withColumn("mu", expr("(memmb * ((k + ln) % 90)) div 100"))
-      .withColumn("utls", (col("k") + col("ln")) % 101)
+      .withColumn("utls", ((col("k") + col("ln")) % 5) * 25) // multiples of 25: utls/100 is binary-exact, so summed GpuUtil·Elapsed terms are order-independent across engines (sf0.1 rounding-boundary lesson)
       .withColumn("drln", (col("k") * col("ln")) % 100000)
       .withColumn("dwln", (col("k") * col("ln")) % 70000)
     val gpuUsage = when(col("gpus") > 0,

@@ -41,6 +41,34 @@ class StreamingSpec extends AnyFunSuite {
       .filter(got("n") =!= want("n")).count() == 0)
   }
 
+  test("watermark drops data later than 30min behind the max event time") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val sdf = stream.toDF().toDF("ts", "event_type", "value")
+    val q = graft.streaming.EventStream.windowedCounts(sdf).writeStream
+      .outputMode("append").format("memory").queryName("late_out").start()
+    // batch 1: events at 10:xx advance the watermark to 11:30
+    stream.addData(Seq((ts("2024-01-01 10:05:00"), "a", 1.0),
+      (ts("2024-01-01 12:00:00"), "a", 1.0)))
+    q.processAllAvailable()
+    // batch 2: an event for the (closed) 10:00 window arrives late
+    stream.addData(Seq((ts("2024-01-01 10:10:00"), "a", 99.0)))
+    q.processAllAvailable()
+    // flush remaining windows
+    stream.addData(Seq((ts("2024-01-01 20:00:00"), "flush", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val tenOclock = spark.table("late_out")
+      .filter(col("event_type") === "a" &&
+        col("window_start") === ts("2024-01-01 10:00:00")).collect()
+    // the late 10:10 event was dropped: count 1, value 1.0 (not 100.0)
+    assert(tenOclock.length == 1)
+    assert(tenOclock(0).getAs[Long]("n") == 1L)
+    assert(tenOclock(0).getAs[Double]("total_value") == 1.0)
+  }
+
   test("sessionize state machine closes gap>30min sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
