@@ -187,6 +187,19 @@ object RelationalQueries {
           rd(sum(col("c_acctbal")), 2).as("total_acctbal"))
         .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)),
 
+    // exact interpolated percentiles per group (one pass, sort-based
+    // aggregate; at 100 TB swap to approx_percentile sketches).
+    "q16_percentiles" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          rd(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          rd(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          rd(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"),
+          rd(min(col("o_totalprice")), 4).as("p_min"),
+          rd(max(col("o_totalprice")), 4).as("p_max"))
+        .orderBy("o_orderpriority")),
+
     // as-of join: latest event at-or-before each order date per customer
     // key-group. Spark-first: union both sides tagged, one window pass
     // (last_value of event attrs over time order) — no O(n²) range join,
@@ -306,6 +319,14 @@ object RelationalQueries {
         | JOIN region ON n_regionkey = r_regionkey
         | GROUP BY ROLLUP (r_name, n_name)
         | ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin.replaceAll("\n", " "),
+    "q16_percentiles" ->
+      """SELECT o_orderpriority,
+        | round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        | round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        | round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+        | round(min(o_totalprice), 4) AS p_min,
+        | round(max(o_totalprice), 4) AS p_max
+        | FROM orders GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
     "q15_asof_join" ->
       """SELECT o_orderkey, o_custkey AS uid, e.value AS asof_value
         | FROM (SELECT o_orderkey, o_custkey,
