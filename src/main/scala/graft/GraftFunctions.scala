@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.{SlurmTimeParse, TopKByScore, TresExtractExpr}
+
+/** SQL-first entry point: register graft's custom expressions and the
+  * slurm views so everything a reference user did with sqlite SQL works
+  * as `spark.sql(...)` verbatim-ish:
+  *
+  * {{{
+  * GraftFunctions.register(spark)
+  * GraftFunctions.registerSlurmViews(spark, slurmTable)
+  * spark.sql("SELECT slurm_time('1-02:00:00'), tres_extract(AllocTRES, 'mem') FROM slurm")
+  * spark.sql("SELECT * FROM eff WHERE CPUeff < 0.5")
+  * }}}
+  */
+object GraftFunctions {
+
+  /** Register `slurm_time`, `tres_extract`, `topk_by_score` for SQL. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "slurm_time", exprs => SlurmTimeParse(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "tres_extract", exprs => TresExtractExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "topk_by_score", exprs => TopKByScore(exprs(0), exprs(1), exprs(2)), "built-in")
+  }
+
+  /** Register the reference's table + views as temp views
+    * (`slurm`, `allocations`, `steps`, `eff`). */
+  def registerSlurmViews(spark: SparkSession, slurm: DataFrame): Unit = {
+    slurm.createOrReplaceTempView("slurm")
+    graft.slurm.SlurmViews.allocations(slurm).createOrReplaceTempView("allocations")
+    graft.slurm.SlurmViews.steps(slurm).createOrReplaceTempView("steps")
+    graft.slurm.SlurmViews.eff(slurm).createOrReplaceTempView("eff")
+  }
+}

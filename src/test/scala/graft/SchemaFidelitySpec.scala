@@ -40,6 +40,22 @@ class SchemaFidelitySpec extends AnyFunSuite {
     // plus raw TRES strings — SQL on any reference-computed column works
   }
 
+  test("SQL-first surface: registered functions + views answer raw SQL") {
+    GraftFunctions.register(spark)
+    val t = SlurmTable.build(SlurmSim.raw(spark, "/root/testdata/sf0.001"),
+      lit(1750000000L))
+    GraftFunctions.registerSlurmViews(spark,
+      SlurmTable.build(SlurmSim.jsRaw(spark, "/root/testdata/sf0.001"),
+        lit(1750000000L)))
+    val f = spark.sql(
+      "SELECT slurm_time('1-02:00:00') AS a, tres_extract('cpu=4,mem=8G', 'mem') AS b")
+      .collect()(0)
+    assert(f.getDouble(0) == 93600.0)
+    assert(f.getString(1) == "8G")
+    assert(spark.sql("SELECT * FROM eff WHERE CPUeff IS NOT NULL").count() > 0)
+    assert(spark.sql("SELECT count(*) FROM allocations").collect()(0).getLong(0) > 0)
+  }
+
   test("reference sqlite-style SQL keeps resolving against the table") {
     val t = SlurmTable.build(SlurmSim.raw(spark, "/root/testdata/sf0.001"),
       lit(1750000000L))
