@@ -27,6 +27,17 @@ object GraftFunctions {
       "topk_by_score", exprs => TopKByScore(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 
+  /** Idempotent per-session registration for the `.column` helpers:
+    * registering on every call floods the log with "replaced a
+    * previously registered function" warnings (round-1 bench tail). */
+  def ensureRegistered(): Unit = {
+    val spark = SparkSession.active
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("slurm_time")))
+      register(spark)
+  }
+
   /** Register the reference's table + views as temp views
     * (`slurm`, `allocations`, `steps`, `eff`). */
   def registerSlurmViews(spark: SparkSession, slurm: DataFrame): Unit = {

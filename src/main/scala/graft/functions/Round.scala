@@ -20,14 +20,18 @@ object Round {
 }
 
 object OracleSql {
-  /** Rewrite every `round(EXPR, N)` in a SQL string to
-    * `floor((EXPR) * 10^N + 0.5) / 10^N` (balanced-paren aware). */
+  // word boundary before "round(": don't corrupt a_round(...) / xround(...)
+  private val RoundCall = "(?i)(?<![a-zA-Z0-9_])round\\(".r
+
+  /** Rewrite every 2-arg `round(EXPR, N)` in a SQL string to
+    * `floor((EXPR) * 10^N + 0.5) / 10^N` (balanced-paren aware).
+    * 1-arg `round(x)` rounds to an integer identically in both engines
+    * on the values we emit, so it passes through unchanged. */
   def fixRounds(sql: String): String = {
-    val key = "round("
-    val idx = sql.toLowerCase.indexOf(key)
-    if (idx < 0) return sql
+    val m0 = RoundCall.findFirstMatchIn(sql).getOrElse(return sql)
+    val idx = m0.start
     var depth = 1
-    var i = idx + key.length
+    var i = m0.end
     var lastComma = -1
     while (depth > 0 && i < sql.length) {
       sql(i) match {
@@ -39,8 +43,10 @@ object OracleSql {
       i += 1
     }
     val close = i - 1
-    require(lastComma > 0, s"round() without digits in: $sql")
-    val inner = sql.substring(idx + key.length, lastComma).trim
+    if (lastComma < 0)
+      // 1-arg round: keep it, continue scanning inside its args + beyond
+      return sql.substring(0, m0.end) + fixRounds(sql.substring(m0.end))
+    val inner = sql.substring(m0.end, lastComma).trim
     val digits = sql.substring(lastComma + 1, close).trim.toInt
     val m = math.pow(10, digits)
     val repl = s"floor(($inner) * $m + 0.5) / $m"

@@ -83,9 +83,7 @@ object SlurmTimeParse {
     * seam for custom expressions; also makes `slurm_time(...)` callable
     * from SQL text). Registration is idempotent per session. */
   def column(c: Column): Column = {
-    val spark = SparkSession.active
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "slurm_time", exprs => SlurmTimeParse(exprs.head), "built-in")
+    graft.GraftFunctions.ensureRegistered()
     call_function("slurm_time", c)
   }
 }

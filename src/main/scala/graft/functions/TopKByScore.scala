@@ -5,7 +5,8 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -24,7 +25,22 @@ import org.apache.spark.sql.types._
 case class TopKByScore(
     scoreExpr: Expression, idExpr: Expression, kExpr: Expression,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]] {
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]]
+  with ImplicitCastInputTypes {
+
+  // SQL callers get implicit casts (int score → double, int id → long)
+  // instead of a runtime ClassCastException in update().
+  override def inputTypes: Seq[DataType] =
+    Seq(DoubleType, LongType, IntegerType)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    super.checkInputDataTypes() match {
+      case TypeCheckResult.TypeCheckSuccess if !kExpr.foldable =>
+        TypeCheckResult.TypeCheckFailure(s"$prettyName requires a literal (foldable) k")
+      case TypeCheckResult.TypeCheckSuccess if k <= 0 =>
+        TypeCheckResult.TypeCheckFailure(s"$prettyName requires k > 0, got $k")
+      case other => other
+    }
 
   private lazy val k: Int = kExpr.eval(InternalRow.empty) match {
     case i: Int => i
@@ -96,10 +112,7 @@ object TopKByScore {
 
   /** `topk_by_score(score, id, k)` as a Column aggregate. */
   def column(score: Column, id: Column, k: Column): Column = {
-    val spark = SparkSession.active
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "topk_by_score", exprs => TopKByScore(exprs(0), exprs(1), exprs(2)),
-      "built-in")
+    graft.GraftFunctions.ensureRegistered()
     call_function("topk_by_score", score, id, k)
   }
 }

@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -45,43 +46,77 @@ object TresExtractUtil {
   }
 }
 
-case class TresExtractExpr(child: Expression, fieldExpr: Expression)
-  extends UnaryExpression {
+/** `tres_extract(tres_string, field)`. The field must be a foldable
+  * string (it parameterizes the generated code); a non-literal second
+  * argument fails analysis instead of silently evaluating against an
+  * empty row (round-1 hazard: the old UnaryExpression hid `fieldExpr`
+  * from Catalyst entirely). */
+case class TresExtractExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "tres_extract"
 
-  private lazy val field: UTF8String =
-    fieldExpr.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
-      .asInstanceOf[UTF8String]
-
-  override def nullSafeEval(v: Any): Any =
-    TresExtractUtil.extract(v.asInstanceOf[UTF8String], field)
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val fieldRef = ctx.addReferenceObj("tresField", field,
-      classOf[UTF8String].getName)
-    nullSafeCodeGen(ctx, ev, c => {
-      val tmp = ctx.freshName("tresVal")
-      s"""
-         |UTF8String $tmp = graft.functions.TresExtractUtil.extract($c, $fieldRef);
-         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
-       """.stripMargin
-    })
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (left.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string input, got ${left.dataType.catalogString}")
+    else if (right.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string field name, got ${right.dataType.catalogString}")
+    else if (!right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a literal (foldable) field name")
+    else TypeCheckResult.TypeCheckSuccess
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
+  // safe: checkInputDataTypes enforces foldable before execution
+  private lazy val field: UTF8String =
+    right.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      .asInstanceOf[UTF8String]
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    if (field == null) return null
+    val v = left.eval(input)
+    if (v == null) null
+    else TresExtractUtil.extract(v.asInstanceOf[UTF8String], field)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    if (field == null) {
+      return ev.copy(code =
+        code"""
+           |boolean ${ev.isNull} = true;
+           |UTF8String ${ev.value} = null;
+         """.stripMargin)
+    }
+    val fieldRef = ctx.addReferenceObj("tresField", field,
+      classOf[UTF8String].getName)
+    val childGen = left.genCode(ctx)
+    val tmp = ctx.freshName("tresVal")
+    ev.copy(code =
+      code"""
+         |${childGen.code}
+         |boolean ${ev.isNull} = true;
+         |UTF8String ${ev.value} = null;
+         |if (!${childGen.isNull}) {
+         |  UTF8String $tmp = graft.functions.TresExtractUtil.extract(${childGen.value}, $fieldRef);
+         |  if ($tmp != null) { ${ev.isNull} = false; ${ev.value} = $tmp; }
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 object TresExtractExpr {
-  import org.apache.spark.sql.SparkSession
   import org.apache.spark.sql.functions.call_function
 
   def column(c: Column, field: String): Column = {
-    val spark = SparkSession.active
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "tres_extract", exprs => TresExtractExpr(exprs(0), exprs(1)), "built-in")
+    graft.GraftFunctions.ensureRegistered()
     call_function("tres_extract", c, org.apache.spark.sql.functions.lit(field))
   }
 }

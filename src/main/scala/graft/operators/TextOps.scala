@@ -58,9 +58,12 @@ object TextOps {
   }
 
   /** Rabin-Karp rolling document fingerprint: polynomial hash of the
-    * whole text mod 2^61-1, plus winnowed 8-token window hashes. */
+    * whole text mod 2^31-1. The modulus keeps the recurrence inside
+    * 64-bit range without wrapping (acc < 2^31, so acc·31 + char <
+    * 2^36) — the round-1 2^60 modulus silently overflowed Long on
+    * acc·31 and was NOT the documented polynomial hash. */
   def fingerprint(text: Column): Column = {
-    val M = 1152921504606846976L // 2^60: power-of-two modulus keeps pmod cheap
+    val M = 2147483647L // 2^31 - 1 (Mersenne prime)
     aggregate(split(text, ""), lit(0L),
       (acc, c) => pmod(acc * 31L + coalesce(ascii(c), lit(0)), lit(M)))
   }

@@ -22,6 +22,33 @@ class TopKByScoreSpec extends AnyFunSuite {
     assert(b.except(a).count() == 0)
   }
 
+  test("SQL callers get implicit casts (int score / int id)") {
+    GraftFunctions.register(spark)
+    Seq((1, 9, 10), (1, 5, 3)).toDF("g", "s", "id")
+      .createOrReplaceTempView("topk_cast_test")
+    val rows = spark.sql(
+      "SELECT g, topk_by_score(s, id, 2) AS top FROM topk_cast_test GROUP BY g")
+      .selectExpr("g", "inline(top)").collect()
+    assert(rows.map(r => (r.getDouble(1), r.getLong(2))).toSeq ==
+      Seq((9.0, 10L), (5.0, 3L)))
+  }
+
+  test("non-positive / non-foldable k fails analysis") {
+    GraftFunctions.register(spark)
+    Seq((1, 0.5, 3L)).toDF("g", "s", "id")
+      .createOrReplaceTempView("topk_neg_test")
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT topk_by_score(s, id, 0) FROM topk_neg_test GROUP BY g").collect()
+    }
+    assert(e1.getMessage.contains("k > 0") ||
+      e1.getClass.getName.contains("Analysis"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT topk_by_score(s, id, id) FROM topk_neg_test GROUP BY g").collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("foldable") ||
+      e2.getClass.getName.contains("Analysis"), e2.getMessage)
+  }
+
   test("ties break by smaller id; nulls skipped; k bounds output") {
     val df = Seq(
       (1L, 0.9, 10L), (1L, 0.9, 3L), (1L, 0.9, 7L), (1L, 0.5, 1L),

@@ -26,6 +26,26 @@ class TresExtractSpec extends AnyFunSuite {
     }
   }
 
+  test("non-literal field fails analysis, not at runtime") {
+    GraftFunctions.register(spark)
+    val df = Seq(("cpu=4,mem=2048M", "cpu")).toDF("t", "f")
+    df.createOrReplaceTempView("tres_neg_test")
+    val e = intercept[Exception] {
+      spark.sql("SELECT tres_extract(t, f) FROM tres_neg_test").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("foldable") ||
+      e.getClass.getName.contains("Analysis"), e.getMessage)
+  }
+
+  test("non-string input fails analysis") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT tres_extract(42, 'cpu')").collect()
+    }
+    assert(e.getClass.getName.contains("Analysis") ||
+      e.getMessage.toLowerCase.contains("string"), e.getMessage)
+  }
+
   test("native == composed on adversarial strings") {
     val cases = Seq(
       "cpu=4,mem=2048M", "gres/gpumem=3", "mem=,cpu=1", "mem= ,x=1",
