@@ -66,26 +66,53 @@ object Dedup {
           x => x.cast("string")))))).as(Seq("band_idx", "band_hash")))
   }
 
+  /** Hot-bucket cap: buckets larger than this are star-expanded instead
+    * of all-pairs-expanded. A boilerplate cluster of 10⁶ near-identical
+    * docs lands in ONE bucket; O(b²) expansion there is 10¹² pairs in a
+    * single task. Star expansion (everyone ↔ bucket-min) keeps the
+    * cluster one connected component for downstream union-find dedup
+    * with O(b) pairs. */
+  val MAX_FULL_BUCKET = 64
+
   /** MinHash+LSH near-dup candidate pairs (doc_a < doc_b). */
   def minhashCandidates(docs: DataFrame, text: Column, id: Column,
-                        bands: Int = 8, rows: Int = 4): DataFrame =
+                        bands: Int = 8, rows: Int = 4,
+                        maxBucket: Int = MAX_FULL_BUCKET): DataFrame =
     // single pass: collect bucket members per (band, hash) and expand
     // i<j pairs inline — a self-join would run the whole signature
-    // pipeline twice; bucket lists stay small by LSH construction
+    // pipeline twice
     pairsInBuckets(lshBands(docs, text, id, bands, rows),
-      Seq("band_idx", "band_hash"), col("doc_id"))
+      Seq("band_idx", "band_hash"), col("doc_id"), maxBucket)
 
-  /** All i<j pairs of `member` within each bucket key. */
+  /** Pairs of `member` within each bucket key: all i<j pairs for
+    * buckets ≤ maxBucket, star pairs (bucket-min ↔ member) above it.
+    *
+    * Scale shape: bucket size/min come from window aggregates (WindowExec
+    * buffers spill to disk — no unbounded aggregation buffer), the
+    * collect_set for the full expansion only ever sees ≤ maxBucket
+    * members, and the star branch is map-only. Both branches read the
+    * same shuffle, so the upstream signature pipeline runs once
+    * (ReusedExchange). */
   private[operators] def pairsInBuckets(df: DataFrame, bucket: Seq[String],
-                                        member: Column): DataFrame =
-    df.groupBy(bucket.map(col): _*)
-      .agg(sort_array(collect_set(member)).as("ids"))
-      .filter(size(col("ids")) > 1)
+                                        member: Column,
+                                        maxBucket: Int = MAX_FULL_BUCKET): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(bucket.map(col): _*)
+    val sized = df.select((bucket.map(col) :+ member.as("_m")): _*)
+      .withColumn("_cnt", count(lit(1)).over(w))
+      .withColumn("_min", min(col("_m")).over(w))
+      .filter(col("_cnt") > 1)
+    val small = sized.filter(col("_cnt") <= maxBucket)
+      .groupBy(bucket.map(col): _*)
+      .agg(sort_array(collect_set(col("_m"))).as("ids"))
       .select(explode(expr(
         "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids) - i - 1), " +
           "b -> named_struct('doc_a', a, 'doc_b', b))))")).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
-      .distinct()
+    val big = sized.filter(col("_cnt") > maxBucket && col("_m") =!= col("_min"))
+      .select(col("_min").as("doc_a"), col("_m").as("doc_b"))
+    small.unionByName(big).distinct()
+  }
 
   /** n-gram Jaccard verification over candidate pairs only. */
   def jaccardVerify(candidates: DataFrame, docs: DataFrame,
@@ -121,22 +148,35 @@ object Dedup {
 
   /** SimHash near-dup pairs: 4×16-bit band blocking (any equal band ⇒
     * candidate — catches all pairs with hamming ≤ 3), verified by
-    * bit_count(xor) ≤ maxHamming. */
+    * bit_count(xor) ≤ maxHamming. Hot buckets star-expand against the
+    * bucket-min doc (same rationale as [[pairsInBuckets]]). */
   def simhashPairs(docs: DataFrame, text: Column, id: Column,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   maxBucket: Int = MAX_FULL_BUCKET): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val f = simhashFingerprints(docs, text, id)
     val banded = f.select(col("doc_id"), col("fp"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("fp"), b * 16).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("band_idx", "band_val")))
-    banded.groupBy(col("band_idx"), col("band_val"))
+    val w = Window.partitionBy(col("band_idx"), col("band_val"))
+    val sized = banded
+      .withColumn("_cnt", count(lit(1)).over(w))
+      .withColumn("_min", min(struct(col("doc_id"), col("fp"))).over(w))
+      .filter(col("_cnt") > 1)
+    val small = sized.filter(col("_cnt") <= maxBucket)
+      .groupBy(col("band_idx"), col("band_val"))
       .agg(sort_array(collect_set(struct(col("doc_id"), col("fp")))).as("xs"))
-      .filter(size(col("xs")) > 1)
       .select(explode(expr(
         "flatten(transform(xs, (a, i) -> transform(slice(xs, i + 2, size(xs) - i - 1), " +
           "b -> named_struct('doc_a', a.doc_id, 'doc_b', b.doc_id, " +
           "'hamming', bit_count(a.fp ^ b.fp)))))")).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming"))
+    val big = sized
+      .filter(col("_cnt") > maxBucket && col("doc_id") =!= col("_min.doc_id"))
+      .select(col("_min.doc_id").as("doc_a"), col("doc_id").as("doc_b"),
+        bit_count(col("_min.fp").bitwiseXOR(col("fp"))).as("hamming"))
+    small.unionByName(big)
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -40,10 +40,20 @@ object HistoryLoader {
 }
 
 /** deidentify.py re-expressed: replace each distinct value of a column
-  * with `<col>_<i>`. The reference UPDATEs row-by-row over sqlite
-  * (deidentify.py:27-46); graft builds the distinct→index mapping as a
-  * dataframe (dense_rank over the value order — deterministic under
-  * parallelism, unlike first-seen order) and broadcast-joins it back. */
+  * with `<col>_<i>`, index = the value's position in global sort order
+  * (deterministic under parallelism, unlike the reference's first-seen
+  * row order; deidentify.py:27-46).
+  *
+  * Scale shape (columns like JobName/SubmitLine are near-unique, so the
+  * mapping is the same order of magnitude as the data):
+  *  - global rank is assembled distributively: range-partition the
+  *    distinct values (partition i's values all sort before partition
+  *    i+1's), row_number within each partition, plus a per-partition
+  *    offset — the only global-order step runs on ≤ numPartitions count
+  *    rows, never on the values themselves;
+  *  - the mapping joins back by a plain shuffle join (no broadcast
+  *    hint — a near-unique column's mapping doesn't fit on executors;
+  *    AQE still auto-broadcasts genuinely small mappings). */
 object Deidentify {
   /** Reference default column set (deidentify.py:7). */
   val DEFAULT_COLUMNS: Seq[String] =
@@ -56,10 +66,24 @@ object Deidentify {
       .foldLeft(df)(relabel)
 
   def relabel(df: DataFrame, colName: String): DataFrame = {
-    val w = Window.orderBy(col(colName))
-    val mapping = df.select(col(colName)).where(col(colName).isNotNull).distinct()
-      .withColumn("_anon", concat(lit(colName + "_"), dense_rank().over(w) - 1))
-    df.join(broadcast(mapping), Seq(colName), "left")
+    val ranged = df.select(col(colName)).where(col(colName).isNotNull).distinct()
+      .repartitionByRange(col(colName))
+      .withColumn("_pid", spark_partition_id())
+    val wIn = Window.partitionBy(col("_pid")).orderBy(col(colName))
+    val withRn = ranged.withColumn("_rn", row_number().over(wIn).cast("long"))
+    // per-partition counts → exclusive prefix sums; ≤ numPartitions rows,
+    // so the single-partition window here is over a handful of counts
+    val wOff = Window.orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withRn.groupBy(col("_pid"))
+      .agg(count(lit(1)).as("_cnt"))
+      .withColumn("_offset", coalesce(sum(col("_cnt")).over(wOff), lit(0L)))
+      .select(col("_pid"), col("_offset"))
+    val mapping = withRn.join(broadcast(offsets), Seq("_pid"))
+      .select(col(colName),
+        concat(lit(colName + "_"), (col("_rn") - 1 + col("_offset")).cast("string"))
+          .as("_anon"))
+    df.join(mapping, Seq(colName), "left")
       .withColumn(colName, coalesce(col("_anon"), col(colName)))
       .drop("_anon")
   }

@@ -71,6 +71,9 @@ object SlurmTable {
       in(raw, "NTasks").cast("long").as("NTasks"),
       allocTres.as("AllocTRES"),
       usageIn.as("TRESUsageInTot"),
+      // COLUMNS_EXTRA pass-through (slurm2sql.py:694): queried from sacct
+      // alongside the schema columns; kept so averaged TRES stats survive
+      in(raw, "TRESUsageInAve").as("TRESUsageInAve"),
       usageOut.as("TRESUsageOutTot"),
       nCpus.as("NCPUS"),
       in(raw, "ReqCPUS").cast("long").as("ReqCPUS"),
@@ -81,6 +84,8 @@ object SlurmTable {
       F.slurmTime(in(raw, "SystemCPU")).as("SystemCPU"),
       F.cpuEff(in(raw, "Elapsed"), allocTres, usageIn).as("CPUEff"),
       F.slurmTime(in(raw, "MinCPU")).as("MinCPU"),
+      in(raw, "MinCPUNode").as("MinCPUNode"),
+      in(raw, "MinCPUTask").as("MinCPUTask"),
       F.totalMem(usageIn).as("TotalMem"),
       F.allocMem(allocTres).as("AllocMem"),
       F.memEff(allocTres, usageIn).as("MemEff"),
@@ -91,6 +96,8 @@ object SlurmTable {
       F.reqMemCpu(reqMem, nNodes, nCpus).as("ReqMemCPU"),
       F.slurmMem(in(raw, "AveRSS")).as("AveRSS"),
       F.slurmMem(in(raw, "MaxRSS")).as("MaxRSS"),
+      in(raw, "MaxRSSNode").as("MaxRSSNode"),
+      in(raw, "MaxRSSTask").as("MaxRSSTask"),
       F.intMetric(in(raw, "MaxPages")).as("MaxPages"),
       F.slurmMem(in(raw, "MaxVMSize")).as("MaxVMSize"),
       F.intBytes(in(raw, "AveDiskRead")).as("AveDiskRead"),

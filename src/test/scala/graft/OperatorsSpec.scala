@@ -42,6 +42,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hits >= 8, s"LSH recall too low: $hits/10 planted pairs")
   }
 
+  test("mega-duplicate cluster stays bounded (star expansion) without hurting recall") {
+    // 5000 identical copies of one doc in ONE LSH bucket per band: the
+    // unbounded all-pairs expansion would be ~12.5M pairs; the star form
+    // must link the cluster in O(n) while normal planted dups still pair.
+    val one = docs.filter(col("doc_id") === 0).select(col("text")).head().getString(0)
+    val cluster = spark.range(1, 5001)
+      .select((col("id") + 700000L).as("doc_id"), lit(one).as("text"))
+    val corpus = planted.unionByName(cluster)
+    val cand = Dedup.minhashCandidates(corpus, col("text"), col("doc_id")).cache()
+    val inCluster = cand.filter(col("doc_a") >= 700000L || col("doc_a") === 0L)
+      .filter(col("doc_b") >= 700000L)
+    // O(n) pairs: every cluster member linked, none of the O(n²) blowup
+    val n = inCluster.count()
+    assert(n >= 5000 && n <= 3 * 5001, s"cluster pair count $n not O(n)")
+    // connectivity: all 5000 injected ids appear in some pair
+    val linked = inCluster.select(explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .filter(col("d") >= 700000L).distinct().count()
+    assert(linked == 5000, s"only $linked/5000 cluster members linked")
+    // normal planted-dup recall unchanged by the cap
+    val hits = cand.filter(col("doc_b") === col("doc_a") + 600000L ||
+      col("doc_b") === col("doc_a") + 500000L).count()
+    assert(hits >= 8, s"LSH recall dropped with cap: $hits/10")
+    cand.unpersist()
+  }
+
+  test("simhash mega-cluster stays bounded too") {
+    val one = docs.filter(col("doc_id") === 0).select(col("text")).head().getString(0)
+    val cluster = spark.range(1, 5001)
+      .select((col("id") + 700000L).as("doc_id"), lit(one).as("text"))
+    val corpus = planted.unionByName(cluster)
+    val pairs = Dedup.simhashPairs(corpus, col("text"), col("doc_id")).cache()
+    val inCluster = pairs.filter(col("doc_b") >= 700000L)
+    val n = inCluster.count()
+    assert(n >= 5000 && n <= 3 * 5001, s"simhash cluster pair count $n not O(n)")
+    assert(inCluster.select(explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .filter(col("d") >= 700000L).distinct().count() == 5000)
+    assert(pairs.filter(col("hamming") === 0).count() >= 5000) // identical docs
+    pairs.unpersist()
+  }
+
   test("jaccard verification keeps true pairs, scores them high") {
     val cand = Dedup.minhashCandidates(planted, col("text"), col("doc_id"))
     val verified = Dedup.jaccardVerify(cand, planted, col("text"), col("doc_id"), 0.5)
@@ -87,6 +127,24 @@ class OperatorsSpec extends AnyFunSuite {
       r.getString(1).startsWith("JobName_")))
     // same input value → same label
     assert(out.filter(_.getString(0) == "User_0").length == 2)
+  }
+
+  test("relabel assigns global-value-order indices distributively") {
+    // 20k distinct values across 32 shuffle partitions: the distributed
+    // rank (range partition + per-partition row_number + offset) must
+    // equal the global dense_rank the oracle computes.
+    val df = spark.range(0, 20000)
+      .select(col("id"),
+        concat(lit("v"), lpad(col("id").cast("string"), 6, "0")).as("User"))
+    // value v000123 sorts to position 123 → label User_123, and id == 123
+    val bad = Deidentify.relabel(df, "User")
+      .filter(col("User") =!= concat(lit("User_"), col("id").cast("string")))
+      .count()
+    assert(bad == 0)
+    // the mapping joins back without a broadcast HINT (no forced
+    // broadcast of a potentially huge mapping; tiny offsets may hint)
+    val analyzed = Deidentify.relabel(df, "User").queryExecution.analyzed.toString
+    assert(analyzed.split("ResolvedHint").length <= 2, "unexpected broadcast hints")
   }
 
   test("multimodal batch decode preserves identity and is deterministic") {

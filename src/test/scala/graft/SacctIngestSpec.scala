@@ -60,6 +60,53 @@ class SacctIngestSpec extends AnyFunSuite {
     assert(r.getLong(1) == 10800L)
   }
 
+  test("embedded newline in JobName reassembles to ONE row (slurm2sql.py:888-905)") {
+    val dir = java.nio.file.Files.createTempDirectory("sacct_nl").toFile
+    val f = new java.io.File(dir, "dump.txt")
+    val w = new java.io.PrintWriter(f)
+    w.print(
+      """JobID;|;JobName;|;User;|;State
+        |1;|;plain job;|;alice;|;COMPLETED
+        |2;|;name with
+        |an embedded
+        |newline;|;bob;|;FAILED
+        |3;|;tail job;|;carol;|;COMPLETED
+        |""".stripMargin)
+    w.close()
+    val df = SacctSource.readReassembled(spark, f.getAbsolutePath).cache()
+    assert(df.count() == 3)
+    val r2 = df.filter(col("JobID") === "2").collect()(0)
+    assert(r2.getAs[String]("JobName") == "name with\nan embedded\nnewline")
+    assert(r2.getAs[String]("User") == "bob")
+    assert(df.filter(col("JobID") === "3")
+      .select("JobName").head().getString(0) == "tail job")
+    // feeds straight into the typed table
+    val t = graft.slurm.SlurmTable.build(df)
+    assert(t.filter(col("JobName").contains("\n")).count() == 1)
+    df.unpersist()
+  }
+
+  test("reassembly quarantines a trailing incomplete fragment") {
+    val dir = java.nio.file.Files.createTempDirectory("sacct_frag").toFile
+    val f = new java.io.File(dir, "dump.txt")
+    val w = new java.io.PrintWriter(f)
+    w.print("JobID;|;JobName;|;User\n1;|;ok;|;alice\n2;|;dangling\n")
+    w.close()
+    val df = SacctSource.readReassembled(spark, f.getAbsolutePath)
+    assert(df.count() == 1)
+    assert(df.head().getString(0) == "1")
+  }
+
+  test("reassembly on a newline-free dump equals the quarantine reader") {
+    // same rows either way when nothing needs gluing (reference fixture)
+    val a = SacctSource.readReassembled(spark, data1, sep = "|")
+    val b = SacctSource.readDelimited(spark, data1, sep = "|").drop("_corrupt")
+    assert(a.count() == b.count())
+    assert(a.columns.toSeq == b.columns.toSeq)
+    val cols = a.columns.map(col)
+    assert(a.select(cols: _*).except(b.select(cols: _*)).count() == 0)
+  }
+
   test("eff view rolls steps into the job") {
     val eff = SlurmViews.eff(slurm1)
     assert(eff.count() == 2)

@@ -12,7 +12,10 @@ class SchemaFidelitySpec extends AnyFunSuite {
 
   lazy val spark = SparkTestSession.get
 
-  // COLUMNS keys, underscores stripped (reference order)
+  // The COMPLETE COLUMNS key set, underscores stripped (reference order,
+  // slurm2sql.py:580-687), plus the stored COLUMNS_EXTRA pass-through
+  // TRESUsageInAve (slurm2sql.py:694) — no omissions: any `SELECT col
+  // FROM slurm` a reference user runs must resolve here.
   val referenceColumns = Seq(
     "JobID", "JobIDnostep", "JobIDonly", "JobStep", "ArrayTaskID",
     "JobIDRawonly", "JobName", "User", "Group", "Account", "SubmitLine",
@@ -20,10 +23,13 @@ class SchemaFidelitySpec extends AnyFunSuite {
     "End", "QueueTime", "Partition", "ExitCodeRaw", "ExitCode",
     "ExitSignal", "NodeList", "Priority", "ConsumedEnergy", "ReqNodes",
     "NNodes", "AllocNodes", "ReqTRES", "NTasks", "AllocTRES",
-    "TRESUsageInTot", "TRESUsageOutTot", "NCPUS", "ReqCPUS", "AllocCPUS",
-    "CPUTime", "TotalCPU", "UserCPU", "SystemCPU", "CPUEff", "MinCPU",
+    "TRESUsageInTot", "TRESUsageInAve", "TRESUsageOutTot",
+    "NCPUS", "ReqCPUS", "AllocCPUS",
+    "CPUTime", "TotalCPU", "UserCPU", "SystemCPU", "CPUEff",
+    "MinCPU", "MinCPUNode", "MinCPUTask",
     "TotalMem", "AllocMem", "MemEff", "ReqMem", "ReqMemNode", "ReqMemCPU",
-    "AveRSS", "MaxRSS", "MaxPages", "MaxVMSize", "AveDiskRead",
+    "AveRSS", "MaxRSS", "MaxRSSNode", "MaxRSSTask",
+    "MaxPages", "MaxVMSize", "AveDiskRead",
     "AveDiskWrite", "MaxDiskRead", "MaxDiskWrite", "TotDiskRead",
     "TotDiskWrite", "ReqGPUS", "Comment", "GpuEff", "NGpus", "GpuType",
     "GpuUtil", "GpuMem", "GpuUtilTot", "GpuMemTot")
@@ -35,9 +41,24 @@ class SchemaFidelitySpec extends AnyFunSuite {
       got.exists(_.equalsIgnoreCase(c)))
     assert(missing.isEmpty, s"missing columns: $missing")
     assert(got.distinct.size == got.size, "duplicate columns")
-    // MinCPUNode/MinCPUTask/MaxRSSNode/... are pass-through sacct text
-    // columns the reference also carries; graft keeps the computed set
-    // plus raw TRES strings — SQL on any reference-computed column works
+  }
+
+  test("pass-through node/task columns carry sacct values verbatim") {
+    import spark.implicits._
+    val raw = Seq(
+      ("1", "nid001", "0", "nid002", "3", "cpu=00:01:00,mem=1M"),
+      ("2", "", "", "", "", "")).toDF(
+      "JobID", "MinCPUNode", "MinCPUTask", "MaxRSSNode", "MaxRSSTask",
+      "TRESUsageInAve")
+    val t = SlurmTable.build(raw)
+    val r1 = t.filter(col("JobID") === "1")
+      .select("MinCPUNode", "MinCPUTask", "MaxRSSNode", "MaxRSSTask",
+        "TRESUsageInAve").collect()(0)
+    assert(r1.toSeq == Seq("nid001", "0", "nid002", "3", "cpu=00:01:00,mem=1M"))
+    // empty string → NULL (reference nullstr semantics)
+    val r2 = t.filter(col("JobID") === "2")
+      .select("MinCPUNode", "MaxRSSTask", "TRESUsageInAve").collect()(0)
+    assert((0 until 3).forall(r2.isNullAt))
   }
 
   test("SQL-first surface: registered functions + views answer raw SQL") {
