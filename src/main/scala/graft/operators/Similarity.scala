@@ -50,15 +50,18 @@ object Similarity {
     * O(k) state per query with map-side partial aggregation, instead of
     * a window sort over every scored candidate (equivalence to the
     * window form is spec-pinned). */
-  def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val scored = scoreAll(emb, queries)
+  def bruteForceTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    topKFromScored(scoreAll(emb, queries), k)
+
+  /** (q_id, rank, neighbor_id, cos) from scored candidates — one O(k)
+    * heap aggregate per query, map-side combinable. */
+  private def topKFromScored(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("q_id"))
       .agg(graft.functions.TopKByScore.column(
         col("cos"), col("vec_id"), lit(k)).as("top"))
       .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
         col("t.id").as("neighbor_id"), rd(col("t.score"), 6).as("cos"))
-  }
 
   /** Window-sort form of [[bruteForceTopK]] (the composed baseline the
     * custom aggregate is checked against). */
@@ -94,62 +97,104 @@ object Similarity {
     bits.reduce(_ bitwiseOR _)
   }
 
-  /** IVF (inverted-file) ANN: partition the corpus into cells around
-    * nCells deterministic centroid vectors (the lowest vec_ids — an
-    * IVF-flat assignment pass; a production build would k-means them),
-    * then search only the nProbe cells nearest each query. The cell
-    * assignment is one broadcast pass; search cost drops from n to
-    * ~n·nProbe/nCells per query. */
-  def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int,
-              nCells: Int = 16, nProbe: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cents = emb.orderBy(col("vec_id")).limit(nCells)
-      .select(col("vec_id").as("cell_seed"), toDouble(col("embedding")).as("cv"))
-      .withColumn("cn", norm(col("cv")))
-    def assign(df: DataFrame, vcol: String, ncol: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("cell_cos").desc, col("cell_seed"))
-      df.crossJoin(broadcast(cents))
-        .withColumn("cell_cos", dot(col(vcol), col("cv")) / (col(ncol) * col("cn")))
-        .withColumn("cell_rank", row_number().over(w))
-        .filter(col("cell_rank") <= keep)
-        .drop("cv", "cn", "cell_cos", "cell_rank")
+  /** Spherical k-means (Lloyd) centroids, seeded with the nCells
+    * lowest-vec_id vectors, `iters` assign/recompute rounds. Centroid
+    * state lives on the driver (nCells × dim doubles — KB, not data
+    * scale); each round is one map-only literal-argmax assignment plus
+    * one (cell, dim) hash aggregate. Centroids are rounded to 1e-9 so
+    * float summation order can't flip downstream assignments. */
+  private[operators] def kmeansCentroids(emb: DataFrame, nCells: Int,
+                                         iters: Int): Array[Array[Double]] = {
+    val vecs = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    var cents: Array[Array[Double]] = vecs.orderBy(col("vec_id")).limit(nCells)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    for (_ <- 0 until iters) {
+      val updated = vecs
+        .withColumn("cell", assignCell(col("v"), cents))
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s("m")).as("c"))
+        .collect()
+      val next = cents.map(_.clone()) // empty cells keep their centroid
+      updated.foreach { r =>
+        next(r.getInt(0)) = r.getSeq[Double](1).toArray
+          .map(d => math.rint(d * 1e9) / 1e9)
+      }
+      cents = next
     }
-    val corpus = assign(emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      .withColumn("n", norm(col("v"))), "v", "n", keep = 1)
-      .withColumnRenamed("cell_seed", "cell")
-    val q = assign(queries.select(col("vec_id"), toDouble(col("embedding")).as("qv"))
-      .withColumn("qn", norm(col("qv"))), "qv", "qn", keep = nProbe)
-      .select(col("vec_id").as("q_id"), col("qv"), col("qn"),
-        col("cell_seed").as("cell"))
+    cents
+  }
+
+  /** Cosine of `v` against each literal centroid (map-only, codegen'd). */
+  private def centScores(v: Column, cents: Array[Array[Double]]): Column = {
+    val n = norm(v)
+    array(cents.map { c =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      aggregate(zip_with(v, typedLit(c.toSeq), (x, w) => x * w),
+        lit(0.0), (a, x) => a + x) / (n * cn)
+    }: _*)
+  }
+
+  /** argmax-cosine cell for a vector (ties → lowest cell id). */
+  private def assignCell(v: Column, cents: Array[Array[Double]]): Column = {
+    val s = centScores(v, cents)
+    (array_position(s, array_max(s)) - 1).cast("int")
+  }
+
+  /** The nProbe best cells for a query vector, best first. */
+  private def probeCells(v: Column, cents: Array[Array[Double]],
+                         nProbe: Int): Column = {
+    val zipped = zip_with(centScores(v, cents),
+      sequence(lit(0), lit(cents.length - 1)),
+      (sc, i) => struct((-sc).as("ns"), i.as("i")))
+    transform(slice(sort_array(zipped), 1, nProbe), x => x("i").cast("int"))
+  }
+
+  /** IVF (inverted-file) ANN: k-means centroid cells + nProbe search.
+    * Cell assignment is a map-only argmax against broadcast-literal
+    * centroids (no crossJoin, no window); search touches only
+    * ~n·nProbe/nCells candidates per query. `kmeansIters = 0` keeps the
+    * raw seed vectors as centroids (the round-1 behavior, used by the
+    * recall spec as the baseline the k-means cells must beat). */
+  def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 2,
+              kmeansIters: Int = 5): DataFrame = {
+    val cents = kmeansCentroids(emb, nCells, kmeansIters)
+    val corpus = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("n", norm(col("v")))
+      .withColumn("cell", assignCell(col("v"), cents))
+    val q = queries.select(col("vec_id").as("q_id"), toDouble(col("embedding")).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .withColumn("cell", explode(probeCells(col("qv"), cents, nProbe)))
     val scored = corpus.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("n")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        rd(col("cos"), 6).as("cos"))
+    topKFromScored(scored, k)
   }
 
-  /** ANN via hyperplane LSH: candidates share a bucket (plus the probe
-    * trick of also matching on bucket with one bit flipped would widen
-    * recall; kept single-bucket here). Top-k within candidates. */
+  /** ANN via hyperplane LSH: candidates share a bucket. Multi-probe
+    * (default): each query also probes the numPlanes buckets at hamming
+    * distance 1 — the standard recall fix for sign-LSH, costing only a
+    * wider broadcast of the (small) query set, never a second corpus
+    * pass. */
   def lshTopK(emb: DataFrame, queries: DataFrame, k: Int,
-              dim: Int = 64, numPlanes: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+              dim: Int = 64, numPlanes: Int = 8,
+              multiProbe: Boolean = true): DataFrame = {
     val corpus = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("bucket", hyperplaneBucket(col("v"), dim, numPlanes))
       .withColumn("n", norm(col("v")))
+    val probes: Column => Seq[Column] = b =>
+      if (multiProbe) b +: (0 until numPlanes).map(j => b.bitwiseXOR(lit(1L << j)))
+      else Seq(b)
     val q = queries.select(col("vec_id").as("q_id"), toDouble(col("embedding")).as("qv"))
-      .withColumn("bucket", hyperplaneBucket(col("qv"), dim, numPlanes))
       .withColumn("qn", norm(col("qv")))
+      .withColumn("bucket",
+        explode(array(probes(hyperplaneBucket(col("qv"), dim, numPlanes)): _*)))
     val scored = corpus.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("n")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        rd(col("cos"), 6).as("cos"))
+    topKFromScored(scored, k)
   }
 }

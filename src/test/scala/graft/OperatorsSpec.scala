@@ -108,6 +108,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(joined.filter(col("lsh_cos") > col("cos") + 1e-9).count() == 0)
   }
 
+  test("multi-probe LSH improves recall over single-probe (vs brute force)") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 50)
+    val bf = Similarity.bruteForceTopK(e, q, 5).select("q_id", "neighbor_id").cache()
+    val total = bf.count().toDouble
+    def recall(ann: org.apache.spark.sql.DataFrame): Double =
+      ann.select("q_id", "neighbor_id").join(bf, Seq("q_id", "neighbor_id"))
+        .count() / total
+    val rSingle = recall(Similarity.lshTopK(e, q, 5, multiProbe = false))
+    val rMulti = recall(Similarity.lshTopK(e, q, 5))
+    info(f"lsh recall: single=$rSingle%.3f multi=$rMulti%.3f")
+    assert(rMulti >= rSingle, s"multi-probe recall $rMulti < single $rSingle")
+    assert(rMulti > rSingle, "multi-probe should strictly improve on this corpus")
+    bf.unpersist()
+  }
+
+  test("k-means IVF recall >= seed-centroid IVF at equal nProbe") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 50)
+    val bf = Similarity.bruteForceTopK(e, q, 5).select("q_id", "neighbor_id").cache()
+    val total = bf.count().toDouble
+    def recall(ann: org.apache.spark.sql.DataFrame): Double =
+      ann.select("q_id", "neighbor_id").join(bf, Seq("q_id", "neighbor_id"))
+        .count() / total
+    val rSeed = recall(Similarity.ivfTopK(e, q, 5, kmeansIters = 0))
+    val rKmeans = recall(Similarity.ivfTopK(e, q, 5))
+    info(f"ivf recall: seed=$rSeed%.3f kmeans=$rKmeans%.3f")
+    assert(rKmeans >= rSeed, s"k-means recall $rKmeans < seed $rSeed")
+    bf.unpersist()
+  }
+
   test("IVF ANN: rank-1 cos never beats brute force; cells partition the corpus") {
     val e = Tables.load(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") < 20)
