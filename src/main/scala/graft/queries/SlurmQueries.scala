@@ -211,8 +211,38 @@ object SlurmQueries {
         col("cpueff_pct"), col("mem_GiB_day").as("mem_gib_day"),
         col("gpu_day"), col("gpueff_pct"),
         col("read_MiBps").as("read_mibps"), col("write_MiBps").as("write_mibps"))
-        .orderBy("user_name"))
+        .orderBy("user_name")),
+    // State-category selectors (--ended/--completed/--cancelled/--failed/
+    // --running-at-time, slurm2sql.py:1156-1160,1192-1203): a 10-way
+    // synthetic state built from k covers every code in the categories
+    // (incl. the 'CANCELLED by uid' form); the oracle classifies each k
+    // arithmetically from the reference's code sets, so a hash match
+    // proves graft's category mapping.
+    "s25_state_report" -> ((s, dir) => {
+      val r = raw(s, dir)
+      val state = expr(
+        """CASE k % 10 WHEN 0 THEN 'COMPLETED' WHEN 1 THEN 'CANCELLED by 123'
+          | WHEN 2 THEN 'FAILED' WHEN 3 THEN 'TIMEOUT' WHEN 4 THEN 'NODE_FAIL'
+          | WHEN 5 THEN 'OUT_OF_MEMORY' WHEN 6 THEN 'RUNNING'
+          | WHEN 7 THEN 'PREEMPTED' WHEN 8 THEN 'DEADLINE'
+          | ELSE 'REVOKED' END""".stripMargin.replaceAll("\n", " "))
+      val base = r.select(col("k"), state.as("State"),
+        F.unixTime(col("Start")).as("Start"), F.unixTime(col("End")).as("End"),
+        col("User"), col("Partition"))
+      base.select(col("k"), col("State").as("state"),
+        SlurmStates.inCategory(col("State"), SlurmStates.ENDED).cast("int").as("is_ended"),
+        SlurmStates.inCategory(col("State"), SlurmStates.COMPLETED).cast("int").as("is_completed"),
+        SlurmStates.inCategory(col("State"), SlurmStates.CANCELLED).cast("int").as("is_cancelled"),
+        SlurmStates.inCategory(col("State"), SlurmStates.FAILED).cast("int").as("is_failed"),
+        (col("Start") <= RUN_T && (col("End").isNull || col("End") > RUN_T))
+          .cast("int").as("was_running_at_t"))
+        .orderBy("k")
+    })
   )
+
+  /** --running-at-time probe instant for s25 (mid-range of the synthetic
+    * submit epochs derived from the TPC-H order dates). */
+  private val RUN_T = 800000000L
 
   // ---------------- oracles ----------------
 
@@ -376,6 +406,23 @@ object SlurmQueries {
         | round(sum(totdiskread_b / 1048576) / sum(elapsed_s), 2) AS read_mibps,
         | round(sum(totdiskwrite_b / 1048576) / sum(elapsed_s), 2) AS write_mibps
         | FROM eff WHERE end_ts IS NOT NULL GROUP BY user_name
-        | ORDER BY user_name""".stripMargin.replaceAll("\n", " "))
+        | ORDER BY user_name""".stripMargin.replaceAll("\n", " ")),
+    // classifies each k straight from the reference's category code sets
+    // (ENDED/COMPLETED/CANCELLED/FAILED, slurm2sql.py:1156-1160) — the
+    // Spark side must reach the same flags via state-NAME matching
+    "s25_state_report" ->
+      (P + s"""SELECT k,
+        | CASE k % 10 WHEN 0 THEN 'COMPLETED' WHEN 1 THEN 'CANCELLED by 123'
+        |  WHEN 2 THEN 'FAILED' WHEN 3 THEN 'TIMEOUT' WHEN 4 THEN 'NODE_FAIL'
+        |  WHEN 5 THEN 'OUT_OF_MEMORY' WHEN 6 THEN 'RUNNING'
+        |  WHEN 7 THEN 'PREEMPTED' WHEN 8 THEN 'DEADLINE' ELSE 'REVOKED' END AS state,
+        | CASE WHEN k % 10 != 6 THEN 1 ELSE 0 END AS is_ended,
+        | CASE WHEN k % 10 = 0 THEN 1 ELSE 0 END AS is_completed,
+        | CASE WHEN k % 10 IN (1, 8) THEN 1 ELSE 0 END AS is_cancelled,
+        | CASE WHEN k % 10 IN (2, 3, 4, 5) THEN 1 ELSE 0 END AS is_failed,
+        | CASE WHEN $BASE + qsec <= 800000000
+        |   AND (m11 = 0 OR $BASE + qsec + e > 800000000)
+        |  THEN 1 ELSE 0 END AS was_running_at_t
+        | FROM ints ORDER BY k""".stripMargin.replaceAll("\n", " "))
   )
 }

@@ -89,18 +89,57 @@ object Deidentify {
   }
 }
 
+/** The reference CLIs' state-category selectors (--ended / --completed /
+  * --cancelled / --failed, slurm2sql.py:1156-1160): two-letter sacct
+  * state codes, matched against the full state names the `slurm` table
+  * stores. `CANCELLED by <uid>` counts as CANCELLED (reference
+  * test-data1 carries exactly that form). */
+object SlurmStates {
+  val CODE_TO_NAME: Map[String, String] = Map(
+    "BF" -> "BOOT_FAIL", "CA" -> "CANCELLED", "CD" -> "COMPLETED",
+    "DL" -> "DEADLINE", "F" -> "FAILED", "NF" -> "NODE_FAIL",
+    "OOM" -> "OUT_OF_MEMORY", "PD" -> "PENDING", "PR" -> "PREEMPTED",
+    "R" -> "RUNNING", "RQ" -> "REQUEUED", "RS" -> "RESIZING",
+    "RV" -> "REVOKED", "S" -> "SUSPENDED", "TO" -> "TIMEOUT")
+
+  /** ENDED_STATES (slurm2sql.py:1156) */
+  val ENDED: Seq[String] = Seq("CA", "CD", "DL", "F", "NF", "OOM", "PR", "RV", "TO")
+  /** COMPLETED_STATES (slurm2sql.py:1157) */
+  val COMPLETED: Seq[String] = Seq("CD")
+  /** CANCELLED_STATES (slurm2sql.py:1158) */
+  val CANCELLED: Seq[String] = Seq("CA", "DL")
+  /** FAILED_STATES (slurm2sql.py:1159) */
+  val FAILED: Seq[String] = Seq("F", "NF", "OOM", "TO")
+
+  /** State column falls in the category given by two-letter codes. */
+  def inCategory(state: Column, codes: Seq[String]): Column =
+    codes.map(CODE_TO_NAME).map(n => state === n || state.startsWith(n + " "))
+      .reduce(_ || _)
+}
+
 /** The reporting CLIs (slurm2sql-sacct / slurm2sql-seff,
   * slurm2sql.py:1160-1371) as DataFrame transforms. Formatting (tabulate,
   * printf %) is presentation-layer and stays out; the numbers match. */
 object Reports {
 
   /** sacct-style listing: field select + user/partition filters + order
-    * (args_to_sql_where, slurm2sql.py:1071-1077). */
+    * (args_to_sql_where, slurm2sql.py:1071-1077), plus the state-category
+    * selectors (--ended/--completed/--cancelled/--failed as two-letter
+    * code sets) and --running-at-time (slurm2sql.py:1192-1203: expanded
+    * to start=T end=T state=R — on the historical table that is
+    * Start ≤ T < End, with a NULL End meaning still running). */
   def sacct(slurm: DataFrame, user: Option[String] = None,
-            partition: Option[String] = None): DataFrame = {
+            partition: Option[String] = None,
+            states: Option[Seq[String]] = None,
+            runningAtTime: Option[Long] = None): DataFrame = {
     val f1 = user.map(u => col("User") === u).getOrElse(lit(true))
     val f2 = partition.map(p => col("Partition").contains(p)).getOrElse(lit(true))
-    slurm.filter(f1 && f2)
+    val f3 = states.map(cs => SlurmStates.inCategory(col("State"), cs))
+      .getOrElse(lit(true))
+    val f4 = runningAtTime.map(t =>
+      col("Start") <= t && (col("End").isNull || col("End") > t))
+      .getOrElse(lit(true))
+    slurm.filter(f1 && f2 && f3 && f4)
   }
 
   /** seff per-job report (slurm2sql.py:1332-1358), numeric columns. */

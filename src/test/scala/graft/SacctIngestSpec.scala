@@ -107,6 +107,29 @@ class SacctIngestSpec extends AnyFunSuite {
     assert(a.select(cols: _*).except(b.select(cols: _*)).count() == 0)
   }
 
+  test("state-category selectors match the reference code sets") {
+    import graft.slurm.{Reports, SlurmStates}
+    // test-data1 states: CANCELLED by 1300204, CANCELLED, COMPLETED ×2
+    assert(Reports.sacct(slurm1, states = Some(SlurmStates.CANCELLED)).count() == 3)
+    assert(Reports.sacct(slurm1, states = Some(SlurmStates.COMPLETED)).count() == 2)
+    assert(Reports.sacct(slurm1, states = Some(SlurmStates.ENDED)).count() == 5)
+    assert(Reports.sacct(slurm1, states = Some(SlurmStates.FAILED)).count() == 0)
+    // --running-at-time, a minute after the first Start (UTC epochs):
+    // job 43974388 + its batch step are running; the .0 step hasn't
+    // started, job 43977780 starts later, its batch has Unknown Start
+    val t1 = 1564601354L + 3 * 3600 + 60
+    assert(Reports.sacct(slurm1, runningAtTime = Some(t1)).count() == 2)
+    // later the same night: 43977780 has started (End Unknown → still
+    // running), the .0 step already ended at its own Start instant
+    val t2 = t1 + 3 * 3600
+    assert(Reports.sacct(slurm1, runningAtTime = Some(t2)).count() == 3)
+    assert(Reports.sacct(slurm1, runningAtTime = Some(0L)).count() == 0)
+    // selectors compose with the user filter: both allocation rows are
+    // user1 + 'CANCELLED by', the step rows carry no user
+    assert(Reports.sacct(slurm1, user = Some("user1"),
+      states = Some(SlurmStates.CANCELLED)).count() == 2)
+  }
+
   test("eff view rolls steps into the job") {
     val eff = SlurmViews.eff(slurm1)
     assert(eff.count() == 2)
