@@ -3,8 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times the headline queries on SPARK_GRAFT_SF_DIR and
-  * prints one JSON line (driver contract). Each query runs once warm-up
-  * free; the metric is end-to-end plan execution (count() forces it). */
+  * prints one JSON line (driver contract). Each query runs
+  * SPARK_GRAFT_BENCH_REPS times (default 3) and reports the MINIMUM —
+  * a single-shot number is hostage to machine load (observed 26-45 s
+  * spread for identical plans); min-of-N measures the plan, not the
+  * noise. The metric is end-to-end plan execution (count() forces it). */
 object Bench {
 
   /** Headliners: the scans/joins/aggs that dominate a real deployment,
@@ -24,13 +27,17 @@ object Bench {
     // JIT/codegen/scan warmup so the first timed query isn't penalized
     Tables.load(spark, sfDir, "lineitem").count()
     Tables.load(spark, sfDir, "orders").count()
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val results = HEADLINERS.map { name =>
-      val t0 = System.nanoTime()
-      val n = try SparkEntry.queries(name)(spark, sfDir).count()
-              catch { case e: Throwable =>
-                System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-22s $dt%8.3f s  ($n rows)")
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val n = try SparkEntry.queries(name)(spark, sfDir).count()
+                catch { case e: Throwable =>
+                  System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val dt = times.map(_._1).min
+      System.err.println(f"[bench] $name%-22s $dt%8.3f s  (${times.last._2} rows, min of $reps)")
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -48,16 +48,76 @@ object SlurmWarehouse {
       .agg(max(col("update_time"))).collect()(0).getLong(0))
     catch { case _: Exception => None }
 
-  /** Incremental load: append rows newer than the bookmark, then move
-    * the bookmark — the Spark form of `--history-resume`. */
-  def resumeAppend(spark: SparkSession, newRows: DataFrame, path: String): Long = {
-    val since = lastTimestamp(spark, path).getOrElse(Long.MinValue)
-    val fresh = newRows.filter(coalesce(col("Time"), col("Submit")) > since)
-    write(fresh, path, SaveMode.Append)
-    val newMax = fresh.agg(max(coalesce(col("Time"), col("Submit"))))
-      .collect()(0)
-    val ts = if (newMax.isNullAt(0)) since else newMax.getLong(0)
-    if (ts != Long.MinValue) updateLastTimestamp(spark, path, ts)
-    ts
+  /** Incremental load with the reference's `INSERT OR REPLACE` resume
+    * semantics (slurm2sql.py:1023-1027 unique-JobID replace;
+    * slurm_timestamp x-5 slack): re-read an inclusive overlap window
+    * `>= bookmark - slack`, and REPLACE any prior version of a
+    * re-reported JobID instead of appending a stale duplicate.
+    *
+    * Scale shape: replacement is a partition-level compaction, not a
+    * table rewrite — only day partitions that either receive fresh rows
+    * or hold a prior version of a fresh JobID are rewritten (dynamic
+    * partition overwrite). Stale-candidate days are pruned to
+    * `>= day(min Submit of the batch)` (a job's stored row never
+    * predates its Submit), so the compaction scan is bounded by the
+    * batch's time horizon, never the whole table. */
+  def resumeAppend(spark: SparkSession, newRows: DataFrame, path: String,
+                   slackS: Long = 5L): Long = {
+    val ts = coalesce(col("Time"), col("Submit"))
+    val since = lastTimestamp(spark, path)
+    val fresh = since.map(s => newRows.filter(ts >= s - slackS))
+      .getOrElse(newRows)
+    val existing =
+      try { val df = read(spark, path); df.schema; Some(df) }
+      catch { case _: Exception => None }
+
+    val bounds = fresh
+      .agg(min(coalesce(col("Submit"), col("Time"))), max(ts)).collect()(0)
+    if (bounds.isNullAt(1)) {                      // empty batch: no-op
+      return since.getOrElse(Long.MinValue)
+    }
+
+    existing match {
+      case None => write(fresh, path, SaveMode.Overwrite)
+      case Some(old) =>
+        val minDay = java.time.Instant.ofEpochSecond(bounds.getLong(0))
+          .toString.substring(0, 10)               // yyyy-MM-dd, UTC like write()
+        // days to rewrite: those receiving fresh rows + those holding a
+        // prior version of a fresh JobID (its Time may have moved days)
+        val freshDayed = fresh.withColumn("time_day",
+          date_format(timestamp_seconds(ts), "yyyy-MM-dd"))
+        val staleDays = old.filter(col("time_day") >= minDay)
+          .join(fresh.select("JobID").distinct(), Seq("JobID"), "left_semi")
+          .select("time_day")
+        val outDays = staleDays.union(freshDayed.select("time_day"))
+          .distinct().collect().map(_.getString(0))
+        val slice = old.filter(col("time_day").isin(outDays.toSeq: _*))
+          .drop("time_day")
+        val merged = IncrementalLoad.upsert(Seq(slice, fresh)).persist()
+        // dynamic overwrite only rewrites days PRESENT in merged; a day
+        // whose every row was replaced-and-moved to another day would
+        // keep its stale files — drop those partitions explicitly
+        val mergedDays = merged.select(
+          date_format(timestamp_seconds(ts), "yyyy-MM-dd")).distinct()
+          .collect().map(_.getString(0)).toSet
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try write(merged, path, SaveMode.Overwrite)
+        finally {
+          merged.unpersist()
+          prev match {
+            case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+            case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+          }
+        }
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        (outDays.toSet -- mergedDays).foreach { d =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/slurm/time_day=$d"), true)
+        }
+    }
+    val newTs = math.max(bounds.getLong(1), since.getOrElse(Long.MinValue))
+    updateLastTimestamp(spark, path, newTs)
+    newTs
   }
 }

@@ -45,4 +45,53 @@ class WarehouseSpec extends AnyFunSuite {
     assert(appended >= cutoff)
     assert(SlurmWarehouse.lastTimestamp(spark, dir).contains(appended))
   }
+
+  test("resumeAppend replaces re-reported jobs instead of duplicating") {
+    val dir = Files.createTempDirectory("graft_wh3").toString
+    val slurm = SlurmTable.build(SlurmSim.raw(spark, "/root/testdata/sf0.001"),
+      lit(1750000000L)).cache()
+    val cutoff = slurm.agg(expr("percentile_approx(Time, 0.5)")).collect()(0)
+      .getLong(0)
+    val first = slurm.filter(col("Time") <= cutoff)
+    SlurmWarehouse.write(first, dir)
+    SlurmWarehouse.updateLastTimestamp(spark, dir, cutoff)
+    // a state change re-reports existing jobs with Time past the
+    // bookmark (that's what makes them show up in the resume window);
+    // their stale rows sit in DIFFERENT day partitions and must go
+    val rereported = first.filter(pmod(hash(col("JobID")), lit(10)) === 0)
+      .withColumn("Time", lit(cutoff + 3600L))
+      .withColumn("State", lit("COMPLETED"))
+    assert(rereported.count() > 0)
+    SlurmWarehouse.resumeAppend(spark, rereported, dir)
+    val back = SlurmWarehouse.read(spark, dir)
+    assert(back.count() == first.count(),
+      "replace, not append: total row count unchanged")
+    assert(back.count() == back.select("JobID").distinct().count(),
+      "no duplicate JobIDs after re-report")
+    assert(back.join(rereported.select("JobID"), Seq("JobID"), "left_semi")
+      .filter(col("State") =!= "COMPLETED").count() == 0,
+      "re-reported rows carry the NEW state")
+  }
+
+  test("resumeAppend keeps late rows at exactly the bookmark instant") {
+    val dir = Files.createTempDirectory("graft_wh4").toString
+    val slurm = SlurmTable.build(SlurmSim.raw(spark, "/root/testdata/sf0.001"),
+      lit(1750000000L)).cache()
+    val cutoff = slurm.agg(expr("percentile_approx(Time, 0.5)")).collect()(0)
+      .getLong(0)
+    val first = slurm.filter(col("Time") <= cutoff)
+    SlurmWarehouse.write(first, dir)
+    SlurmWarehouse.updateLastTimestamp(spark, dir, cutoff)
+    // a job the first load missed, reported with Time == bookmark: the
+    // strict `> since` filter used to drop it; the reference's x-5 slack
+    // (slurm2sql.py:1023-1027) keeps it
+    val late = slurm.filter(col("Time") > cutoff).limit(1)
+      .withColumn("Time", lit(cutoff))
+      .withColumn("JobID", lit("999999_late"))
+      .withColumn("JobIDnostep", lit("999999_late"))
+    SlurmWarehouse.resumeAppend(spark, late, dir)
+    val back = SlurmWarehouse.read(spark, dir)
+    assert(back.count() == first.count() + 1)
+    assert(back.filter(col("JobID") === "999999_late").count() == 1)
+  }
 }
