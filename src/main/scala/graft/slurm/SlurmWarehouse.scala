@@ -63,19 +63,32 @@ object SlurmWarehouse {
     * batch's time horizon, never the whole table. */
   def resumeAppend(spark: SparkSession, newRows: DataFrame, path: String,
                    slackS: Long = 5L): Long = {
-    val ts = coalesce(col("Time"), col("Submit"))
     val since = lastTimestamp(spark, path)
-    val fresh = since.map(s => newRows.filter(ts >= s - slackS))
+    val fresh = since.map(s =>
+      newRows.filter(coalesce(col("Time"), col("Submit")) >= s - slackS))
       .getOrElse(newRows)
+    mergeInto(spark, fresh, path) match {
+      case None => since.getOrElse(Long.MinValue)  // empty batch: no-op
+      case Some(maxTs) =>
+        val newTs = math.max(maxTs, since.getOrElse(Long.MinValue))
+        updateLastTimestamp(spark, path, newTs)
+        newTs
+    }
+  }
+
+  /** REPLACE-merge a batch into the warehouse (no bookmark handling):
+    * the compaction core shared by [[resumeAppend]] and
+    * [[HistoryCollector]]. Returns the batch's max Time, or None for an
+    * empty batch. */
+  def mergeInto(spark: SparkSession, fresh: DataFrame, path: String): Option[Long] = {
+    val ts = coalesce(col("Time"), col("Submit"))
     val existing =
       try { val df = read(spark, path); df.schema; Some(df) }
       catch { case _: Exception => None }
 
     val bounds = fresh
       .agg(min(coalesce(col("Submit"), col("Time"))), max(ts)).collect()(0)
-    if (bounds.isNullAt(1)) {                      // empty batch: no-op
-      return since.getOrElse(Long.MinValue)
-    }
+    if (bounds.isNullAt(1)) return None
 
     existing match {
       case None => write(fresh, path, SaveMode.Overwrite)
@@ -116,8 +129,51 @@ object SlurmWarehouse {
           fs.delete(new org.apache.hadoop.fs.Path(s"$path/slurm/time_day=$d"), true)
         }
     }
-    val newTs = math.max(bounds.getLong(1), since.getOrElse(Long.MinValue))
-    updateLastTimestamp(spark, path, newTs)
-    newTs
+    Some(bounds.getLong(1))
+  }
+}
+
+/** Day-batched history collection (get_history, slurm2sql.py:791-851):
+  * the reference queries sacct one day at a time "so as to avoid
+  * overloading sacct and causing a failure", committing each batch and
+  * advancing the bookmark to the batch BOUNDARY before moving on — a
+  * crash resumes from the last committed day, never from scratch.
+  *
+  * `fetch(s, e)` stands for `sacct -S s -E e`; in tests it is a filter
+  * over a DataFrame. Each batch REPLACE-merges (a job spanning midnight
+  * is returned by both adjacent day queries; the newer report wins), so
+  * re-running a partially-collected range is idempotent. */
+object HistoryCollector {
+
+  /** Resume start: bookmark - 5s slack (slurm2sql.py:805-821), or the
+    * fallback when no bookmark exists (--history-resume-or-start). */
+  def resumeStart(spark: SparkSession, path: String, fallback: Long): Long =
+    SlurmWarehouse.lastTimestamp(spark, path).map(_ - 5L).getOrElse(fallback)
+
+  /** Collect [start, stop) in day batches into the warehouse at `path`.
+    * Returns the number of failed batches (reference counts errors and
+    * keeps going). `now` caps the bookmark so a future-dated batch end
+    * never skips data that hasn't happened yet. */
+  def collect(spark: SparkSession, path: String,
+              fetch: (Long, Long) => DataFrame,
+              start: Long, stop: Long, now: Long,
+              batchS: Long = 86400L): Int = {
+    var s = start
+    var errors = 0
+    while (s <= stop) {
+      // end = start + interval, truncated to the batch boundary
+      // (end.replace(hour=0,...), slurm2sql.py:836-838)
+      val e = ((s + batchS) / batchS) * batchS
+      try {
+        SlurmWarehouse.mergeInto(spark, fetch(s, e), path)
+        SlurmWarehouse.updateLastTimestamp(spark, path, math.min(e, now))
+      } catch {
+        case ex: Exception =>
+          errors += 1
+          System.err.println(s"[history] batch [$s,$e) failed: ${ex.getMessage}")
+      }
+      s = e
+    }
+    errors
   }
 }

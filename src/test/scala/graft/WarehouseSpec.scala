@@ -94,4 +94,36 @@ class WarehouseSpec extends AnyFunSuite {
     assert(back.count() == first.count() + 1)
     assert(back.filter(col("JobID") === "999999_late").count() == 1)
   }
+
+  test("history collection commits per batch and resumes after a crash") {
+    import graft.slurm.HistoryCollector
+    val dir = Files.createTempDirectory("graft_wh5").toString
+    val day = 86400L
+    // completed jobs only: running rows carry the far-future Time default
+    val src = SlurmTable.build(SlurmSim.raw(spark, "/root/testdata/sf0.001"),
+      lit(1750000000L)).filter(col("Time") < 1700000000L).cache()
+    val lo = src.agg(min("Time")).collect()(0).getLong(0)
+    val start0 = (lo / day) * day           // midnight-align like the reference
+    val stop = start0 + 5 * day
+    val now = start0 + 100 * day
+    def fetch(okUntil: Long)(s: Long, e: Long) = {
+      if (s >= okUntil) sys.error("sacct timeout")
+      src.filter(col("Time") >= s && col("Time") < e)
+    }
+    // sacct dies from day 3 on: days 1-2 commit, bookmark sticks at day-2 end
+    val errs = HistoryCollector.collect(spark, dir,
+      fetch(start0 + 2 * day), start0, stop, now)
+    assert(errs == 4)
+    assert(SlurmWarehouse.lastTimestamp(spark, dir).contains(start0 + 2 * day))
+    // restart resumes from bookmark - 5s, re-merges the overlap, finishes
+    val s2 = HistoryCollector.resumeStart(spark, dir, start0)
+    assert(s2 == start0 + 2 * day - 5)
+    assert(HistoryCollector.collect(spark, dir,
+      fetch(Long.MaxValue), s2, stop, now) == 0)
+    val back = SlurmWarehouse.read(spark, dir).drop("time_day")
+    val expected = src.filter(col("Time") >= start0 && col("Time") < start0 + 6 * day)
+    assert(back.count() == expected.count())
+    assert(back.count() == back.select("JobID").distinct().count())
+    assert(SlurmWarehouse.lastTimestamp(spark, dir).contains(start0 + 6 * day))
+  }
 }
