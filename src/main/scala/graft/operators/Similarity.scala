@@ -42,6 +42,22 @@ object Similarity {
       .select(col("label"), col("vec_a"), col("vec_b"), rd(col("cos"), 6).as("cos"))
   }
 
+  /** Embedding-cosine near-dup DEDUP (vs [[cosinePairs]], which only
+    * lists the pairs): a vector is a duplicate when ANY lower-id vector
+    * in its block sits above the threshold; the survivors are the
+    * blocks' earliest members. Deliberately the any-earlier-neighbor
+    * rule rather than the sequential greedy chain — the chain is
+    * order-serial (a dropped doc can no longer eliminate others) and
+    * can't be one parallel join; this rule is deterministic, costs one
+    * pair join + one anti-join, and at worst over-drops borderline
+    * chain members — the right trade at 100 TB. */
+  def nearDupSurvivors(emb: DataFrame, threshold: Double): DataFrame = {
+    val dups = cosinePairs(emb, threshold)
+      .select(col("label"), col("vec_b").as("vec_id")).distinct()
+    emb.select(col("label"), col("vec_id"))
+      .join(dups, Seq("label", "vec_id"), "left_anti")
+  }
+
   /** Brute-force cosine top-k per query vector: broadcast the (small)
     * query set against one pass over the corpus. The exactness baseline
     * every ANN variant is judged against.

@@ -78,4 +78,24 @@ object TextOps {
         i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(window)))))))
       .otherwise(xxhash64(concat_ws(" ", toks)))
   }
+
+  /** Global vocabulary: token → frequency, top-n (ties broken by
+    * token). explode + one partial-agg shuffle on token, then top-n via
+    * orderBy+limit — Spark plans that as TakeOrderedAndProject (each
+    * partition keeps ≤ n rows, the driver merges), never a full sort of
+    * the vocabulary. */
+  def vocabulary(docs: DataFrame, text: Column, topN: Int): DataFrame =
+    docs.select(explode(tokens(text)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(topN)
+
+  /** PII scrubbing: emails first (their local part would otherwise leak
+    * into the digit pass), then runs of 5+ digits (ids, phone-ish
+    * numbers). Pattern subset chosen to mean the same thing in Java
+    * regex and RE2. Map-only, codegen'd. */
+  val EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LONGNUM_RE = "[0-9]{5,}"
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EMAIL_RE, "<EMAIL>"),
+      LONGNUM_RE, "<NUM>")
 }

@@ -106,7 +106,34 @@ object PipelineQueries {
         .select(col("doc_id"), col("width"), col("height"), col("format"),
           col("n_bytes"), rd(element_at(col("feature"), 1), 1).as("f0"))
         .orderBy("doc_id")
-    })
+    }),
+
+    "d14_embedding_neardup" -> ((s, dir) =>
+      Similarity.nearDupSurvivors(emb(s, dir), threshold = 0.3)
+        .orderBy("label", "vec_id")),
+
+    "d15_stratified_sample" -> ((s, dir) =>
+      Sampling.stratified(docs(s, dir), col("source"), col("doc_id"),
+        Map("src0" -> 0.5, "src1" -> 0.25), default = 0.1)
+        .select(col("doc_id"), col("source"),
+          Sampling.bucket(col("doc_id")).as("bucket"))
+        .orderBy("doc_id")),
+
+    "d16_vocab_topk" -> ((s, dir) =>
+      TextOps.vocabulary(docs(s, dir), col("text"), topN = 200)
+        .orderBy(col("n").desc, col("token"))),
+
+    "d17_pii_scrub" -> ((s, dir) =>
+      // the synthetic corpus carries no PII, so the query plants some
+      // deterministically (an email + a numeric ref per doc) and the
+      // oracle plants the identical strings — a hash match proves the
+      // scrubber, not the absence of input
+      docs(s, dir).select(col("doc_id"),
+        TextOps.scrubPii(concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com ref "),
+          (col("doc_id") * 7919L + 1000000L).cast("string"))).as("clean"))
+        .orderBy("doc_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -158,6 +185,30 @@ object PipelineQueries {
         | len(string_split_regex(lower(text), '\s+')) AS ws_tokens,
         | len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS bpe_tokens,
         | length(text) AS n_chars_m
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "d14_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        | d AS (SELECT DISTINCT b.label AS label, b.vec_id AS vec_id
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) > 0.3)
+        | SELECT e.label, e.vec_id FROM e
+        | LEFT JOIN d ON e.label = d.label AND e.vec_id = d.vec_id
+        | WHERE d.vec_id IS NULL ORDER BY e.label, e.vec_id""".stripMargin.replaceAll("\n", " "),
+    "d15_stratified_sample" ->
+      """SELECT doc_id, source, (doc_id * 2654435761) % 1000000 AS bucket
+        | FROM documents
+        | WHERE (doc_id * 2654435761) % 1000000 <
+        |  CASE source WHEN 'src0' THEN 500000 WHEN 'src1' THEN 250000 ELSE 100000 END
+        | ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "d16_vocab_topk" ->
+      """WITH t AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents)
+        | SELECT token, count(*) AS n FROM t GROUP BY token
+        | ORDER BY n DESC, token LIMIT 200""".stripMargin.replaceAll("\n", " "),
+    "d17_pii_scrub" ->
+      """SELECT doc_id, regexp_replace(regexp_replace(
+        |   text || ' contact user' || doc_id::VARCHAR || '@example.com ref ' || (doc_id * 7919 + 1000000)::VARCHAR,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  '[0-9]{5,}', '<NUM>', 'g') AS clean
         | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
   )
 }

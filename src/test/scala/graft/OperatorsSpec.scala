@@ -211,4 +211,60 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fps(0) == fps(1))
     assert(fps(0) != fps(2))
   }
+
+  test("embedding near-dup dedup: survivors + duplicates partition the corpus") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val survivors = Similarity.nearDupSurvivors(emb, threshold = 0.3)
+    val pairs = Similarity.cosinePairs(emb, threshold = 0.3)
+    assert(survivors.count() < emb.count(), "some near-dups exist at τ=0.3")
+    // every dropped vector has a surviving-or-dropped LOWER-id neighbor
+    val dropped = emb.select(col("label"), col("vec_id"))
+      .join(survivors, Seq("label", "vec_id"), "left_anti")
+    val explained = dropped.join(
+      pairs.select(col("label"), col("vec_b").as("vec_id")).distinct(),
+      Seq("label", "vec_id"), "left_semi")
+    assert(explained.count() == dropped.count())
+    // an exact copy of vec 0 (as a new max-id row) must be dropped
+    val clone = emb.filter(col("vec_id") === 0)
+      .withColumn("vec_id", lit(9999999L))
+    val withClone = emb.unionByName(clone)
+    val s2 = Similarity.nearDupSurvivors(withClone, threshold = 0.3)
+    assert(s2.filter(col("vec_id") === 9999999L).count() == 0)
+    assert(s2.filter(col("vec_id") === 0).count() ==
+      survivors.filter(col("vec_id") === 0).count())
+  }
+
+  test("stratified sample: rates hold per stratum and samples nest") {
+    val n = docs.count().toDouble
+    val bySource = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s = Sampling.stratified(docs, col("source"), col("doc_id"),
+      Map("src0" -> 0.5, "src1" -> 0.25), default = 0.1)
+    val got = s.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def rate(src: String) = got.getOrElse(src, 0L).toDouble / bySource(src)
+    assert(math.abs(rate("src0") - 0.5) < 0.15)
+    assert(math.abs(rate("src1") - 0.25) < 0.15)
+    // nested: raising a rate only ADDS rows (scaling-law ladders)
+    val bigger = Sampling.stratified(docs, col("source"), col("doc_id"),
+      Map("src0" -> 0.8, "src1" -> 0.5), default = 0.2)
+    assert(s.join(bigger, Seq("doc_id"), "left_anti").count() == 0)
+    // deterministic under repartitioning
+    assert(Sampling.stratified(docs.repartition(7), col("source"), col("doc_id"),
+      Map("src0" -> 0.5, "src1" -> 0.25), default = 0.1).count() == s.count())
+  }
+
+  test("vocabulary top-k counts tokens globally with deterministic ties") {
+    val df = Seq((1L, "a b b c c c"), (2L, "c d d B")).toDF("doc_id", "text")
+    val v = TextOps.vocabulary(df, col("text"), topN = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(v.toSeq == Seq(("c", 4L), ("b", 3L), ("d", 2L)))
+  }
+
+  test("pii scrub redacts emails before digit runs, leaves short numbers") {
+    val df = Seq((1L, "mail me at john.doe99@corp.example.org or call 5551234567 ext 42"))
+      .toDF("doc_id", "text")
+    val got = df.select(TextOps.scrubPii(col("text"))).collect()(0).getString(0)
+    assert(got == "mail me at <EMAIL> or call <NUM> ext 42")
+  }
 }
