@@ -44,6 +44,14 @@ object Tables {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // full-width slurm materialization (~60 cols of CASE/format_string
+      // parse exprs) fused into ONE wholestage method exceeds Janino's
+      // 64 KB limit — the compile fails and falls back anyway, paying a
+      // doomed multi-second compile first. Skipping fusion for stages
+      // wider than 50 fields goes straight to per-operator codegen
+      // (which splits methods properly); hot analytical paths are
+      // column-pruned far below 50 and stay fused.
+      .config("spark.sql.codegen.maxFields", "50")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
