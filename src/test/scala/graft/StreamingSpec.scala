@@ -92,4 +92,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_events") == 2L)
     assert(r.getAs[Double]("session_value") == 3.0)
   }
+
+  test("streaming slurm ingest: drop-dir files flow through the batch parser exactly once") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import graft.slurm.SacctSource
+    import graft.streaming.SlurmStream
+    val inDir = Files.createTempDirectory("slurm_drop").toString
+    val whDir = Files.createTempDirectory("slurm_wh").toString
+    val ckDir = Files.createTempDirectory("slurm_ck").toString
+    val src = Paths.get("/root/reference/tests/test-data1.csv")
+    Files.copy(src, Paths.get(inDir, "dump1.csv"), StandardCopyOption.REPLACE_EXISTING)
+    val schema = SacctSource.readCsv(spark, s"$inDir/dump1.csv").schema
+    def drain(): Unit = {
+      val q = SlurmStream.toWarehouse(
+        SlurmStream.ingest(spark, inDir, schema, now = lit(1564600000L)),
+        whDir, ckDir)
+      q.awaitTermination()
+    }
+    drain()
+    val batch = graft.slurm.SlurmTable.build(
+      SacctSource.readCsv(spark, s"$inDir/dump1.csv"), lit(1564600000L))
+    val afterOne = spark.read.parquet(s"$whDir/slurm")
+    assert(afterOne.count() == batch.count())
+    // second dump arrives; restart (cron shape) — only the NEW file is
+    // processed, the first is not re-ingested
+    Files.copy(src, Paths.get(inDir, "dump2.csv"), StandardCopyOption.REPLACE_EXISTING)
+    drain()
+    val afterTwo = spark.read.parquet(s"$whDir/slurm")
+    assert(afterTwo.count() == 2 * batch.count())
+    // parsed values match the batch parser (same derivations)
+    val cols = Seq("JobID", "User", "State", "Start", "End", "CPUEff")
+      .filter(afterTwo.columns.contains)
+    assert(afterTwo.select(cols.map(col): _*).distinct().count() ==
+      batch.select(cols.map(col): _*).distinct().count())
+  }
 }
