@@ -63,6 +63,28 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(readSchema.contains("l_quantity"))
   }
 
+  test("d15: sampling filter is evaluated at the scan, columns pruned") {
+    val p = plan("d15_stratified_sample")
+    // map-only shape: the keep-decision filter sits on the FileScan's
+    // data filters (no shuffle before it) and only 2 columns are read
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("source"))
+    assert(!readSchema.contains("text"), readSchema)
+    assert(p.contains("pmod"))
+  }
+
+  test("d16: vocabulary top-n plans as TakeOrdered over a partial agg") {
+    val p = plan("d16_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), "global sort would not scale")
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("d14: near-dup anti-join reuses the blocked pair join (no cross join)") {
+    val p = plan("d14_embedding_neardup")
+    assert(!p.contains("CartesianProduct"), "pair generation must stay blocked")
+    assert(p.contains("LeftAnti"))
+  }
+
   test("salted join distributes a hot key across n buckets, same result") {
     import spark.implicits._
     val big = (1 to 1000).map(i => ("hot", i.toLong)).toDF("key", "payload")
