@@ -89,6 +89,36 @@ object TextOps {
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(topN)
 
+  /** Per-group quality filtering: keep the best `keepFrac` of each
+    * group (language, source, …) ranked by repetition ratio
+    * (distinct/total tokens — boilerplate screams low). percent_rank
+    * over (group, score desc, id): ties broken by id so the kept set
+    * is deterministic; cost is ONE window shuffle on the group key,
+    * and the groups (languages) are many, so no single-reducer wall. */
+  def qualityFilter(df: DataFrame, text: Column, group: Column,
+                    id: Column, keepFrac: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(group).orderBy(col("repetition_ratio").desc, id)
+    qualityMetrics(df, text)
+      .withColumn("q_rank", percent_rank().over(w))
+      .filter(col("q_rank") <= keepFrac)
+  }
+
+  /** Token-budget sequence packing: within each stream, docs in id
+    * order are chunked wherever the running token total crosses the
+    * budget — `pack_id = floor(exclusive_prefix_sum / budget)`. The
+    * fixed-boundary rule (vs greedy first-fit) is one window cumsum
+    * and parallelizes by stream; true first-fit packing is inherently
+    * sequential and would serialize 100 TB behind one cursor. */
+  def packBudget(df: DataFrame, stream: Column, id: Column,
+                 nTokens: Column, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(stream).orderBy(id)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("pack_id",
+      floor(coalesce(sum(nTokens).over(w), lit(0L)) / budget))
+  }
+
   /** PII scrubbing: emails first (their local part would otherwise leak
     * into the digit pass), then runs of 5+ digits (ids, phone-ish
     * numbers). Pattern subset chosen to mean the same thing in Java

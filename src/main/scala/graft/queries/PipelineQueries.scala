@@ -123,6 +123,33 @@ object PipelineQueries {
       TextOps.vocabulary(docs(s, dir), col("text"), topN = 200)
         .orderBy(col("n").desc, col("token"))),
 
+    "d18_quality_filter" -> ((s, dir) =>
+      TextOps.qualityFilter(
+        docs(s, dir).select(col("doc_id"), col("lang"), col("text")),
+        col("text"), col("lang"), col("doc_id"), keepFrac = 0.5)
+        .select(col("doc_id"), col("lang"),
+          rd(col("repetition_ratio"), 6).as("rep_ratio"),
+          rd(col("q_rank"), 6).as("q_rank"))
+        .orderBy("doc_id")),
+
+    "d19_doc_pack" -> ((s, dir) => {
+      val t = docs(s, dir).select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      TextOps.packBudget(t, col("source"), col("doc_id"),
+        col("n_tokens"), budget = 2048L)
+        .orderBy("doc_id")
+    }),
+
+    "d20_cc_clusters" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val pairs = Similarity.cosinePairs(e, threshold = 0.3)
+        .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      Components.connectedComponents(
+        e.select(col("vec_id").as("id")), pairs)
+        .select(col("id").as("vec_id"), col("label").as("cluster"))
+        .orderBy("vec_id")
+    }),
+
     "d17_pii_scrub" -> ((s, dir) =>
       // the synthetic corpus carries no PII, so the query plants some
       // deterministically (an email + a numeric ref per doc) and the
@@ -204,6 +231,33 @@ object PipelineQueries {
       """WITH t AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents)
         | SELECT token, count(*) AS n FROM t GROUP BY token
         | ORDER BY n DESC, token LIMIT 200""".stripMargin.replaceAll("\n", " "),
+    "d18_quality_filter" ->
+      """WITH t AS (SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        | sc AS (SELECT doc_id, lang, len(list_distinct(toks))::DOUBLE / len(toks) AS rep FROM t),
+        | r AS (SELECT doc_id, lang, rep,
+        |   percent_rank() OVER (PARTITION BY lang ORDER BY rep DESC, doc_id) AS pr FROM sc)
+        | SELECT doc_id, lang, round(rep, 6) AS rep_ratio, round(pr, 6) AS q_rank
+        | FROM r WHERE pr <= 0.5 ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "d19_doc_pack" ->
+      """WITH t AS (SELECT doc_id, source,
+        |   len(string_split_regex(lower(text), '\s+')) AS n_tokens FROM documents)
+        | SELECT doc_id, source, n_tokens,
+        |  COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT // 2048 AS pack_id
+        | FROM t ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "d20_cc_clusters" ->
+      """WITH RECURSIVE
+        | ev AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        | p AS (SELECT a.vec_id AS src, b.vec_id AS dst FROM ev a
+        |   JOIN ev b ON a.label = b.label AND a.vec_id < b.vec_id
+        |   WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) > 0.3),
+        | e AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+        | reach(a, b) AS (
+        |   SELECT vec_id, vec_id FROM embeddings
+        |   UNION
+        |   SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src)
+        | SELECT a AS vec_id, min(b) AS cluster FROM reach GROUP BY a
+        | ORDER BY vec_id""".stripMargin.replaceAll("\n", " "),
     "d17_pii_scrub" ->
       """SELECT doc_id, regexp_replace(regexp_replace(
         |   text || ' contact user' || doc_id::VARCHAR || '@example.com ref ' || (doc_id * 7919 + 1000000)::VARCHAR,

@@ -261,6 +261,61 @@ class OperatorsSpec extends AnyFunSuite {
     assert(v.toSeq == Seq(("c", 4L), ("b", 3L), ("d", 2L)))
   }
 
+  test("connected components: chains collapse to one cluster, isolates keep their id") {
+    import spark.implicits._
+    // path a-b-c-d (diameter 3 → needs >1 round), pair e-f, isolate g
+    val verts = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("src", "dst")
+    val got = Components.connectedComponents(verts, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("cc cluster representative fixes pairwise over-keep on chains") {
+    import spark.implicits._
+    // pairwise keep-min on a-b, b-c keeps {a, c}; transitive keeps {a}
+    val verts = Seq(10L, 20L, 30L).toDF("id")
+    val edges = Seq((10L, 20L), (20L, 30L)).toDF("src", "dst")
+    val reps = Components.connectedComponents(verts, edges)
+      .select("label").distinct().collect().map(_.getLong(0)).toSet
+    assert(reps == Set(10L))
+  }
+
+  test("quality filter keeps ~half per group, deterministically") {
+    val kept = TextOps.qualityFilter(
+      docs.select(col("doc_id"), col("lang"), col("text")),
+      col("text"), col("lang"), col("doc_id"), keepFrac = 0.5)
+    val tot = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val k = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    tot.foreach { case (lang, n) =>
+      val frac = k.getOrElse(lang, 0L).toDouble / n
+      assert(frac > 0.3 && frac < 0.7, s"$lang kept $frac")
+    }
+    // deterministic under repartitioning
+    val again = TextOps.qualityFilter(
+      docs.repartition(7).select(col("doc_id"), col("lang"), col("text")),
+      col("text"), col("lang"), col("doc_id"), keepFrac = 0.5)
+    assert(again.select("doc_id").except(kept.select("doc_id")).count() == 0)
+  }
+
+  test("token packing: packs respect the budget boundary rule") {
+    import spark.implicits._
+    val t = Seq((1L, "s", 1000L), (2L, "s", 1000L), (3L, "s", 1000L),
+      (4L, "s", 5000L), (5L, "s", 10L), (6L, "other", 10L))
+      .toDF("doc_id", "source", "n_tokens")
+    val got = TextOps.packBudget(t, col("source"), col("doc_id"),
+      col("n_tokens"), budget = 2048L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // exclusive prefix sums: 0,1000,2000,3000,8000 → packs 0,0,0,1,3
+    assert(got(1L) == 0L && got(2L) == 0L && got(3L) == 0L)
+    assert(got(4L) == 1L)
+    assert(got(5L) == 3L)
+    assert(got(6L) == 0L) // separate stream restarts at 0
+  }
+
   test("pii scrub redacts emails before digit runs, leaves short numbers") {
     val df = Seq((1L, "mail me at john.doe99@corp.example.org or call 5551234567 ext 42"))
       .toDF("doc_id", "text")
