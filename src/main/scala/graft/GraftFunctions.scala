@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.functions.{SlurmTimeParse, TopKByScore, TresExtractExpr}
+import graft.functions.{DotProductExpr, SlurmTimeParse, TopKByScore, TresExtractExpr}
 
 /** SQL-first entry point: register graft's custom expressions and the
   * slurm views so everything a reference user did with sqlite SQL works
@@ -16,7 +16,8 @@ import graft.functions.{SlurmTimeParse, TopKByScore, TresExtractExpr}
   */
 object GraftFunctions {
 
-  /** Register `slurm_time`, `tres_extract`, `topk_by_score` for SQL. */
+  /** Register `slurm_time`, `tres_extract`, `topk_by_score`,
+    * `dot_product` for SQL. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
@@ -25,6 +26,8 @@ object GraftFunctions {
       "tres_extract", exprs => TresExtractExpr(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "topk_by_score", exprs => TopKByScore(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProductExpr(exprs(0), exprs(1)), "built-in")
   }
 
   /** Idempotent per-session registration for the `.column` helpers:

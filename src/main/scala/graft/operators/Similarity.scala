@@ -13,8 +13,14 @@ import graft.functions.Round.rd
   */
 object Similarity {
 
-  /** Element-wise dot product of two double arrays (codegen'd). */
+  /** Dot product of two double arrays: native fused-loop expression
+    * (no intermediate array per pair — the composed zip_with+aggregate
+    * form allocates one; equivalence pinned by DotProductSpec). */
   def dot(a: Column, b: Column): Column =
+    graft.functions.DotProductExpr.column(a, b)
+
+  /** Composed baseline for [[dot]] (spec comparison only). */
+  def dotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
