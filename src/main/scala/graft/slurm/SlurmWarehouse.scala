@@ -35,6 +35,25 @@ object SlurmWarehouse {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/slurm")
 
+  /** Bucketed variant: pre-shuffle by JobIDnostep into fixed buckets at
+    * write time, so every job-key operation afterwards — the eff
+    * rollup's groupBy, allocation⋈steps joins, update-dedup — reads
+    * co-located data and plans WITHOUT an exchange (the Spark
+    * equivalent of the reference's JobIDnostep index, paid once at
+    * ingest instead of per query). Bucketing metadata lives in the
+    * session catalog, hence saveAsTable rather than a bare path; at
+    * cluster scale the catalog is the metastore and the bucket count
+    * should match the expected parallelism (buckets are the max
+    * exchange-free parallelism for downstream consumers). */
+  def writeBucketed(slurm: DataFrame, table: String,
+                    nBuckets: Int = 32): Unit =
+    slurm.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, "JobIDnostep")
+      .sortBy("JobIDnostep")
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Persist the resume bookmark (meta_slurm_lastupdate). */
   def updateLastTimestamp(spark: SparkSession, path: String, ts: Long): Unit = {
     import spark.implicits._

@@ -95,6 +95,31 @@ class WarehouseSpec extends AnyFunSuite {
     assert(back.filter(col("JobID") === "999999_late").count() == 1)
   }
 
+  test("bucketed warehouse: job-key rollup and join plan with NO exchange") {
+    val slurm = SlurmTable.build(SlurmSim.raw(spark, "/root/testdata/sf0.001"),
+      lit(1750000000L))
+    SlurmWarehouse.writeBucketed(slurm, "slurm_bucketed_spec", nBuckets = 8)
+    try {
+      val t = spark.table("slurm_bucketed_spec")
+      // the eff-style rollup: groupBy on the bucket key needs no shuffle
+      val rollup = t.groupBy("JobIDnostep")
+        .agg(max("NCPUS").as("cpus"), sum("Elapsed").as("el"))
+      val rp = rollup.queryExecution.executedPlan.toString
+      assert(!rp.contains("Exchange hashpartitioning"), rp.linesIterator
+        .filter(_.contains("Exchange")).mkString("\n"))
+      assert(rollup.count() > 0)
+      // enrich join (per-job aggregates back onto every row) on the
+      // bucket key: both sides share the bucket distribution → no
+      // exchange on either side
+      val enriched = t.select(col("JobIDnostep"), col("JobID"))
+        .join(rollup, "JobIDnostep")
+      val jp = enriched.queryExecution.executedPlan.toString
+      assert(!jp.contains("Exchange hashpartitioning"), jp.linesIterator
+        .filter(_.contains("Exchange")).mkString("\n"))
+      assert(enriched.count() == t.count())
+    } finally spark.sql("DROP TABLE IF EXISTS slurm_bucketed_spec")
+  }
+
   test("history collection commits per batch and resumes after a crash") {
     import graft.slurm.HistoryCollector
     val dir = Files.createTempDirectory("graft_wh5").toString
