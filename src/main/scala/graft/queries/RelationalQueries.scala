@@ -187,6 +187,20 @@ object RelationalQueries {
           rd(sum(col("c_acctbal")), 2).as("total_acctbal"))
         .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)),
 
+    // explicit grouping sets (finer than rollup: arbitrary set list);
+    // one pass, Expand + partial aggregation — no per-set rescans.
+    "q17_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+            Seq(col("o_orderpriority")), Seq()),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          rd(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("gid"), col("o_orderpriority").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first)),
+
     // exact interpolated percentiles per group (one pass, sort-based
     // aggregate; at 100 TB swap to approx_percentile sketches).
     "q16_percentiles" -> ((s, dir) =>
@@ -319,6 +333,13 @@ object RelationalQueries {
         | JOIN region ON n_regionkey = r_regionkey
         | GROUP BY ROLLUP (r_name, n_name)
         | ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin.replaceAll("\n", " "),
+    "q17_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        | GROUPING(o_orderpriority, o_orderstatus)::BIGINT AS gid,
+        | count(*) AS n, round(sum(o_totalprice), 2) AS total
+        | FROM orders
+        | GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+        | ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin.replaceAll("\n", " "),
     "q16_percentiles" ->
       """SELECT o_orderpriority,
         | round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
