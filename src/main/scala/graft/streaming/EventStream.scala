@@ -19,6 +19,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStream {
 
+  /** Streaming exact dedup — the streaming twin of d01: keep the FIRST
+    * document per content hash across micro-batches. `dropDuplicates`
+    * on the hash keeps one state entry per distinct hash; the event-time
+    * watermark bounds that state (a hash unseen for the horizon is
+    * evicted — matching how a streaming ingest pipeline actually runs:
+    * dedup within a time horizon, exact global dedup stays a batch
+    * compaction job). */
+  def deduplicated(docs: DataFrame, text: org.apache.spark.sql.Column,
+                   horizon: String = "1 hour"): DataFrame =
+    docs.withColumn("content_hash", md5(text))
+      .withWatermark("ts", horizon)
+      .dropDuplicates("content_hash")
+
   /** Tumbling 1h windows of event counts/values with a 30 min watermark. */
   def windowedCounts(events: DataFrame): DataFrame =
     events

@@ -93,6 +93,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getAs[Double]("session_value") == 3.0)
   }
 
+  test("streaming dedup keeps first doc per content hash across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val sdf = stream.toDF().toDF("doc_id", "ts", "text")
+    val q = EventStream.deduplicated(sdf, col("text")).writeStream
+      .outputMode("append").format("memory").queryName("dedup_out").start()
+    stream.addData(Seq(
+      (1L, ts("2024-01-01 10:00:00"), "alpha beta"),
+      (2L, ts("2024-01-01 10:01:00"), "gamma delta")))
+    q.processAllAvailable()
+    stream.addData(Seq(
+      (3L, ts("2024-01-01 10:02:00"), "alpha beta"),   // dup of 1, later batch
+      (4L, ts("2024-01-01 10:03:00"), "epsilon")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_out").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L, 4L))
+  }
+
   test("streaming slurm ingest: drop-dir files flow through the batch parser exactly once") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import graft.slurm.SacctSource
