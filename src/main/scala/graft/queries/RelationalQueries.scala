@@ -187,6 +187,25 @@ object RelationalQueries {
           rd(sum(col("c_acctbal")), 2).as("total_acctbal"))
         .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)),
 
+    // skew-safe join: the salted (key, salt) equi-join produces the
+    // IDENTICAL result to a plain join (the oracle IS the plain join) —
+    // the hot key just arrives spread across n reducers. AQE skew-join
+    // covers shuffles it can split; the salt is the planner-independent
+    // form (SURVEY §6, SkewJoin).
+    "q18_skew_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val dim = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      graft.operators.SkewJoin.saltedJoin(ev, dim, "user_id",
+        saltBy = "event_id", n = 8)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          rd(sum(col("value")), 2).as("total_value"),
+          max(col("n_events")).as("n_events"))
+        .orderBy("user_id")
+    }),
+
     // explicit grouping sets (finer than rollup: arbitrary set list);
     // one pass, Expand + partial aggregation — no per-set rescans.
     "q17_grouping_sets" -> ((s, dir) =>
@@ -333,6 +352,12 @@ object RelationalQueries {
         | JOIN region ON n_regionkey = r_regionkey
         | GROUP BY ROLLUP (r_name, n_name)
         | ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin.replaceAll("\n", " "),
+    "q18_skew_join" ->
+      """WITH d AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1)
+        | SELECT e.user_id, count(*) AS n_rows, round(sum(e.value), 2) AS total_value,
+        |  max(d.n_events) AS n_events
+        | FROM events e JOIN d ON e.user_id = d.user_id
+        | GROUP BY e.user_id ORDER BY e.user_id""".stripMargin.replaceAll("\n", " "),
     "q17_grouping_sets" ->
       """SELECT o_orderpriority, o_orderstatus,
         | GROUPING(o_orderpriority, o_orderstatus)::BIGINT AS gid,
