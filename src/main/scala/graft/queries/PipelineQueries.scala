@@ -150,6 +150,27 @@ object PipelineQueries {
         .orderBy("vec_id")
     }),
 
+    // end-to-end curation: the operators COMPOSE — exact dedup →
+    // per-language quality filter → stratified sample → token-budget
+    // packing, one lazy plan, fully oracle-checked. The shape a real
+    // 100 TB pretraining-data job runs nightly.
+    "d21_curation_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val keepers = Dedup.exact(d, col("text"), col("doc_id"))
+        .select(col("keeper_id").as("doc_id"))
+      val deduped = d.join(keepers, "doc_id")
+      val q = TextOps.qualityFilter(
+        deduped.select(col("doc_id"), col("lang"), col("source"), col("text")),
+        col("text"), col("lang"), col("doc_id"), keepFrac = 0.5)
+      val sampled = Sampling.stratified(q, col("source"), col("doc_id"),
+        Map("src0" -> 0.9, "src1" -> 0.7), default = 0.5)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_tokens").cast("long").as("n_tokens"))
+      TextOps.packBudget(sampled, col("source"), col("doc_id"),
+        col("n_tokens"), budget = 2048L)
+        .orderBy("doc_id")
+    }),
+
     "d17_pii_scrub" -> ((s, dir) =>
       // the synthetic corpus carries no PII, so the query plants some
       // deterministically (an email + a numeric ref per doc) and the
@@ -258,6 +279,20 @@ object PipelineQueries {
         |   SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src)
         | SELECT a AS vec_id, min(b) AS cluster FROM reach GROUP BY a
         | ORDER BY vec_id""".stripMargin.replaceAll("\n", " "),
+    "d21_curation_pipeline" ->
+      """WITH k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        | d AS (SELECT doc.* FROM documents doc JOIN k USING (doc_id)),
+        | t AS (SELECT doc_id, lang, source, string_split_regex(lower(text), '\s+') AS toks FROM d),
+        | sc AS (SELECT doc_id, lang, source, len(toks) AS n_tokens,
+        |   len(list_distinct(toks))::DOUBLE / len(toks) AS rep FROM t),
+        | r AS (SELECT *, percent_rank() OVER (PARTITION BY lang ORDER BY rep DESC, doc_id) AS pr FROM sc),
+        | q AS (SELECT * FROM r WHERE pr <= 0.5),
+        | sam AS (SELECT * FROM q WHERE (doc_id * 2654435761) % 1000000 <
+        |   CASE source WHEN 'src0' THEN 900000 WHEN 'src1' THEN 700000 ELSE 500000 END)
+        | SELECT doc_id, lang, source, n_tokens,
+        |  COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT // 2048 AS pack_id
+        | FROM sam ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "d17_pii_scrub" ->
       """SELECT doc_id, regexp_replace(regexp_replace(
         |   text || ' contact user' || doc_id::VARCHAR || '@example.com ref ' || (doc_id * 7919 + 1000000)::VARCHAR,
