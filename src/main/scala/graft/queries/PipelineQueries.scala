@@ -6,7 +6,7 @@ import graft.Tables
 import graft.operators._
 import graft.functions.Round.rd
 
-/** Training-data pipeline queries d01–d12 (SURVEY §2.5) over the
+/** Training-data pipeline queries d01–d21 (SURVEY §2.5) over the
   * `documents` / `embeddings` tables. SQL-expressible ones carry a
   * DuckDB oracle; the sketch/LSH ones are deterministic (seeded) and
   * run under the driver's rows-only check.

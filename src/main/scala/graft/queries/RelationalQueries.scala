@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Round.rd
 
-/** Relational core q01–q15 (SURVEY.md §2.4): the query surface the
+/** Relational core q01–q18 (SURVEY.md §2.4): the query surface the
   * reference's users get from SQLite/DuckDB over the `slurm` table,
   * re-expressed as Catalyst plans over the driver tables.
   *
