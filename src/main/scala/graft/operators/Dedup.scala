@@ -36,23 +36,52 @@ object Dedup {
     * the string work. Here each shingle is hashed exactly once and the
     * permutations are long-arithmetic on exploded rows; p = 2^31−1 keeps
     * a·h+b inside 64-bit range (no overflow wrap). */
+  private val P = 2147483647L // 2^31 - 1 (Mersenne prime); a·h+b < 2^62
+
+  /** Seeded permutation coefficients — ONE seed shared by the batch
+    * aggregate path and the per-row streaming path, so their
+    * signatures are identical (spec-pinned). */
+  private def permCoefs(numPerms: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(numPerms)((math.abs(rnd.nextLong()) % (P - 1) + 1,
+      math.abs(rnd.nextLong()) % P))
+  }
+
   def minhashSignatures(docs: DataFrame, text: Column, id: Column,
                         numPerms: Int): DataFrame = {
-    val p = 2147483647L // 2^31 - 1 (Mersenne prime); a·h+b < 2^62
-    val rnd = new scala.util.Random(42)
-    val coefs = Seq.fill(numPerms)((math.abs(rnd.nextLong()) % (p - 1) + 1,
-      math.abs(rnd.nextLong()) % p))
     val exploded = docs.select(id.as("doc_id"),
       explode(shingles(text)).as("sh"))
-      .select(col("doc_id"), pmod(xxhash64(col("sh")), lit(p)).as("h"))
-    val mins = coefs.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * a + b, lit(p))).as(s"m$i")
+      .select(col("doc_id"), pmod(xxhash64(col("sh")), lit(P)).as("h"))
+    val mins = permCoefs(numPerms).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(P))).as(s"m$i")
     }
     exploded.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
         array((0 until numPerms).map(i => col(s"m$i")): _*).as("sig"))
   }
+
+  /** Per-ROW minhash signature — no aggregation, so it runs on an
+    * unbounded stream (the batch path's explode+groupBy is stateful
+    * there). The shingle hashes materialize once into an array and the
+    * permutation mins are array_min over it (whole-stage codegen CSEs
+    * the shared subtree; the hazard was re-SHINGLING per permutation,
+    * not re-reading a hashed long array). Identical output to
+    * [[minhashSignatures]] by construction (same shingles, same seeded
+    * coefficients) — DedupSpec pins it. */
+  def rowSignature(text: Column, numPerms: Int): Column = {
+    val hashes = transform(shingles(text), sh => pmod(xxhash64(sh), lit(P)))
+    array(permCoefs(numPerms).map { case (a, b) =>
+      array_min(transform(hashes, h => pmod(h * a + b, lit(P))))
+    }: _*)
+  }
+
+  /** (band_idx, band_hash) pairs from a signature array — the banding
+    * rule shared by [[lshBands]] and the streaming path. */
+  def bandHashes(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(concat_ws(",", transform(slice(sig, b * rows + 1, lit(rows)),
+        x => x.cast("string")))))
 
   /** LSH banding: explode the signature into (band_idx, band_hash).
     * Docs sharing any band land in the same bucket — one shuffle on
@@ -61,9 +90,8 @@ object Dedup {
                bands: Int = 8, rows: Int = 4): DataFrame = {
     val withSig = minhashSignatures(docs, text, id, bands * rows)
     withSig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",", transform(slice(col("sig"), b * rows + 1, lit(rows)),
-          x => x.cast("string")))))).as(Seq("band_idx", "band_hash")))
+      posexplode(bandHashes(col("sig"), bands, rows))
+        .as(Seq("band_idx", "band_hash")))
   }
 
   /** Hot-bucket cap: buckets larger than this are star-expanded instead

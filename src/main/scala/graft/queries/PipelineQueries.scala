@@ -150,6 +150,22 @@ object PipelineQueries {
         .orderBy("vec_id")
     }),
 
+    // per-group top-k selection with the O(k)-state custom aggregate
+    // (TopKByScore, map-side combinable) — "best 5 docs per source"
+    // without a window sort over the whole corpus.
+    "d22_topk_per_group" -> ((s, dir) => {
+      val m = TextOps.qualityMetrics(
+        docs(s, dir).select(col("doc_id"), col("source"), col("text")),
+        col("text"))
+      m.groupBy(col("source"))
+        .agg(graft.functions.TopKByScore.column(
+          col("repetition_ratio"), col("doc_id"), lit(5)).as("top"))
+        .select(col("source"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+          col("t.id").as("doc_id"), rd(col("t.score"), 6).as("score"))
+        .orderBy("source", "rank")
+    }),
+
     // end-to-end curation: the operators COMPOSE — exact dedup →
     // per-language quality filter → stratified sample → token-budget
     // packing, one lazy plan, fully oracle-checked. The shape a real
@@ -279,6 +295,14 @@ object PipelineQueries {
         |   SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src)
         | SELECT a AS vec_id, min(b) AS cluster FROM reach GROUP BY a
         | ORDER BY vec_id""".stripMargin.replaceAll("\n", " "),
+    "d22_topk_per_group" ->
+      """WITH t AS (SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        | sc AS (SELECT doc_id, source,
+        |   len(list_distinct(toks))::DOUBLE / len(toks) AS rep FROM t),
+        | r AS (SELECT source, doc_id, rep,
+        |   row_number() OVER (PARTITION BY source ORDER BY rep DESC, doc_id) AS rank FROM sc)
+        | SELECT source, rank, doc_id, round(rep, 6) AS score
+        | FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin.replaceAll("\n", " "),
     "d21_curation_pipeline" ->
       """WITH k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
         | d AS (SELECT doc.* FROM documents doc JOIN k USING (doc_id)),

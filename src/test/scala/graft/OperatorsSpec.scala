@@ -212,6 +212,14 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fps(0) != fps(2))
   }
 
+  test("per-row minhash signature equals the batch aggregate signature") {
+    val sig1 = Dedup.minhashSignatures(planted, col("text"), col("doc_id"), 32)
+    val sig2 = planted.select(col("doc_id"),
+      Dedup.rowSignature(col("text"), 32).as("sig"))
+    assert(sig1.except(sig2).count() == 0)
+    assert(sig2.except(sig1).count() == 0)
+  }
+
   test("embedding near-dup dedup: survivors + duplicates partition the corpus") {
     val emb = Tables.load(spark, dir, "embeddings")
     val survivors = Similarity.nearDupSurvivors(emb, threshold = 0.3)

@@ -115,6 +115,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Set(1L, 2L, 4L))
   }
 
+  test("streaming near-dup flags docs that match the static corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 50).cache()
+    // a near copy of corpus doc 0 (last word dropped) and a novel doc
+    val base = corpus.filter(col("doc_id") === 0).collect()(0).getString(1)
+    val near = base.split("\\s+").dropRight(1).mkString(" ")
+    val stream = MemoryStream[(Long, String)]
+    val sdf = stream.toDF().toDF("doc_id", "text")
+    val q = EventStream.nearDupAgainst(sdf, corpus, col("text"), col("doc_id"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("neardup_out").start()
+    stream.addData(Seq((1000001L, near),
+      (1000002L, "qq ww ee rr tt yy uu ii oo pp aa ss dd ff")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("neardup_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.exists { case (d, c) => d == 1000001L && c == 0L },
+      "near-copy must hit corpus doc 0")
+    assert(!out.exists(_._1 == 1000002L), "novel doc must not be flagged")
+  }
+
   test("streaming slurm ingest: drop-dir files flow through the batch parser exactly once") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import graft.slurm.SacctSource
