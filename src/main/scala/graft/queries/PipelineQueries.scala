@@ -150,6 +150,15 @@ object PipelineQueries {
         .orderBy("vec_id")
     }),
 
+    // the polynomial fingerprint alone, oracle-PROVEN: after the r2
+    // modulus fix (2^31-1, no 64-bit wrap) DuckDB can replay the exact
+    // recurrence via list_reduce — d11 stays rows-only only for its
+    // xxhash64 window-hash column
+    "d23_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")),
+
     // per-group top-k selection with the O(k)-state custom aggregate
     // (TopKByScore, map-side combinable) — "best 5 docs per source"
     // without a window sort over the whole corpus.
@@ -295,6 +304,10 @@ object PipelineQueries {
         |   SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src)
         | SELECT a AS vec_id, min(b) AS cluster FROM reach GROUP BY a
         | ORDER BY vec_id""".stripMargin.replaceAll("\n", " "),
+    "d23_fingerprint" ->
+      """SELECT doc_id, list_reduce(list_prepend('0', string_split(text, '')),
+        |  (acc, c) -> ((acc::BIGINT * 31 + ascii(c)) % 2147483647)::VARCHAR)::BIGINT AS fingerprint
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "d22_topk_per_group" ->
       """WITH t AS (SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS toks FROM documents),
         | sc AS (SELECT doc_id, source,
