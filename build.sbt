@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked output must NOT pass through sbt's logger: the logger prefixes
+// every stdout line with "[info] ", which breaks the driver's parse of
+// Bench's one-line JSON contract (BENCH_r01/r02 both show parsed:null).
+// StdoutOutput inherits the raw file descriptors instead.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -36,14 +36,20 @@ object Bench {
                   System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
         ((System.nanoTime() - t0) / 1e9, n)
       }
-      val dt = times.map(_._1).min
-      System.err.println(f"[bench] $name%-22s $dt%8.3f s  (${times.last._2} rows, min of $reps)")
+      // a rep that threw is NOT a measurement: only successful reps
+      // count; a query with zero successes reports the -1.0 sentinel so
+      // a regression that fails fast can't masquerade as a speedup
+      val ok = times.filter(_._2 >= 0)
+      val dt = if (ok.nonEmpty) ok.map(_._1).min else -1.0
+      System.err.println(f"[bench] $name%-22s $dt%8.3f s  (${times.last._2} rows, ${ok.size}/$reps reps ok)")
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.filter(_._2 < 0).map(n => "\"" + n._1 + "\"")
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

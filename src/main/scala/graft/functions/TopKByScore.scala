@@ -37,15 +37,25 @@ case class TopKByScore(
     super.checkInputDataTypes() match {
       case TypeCheckResult.TypeCheckSuccess if !kExpr.foldable =>
         TypeCheckResult.TypeCheckFailure(s"$prettyName requires a literal (foldable) k")
-      case TypeCheckResult.TypeCheckSuccess if k <= 0 =>
-        TypeCheckResult.TypeCheckFailure(s"$prettyName requires k > 0, got $k")
+      case TypeCheckResult.TypeCheckSuccess =>
+        // a NULL literal is foldable and passes the implicit cast —
+        // reject it here instead of MatchError-ing in the lazy k
+        kExpr.eval(InternalRow.empty) match {
+          case null =>
+            TypeCheckResult.TypeCheckFailure(s"$prettyName requires a non-null k")
+          case i: Int if i <= 0 =>
+            TypeCheckResult.TypeCheckFailure(s"$prettyName requires k > 0, got $i")
+          case l: Long if l <= 0 =>
+            TypeCheckResult.TypeCheckFailure(s"$prettyName requires k > 0, got $l")
+          case _ => TypeCheckResult.TypeCheckSuccess
+        }
       case other => other
     }
 
   private lazy val k: Int = kExpr.eval(InternalRow.empty) match {
     case i: Int => i
     case l: Long => l.toInt
-    case other => throw new IllegalArgumentException(s"k must be a literal int, got $other")
+    case other => throw new IllegalArgumentException(s"k must be a non-null literal int, got $other")
   }
 
   // priority = "worstness": dequeue yields the entry to evict

@@ -142,6 +142,62 @@ object Dedup {
     small.unionByName(big).distinct()
   }
 
+  /** Permutation coefficients for the ORACLE-EXACT polynomial minhash
+    * path ([[polyMinhashPairs]]): small `a` keeps a·h < 2^51 so checked
+    * 64-bit arithmetic (DuckDB) and Java longs compute identical
+    * values. Shared by the Spark plan and the generated DuckDB oracle
+    * SQL — one source of truth. */
+  val polyCoefs: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(16)((rnd.nextInt(999999).toLong + 1L, rnd.nextInt(1000000).toLong))
+  }
+
+  /** Per-token polynomial hashes (the d23 fingerprint recurrence, per
+    * token): exact integer arithmetic any engine can replay. */
+  def polyTokenHashes(text: Column): Column =
+    transform(TextOps.tokens(text), w =>
+      aggregate(split(w, ""), lit(0L),
+        (acc, c) => pmod(acc * 31L + coalesce(ascii(c), lit(0)), lit(P))))
+
+  /** Distinct polynomial 3-shingle hashes: consecutive token hashes
+    * combined with base 131 mod P. Caller must ensure ≥ 3 tokens. */
+  def polyShingleHashes(text: Column): Column = {
+    val hs = polyTokenHashes(text)
+    array_distinct(transform(sequence(lit(1), size(hs) - 2), i =>
+      pmod(pmod(element_at(hs, i) * 131L + element_at(hs, i + 1), lit(P)) * 131L
+        + element_at(hs, i + 2), lit(P))))
+  }
+
+  /** MinHash+LSH candidate pairs where EVERY step — token hash, shingle
+    * combine, permutations, band hash — is exact cross-engine integer
+    * arithmetic, so the full pipeline is DuckDB-oracle-verifiable
+    * (query d24; the xxhash64 path d02 stays the throughput variant,
+    * this one pins the algorithm's semantics end-to-end). Same scale
+    * shape as [[minhashCandidates]]: shingle-explode → hash once → all
+    * mins in one HashAggregate → one shuffle on (band, hash). Banding:
+    * 4 bands × 4 rows. maxBucket defaults to unbounded because the
+    * oracle computes exact all-pairs; pass [[MAX_FULL_BUCKET]] for the
+    * capped production behavior. */
+  def polyMinhashPairs(docs: DataFrame, text: Column, id: Column,
+                       bands: Int = 4, rows: Int = 4,
+                       maxBucket: Int = Int.MaxValue): DataFrame = {
+    val exploded = docs.filter(size(TextOps.tokens(text)) >= 3)
+      .select(id.as("doc_id"), explode(polyShingleHashes(text)).as("h"))
+    val mins = polyCoefs.take(bands * rows).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(P))).as(s"m$i")
+    }
+    val sig = exploded.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bandStructs = (0 until bands).map { bi =>
+      val ms = (0 until rows).map(r => col(s"m${bi * rows + r}"))
+      struct(lit(bi).as("band_idx"),
+        ms.reduceLeft((acc, m) => pmod(acc * 131L + m, lit(P))).as("band_hash"))
+    }
+    val banded = sig.select(col("doc_id"),
+      explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.band_idx"), col("b.band_hash"))
+    pairsInBuckets(banded, Seq("band_idx", "band_hash"), col("doc_id"), maxBucket)
+  }
+
   /** n-gram Jaccard verification over candidate pairs only. */
   def jaccardVerify(candidates: DataFrame, docs: DataFrame,
                     text: Column, id: Column, minJaccard: Double): DataFrame = {

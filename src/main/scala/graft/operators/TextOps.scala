@@ -119,6 +119,48 @@ object TextOps {
       floor(coalesce(sum(nTokens).over(w), lit(0L)) / budget))
   }
 
+  /** Benchmark decontamination: count, per corpus document, the
+    * distinct n-grams it shares with a benchmark snippet set — the
+    * standard "did an eval question leak into the training set" check.
+    * The benchmark side is n-grammed, deduped, and BROADCAST (eval
+    * suites are tiny next to a 100 TB corpus); the corpus side is a
+    * map-only n-gram explode, so the whole check is one broadcast-join
+    * pass at scan speed — no shuffle of corpus data at all. Docs with
+    * zero overlap produce no row. `shingles()` dedupes n-grams within a
+    * doc, so count(*) after the join IS the distinct-overlap count. */
+  def contaminationCounts(corpus: DataFrame, bench: DataFrame,
+                          text: Column, id: Column, benchText: Column,
+                          n: Int = 8): DataFrame = {
+    val benchGrams = bench
+      .select(explode(Dedup.shingles(benchText, n)).as("ngram")).distinct()
+    corpus.filter(size(tokens(text)) >= n)
+      .select(id.as("doc_id"), explode(Dedup.shingles(text, n)).as("ngram"))
+      .join(broadcast(benchGrams), "ngram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Corpus-frequency quality score: average corpus frequency of the
+    * document's tokens (rare-token-heavy docs — codes, gibberish,
+    * boilerplate IDs — score low; a distribution-based cousin of
+    * perplexity filtering that needs no language model). Two passes:
+    * token counts (one agg shuffle), then a token→count join back and
+    * a per-doc agg. The vocabulary is Zipf-bounded, tiny next to the
+    * corpus, so the join side is broadcast; the per-doc sum is INTEGER
+    * (order-independent — a float sum here would be nondeterministic
+    * under shuffle) with one final rounded division. */
+  def tokenFrequencyScore(docs: DataFrame, text: Column, id: Column): DataFrame = {
+    import graft.functions.Round.rd
+    val x = docs.select(id.as("doc_id"), explode(tokens(text)).as("token"))
+    val vocab = x.groupBy("token").agg(count(lit(1)).as("cnt"))
+    x.join(broadcast(vocab), "token")
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("total_freq"),
+        count(lit(1)).cast("long").as("n_tokens"))
+      .select(col("doc_id"), col("total_freq"), col("n_tokens"),
+        rd(col("total_freq").cast("double") / col("n_tokens"), 6).as("freq_score"))
+  }
+
   /** PII scrubbing: emails first (their local part would otherwise leak
     * into the digit pass), then runs of 5+ digits (ids, phone-ish
     * numbers). Pattern subset chosen to mean the same thing in Java

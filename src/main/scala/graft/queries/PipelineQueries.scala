@@ -196,6 +196,31 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // the FULL minhash→LSH→candidate pipeline, oracle-PROVEN: every
+    // step (token hash, shingle combine, permutations, band hash) is
+    // exact cross-engine integer arithmetic — d02 stays the xxhash64
+    // throughput path, this pins the algorithm end-to-end
+    "d24_minhash_oracle" -> ((s, dir) =>
+      Dedup.polyMinhashPairs(corpusWithDups(s, dir), col("text"), col("doc_id"))
+        .orderBy("doc_a", "doc_b")),
+
+    // benchmark decontamination: 16-token snippets of every 97th doc
+    // stand in for an eval suite; their source docs (and any accidental
+    // verbatim overlap) must surface via shared 8-grams
+    "d25_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 97 === 0 &&
+          size(TextOps.tokens(col("text"))) >= 26)
+        .select(concat_ws(" ",
+          slice(TextOps.tokens(col("text")), 11, 16)).as("snippet"))
+      TextOps.contaminationCounts(d, bench, col("text"), col("doc_id"),
+        col("snippet")).orderBy("doc_id")
+    }),
+
+    "d26_token_freq" -> ((s, dir) =>
+      TextOps.tokenFrequencyScore(docs(s, dir), col("text"), col("doc_id"))
+        .orderBy("doc_id")),
+
     "d17_pii_scrub" -> ((s, dir) =>
       // the synthetic corpus carries no PII, so the query plants some
       // deterministically (an email + a numeric ref per doc) and the
@@ -268,9 +293,9 @@ object PipelineQueries {
         | LEFT JOIN d ON e.label = d.label AND e.vec_id = d.vec_id
         | WHERE d.vec_id IS NULL ORDER BY e.label, e.vec_id""".stripMargin.replaceAll("\n", " "),
     "d15_stratified_sample" ->
-      """SELECT doc_id, source, (doc_id * 2654435761) % 1000000 AS bucket
+      """SELECT doc_id, source, (((doc_id::HUGEINT * 2654435761) % 4294967296) % 1000000)::BIGINT AS bucket
         | FROM documents
-        | WHERE (doc_id * 2654435761) % 1000000 <
+        | WHERE ((doc_id::HUGEINT * 2654435761) % 4294967296) % 1000000 <
         |  CASE source WHEN 'src0' THEN 500000 WHEN 'src1' THEN 250000 ELSE 100000 END
         | ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "d16_vocab_topk" ->
@@ -324,12 +349,50 @@ object PipelineQueries {
         |   len(list_distinct(toks))::DOUBLE / len(toks) AS rep FROM t),
         | r AS (SELECT *, percent_rank() OVER (PARTITION BY lang ORDER BY rep DESC, doc_id) AS pr FROM sc),
         | q AS (SELECT * FROM r WHERE pr <= 0.5),
-        | sam AS (SELECT * FROM q WHERE (doc_id * 2654435761) % 1000000 <
+        | sam AS (SELECT * FROM q WHERE ((doc_id::HUGEINT * 2654435761) % 4294967296) % 1000000 <
         |   CASE source WHEN 'src0' THEN 900000 WHEN 'src1' THEN 700000 ELSE 500000 END)
         | SELECT doc_id, lang, source, n_tokens,
         |  COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT // 2048 AS pack_id
         | FROM sam ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "d24_minhash_oracle" -> {
+      val P = 2147483647L
+      val minExprs = Dedup.polyCoefs.zipWithIndex.map { case ((a, b), i) =>
+        s"list_min(list_transform(shs, h -> ($a * h + $b) % $P)) AS m$i"
+      }.mkString(", ")
+      def band(bi: Int) = (1 until 4).foldLeft(s"m${bi * 4}") {
+        (acc, r) => s"(($acc) * 131 + m${bi * 4 + r}) % $P"
+      }
+      val bandSelects = (0 until 4).map(bi =>
+        s"SELECT doc_id, $bi AS band_idx, ${band(bi)} AS band_hash FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH pert AS (SELECT doc_id + 1000000 AS doc_id,
+         |   array_to_string(list_slice(toks, 1, greatest(len(toks) - 1, 1)), ' ') AS text
+         |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents WHERE doc_id % 10 = 0)),
+         | corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM pert),
+         | t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM corpus),
+         | th AS (SELECT doc_id, list_transform(toks, w -> list_reduce(list_prepend('0', string_split(w, '')), (acc, c) -> ((acc::BIGINT * 31 + ascii(c)) % $P)::VARCHAR)::BIGINT) AS hs FROM t WHERE len(toks) >= 3),
+         | sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(hs) - 2), i -> (((hs[i] * 131 + hs[i+1]) % $P) * 131 + hs[i+2]) % $P)) AS shs FROM th),
+         | sig AS (SELECT doc_id, $minExprs FROM sh),
+         | bands AS ($bandSelects)
+         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+         | ORDER BY doc_a, doc_b""".stripMargin.replaceAll("\n", " ")
+    },
+    "d25_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        | bs AS (SELECT DISTINCT unnest(list_transform(generate_series(1, 9), i -> array_to_string(list_slice(toks, 10 + i, 17 + i), ' '))) AS ngram
+        |   FROM t WHERE doc_id % 97 = 0 AND len(toks) >= 26),
+        | ds AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(toks) - 7), i -> array_to_string(list_slice(toks, i, i + 7), ' ')))) AS ngram
+        |   FROM t WHERE len(toks) >= 8)
+        | SELECT doc_id, count(*)::BIGINT AS n_shared
+        | FROM ds JOIN bs USING (ngram) GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "d26_token_freq" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents),
+        | v AS (SELECT token, count(*) AS cnt FROM t GROUP BY token)
+        | SELECT t.doc_id, sum(cnt)::BIGINT AS total_freq, count(*)::BIGINT AS n_tokens,
+        |  round(sum(cnt)::DOUBLE / count(*), 6) AS freq_score
+        | FROM t JOIN v USING (token) GROUP BY t.doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "d17_pii_scrub" ->
       """SELECT doc_id, regexp_replace(regexp_replace(
         |   text || ' contact user' || doc_id::VARCHAR || '@example.com ref ' || (doc_id * 7919 + 1000000)::VARCHAR,

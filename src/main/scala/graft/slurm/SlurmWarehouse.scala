@@ -106,14 +106,22 @@ object SlurmWarehouse {
       catch { case _: Exception => None }
 
     val bounds = fresh
-      .agg(min(coalesce(col("Submit"), col("Time"))), max(ts)).collect()(0)
+      .agg(min(coalesce(col("Submit"), col("Time"))), max(ts),
+        max(col("Submit").isNull.cast("int"))).collect()(0)
     if (bounds.isNullAt(1)) return None
 
     existing match {
       case None => write(fresh, path, SaveMode.Overwrite)
       case Some(old) =>
-        val minDay = java.time.Instant.ofEpochSecond(bounds.getLong(0))
-          .toString.substring(0, 10)               // yyyy-MM-dd, UTC like write()
+        // the stale-day prune assumes a stored row never predates its
+        // Submit; a fresh row with NULL Submit contributes its (new,
+        // large) Time to the min, which could let its OLD row in an
+        // earlier day partition escape the prune and survive as a
+        // duplicate JobID — fall back to an unpruned stale-day scan
+        val minDay =
+          if (bounds.getInt(2) > 0) "0000-00-00"
+          else java.time.Instant.ofEpochSecond(bounds.getLong(0))
+            .toString.substring(0, 10)             // yyyy-MM-dd, UTC like write()
         // days to rewrite: those receiving fresh rows + those holding a
         // prior version of a fresh JobID (its Time may have moved days)
         val freshDayed = fresh.withColumn("time_day",

@@ -20,17 +20,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object EventStream {
 
   /** Streaming exact dedup — the streaming twin of d01: keep the FIRST
-    * document per content hash across micro-batches. `dropDuplicates`
-    * on the hash keeps one state entry per distinct hash; the event-time
-    * watermark bounds that state (a hash unseen for the horizon is
-    * evicted — matching how a streaming ingest pipeline actually runs:
-    * dedup within a time horizon, exact global dedup stays a batch
-    * compaction job). */
+    * document per content hash across micro-batches.
+    * `dropDuplicatesWithinWatermark` keeps one state entry per distinct
+    * hash and EVICTS it once the watermark passes the first-seen event
+    * time plus the horizon — state is genuinely bounded by the horizon.
+    * (Plain `dropDuplicates("content_hash")` would ignore the watermark
+    * because the event-time column is not in the key set, so state
+    * grows forever on a long-running stream.) Semantics: dedup within a
+    * time horizon; exact global dedup stays a batch compaction job. */
   def deduplicated(docs: DataFrame, text: org.apache.spark.sql.Column,
                    horizon: String = "1 hour"): DataFrame =
     docs.withColumn("content_hash", md5(text))
       .withWatermark("ts", horizon)
-      .dropDuplicates("content_hash")
+      .dropDuplicatesWithinWatermark("content_hash")
 
   /** Streaming NEAR-dup: flag incoming docs that near-duplicate a
     * static reference corpus. The stream side computes its minhash

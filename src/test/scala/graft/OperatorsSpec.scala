@@ -42,6 +42,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hits >= 8, s"LSH recall too low: $hits/10 planted pairs")
   }
 
+  test("polynomial minhash (oracle path) recalls planted near-duplicates too") {
+    val cand = Dedup.polyMinhashPairs(planted, col("text"), col("doc_id"))
+    val hits = cand.filter(col("doc_b") === col("doc_a") + 600000L ||
+      col("doc_b") === col("doc_a") + 500000L).count()
+    assert(hits >= 8, s"poly-minhash recall too low: $hits/10 planted pairs")
+  }
+
+  test("decontamination flags the snippet's source doc and nothing spurious at k=8") {
+    // snippet lifted verbatim from doc 3 (tokens 11..26)
+    val bench = docs.filter(col("doc_id") === 3)
+      .select(concat_ws(" ", slice(TextOps.tokens(col("text")), 11, 16)).as("snippet"))
+    val hits = TextOps.contaminationCounts(docs, bench, col("text"),
+      col("doc_id"), col("snippet"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.contains(3L), "source doc must be flagged")
+    assert(hits(3L) == 9L, s"all 9 snippet 8-grams must match, got ${hits(3L)}")
+  }
+
+  test("token frequency score ranks common-token docs above rare-token docs") {
+    val df = Seq(
+      (1L, "the the the the the the"),          // all high-frequency
+      (2L, "the qzx wvb plk mno jht"))          // five singletons
+      .toDF("doc_id", "text")
+    val out = TextOps.tokenFrequencyScore(df, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) > out(2L))
+    assert(out(1L) == 7.0)                      // 'the' appears 7x in corpus
+    // deterministic under repartitioning (integer sums, no float order)
+    val out2 = TextOps.tokenFrequencyScore(df.repartition(5), col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out == out2)
+  }
+
   test("mega-duplicate cluster stays bounded (star expansion) without hurting recall") {
     // 5000 identical copies of one doc in ONE LSH bucket per band: the
     // unbounded all-pairs expansion would be ~12.5M pairs; the star form
@@ -260,6 +293,23 @@ class OperatorsSpec extends AnyFunSuite {
     // deterministic under repartitioning
     assert(Sampling.stratified(docs.repartition(7), col("source"), col("doc_id"),
       Map("src0" -> 0.5, "src1" -> 0.25), default = 0.1).count() == s.count())
+  }
+
+  test("sampling bucket matches exact BigInt arithmetic for ids beyond 2^32") {
+    import spark.implicits._
+    // ids where id*2654435761 overflows a signed 64-bit product: Spark's
+    // wrap + mod-2^32 must equal the TRUE product mod 2^32 mod 1e6 (what
+    // a checked-arithmetic engine like DuckDB computes via HUGEINT)
+    val ids = Seq(0L, 1L, 3470000000L, 4294967295L, 1234567890123L,
+      Long.MaxValue / 2654435761L + 7L, 9007199254740993L)
+    val got = ids.toDF("id")
+      .select(col("id"), Sampling.bucket(col("id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach { id =>
+      val expect = ((BigInt(id) * BigInt(2654435761L))
+        .mod(BigInt(2).pow(32)) % 1000000).toLong
+      assert(got(id) == expect, s"id=$id")
+    }
   }
 
   test("vocabulary top-k counts tokens globally with deterministic ties") {

@@ -47,6 +47,14 @@ class TopKByScoreSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.toLowerCase.contains("foldable") ||
       e2.getClass.getName.contains("Analysis"), e2.getMessage)
+    // NULL literal k is foldable and implicit-castable — must be a
+    // clean analysis failure, not a planner MatchError
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT topk_by_score(s, id, NULL) FROM topk_neg_test GROUP BY g").collect()
+    }
+    assert(!e3.getClass.getName.contains("MatchError"), e3.getClass.getName)
+    assert(e3.getMessage.toLowerCase.contains("non-null") ||
+      e3.getClass.getName.contains("Analysis"), e3.getMessage)
   }
 
   test("ties break by smaller id; nulls skipped; k bounds output") {
