@@ -107,11 +107,20 @@ object Similarity {
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("n")))
   }
 
+  /** The fixed seeded hyperplanes — exposed so the DuckDB oracle can
+    * embed the SAME planes as list literals (Double.toString
+    * round-trips, so both engines hold bit-identical planes; d06's
+    * passing oracle pins that list_dot_product's summation order
+    * matches ours, hence identical signs). */
+  def hyperplanes(dim: Int, numPlanes: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(2024)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
   /** Random-hyperplane LSH bucket id: sign bits of numPlanes fixed
     * pseudo-random hyperplanes (seeded — deterministic across runs). */
   def hyperplaneBucket(v: Column, dim: Int, numPlanes: Int = 12): Column = {
-    val rnd = new scala.util.Random(2024)
-    val planes = Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+    val planes = hyperplanes(dim, numPlanes)
     val bits = planes.zipWithIndex.map { case (p, j) =>
       val proj = aggregate(zip_with(v, typedLit(p), (x, w) => x * w), lit(0.0), (a, x) => a + x)
       when(proj > 0, lit(1L << j)).otherwise(0L)

@@ -221,6 +221,16 @@ object PipelineQueries {
       TextOps.tokenFrequencyScore(docs(s, dir), col("text"), col("doc_id"))
         .orderBy("doc_id")),
 
+    // Jaccard verification on the oracle-exact candidates: with d24
+    // this closes the loop — the whole near-dup chain (minhash → LSH →
+    // candidates → verify) is hash-checked against DuckDB
+    "d27_jaccard_oracle" -> ((s, dir) => {
+      val corpus = corpusWithDups(s, dir)
+      val cand = Dedup.polyMinhashPairs(corpus, col("text"), col("doc_id"))
+      Dedup.jaccardVerify(cand, corpus, col("text"), col("doc_id"), minJaccard = 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "d17_pii_scrub" -> ((s, dir) =>
       // the synthetic corpus carries no PII, so the query plants some
       // deterministically (an email + a numeric ref per doc) and the
@@ -233,6 +243,34 @@ object PipelineQueries {
           (col("doc_id") * 7919L + 1000000L).cast("string"))).as("clean"))
         .orderBy("doc_id"))
   )
+
+  /** Shared WITH-clause chain computing the oracle-exact polynomial
+    * minhash candidate pairs (`cand`) — mirrors [[Dedup.polyMinhashPairs]]
+    * step for step from the SAME coefficient list ([[Dedup.polyCoefs]]).
+    * Used by the d24 (pairs) and d27 (Jaccard-verified) oracles. */
+  private lazy val polyPairCtes: String = {
+    val P = 2147483647L
+    val minExprs = Dedup.polyCoefs.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(shs, h -> ($a * h + $b) % $P)) AS m$i"
+    }.mkString(", ")
+    def band(bi: Int) = (1 until 4).foldLeft(s"m${bi * 4}") {
+      (acc, r) => s"(($acc) * 131 + m${bi * 4 + r}) % $P"
+    }
+    val bandSelects = (0 until 4).map(bi =>
+      s"SELECT doc_id, $bi AS band_idx, ${band(bi)} AS band_hash FROM sig")
+      .mkString(" UNION ALL ")
+    s"""pert AS (SELECT doc_id + 1000000 AS doc_id,
+       |   array_to_string(list_slice(toks, 1, greatest(len(toks) - 1, 1)), ' ') AS text
+       |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents WHERE doc_id % 10 = 0)),
+       | corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM pert),
+       | t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM corpus),
+       | th AS (SELECT doc_id, list_transform(toks, w -> list_reduce(list_prepend('0', string_split(w, '')), (acc, c) -> ((acc::BIGINT * 31 + ascii(c)) % $P)::VARCHAR)::BIGINT) AS hs FROM t WHERE len(toks) >= 3),
+       | sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(hs) - 2), i -> (((hs[i] * 131 + hs[i+1]) % $P) * 131 + hs[i+2]) % $P)) AS shs FROM th),
+       | sig AS (SELECT doc_id, $minExprs FROM sh),
+       | bands AS ($bandSelects),
+       | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)""".stripMargin.replaceAll("\n", " ")
+  }
 
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" ->
@@ -283,6 +321,39 @@ object PipelineQueries {
         | len(string_split_regex(lower(text), '\s+')) AS ws_tokens,
         | len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS bpe_tokens,
         | length(text) AS n_chars_m
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // d07's sign-LSH replayed exactly: the 8 seeded hyperplanes embed
+    // as list literals (Double.toString round-trips), multi-probe =
+    // the 9 xor buckets, ranking identical to d06's oracle
+    "d07_ann_lsh" -> {
+      val planes = Similarity.hyperplanes(64, 8)
+      def bucketExpr(v: String) = planes.zipWithIndex.map { case (p, j) =>
+        s"CASE WHEN list_dot_product($v, ${p.mkString("[", ", ", "]")}) > 0 THEN ${1L << j} ELSE 0 END"
+      }.mkString("(", " + ", ")::BIGINT")
+      val probes = (Seq("bucket0") ++ (0 until 8).map(j => s"xor(bucket0, ${1L << j})"))
+        .mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | c AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n, ${bucketExpr("v")} AS bucket FROM e),
+         | q0 AS (SELECT vec_id AS q_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn, ${bucketExpr("v")} AS bucket0 FROM e WHERE vec_id < 50),
+         | q AS (SELECT q_id, qv, qn, unnest($probes) AS bucket FROM q0),
+         | scored AS (SELECT q_id, vec_id, list_dot_product(qv, v) / (qn * n) AS cos
+         |  FROM c JOIN q USING (bucket) WHERE vec_id != q_id),
+         | ranked AS (SELECT q_id, vec_id, cos,
+         |   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM scored)
+         | SELECT q_id, rank, vec_id AS neighbor_id, round(cos, 6) AS cos
+         | FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin.replaceAll("\n", " ")
+    },
+    // d12's whole pipeline — metadata arithmetic AND the deterministic
+    // stub decoder's 64-bit wrapping polynomial — replayed via HUGEINT
+    // mod 2^64: the batched mapPartitions decode plumbing is now
+    // hash-checked, not just rows-counted
+    "d12_multimodal" ->
+      """SELECT doc_id,
+        | (100 + n_chars % 540)::INT AS width,
+        | (100 + (n_chars * 7) % 380)::INT AS height,
+        | ['png', 'jpeg', 'webp'][(doc_id % 3 + 1)::INT] AS format,
+        | octet_length(text::BLOB)::BIGINT AS n_bytes,
+        | round((list_reduce(list_prepend('1125899906842597', string_split(text, '')), (acc, c) -> ((acc::HUGEINT * 31 + ascii(c)) % 18446744073709551616::HUGEINT)::VARCHAR)::HUGEINT % 65536)::DOUBLE, 1) AS f0
         | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "d14_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
@@ -355,30 +426,25 @@ object PipelineQueries {
         |  COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT // 2048 AS pack_id
         | FROM sam ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
-    "d24_minhash_oracle" -> {
-      val P = 2147483647L
-      val minExprs = Dedup.polyCoefs.zipWithIndex.map { case ((a, b), i) =>
-        s"list_min(list_transform(shs, h -> ($a * h + $b) % $P)) AS m$i"
-      }.mkString(", ")
-      def band(bi: Int) = (1 until 4).foldLeft(s"m${bi * 4}") {
-        (acc, r) => s"(($acc) * 131 + m${bi * 4 + r}) % $P"
-      }
-      val bandSelects = (0 until 4).map(bi =>
-        s"SELECT doc_id, $bi AS band_idx, ${band(bi)} AS band_hash FROM sig")
-        .mkString(" UNION ALL ")
-      s"""WITH pert AS (SELECT doc_id + 1000000 AS doc_id,
-         |   array_to_string(list_slice(toks, 1, greatest(len(toks) - 1, 1)), ' ') AS text
-         |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents WHERE doc_id % 10 = 0)),
-         | corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM pert),
-         | t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM corpus),
-         | th AS (SELECT doc_id, list_transform(toks, w -> list_reduce(list_prepend('0', string_split(w, '')), (acc, c) -> ((acc::BIGINT * 31 + ascii(c)) % $P)::VARCHAR)::BIGINT) AS hs FROM t WHERE len(toks) >= 3),
-         | sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(hs) - 2), i -> (((hs[i] * 131 + hs[i+1]) % $P) * 131 + hs[i+2]) % $P)) AS shs FROM th),
-         | sig AS (SELECT doc_id, $minExprs FROM sh),
-         | bands AS ($bandSelects)
-         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         | FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-         | ORDER BY doc_a, doc_b""".stripMargin.replaceAll("\n", " ")
-    },
+    "d24_minhash_oracle" ->
+      s"""WITH $polyPairCtes
+         | SELECT doc_a, doc_b FROM cand
+         | ORDER BY doc_a, doc_b""".stripMargin.replaceAll("\n", " "),
+    // the verification stage on the SAME oracle-exact candidates:
+    // shingle-set Jaccard replayed in DuckDB — the whole near-dup chain
+    // (minhash → LSH → candidates → verify) is now hash-checked
+    "d27_jaccard_oracle" ->
+      s"""WITH $polyPairCtes,
+         | gram AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS g
+         |   FROM t WHERE len(toks) >= 3),
+         | j AS (SELECT doc_a, doc_b,
+         |   len(list_filter(ga.g, x -> list_contains(gb.g, x))) AS inter,
+         |   len(ga.g) + len(gb.g) - len(list_filter(ga.g, x -> list_contains(gb.g, x))) AS uni
+         |  FROM cand JOIN gram ga ON cand.doc_a = ga.doc_id
+         |  JOIN gram gb ON cand.doc_b = gb.doc_id)
+         | SELECT doc_a, doc_b, round(inter::DOUBLE / uni, 6) AS jaccard
+         | FROM j WHERE inter::DOUBLE / uni >= 0.5
+         | ORDER BY doc_a, doc_b""".stripMargin.replaceAll("\n", " "),
     "d25_decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
         | bs AS (SELECT DISTINCT unnest(list_transform(generate_series(1, 9), i -> array_to_string(list_slice(toks, 10 + i, 17 + i), ' '))) AS ngram

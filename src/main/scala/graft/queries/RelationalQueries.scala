@@ -233,6 +233,26 @@ object RelationalQueries {
           rd(max(col("o_totalprice")), 4).as("p_max"))
         .orderBy("o_orderpriority")),
 
+    // interval join: events falling inside per-order 6-hour windows.
+    // Spark-first scale shape: bin the time axis + equi-join on bin +
+    // exact range filter (RangeJoin.binned) — a hash join, never the
+    // BroadcastNestedLoopJoin a bare BETWEEN join would plan.
+    "q19_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("ts"), col("value"))
+      val iv = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 500 === 0)
+        .select(col("o_orderkey"),
+          to_timestamp(lit("2024-01-01 00:00:00")).plus(
+            expr("make_interval(0, 0, 0, 0, 0, 0, o_orderkey % 31536000)")).as("w_start"))
+        .withColumn("w_end", col("w_start") + expr("INTERVAL 6 HOURS"))
+      graft.operators.RangeJoin.binned(ev, col("ts"), iv,
+        col("w_start"), col("w_end"), binS = 21600L)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_events"),
+          rd(sum(col("value")), 2).as("total_value"))
+        .orderBy("o_orderkey")
+    }),
+
     // as-of join: latest event at-or-before each order date per customer
     // key-group. Spark-first: union both sides tagged, one window pass
     // (last_value of event attrs over time order) — no O(n²) range join,
@@ -373,6 +393,15 @@ object RelationalQueries {
         | round(min(o_totalprice), 4) AS p_min,
         | round(max(o_totalprice), 4) AS p_max
         | FROM orders GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
+    "q19_range_join" ->
+      """WITH iv AS (SELECT o_orderkey,
+        |   TIMESTAMP '2024-01-01 00:00:00' + to_seconds(o_orderkey % 31536000) AS w_start
+        |  FROM orders WHERE o_orderkey % 500 = 0)
+        | SELECT o_orderkey, count(*) AS n_events, round(sum(e.value), 2) AS total_value
+        | FROM events e JOIN iv
+        |   ON floor(epoch(e.ts))::BIGINT BETWEEN epoch(iv.w_start)::BIGINT
+        |     AND epoch(iv.w_start + INTERVAL 6 HOUR)::BIGINT
+        | GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin.replaceAll("\n", " "),
     "q15_asof_join" ->
       """SELECT o_orderkey, o_custkey AS uid, e.value AS asof_value
         | FROM (SELECT o_orderkey, o_custkey,

@@ -75,6 +75,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out == out2)
   }
 
+  test("binned range join == plain BETWEEN join, planned as a hash join") {
+    val ev = Tables.load(spark, dir, "events").select(col("ts"), col("value"))
+    val iv = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderkey") % 500 === 0)
+      .select(col("o_orderkey"),
+        to_timestamp(lit("2024-01-01 00:00:00")).plus(
+          expr("make_interval(0, 0, 0, 0, 0, 0, o_orderkey % 31536000)")).as("w_start"))
+      .withColumn("w_end", col("w_start") + expr("INTERVAL 6 HOURS"))
+    val binned = RangeJoin.binned(ev, col("ts"), iv,
+      col("w_start"), col("w_end"), binS = 21600L)
+    val naive = ev.join(iv, unix_timestamp(col("ts"))
+      .between(unix_timestamp(col("w_start")), unix_timestamp(col("w_end"))))
+    assert(binned.count() == naive.count())
+    assert(binned.select("ts", "o_orderkey")
+      .except(naive.select("ts", "o_orderkey")).count() == 0)
+    val plan = binned.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "must not nested-loop")
+    val naivePlan = naive.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(naivePlan.contains("BroadcastNestedLoopJoin"),
+      "control: the bare BETWEEN join does nested-loop — binning is what avoids it")
+  }
+
   test("mega-duplicate cluster stays bounded (star expansion) without hurting recall") {
     // 5000 identical copies of one doc in ONE LSH bucket per band: the
     // unbounded all-pairs expansion would be ~12.5M pairs; the star form

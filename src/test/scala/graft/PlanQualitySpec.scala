@@ -85,6 +85,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"))
   }
 
+  test("d25: benchmark side broadcasts; corpus side never shuffles before the join") {
+    val p = plan("d25_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "bench n-gram set must broadcast")
+    // corpus-side n-gram explode feeds the broadcast join directly —
+    // the only Exchange allowed is the final per-doc aggregation
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    val corpusSide = p.substring(0, joinIdx)
+    assert(!corpusSide.contains("Exchange hashpartitioning"),
+      "corpus rows must not shuffle before the contamination join")
+  }
+
+  test("d26: vocabulary join is broadcast (Zipf-bounded side)") {
+    assert(plan("d26_token_freq").contains("BroadcastHashJoin"))
+  }
+
   test("salted join distributes a hot key across n buckets, same result") {
     import spark.implicits._
     val big = (1 to 1000).map(i => ("hot", i.toLong)).toDF("key", "payload")

@@ -115,6 +115,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Set(1L, 2L, 4L))
   }
 
+  test("streaming dedup state is EVICTED at the watermark horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val sdf = stream.toDF().toDF("doc_id", "ts", "text")
+    val q = EventStream.deduplicated(sdf, col("text")).writeStream
+      .outputMode("append").format("memory").queryName("evict_out").start()
+    // batch 1: seed the hash state
+    stream.addData(Seq((1L, ts("2024-01-01 10:00:00"), "alpha beta")))
+    q.processAllAvailable()
+    // batch 2: advance the watermark far past 10:00 + 1h horizon
+    stream.addData(Seq((2L, ts("2024-01-01 14:00:00"), "unrelated")))
+    q.processAllAvailable()
+    // batch 3: the SAME content again, after the horizon — with real
+    // eviction (dropDuplicatesWithinWatermark) the key re-emits; with
+    // plain dropDuplicates the state would live forever and swallow it
+    stream.addData(Seq((3L, ts("2024-01-01 14:30:00"), "alpha beta")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("evict_out").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L, 3L),
+      s"doc 3 must re-emit after state eviction, got $out")
+  }
+
   test("streaming near-dup flags docs that match the static corpus") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
