@@ -15,9 +15,11 @@ object Bench {
   val HEADLINERS: Seq[String] = Seq(
     "q01_agg", "q02_broadcast_join", "q03_multi_join_topk", "q05_star_join",
     "q06_filter_pushdown", "q07_window", "q12_sessionize", "q13_time_window",
+    "q19_range_join",
     "s15_sacct_ingest", "s17_eff_view", "s24_seff_peruser",
     "d01_dedup_exact", "d02_minhash_lsh", "d05_cosine_pairs",
-    "d06_ann_topk", "d08_lang_id", "d10_token_count")
+    "d06_ann_topk", "d08_lang_id", "d10_token_count",
+    "d25_decontaminate", "d26_token_freq", "d28_ngram_repetition")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

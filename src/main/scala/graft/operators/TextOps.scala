@@ -161,6 +161,26 @@ object TextOps {
         rd(col("total_freq").cast("double") / col("n_tokens"), 6).as("freq_score"))
   }
 
+  /** Gopher-style n-gram repetition: per doc, the count of its most
+    * frequent n-gram and the fraction of all n-gram slots it occupies —
+    * boilerplate/SEO-spam screams high. Non-distinct n-grams (unlike
+    * `Dedup.shingles`) because multiplicity IS the signal. Shape:
+    * explode → (doc, gram) count → per-doc max/sum — two partial-agg
+    * shuffles keyed by doc-sized groups, no skew wall (a doc's grams
+    * are bounded by its length). */
+  def ngramRepetition(docs: DataFrame, text: Column, id: Column,
+                      n: Int): DataFrame = {
+    val toks = tokens(text)
+    val grams = docs.filter(size(toks) >= n)
+      .select(id.as("doc_id"),
+        explode(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))).as("g"))
+    grams.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as(s"top$n"), sum(col("c")).as(s"n$n"))
+  }
+
   /** PII scrubbing: emails first (their local part would otherwise leak
     * into the digit pass), then runs of 5+ digits (ids, phone-ish
     * numbers). Pattern subset chosen to mean the same thing in Java

@@ -221,6 +221,19 @@ object PipelineQueries {
       TextOps.tokenFrequencyScore(docs(s, dir), col("text"), col("doc_id"))
         .orderBy("doc_id")),
 
+    // Gopher-style repetition: most-frequent bigram/trigram occupancy
+    "d28_ngram_repetition" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val b2 = TextOps.ngramRepetition(d, col("text"), col("doc_id"), 2)
+      val b3 = TextOps.ngramRepetition(d, col("text"), col("doc_id"), 3)
+      b2.join(b3, "doc_id")
+        .select(col("doc_id"), col("top2"), col("n2"),
+          rd(col("top2").cast("double") / col("n2"), 6).as("frac2"),
+          col("top3"), col("n3"),
+          rd(col("top3").cast("double") / col("n3"), 6).as("frac3"))
+        .orderBy("doc_id")
+    }),
+
     // Jaccard verification on the oracle-exact candidates: with d24
     // this closes the loop — the whole near-dup chain (minhash → LSH →
     // candidates → verify) is hash-checked against DuckDB
@@ -445,6 +458,17 @@ object PipelineQueries {
          | SELECT doc_a, doc_b, round(inter::DOUBLE / uni, 6) AS jaccard
          | FROM j WHERE inter::DOUBLE / uni >= 0.5
          | ORDER BY doc_a, doc_b""".stripMargin.replaceAll("\n", " "),
+    "d28_ngram_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        | g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])) AS g FROM t WHERE len(toks) >= 2),
+        | c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+        | r2 AS (SELECT doc_id, max(c)::BIGINT AS top2, sum(c)::BIGINT AS n2 FROM c2 GROUP BY 1),
+        | g3 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g FROM t WHERE len(toks) >= 3),
+        | c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+        | r3 AS (SELECT doc_id, max(c)::BIGINT AS top3, sum(c)::BIGINT AS n3 FROM c3 GROUP BY 1)
+        | SELECT doc_id, top2, n2, round(top2::DOUBLE / n2, 6) AS frac2,
+        |  top3, n3, round(top3::DOUBLE / n3, 6) AS frac3
+        | FROM r2 JOIN r3 USING (doc_id) ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "d25_decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
         | bs AS (SELECT DISTINCT unnest(list_transform(generate_series(1, 9), i -> array_to_string(list_slice(toks, 10 + i, 17 + i), ' '))) AS ngram

@@ -99,6 +99,37 @@ class OperatorsSpec extends AnyFunSuite {
       "control: the bare BETWEEN join does nested-loop — binning is what avoids it")
   }
 
+  test("RangeJoinBinningRule: naive BETWEEN join auto-rewrites to the binned hash join") {
+    val ev = Tables.load(spark, dir, "events").select(col("ts"), col("value"))
+    val iv = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderkey") % 500 === 0)
+      .select(col("o_orderkey"),
+        to_timestamp(lit("2024-01-01 00:00:00")).plus(
+          expr("make_interval(0, 0, 0, 0, 0, 0, o_orderkey % 31536000)")).as("w_start"))
+      .withColumn("w_end", col("w_start") + expr("INTERVAL 6 HOURS"))
+    def naive = ev.join(iv,
+      col("ts") >= col("w_start") && col("ts") <= col("w_end"))
+    val before = naive.queryExecution.executedPlan.toString
+    assert(before.contains("BroadcastNestedLoopJoin"), "control (rule off)")
+    val expected = naive.count()
+    spark.experimental.extraOptimizations ++=
+      Seq(graft.plans.RangeJoinBinningRule(21600L))
+    try {
+      val after = naive.queryExecution.executedPlan.toString
+      assert(!after.contains("BroadcastNestedLoopJoin"),
+        "rule must replace the nested loop:\n" + after)
+      assert(after.contains("_graft_bin"), after)
+      // exact: the original raw predicate is kept verbatim; the bin
+      // equality only narrows to a superset window (floor is monotone,
+      // so ts ∈ [lo, hi] ⟹ bin(ts) ∈ [bin(lo), bin(hi)])
+      assert(naive.count() == expected)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_.isInstanceOf[graft.plans.RangeJoinBinningRule])
+    }
+  }
+
   test("mega-duplicate cluster stays bounded (star expansion) without hurting recall") {
     // 5000 identical copies of one doc in ONE LSH bucket per band: the
     // unbounded all-pairs expansion would be ~12.5M pairs; the star form
