@@ -1,0 +1,77 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft._
+import graft.operators._
+
+/** Scale rehearsal (dev tool): replicate the sf0.1 corpus N× with
+  * shifted ids and run the pipeline operators on it, printing
+  * wall-times at 1× and N× side by side. The point is the CURVE, not
+  * the absolute numbers — an operator whose time grows ≫ N× has a
+  * hidden quadratic/skew wall that 100 TB will find. Replication by
+  * id-shift is adversarial for dedup: every replica is an EXACT
+  * duplicate, so the near-dup bucket expansion sees N-sized hot
+  * buckets everywhere (the star-expansion cap is what keeps this
+  * linear). Usage: graft.tools.ScaleRehearsal [sfDir] [factor]. */
+object ScaleRehearsal {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = Tables.session("scale-rehearsal",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val big = (0 until factor).map(i =>
+      base.select((col("doc_id") + i * 10000000L).as("doc_id"),
+        col("text"), col("lang"), col("source")))
+      .reduce(_ unionByName _)
+      .repartition(32).persist()
+    val embBase = Tables.load(spark, dir, "embeddings")
+    val embBig = (0 until factor).map(i =>
+      embBase.select((col("vec_id") + i * 10000000L).as("vec_id"),
+        col("embedding"), col("label")))
+      .reduce(_ unionByName _)
+      .repartition(32).persist()
+    println(s"corpus 1x=${base.count()} ${factor}x=${big.count()} docs; " +
+      s"emb ${factor}x=${embBig.count()}")
+
+    def time(n: String)(f: => Long): Double = {
+      val t0 = System.nanoTime; val c = f
+      val dt = (System.nanoTime - t0) / 1e9
+      println(f"$n%-34s $dt%7.2f s  ($c rows)")
+      dt
+    }
+    def ratio(n: String, one: => Long, many: => Long): Unit = {
+      val t1 = time(s"$n 1x")(one)
+      val tN = time(s"$n ${factor}x")(many)
+      println(f"  -> scale ratio ${tN / t1}%.1f (linear = $factor.0)")
+    }
+
+    ratio("exact dedup",
+      Dedup.exact(base, col("text"), col("doc_id")).count(),
+      Dedup.exact(big, col("text"), col("doc_id")).count())
+    ratio("minhash LSH candidates",
+      Dedup.minhashCandidates(base, col("text"), col("doc_id")).count(),
+      Dedup.minhashCandidates(big, col("text"), col("doc_id")).count())
+    ratio("simhash pairs",
+      Dedup.simhashPairs(base, col("text"), col("doc_id")).count(),
+      Dedup.simhashPairs(big, col("text"), col("doc_id")).count())
+    ratio("quality metrics",
+      TextOps.qualityMetrics(base, col("text")).count(),
+      TextOps.qualityMetrics(big, col("text")).count())
+    ratio("token freq score",
+      TextOps.tokenFrequencyScore(base, col("text"), col("doc_id")).count(),
+      TextOps.tokenFrequencyScore(big, col("text"), col("doc_id")).count())
+    ratio("ngram repetition (2)",
+      TextOps.ngramRepetition(base, col("text"), col("doc_id"), 2).count(),
+      TextOps.ngramRepetition(big, col("text"), col("doc_id"), 2).count())
+    val q1 = embBase.filter(col("vec_id") < 50)
+    ratio("brute-force ANN topk",
+      Similarity.bruteForceTopK(embBase, q1, 5).count(),
+      Similarity.bruteForceTopK(embBig, q1, 5).count())
+    ratio("LSH ANN topk",
+      Similarity.lshTopK(embBase, q1, 5).count(),
+      Similarity.lshTopK(embBig, q1, 5).count())
+    spark.stop()
+  }
+}
