@@ -52,6 +52,30 @@ object Multimodal {
         ((h >> 32) & 0xFFFF).toFloat, bytes.length.toFloat)
     }
 
+  /** Frame sampling over an opaque payload: fixed-size frames at a
+    * keep-every-Nth stride — the video-frame-sample shape (a real
+    * deployment points frameBytes at the container's frame table or a
+    * fixed-rate codec; the windowing/stride/explode plumbing is what
+    * Spark owns either way). Pure Catalyst expressions — map-only,
+    * codegen'd, scan-speed at any corpus size; one output row per kept
+    * frame, frame identity = md5 (verifiable in any engine). */
+  def sampleFrames(withPayloads: DataFrame, frameBytes: Int = 256,
+                   everyN: Int = 2): DataFrame = {
+    val nFrames = ceil(length(col("_t")).cast("double") / frameBytes).cast("long")
+    val frame = col("_t").substr((col("frame_idx") * frameBytes + 1).cast("int"),
+      lit(frameBytes))
+    withPayloads
+      .select(col("doc_id"), col("payload").cast("string").as("_t"))
+      // empty payload → no frames (DuckDB's generate_series(0,-1,2) is
+      // empty; Spark's sequence would throw on the reversed bounds)
+      .where(length(col("_t")) > 0)
+      .select(col("doc_id"), col("_t"),
+        explode(sequence(lit(0L), nFrames - 1, lit(everyN.toLong))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        length(frame).cast("long").as("frame_len"),
+        md5(frame).as("frame_hash"))
+  }
+
   /** Batched decode stage: mapPartitions drains rows in BATCH_SIZE
     * groups — the Scala analog of `mapInPandas` batch decode. */
   def decodeFeatures(spark: SparkSession, withPayloads: DataFrame): DataFrame = {

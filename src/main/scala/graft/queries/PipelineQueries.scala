@@ -221,6 +221,13 @@ object PipelineQueries {
       TextOps.tokenFrequencyScore(docs(s, dir), col("text"), col("doc_id"))
         .orderBy("doc_id")),
 
+    // multimodal frame sampling: every-2nd 256-byte frame of the
+    // payload, identity per frame via md5 — windowing/stride/explode
+    // plumbing at scan speed, engine-verifiable
+    "d29_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.withPayload(docs(s, dir)))
+        .orderBy("doc_id", "frame_idx")),
+
     // Gopher-style repetition: most-frequent bigram/trigram occupancy
     "d28_ngram_repetition" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -458,6 +465,14 @@ object PipelineQueries {
          | SELECT doc_a, doc_b, round(inter::DOUBLE / uni, 6) AS jaccard
          | FROM j WHERE inter::DOUBLE / uni >= 0.5
          | ORDER BY doc_a, doc_b""".stripMargin.replaceAll("\n", " "),
+    "d29_frame_sample" ->
+      """WITH f AS (SELECT doc_id, text,
+        |   unnest(generate_series(0, ceil(length(text)::DOUBLE / 256)::BIGINT - 1, 2)) AS frame_idx
+        |  FROM documents)
+        | SELECT doc_id, frame_idx,
+        |  length(substr(text, (frame_idx * 256 + 1)::INT, 256))::BIGINT AS frame_len,
+        |  md5(substr(text, (frame_idx * 256 + 1)::INT, 256)) AS frame_hash
+        | FROM f ORDER BY doc_id, frame_idx""".stripMargin.replaceAll("\n", " "),
     "d28_ngram_repetition" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
         | g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])) AS g FROM t WHERE len(toks) >= 2),

@@ -61,6 +61,19 @@ object EventStream {
       .select(col("doc_id"), col("corpus_doc_id"))
   }
 
+  /** Streaming twin of q19's interval join: tag each incoming event
+    * with the static intervals containing it. The binned shape matters
+    * MORE on a stream — `RangeJoin.binned` gives a stateless
+    * stream-static equi-join on the bin key (each event looks up one
+    * bin), where the naive BETWEEN condition would be a per-event scan
+    * of the whole interval table. */
+  def inIntervals(stream: DataFrame, intervals: DataFrame,
+                  ts: org.apache.spark.sql.Column,
+                  start: org.apache.spark.sql.Column,
+                  end: org.apache.spark.sql.Column,
+                  binS: Long = 21600L): DataFrame =
+    graft.operators.RangeJoin.binned(stream, ts, intervals, start, end, binS)
+
   /** Tumbling 1h windows of event counts/values with a 30 min watermark. */
   def windowedCounts(events: DataFrame): DataFrame =
     events

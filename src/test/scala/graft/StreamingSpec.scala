@@ -141,6 +141,55 @@ class StreamingSpec extends AnyFunSuite {
       s"doc 3 must re-emit after state eviction, got $out")
   }
 
+  test("streaming interval join tags events with their static windows (binned, stateless)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val intervals = Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")),
+      (2L, ts("2024-01-01 18:00:00"), ts("2024-01-01 19:00:00")))
+      .toDF("window_id", "w_start", "w_end")
+    val stream = MemoryStream[(Long, java.sql.Timestamp)]
+    val sdf = stream.toDF().toDF("event_id", "ts")
+    val q = EventStream.inIntervals(sdf, intervals, col("ts"),
+      col("w_start"), col("w_end")).writeStream
+      .outputMode("append").format("memory").queryName("ivl_out").start()
+    stream.addData(Seq(
+      (10L, ts("2024-01-01 11:00:00")),   // inside window 1
+      (11L, ts("2024-01-01 13:00:00")),   // inside no window
+      (12L, ts("2024-01-01 18:30:00"))))  // inside window 2
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ivl_out").select("event_id", "window_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((10L, 1L), (12L, 2L)))
+  }
+
+  test("text-curation column ops run unchanged on a stream (map-only)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val sdf = stream.toDF().toDF("doc_id", "text")
+    // the same Column expressions the batch queries use — no rewrite
+    val curated = graft.operators.TextOps.qualityMetrics(sdf, col("text"))
+      .withColumn("clean", graft.operators.TextOps.scrubPii(col("text")))
+      .withColumn("lang", graft.operators.TextOps.langId(col("text")))
+      .select("doc_id", "n_tokens", "repetition_ratio", "clean", "lang")
+    val q = curated.writeStream.outputMode("append").format("memory")
+      .queryName("cur_out").start()
+    stream.addData(Seq(
+      (1L, "the cat sat on the mat mail me at a@b.co ref 1234567"),
+      (2L, "la la la la")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("cur_out").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getAs[String]("clean").contains("<EMAIL>"))
+    assert(rows(1L).getAs[String]("clean").contains("<NUM>"))
+    assert(rows(2L).getAs[Double]("repetition_ratio") == 0.25)
+    assert(rows(1L).getAs[String]("lang") == "en")
+  }
+
   test("streaming near-dup flags docs that match the static corpus") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
