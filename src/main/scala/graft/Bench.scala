@@ -43,7 +43,10 @@ object Bench {
       // a regression that fails fast can't masquerade as a speedup
       val ok = times.filter(_._2 >= 0)
       val dt = if (ok.nonEmpty) ok.map(_._1).min else -1.0
-      System.err.println(f"[bench] $name%-22s $dt%8.3f s  (${times.last._2} rows, ${ok.size}/$reps reps ok)")
+      // row count from the last SUCCESSFUL rep — times.last can be a
+      // failed rep (-1 rows) even when earlier reps measured fine
+      val rows = if (ok.nonEmpty) ok.last._2 else -1L
+      System.err.println(f"[bench] $name%-22s $dt%8.3f s  ($rows rows, ${ok.size}/$reps reps ok)")
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -58,18 +58,25 @@ object Multimodal {
     * fixed-rate codec; the windowing/stride/explode plumbing is what
     * Spark owns either way). Pure Catalyst expressions — map-only,
     * codegen'd, scan-speed at any corpus size; one output row per kept
-    * frame, frame identity = md5 (verifiable in any engine). */
+    * frame, frame identity = md5 (verifiable in any engine).
+    *
+    * Slices the BINARY column directly (`substring`/`length`/`md5` all
+    * operate byte-wise on BinaryType), so frames are byte-accurate for
+    * arbitrary non-UTF-8 payloads. The DuckDB oracle replays it over
+    * the text column (its 1.0 BLOB type has no substring/md5), which is
+    * equivalent only because the gate corpus is pure ASCII — verified:
+    * octet_length(encode(text)) == length(text) for every row. */
   def sampleFrames(withPayloads: DataFrame, frameBytes: Int = 256,
                    everyN: Int = 2): DataFrame = {
-    val nFrames = ceil(length(col("_t")).cast("double") / frameBytes).cast("long")
-    val frame = col("_t").substr((col("frame_idx") * frameBytes + 1).cast("int"),
+    val nFrames = ceil(length(col("_b")).cast("double") / frameBytes).cast("long")
+    val frame = col("_b").substr((col("frame_idx") * frameBytes + 1).cast("int"),
       lit(frameBytes))
     withPayloads
-      .select(col("doc_id"), col("payload").cast("string").as("_t"))
+      .select(col("doc_id"), col("payload").as("_b"))
       // empty payload → no frames (DuckDB's generate_series(0,-1,2) is
       // empty; Spark's sequence would throw on the reversed bounds)
-      .where(length(col("_t")) > 0)
-      .select(col("doc_id"), col("_t"),
+      .where(length(col("_b")) > 0)
+      .select(col("doc_id"), col("_b"),
         explode(sequence(lit(0L), nFrames - 1, lit(everyN.toLong))).as("frame_idx"))
       .select(col("doc_id"), col("frame_idx"),
         length(frame).cast("long").as("frame_len"),

@@ -22,15 +22,27 @@ import org.apache.spark.sql.functions._
   * both. Pick `binS` ≈ the typical interval length: shorter bins
   * shrink the per-bin fan-in, longer bins shrink the interval
   * explosion factor.
+  *
+  * Preconditions: `events` and `intervals` must not share column names
+  * (other than the internal `_bin`) — the equi-join keeps all columns
+  * of both sides, so a shared name becomes an ambiguous duplicate
+  * downstream; alias/prefix one side first (q19 projects before
+  * calling). Inverted intervals (`end < start`) and null bounds
+  * produce NO matches — same as the naive BETWEEN join — instead of
+  * the reversed-bounds error a bare `sequence(lo, hi)` would throw.
   */
 object RangeJoin {
 
   def binned(events: DataFrame, ts: Column, intervals: DataFrame,
              start: Column, end: Column, binS: Long): DataFrame = {
     val e = events.withColumn("_bin", floor(unix_timestamp(ts) / binS))
-    val iv = intervals.withColumn("_bin",
-      explode(sequence(floor(unix_timestamp(start) / binS),
-        floor(unix_timestamp(end) / binS))))
+    val iv = intervals
+      // dirty data guard: BETWEEN treats end<start / null as no-match;
+      // sequence() would throw on reversed bounds — filter, don't fail
+      .where(unix_timestamp(end) >= unix_timestamp(start))
+      .withColumn("_bin",
+        explode(sequence(floor(unix_timestamp(start) / binS),
+          floor(unix_timestamp(end) / binS))))
     e.join(iv, Seq("_bin"))
       .filter(unix_timestamp(ts).between(unix_timestamp(start),
         unix_timestamp(end)))

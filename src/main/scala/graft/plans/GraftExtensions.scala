@@ -40,6 +40,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * condition to be exactly the two range conjuncts — the rewritten
   * join (3 conjuncts, one an equality) can never re-match, so the rule
   * is idempotent under the fixed-point batch.
+  *
+  * Dirty-data semantics match the join it replaces: an inverted
+  * interval (`hi < lo`) or null bound produces NO matches under
+  * BETWEEN, so the right side is filtered to `bin(hi) >= bin(lo)`
+  * before the explode — a bare `Sequence(lo, hi)` would otherwise
+  * throw on reversed bounds at runtime, turning a no-match row into a
+  * query failure.
   */
 case class RangeJoinBinningRule(binS: Long) extends Rule[LogicalPlan] {
 
@@ -64,10 +71,13 @@ case class RangeJoinBinningRule(binS: Long) extends Rule[LogicalPlan] {
       val lBin = Alias(bin(ts1), "_graft_bin")()
       val newLeft = Project(left.output :+ lBin, left)
       val rBin = AttributeReference("_graft_bin_r", LongType, nullable = false)()
+      // reversed/null bounds: BETWEEN yields no match; Sequence throws.
+      // Filter (null predicate drops the row) preserves the semantics.
+      val guarded = Filter(GreaterThanOrEqual(bin(hi), bin(lo)), right)
       val newRight = Generate(
         Explode(new Sequence(bin(lo), bin(hi), Some(Literal(1L)), tz)),
         unrequiredChildIndex = Nil, outer = false, qualifier = None,
-        generatorOutput = Seq(rBin), child = right)
+        generatorOutput = Seq(rBin), child = guarded)
       val cond = And(EqualTo(lBin.toAttribute, rBin), j.condition.get)
       Project(j.output, Join(newLeft, newRight, Inner, Some(cond), hint))
   }

@@ -21,14 +21,19 @@ object ScaleRehearsal {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val base = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    // replica shift derived from the real id range (one scalar collect
+    // each) — a hardcoded shift silently collides with ids >= shift,
+    // corrupting the replicated corpus and every dedup ratio
+    val docShift = base.agg(max("doc_id")).head.getLong(0) + 1
     val big = (0 until factor).map(i =>
-      base.select((col("doc_id") + i * 10000000L).as("doc_id"),
+      base.select((col("doc_id") + i * docShift).as("doc_id"),
         col("text"), col("lang"), col("source")))
       .reduce(_ unionByName _)
       .repartition(32).persist()
     val embBase = Tables.load(spark, dir, "embeddings")
+    val embShift = embBase.agg(max("vec_id")).head.getLong(0) + 1
     val embBig = (0 until factor).map(i =>
-      embBase.select((col("vec_id") + i * 10000000L).as("vec_id"),
+      embBase.select((col("vec_id") + i * embShift).as("vec_id"),
         col("embedding"), col("label")))
       .reduce(_ unionByName _)
       .repartition(32).persist()

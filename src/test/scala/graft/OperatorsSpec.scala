@@ -130,6 +130,41 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("range join tolerates inverted and null intervals like the naive BETWEEN (no sequence error)") {
+    // dirty interval table: one valid window, one INVERTED (end < start),
+    // one null-bounded. BETWEEN semantics: only the valid window matches;
+    // an unguarded sequence(bin(lo), bin(hi)) would THROW on the inverted
+    // row instead.
+    val ev = Seq(("e1", "2024-03-01 12:00:00"), ("e2", "2024-06-01 12:00:00"))
+      .toDF("eid", "ts_s").select(col("eid"), to_timestamp(col("ts_s")).as("ts"))
+    val iv = Seq(
+      ("ok",       "2024-03-01 00:00:00", "2024-03-02 00:00:00"),
+      ("inverted", "2024-06-02 00:00:00", "2024-06-01 00:00:00"),
+      ("nullhi",   "2024-06-01 00:00:00", null))
+      .toDF("wid", "lo_s", "hi_s")
+      .select(col("wid"), to_timestamp(col("lo_s")).as("lo"),
+        to_timestamp(col("hi_s")).as("hi"))
+    val got = RangeJoin.binned(ev, col("ts"), iv, col("lo"), col("hi"), 21600L)
+      .select("eid", "wid").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSet == Set(("e1", "ok")), got.mkString(","))
+
+    // same tolerance through the optimizer rule (auto-rewrite path)
+    def naive = ev.join(iv, col("ts") >= col("lo") && col("ts") <= col("hi"))
+    val expected = naive.collect().map(_.getString(0)).toSet
+    assert(expected == Set("e1"))
+    spark.experimental.extraOptimizations ++=
+      Seq(graft.plans.RangeJoinBinningRule(21600L))
+    try {
+      val plan = naive.queryExecution.executedPlan.toString
+      assert(plan.contains("_graft_bin"), "rule must have fired:\n" + plan)
+      assert(naive.collect().map(_.getString(0)).toSet == expected)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_.isInstanceOf[graft.plans.RangeJoinBinningRule])
+    }
+  }
+
   test("mega-duplicate cluster stays bounded (star expansion) without hurting recall") {
     // 5000 identical copies of one doc in ONE LSH bucket per band: the
     // unbounded all-pairs expansion would be ~12.5M pairs; the star form
