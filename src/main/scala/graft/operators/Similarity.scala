@@ -107,6 +107,62 @@ object Similarity {
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("n")))
   }
 
+  /** Int8 scalar quantization — the 4× (vs float32) / 8× (vs float64)
+    * memory lever that keeps a 100 TB ANN corpus in executor memory:
+    * per-vector `scale = max|v_i| / 127`, `q_i = ⌊v_i/scale + 0.5⌋ ∈
+    * [-127, 127]` (half-up floor — exact in both engines, unlike
+    * banker's round). Map-only, codegen'd. Keeps the original double
+    * vector alongside (callers drop it when they only ship the int8
+    * form). Fidelity metrics come from dot products only — `dot(v,v)`,
+    * `dot(v,q)`, `dot(q,q)` — because sequential-dot equality across
+    * engines is already pinned (d06); `dot(q,q)` is integer-exact. */
+  def quantize(emb: DataFrame): DataFrame = {
+    val v = toDouble(col("embedding"))
+    emb.select(col("vec_id"), v.as("v"))
+      .withColumn("q_scale",
+        array_max(transform(col("v"), x => abs(x))) / 127.0)
+      // zero vector → all-zero codes (scale stays 0; division guard)
+      .withColumn("q", transform(col("v"), x =>
+        when(col("q_scale") > 0, floor(x / col("q_scale") + 0.5))
+          .otherwise(0L).cast("long")))
+  }
+
+  /** Quantization fidelity report: per vector, the scale, a hash of
+    * the int8 codes, the exact integer code-norm², and the cosine
+    * between the float vector and its dequantized form (≈1 − the
+    * quantization error). */
+  def quantizationReport(emb: DataFrame): DataFrame = {
+    val qd = transform(col("q"), x => x.cast("double"))
+    quantize(emb)
+      .withColumn("vv", dot(col("v"), col("v")))
+      .withColumn("vq", dot(col("v"), qd))
+      .withColumn("qq", dot(qd, qd))
+      .select(col("vec_id"), rd(col("q_scale"), 9).as("q_scale"),
+        md5(concat_ws(",", transform(col("q"), _.cast("string"))))
+          .as("q_hash"),
+        col("qq").cast("long").as("q_norm2"),
+        rd(when(col("qq") > 0,
+          col("vq") / (sqrt(col("vv")) * sqrt(col("qq")))), 6)
+          .as("cos_fidelity"))
+  }
+
+  /** Brute-force top-k over the QUANTIZED corpus: integer dot products
+    * (exact, engine-portable) normalized by the integer code norms —
+    * the memory-bound scale path; at 100 TB the int8 corpus is the one
+    * that fits. Same broadcast-queries × one-corpus-pass shape and the
+    * same O(k)-heap aggregate as [[bruteForceTopK]]. */
+  def quantizedTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val qd = transform(col("q"), x => x.cast("double"))
+    val corpus = quantize(emb).select(col("vec_id"), qd.as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val q = quantize(queries).select(col("vec_id").as("q_id"), qd.as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val scored = corpus.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    topKFromScored(scored, k)
+  }
+
   /** The fixed seeded hyperplanes — exposed so the DuckDB oracle can
     * embed the SAME planes as list literals (Double.toString
     * round-trips, so both engines hold bit-identical planes; d06's

@@ -181,6 +181,56 @@ object TextOps {
       .agg(max(col("c")).as(s"top$n"), sum(col("c")).as(s"n$n"))
   }
 
+  /** C4-style line-level cleanup: drop boilerplate/navigation lines,
+    * keep the document if anything survives. The classic C4 rules are
+    * "≥ 3 words, ends in terminal punctuation, no policy tokens"; the
+    * rule set here is parameterized the same way — a minimum token
+    * count, a required-token set (the naturalness proxy; C4 uses the
+    * terminal-punctuation test), and a banned-token set (C4 drops
+    * lines mentioning javascript/cookies/lorem ipsum). Map-only array
+    * expressions — line filtering costs one codegen'd scan at any
+    * corpus size, no shuffle. Returns per doc: total/kept line counts
+    * and the reassembled cleaned text. */
+  def cleanLines(df: DataFrame, text: Column, minTokens: Int,
+                 mustContain: Seq[String], banned: Seq[String]): DataFrame = {
+    val lines = split(text, "\n")
+    def lineToks(l: Column) = split(lower(l), "\\s+")
+    val keep = (l: Column) =>
+      (size(lineToks(l)) >= minTokens) &&
+        exists(lineToks(l), t => t.isin(mustContain.map(lit): _*)) &&
+        !exists(lineToks(l), t => t.isin(banned.map(lit): _*))
+    df.withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("_kept", filter(lines, keep))
+      .withColumn("n_kept", size(col("_kept")).cast("long"))
+      .withColumn("clean_text", concat_ws("\n", col("_kept")))
+      .drop("_kept")
+  }
+
+  /** Per-doc top-k salient terms by tf/df — tf-idf with a linear
+    * inverse-document-frequency weight (same ranking as tf·(N/df);
+    * a single integer division keeps the score bit-identical across
+    * engines, where ln(N/df) would hash-mismatch in the last ulp).
+    * Shape: one (doc, token) count agg, a token→df agg joined back
+    * BROADCAST (the vocabulary is Zipf-bounded, tiny next to the
+    * corpus), then a per-doc window top-k — the window key is doc_id,
+    * so no single-reducer wall. */
+  def tfidfTopTerms(docs: DataFrame, text: Column, id: Column,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Round.rd
+    val tf = docs.select(id.as("doc_id"), explode(tokens(text)).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(broadcast(dfreq), "token")
+      .withColumn("score", col("tf").cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"),
+        rd(col("score"), 6).as("score"))
+  }
+
   /** PII scrubbing: emails first (their local part would otherwise leak
     * into the digit pass), then runs of 5+ digits (ids, phone-ish
     * numbers). Pattern subset chosen to mean the same thing in Java

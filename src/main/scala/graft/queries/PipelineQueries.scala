@@ -251,6 +251,67 @@ object PipelineQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // C4-style line-level cleanup. The corpus has no newlines, so the
+    // query first synthesizes 5-doc "pages" (ordered string_agg — the
+    // same deterministic concat in both engines), then filters lines by
+    // the parameterized C4 rules: ≥3 tokens, must contain a common
+    // word, must not contain the banned token
+    "d30_line_cleanup" -> ((s, dir) => {
+      val pages = docs(s, dir)
+        .select(floor(col("doc_id") / 5).cast("long").as("page_id"),
+          col("doc_id"), col("text"))
+        .groupBy("page_id")
+        .agg(concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            x => x("text"))).as("page"))
+      TextOps.cleanLines(pages, col("page"), minTokens = 3,
+        mustContain = Seq("the", "a", "key", "table"), banned = Seq("slow"))
+        .select(col("page_id"), col("n_lines"), col("n_kept"),
+          // fully-cleaned-away page → null hash (DuckDB's empty-list
+          // array_to_string is NULL where Spark's concat_ws is '')
+          when(col("n_kept") > 0, md5(col("clean_text"))).as("clean_hash"))
+        .orderBy("page_id")
+    }),
+
+    // int8 scalar quantization: scale + code hash + integer code norm +
+    // float-vs-dequantized cosine, all replayable in DuckDB (the codes
+    // are exact integer arithmetic; the fidelity cosine is dots only)
+    "d31_embed_quantize" -> ((s, dir) =>
+      Similarity.quantizationReport(emb(s, dir))
+        .orderBy("vec_id")),
+
+    // ANN over the QUANTIZED corpus: integer dot products normalized by
+    // integer code norms — the memory-bound 100 TB path, same broadcast
+    // shape as d06, fully oracle-checked (no float-sum order hazards)
+    "d32_quantized_ann" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.quantizedTopK(e, e.filter(col("vec_id") < 10), k = 5)
+        .orderBy("q_id", "rank")
+    }),
+
+    // tf-idf salient terms: top-3 tokens per doc by tf/df (linear idf —
+    // same ranking as tf·N/df, engine-exact where ln() is not)
+    "d33_tfidf" -> ((s, dir) =>
+      TextOps.tfidfTopTerms(docs(s, dir), col("text"), col("doc_id"), k = 3)
+        .orderBy("doc_id", "rank")),
+
+    // the COMPLETE near-dup dedup, oracle-PROVEN end to end: polynomial
+    // minhash → LSH candidates (d24) → Jaccard verify (d27) → connected
+    // components → min-id representative per cluster. survivor=false
+    // rows are exactly what a production run deletes
+    "d34_neardup_survivors" -> ((s, dir) => {
+      val corpus = corpusWithDups(s, dir)
+      val edges = Dedup.jaccardVerify(
+        Dedup.polyMinhashPairs(corpus, col("text"), col("doc_id")),
+        corpus, col("text"), col("doc_id"), minJaccard = 0.5)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      Components.connectedComponents(
+        corpus.select(col("doc_id").as("id")), edges)
+        .select(col("id").as("doc_id"), col("label").as("cluster"),
+          (col("id") === col("label")).as("survivor"))
+        .orderBy("doc_id")
+    }),
+
     "d17_pii_scrub" -> ((s, dir) =>
       // the synthetic corpus carries no PII, so the query plants some
       // deterministically (an email + a numeric ref per doc) and the
@@ -503,6 +564,69 @@ object PipelineQueries {
         |   text || ' contact user' || doc_id::VARCHAR || '@example.com ref ' || (doc_id * 7919 + 1000000)::VARCHAR,
         |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |  '[0-9]{5,}', '<NUM>', 'g') AS clean
-        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "d30_line_cleanup" ->
+      """WITH pg AS (SELECT doc_id // 5 AS page_id, string_agg(text, chr(10) ORDER BY doc_id) AS page FROM documents GROUP BY 1),
+        | ls AS (SELECT page_id, string_split(page, chr(10)) AS lines FROM pg),
+        | f AS (SELECT page_id, len(lines)::BIGINT AS n_lines,
+        |   list_filter(lines, l -> len(string_split_regex(lower(l), '\s+')) >= 3
+        |     AND len(list_filter(string_split_regex(lower(l), '\s+'), t -> t IN ('the', 'a', 'key', 'table'))) > 0
+        |     AND len(list_filter(string_split_regex(lower(l), '\s+'), t -> t IN ('slow'))) = 0) AS kept
+        |  FROM ls)
+        | SELECT page_id, n_lines, len(kept)::BIGINT AS n_kept,
+        |  CASE WHEN len(kept) > 0 THEN md5(array_to_string(kept, chr(10))) END AS clean_hash
+        | FROM f ORDER BY page_id""".stripMargin.replaceAll("\n", " "),
+    "d31_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS q_scale FROM e),
+        | qz AS (SELECT vec_id, v, q_scale,
+        |   list_transform(v, x -> CASE WHEN q_scale > 0 THEN floor(x / q_scale + 0.5)::BIGINT ELSE 0 END) AS q FROM s),
+        | m AS (SELECT vec_id, q_scale, q,
+        |   list_dot_product(v, v) AS vv,
+        |   list_dot_product(v, list_transform(q, x -> x::DOUBLE)) AS vq,
+        |   list_dot_product(list_transform(q, x -> x::DOUBLE), list_transform(q, x -> x::DOUBLE)) AS qq
+        |  FROM qz)
+        | SELECT vec_id, round(q_scale, 9) AS q_scale,
+        |  md5(array_to_string(list_transform(q, x -> x::VARCHAR), ',')) AS q_hash,
+        |  qq::BIGINT AS q_norm2,
+        |  round(CASE WHEN qq > 0 THEN vq / (sqrt(vv) * sqrt(qq)) END, 6) AS cos_fidelity
+        | FROM m ORDER BY vec_id""".stripMargin.replaceAll("\n", " "),
+    "d32_quantized_ann" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc FROM e),
+        | qz AS (SELECT vec_id, list_transform(v, x -> CASE WHEN sc > 0 THEN floor(x / sc + 0.5) ELSE 0.0 END) AS q FROM s),
+        | n AS (SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS nn FROM qz),
+        | scored AS (SELECT qn.vec_id AS q_id, cn.vec_id AS vec_id,
+        |   list_dot_product(qn.q, cn.q) / (qn.nn * cn.nn) AS cos
+        |  FROM n cn JOIN n qn ON qn.vec_id < 10 AND cn.vec_id <> qn.vec_id),
+        | r AS (SELECT q_id, vec_id, cos,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM scored)
+        | SELECT q_id, rank::BIGINT AS rank, vec_id AS neighbor_id, round(cos, 6) AS cos
+        | FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin.replaceAll("\n", " "),
+    "d33_tfidf" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents),
+        | tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM t GROUP BY 1, 2),
+        | df AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        | sc AS (SELECT doc_id, token, tf::DOUBLE / df AS score FROM tf JOIN df USING (token)),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rank FROM sc)
+        | SELECT doc_id, rank::BIGINT AS rank, token, round(score, 6) AS score
+        | FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin.replaceAll("\n", " "),
+    "d34_neardup_survivors" ->
+      s"""WITH RECURSIVE $polyPairCtes,
+         | gram AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS g
+         |   FROM t WHERE len(toks) >= 3),
+         | j AS (SELECT doc_a, doc_b,
+         |   len(list_filter(ga.g, x -> list_contains(gb.g, x))) AS inter,
+         |   len(ga.g) + len(gb.g) - len(list_filter(ga.g, x -> list_contains(gb.g, x))) AS uni
+         |  FROM cand JOIN gram ga ON cand.doc_a = ga.doc_id
+         |  JOIN gram gb ON cand.doc_b = gb.doc_id),
+         | jv AS (SELECT doc_a, doc_b FROM j WHERE inter::DOUBLE / uni >= 0.5),
+         | ed AS (SELECT doc_a AS src, doc_b AS dst FROM jv UNION SELECT doc_b, doc_a FROM jv),
+         | reach(a, b) AS (
+         |   SELECT doc_id, doc_id FROM corpus
+         |   UNION
+         |   SELECT r.a, ed.dst FROM reach r JOIN ed ON r.b = ed.src)
+         | SELECT a AS doc_id, min(b) AS cluster, (a = min(b)) AS survivor
+         | FROM reach GROUP BY a ORDER BY a""".stripMargin.replaceAll("\n", " ")
   )
 }

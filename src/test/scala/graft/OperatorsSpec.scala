@@ -470,4 +470,75 @@ class OperatorsSpec extends AnyFunSuite {
     val got = df.select(TextOps.scrubPii(col("text"))).collect()(0).getString(0)
     assert(got == "mail me at <EMAIL> or call <NUM> ext 42")
   }
+
+  test("cleanLines applies the C4 rule set per line") {
+    val df = Seq((1L, Seq(
+      "the cat sat on the mat",     // keep
+      "the ad",                     // too short (2 tokens)
+      "buy buy buy now now now",    // no required token
+      "the slow javascript banner", // banned token
+      "a perfectly fine line").mkString("\n"))).toDF("doc_id", "text")
+    val got = TextOps.cleanLines(df, col("text"), minTokens = 3,
+      mustContain = Seq("the", "a"), banned = Seq("slow")).collect()(0)
+    assert(got.getAs[Long]("n_lines") == 5)
+    assert(got.getAs[Long]("n_kept") == 2)
+    assert(got.getAs[String]("clean_text") ==
+      "the cat sat on the mat\na perfectly fine line")
+  }
+
+  test("tf-idf top terms rank a doc's rare term above its common terms") {
+    val df = Seq(
+      (1L, "alpha beta beta zzyzx"),  // zzyzx unique to doc 1
+      (2L, "alpha beta gamma"),
+      (3L, "alpha beta gamma")).toDF("doc_id", "text")
+    val top1 = TextOps.tfidfTopTerms(df, col("text"), col("doc_id"), k = 3)
+      .filter(col("doc_id") === 1 && col("rank") === 1).collect()(0)
+    // beta: tf 2 / df 3 = 0.667; zzyzx: tf 1 / df 1 = 1.0 → zzyzx wins
+    assert(top1.getAs[String]("token") == "zzyzx")
+    assert(top1.getAs[Double]("score") == 1.0)
+  }
+
+  test("int8 quantization: codes bounded, dequantized cosine near 1") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = Similarity.quantize(emb)
+      .select(col("vec_id"), array_min(col("q")).as("lo"),
+        array_max(col("q")).as("hi"))
+    assert(q.filter(col("lo") < -127 || col("hi") > 127).count() == 0)
+    val rep = Similarity.quantizationReport(emb)
+    val worst = rep.agg(min(col("cos_fidelity"))).head.getDouble(0)
+    assert(worst > 0.995, s"int8 cosine fidelity too low: $worst")
+  }
+
+  test("quantized ANN ranks nearly like float brute force (recall@5)") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("q_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = asSet(Similarity.bruteForceTopK(emb, queries, 5))
+    val quant = asSet(Similarity.quantizedTopK(emb, queries, 5))
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.9, s"int8 recall@5 = $recall")
+  }
+
+  test("near-dup survivors: planted duplicates cluster to the original, originals survive") {
+    val survivors = {
+      val edges = Dedup.jaccardVerify(
+        Dedup.polyMinhashPairs(planted, col("text"), col("doc_id")),
+        planted, col("text"), col("doc_id"), minJaccard = 0.5)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      Components.connectedComponents(
+        planted.select(col("doc_id").as("id")), edges)
+    }
+    val m = survivors.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every planted exact dup clusters back to its source, which survives
+    (0L until 5L).foreach { i =>
+      assert(m(i + 500000L) == i, s"exact dup ${i + 500000L} not clustered")
+      assert(m(i) == i, s"original $i must be its own representative")
+    }
+    // near dups (±' tail') too — 3-shingle jaccard stays ≥ 0.5
+    (5L until 10L).foreach { i =>
+      assert(m(i + 600000L) == i, s"near dup ${i + 600000L} not clustered")
+    }
+  }
 }
