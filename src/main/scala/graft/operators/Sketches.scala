@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sketch operators — what exact operators hand over to at 100 TB.
+  *
+  * Exact `countDistinct` shuffles every distinct value; an exact global
+  * percentile sorts (or multi-passes) the column. The sketch versions
+  * are ONE map-side-combinable aggregate with KB-sized state: HLL
+  * (Apache DataSketches via `hll_sketch_agg`) for cardinality,
+  * KLL-style `approx_percentile` for quantiles. Both are MERGEABLE —
+  * per-partition sketches union to the global sketch with no loss vs
+  * sketching globally (SketchesSpec pins the estimates equal), which is
+  * exactly the property that lets 1000 executors sketch 100 TB
+  * independently and combine in a final reduce.
+  *
+  * Oracle strategy: the estimates themselves are engine-specific, so
+  * the gate emits the EXACT values (DuckDB-checkable) plus
+  * within-tolerance BOOLEANS computed from the sketch — a hash match
+  * proves both the exact arithmetic and the accuracy claim.
+  */
+object Sketches {
+
+  /** Per-group distinct-token cardinality: exact count (the oracle
+    * anchor), plus HLL-sketch and HLL++ (`approx_count_distinct`)
+    * estimates as within-`tol` verdicts. lgK = 14 → ~1.6 KB sketch,
+    * <1% standard error — per group, independent of corpus size. */
+  def distinctReport(docs: DataFrame, text: Column, group: Column,
+                     tol: Double = 0.05): DataFrame = {
+    val x = docs.select(group.as("grp"), explode(TextOps.tokens(text)).as("token"))
+    def within(est: Column, exact: Column): Column =
+      abs(est.cast("double") - exact) / exact <= tol
+    x.groupBy("grp").agg(
+        countDistinct(col("token")).as("exact_distinct"),
+        hll_sketch_estimate(hll_sketch_agg(col("token"), 14)).as("_hll"),
+        approx_count_distinct(col("token"), 0.02).as("_acd"))
+      .select(col("grp"), col("exact_distinct"),
+        within(col("_hll"), col("exact_distinct")).as("hll_within_tol"),
+        within(col("_acd"), col("exact_distinct")).as("acd_within_tol"))
+  }
+
+  /** Per-group quantiles: exact interpolated percentiles (the oracle
+    * anchor — DuckDB `quantile_cont` parity is pinned by q16), plus
+    * `approx_percentile` verdicts. The sketch's guarantee is on RANK,
+    * not value (it returns a real element within ±1/accuracy of the
+    * target rank; a value-relative check fails whenever the
+    * distribution has a gap near the target), so the verdict is the
+    * faithful one: the estimate must lie inside the exact
+    * [p−rankTol, p+rankTol] value window. */
+  def quantileReport(df: DataFrame, value: Column, group: Column,
+                     rankTol: Double = 0.02, accuracy: Int = 10000): DataFrame = {
+    def within(est: Column, p: Double): Column =
+      est >= percentile(col("v"), lit(math.max(0.0, p - rankTol))) &&
+        est <= percentile(col("v"), lit(math.min(1.0, p + rankTol)))
+    df.select(group.as("grp"), value.cast("double").as("v"))
+      .groupBy("grp").agg(
+        percentile(col("v"), lit(0.5)).as("p50"),
+        percentile(col("v"), lit(0.9)).as("p90"),
+        within(approx_percentile(col("v"), lit(0.5), lit(accuracy)), 0.5)
+          .as("p50_within_tol"),
+        within(approx_percentile(col("v"), lit(0.9), lit(accuracy)), 0.9)
+          .as("p90_within_tol"))
+  }
+
+  /** The scale path made visible: sketch each partition independently,
+    * then union the partial sketches — the two-level shape a
+    * 1000-executor reduce uses. Returns (global_estimate_direct,
+    * global_estimate_merged); SketchesSpec asserts they are EQUAL,
+    * because HLL union is lossless over the same lgK. */
+  def mergeDemo(docs: DataFrame, text: Column): (Long, Long) = {
+    val toks = docs.select(explode(TextOps.tokens(text)).as("token"))
+    val direct = toks.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("token"), 14)).as("e"))
+      .head.getLong(0)
+    val merged = toks.withColumn("_part", spark_partition_id())
+      .groupBy("_part").agg(hll_sketch_agg(col("token"), 14).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e"))
+      .head.getLong(0)
+    (direct, merged)
+  }
+}

@@ -312,6 +312,22 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // sketch cardinality: exact distinct (the oracle anchor) + HLL /
+    // HLL++ estimates as within-5% verdicts — a hash match proves the
+    // exact arithmetic AND the sketch accuracy claim
+    "d35_approx_distinct" -> ((s, dir) =>
+      Sketches.distinctReport(docs(s, dir), col("text"), col("lang"))
+        .orderBy("grp")),
+
+    // sketch quantiles: exact interpolated percentiles + KLL-style
+    // approx_percentile verdicts, per source
+    "d36_approx_quantiles" -> ((s, dir) =>
+      Sketches.quantileReport(docs(s, dir), col("n_chars"), col("source"))
+        .select(col("grp"), rd(col("p50"), 4).as("p50"),
+          rd(col("p90"), 4).as("p90"),
+          col("p50_within_tol"), col("p90_within_tol"))
+        .orderBy("grp")),
+
     "d17_pii_scrub" -> ((s, dir) =>
       // the synthetic corpus carries no PII, so the query plants some
       // deterministically (an email + a numeric ref per doc) and the
@@ -627,6 +643,17 @@ object PipelineQueries {
          |   UNION
          |   SELECT r.a, ed.dst FROM reach r JOIN ed ON r.b = ed.src)
          | SELECT a AS doc_id, min(b) AS cluster, (a = min(b)) AS survivor
-         | FROM reach GROUP BY a ORDER BY a""".stripMargin.replaceAll("\n", " ")
+         | FROM reach GROUP BY a ORDER BY a""".stripMargin.replaceAll("\n", " "),
+    "d35_approx_distinct" ->
+      """WITH t AS (SELECT lang AS grp, unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents)
+        | SELECT grp, count(DISTINCT token)::BIGINT AS exact_distinct,
+        |  true AS hll_within_tol, true AS acd_within_tol
+        | FROM t GROUP BY grp ORDER BY grp""".stripMargin.replaceAll("\n", " "),
+    "d36_approx_quantiles" ->
+      """SELECT source AS grp,
+        | round(quantile_cont(n_chars::DOUBLE, 0.5), 4) AS p50,
+        | round(quantile_cont(n_chars::DOUBLE, 0.9), 4) AS p90,
+        | true AS p50_within_tol, true AS p90_within_tol
+        | FROM documents GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " ")
   )
 }
