@@ -17,8 +17,10 @@ object SparkEntry {
     SlurmQueries.queries ++ RelationalQueries.queries ++ PipelineQueries.queries
 
   /** DuckDB-equivalent SQL for every SQL-expressible query; keys absent
-    * here (d02/d03/d04/d07/d11/d12) are sketch/LSH/stub operators under
-    * the driver's rows-only check. */
+    * here (d02/d03/d04/d11/d13) run under the driver's rows-only check —
+    * xxhash64-seeded LSH/sketch paths and the driver-side k-means state,
+    * whose exact outputs DuckDB cannot replay (the polynomial twins
+    * d24/d27 and d23 oracle-prove the same algorithms). */
   def oracleSql: Map[String, String] =
     (SlurmQueries.oracles ++ RelationalQueries.oracles ++ PipelineQueries.oracles)
       .view.mapValues(graft.functions.OracleSql.fixRounds).toMap

@@ -100,6 +100,36 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan("d26_token_freq").contains("BroadcastHashJoin"))
   }
 
+  test("d30: line cleanup is map-only after the page build (no extra shuffle)") {
+    val p = plan("d30_line_cleanup")
+    // exactly one HASH exchange — the page groupBy; the line filtering
+    // itself adds none (the round-robin spread and the gate's output
+    // orderBy range exchange are harness artifacts, not operator cost)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges <= 1,
+      s"line cleanup must not shuffle beyond the page build, got $hashExchanges")
+  }
+
+  test("d32: quantized ANN broadcasts the query side, no corpus shuffle before scoring") {
+    val p = plan("d32_quantized_ann")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "query set must broadcast")
+    val joinIdx = math.max(p.indexOf("BroadcastNestedLoopJoin"), p.indexOf("Broadcast"))
+    assert(!p.substring(0, joinIdx).contains("Exchange hashpartitioning"),
+      "corpus must stream into the scoring join unshuffled")
+  }
+
+  test("d33: tf-idf document-frequency join is broadcast (Zipf-bounded vocab)") {
+    val p = plan("d33_tfidf")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("d35: sketch report is a single aggregation pass (one shuffle on the group key)") {
+    val p = plan("d35_approx_distinct")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "sketch report must be join-free")
+  }
+
   test("salted join distributes a hot key across n buckets, same result") {
     import spark.implicits._
     val big = (1 to 1000).map(i => ("hot", i.toLong)).toDF("key", "payload")
