@@ -70,6 +70,17 @@ object ScaleRehearsal {
     ratio("ngram repetition (2)",
       TextOps.ngramRepetition(base, col("text"), col("doc_id"), 2).count(),
       TextOps.ngramRepetition(big, col("text"), col("doc_id"), 2).count())
+    ratio("tfidf top terms",
+      TextOps.tfidfTopTerms(base, col("text"), col("doc_id"), 3).count(),
+      TextOps.tfidfTopTerms(big, col("text"), col("doc_id"), 3).count())
+    ratio("line cleanup",
+      TextOps.cleanLines(base.withColumnRenamed("text", "t"), col("t"),
+        3, Seq("the", "a", "key", "table"), Seq("slow")).count(),
+      TextOps.cleanLines(big.withColumnRenamed("text", "t"), col("t"),
+        3, Seq("the", "a", "key", "table"), Seq("slow")).count())
+    ratio("sketch distinct report",
+      Sketches.distinctReport(base, col("text"), col("lang")).count(),
+      Sketches.distinctReport(big, col("text"), col("lang")).count())
     val q1 = embBase.filter(col("vec_id") < 50)
     ratio("brute-force ANN topk",
       Similarity.bruteForceTopK(embBase, q1, 5).count(),
@@ -77,6 +88,9 @@ object ScaleRehearsal {
     ratio("LSH ANN topk",
       Similarity.lshTopK(embBase, q1, 5).count(),
       Similarity.lshTopK(embBig, q1, 5).count())
+    ratio("quantized ANN topk",
+      Similarity.quantizedTopK(embBase, q1, 5).count(),
+      Similarity.quantizedTopK(embBig, q1, 5).count())
     spark.stop()
   }
 }
