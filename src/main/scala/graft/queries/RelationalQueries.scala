@@ -258,26 +258,19 @@ object RelationalQueries {
     // (last_value of event attrs over time order) — no O(n²) range join,
     // single shuffle on the key (SURVEY §2.4 #39).
     "q15_asof_join" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .filter(col("user_id") < 100)
-        .select(col("user_id").as("uid"), col("ts"),
-          col("value").as("ev_value"), lit(0).as("is_probe"),
-          lit(null).cast("long").as("o_orderkey"))
+      // probe time = o_orderkey mapped into the events' 2024 timeline:
+      // deterministic per-order probe timestamps spread over the year
       val probes = t(s, dir, "orders")
         .filter(col("o_custkey") < 100)
-        // probe time = o_orderdate mapped into the events' 2024 timeline:
-        // deterministic per-order probe timestamps spread over the year
-        .select(col("o_custkey").as("uid"),
+        .select(col("o_orderkey"), col("o_custkey").as("uid"),
           to_timestamp(concat(lit("2024-01-01 00:00:00"))).plus(
-            expr("make_interval(0, 0, 0, 0, 0, 0, o_orderkey % 31536000)")).as("ts"),
-          lit(null).cast("double").as("ev_value"), lit(1).as("is_probe"),
-          col("o_orderkey"))
-      val w = Window.partitionBy(col("uid"))
-        .orderBy(col("ts"), col("is_probe"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      ev.unionByName(probes)
-        .withColumn("asof_value", last(col("ev_value"), ignoreNulls = true).over(w))
-        .filter(col("is_probe") === 1)
+            expr("make_interval(0, 0, 0, 0, 0, 0, o_orderkey % 31536000)")).as("ts"))
+      val events = t(s, dir, "events")
+        .filter(col("user_id") < 100)
+        .select(col("user_id").as("uid"), col("ts"),
+          col("value").as("asof_value"))
+      graft.operators.AsOfJoin.backward(probes, events,
+        keys = Seq("uid"), tsCol = "ts", payloads = Seq("asof_value"))
         .select(col("o_orderkey"), col("uid"), col("asof_value"))
         .orderBy("o_orderkey")
     })

@@ -521,6 +521,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"int8 recall@5 = $recall")
   }
 
+  test("as-of join: latest event at or before the probe, null when none, equal-ts visible") {
+    val events = Seq(
+      (1L, "2024-01-01 10:00:00", 10.0),
+      (1L, "2024-01-01 12:00:00", 12.0),
+      (2L, "2024-01-01 11:00:00", 21.0))
+      .toDF("uid", "ts_s", "v")
+      .select(col("uid"), to_timestamp(col("ts_s")).as("ts"), col("v"))
+    val probes = Seq(
+      (100L, 1L, "2024-01-01 11:00:00"), // between events → 10.0
+      (101L, 1L, "2024-01-01 12:00:00"), // equal ts → event visible, 12.0
+      (102L, 1L, "2024-01-01 09:00:00"), // before all → null
+      (103L, 2L, "2024-01-02 00:00:00"), // after the only event → 21.0
+      (104L, 3L, "2024-01-01 12:00:00")) // key with no events → null
+      .toDF("probe_id", "uid", "ts_s")
+      .select(col("probe_id"), col("uid"), to_timestamp(col("ts_s")).as("ts"))
+    val got = AsOfJoin.backward(probes, events, Seq("uid"), "ts", Seq("v"))
+      .collect().map(r => r.getAs[Long]("probe_id") ->
+        Option(r.getAs[java.lang.Double]("v")).map(_.toDouble)).toMap
+    assert(got(100L).contains(10.0))
+    assert(got(101L).contains(12.0))
+    assert(got(102L).isEmpty)
+    assert(got(103L).contains(21.0))
+    assert(got(104L).isEmpty)
+  }
+
   test("near-dup survivors: planted duplicates cluster to the original, originals survive") {
     val survivors = {
       val edges = Dedup.jaccardVerify(
