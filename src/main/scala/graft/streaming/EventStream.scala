@@ -83,6 +83,25 @@ object EventStream {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming sketch stats — the streaming twin of d35: distinct-user
+    * cardinality per tumbling window as an HLL sketch aggregate. The
+    * sketch IS the streaming-friendly form: per-window state is one
+    * ~KB HLL buffer (mergeable across micro-batches and shuffle
+    * partials), where exact countDistinct on a stream would buffer
+    * every distinct key per open window. Watermark bounds the number
+    * of open windows, the sketch bounds the state per window —
+    * bounded state in both dimensions. */
+  def approxDistinctPerWindow(events: DataFrame,
+                              idCol: String = "user_id"): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col(idCol), 14))
+        .as("approx_distinct"),
+        count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"),
+        col("approx_distinct"), col("n"))
+
   case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, lastTs: Long, n: Long, value: Double)
   case class Session(user_id: Long, session_start: Long, n_events: Long,

@@ -41,6 +41,37 @@ class StreamingSpec extends AnyFunSuite {
       .filter(got("n") =!= want("n")).count() == 0)
   }
 
+  test("streaming windowed HLL distinct matches batch exact within 2% per window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("ts"), col("user_id").cast("long").as("user_id"))
+    val rows = events.as[(java.sql.Timestamp, Long)].collect().toSeq
+
+    val stream = MemoryStream[(java.sql.Timestamp, Long)]
+    val sdf = stream.toDF().toDF("ts", "user_id")
+    val q = EventStream.approxDistinctPerWindow(sdf).writeStream
+      .outputMode("append").format("memory").queryName("hll_out").start()
+    stream.addData(rows)
+    q.processAllAvailable()
+    stream.addData(Seq((java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), -1L)))
+    q.processAllAvailable()
+    q.stop()
+
+    val exact = events
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"))
+      .agg(countDistinct(col("user_id")).as("exact"))
+    val joined = spark.table("hll_out")
+      .filter(col("window_start") < "2030-01-01")
+      .join(exact, "window_start")
+      .select(col("approx_distinct"), col("exact")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (est, ex) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+      assert(math.abs(est - ex) / ex <= 0.02, s"window off: est=$est exact=$ex")
+    }
+  }
+
   test("watermark drops data later than 30min behind the max event time") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
