@@ -41,6 +41,46 @@ object GraftFunctions {
       register(spark)
   }
 
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction
+
+  // Direct Expression↔Column bridge. Spark 4 marks the seam
+  // private[sql] (classic.ExpressionUtils), but the static forwarders
+  // are public bytecode — reach them reflectively once per JVM. Why it
+  // matters: `call_function` resolves at ANALYSIS time against the
+  // ANALYZING session's function registry, so a Column built while a
+  // different session was active dies with UNRESOLVED_ROUTINE in any
+  // other session (AnsiRobustnessSpec pins the multi-session case); a
+  // direct expression column belongs to no session at all.
+  private lazy val bridge: Option[(Expression => Column, Column => Expression)] =
+    try {
+      val cls = Class.forName("org.apache.spark.sql.classic.ExpressionUtils")
+      val toCol = cls.getMethod("column", classOf[Expression])
+      val toExpr = cls.getMethod("expression", classOf[Column])
+      val f = (e: Expression) => toCol.invoke(null, e).asInstanceOf[Column]
+      val g = (c: Column) => toExpr.invoke(null, c).asInstanceOf[Expression]
+      g(f(org.apache.spark.sql.catalyst.expressions.Literal(1))) // smoke both ways
+      Some((f, g))
+    } catch { case _: Throwable => None }
+
+  /** Build a Column from a custom expression, session-independently.
+    * `build` receives the argument Columns' expressions; aggregate
+    * functions are wrapped the way the analyzer would. Falls back to
+    * the per-session registry + `call_function` if the reflective
+    * bridge is unavailable (e.g. a future Spark moved the class). */
+  def columnOf(name: String, build: Seq[Expression] => Expression,
+               args: Column*): Column = bridge match {
+    case Some((toCol, toExpr)) =>
+      toCol(build(args.map(toExpr)) match {
+        case a: AggregateFunction => a.toAggregateExpression()
+        case e => e
+      })
+    case None =>
+      ensureRegistered()
+      org.apache.spark.sql.functions.call_function(name, args: _*)
+  }
+
   /** Register the reference's table + views as temp views
     * (`slurm`, `allocations`, `steps`, `eff`). */
   def registerSlurmViews(spark: SparkSession, slurm: DataFrame): Unit = {

@@ -86,10 +86,7 @@ case class DotProductExpr(left: Expression, right: Expression)
 }
 
 object DotProductExpr {
-  import org.apache.spark.sql.functions.call_function
-
-  def column(a: Column, b: Column): Column = {
-    graft.GraftFunctions.ensureRegistered()
-    call_function("dot_product", a, b)
-  }
+  def column(a: Column, b: Column): Column =
+    graft.GraftFunctions.columnOf("dot_product",
+      exprs => DotProductExpr(exprs(0), exprs(1)), a, b)
 }

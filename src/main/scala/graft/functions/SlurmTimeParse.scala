@@ -79,11 +79,10 @@ object SlurmTimeParse {
   import org.apache.spark.sql.SparkSession
   import org.apache.spark.sql.functions.call_function
 
-  /** Expose as a Column via the session function registry (the public
-    * seam for custom expressions; also makes `slurm_time(...)` callable
-    * from SQL text). Registration is idempotent per session. */
-  def column(c: Column): Column = {
-    graft.GraftFunctions.ensureRegistered()
-    call_function("slurm_time", c)
-  }
+  /** Expose as a Column — session-independent (works in any session
+    * without registration; see GraftFunctions.columnOf). SQL users call
+    * `slurm_time(...)` after `GraftFunctions.register(spark)`. */
+  def column(c: Column): Column =
+    graft.GraftFunctions.columnOf("slurm_time",
+      exprs => SlurmTimeParse(exprs.head), c)
 }

@@ -117,12 +117,9 @@ case class TopKByScore(
 }
 
 object TopKByScore {
-  import org.apache.spark.sql.SparkSession
-  import org.apache.spark.sql.functions.call_function
-
-  /** `topk_by_score(score, id, k)` as a Column aggregate. */
-  def column(score: Column, id: Column, k: Column): Column = {
-    graft.GraftFunctions.ensureRegistered()
-    call_function("topk_by_score", score, id, k)
-  }
+  /** `topk_by_score(score, id, k)` as a Column aggregate —
+    * session-independent (see GraftFunctions.columnOf). */
+  def column(score: Column, id: Column, k: Column): Column =
+    graft.GraftFunctions.columnOf("topk_by_score",
+      exprs => TopKByScore(exprs(0), exprs(1), exprs(2)), score, id, k)
 }

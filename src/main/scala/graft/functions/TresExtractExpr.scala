@@ -113,10 +113,8 @@ case class TresExtractExpr(left: Expression, right: Expression)
 }
 
 object TresExtractExpr {
-  import org.apache.spark.sql.functions.call_function
-
-  def column(c: Column, field: String): Column = {
-    graft.GraftFunctions.ensureRegistered()
-    call_function("tres_extract", c, org.apache.spark.sql.functions.lit(field))
-  }
+  def column(c: Column, field: String): Column =
+    graft.GraftFunctions.columnOf("tres_extract",
+      exprs => TresExtractExpr(exprs(0), exprs(1)),
+      c, org.apache.spark.sql.functions.lit(field))
 }

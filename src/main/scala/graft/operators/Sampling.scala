@@ -9,22 +9,32 @@ import org.apache.spark.sql.functions._
   * partitionings, and engines (Spark's `hash()` and DuckDB's `hash()`
   * differ; `((id · 2654435761) mod 2³²) mod 10⁶` is identical
   * everywhere). The mod-2³² step makes the contract hold for ALL long
-  * ids: Java's long multiply wraps mod 2⁶⁴, and since 2³² divides 2⁶⁴
-  * the wrapped product mod 2³² equals the true product mod 2³² — while
-  * an engine with checked arithmetic (DuckDB) computes the same value
-  * via a wider type (`id::HUGEINT * K % 2^32`). Without it the two
-  * engines diverge for ids above ~3.4·10⁹ (silent wrap vs overflow
-  * error). Map-only: the filter runs at scan speed, no shuffle, and
-  * survives any repartitioning because nothing depends on row order.
+  * ids: the true product mod 2³² is what both engines compute — DuckDB
+  * via a wider type (`id::HUGEINT * K % 2^32`), Spark via a split
+  * multiply that never exceeds 2⁴⁹, so the SAME expression also runs
+  * under ANSI mode (Spark 4's default), where a plain `id * K` dies
+  * with ARITHMETIC_OVERFLOW for ids above ~3.4·10⁹. Map-only: the
+  * filter runs at scan speed, no shuffle, and survives any
+  * repartitioning because nothing depends on row order.
   */
 object Sampling {
   private val KNUTH = 2654435761L // 2^32 · φ⁻¹, Knuth multiplicative hash
   private val BUCKETS = 1000000L
   private val M32 = 4294967296L   // 2^32
 
-  /** Pseudo-random bucket in [0, 10⁶) from an integer id. */
-  def bucket(id: Column): Column =
-    pmod(pmod(id.cast("long") * KNUTH, lit(M32)), lit(BUCKETS))
+  /** Pseudo-random bucket in [0, 10⁶) from an integer id.
+    * K·id ≡ K·lo + ((K·hi) mod 2¹⁶)·2¹⁶  (mod 2³²) with id = hi·2¹⁶+lo
+    * over id mod 2³² — every intermediate stays below 2⁴⁹, so the
+    * expression is overflow-free (ANSI-safe) yet bit-identical to the
+    * wrapping form (AnsiRobustnessSpec checks against BigInt). */
+  def bucket(id: Column): Column = {
+    val id32 = pmod(id.cast("long"), lit(M32))
+    val lo = id32.bitwiseAND(lit(65535L))
+    val hi = shiftright(id32, 16)
+    val low = lo * KNUTH                            // < 2^16 · 2^32 = 2^48
+    val high = pmod(hi * KNUTH, lit(65536L)) * 65536L // < 2^32
+    pmod(pmod(low + high, lit(M32)), lit(BUCKETS))
+  }
 
   /** Stratified sample: per-stratum keep fractions (stratum → rate);
     * rows of unlisted strata keep `default`. The per-row decision is

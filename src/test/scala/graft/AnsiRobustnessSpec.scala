@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+/** Spark 4 defaults `spark.sql.ansi.enabled=true`. graft's own sessions
+  * pin it off (Tables.session), but a reference user will call these
+  * operators from their OWN default session — so every operator whose
+  * arithmetic could overflow or whose casts could see junk must behave
+  * identically under ANSI, not die with ARITHMETIC_OVERFLOW / CAST_
+  * INVALID_INPUT. This suite runs the risk-bearing operators in an
+  * ANSI child session (shared context, independent SQLConf). */
+class AnsiRobustnessSpec extends AnyFunSuite {
+
+  lazy val base = SparkTestSession.get
+  lazy val spark = {
+    val s = base.newSession()
+    s.conf.set("spark.sql.ansi.enabled", "true")
+    s
+  }
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("Sampling.bucket survives ANSI for ids across the full long range") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 4294967295L, 4294967296L, Long.MaxValue / 2,
+      Long.MaxValue - 1).toDF("id")
+    val got = ids.select(col("id"), Sampling.bucket(col("id")).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cross-check against exact BigInt arithmetic (the documented contract)
+    got.foreach { case (id, b) =>
+      val want = ((BigInt(id) * BigInt(2654435761L)) mod BigInt(4294967296L))
+        .toLong % 1000000L
+      assert(b == want, s"bucket($id)")
+    }
+  }
+
+  test("text/dedup/similarity operators run under ANSI on real data") {
+    val docs = Tables.load(spark, dir, "documents")
+    val emb = Tables.load(spark, dir, "embeddings")
+    assert(TextOps.qualityMetrics(docs, col("text")).count() > 0)
+    assert(docs.select(TextOps.fingerprint(col("text"))).count() > 0)
+    assert(Dedup.minhashCandidates(docs, col("text"), col("doc_id")).count() >= 0)
+    assert(Dedup.polyMinhashPairs(docs, col("text"), col("doc_id")).count() >= 0)
+    assert(Dedup.simhashFingerprints(docs, col("text"), col("doc_id")).count() > 0)
+    assert(Similarity.quantizationReport(emb).count() > 0)
+    assert(Similarity.lshTopK(emb, emb.filter(col("vec_id") < 3), 5).count() > 0)
+    assert(Multimodal.sampleFrames(Multimodal.withPayload(docs)).count() > 0)
+    assert(TextOps.tfidfTopTerms(docs, col("text"), col("doc_id"), 3).count() > 0)
+  }
+
+  test("quality metrics on an empty/whitespace doc stay null, not an ANSI error") {
+    import spark.implicits._
+    val df = Seq((1L, ""), (2L, "   "), (3L, "one two")).toDF("doc_id", "text")
+    val got = TextOps.qualityMetrics(df, col("text")).collect()
+    assert(got.length == 3) // no division-by-zero error; guarded nulls
+  }
+
+  test("slurm ingest parses the reference fixture under ANSI (junk fields -> null, not cast errors)") {
+    val raw = graft.slurm.SacctSource.readCsv(spark,
+      "/root/reference/tests/test-data1.csv", sep = "|")
+    val slurm = graft.slurm.SlurmTable.build(raw)
+    assert(slurm.count() > 0)
+    // force every derived column to materialize (a lazy count() prunes)
+    val row = slurm.agg(count(lit(1)),
+      slurm.columns.map(c => count(col(c))).toSeq: _*).collect()
+    assert(row.nonEmpty)
+  }
+}
