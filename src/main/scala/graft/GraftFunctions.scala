@@ -28,6 +28,13 @@ object GraftFunctions {
       "topk_by_score", exprs => TopKByScore(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction(
       "dot_product", exprs => DotProductExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "bloom_agg",
+      exprs => graft.functions.BloomFilterAgg(exprs(0), exprs(1), exprs(2)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "bloom_contains",
+      exprs => graft.functions.BloomContainsExpr(exprs(0), exprs(1)), "built-in")
   }
 
   /** Idempotent per-session registration for the `.column` helpers:

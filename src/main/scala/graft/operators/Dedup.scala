@@ -198,6 +198,83 @@ object Dedup {
     pairsInBuckets(banded, Seq("band_idx", "band_hash"), col("doc_id"), maxBucket)
   }
 
+  /** Incremental dedup of a new batch against a HISTORICAL corpus via a
+    * Bloom filter — the shape that avoids re-shuffling the 100 TB side
+    * every run. The history is sketched by ONE map-side-combinable
+    * aggregate ([[graft.functions.BloomFilterAgg]] — partial filters OR
+    * together losslessly), the few-MB filter rides to every task as a
+    * literal, and the batch probes it map-only at scan speed
+    * ([[graft.functions.BloomContainsExpr]], codegen'd). No false
+    * negatives, so only the bloom-positive subset (true dups + ~fpp of
+    * the rest) pays the exact verification join; history's side of that
+    * join is just its distinct content hashes.
+    *
+    * Returns one row per batch doc: (doc_id, bloom_hit, is_dup).
+    * `bloom_hit && !is_dup` rows are the false positives the fpp bound
+    * paid for. `expectedItems < 0` counts the history first (a real
+    * pipeline passes the known corpus size instead). */
+  def bloomIncremental(history: DataFrame, batch: DataFrame,
+                       text: Column, id: Column, fpp: Double = 0.01,
+                       expectedItems: Long = -1L): DataFrame = {
+    val n = if (expectedItems > 0) expectedItems else history.count()
+    val filterBytes = history
+      .agg(graft.functions.BloomFilterAgg.column(
+        xxhash64(text), lit(n), lit(fpp)).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val probed = batch.select(id.as("doc_id"), md5(text).as("_ch"),
+      graft.functions.BloomContainsExpr.column(
+        xxhash64(text), lit(filterBytes)).as("bloom_hit"))
+    val histHashes = history.select(md5(text).as("_ch")).distinct()
+    probed.filter(col("bloom_hit"))
+      .join(histHashes.withColumn("_dup", lit(true)), Seq("_ch"), "left")
+      .select(col("doc_id"), col("bloom_hit"),
+        coalesce(col("_dup"), lit(false)).as("is_dup"))
+      .unionByName(probed.filter(!col("bloom_hit"))
+        .select(col("doc_id"), col("bloom_hit"), lit(false).as("is_dup")))
+  }
+
+  /** Polynomial rolling window hashes over token hashes: one hash per
+    * k-token window, exact cross-engine integer arithmetic (same base
+    * 131 mod 2³¹−1 chain as [[polyShingleHashes]], which is the k=3
+    * distinct-set variant; this keeps POSITIONS — substring dedup needs
+    * every occurrence, not the set). */
+  def polyWindowHashes(text: Column, k: Int): Column = {
+    val hs = polyTokenHashes(text)
+    transform(sequence(lit(1), size(hs) - (k - 1)), i =>
+      (1 until k).foldLeft(element_at(hs, i))((acc, j) =>
+        pmod(acc * 131L + element_at(hs, i + j), lit(P))))
+  }
+
+  /** Exact-substring duplication report (the window-hash form of
+    * suffix-array substring dedup — Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better"): every k-token window is
+    * hashed; a window whose hash also occurs in ANOTHER doc is a
+    * cross-corpus duplicated span. Per doc: total windows, duplicated
+    * windows, duplicated fraction.
+    *
+    * Scale shape: explode is O(corpus tokens) but map-only; the only
+    * shuffles are the groupBy on window hash (bounded state: count +
+    * distinct-doc flag per hash) and the hash-join back — no pairwise
+    * comparison anywhere. This is what replaces the (unshardable)
+    * suffix array at 100 TB. */
+  def dupSpans(docs: DataFrame, text: Column, id: Column, k: Int = 8): DataFrame = {
+    val wins = docs.filter(size(TextOps.tokens(text)) >= k)
+      .select(id.as("doc_id"), posexplode(polyWindowHashes(text, k))
+        .as(Seq("pos", "wh")))
+    // per window hash: does it span more than one doc? min/max beats
+    // countDistinct — two longs of state per hash, no distinct set
+    val spread = wins.groupBy(col("wh"))
+      .agg((min(col("doc_id")) =!= max(col("doc_id"))).as("cross_doc"))
+      .filter(col("cross_doc"))
+    wins.join(spread, Seq("wh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("cross_doc"), 1L).otherwise(0L)).as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        rd(col("n_dup_windows").cast("double") / col("n_windows"), 6)
+          .as("dup_frac"))
+  }
+
   /** n-gram Jaccard verification over candidate pairs only. */
   def jaccardVerify(candidates: DataFrame, docs: DataFrame,
                     text: Column, id: Column, minJaccard: Double): DataFrame = {

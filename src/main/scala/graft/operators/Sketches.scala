@@ -63,6 +63,42 @@ object Sketches {
           .as("p90_within_tol"))
   }
 
+  /** Heavy hitters with a count-min sketch: exact top-N token counts
+    * (the oracle anchor — same TakeOrdered shape as d16) plus a CMS
+    * frequency estimate per hitter as a within-bound verdict. The CMS
+    * is ONE mergeable aggregate (`functions.count_min_sketch`, ~eps⁻¹ ×
+    * depth integer cells regardless of vocabulary size) — at 100 TB the
+    * exact groupBy shuffles the whole vocabulary, while the sketch
+    * answers "how often does X occur" from a few-hundred-KB buffer.
+    * The CMS guarantee is one-sided: est ≥ exact always, and
+    * est ≤ exact + eps·total w.p. `confidence` — that is precisely the
+    * verdict emitted. Tokens are pre-hashed (`xxhash64`) so the
+    * aggregate and the driver-side probe use the identical long-hash
+    * path. */
+  def heavyHitters(docs: DataFrame, text: Column, topN: Int = 20,
+                   eps: Double = 1e-4, confidence: Double = 0.99): DataFrame = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val spark = docs.sparkSession
+    val toks = docs.select(explode(TextOps.tokens(text)).as("token"))
+    val sk = toks.agg(
+      count_min_sketch(xxhash64(col("token")), lit(eps), lit(confidence),
+        lit(42)).as("cms"),
+      count(lit(1)).as("total")).head
+    val cms = CountMinSketch.readFrom(sk.getAs[Array[Byte]]("cms"))
+    val bound = math.ceil(eps * sk.getAs[Long]("total")).toLong
+    val exact = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("token"), col("n"), xxhash64(col("token")).as("h"))
+      .orderBy(col("n").desc, col("token")).limit(topN).collect()
+    val verdicts = exact.toSeq.map { r =>
+      val est = cms.estimateCount(java.lang.Long.valueOf(r.getAs[Long]("h")))
+      (r.getAs[String]("token"), r.getAs[Long]("n"),
+        est >= r.getAs[Long]("n") && est <= r.getAs[Long]("n") + bound)
+    }
+    import spark.implicits._
+    verdicts.toDF("token", "n", "cms_within_tol")
+  }
+
   /** The scale path made visible: sketch each partition independently,
     * then union the partial sketches — the two-level shape a
     * 1000-executor reduce uses. Returns (global_estimate_direct,

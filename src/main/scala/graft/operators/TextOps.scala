@@ -206,6 +206,38 @@ object TextOps {
       .drop("_kept")
   }
 
+  /** GLOBAL line-level dedup — C4's "discard all but one of any
+    * three-sentence span occurring more than once" applied at line
+    * granularity corpus-wide: the first occurrence (lowest (doc, idx))
+    * of every distinct line survives; repeats are dropped everywhere
+    * else, and each doc is reassembled from its surviving lines in
+    * original order.
+    *
+    * Scale shape: explode lines (map-only), ONE shuffle partitioned by
+    * line content for the first-occurrence window (WindowExec state is
+    * one row — min rank — and spills if a line is pathologically hot),
+    * then one shuffle back on doc id to reassemble. No corpus
+    * self-join; boilerplate lines repeated 10⁹ times cost one hot
+    * window partition, not 10¹⁸ pairs. Returns per doc: total lines,
+    * kept lines, reassembled text ('' when everything was a repeat —
+    * callers drop those). */
+  def dedupLinesGlobal(pages: DataFrame, pageId: Column, text: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = pages.select(pageId.as("page_id"),
+      posexplode(split(text, "\n")).as(Seq("line_idx", "line")))
+    val w = Window.partitionBy(col("line"))
+      .orderBy(col("page_id"), col("line_idx"))
+    lines.withColumn("_rk", row_number().over(w))
+      .groupBy(col("page_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("_rk") === 1, 1L).otherwise(0L)).as("n_kept"),
+        // collect_list drops the nulls (= repeat lines); the struct
+        // array sorts by line_idx, restoring original order
+        concat_ws("\n", sort_array(collect_list(
+          when(col("_rk") === 1, struct(col("line_idx"), col("line")))))
+          .getField("line")).as("clean_text"))
+  }
+
   /** Per-doc top-k salient terms by tf/df — tf-idf with a linear
     * inverse-document-frequency weight (same ranking as tf·(N/df);
     * a single integer division keeps the score bit-identical across

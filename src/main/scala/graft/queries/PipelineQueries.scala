@@ -328,6 +328,63 @@ object PipelineQueries {
           col("p50_within_tol"), col("p90_within_tol"))
         .orderBy("grp")),
 
+    // incremental dedup vs a historical corpus through a Bloom filter:
+    // the batch = exact copies of every 7th doc + genuinely novel docs.
+    // is_dup is exact (bloom positives verified by the hash join); the
+    // bloom's probabilistic side is emitted as verdicts — no false
+    // negatives ever (guaranteed), false positives within a generous
+    // 10×fpp bound (deterministic for fixed data + seed)
+    "d37_bloom_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val copies = d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      val novel = d.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" novel"), col("doc_id").cast("string")).as("text"))
+      val flags = Dedup.bloomIncremental(d, copies.unionByName(novel),
+        col("text"), col("doc_id"), fpp = 0.01)
+      val verdict = flags.agg(
+        (sum(when(col("is_dup") && !col("bloom_hit"), 1L).otherwise(0L)) === 0L)
+          .as("fn_free"),
+        (sum(when(col("bloom_hit") && !col("is_dup"), 1L).otherwise(0L)) <=
+          greatest(ceil(count(when(!col("is_dup"), 1L)) * lit(0.1)), lit(3L)))
+          .as("fp_rate_ok"))
+      flags.select(col("doc_id"), col("is_dup")).crossJoin(verdict)
+        .orderBy("doc_id")
+    }),
+
+    // count-min-sketch heavy hitters: exact top-20 token counts (the
+    // oracle anchor) + the CMS estimate as a within-bound verdict
+    // (est ≥ exact always; est ≤ exact + eps·total w.p. confidence)
+    "d38_heavy_hitters" -> ((s, dir) =>
+      Sketches.heavyHitters(docs(s, dir), col("text"), topN = 20)
+        .orderBy(col("n").desc, col("token"))),
+
+    // exact-substring span dedup: polynomial 8-token window hashes —
+    // windows shared across docs are duplicated spans; the perturbed
+    // corpus plants long shared prefixes. Exact integer arithmetic,
+    // fully DuckDB-replayed
+    "d39_dup_spans" -> ((s, dir) =>
+      Dedup.dupSpans(corpusWithDups(s, dir), col("text"), col("doc_id"), k = 8)
+        .orderBy("doc_id")),
+
+    // GLOBAL line-level dedup: pages carry a shared boilerplate line
+    // (planted cookie banner) + doc texts; first occurrence corpus-wide
+    // survives, every repeat is dropped, pages reassemble in order
+    "d40_line_dedup" -> ((s, dir) => {
+      val pages = docs(s, dir)
+        .select(floor(col("doc_id") / 5).cast("long").as("page_id"),
+          col("doc_id"), col("text"))
+        .groupBy("page_id")
+        .agg(concat_ws("\n", lit("please accept our cookie policy"),
+          transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            x => x("text"))).as("page"))
+      TextOps.dedupLinesGlobal(pages, col("page_id"), col("page"))
+        .select(col("page_id"), col("n_lines"), col("n_kept"),
+          when(col("n_kept") > 0, md5(col("clean_text"))).as("clean_hash"))
+        .orderBy("page_id")
+    }),
+
     "d17_pii_scrub" -> ((s, dir) =>
       // the synthetic corpus carries no PII, so the query plants some
       // deterministically (an email + a numeric ref per doc) and the
@@ -649,6 +706,55 @@ object PipelineQueries {
         | SELECT grp, count(DISTINCT token)::BIGINT AS exact_distinct,
         |  true AS hll_within_tol, true AS acd_within_tol
         | FROM t GROUP BY grp ORDER BY grp""".stripMargin.replaceAll("\n", " "),
+    "d37_bloom_dedup" ->
+      """WITH b AS (SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+        |   UNION ALL
+        |   SELECT doc_id + 3000000, text || ' novel' || doc_id::VARCHAR FROM documents WHERE doc_id % 7 = 3),
+        | h AS (SELECT DISTINCT md5(text) AS ch FROM documents)
+        | SELECT b.doc_id, (h.ch IS NOT NULL) AS is_dup,
+        |  true AS fn_free, true AS fp_rate_ok
+        | FROM b LEFT JOIN h ON md5(b.text) = h.ch
+        | ORDER BY b.doc_id""".stripMargin.replaceAll("\n", " "),
+    "d38_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents)
+        | SELECT token, count(*) AS n, true AS cms_within_tol
+        | FROM t GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin.replaceAll("\n", " "),
+    "d39_dup_spans" -> {
+      val P = 2147483647L
+      val fold = (1 until 8).foldLeft("hs[pos]") {
+        (acc, j) => s"(($acc) * 131 + hs[pos + $j]) % $P"
+      }
+      s"""WITH pert AS (SELECT doc_id + 1000000 AS doc_id,
+         |   array_to_string(list_slice(toks, 1, greatest(len(toks) - 1, 1)), ' ') AS text
+         |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents WHERE doc_id % 10 = 0)),
+         | corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM pert),
+         | t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM corpus),
+         | th AS (SELECT doc_id, list_transform(toks, w -> list_reduce(list_prepend('0', string_split(w, '')), (acc, c) -> ((acc::BIGINT * 31 + ascii(c)) % $P)::VARCHAR)::BIGINT) AS hs FROM t WHERE len(toks) >= 8),
+         | w0 AS (SELECT doc_id, hs, unnest(generate_series(1, len(hs) - 7)) AS pos FROM th),
+         | w AS (SELECT doc_id, $fold AS wh FROM w0),
+         | sp AS (SELECT wh FROM w GROUP BY wh HAVING min(doc_id) <> max(doc_id)),
+         | j AS (SELECT w.doc_id, CASE WHEN sp.wh IS NULL THEN 0 ELSE 1 END AS d
+         |  FROM w LEFT JOIN sp ON w.wh = sp.wh)
+         | SELECT doc_id, count(*)::BIGINT AS n_windows, sum(d)::BIGINT AS n_dup_windows,
+         |  round(sum(d)::DOUBLE / count(*), 6) AS dup_frac
+         | FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    },
+    "d40_line_dedup" ->
+      """WITH pg AS (SELECT doc_id // 5 AS page_id,
+        |   'please accept our cookie policy' || chr(10) || string_agg(text, chr(10) ORDER BY doc_id) AS page
+        |  FROM documents GROUP BY 1),
+        | ls AS (SELECT page_id, string_split(page, chr(10)) AS lines FROM pg),
+        | l0 AS (SELECT page_id, lines, unnest(generate_series(1, len(lines))) AS line_idx FROM ls),
+        | ln AS (SELECT page_id, line_idx, lines[line_idx] AS line FROM l0),
+        | rk AS (SELECT page_id, line_idx, line,
+        |   row_number() OVER (PARTITION BY line ORDER BY page_id, line_idx) AS rk FROM ln),
+        | ag AS (SELECT page_id, count(*)::BIGINT AS n_lines,
+        |   sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |   string_agg(CASE WHEN rk = 1 THEN line END, chr(10) ORDER BY line_idx) AS clean
+        |  FROM rk GROUP BY page_id)
+        | SELECT page_id, n_lines, n_kept,
+        |  CASE WHEN n_kept > 0 THEN md5(clean) END AS clean_hash
+        | FROM ag ORDER BY page_id""".stripMargin.replaceAll("\n", " "),
     "d36_approx_quantiles" ->
       """SELECT source AS grp,
         | round(quantile_cont(n_chars::DOUBLE, 0.5), 4) AS p50,

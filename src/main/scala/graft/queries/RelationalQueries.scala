@@ -253,6 +253,28 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // sliding RANGE-frame window: per-customer trailing-30-day order
+    // total — the time-decayed rolling metric every monitoring/feature
+    // pipeline needs. RANGE (not ROWS) so equal-date peers aggregate
+    // together; the sum runs in DECIMAL so both engines are bit-exact.
+    // One shuffle on the partition key; frame state is O(window), not
+    // O(partition).
+    "q20_range_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        // NTZ has no direct → long cast; route through LTZ (session TZ
+        // is UTC, deterministic)
+        .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30L * 86400, 0)
+      t(s, dir, "orders")
+        .filter(col("o_custkey") < 200)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          sum(col("o_totalprice").cast("decimal(14,2)")).over(w)
+            .cast("double").as("sum_30d"),
+          count(lit(1)).over(w).cast("long").as("n_30d"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    }),
+
     // as-of join: latest event at-or-before each order date per customer
     // key-group. Spark-first: union both sides tagged, one window pass
     // (last_value of event attrs over time order) — no O(n²) range join,
@@ -402,6 +424,14 @@ object RelationalQueries {
         |       FROM orders WHERE o_custkey < 100) o
         | ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE user_id < 100) e
         |   ON o.o_custkey = e.user_id AND o.probe_ts >= e.ts
-        | ORDER BY o_orderkey""".stripMargin.replaceAll("\n", " ")
+        | ORDER BY o_orderkey""".stripMargin.replaceAll("\n", " "),
+    "q20_range_window" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | (sum(o_totalprice::DECIMAL(14,2)) OVER w)::DOUBLE AS sum_30d,
+        | (count(*) OVER w)::BIGINT AS n_30d
+        | FROM orders WHERE o_custkey < 200
+        | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |  RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+        | ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin.replaceAll("\n", " ")
   )
 }

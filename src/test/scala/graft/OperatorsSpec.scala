@@ -566,4 +566,36 @@ class OperatorsSpec extends AnyFunSuite {
       assert(m(i + 600000L) == i, s"near dup ${i + 600000L} not clustered")
     }
   }
+
+  test("exact-substring spans: exact copies are fully duplicated, near copies almost") {
+    val spans = Dedup.dupSpans(planted, col("text"), col("doc_id"), k = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // exact copy ↔ original: every window shared → dup_frac 1.0 both ways
+    (0L until 5L).foreach { i =>
+      assert(spans(i)._3 == 1.0, s"original $i frac ${spans(i)._3}")
+      assert(spans(i + 500000L)._3 == 1.0)
+    }
+    // near copy (' tail' appended): original fully covered; the copy's
+    // trailing windows (the ones reaching into 'tail') are unique
+    (5L until 10L).foreach { i =>
+      assert(spans(i)._3 == 1.0, s"near-dup source $i frac ${spans(i)._3}")
+      val (n, dup, frac) = spans(i + 600000L)
+      assert(frac > 0.5 && frac < 1.0, s"near copy ${i + 600000L} frac $frac")
+      assert(n - dup <= 8, s"only trailing windows may be unique, got ${n - dup}")
+    }
+  }
+
+  test("global line dedup: first occurrence survives corpus-wide, order kept") {
+    val pages = Seq(
+      (0L, "alpha\nshared\nbeta"),
+      (1L, "shared\ngamma"),
+      (2L, "shared\nalpha\ndelta")).toDF("pid", "txt")
+    val got = TextOps.dedupLinesGlobal(pages, col("pid"), col("txt"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(0L) == ((3L, 3L, "alpha\nshared\nbeta")))
+    assert(got(1L) == ((2L, 1L, "gamma")))
+    assert(got(2L) == ((3L, 1L, "delta")))
+  }
 }

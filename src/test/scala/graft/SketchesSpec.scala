@@ -33,6 +33,19 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("CMS heavy hitters: verdicts hold and the top tokens match the exact groupBy") {
+    val rep = Sketches.heavyHitters(docs, col("text"), topN = 10).collect()
+    assert(rep.length == 10)
+    rep.foreach { r =>
+      assert(r.getAs[Boolean]("cms_within_tol"),
+        s"CMS estimate off for '${r.get(0)}'")
+    }
+    val exact = docs.select(explode(split(lower(col("text")), "\\s+")).as("t"))
+      .groupBy("t").count().orderBy(col("count").desc, col("t"))
+      .limit(10).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rep.map(r => (r.getString(0), r.getLong(1))).toSeq == exact.toSeq)
+  }
+
   test("per-partition HLL sketches merge losslessly to the global estimate") {
     // sketch per partition + union == sketch the whole column directly:
     // the distributed two-level reduce gives the SAME estimate, which is
