@@ -35,6 +35,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "bloom_contains",
       exprs => graft.functions.BloomContainsExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "poly_token_hashes",
+      exprs => graft.functions.PolyTokenHashExpr(exprs.head), "built-in")
   }
 
   /** Idempotent per-session registration for the `.column` helpers:

@@ -153,11 +153,13 @@ object Dedup {
   }
 
   /** Per-token polynomial hashes (the d23 fingerprint recurrence, per
-    * token): exact integer arithmetic any engine can replay. */
+    * token): exact integer arithmetic any engine can replay. Computed
+    * by the fused native [[graft.functions.PolyTokenHashExpr]] — the
+    * composed Column form allocates an array per character
+    * (PolyTokenHashSpec pins the two equal; DedupBench measured the
+    * fused loop ~4× on the d39 span scan). */
   def polyTokenHashes(text: Column): Column =
-    transform(TextOps.tokens(text), w =>
-      aggregate(split(w, ""), lit(0L),
-        (acc, c) => pmod(acc * 31L + coalesce(ascii(c), lit(0)), lit(P))))
+    graft.functions.PolyTokenHashExpr.column(text)
 
   /** Distinct polynomial 3-shingle hashes: consecutive token hashes
     * combined with base 131 mod P. Caller must ensure ≥ 3 tokens. */
