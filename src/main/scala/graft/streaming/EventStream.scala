@@ -102,6 +102,31 @@ object EventStream {
       .select(col("w.start").as("window_start"),
         col("approx_distinct"), col("n"))
 
+  /** STREAM-STREAM interval join: correlate two live event streams on a
+    * key within a ±`toleranceS` event-time band (clicks↔impressions,
+    * job-start↔job-metric, order↔payment). This is the one join shape
+    * where BOTH sides must buffer state, and the watermark + the
+    * range condition on BOTH event-time columns are what let Spark
+    * evict it: left rows older than (watermark − tolerance) can never
+    * match a future right row, and vice versa — without the time-band
+    * condition the state would be unbounded and Spark rejects the
+    * append-mode query outright. */
+  def correlate(left: DataFrame, right: DataFrame,
+                key: String = "user_id",
+                toleranceS: Long = 300,
+                horizon: String = "30 minutes"): DataFrame = {
+    val l = left.select(col(key).as("l_key"), col("ts").as("l_ts"),
+      col("value").as("l_value")).withWatermark("l_ts", horizon)
+    val r = right.select(col(key).as("r_key"), col("ts").as("r_ts"),
+      col("value").as("r_value")).withWatermark("r_ts", horizon)
+    l.join(r,
+      col("l_key") === col("r_key") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $toleranceS seconds") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $toleranceS seconds"))
+      .select(col("l_key").as(key), col("l_ts"), col("r_ts"),
+        col("l_value"), col("r_value"))
+  }
+
   case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, lastTs: Long, n: Long, value: Double)
   case class Session(user_id: Long, session_start: Long, n_events: Long,

@@ -81,6 +81,21 @@ object ScaleRehearsal {
     ratio("sketch distinct report",
       Sketches.distinctReport(base, col("text"), col("lang")).count(),
       Sketches.distinctReport(big, col("text"), col("lang")).count())
+    ratio("substring dup spans",
+      Dedup.dupSpans(base, col("text"), col("doc_id")).count(),
+      Dedup.dupSpans(big, col("text"), col("doc_id")).count())
+    ratio("global line dedup",
+      TextOps.dedupLinesGlobal(base, col("doc_id"), col("text")).count(),
+      TextOps.dedupLinesGlobal(big, col("doc_id"), col("text")).count())
+    // bloom probe: history = base, batch = the replicated corpus (the
+    // adversarial direction — every replica bloom-hits, so the whole
+    // batch pays the verification join)
+    ratio("bloom incremental dedup",
+      Dedup.bloomIncremental(base, base, col("text"), col("doc_id")).count(),
+      Dedup.bloomIncremental(base, big, col("text"), col("doc_id")).count())
+    ratio("CMS heavy hitters",
+      { Sketches.heavyHitters(base, col("text"), 20).count() },
+      { Sketches.heavyHitters(big, col("text"), 20).count() })
     val q1 = embBase.filter(col("vec_id") < 50)
     ratio("brute-force ANN topk",
       Similarity.bruteForceTopK(embBase, q1, 5).count(),

@@ -130,6 +130,55 @@ class PlanQualitySpec extends AnyFunSuite {
       "sketch report must be join-free")
   }
 
+  test("d37: bloom probe stays inside whole-stage codegen, filter side never shuffles") {
+    import org.apache.spark.sql.functions.{col, lit, xxhash64, concat}
+    val docs = Tables.load(spark, dir, "documents")
+    val bytes = docs.agg(graft.functions.BloomFilterAgg.column(
+      xxhash64(col("text")), lit(1000L), lit(0.01)).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val probe = docs.select(col("doc_id"),
+      graft.functions.BloomContainsExpr.column(
+        xxhash64(concat(col("text"), lit("x"))), lit(bytes)).as("hit"))
+      .filter(col("hit"))
+    val p = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // map-only: scan → project/filter, no exchange anywhere
+    assert(!p.contains("Exchange"), "bloom probe must not shuffle")
+    // formatted mode marks codegen'd operators with a '*' prefix
+    assert(p.linesIterator.exists(_.matches(""".*\* Filter.*""")),
+      s"bloom probe filter must stay codegen'd\n$p")
+  }
+
+  test("d40: global line dedup is exactly two exchanges (line key, then doc key)") {
+    val p = plan("d40_line_dedup")
+    // hash exchanges only (formatted mode lists partitioning in the
+    // detail section) — the gate query's presentation orderBy adds a
+    // rangepartitioning exchange that isn't part of the operator
+    val exchanges = p.linesIterator.count(
+      _.contains("Arguments: hashpartitioning"))
+    // page build (1) + window on line (2) + reassembly groupBy (3) —
+    // the OPERATOR itself contributes the last two; the gate query's
+    // page synthesis adds the first. More would mean a redundant
+    // repartition crept in.
+    assert(exchanges <= 3, s"expected <=3 hash exchanges, got $exchanges\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "line dedup must be join-free")
+  }
+
+  test("q20: range window is one shuffle on the partition key, no join") {
+    val p = plan("q20_range_window")
+    val exchanges = p.linesIterator.count(
+      _.contains("Arguments: hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"))
+  }
+
+  test("d39: span report joins only on window-hash keys (hash joins, no cartesian)") {
+    val p = plan("d39_dup_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "span dedup must never go all-pairs")
+  }
+
   test("salted join distributes a hot key across n buckets, same result") {
     import spark.implicits._
     val big = (1 to 1000).map(i => ("hot", i.toLong)).toDF("key", "payload")

@@ -278,4 +278,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(afterTwo.select(cols.map(col): _*).distinct().count() ==
       batch.select(cols.map(col): _*).distinct().count())
   }
+
+  test("stream-stream correlate joins within the time band, matches the batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val leftRows = Seq((1L, ts(0), 10.0), (1L, ts(20), 11.0), (2L, ts(5), 20.0))
+    val rightRows = Seq(
+      (1L, ts(2), 100.0),   // within 5 min of left@10:00
+      (1L, ts(12), 101.0),  // matches nothing (>5 min from both)
+      (2L, ts(4), 200.0),   // within 5 min of left@10:05
+      (3L, ts(3), 300.0))   // no left key
+    val ls = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val rs = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val joined = EventStream.correlate(
+      ls.toDF().toDF("user_id", "ts", "value"),
+      rs.toDF().toDF("user_id", "ts", "value"), toleranceS = 300)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("corr_out").start()
+    ls.addData(leftRows); rs.addData(rightRows)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("corr_out")
+      .select("user_id", "l_ts", "r_ts").as[(Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .collect().toSet
+    val want = Set((1L, ts(0), ts(2)), (2L, ts(5), ts(4)))
+    assert(got == want, s"got $got")
+  }
 }
