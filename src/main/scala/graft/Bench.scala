@@ -17,6 +17,7 @@ object Bench {
     "q06_filter_pushdown", "q07_window", "q12_sessionize", "q13_time_window",
     "q19_range_join",
     "s15_sacct_ingest", "s17_eff_view", "s24_seff_peruser",
+    "s26_eff_warehouse", "s27_seff_warehouse",
     "d01_dedup_exact", "d02_minhash_lsh", "d05_cosine_pairs",
     "d06_ann_topk", "d08_lang_id", "d10_token_count",
     "d25_decontaminate", "d26_token_freq", "d28_ngram_repetition",
