@@ -191,13 +191,16 @@ object Similarity {
     * one (cell, dim) hash aggregate. Centroids are rounded to 1e-9 so
     * float summation order can't flip downstream assignments. */
   private[operators] def kmeansCentroids(emb: DataFrame, nCells: Int,
-                                         iters: Int): Array[Array[Double]] = {
+                                         iters: Int,
+                                         euclidean: Boolean = false): Array[Array[Double]] = {
     val vecs = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
     var cents: Array[Array[Double]] = vecs.orderBy(col("vec_id")).limit(nCells)
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
     for (_ <- 0 until iters) {
+      val assign = if (euclidean) pqAssign(col("v"), cents)
+                   else assignCell(col("v"), cents)
       val updated = vecs
-        .withColumn("cell", assignCell(col("v"), cents))
+        .withColumn("cell", assign)
         .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
         .groupBy(col("cell"))
@@ -258,6 +261,103 @@ object Similarity {
     val scored = corpus.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("n")))
+    topKFromScored(scored, k)
+  }
+
+  /** Embedding clustering as a first-class operator: distributed
+    * spherical k-means assignments (topic bucketing / domain mixing /
+    * semantic dedup blocking). Centroid state is KB-sized on the
+    * driver; every round is one map-only literal-argmax pass + one
+    * (cell, dim) hash aggregate over the corpus — the 100 TB shape
+    * (no per-pair work, no windows). Deterministic: seeded by the k
+    * lowest-id vectors, centroids rounded 1e-9 (ClusteringSpec pins
+    * repartition-invariance and that label purity beats the
+    * no-training seed assignment). */
+  def clusterAssignments(emb: DataFrame, k: Int = 8,
+                         iters: Int = 5): DataFrame = {
+    val cents = kmeansCentroids(emb, k, iters)
+    emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("cluster", assignCell(col("v"), cents))
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+  }
+
+  /** Product-quantization codebooks: the embedding dims split into `m`
+    * subspaces; a per-subspace codebook of `codes` centroids trained by
+    * the SAME distributed k-means (on the sliced sub-vectors). */
+  private[operators] def pqCodebooks(emb: DataFrame, m: Int, codes: Int,
+                                     iters: Int): Array[Array[Array[Double]]] = {
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    // EUCLIDEAN k-means for the codebooks: reconstruction error is what
+    // ADC accuracy depends on, and cosine assignment would discard the
+    // sub-vector magnitudes the reconstruction needs
+    (0 until m).map { s =>
+      kmeansCentroids(
+        emb.select(col("vec_id"),
+          slice(toDouble(col("embedding")), s * sub + 1, sub).as("embedding")),
+        codes, iters, euclidean = true)
+    }.toArray
+  }
+
+  /** Euclidean-nearest codebook entry for a sub-vector: argmax of
+    * (x·c − |c|²/2), ties → lowest code (map-only, literal codebook). */
+  private def pqAssign(v: Column, book: Array[Array[Double]]): Column = {
+    val scores = array(book.map { c =>
+      val half = c.map(x => x * x).sum / 2.0
+      aggregate(zip_with(v, typedLit(c.toSeq), (x, w) => x * w),
+        lit(0.0), (a, x) => a + x) - half
+    }: _*)
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+  }
+
+  /** PQ ANN with asymmetric distance computation (ADC): the corpus is
+    * stored as m small codes per vector (m·log₂(codes) bits — 64×
+    * smaller than float32 at m=4, codes=16 on 64 dims; at 100 TB the
+    * difference between an in-memory corpus and one that spills), and
+    * each query scores a candidate by summing its PRE-COMPUTED
+    * per-subspace dot tables at the candidate's codes — m array
+    * lookups per pair instead of a dim-length loop. Cosine comes from
+    * the ADC dot over the reconstruction norm (a code-indexed lookup
+    * too). Same broadcast-queries shape as [[bruteForceTopK]];
+    * ClusteringSpec pins recall@k against the float brute force.
+    * Defaults (m=8, codes=64 → 48 bits ≈ 42× smaller than float32 at
+    * 64 dims) are sized for near-isotropic embeddings (PQ's worst
+    * case) — structured embedding spaces can drop to m=4/codes=16. */
+  def pqTopK(emb: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 8, codes: Int = 64, iters: Int = 5): DataFrame = {
+    val books = pqCodebooks(emb, m, codes, iters)
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val sub = dim / m
+    // |codebook entry|² per (subspace, code): reconstruction norm lookup
+    val norm2 = books.map(_.map(c => c.map(x => x * x).sum).toSeq)
+
+    def subv(v: Column, s: Int) = slice(v, s * sub + 1, sub)
+    val corpus = (0 until m).foldLeft(
+      emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))) {
+      (df, s) => df.withColumn(s"c$s", pqAssign(subv(col("v"), s), books(s)))
+    }.withColumn("rn2",
+      (0 until m).map(s =>
+        element_at(typedLit(norm2(s)), col(s"c$s") + 1)).reduce(_ + _))
+      .drop("v")
+
+    // per-query dot tables: qt_s[j] = q_s · book_s[j], computed once per
+    // query (m·codes dots), broadcast with the query row
+    val q = (0 until m).foldLeft(
+      queries.select(col("vec_id").as("q_id"),
+        toDouble(col("embedding")).as("qv"))
+        .withColumn("qn", norm(col("qv")))) { (df, s) =>
+      df.withColumn(s"qt$s", array(books(s).map { c =>
+        aggregate(zip_with(subv(col("qv"), s), typedLit(c.toSeq),
+          (x, w) => x * w), lit(0.0), (a, x) => a + x)
+      }: _*))
+    }.drop("qv")
+
+    val adcDot = (0 until m).map(s =>
+      element_at(col(s"qt$s"), col(s"c$s") + 1)).reduce(_ + _)
+    val scored = corpus.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", adcDot / (col("qn") * sqrt(col("rn2"))))
     topKFromScored(scored, k)
   }
 

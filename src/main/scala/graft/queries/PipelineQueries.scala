@@ -385,6 +385,25 @@ object PipelineQueries {
         .orderBy("page_id")
     }),
 
+    // distributed k-means assignments (driver holds only KB of
+    // centroids; rounds are map-only argmax + one hash agg). rows-only:
+    // the iterated float averaging is not DuckDB-replayable bit-exactly
+    // (same reason as d13's k-means), ClusteringSpec pins determinism +
+    // purity instead
+    "d41_kmeans_cluster" -> ((s, dir) =>
+      Similarity.clusterAssignments(emb(s, dir), k = 8, iters = 5)
+        .orderBy("vec_id")),
+
+    // product-quantization ANN: corpus stored as m×log2(codes) BITS per
+    // vector, queries score via per-subspace table lookups (ADC).
+    // rows-only for the same k-means reason; PqAnnSpec pins recall@5
+    // against float brute force
+    "d42_pq_ann" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 10), k = 5)
+        .orderBy("q_id", "rank")
+    }),
+
     "d17_pii_scrub" -> ((s, dir) =>
       // the synthetic corpus carries no PII, so the query plants some
       // deterministically (an email + a numeric ref per doc) and the
