@@ -50,6 +50,25 @@ class AnsiRobustnessSpec extends AnyFunSuite {
     assert(TextOps.tfidfTopTerms(docs, col("text"), col("doc_id"), 3).count() > 0)
   }
 
+  test("bloom, poly-hash and PQ expressions run under ANSI in a foreign session") {
+    import org.apache.spark.sql.functions.{lit, xxhash64}
+    val docs = Tables.load(spark, dir, "documents")
+    // session-independent custom expressions (built via the Expression
+    // bridge, not the per-session registry) must analyze + run in a
+    // session that never called GraftFunctions.register
+    val bytes = docs.agg(graft.functions.BloomFilterAgg.column(
+      xxhash64(col("text")), lit(1000L), lit(0.01)).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    assert(docs.filter(!graft.functions.BloomContainsExpr.column(
+      xxhash64(col("text")), lit(bytes))).count() == 0)
+    assert(docs.select(graft.functions.PolyTokenHashExpr.column(col("text")))
+      .count() > 0)
+    assert(Dedup.dupSpans(docs, col("text"), col("doc_id")).count() > 0)
+    val emb = Tables.load(spark, dir, "embeddings")
+    assert(Similarity.pqTopK(emb, emb.filter(col("vec_id") < 3), 5,
+      m = 4, codes = 8, iters = 1).count() > 0)
+  }
+
   test("quality metrics on an empty/whitespace doc stay null, not an ANSI error") {
     import spark.implicits._
     val df = Seq((1L, ""), (2L, "   "), (3L, "one two")).toDF("doc_id", "text")
