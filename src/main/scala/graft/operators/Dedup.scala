@@ -235,6 +235,46 @@ object Dedup {
         .select(col("doc_id"), col("bloom_hit"), lit(false).as("is_dup")))
   }
 
+  /** Per-row polynomial minhash BAND hashes — map-only (array ops, no
+    * per-doc aggregate): the same permutations, mins, and base-131 band
+    * combine as [[polyMinhashPairs]]' aggregated path, so the two emit
+    * identical (band_idx, band_hash) sets (spec-pinned). The map-only
+    * form is what cross-corpus probes want: a signature at scan speed
+    * with ZERO corpus shuffle. Caller must ensure ≥ 3 tokens. */
+  def polyRowBands(text: Column, bands: Int = 4, rows: Int = 4): Column = {
+    val shs = polyShingleHashes(text)
+    val mins = polyCoefs.take(bands * rows).map { case (a, b) =>
+      array_min(transform(shs, h => pmod(h * a + b, lit(P)))) }
+    array((0 until bands).map { bi =>
+      val ms = (bi * rows until (bi + 1) * rows).map(mins)
+      struct(lit(bi).as("band_idx"),
+        ms.reduceLeft((acc, m) => pmod(acc * 131L + m, lit(P))).as("band_hash"))
+    }: _*)
+  }
+
+  /** Fuzzy benchmark decontamination: flag corpus docs that NEAR-
+    * duplicate any benchmark document (the minhash cousin of
+    * [[TextOps.contaminationCounts]]' exact n-gram overlap — catches
+    * paraphrased/trimmed eval leaks that exact 8-grams miss). Both
+    * sides get map-only [[polyRowBands]]; the benchmark side (tiny
+    * next to a 100 TB corpus) BROADCASTS, so the corpus pays one
+    * scan-speed pass and never shuffles before the join — the per-doc
+    * rollup afterwards only sees the matched subset. Exact integer
+    * hashing end-to-end → DuckDB-oracle-replayable. */
+  def crossNearDup(corpus: DataFrame, bench: DataFrame, text: Column,
+                   id: Column, benchText: Column, benchId: Column): DataFrame = {
+    val cb = corpus.filter(size(TextOps.tokens(text)) >= 3)
+      .select(id.as("doc_id"), explode(polyRowBands(text)).as("b"))
+      .select(col("doc_id"), col("b.band_idx"), col("b.band_hash"))
+    val bb = bench.filter(size(TextOps.tokens(benchText)) >= 3)
+      .select(benchId.as("bench_id"), explode(polyRowBands(benchText)).as("b"))
+      .select(col("bench_id"), col("b.band_idx"), col("b.band_hash"))
+    cb.join(broadcast(bb), Seq("band_idx", "band_hash"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("bench_id")).as("n_bench_hits"),
+        min(col("bench_id")).as("first_bench_id"))
+  }
+
   /** Polynomial rolling window hashes over token hashes: one hash per
     * k-token window, exact cross-engine integer arithmetic (same base
     * 131 mod 2³¹−1 chain as [[polyShingleHashes]], which is the k=3

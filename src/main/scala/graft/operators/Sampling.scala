@@ -36,6 +36,40 @@ object Sampling {
     pmod(pmod(low + high, lit(M32)), lit(BUCKETS))
   }
 
+  /** Token-budget domain mixing: given target mixture `weights` and a
+    * global `budgetTokens`, each domain gets a token target
+    * `budget·w/Σw` and a deterministic hash-sampled keep rate that hits
+    * it in expectation — the "rebalance CommonCrawl/code/wiki to the
+    * training mixture" step. The keep rule is the pure-integer
+    * comparison `bucket(id)·domain_tokens < target·10⁶` (no division —
+    * exact in both engines; intermediates stay in range for domains up
+    * to ~9·10¹² tokens, beyond which widen to DECIMAL). A domain whose
+    * target exceeds its actual tokens keeps everything — the rule
+    * degrades to `bucket < 10⁶`. Raising the budget strictly grows
+    * every domain's sample (nested, like [[stratified]]).
+    *
+    * Scale shape: one partial-agg shuffle for the per-domain token
+    * totals (rows = #domains — tiny), broadcast back, then a map-only
+    * filter at scan speed. Domains absent from `weights` get target 0
+    * and are dropped. */
+  def domainMix(docs: DataFrame, domain: Column, id: Column,
+                nTokens: Column, weights: Map[String, Long],
+                budgetTokens: Long): DataFrame = {
+    val wsum = weights.values.sum
+    val targets = weights.map { case (d, w) =>
+      d -> (BigInt(budgetTokens) * w / wsum).toLong }
+    val totals = docs.groupBy(domain.as("domain"))
+      .agg(sum(nTokens.cast("long")).as("_dom_tokens"))
+    val targetCol = targets.foldLeft(lit(0L)) { case (acc, (d, t)) =>
+      when(col("domain") === d, lit(t)).otherwise(acc) }
+    docs.select(id.as("doc_id"), domain.as("domain"),
+        nTokens.cast("long").as("n_tokens"))
+      .join(broadcast(totals.select(col("domain"), col("_dom_tokens"),
+        targetCol.as("_target"))), "domain")
+      .filter(bucket(col("doc_id")) * col("_dom_tokens") < col("_target") * BUCKETS)
+      .select(col("doc_id"), col("domain"), col("n_tokens"))
+  }
+
   /** Stratified sample: per-stratum keep fractions (stratum → rate);
     * rows of unlisted strata keep `default`. The per-row decision is
     * `bucket(id) < rate · 10⁶`, so enlarging a rate strictly grows the

@@ -263,6 +263,94 @@ object TextOps {
         rd(col("score"), 6).as("score"))
   }
 
+  /** DSIR-style importance weighting (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling"): score each corpus
+    * document by how much its hashed-bigram feature distribution looks
+    * like a TARGET seed set (wiki-quality text) versus the raw corpus.
+    * Features are polynomial bigram hashes folded into `buckets`
+    * buckets (the paper's hashed n-gram features); each bucket's weight
+    * is `floor((target_cnt+1)·10⁶ / (raw_cnt+1))` — add-one-smoothed
+    * linear ratio instead of the paper's log-ratio, the same
+    * exact-cross-engine trade as [[tfidfTopTerms]]' linear idf (both
+    * engines do ONE double multiply + divide + floor; ln() differs in
+    * the last ulp). A doc's weight is the integer SUM of its feature
+    * weights (order-independent under shuffle, where a float sum is
+    * not), plus the rounded average ratio for thresholding.
+    *
+    * Scale shape: both count tables are bounded by `buckets` rows (KB)
+    * no matter the corpus size, so the score join BROADCASTS; the
+    * corpus pays one map-only bigram explode and one per-doc agg
+    * shuffle. The target seed is typically tiny and re-scanned once.
+    * Docs with < 2 tokens have no features and produce no row. */
+  def importanceWeights(corpus: DataFrame, target: DataFrame,
+                        text: Column, id: Column,
+                        buckets: Int = 4096): DataFrame = {
+    val P = graft.functions.PolyHashUtil.P
+    def feats(c: Column): Column = {
+      val hs = Dedup.polyTokenHashes(c)
+      transform(sequence(lit(1), size(hs) - 1), i =>
+        pmod(pmod(element_at(hs, i) * 131L + element_at(hs, i + 1), lit(P)),
+          lit(buckets.toLong)))
+    }
+    def counted(df: DataFrame, as: String): DataFrame =
+      df.filter(size(tokens(text)) >= 2)
+        .select(explode(feats(text)).as("f"))
+        .groupBy("f").agg(count(lit(1)).as(as))
+    val scores = counted(corpus, "raw_cnt")
+      .join(counted(target, "tgt_cnt"), Seq("f"), "left")
+      .select(col("f"), floor(
+        (coalesce(col("tgt_cnt"), lit(0L)) + 1L).cast("double") * 1000000d
+          / (col("raw_cnt") + 1L)).as("f_score"))
+    corpus.filter(size(tokens(text)) >= 2)
+      .select(id.as("doc_id"), explode(feats(text)).as("f"))
+      .join(broadcast(scores), "f")
+      .groupBy("doc_id")
+      .agg(sum("f_score").as("weight"), count(lit(1)).as("n_feats"))
+      .select(col("doc_id"), col("weight"), col("n_feats"),
+        graft.functions.Round.rd(
+          col("weight").cast("double") / col("n_feats") / 1000000d, 6)
+          .as("avg_ratio"))
+  }
+
+  /** Token-balanced training-shard assignment: a deterministic global
+    * hash shuffle (order by [[Sampling.bucket]], then id) + an
+    * EXCLUSIVE global token prefix-sum → `shard_id = floor(start_pos /
+    * shardTokens)` — the "write the curated corpus as N equal-token
+    * shards in random order" step at the end of every data pipeline.
+    *
+    * The prefix sum is computed DISTRIBUTED, never as one global
+    * window (`Window.orderBy` with no partitionBy is a one-task wall —
+    * the round-1 deidentify lesson): rows are range-grouped into
+    * `groups` contiguous slices of the hash order, per-slice totals (a
+    * `groups`-row aggregate) are cumsummed on the driver-sized side and
+    * broadcast back as offsets, and each slice runs only its LOCAL
+    * window. Because `slice = floor(bucket·groups / 10⁶)` is monotone
+    * in the hash order, offset + local prefix == the global prefix sum,
+    * row for row. */
+  def assignShards(docs: DataFrame, id: Column, nTokens: Column,
+                   shardTokens: Long, groups: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = 1000000L
+    val base = docs.select(id.as("doc_id"), nTokens.cast("long").as("n_tokens"),
+        Sampling.bucket(id).as("_b"))
+      // b·groups < 10⁶·groups — exact in double, so floor is the true
+      // integer quotient
+      .withColumn("_g", floor(col("_b") * groups / lit(B.toDouble)))
+    val wg = Window.orderBy("_g").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("_g").agg(sum("n_tokens").as("_slice_tokens"))
+      // ≤ `groups` rows: the unpartitioned window here runs over a
+      // KB-sized aggregate, not the corpus
+      .withColumn("_offset", coalesce(sum("_slice_tokens").over(wg), lit(0L)))
+      .select("_g", "_offset")
+    val wl = Window.partitionBy("_g").orderBy(col("_b"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(offsets), "_g")
+      .withColumn("start_pos",
+        col("_offset") + coalesce(sum("n_tokens").over(wl), lit(0L)))
+      .withColumn("shard_id", floor(col("start_pos") / shardTokens))
+      .select(col("doc_id"), col("n_tokens"), col("start_pos"), col("shard_id"))
+  }
+
   /** PII scrubbing: emails first (their local part would otherwise leak
     * into the digit pass), then runs of 5+ digits (ids, phone-ish
     * numbers). Pattern subset chosen to mean the same thing in Java

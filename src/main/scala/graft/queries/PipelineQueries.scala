@@ -404,6 +404,48 @@ object PipelineQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // fuzzy (minhash) benchmark decontamination: the bench set is a
+    // perturbed copy of every 97th doc (last word dropped), so band
+    // collisions must flag the originals; corpus side is map-only
+    // signatures + a broadcast band join — zero corpus shuffle
+    "d46_fuzzy_decontam" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val toks = split(col("text"), "\\s+")
+      val bench = d.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 5000000L).as("bench_id"),
+          concat_ws(" ", slice(toks, lit(1),
+            greatest(size(toks) - 1, lit(1)))).as("snippet"))
+      Dedup.crossNearDup(d, bench, col("text"), col("doc_id"),
+        col("snippet"), col("bench_id"))
+        .orderBy("doc_id")
+    }),
+
+    // DSIR importance weighting: target seed = the English slice,
+    // raw = the whole corpus; hashed-bigram buckets, integer ratio
+    // scores. Fully oracle-replayed (poly hash chain = d24's)
+    "d43_dsir_weight" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextOps.importanceWeights(d, d.filter(col("lang") === "en"),
+        col("text"), col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    // token-budget domain mixing: rebalance languages to 3:1:1:1:1
+    // under a 10k-token budget — per-domain totals broadcast back,
+    // pure-integer keep rule, map-only filter
+    "d44_domain_mix" -> ((s, dir) =>
+      Sampling.domainMix(docs(s, dir), col("lang"), col("doc_id"),
+        size(TextOps.tokens(col("text"))), mixWeights, mixBudget)
+        .orderBy("doc_id")),
+
+    // token-balanced shard assignment: hash-ordered global exclusive
+    // prefix sum (computed distributed — range slices + offset join,
+    // no global window) → fixed-token shards
+    "d45_shard_assign" -> ((s, dir) =>
+      TextOps.assignShards(docs(s, dir), col("doc_id"),
+        size(TextOps.tokens(col("text"))), shardTokens = 4096L)
+        .orderBy("doc_id")),
+
     "d17_pii_scrub" -> ((s, dir) =>
       // the synthetic corpus carries no PII, so the query plants some
       // deterministically (an email + a numeric ref per doc) and the
@@ -417,11 +459,23 @@ object PipelineQueries {
         .orderBy("doc_id"))
   )
 
-  /** Shared WITH-clause chain computing the oracle-exact polynomial
-    * minhash candidate pairs (`cand`) — mirrors [[Dedup.polyMinhashPairs]]
-    * step for step from the SAME coefficient list ([[Dedup.polyCoefs]]).
-    * Used by the d24 (pairs) and d27 (Jaccard-verified) oracles. */
-  private lazy val polyPairCtes: String = {
+  /** d44's mixture parameters — one source of truth for the Spark query
+    * and the generated oracle SQL (the per-domain token targets are
+    * plain integers both sides inline). */
+  private val mixWeights = Map("en" -> 3L, "zh" -> 1L, "es" -> 1L,
+    "de" -> 1L, "fr" -> 1L)
+  private val mixBudget = 10000L
+  private lazy val mixTargets: Map[String, Long] = {
+    val ws = mixWeights.values.sum
+    mixWeights.map { case (d, w) => d -> (BigInt(mixBudget) * w / ws).toLong }
+  }
+
+  /** CTE chain `{p}t → {p}th → {p}sh → {p}sig → {p}bands` replaying the
+    * polynomial minhash banding over a `(idCol, text)` source — mirrors
+    * [[Dedup.polyMinhashPairs]] / [[Dedup.polyRowBands]] step for step
+    * from the SAME coefficient list ([[Dedup.polyCoefs]]). Shared by
+    * the d24/d27 pair oracles and the d46 cross-corpus oracle. */
+  private def polyBandCtes(p: String, src: String, idCol: String): String = {
     val P = 2147483647L
     val minExprs = Dedup.polyCoefs.zipWithIndex.map { case ((a, b), i) =>
       s"list_min(list_transform(shs, h -> ($a * h + $b) % $P)) AS m$i"
@@ -430,20 +484,25 @@ object PipelineQueries {
       (acc, r) => s"(($acc) * 131 + m${bi * 4 + r}) % $P"
     }
     val bandSelects = (0 until 4).map(bi =>
-      s"SELECT doc_id, $bi AS band_idx, ${band(bi)} AS band_hash FROM sig")
+      s"SELECT $idCol, $bi AS band_idx, ${band(bi)} AS band_hash FROM ${p}sig")
       .mkString(" UNION ALL ")
+    s"""${p}t AS (SELECT $idCol, string_split_regex(lower(text), '\\s+') AS toks FROM $src),
+       | ${p}th AS (SELECT $idCol, list_transform(toks, w -> list_reduce(list_prepend('0', string_split(w, '')), (acc, c) -> ((acc::BIGINT * 31 + ascii(c)) % $P)::VARCHAR)::BIGINT) AS hs FROM ${p}t WHERE len(toks) >= 3),
+       | ${p}sh AS (SELECT $idCol, list_distinct(list_transform(generate_series(1, len(hs) - 2), i -> (((hs[i] * 131 + hs[i+1]) % $P) * 131 + hs[i+2]) % $P)) AS shs FROM ${p}th),
+       | ${p}sig AS (SELECT $idCol, $minExprs FROM ${p}sh),
+       | ${p}bands AS ($bandSelects)""".stripMargin.replaceAll("\n", " ")
+  }
+
+  /** Shared WITH-clause chain computing the oracle-exact polynomial
+    * minhash candidate pairs (`cand`) over the perturbed corpus. */
+  private lazy val polyPairCtes: String =
     s"""pert AS (SELECT doc_id + 1000000 AS doc_id,
        |   array_to_string(list_slice(toks, 1, greatest(len(toks) - 1, 1)), ' ') AS text
        |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents WHERE doc_id % 10 = 0)),
        | corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM pert),
-       | t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM corpus),
-       | th AS (SELECT doc_id, list_transform(toks, w -> list_reduce(list_prepend('0', string_split(w, '')), (acc, c) -> ((acc::BIGINT * 31 + ascii(c)) % $P)::VARCHAR)::BIGINT) AS hs FROM t WHERE len(toks) >= 3),
-       | sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(hs) - 2), i -> (((hs[i] * 131 + hs[i+1]) % $P) * 131 + hs[i+2]) % $P)) AS shs FROM th),
-       | sig AS (SELECT doc_id, $minExprs FROM sh),
-       | bands AS ($bandSelects),
+       | ${polyBandCtes("", "corpus", "doc_id")},
        | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)""".stripMargin.replaceAll("\n", " ")
-  }
 
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" ->
@@ -651,6 +710,44 @@ object PipelineQueries {
         | SELECT t.doc_id, sum(cnt)::BIGINT AS total_freq, count(*)::BIGINT AS n_tokens,
         |  round(sum(cnt)::DOUBLE / count(*), 6) AS freq_score
         | FROM t JOIN v USING (token) GROUP BY t.doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "d46_fuzzy_decontam" ->
+      s"""WITH bench AS (SELECT doc_id + 5000000 AS bench_id,
+         |   array_to_string(list_slice(toks, 1, greatest(len(toks) - 1, 1)), ' ') AS text
+         |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents WHERE doc_id % 97 = 0)),
+         | ${polyBandCtes("c_", "documents", "doc_id")},
+         | ${polyBandCtes("b_", "bench", "bench_id")}
+         | SELECT c.doc_id, count(DISTINCT b.bench_id)::BIGINT AS n_bench_hits,
+         |  min(b.bench_id)::BIGINT AS first_bench_id
+         | FROM c_bands c JOIN b_bands b ON c.band_idx = b.band_idx AND c.band_hash = b.band_hash
+         | GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin.replaceAll("\n", " "),
+    "d43_dsir_weight" ->
+      """WITH t AS (SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        | th AS (SELECT doc_id, lang, list_transform(toks, w -> list_reduce(list_prepend('0', string_split(w, '')), (acc, c) -> ((acc::BIGINT * 31 + ascii(c)) % 2147483647)::VARCHAR)::BIGINT) AS hs FROM t WHERE len(toks) >= 2),
+        | f AS (SELECT doc_id, lang, unnest(list_transform(generate_series(1, len(hs) - 1), i -> (((hs[i] * 131 + hs[i+1]) % 2147483647) % 4096))) AS f FROM th),
+        | raw AS (SELECT f, count(*) AS raw_cnt FROM f GROUP BY f),
+        | tgt AS (SELECT f, count(*) AS tgt_cnt FROM f WHERE lang = 'en' GROUP BY f),
+        | sc AS (SELECT raw.f AS f, floor((COALESCE(tgt_cnt, 0) + 1)::DOUBLE * 1000000 / (raw_cnt + 1))::BIGINT AS f_score
+        |   FROM raw LEFT JOIN tgt ON raw.f = tgt.f)
+        | SELECT doc_id, sum(f_score)::BIGINT AS weight, count(*)::BIGINT AS n_feats,
+        |  round(sum(f_score)::DOUBLE / count(*) / 1000000, 6) AS avg_ratio
+        | FROM f JOIN sc USING (f) GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "d44_domain_mix" -> {
+      val cases = mixTargets.map { case (d, t) => s"WHEN '$d' THEN $t" }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, lang, len(string_split_regex(lower(text), '\\s+'))::BIGINT AS n_tokens FROM documents),
+         | dom AS (SELECT lang, sum(n_tokens)::BIGINT AS dom_tokens FROM t GROUP BY lang)
+         | SELECT doc_id, lang AS domain, n_tokens
+         | FROM t JOIN dom USING (lang)
+         | WHERE (((doc_id::HUGEINT * 2654435761) % 4294967296) % 1000000) * dom_tokens <
+         |  (CASE lang $cases ELSE 0 END)::HUGEINT * 1000000
+         | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    },
+    "d45_shard_assign" ->
+      """WITH t AS (SELECT doc_id, len(string_split_regex(lower(text), '\s+'))::BIGINT AS n_tokens,
+        |   (((doc_id::HUGEINT * 2654435761) % 4294967296) % 1000000)::BIGINT AS b FROM documents),
+        | p AS (SELECT doc_id, n_tokens,
+        |   COALESCE(sum(n_tokens) OVER (ORDER BY b, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_pos FROM t)
+        | SELECT doc_id, n_tokens, start_pos, (start_pos // 4096)::BIGINT AS shard_id
+        | FROM p ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "d17_pii_scrub" ->
       """SELECT doc_id, regexp_replace(regexp_replace(
         |   text || ' contact user' || doc_id::VARCHAR || '@example.com ref ' || (doc_id * 7919 + 1000000)::VARCHAR,

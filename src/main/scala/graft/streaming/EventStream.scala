@@ -102,6 +102,26 @@ object EventStream {
       .select(col("w.start").as("window_start"),
         col("approx_distinct"), col("n"))
 
+  /** Streaming heavy hitters — the streaming twin of d38: per tumbling
+    * window, a COUNT-MIN sketch of the event keys plus the window's
+    * total. Per-window state is ONE fixed-size sketch (mergeable
+    * across micro-batches and shuffle partials — partial CMS arrays
+    * add cell-wise), where an exact per-key count would hold every
+    * distinct key per open window; the watermark bounds the number of
+    * open windows. Consumers probe the emitted sketch for any key's
+    * estimate with the one-sided CMS guarantee
+    * (`exact ≤ est ≤ exact + eps·total`) — StreamingSpec replays the
+    * probe against exact batch counts. */
+  def cmsPerWindow(events: DataFrame, idCol: String = "user_id",
+                   eps: Double = 1e-3): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count_min_sketch(xxhash64(col(idCol)), lit(eps), lit(0.99),
+        lit(42)).as("cms"),
+        count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("cms"), col("n"))
+
   /** STREAM-STREAM interval join: correlate two live event streams on a
     * key within a ±`toleranceS` event-time band (clicks↔impressions,
     * job-start↔job-metric, order↔payment). This is the one join shape

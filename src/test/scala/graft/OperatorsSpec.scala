@@ -598,4 +598,86 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1L) == ((2L, 1L, "gamma")))
     assert(got(2L) == ((3L, 1L, "delta")))
   }
+
+  test("per-row poly bands emit the same candidates as the aggregated signature path") {
+    val bands = planted.filter(size(TextOps.tokens(col("text"))) >= 3)
+      .select(col("doc_id"), explode(Dedup.polyRowBands(col("text"))).as("b"))
+      .select(col("doc_id"), col("b.band_idx").as("bi"), col("b.band_hash").as("bh"))
+    val pairsRow = bands.as("a").join(bands.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairsAgg = Dedup.polyMinhashPairs(planted, col("text"), col("doc_id"))
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsRow == pairsAgg)
+  }
+
+  test("fuzzy decontamination flags docs whose perturbed copies sit in the bench set") {
+    val toks = split(col("text"), "\\s+")
+    val benchSrc = docs.filter(col("doc_id") % 7 === 0)
+    val bench = benchSrc.select((col("doc_id") + 5000000L).as("bench_id"),
+      concat_ws(" ", slice(toks, lit(1),
+        greatest(size(toks) - 1, lit(1)))).as("snippet"))
+    val flagged = Dedup.crossNearDup(docs, bench, col("text"), col("doc_id"),
+      col("snippet"), col("bench_id"))
+    val expected = benchSrc.count()
+    val hits = flagged.filter(col("doc_id") % 7 === 0).count()
+    assert(hits >= expected * 8 / 10, s"recall too low: $hits/$expected")
+    // docs NOT perturbed into the bench set mostly stay unflagged
+    val falsePos = flagged.filter(col("doc_id") % 7 =!= 0).count()
+    assert(falsePos <= docs.count() / 10, s"too many false flags: $falsePos")
+  }
+
+  test("importance weights favor the target slice and survive repartitioning") {
+    val d = docs.select(col("doc_id"), col("text"), col("lang"))
+    val tgt = d.filter(col("lang") === "en")
+    val w = TextOps.importanceWeights(d, tgt, col("text"), col("doc_id"))
+    val byLang = w.join(d.select("doc_id", "lang"), "doc_id")
+      .groupBy(col("lang") === "en").agg(avg(col("avg_ratio")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byLang(true) > byLang(false),
+      s"target-slice docs should outscore the rest: $byLang")
+    val w2 = TextOps.importanceWeights(d.repartition(13), tgt.repartition(7),
+      col("text"), col("doc_id"))
+    assert(w.except(w2).count() == 0 && w2.except(w).count() == 0)
+  }
+
+  test("domain mix: nested in budget, keep-all above saturation, weighted domains only") {
+    val nTok = size(TextOps.tokens(col("text")))
+    val weights = Map("en" -> 3L, "zh" -> 1L, "es" -> 1L, "de" -> 1L, "fr" -> 1L)
+    def mix(b: Long) =
+      Sampling.domainMix(docs, col("lang"), col("doc_id"), nTok, weights, b)
+    val small = mix(3000L); val big = mix(30000L)
+    assert(small.select("doc_id").except(big.select("doc_id")).count() == 0,
+      "raising the budget must strictly grow the sample")
+    assert(small.count() < docs.count())
+    // a budget past every domain's token mass keeps the whole corpus
+    assert(mix(100000000L).count() == docs.count())
+    // a domain without a weight gets target 0 → dropped entirely
+    val noEn = Sampling.domainMix(docs, col("lang"), col("doc_id"), nTok,
+      weights - "en", 3000L)
+    assert(noEn.filter(col("domain") === "en").count() == 0)
+  }
+
+  test("shard assignment equals the single-cursor reference; repartition-invariant") {
+    val nTok = size(TextOps.tokens(col("text")))
+    val got = TextOps.assignShards(docs, col("doc_id"), nTok,
+      shardTokens = 512L, groups = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    // reference: one sequential cursor over the hash order
+    val rows = docs.select(col("doc_id"), nTok.cast("long").as("n"),
+        Sampling.bucket(col("doc_id")).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._3, t._1))
+    var pos = 0L
+    val ref = rows.map { case (id, n, _) =>
+      val out = (id, pos, pos / 512L); pos += n; out }.toSet
+    assert(got == ref)
+    val got2 = TextOps.assignShards(docs.repartition(17), col("doc_id"), nTok,
+      shardTokens = 512L, groups = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(got2 == ref)
+  }
 }

@@ -179,6 +179,28 @@ class PlanQualitySpec extends AnyFunSuite {
       "span dedup must never go all-pairs")
   }
 
+  test("d46: bench bands broadcast; corpus-side signatures are map-only before the join") {
+    val p = plan("d46_fuzzy_decontam")
+    assert(p.contains("BroadcastHashJoin"), "bench band set must broadcast")
+    val corpusSide = p.substring(0, p.indexOf("BroadcastHashJoin"))
+    assert(!corpusSide.contains("Exchange hashpartitioning"),
+      "corpus rows must not shuffle before the band join")
+  }
+
+  test("d43/d44: bucket-bounded score table and domain totals join broadcast") {
+    assert(plan("d43_dsir_weight").contains("BroadcastHashJoin"),
+      "feature-score join must broadcast (score side is ≤ buckets rows)")
+    assert(plan("d44_domain_mix").contains("BroadcastHashJoin"),
+      "domain-totals join must broadcast (one row per domain)")
+  }
+
+  test("d45: the corpus-sized prefix-sum window is partitioned by slice") {
+    val p = plan("d45_shard_assign")
+    assert(p.contains("hashpartitioning(_g"),
+      "the per-row window must run partitioned by the hash-range slice " +
+        "(only the groups-row offset table may see a single partition)")
+  }
+
   test("salted join distributes a hot key across n buckets, same result") {
     import spark.implicits._
     val big = (1 to 1000).map(i => ("hot", i.toLong)).toDF("key", "payload")

@@ -72,6 +72,47 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming windowed CMS estimates bound batch-exact key counts per window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("ts"), col("user_id").cast("long").as("user_id"))
+    val rows = events.as[(java.sql.Timestamp, Long)].collect().toSeq
+
+    val stream = MemoryStream[(java.sql.Timestamp, Long)]
+    val sdf = stream.toDF().toDF("ts", "user_id")
+    val q = EventStream.cmsPerWindow(sdf).writeStream
+      .outputMode("append").format("memory").queryName("cms_out").start()
+    stream.addData(rows)
+    q.processAllAvailable()
+    stream.addData(Seq((java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), -1L)))
+    q.processAllAvailable()
+    q.stop()
+
+    val exact = events
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("window_start")
+      .agg(collect_list(struct(xxhash64(col("user_id")).as("h"),
+        col("n"))).as("keys"))
+    val sketched = spark.table("cms_out")
+      .filter(col("window_start") < "2030-01-01")
+      .join(exact, "window_start").collect()
+    assert(sketched.nonEmpty)
+    sketched.foreach { r =>
+      val cms = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(r.getAs[Array[Byte]]("cms"))
+      val total = r.getAs[Long]("n")
+      val bound = math.ceil(1e-3 * total).toLong
+      r.getAs[Seq[org.apache.spark.sql.Row]]("keys").foreach { k =>
+        val (h, n) = (k.getAs[Long]("h"), k.getAs[Long]("n"))
+        val est = cms.estimateCount(java.lang.Long.valueOf(h))
+        assert(est >= n && est <= n + bound,
+          s"CMS estimate $est outside [$n, ${n + bound}]")
+      }
+    }
+  }
+
   test("watermark drops data later than 30min behind the max event time") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -3,6 +3,7 @@
 set -e
 SF=${1:-/root/testdata/sf0.01}
 OUT=${2:-/tmp/verify_out}
+shift 2 2>/dev/null || true   # trailing args = selective query names
 sbt -batch compile -error
 CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
 exec java -Xmx8g \
@@ -19,4 +20,4 @@ exec java -Xmx8g \
   --add-opens=java.base/sun.nio.cs=ALL-UNNAMED \
   --add-opens=java.base/sun.security.action=ALL-UNNAMED \
   --add-opens=java.base/sun.util.calendar=ALL-UNNAMED \
-  -Dspark.ui.enabled=false -cp "$CP" graft.Verify "$SF" "$OUT"
+  -Dspark.ui.enabled=false -cp "$CP" graft.Verify "$SF" "$OUT" "$@"
