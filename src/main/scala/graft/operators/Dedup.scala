@@ -145,12 +145,10 @@ object Dedup {
   /** Permutation coefficients for the ORACLE-EXACT polynomial minhash
     * path ([[polyMinhashPairs]]): small `a` keeps a·h < 2^51 so checked
     * 64-bit arithmetic (DuckDB) and Java longs compute identical
-    * values. Shared by the Spark plan and the generated DuckDB oracle
-    * SQL — one source of truth. */
-  val polyCoefs: Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(7)
-    Seq.fill(16)((rnd.nextInt(999999).toLong + 1L, rnd.nextInt(1000000).toLong))
-  }
+    * values. Shared by the Spark plan, the fused native expression, and
+    * the generated DuckDB oracle SQL — one source of truth
+    * ([[graft.functions.PolyBandsUtil.coefs]]). */
+  val polyCoefs: Seq[(Long, Long)] = graft.functions.PolyBandsUtil.coefs
 
   /** Per-token polynomial hashes (the d23 fingerprint recurrence, per
     * token): exact integer arithmetic any engine can replay. Computed
@@ -235,20 +233,31 @@ object Dedup {
         .select(col("doc_id"), col("bloom_hit"), lit(false).as("is_dup")))
   }
 
-  /** Per-row polynomial minhash BAND hashes — map-only (array ops, no
-    * per-doc aggregate): the same permutations, mins, and base-131 band
-    * combine as [[polyMinhashPairs]]' aggregated path, so the two emit
+  /** Per-row polynomial minhash BAND hashes — map-only (no per-doc
+    * aggregate): the same permutations, mins, and base-131 band combine
+    * as [[polyMinhashPairs]]' aggregated path, so the two emit
     * identical (band_idx, band_hash) sets (spec-pinned). The map-only
     * form is what cross-corpus probes want: a signature at scan speed
-    * with ZERO corpus shuffle. Caller must ensure ≥ 3 tokens. */
-  def polyRowBands(text: Column, bands: Int = 4, rows: Int = 4): Column = {
+    * with ZERO corpus shuffle. Computed by the fused native
+    * [[graft.functions.PolyMinhashBandsExpr]] (one pass over the
+    * tokens); returns array<long> indexed by band — `posexplode` for
+    * (band_idx, band_hash). Null for docs with < 3 tokens. */
+  def polyRowBands(text: Column, bands: Int = 4, rows: Int = 4): Column =
+    graft.functions.PolyMinhashBandsExpr.column(text, bands, rows)
+
+  /** The composed-Column form of [[polyRowBands]] — kept ONLY as the
+    * semantic reference the spec pins the native expression against.
+    * Do not use on a corpus: the Column tree inlines the shingle
+    * pipeline once per permutation (16× the work — the round-1 minhash
+    * lesson all over again). */
+  private[graft] def polyRowBandsComposed(text: Column, bands: Int = 4,
+                                          rows: Int = 4): Column = {
     val shs = polyShingleHashes(text)
     val mins = polyCoefs.take(bands * rows).map { case (a, b) =>
       array_min(transform(shs, h => pmod(h * a + b, lit(P)))) }
     array((0 until bands).map { bi =>
       val ms = (bi * rows until (bi + 1) * rows).map(mins)
-      struct(lit(bi).as("band_idx"),
-        ms.reduceLeft((acc, m) => pmod(acc * 131L + m, lit(P))).as("band_hash"))
+      ms.reduceLeft((acc, m) => pmod(acc * 131L + m, lit(P)))
     }: _*)
   }
 
@@ -263,12 +272,10 @@ object Dedup {
     * hashing end-to-end → DuckDB-oracle-replayable. */
   def crossNearDup(corpus: DataFrame, bench: DataFrame, text: Column,
                    id: Column, benchText: Column, benchId: Column): DataFrame = {
-    val cb = corpus.filter(size(TextOps.tokens(text)) >= 3)
-      .select(id.as("doc_id"), explode(polyRowBands(text)).as("b"))
-      .select(col("doc_id"), col("b.band_idx"), col("b.band_hash"))
-    val bb = bench.filter(size(TextOps.tokens(benchText)) >= 3)
-      .select(benchId.as("bench_id"), explode(polyRowBands(benchText)).as("b"))
-      .select(col("bench_id"), col("b.band_idx"), col("b.band_hash"))
+    val cb = corpus.select(id.as("doc_id"),
+        posexplode(polyRowBands(text)).as(Seq("band_idx", "band_hash")))
+    val bb = bench.select(benchId.as("bench_id"),
+        posexplode(polyRowBands(benchText)).as(Seq("band_idx", "band_hash")))
     cb.join(broadcast(bb), Seq("band_idx", "band_hash"))
       .groupBy("doc_id")
       .agg(countDistinct(col("bench_id")).as("n_bench_hits"),

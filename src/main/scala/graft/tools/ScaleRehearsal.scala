@@ -96,6 +96,29 @@ object ScaleRehearsal {
     ratio("CMS heavy hitters",
       { Sketches.heavyHitters(base, col("text"), 20).count() },
       { Sketches.heavyHitters(big, col("text"), 20).count() })
+    val nTok = size(TextOps.tokens(col("text")))
+    ratio("DSIR importance weights",
+      TextOps.importanceWeights(base, base.filter(col("lang") === "en"),
+        col("text"), col("doc_id")).count(),
+      TextOps.importanceWeights(big, big.filter(col("lang") === "en"),
+        col("text"), col("doc_id")).count())
+    val mixW = Map("en" -> 3L, "zh" -> 1L, "es" -> 1L, "de" -> 1L, "fr" -> 1L)
+    ratio("domain mix sampling",
+      Sampling.domainMix(base, col("lang"), col("doc_id"), nTok, mixW, 10000L).count(),
+      Sampling.domainMix(big, col("lang"), col("doc_id"), nTok, mixW, 10000L).count())
+    ratio("shard assignment",
+      TextOps.assignShards(base, col("doc_id"), nTok, 4096L).count(),
+      TextOps.assignShards(big, col("doc_id"), nTok, 4096L).count())
+    // fixed bench set vs a growing corpus; under replication every
+    // replica of a bench doc band-collides, so the matched subset
+    // grows linearly — the join stays broadcast either way
+    val bench = base.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("bench_id"), col("text").as("snippet"))
+    ratio("fuzzy decontamination",
+      Dedup.crossNearDup(base, bench, col("text"), col("doc_id"),
+        col("snippet"), col("bench_id")).count(),
+      Dedup.crossNearDup(big, bench, col("text"), col("doc_id"),
+        col("snippet"), col("bench_id")).count())
     val q1 = embBase.filter(col("vec_id") < 50)
     ratio("brute-force ANN topk",
       Similarity.bruteForceTopK(embBase, q1, 5).count(),

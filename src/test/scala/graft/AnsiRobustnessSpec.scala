@@ -48,6 +48,15 @@ class AnsiRobustnessSpec extends AnyFunSuite {
     assert(Similarity.lshTopK(emb, emb.filter(col("vec_id") < 3), 5).count() > 0)
     assert(Multimodal.sampleFrames(Multimodal.withPayload(docs)).count() > 0)
     assert(TextOps.tfidfTopTerms(docs, col("text"), col("doc_id"), 3).count() > 0)
+    val nTok = size(TextOps.tokens(col("text")))
+    assert(TextOps.importanceWeights(docs, docs.filter(col("lang") === "en"),
+      col("text"), col("doc_id")).count() > 0)
+    assert(TextOps.assignShards(docs, col("doc_id"), nTok, 512L).count() > 0)
+    assert(Sampling.domainMix(docs, col("lang"), col("doc_id"), nTok,
+      Map("en" -> 1L), 1000L).count() >= 0)
+    assert(Dedup.crossNearDup(docs,
+      docs.limit(5).select(col("doc_id").as("bid"), col("text").as("bt")),
+      col("text"), col("doc_id"), col("bt"), col("bid")).count() > 0)
   }
 
   test("bloom, poly-hash and PQ expressions run under ANSI in a foreign session") {

@@ -599,10 +599,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2L) == ((3L, 1L, "delta")))
   }
 
+  test("native poly bands equal the composed-Column reference form") {
+    val both = planted.filter(size(TextOps.tokens(col("text"))) >= 3)
+      .select(Dedup.polyRowBands(col("text")).as("native"),
+        Dedup.polyRowBandsComposed(col("text")).as("composed"))
+    assert(both.filter(col("native") =!= col("composed")).count() == 0)
+  }
+
   test("per-row poly bands emit the same candidates as the aggregated signature path") {
-    val bands = planted.filter(size(TextOps.tokens(col("text"))) >= 3)
-      .select(col("doc_id"), explode(Dedup.polyRowBands(col("text"))).as("b"))
-      .select(col("doc_id"), col("b.band_idx").as("bi"), col("b.band_hash").as("bh"))
+    val bands = planted
+      .select(col("doc_id"),
+        posexplode(Dedup.polyRowBands(col("text"))).as(Seq("bi", "bh")))
     val pairsRow = bands.as("a").join(bands.as("b"),
         col("a.bi") === col("b.bi") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
