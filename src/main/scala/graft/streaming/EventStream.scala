@@ -61,6 +61,30 @@ object EventStream {
       .select(col("doc_id"), col("corpus_doc_id"))
   }
 
+  /** Streaming fuzzy decontamination — d46's streaming twin: each
+    * incoming document gets its fused one-pass minhash band signature
+    * ([[graft.operators.Dedup.polyRowBands]], a map-only native
+    * expression, so it runs on a stream unchanged) and stream-static
+    * joins against the PRE-BANDED benchmark set. The bench side is a
+    * static DataFrame (tiny → broadcast); no stream state beyond the
+    * micro-batch — the "block eval-set leaks at ingest time" shape.
+    * Output: (doc_id, bench_id) band matches, per-band multiplicity
+    * retained (aggregation on a stream would need a watermark). */
+  def decontaminate(stream: DataFrame, bench: DataFrame,
+                    text: org.apache.spark.sql.Column,
+                    id: org.apache.spark.sql.Column,
+                    benchText: org.apache.spark.sql.Column,
+                    benchId: org.apache.spark.sql.Column): DataFrame = {
+    import graft.operators.Dedup
+    val benchBands = bench.select(benchId.as("bench_id"),
+      posexplode(Dedup.polyRowBands(benchText)).as(Seq("band_idx", "band_hash")))
+    stream
+      .select(id.as("doc_id"),
+        posexplode(Dedup.polyRowBands(text)).as(Seq("band_idx", "band_hash")))
+      .join(broadcast(benchBands), Seq("band_idx", "band_hash"))
+      .select(col("doc_id"), col("bench_id"))
+  }
+
   /** Streaming twin of q19's interval join: tag each incoming event
     * with the static intervals containing it. The binned shape matters
     * MORE on a stream — `RangeJoin.binned` gives a stateless

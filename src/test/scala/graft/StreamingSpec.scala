@@ -286,6 +286,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(!out.exists(_._1 == 1000002L), "novel doc must not be flagged")
   }
 
+  test("streaming decontamination flags the stream docs that near-match the bench set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 50).cache()
+    // bench = near copies (last word dropped) of docs 0 and 7
+    val bench = docs.filter(col("doc_id").isin(0L, 7L))
+      .select((col("doc_id") + 9000L).as("bench_id"),
+        concat_ws(" ", slice(split(col("text"), "\\s+"), lit(1),
+          greatest(size(split(col("text"), "\\s+")) - 1, lit(1)))).as("snippet"))
+      .cache()
+    val rows = docs.as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    val sdf = stream.toDF().toDF("doc_id", "text")
+    val q = EventStream.decontaminate(sdf, bench, col("text"), col("doc_id"),
+        col("snippet"), col("bench_id"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("decontam_out").start()
+    stream.addData(rows)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("decontam_out").select("doc_id", "bench_id")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical math to the batch operator — the flagged sets must match
+    val want = graft.operators.Dedup.crossNearDup(docs, bench, col("text"),
+        col("doc_id"), col("snippet"), col("bench_id"))
+      .select(col("doc_id"), col("first_bench_id")).collect()
+      .map(r => r.getLong(0)).toSet
+    assert(got.map(_._1) == want)
+    assert(got.exists { case (d, b) => d == 0L && b == 9000L })
+  }
+
   test("streaming slurm ingest: drop-dir files flow through the batch parser exactly once") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import graft.slurm.SacctSource
