@@ -351,6 +351,37 @@ object TextOps {
       .select(col("doc_id"), col("n_tokens"), col("start_pos"), col("shard_id"))
   }
 
+  /** Canonical text normalization — the first stage of every curation
+    * pipeline: lowercase, control characters → space, whitespace runs
+    * collapsed, ends trimmed. Regex subset chosen to mean the same
+    * thing in Java regex and RE2 (explicit `[\x00-\x1f\x7f]`, not
+    * `\p{Cntrl}`). Map-only, codegen'd — scan speed at any size. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[\\x00-\\x1f\\x7f]", " "), "\\s+", " "))
+
+  /** Corpus report card: per group (source, language, shard …) — doc
+    * and token counts, exact-duplicate fraction, aggregate type-token
+    * ratio. ONE hash-aggregate pass (countDistinct adds Spark's
+    * standard two-phase expand); all sums are integers so the result
+    * is order-independent under shuffle, with two final rounded
+    * divisions. The per-group cardinality is what a 100 TB curation
+    * run prints after every stage. */
+  def corpusReport(docs: DataFrame, text: Column, group: Column): DataFrame = {
+    import graft.functions.Round.rd
+    val toks = tokens(text)
+    docs.groupBy(group.as("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(toks)).as("n_tokens"),
+        countDistinct(md5(text)).as("n_unique"),
+        sum(size(array_distinct(toks))).as("n_distinct_tokens"))
+      .select(col("grp"), col("n_docs"), col("n_tokens"), col("n_unique"),
+        rd(lit(1d) - col("n_unique").cast("double") / col("n_docs"), 6)
+          .as("dup_frac"),
+        rd(col("n_distinct_tokens").cast("double") / col("n_tokens"), 6)
+          .as("ttr"))
+  }
+
   /** PII scrubbing: emails first (their local part would otherwise leak
     * into the digit pass), then runs of 5+ digits (ids, phone-ish
     * numbers). Pattern subset chosen to mean the same thing in Java

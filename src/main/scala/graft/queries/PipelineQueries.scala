@@ -404,6 +404,23 @@ object PipelineQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // text normalization: the clean synthetic corpus gets deterministic
+    // mess planted (leading spaces, uppercased head, tab/newline tail)
+    // in BOTH engines, so the hash match proves the normalizer
+    "d47_normalize" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextOps.normalizeText(concat(lit("  "),
+          upper(col("text").substr(lit(1), lit(10))),
+          col("text").substr(lit(11), length(col("text"))),
+          lit("\tEND\n"))).as("norm"))
+        .orderBy("doc_id")),
+
+    // corpus report card: per-source doc/token counts, exact-dup
+    // fraction, aggregate type-token ratio — one hash-agg pass
+    "d48_corpus_report" -> ((s, dir) =>
+      TextOps.corpusReport(docs(s, dir), col("text"), col("source"))
+        .orderBy("grp")),
+
     // fuzzy (minhash) benchmark decontamination: the bench set is a
     // perturbed copy of every 97th doc (last word dropped), so band
     // collisions must flag the originals; corpus side is map-only
@@ -710,6 +727,18 @@ object PipelineQueries {
         | SELECT t.doc_id, sum(cnt)::BIGINT AS total_freq, count(*)::BIGINT AS n_tokens,
         |  round(sum(cnt)::DOUBLE / count(*), 6) AS freq_score
         | FROM t JOIN v USING (token) GROUP BY t.doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "d47_normalize" ->
+      """SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |   lower('  ' || upper(text[1:10]) || text[11:] || chr(9) || 'END' || chr(10)),
+        |   '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "d48_corpus_report" ->
+      """WITH t AS (SELECT source, string_split_regex(lower(text), '\s+') AS toks, md5(text) AS h FROM documents)
+        | SELECT source AS grp, count(*)::BIGINT AS n_docs, sum(len(toks))::BIGINT AS n_tokens,
+        |  count(DISTINCT h)::BIGINT AS n_unique,
+        |  round(1 - count(DISTINCT h)::DOUBLE / count(*), 6) AS dup_frac,
+        |  round(sum(len(list_distinct(toks)))::DOUBLE / sum(len(toks)), 6) AS ttr
+        | FROM t GROUP BY source ORDER BY grp""".stripMargin.replaceAll("\n", " "),
     "d46_fuzzy_decontam" ->
       s"""WITH bench AS (SELECT doc_id + 5000000 AS bench_id,
          |   array_to_string(list_slice(toks, 1, greatest(len(toks) - 1, 1)), ' ') AS text

@@ -599,6 +599,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2L) == ((3L, 1L, "delta")))
   }
 
+  test("normalizeText canonicalizes case, control chars, and whitespace runs") {
+    val got = Seq("  Hello\t World\r\n  x ", "a  b", "")
+      .toDF("t").select(TextOps.normalizeText(col("t"))).as[String].collect()
+    assert(got.toSeq == Seq("hello world x", "a b", ""))
+  }
+
+  test("corpus report card: exact counts on a corpus with planted duplicates") {
+    val d = Seq((1L, "s1", "a b a"), (2L, "s1", "a b a"), (3L, "s1", "c d"),
+      (4L, "s2", "e f g")).toDF("doc_id", "source", "text")
+    val r = TextOps.corpusReport(d, col("text"), col("source"))
+      .orderBy("grp").collect()
+    assert(r(0).getLong(1) == 3 && r(0).getLong(3) == 2) // s1: 3 docs, 2 unique
+    assert(r(0).getLong(2) == 8)                          // 3+3+2 tokens
+    assert(math.abs(r(0).getDouble(4) - (1.0 - 2.0 / 3)) < 1e-6)
+    assert(r(1).getLong(1) == 1 && r(1).getDouble(4) == 0.0)
+  }
+
   test("native poly bands equal the composed-Column reference form") {
     val both = planted.filter(size(TextOps.tokens(col("text"))) >= 3)
       .select(Dedup.polyRowBands(col("text")).as("native"),
