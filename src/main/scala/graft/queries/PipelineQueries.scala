@@ -404,6 +404,23 @@ object PipelineQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // curation pipeline v2 — the session's operators composed into ONE
+    // lazy plan: normalize → global exact dedup (first-occurrence
+    // window) → token-budget domain mix → token-balanced shard
+    // assignment; every stage oracle-replayed end-to-end
+    "d49_curation_v2" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val norm = docs(s, dir).select(col("doc_id"), col("lang"),
+        TextOps.normalizeText(col("text")).as("ntext"))
+      val surv = norm.withColumn("_rk", row_number().over(
+          Window.partitionBy(md5(col("ntext"))).orderBy(col("doc_id"))))
+        .filter(col("_rk") === 1)
+      val mixed = Sampling.domainMix(surv, col("lang"), col("doc_id"),
+        size(TextOps.tokens(col("ntext"))), mixWeights, mixBudget)
+      TextOps.assignShards(mixed, col("doc_id"), col("n_tokens"), 2048L)
+        .orderBy("doc_id")
+    }),
+
     // text normalization: the clean synthetic corpus gets deterministic
     // mess planted (leading spaces, uppercased head, tab/newline tail)
     // in BOTH engines, so the hash match proves the normalizer
@@ -727,6 +744,24 @@ object PipelineQueries {
         | SELECT t.doc_id, sum(cnt)::BIGINT AS total_freq, count(*)::BIGINT AS n_tokens,
         |  round(sum(cnt)::DOUBLE / count(*), 6) AS freq_score
         | FROM t JOIN v USING (token) GROUP BY t.doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "d49_curation_v2" -> {
+      val cases = mixTargets.map { case (d, t) => s"WHEN '$d' THEN $t" }.mkString(" ")
+      s"""WITH n AS (SELECT doc_id, lang, trim(regexp_replace(regexp_replace(lower(text),
+         |   '[\\x00-\\x1f\\x7f]', ' ', 'g'), '\\s+', ' ', 'g')) AS ntext FROM documents),
+         | k AS (SELECT doc_id, lang, ntext,
+         |   row_number() OVER (PARTITION BY md5(ntext) ORDER BY doc_id) AS rk FROM n),
+         | s AS (SELECT doc_id, lang, len(string_split_regex(ntext, '\\s+'))::BIGINT AS n_tokens
+         |   FROM k WHERE rk = 1),
+         | dom AS (SELECT lang, sum(n_tokens)::BIGINT AS dom_tokens FROM s GROUP BY lang),
+         | m AS (SELECT doc_id, n_tokens FROM s JOIN dom USING (lang)
+         |   WHERE (((doc_id::HUGEINT * 2654435761) % 4294967296) % 1000000) * dom_tokens <
+         |    (CASE lang $cases ELSE 0 END)::HUGEINT * 1000000),
+         | p AS (SELECT doc_id, n_tokens,
+         |   COALESCE(sum(n_tokens) OVER (ORDER BY ((doc_id::HUGEINT * 2654435761) % 4294967296) % 1000000, doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_pos FROM m)
+         | SELECT doc_id, n_tokens, start_pos, (start_pos // 2048)::BIGINT AS shard_id
+         | FROM p ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    },
     "d47_normalize" ->
       """SELECT doc_id, trim(regexp_replace(regexp_replace(
         |   lower('  ' || upper(text[1:10]) || text[11:] || chr(9) || 'END' || chr(10)),

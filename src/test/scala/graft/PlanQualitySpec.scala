@@ -194,6 +194,13 @@ class PlanQualitySpec extends AnyFunSuite {
       "domain-totals join must broadcast (one row per domain)")
   }
 
+  test("d49: composed pipeline keeps the broadcast mix join and the sliced shard window") {
+    val p = plan("d49_curation_v2")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("hashpartitioning(_g"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("d45: the corpus-sized prefix-sum window is partitioned by slice") {
     val p = plan("d45_shard_assign")
     assert(p.contains("hashpartitioning(_g"),
