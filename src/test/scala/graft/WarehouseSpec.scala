@@ -120,6 +120,30 @@ class WarehouseSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS slurm_bucketed_spec")
   }
 
+  test("corpus store: doc-key joins run exchange-free, language filters prune partitions") {
+    import graft.sources.CorpusStore
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    CorpusStore.writeBucketed(docs, "corpus_bucketed_spec", nBuckets = 8)
+    try {
+      val t = spark.table("corpus_bucketed_spec")
+      // joining doc-keyed derivatives (scores, verdicts, shard ids)
+      // back onto the corpus: both sides share the bucket distribution
+      val scored = t.select(col("doc_id"), col("n_chars"))
+      val joined = t.join(scored.withColumnRenamed("n_chars", "s"), "doc_id")
+      val jp = joined.queryExecution.executedPlan.toString
+      assert(!jp.contains("Exchange hashpartitioning"), jp.linesIterator
+        .filter(_.contains("Exchange")).mkString("\n"))
+      assert(joined.count() == t.count())
+      // a per-language slice reads only its partition directories
+      val en = t.filter(col("lang") === "en")
+      val ep = en.queryExecution.executedPlan.toString
+      assert(ep.contains("PartitionFilters") && ep.contains("lang"),
+        ep.linesIterator.filter(_.contains("Partition")).mkString("\n"))
+      assert(en.count() > 0 && en.count() < t.count())
+    } finally spark.sql("DROP TABLE IF EXISTS corpus_bucketed_spec")
+  }
+
   test("history collection commits per batch and resumes after a crash") {
     import graft.slurm.HistoryCollector
     val dir = Files.createTempDirectory("graft_wh5").toString
