@@ -38,6 +38,12 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "poly_token_hashes",
       exprs => graft.functions.PolyTokenHashExpr(exprs.head), "built-in")
+    // fused minhash banding with the standard 4×4 configuration —
+    // `posexplode(poly_minhash_bands(text))` gives (band_idx, band_hash)
+    reg.createOrReplaceTempFunction(
+      "poly_minhash_bands",
+      exprs => graft.functions.PolyMinhashBandsExpr(exprs.head, 4, 4),
+      "built-in")
   }
 
   /** Idempotent per-session registration for the `.column` helpers:

@@ -51,4 +51,17 @@ class PolyTokenHashSpec extends AnyFunSuite {
       Seq(1L).toDF("n").select(PolyTokenHashExpr.column(col("n"))).collect()
     }
   }
+
+  test("SQL surface: poly_minhash_bands matches the Column API") {
+    GraftFunctions.register(spark)
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    docs.createOrReplaceTempView("pmb_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, poly_minhash_bands(text) AS b FROM pmb_docs")
+    val viaCol = docs.select(col("doc_id"),
+      graft.operators.Dedup.polyRowBands(col("text")).as("b"))
+    assert(viaSql.exceptAll(viaCol).count() == 0 &&
+      viaCol.exceptAll(viaSql).count() == 0)
+    spark.sql("DROP VIEW pmb_docs")
+  }
 }
