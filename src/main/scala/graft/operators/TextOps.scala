@@ -285,24 +285,55 @@ object TextOps {
   def importanceWeights(corpus: DataFrame, target: DataFrame,
                         text: Column, id: Column,
                         buckets: Int = 4096): DataFrame = {
-    val P = graft.functions.PolyHashUtil.P
-    def feats(c: Column): Column = {
-      val hs = Dedup.polyTokenHashes(c)
-      transform(sequence(lit(1), size(hs) - 1), i =>
-        pmod(pmod(element_at(hs, i) * 131L + element_at(hs, i + 1), lit(P)),
-          lit(buckets.toLong)))
-    }
     def counted(df: DataFrame, as: String): DataFrame =
       df.filter(size(tokens(text)) >= 2)
-        .select(explode(feats(text)).as("f"))
+        .select(explode(bigramFeats(text, buckets)).as("f"))
         .groupBy("f").agg(count(lit(1)).as(as))
     val scores = counted(corpus, "raw_cnt")
       .join(counted(target, "tgt_cnt"), Seq("f"), "left")
-      .select(col("f"), floor(
-        (coalesce(col("tgt_cnt"), lit(0L)) + 1L).cast("double") * 1000000d
-          / (col("raw_cnt") + 1L)).as("f_score"))
+      .select(col("f"), featScore(
+        coalesce(col("tgt_cnt"), lit(0L)), col("raw_cnt")))
+    weightRollup(corpus, text, id, buckets, scores)
+  }
+
+  /** [[importanceWeights]] for the common case where the target is a
+    * SLICE of the corpus (lang = 'en', source = 'wiki' — the standard
+    * DSIR setup): one conditional aggregate computes the target and
+    * raw bucket counts in the SAME feature pass, saving a full corpus
+    * scan versus the two-DataFrame form. Identical output (spec-pinned
+    * and oracle-shared). */
+  def importanceWeightsBy(corpus: DataFrame, isTarget: Column,
+                          text: Column, id: Column,
+                          buckets: Int = 4096): DataFrame = {
+    val scores = corpus.filter(size(tokens(text)) >= 2)
+      .select(isTarget.as("_t"), explode(bigramFeats(text, buckets)).as("f"))
+      .groupBy("f").agg(count(lit(1)).as("raw_cnt"),
+        sum(when(col("_t"), 1L).otherwise(0L)).as("tgt_cnt"))
+      .select(col("f"), featScore(col("tgt_cnt"), col("raw_cnt")))
+    weightRollup(corpus, text, id, buckets, scores)
+  }
+
+  /** Hashed-bigram feature buckets (polynomial bigram hash mod
+    * `buckets`) — the DSIR feature space. */
+  private def bigramFeats(text: Column, buckets: Int): Column = {
+    val P = graft.functions.PolyHashUtil.P
+    val hs = Dedup.polyTokenHashes(text)
+    transform(sequence(lit(1), size(hs) - 1), i =>
+      pmod(pmod(element_at(hs, i) * 131L + element_at(hs, i + 1), lit(P)),
+        lit(buckets.toLong)))
+  }
+
+  /** Add-one-smoothed linear target/raw ratio, scaled ×10⁶ and floored
+    * (one double multiply + divide — same IEEE result both engines). */
+  private def featScore(tgt: Column, raw: Column): Column =
+    floor((tgt + 1L).cast("double") * 1000000d / (raw + 1L)).as("f_score")
+
+  /** Per-doc rollup shared by both weighting forms: integer score sum
+    * (shuffle-order independent) + rounded average ratio. */
+  private def weightRollup(corpus: DataFrame, text: Column, id: Column,
+                           buckets: Int, scores: DataFrame): DataFrame =
     corpus.filter(size(tokens(text)) >= 2)
-      .select(id.as("doc_id"), explode(feats(text)).as("f"))
+      .select(id.as("doc_id"), explode(bigramFeats(text, buckets)).as("f"))
       .join(broadcast(scores), "f")
       .groupBy("doc_id")
       .agg(sum("f_score").as("weight"), count(lit(1)).as("n_feats"))
@@ -310,7 +341,6 @@ object TextOps {
         graft.functions.Round.rd(
           col("weight").cast("double") / col("n_feats") / 1000000d, 6)
           .as("avg_ratio"))
-  }
 
   /** Token-balanced training-shard assignment: a deterministic global
     * hash shuffle (order by [[Sampling.bucket]], then id) + an

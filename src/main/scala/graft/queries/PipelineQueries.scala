@@ -456,13 +456,13 @@ object PipelineQueries {
 
     // DSIR importance weighting: target seed = the English slice,
     // raw = the whole corpus; hashed-bigram buckets, integer ratio
-    // scores. Fully oracle-replayed (poly hash chain = d24's)
-    "d43_dsir_weight" -> ((s, dir) => {
-      val d = docs(s, dir)
-      TextOps.importanceWeights(d, d.filter(col("lang") === "en"),
+    // scores. Fully oracle-replayed (poly hash chain = d24's). Uses
+    // the single-pass slice form — one conditional aggregate builds
+    // both count tables (spec pins it equal to the two-corpus form)
+    "d43_dsir_weight" -> ((s, dir) =>
+      TextOps.importanceWeightsBy(docs(s, dir), col("lang") === "en",
         col("text"), col("doc_id"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // token-budget domain mixing: rebalance languages to 3:1:1:1:1
     // under a 10k-token budget — per-domain totals broadcast back,

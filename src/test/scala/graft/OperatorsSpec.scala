@@ -666,6 +666,10 @@ class OperatorsSpec extends AnyFunSuite {
     val w2 = TextOps.importanceWeights(d.repartition(13), tgt.repartition(7),
       col("text"), col("doc_id"))
     assert(w.except(w2).count() == 0 && w2.except(w).count() == 0)
+    // the single-pass slice form is the same function, one scan cheaper
+    val w3 = TextOps.importanceWeightsBy(d, col("lang") === "en",
+      col("text"), col("doc_id"))
+    assert(w.except(w3).count() == 0 && w3.except(w).count() == 0)
   }
 
   test("domain mix: nested in budget, keep-all above saturation, weighted domains only") {
