@@ -70,6 +70,23 @@ object Sampling {
       .select(col("doc_id"), col("domain"), col("n_tokens"))
   }
 
+  /** Deterministic fixed-SIZE per-group sample ("hash reservoir"): the
+    * k rows with the smallest id-hash per group. Rate-based sampling
+    * ([[stratified]]) can't guarantee output size; this yields exactly
+    * min(k, |group|) rows per group regardless of skew — eval-set
+    * carving, per-domain spot-check samples. Nested in k (the k=5
+    * sample ⊂ the k=10 sample) and reproducible across runs and
+    * partitionings. Cost: ONE window shuffle on the group key; groups
+    * are many (languages, sources), so no single-reducer wall — and
+    * WindowExec only buffers until rank k is passed per group. */
+  def hashReservoir(df: DataFrame, group: Column, id: Column,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(group).orderBy(bucket(id), id)
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k).drop("_rk")
+  }
+
   /** Stratified sample: per-stratum keep fractions (stratum → rate);
     * rows of unlisted strata keep `default`. The per-row decision is
     * `bucket(id) < rate · 10⁶`, so enlarging a rate strictly grows the

@@ -404,6 +404,13 @@ object PipelineQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // fixed-size per-language sample: exactly min(20, |lang|) docs per
+    // language by smallest id-hash — deterministic eval-set carving
+    "d50_reservoir_sample" -> ((s, dir) =>
+      Sampling.hashReservoir(docs(s, dir), col("lang"), col("doc_id"), k = 20)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+
     // curation pipeline v2 — the session's operators composed into ONE
     // lazy plan: normalize → global exact dedup (first-occurrence
     // window) → token-budget domain mix → token-balanced shard
@@ -744,6 +751,12 @@ object PipelineQueries {
         | SELECT t.doc_id, sum(cnt)::BIGINT AS total_freq, count(*)::BIGINT AS n_tokens,
         |  round(sum(cnt)::DOUBLE / count(*), 6) AS freq_score
         | FROM t JOIN v USING (token) GROUP BY t.doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "d50_reservoir_sample" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |   row_number() OVER (PARTITION BY lang
+        |     ORDER BY ((doc_id::HUGEINT * 2654435761) % 4294967296) % 1000000, doc_id) AS rk
+        |  FROM documents)
+        | SELECT doc_id, lang FROM t WHERE rk <= 20 ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "d49_curation_v2" -> {
       val cases = mixTargets.map { case (d, t) => s"WHEN '$d' THEN $t" }.mkString(" ")
       s"""WITH n AS (SELECT doc_id, lang, trim(regexp_replace(regexp_replace(lower(text),

@@ -689,6 +689,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(noEn.filter(col("domain") === "en").count() == 0)
   }
 
+  test("hash reservoir: exact per-group size, nested in k, repartition-invariant") {
+    val d = docs.select(col("doc_id"), col("lang"))
+    val k5 = Sampling.hashReservoir(d, col("lang"), col("doc_id"), 5)
+    val k10 = Sampling.hashReservoir(d, col("lang"), col("doc_id"), 10)
+    val sizes = k5.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val avail = d.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    avail.foreach { case (l, n) => assert(sizes(l) == math.min(5L, n)) }
+    assert(k5.except(k10).count() == 0, "k=5 sample must nest inside k=10")
+    val k5b = Sampling.hashReservoir(d.repartition(13), col("lang"),
+      col("doc_id"), 5)
+    assert(k5.except(k5b).count() == 0 && k5b.except(k5).count() == 0)
+  }
+
   test("shard assignment equals the single-cursor reference; repartition-invariant") {
     val nTok = size(TextOps.tokens(col("text")))
     val got = TextOps.assignShards(docs, col("doc_id"), nTok,
