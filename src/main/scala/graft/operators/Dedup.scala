@@ -16,13 +16,27 @@ object Dedup {
     docs.groupBy(md5(text).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min(id).as("keeper_id"))
 
+  /** Consecutive k-grams of an array as strings, built by zipping k
+    * shifted slices. The shape matters: a `transform(sequence(...),
+    * i => f(element_at(arr, i)))` lambda re-evaluates `arr` on EVERY
+    * element (higher-order-function children are not cached across
+    * lambda invocations), turning an O(n) n-gram pass into O(n²) in
+    * document length — invisible on short test docs, a wall on
+    * 10k-token documents. `zip_with` evaluates its array arguments
+    * once per ROW, so `arr` is computed 2(k−1) times total. */
+  private[graft] def zipNgrams(arr: Column, k: Int,
+                               join: (Column, Column) => Column): Column = {
+    val m = size(arr) - (k - 1)
+    (2 to k).foldLeft(slice(arr, lit(1), m)) { (acc, j) =>
+      zip_with(acc, slice(arr, lit(j), m), join) }
+  }
+
   /** Distinct 3-token shingles of a document. */
   def shingles(text: Column, k: Int = 3): Column = {
     val toks = TextOps.tokens(text)
     val n = size(toks)
     when(n >= k,
-      array_distinct(transform(sequence(lit(0), n - k),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
+      array_distinct(zipNgrams(toks, k, (a, b) => concat(a, lit(" "), b))))
       .otherwise(array(concat_ws(" ", toks)))
   }
 
@@ -160,12 +174,13 @@ object Dedup {
     graft.functions.PolyTokenHashExpr.column(text)
 
   /** Distinct polynomial 3-shingle hashes: consecutive token hashes
-    * combined with base 131 mod P. Caller must ensure ≥ 3 tokens. */
+    * combined with base 131 mod P (zip-sliced — see [[zipNgrams]] for
+    * why the element_at form would be O(n²)). Caller must ensure ≥ 3
+    * tokens. */
   def polyShingleHashes(text: Column): Column = {
     val hs = polyTokenHashes(text)
-    array_distinct(transform(sequence(lit(1), size(hs) - 2), i =>
-      pmod(pmod(element_at(hs, i) * 131L + element_at(hs, i + 1), lit(P)) * 131L
-        + element_at(hs, i + 2), lit(P))))
+    array_distinct(zipNgrams(hs, 3,
+      (a, b) => pmod(a * 131L + b, lit(P))))
   }
 
   /** MinHash+LSH candidate pairs where EVERY step — token hash, shingle
@@ -289,9 +304,7 @@ object Dedup {
     * every occurrence, not the set). */
   def polyWindowHashes(text: Column, k: Int): Column = {
     val hs = polyTokenHashes(text)
-    transform(sequence(lit(1), size(hs) - (k - 1)), i =>
-      (1 until k).foldLeft(element_at(hs, i))((acc, j) =>
-        pmod(acc * 131L + element_at(hs, i + j), lit(P))))
+    zipNgrams(hs, k, (a, b) => pmod(a * 131L + b, lit(P)))
   }
 
   /** Exact-substring duplication report (the window-hash form of

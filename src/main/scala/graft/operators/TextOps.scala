@@ -74,8 +74,9 @@ object TextOps {
     val toks = tokens(text)
     val n = size(toks)
     when(n >= window,
-      array_min(transform(sequence(lit(0), n - window),
-        i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(window)))))))
+      array_min(transform(
+        Dedup.zipNgrams(toks, window, (a, b) => concat(a, lit(" "), b)),
+        w => xxhash64(w))))
       .otherwise(xxhash64(concat_ws(" ", toks)))
   }
 
@@ -173,8 +174,8 @@ object TextOps {
     val toks = tokens(text)
     val grams = docs.filter(size(toks) >= n)
       .select(id.as("doc_id"),
-        explode(transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))).as("g"))
+        explode(Dedup.zipNgrams(toks, n,
+          (a, b) => concat(a, lit(" "), b))).as("g"))
     grams.groupBy(col("doc_id"), col("g"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
@@ -314,13 +315,14 @@ object TextOps {
   }
 
   /** Hashed-bigram feature buckets (polynomial bigram hash mod
-    * `buckets`) — the DSIR feature space. */
+    * `buckets`) — the DSIR feature space. Zip-sliced so the token-hash
+    * array is computed O(1) times per row, not per bigram (see
+    * [[Dedup.zipNgrams]]). */
   private def bigramFeats(text: Column, buckets: Int): Column = {
     val P = graft.functions.PolyHashUtil.P
     val hs = Dedup.polyTokenHashes(text)
-    transform(sequence(lit(1), size(hs) - 1), i =>
-      pmod(pmod(element_at(hs, i) * 131L + element_at(hs, i + 1), lit(P)),
-        lit(buckets.toLong)))
+    transform(Dedup.zipNgrams(hs, 2, (a, b) => pmod(a * 131L + b, lit(P))),
+      h => pmod(h, lit(buckets.toLong)))
   }
 
   /** Add-one-smoothed linear target/raw ratio, scaled ×10⁶ and floored

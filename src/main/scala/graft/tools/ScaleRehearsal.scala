@@ -119,6 +119,23 @@ object ScaleRehearsal {
         col("snippet"), col("bench_id")).count(),
       Dedup.crossNearDup(big, bench, col("text"), col("doc_id"),
         col("snippet"), col("bench_id")).count())
+    // long-DOCUMENT stress: n-gram/shingle ops are linear in doc length
+    // only because zipNgrams avoids per-element re-evaluation inside
+    // HOF lambdas; the element_at(transform(...)) form measured O(n²)
+    // (e.g. the pre-fix composed band signature: 119 s on SHORT docs).
+    // 100 concatenated ~2.5k-token docs would take minutes that way.
+    val longDocs = base.withColumn("_grp", pmod(col("doc_id"), lit(100L)))
+      .groupBy("_grp").agg(concat_ws(" ", collect_list(col("text"))).as("text"),
+        min(col("doc_id")).as("doc_id")).persist()
+    time("long-doc minhash candidates")(
+      Dedup.minhashCandidates(longDocs, col("text"), col("doc_id")).count())
+    time("long-doc substring spans")(
+      Dedup.dupSpans(longDocs, col("text"), col("doc_id")).count())
+    time("long-doc fused bands")(
+      longDocs.select(posexplode(Dedup.polyRowBands(col("text")))).count())
+    time("long-doc ngram repetition")(
+      TextOps.ngramRepetition(longDocs, col("text"), col("doc_id"), 3).count())
+
     val q1 = embBase.filter(col("vec_id") < 50)
     ratio("brute-force ANN topk",
       Similarity.bruteForceTopK(embBase, q1, 5).count(),
