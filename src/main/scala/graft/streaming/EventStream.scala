@@ -35,27 +35,32 @@ object EventStream {
       .dropDuplicatesWithinWatermark("content_hash")
 
   /** Streaming NEAR-dup: flag incoming docs that near-duplicate a
-    * static reference corpus. The stream side computes its minhash
-    * signature per ROW (`Dedup.rowSignature` — map-only, no stream
-    * state), bands it, and stream-static equi-joins the band buckets
-    * against the corpus's precomputed bands — the standard "dedupe new
-    * data against what we already have" shape. State: none beyond the
-    * micro-batch (the static side is just a DataFrame; at scale, the
-    * banded corpus is a bucketed table so the join is co-located).
+    * static reference corpus. Both sides compute the fused per-row
+    * minhash band signature (`Dedup.polyRowBands` — one map-only pass,
+    * no stream state) and stream-static equi-join the band buckets —
+    * the standard "dedupe new data against what we already have"
+    * shape. State: none beyond the micro-batch (the static side is
+    * just a DataFrame; at scale, the banded corpus is a bucketed
+    * table so the join is co-located).
     * Output: (doc_id, corpus_doc_id) candidate matches (per-band
     * multiplicity retained — aggregation on a stream would need a
     * watermark; callers dedupe downstream). */
   def nearDupAgainst(stream: DataFrame, corpus: DataFrame,
                      text: org.apache.spark.sql.Column,
                      id: org.apache.spark.sql.Column,
-                     bands: Int = 8, rows: Int = 4): DataFrame = {
+                     bands: Int = 4, rows: Int = 4): DataFrame = {
     import graft.operators.Dedup
-    val corpusBands = Dedup.lshBands(corpus, text, id, bands, rows)
-      .withColumnRenamed("doc_id", "corpus_doc_id")
+    // fused native band signature on BOTH sides (one pass over tokens;
+    // the earlier bandHashes(rowSignature(...)) composition re-evaluated
+    // the 32-permutation signature once per band — same Column-tree
+    // inlining wall the batch side hit, see SURVEY §8.3)
+    val corpusBands = corpus.select(id.as("corpus_doc_id"),
+      posexplode(Dedup.polyRowBands(text, bands, rows))
+        .as(Seq("band_idx", "band_hash")))
     stream
       .select(id.as("doc_id"),
-        posexplode(Dedup.bandHashes(Dedup.rowSignature(text, bands * rows),
-          bands, rows)).as(Seq("band_idx", "band_hash")))
+        posexplode(Dedup.polyRowBands(text, bands, rows))
+          .as(Seq("band_idx", "band_hash")))
       .join(corpusBands, Seq("band_idx", "band_hash"))
       .filter(col("doc_id") =!= col("corpus_doc_id"))
       .select(col("doc_id"), col("corpus_doc_id"))

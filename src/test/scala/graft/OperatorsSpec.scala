@@ -600,7 +600,7 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("normalizeText canonicalizes case, control chars, and whitespace runs") {
-    val got = Seq("  Hello\t World\r\n  x ", "a  b", "")
+    val got = Seq("  Hello\t\u0000World\r\n  x ", "a  b", "")
       .toDF("t").select(TextOps.normalizeText(col("t"))).as[String].collect()
     assert(got.toSeq == Seq("hello world x", "a b", ""))
   }
