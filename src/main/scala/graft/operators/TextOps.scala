@@ -383,6 +383,31 @@ object TextOps {
       .select(col("doc_id"), col("n_tokens"), col("start_pos"), col("shard_id"))
   }
 
+  /** Data-derived length filtering — the Gopher/C4 outlier-length rule
+    * with per-group percentile cutoffs instead of magic constants:
+    * keep docs whose token count lies within the group's [lo, hi]
+    * exact interpolated percentiles. Two passes: a tiny per-group
+    * threshold aggregate (rows = #groups) broadcast back, then a
+    * map-only filter. Thresholds round to 6 dp before comparing so
+    * the keep decision is engine-identical (raw interpolation can
+    * differ in the last ulp; token counts are integers, so a rounded
+    * threshold never sits within an ulp of a count). At 100 TB swap
+    * the exact percentile for `approx_percentile` — d36 documents the
+    * sketch's rank-tolerance contract. */
+  def lengthFilter(docs: DataFrame, text: Column, group: Column, id: Column,
+                   lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    import graft.functions.Round.rd
+    val n = size(tokens(text)).cast("long")
+    val th = docs.select(group.as("grp"), n.as("_n"))
+      .groupBy("grp")
+      .agg(rd(percentile(col("_n"), lit(lo)), 6).as("p_lo"),
+        rd(percentile(col("_n"), lit(hi)), 6).as("p_hi"))
+    docs.select(id.as("doc_id"), group.as("grp"), n.as("n_tokens"))
+      .join(broadcast(th), "grp")
+      .filter(col("n_tokens") >= col("p_lo") && col("n_tokens") <= col("p_hi"))
+      .select("doc_id", "grp", "n_tokens")
+  }
+
   /** Canonical text normalization — the first stage of every curation
     * pipeline: lowercase, control characters → space, whitespace runs
     * collapsed, ends trimmed. Regex subset chosen to mean the same

@@ -404,6 +404,14 @@ object PipelineQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // percentile length filter: keep docs inside each language's
+    // [p10, p90] token-count band — data-derived outlier cutoffs,
+    // thresholds broadcast, map-only filter
+    "d51_length_filter" -> ((s, dir) =>
+      TextOps.lengthFilter(docs(s, dir), col("text"), col("lang"),
+        col("doc_id"), lo = 0.1, hi = 0.9)
+        .orderBy("doc_id")),
+
     // fixed-size per-language sample: exactly min(20, |lang|) docs per
     // language by smallest id-hash — deterministic eval-set carving
     "d50_reservoir_sample" -> ((s, dir) =>
@@ -751,6 +759,12 @@ object PipelineQueries {
         | SELECT t.doc_id, sum(cnt)::BIGINT AS total_freq, count(*)::BIGINT AS n_tokens,
         |  round(sum(cnt)::DOUBLE / count(*), 6) AS freq_score
         | FROM t JOIN v USING (token) GROUP BY t.doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "d51_length_filter" ->
+      """WITH t AS (SELECT doc_id, lang, len(string_split_regex(lower(text), '\s+'))::BIGINT AS n FROM documents),
+        | th AS (SELECT lang, round(quantile_cont(n, 0.1), 6) AS p_lo,
+        |   round(quantile_cont(n, 0.9), 6) AS p_hi FROM t GROUP BY lang)
+        | SELECT doc_id, lang AS grp, n AS n_tokens FROM t JOIN th USING (lang)
+        | WHERE n >= p_lo AND n <= p_hi ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "d50_reservoir_sample" ->
       """WITH t AS (SELECT doc_id, lang,
         |   row_number() OVER (PARTITION BY lang

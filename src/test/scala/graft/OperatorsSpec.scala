@@ -689,6 +689,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(noEn.filter(col("domain") === "en").count() == 0)
   }
 
+  test("length filter drops per-group outliers by percentile cutoffs") {
+    val d = (1 to 100).map(i => (i.toLong, ("w " * i).trim))
+      .toDF("doc_id", "text").withColumn("grp", lit("g"))
+    val kept = TextOps.lengthFilter(d, col("text"), col("grp"),
+        col("doc_id"), lo = 0.1, hi = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    // token counts 1..100: p10 = 10.9, p90 = 90.1 → keep exactly 11..90
+    assert(kept == (11 to 90).map(_.toLong).toSet)
+  }
+
   test("hash reservoir: exact per-group size, nested in k, repartition-invariant") {
     val d = docs.select(col("doc_id"), col("lang"))
     val k5 = Sampling.hashReservoir(d, col("lang"), col("doc_id"), 5)
