@@ -57,6 +57,12 @@ class AnsiRobustnessSpec extends AnyFunSuite {
     assert(Dedup.crossNearDup(docs,
       docs.limit(5).select(col("doc_id").as("bid"), col("text").as("bt")),
       col("text"), col("doc_id"), col("bt"), col("bid")).count() > 0)
+    assert(docs.select(TextOps.normalizeText(col("text"))).count() > 0)
+    assert(TextOps.corpusReport(docs, col("text"), col("source")).count() > 0)
+    assert(TextOps.lengthFilter(docs, col("text"), col("lang"),
+      col("doc_id")).count() > 0)
+    assert(Sampling.hashReservoir(docs, col("lang"), col("doc_id"), 3)
+      .count() > 0)
   }
 
   test("bloom, poly-hash and PQ expressions run under ANSI in a foreign session") {
