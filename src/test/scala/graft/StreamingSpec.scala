@@ -318,6 +318,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exists { case (d, b) => d == 0L && b == 9000L })
   }
 
+  test("deterministic sampling filters run unchanged on a stream") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("lang")).cache()
+    val rates = Map("en" -> 0.5, "de" -> 0.2)
+    val want = Sampling.stratified(docs, col("lang"), col("doc_id"),
+      rates, default = 0.1).collect().map(_.getLong(0)).toSet
+    val stream = MemoryStream[(Long, String)]
+    val sdf = stream.toDF().toDF("doc_id", "lang")
+    // the keep rule is a pure integer-hash Column predicate — stateless,
+    // so it applies to an unbounded stream with no watermark at all
+    val q = Sampling.stratified(sdf, col("lang"), col("doc_id"),
+        rates, default = 0.1)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sample_out").start()
+    stream.addData(docs.as[(Long, String)].collect().toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sample_out").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+  }
+
   test("streaming slurm ingest: drop-dir files flow through the batch parser exactly once") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import graft.slurm.SacctSource
