@@ -11,6 +11,10 @@ object Verify {
     // optional trailing query names = selective run (local iteration);
     // the driver's 2-arg invocation runs everything
     val only = args.drop(2).toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")} — a typo here " +
+        "would otherwise run zero queries and exit 0 looking successful")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = Tables.session("graft-verify", cpus)

@@ -52,12 +52,20 @@ object Sampling {
     * totals (rows = #domains — tiny), broadcast back, then a map-only
     * filter at scan speed. Domains absent from `weights` get target 0
     * and are dropped. */
+  /** Per-domain token targets `budget·w/Σw` (floor). Public so oracle
+    * builders share the ONE derivation the keep rule depends on — an
+    * inlined copy could silently diverge if the rounding ever
+    * changes. */
+  def domainTargets(weights: Map[String, Long],
+                    budgetTokens: Long): Map[String, Long] = {
+    val wsum = weights.values.sum
+    weights.map { case (d, w) => d -> (BigInt(budgetTokens) * w / wsum).toLong }
+  }
+
   def domainMix(docs: DataFrame, domain: Column, id: Column,
                 nTokens: Column, weights: Map[String, Long],
                 budgetTokens: Long): DataFrame = {
-    val wsum = weights.values.sum
-    val targets = weights.map { case (d, w) =>
-      d -> (BigInt(budgetTokens) * w / wsum).toLong }
+    val targets = domainTargets(weights, budgetTokens)
     val totals = docs.groupBy(domain.as("domain"))
       .agg(sum(nTokens.cast("long")).as("_dom_tokens"))
     val targetCol = targets.foldLeft(lit(0L)) { case (acc, (d, t)) =>

@@ -422,7 +422,12 @@ object PipelineQueries {
     // curation pipeline v2 — the session's operators composed into ONE
     // lazy plan: normalize → global exact dedup (first-occurrence
     // window) → token-budget domain mix → token-balanced shard
-    // assignment; every stage oracle-replayed end-to-end
+    // assignment; every stage oracle-replayed end-to-end. NOTE: the
+    // lazy composition re-executes the normalize+dedup subtree in both
+    // consumers of `surv` (Spark reuses exchanges, not arbitrary
+    // subplans) — a production 100 TB run persists the dedup survivors
+    // between stages; the one-plan form is the gate's determinism
+    // contract, not the deployment recipe
     "d49_curation_v2" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val norm = docs(s, dir).select(col("doc_id"), col("lang"),
@@ -514,10 +519,8 @@ object PipelineQueries {
   private val mixWeights = Map("en" -> 3L, "zh" -> 1L, "es" -> 1L,
     "de" -> 1L, "fr" -> 1L)
   private val mixBudget = 10000L
-  private lazy val mixTargets: Map[String, Long] = {
-    val ws = mixWeights.values.sum
-    mixWeights.map { case (d, w) => d -> (BigInt(mixBudget) * w / ws).toLong }
-  }
+  private lazy val mixTargets: Map[String, Long] =
+    Sampling.domainTargets(mixWeights, mixBudget)
 
   /** CTE chain `{p}t → {p}th → {p}sh → {p}sig → {p}bands` replaying the
     * polynomial minhash banding over a `(idCol, text)` source — mirrors

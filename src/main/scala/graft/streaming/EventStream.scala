@@ -50,6 +50,11 @@ object EventStream {
                      id: org.apache.spark.sql.Column,
                      bands: Int = 4, rows: Int = 4): DataFrame = {
     import graft.operators.Dedup
+    // the fused signature shares Dedup.polyCoefs — 16 permutations max
+    // (the pre-fusion rowSignature path allowed 32); fail here with a
+    // clear message instead of an analysis-time TypeCheckFailure
+    require(bands * rows <= Dedup.polyCoefs.length,
+      s"bands*rows must be <= ${Dedup.polyCoefs.length} (poly coefficient pool)")
     // fused native band signature on BOTH sides (one pass over tokens;
     // the earlier bandHashes(rowSignature(...)) composition re-evaluated
     // the 32-permutation signature once per band — same Column-tree

@@ -88,12 +88,14 @@ class PlanQualitySpec extends AnyFunSuite {
   test("d25: benchmark side broadcasts; corpus side never shuffles before the join") {
     val p = plan("d25_decontaminate")
     assert(p.contains("BroadcastHashJoin"), "bench n-gram set must broadcast")
-    // corpus-side n-gram explode feeds the broadcast join directly —
-    // the only Exchange allowed is the final per-doc aggregation
-    val joinIdx = p.indexOf("BroadcastHashJoin")
-    val corpusSide = p.substring(0, joinIdx)
-    assert(!corpusSide.contains("Exchange hashpartitioning"),
-      "corpus rows must not shuffle before the contamination join")
+    // FormattedMode puts partitioning in the details section
+    // ("Arguments: hashpartitioning"), never the literal string
+    // "Exchange hashpartitioning" — the earlier substring check was
+    // vacuous. Exactly two hash exchanges are legitimate: the bench
+    // side's tiny distinct() and the post-join per-doc aggregation; a
+    // corpus-side shuffle before the join would add a third.
+    val n = "Arguments: hashpartitioning".r.findAllIn(p).length
+    assert(n <= 2, s"corpus rows must not shuffle before the join ($n hash exchanges)")
   }
 
   test("d26: vocabulary join is broadcast (Zipf-bounded side)") {
@@ -105,7 +107,7 @@ class PlanQualitySpec extends AnyFunSuite {
     // exactly one HASH exchange — the page groupBy; the line filtering
     // itself adds none (the round-robin spread and the gate's output
     // orderBy range exchange are harness artifacts, not operator cost)
-    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    val hashExchanges = "Arguments: hashpartitioning".r.findAllIn(p).length
     assert(hashExchanges <= 1,
       s"line cleanup must not shuffle beyond the page build, got $hashExchanges")
   }
@@ -114,9 +116,11 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = plan("d32_quantized_ann")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       "query set must broadcast")
-    val joinIdx = math.max(p.indexOf("BroadcastNestedLoopJoin"), p.indexOf("Broadcast"))
-    assert(!p.substring(0, joinIdx).contains("Exchange hashpartitioning"),
-      "corpus must stream into the scoring join unshuffled")
+    // one hash exchange is the query-side k-means training aggregate;
+    // the corpus itself must stream into the scoring join unshuffled
+    // (a corpus shuffle would add a second)
+    val n = "Arguments: hashpartitioning".r.findAllIn(p).length
+    assert(n <= 1, s"corpus must stream into the scoring join unshuffled ($n)")
   }
 
   test("d33: tf-idf document-frequency join is broadcast (Zipf-bounded vocab)") {
@@ -182,9 +186,12 @@ class PlanQualitySpec extends AnyFunSuite {
   test("d46: bench bands broadcast; corpus-side signatures are map-only before the join") {
     val p = plan("d46_fuzzy_decontam")
     assert(p.contains("BroadcastHashJoin"), "bench band set must broadcast")
-    val corpusSide = p.substring(0, p.indexOf("BroadcastHashJoin"))
-    assert(!corpusSide.contains("Exchange hashpartitioning"),
-      "corpus rows must not shuffle before the band join")
+    // exactly two hash exchanges are legitimate — the post-join
+    // countDistinct pair (expand on (doc, bench), then doc); a
+    // corpus-side shuffle before the band join would add a third
+    // (count "Arguments: hashpartitioning" — see d25 note)
+    val n = "Arguments: hashpartitioning".r.findAllIn(p).length
+    assert(n <= 2, s"corpus rows must not shuffle before the band join ($n hash exchanges)")
   }
 
   test("d43/d44: bucket-bounded score table and domain totals join broadcast") {

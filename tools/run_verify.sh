@@ -3,7 +3,10 @@
 set -e
 SF=${1:-/root/testdata/sf0.01}
 OUT=${2:-/tmp/verify_out}
-shift 2 2>/dev/null || true   # trailing args = selective query names
+# trailing args (after SF and OUT) = selective query names; with 0 or 1
+# args there are none — a bare `shift 2` would fail and leave $1 in $@,
+# silently filtering the run down to zero queries
+if [ $# -ge 2 ]; then shift 2; else shift $#; fi
 sbt -batch compile -error
 CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
 exec java -Xmx8g \
