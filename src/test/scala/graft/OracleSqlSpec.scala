@@ -36,4 +36,21 @@ class OracleSqlSpec extends AnyFunSuite {
     assert(fixRounds("round(a, 1) + round(b, 2)") ==
       "floor((a) * 10.0 + 0.5) / 10.0 + floor((b) * 100.0 + 0.5) / 100.0")
   }
+
+  /** Queries without an oracle run under the driver's weaker rows-only
+    * check — every such gap must be a DELIBERATE member of this list
+    * (xxhash64-seeded paths with oracle-proven polynomial twins, and
+    * the iterated-k-means float state), never an accidental omission. */
+  val ROWS_ONLY_JUSTIFIED = Set(
+    "d02_minhash_lsh", "d03_simhash", "d04_ngram_jaccard",
+    "d11_fingerprint", "d13_ann_ivf", "d41_kmeans_cluster", "d42_pq_ann")
+
+  test("every gate query has an oracle unless deliberately rows-only; no orphan oracles") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o) == ROWS_ONLY_JUSTIFIED,
+      s"undocumented rows-only queries: ${(q -- o) -- ROWS_ONLY_JUSTIFIED}; " +
+        s"stale justifications: ${ROWS_ONLY_JUSTIFIED -- (q -- o)}")
+    assert((o -- q).isEmpty, s"oracles without a query: ${o -- q}")
+  }
 }
