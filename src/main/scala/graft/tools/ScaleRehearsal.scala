@@ -119,6 +119,18 @@ object ScaleRehearsal {
         col("snippet"), col("bench_id")).count(),
       Dedup.crossNearDup(big, bench, col("text"), col("doc_id"),
         col("snippet"), col("bench_id")).count())
+    ratio("normalize + report card",
+      TextOps.corpusReport(base.select(col("doc_id"), col("lang"),
+        TextOps.normalizeText(col("text")).as("text")), col("text"), col("lang")).count(),
+      TextOps.corpusReport(big.select(col("doc_id"), col("lang"),
+        TextOps.normalizeText(col("text")).as("text")), col("text"), col("lang")).count())
+    ratio("percentile length filter",
+      TextOps.lengthFilter(base, col("text"), col("lang"), col("doc_id")).count(),
+      TextOps.lengthFilter(big, col("text"), col("lang"), col("doc_id")).count())
+    ratio("hash reservoir sample",
+      Sampling.hashReservoir(base, col("lang"), col("doc_id"), 100).count(),
+      Sampling.hashReservoir(big, col("lang"), col("doc_id"), 100).count())
+
     // long-DOCUMENT stress: n-gram/shingle ops are linear in doc length
     // only because zipNgrams avoids per-element re-evaluation inside
     // HOF lambdas; the element_at(transform(...)) form measured O(n²)
