@@ -214,29 +214,44 @@ object TextOps {
     * else, and each doc is reassembled from its surviving lines in
     * original order.
     *
-    * Scale shape: explode lines (map-only), ONE shuffle partitioned by
-    * line content for the first-occurrence window (WindowExec state is
-    * one row — min rank — and spills if a line is pathologically hot),
-    * then one shuffle back on doc id to reassemble. No corpus
-    * self-join; boilerplate lines repeated 10⁹ times cost one hot
-    * window partition, not 10¹⁸ pairs. Returns per doc: total lines,
-    * kept lines, reassembled text ('' when everything was a repeat —
+    * Scale shape: the first-occurrence rule is `min(struct(page_id,
+    * line_idx))` per distinct line — a map-side-combinable aggregate,
+    * NOT a window. A boilerplate line repeated 10⁹ times corpus-wide
+    * pre-aggregates to one candidate per mapper before the shuffle, so
+    * the hot key arrives at its reducer a few-thousand rows tall (one
+    * per map task), where `row_number() over (partition by line)`
+    * would sort all 10⁹ occurrences in ONE task. The winners then
+    * regroup by page into a keep-index list (tiny: ≤ one row per
+    * distinct line) and join back to the ORIGINAL pages on page_id —
+    * a skew-free unique key — so no corpus-sized shuffle is ever keyed
+    * by line content after the partial agg. Three hash exchanges
+    * total: exploded lines → line agg; winners → page_id regroup
+    * (winner rows only); pages → the page_id join (reusing the
+    * regroup's partitioning on the other side). No corpus self-join;
+    * no WindowExec anywhere. Returns per doc: total lines, kept
+    * lines, reassembled text ('' when everything was a repeat —
     * callers drop those). */
   def dedupLinesGlobal(pages: DataFrame, pageId: Column, text: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val lines = pages.select(pageId.as("page_id"),
       posexplode(split(text, "\n")).as(Seq("line_idx", "line")))
-    val w = Window.partitionBy(col("line"))
-      .orderBy(col("page_id"), col("line_idx"))
-    lines.withColumn("_rk", row_number().over(w))
-      .groupBy(col("page_id"))
-      .agg(count(lit(1)).as("n_lines"),
-        sum(when(col("_rk") === 1, 1L).otherwise(0L)).as("n_kept"),
-        // collect_list drops the nulls (= repeat lines); the struct
-        // array sorts by line_idx, restoring original order
-        concat_ws("\n", sort_array(collect_list(
-          when(col("_rk") === 1, struct(col("line_idx"), col("line")))))
-          .getField("line")).as("clean_text"))
+    // struct min orders by (page_id, line_idx) — the corpus-wide
+    // first occurrence, ties impossible (position pairs are unique)
+    val keepIdx = lines
+      .groupBy(col("line"))
+      .agg(min(struct(col("page_id"), col("line_idx"))).as("w"))
+      .groupBy(col("w.page_id").as("page_id"))
+      .agg(sort_array(collect_list(col("w.line_idx"))).as("_keep"))
+    pages.select(pageId.as("page_id"), split(text, "\n").as("_lines"))
+      .join(keepIdx, Seq("page_id"), "left")
+      .select(col("page_id"),
+        size(col("_lines")).cast("long").as("n_lines"),
+        coalesce(size(col("_keep")), lit(0)).cast("long").as("n_kept"),
+        // _keep is sorted ascending = original order; element_at is
+        // 1-based while posexplode's line_idx is 0-based. A page with
+        // zero winners has _keep null → transform null → concat_ws
+        // skips it → '' (same as the pre-r5 window form).
+        concat_ws("\n", transform(col("_keep"),
+          i => element_at(col("_lines"), i + 1))).as("clean_text"))
   }
 
   /** Per-doc top-k salient terms by tf/df — tf-idf with a linear

@@ -87,6 +87,19 @@ object ScaleRehearsal {
     ratio("global line dedup",
       TextOps.dedupLinesGlobal(base, col("doc_id"), col("text")).count(),
       TextOps.dedupLinesGlobal(big, col("doc_id"), col("text")).count())
+    // planted HOT line: one boilerplate line in 50% of docs — the
+    // adversarial case for corpus-wide first-occurrence dedup. The
+    // pre-r5 row_number window sorted every occurrence of the hot line
+    // in ONE task (ratio blows past linear as the factor grows); the
+    // min(struct) aggregate pre-combines it per mapper, so the curve
+    // stays linear no matter how hot the line gets.
+    def plantHot(df: org.apache.spark.sql.DataFrame) = df.withColumn("text",
+      when(col("doc_id") % 2 === 0,
+        concat(lit("please accept our cookie policy\n"), col("text")))
+        .otherwise(col("text")))
+    ratio("global line dedup (hot line)",
+      TextOps.dedupLinesGlobal(plantHot(base), col("doc_id"), col("text")).count(),
+      TextOps.dedupLinesGlobal(plantHot(big), col("doc_id"), col("text")).count())
     // bloom probe: history = base, batch = the replicated corpus (the
     // adversarial direction — every replica bloom-hits, so the whole
     // batch pays the verification join)

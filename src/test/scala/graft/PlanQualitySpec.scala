@@ -153,20 +153,26 @@ class PlanQualitySpec extends AnyFunSuite {
       s"bloom probe filter must stay codegen'd\n$p")
   }
 
-  test("d40: global line dedup is exactly two exchanges (line key, then doc key)") {
+  test("d40: global line dedup has partial agg on the line key and no window") {
     val p = plan("d40_line_dedup")
+    // the first-occurrence rule must be the map-side-combinable
+    // min(struct) aggregate — a 10⁹-repeat boilerplate line shrinks to
+    // one candidate per mapper BEFORE the shuffle. A WindowExec here
+    // would sort every occurrence of the hot line in one task.
+    assert(!p.contains("Window"),
+      s"line dedup must not use a window (hot-line single-task sort)\n$p")
+    assert(p.contains("partial_min") || p.contains("Functions: partial"),
+      s"first-occurrence agg must have a partial (map-side) phase\n$p")
     // hash exchanges only (formatted mode lists partitioning in the
     // detail section) — the gate query's presentation orderBy adds a
-    // rangepartitioning exchange that isn't part of the operator
+    // rangepartitioning exchange that isn't part of the operator.
+    // page build (1) + line agg (2) + winner regroup (3) + page join
+    // (4, pages side; the winner side reuses the regroup partitioning).
     val exchanges = p.linesIterator.count(
       _.contains("Arguments: hashpartitioning"))
-    // page build (1) + window on line (2) + reassembly groupBy (3) —
-    // the OPERATOR itself contributes the last two; the gate query's
-    // page synthesis adds the first. More would mean a redundant
-    // repartition crept in.
-    assert(exchanges <= 3, s"expected <=3 hash exchanges, got $exchanges\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
-      "line dedup must be join-free")
+    assert(exchanges <= 4, s"expected <=4 hash exchanges, got $exchanges\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "line dedup must never go all-pairs")
   }
 
   test("q20: range window is one shuffle on the partition key, no join") {
