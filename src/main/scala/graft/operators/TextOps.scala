@@ -90,12 +90,17 @@ object TextOps {
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(topN)
 
-  /** Per-group quality filtering: keep the best `keepFrac` of each
-    * group (language, source, …) ranked by repetition ratio
-    * (distinct/total tokens — boilerplate screams low). percent_rank
-    * over (group, score desc, id): ties broken by id so the kept set
-    * is deterministic; cost is ONE window shuffle on the group key,
-    * and the groups (languages) are many, so no single-reducer wall. */
+  /** Per-group quality filtering, window form: keep the best
+    * `keepFrac` of each group (language, source, …) ranked by
+    * repetition ratio (distinct/total tokens — boilerplate screams
+    * low). percent_rank over (group, score desc, id): ties broken by
+    * id so the kept set is deterministic.
+    *
+    * This is the SEMANTIC REFERENCE — exact kept fraction, id
+    * tie-breaks — not the scale path: a window partitioned by language
+    * sorts each language in one task, and a real web corpus is ~60%
+    * one language, so the dominant group is a single-reducer wall at
+    * 100 TB. Deploy `qualityFilterThreshold` below instead. */
   def qualityFilter(df: DataFrame, text: Column, group: Column,
                     id: Column, keepFrac: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -103,6 +108,44 @@ object TextOps {
     qualityMetrics(df, text)
       .withColumn("q_rank", percent_rank().over(w))
       .filter(col("q_rank") <= keepFrac)
+  }
+
+  /** Per-group quality filtering, threshold form — the scale path:
+    * compute each group's keep threshold (the (1−keepFrac) percentile
+    * of the quality metric) in a TINY aggregate (rows = #groups),
+    * broadcast it back, and filter at scan — the `lengthFilter` shape.
+    * No window touches corpus-sized data, so a corpus that is 60% "en"
+    * costs one map-side-combinable agg pass plus a map-only filter
+    * instead of a single-task sort of the dominant language.
+    *
+    * The metric is the INTEGER-scaled repetition ratio
+    * `distinct·10⁶ div total` — exact BIGINT in any engine (floor of
+    * the double quotient is the true integer quotient while a doc
+    * stays under ~10¹⁰ tokens; Spark's 2 GB row cap is hit long
+    * before). The threshold rounds to 6 dp, and percentile interpolates
+    * between INTEGERS, so the keep decision is engine-identical — the
+    * same ulp argument `lengthFilter` documents. Ties AT the threshold
+    * are all kept (the window form tie-breaks by id instead), so the
+    * kept fraction can exceed keepFrac by the tie mass. Exact
+    * `percentile` at gate SF; swap in `approx_percentile` at 100 TB —
+    * d36 documents the sketch's rank-tolerance contract. */
+  def qualityFilterThreshold(df: DataFrame, text: Column, group: Column,
+                             id: Column, keepFrac: Double): DataFrame = {
+    import graft.functions.Round.rd
+    val toks = tokens(text)
+    val n = size(toks)
+    // split() never yields an empty array, but guard the division for
+    // ANSI foreign sessions anyway
+    val rep = when(n > 0,
+      floor(size(array_distinct(toks)).cast("long") * lit(1000000L) / n))
+      .otherwise(lit(0L)).cast("long")
+    val scored = df.select(id.as("doc_id"), group.as("grp"),
+      rep.as("rep_scaled"))
+    val th = scored.groupBy("grp")
+      .agg(rd(percentile(col("rep_scaled"), lit(1 - keepFrac)), 6).as("q_lo"))
+    scored.join(broadcast(th), "grp")
+      .filter(col("rep_scaled") >= col("q_lo"))
+      .select("doc_id", "grp", "rep_scaled")
   }
 
   /** Token-budget sequence packing: within each stream, docs in id

@@ -123,13 +123,13 @@ object PipelineQueries {
       TextOps.vocabulary(docs(s, dir), col("text"), topN = 200)
         .orderBy(col("n").desc, col("token"))),
 
+    // threshold form (the scale path): per-language percentile cutoff
+    // in a tiny broadcast agg, map-only filter — no corpus-sized
+    // window. OperatorsSpec pins its agreement with the window form.
     "d18_quality_filter" -> ((s, dir) =>
-      TextOps.qualityFilter(
+      TextOps.qualityFilterThreshold(
         docs(s, dir).select(col("doc_id"), col("lang"), col("text")),
         col("text"), col("lang"), col("doc_id"), keepFrac = 0.5)
-        .select(col("doc_id"), col("lang"),
-          rd(col("repetition_ratio"), 6).as("rep_ratio"),
-          rd(col("q_rank"), 6).as("q_rank"))
         .orderBy("doc_id")),
 
     "d19_doc_pack" -> ((s, dir) => {
@@ -659,11 +659,12 @@ object PipelineQueries {
         | ORDER BY n DESC, token LIMIT 200""".stripMargin.replaceAll("\n", " "),
     "d18_quality_filter" ->
       """WITH t AS (SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS toks FROM documents),
-        | sc AS (SELECT doc_id, lang, len(list_distinct(toks))::DOUBLE / len(toks) AS rep FROM t),
-        | r AS (SELECT doc_id, lang, rep,
-        |   percent_rank() OVER (PARTITION BY lang ORDER BY rep DESC, doc_id) AS pr FROM sc)
-        | SELECT doc_id, lang, round(rep, 6) AS rep_ratio, round(pr, 6) AS q_rank
-        | FROM r WHERE pr <= 0.5 ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+        | sc AS (SELECT doc_id, lang AS grp,
+        |   (len(list_distinct(toks))::BIGINT * 1000000) // len(toks) AS rep_scaled FROM t),
+        | th AS (SELECT grp, round(quantile_cont(rep_scaled::DOUBLE, 0.5), 6) AS q_lo
+        |  FROM sc GROUP BY grp)
+        | SELECT doc_id, sc.grp, rep_scaled FROM sc JOIN th USING (grp)
+        | WHERE rep_scaled >= q_lo ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "d19_doc_pack" ->
       """WITH t AS (SELECT doc_id, source,
         |   len(string_split_regex(lower(text), '\s+')) AS n_tokens FROM documents)

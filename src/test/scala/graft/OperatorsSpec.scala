@@ -449,6 +449,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again.select("doc_id").except(kept.select("doc_id")).count() == 0)
   }
 
+  test("threshold quality filter: a clean percentile cut, agreeing with the window form") {
+    val in = docs.select(col("doc_id"), col("lang"), col("text"))
+    val kept = TextOps.qualityFilterThreshold(
+      in, col("text"), col("lang"), col("doc_id"), keepFrac = 0.5)
+    // kept fraction per group ≈ keepFrac (ties at the threshold may
+    // push it above; it can never fall below the interpolated cut)
+    val tot = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val k = kept.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    tot.foreach { case (lang, n) =>
+      val frac = k.getOrElse(lang, 0L).toDouble / n
+      assert(frac > 0.3 && frac < 0.7, s"$lang kept $frac")
+    }
+    // cut property: within a group, every kept doc scores >= every
+    // dropped doc — the filter is a clean threshold, never rank noise
+    val scoredAll = TextOps.qualityFilterThreshold(
+      in, col("text"), col("lang"), col("doc_id"), keepFrac = 1.0)
+    val dropped = scoredAll.join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
+    val minKept = kept.groupBy("grp").agg(min("rep_scaled").as("lo"))
+    val badPairs = dropped.join(minKept, "grp")
+      .filter(col("rep_scaled") >= col("lo")).count()
+    assert(badPairs == 0, s"$badPairs dropped docs outscore a kept doc")
+    // the two forms agree on the clearly-best half: everything the
+    // window form ranks in the top 30% survives the threshold cut
+    val windowTop = TextOps.qualityFilter(
+      in, col("text"), col("lang"), col("doc_id"), keepFrac = 0.3)
+    assert(windowTop.select("doc_id").except(kept.select("doc_id")).count() == 0,
+      "threshold cut must contain the window form's top 30%")
+  }
+
   test("token packing: packs respect the budget boundary rule") {
     import spark.implicits._
     val t = Seq((1L, "s", 1000L), (2L, "s", 1000L), (3L, "s", 1000L),

@@ -175,6 +175,20 @@ class PlanQualitySpec extends AnyFunSuite {
       "line dedup must never go all-pairs")
   }
 
+  test("d18: quality filter is a broadcast threshold join, no corpus-sized window") {
+    val p = plan("d18_quality_filter")
+    // the dominant-language wall: a window partitioned by lang sorts
+    // ~60% of a real corpus in one task. The threshold form must keep
+    // every corpus-sized operator window-free and join the per-group
+    // thresholds broadcast.
+    assert(!p.contains("Window"),
+      s"quality filter must not window corpus data\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-group thresholds must broadcast\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "threshold join must never shuffle the corpus")
+  }
+
   test("q20: range window is one shuffle on the partition key, no join") {
     val p = plan("q20_range_window")
     val exchanges = p.linesIterator.count(
