@@ -84,15 +84,29 @@ object Sampling {
     * min(k, |group|) rows per group regardless of skew — eval-set
     * carving, per-domain spot-check samples. Nested in k (the k=5
     * sample ⊂ the k=10 sample) and reproducible across runs and
-    * partitionings. Cost: ONE window shuffle on the group key; groups
-    * are many (languages, sources), so no single-reducer wall — and
-    * WindowExec only buffers until rank k is passed per group. */
+    * partitionings.
+    *
+    * Scale shape: min-k per group via the [[graft.functions.TopKByScore]]
+    * heap aggregate (score = −bucket, so "best" = smallest hash, ties
+    * by smallest id — identical survivors to a `row_number` over
+    * (bucket, id)). O(k) state, map-side combinable: a skewed group —
+    * one domain holding most of the corpus — pre-shrinks to k rows per
+    * mapper before the shuffle, where the window form sorted the whole
+    * group in one task. Winners (#groups·k rows) broadcast back as a
+    * semi join, so the corpus itself is never shuffled; if groups·k
+    * ever outgrows a broadcast, swap the join to a shuffle on
+    * (group, id) — a unique, skew-free key. Requires an integral id
+    * (same contract as [[bucket]]). */
   def hashReservoir(df: DataFrame, group: Column, id: Column,
                     k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(group).orderBy(bucket(id), id)
-    df.withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") <= k).drop("_rk")
+    val winners = df
+      .select(group.as("_g"), id.cast("long").as("_i"))
+      .groupBy("_g")
+      .agg(graft.functions.TopKByScore.column(
+        negate(bucket(col("_i")).cast("double")), col("_i"), lit(k)).as("_top"))
+      .select(col("_g"), explode(col("_top").getField("id")).as("_i"))
+    df.join(broadcast(winners),
+      group === col("_g") && id.cast("long") === col("_i"), "left_semi")
   }
 
   /** Stratified sample: per-stratum keep fractions (stratum → rate);

@@ -189,6 +189,19 @@ class PlanQualitySpec extends AnyFunSuite {
       "threshold join must never shuffle the corpus")
   }
 
+  test("d50: hash reservoir is a heap aggregate + broadcast semi join, no window") {
+    val p = plan("d50_reservoir_sample")
+    // min-k per group must be the O(k)-state TopKByScore aggregate —
+    // map-side combinable, so a dominant group pre-shrinks to k rows
+    // per mapper. A window here sorts the whole group in one task.
+    assert(!p.contains("Window"),
+      s"reservoir must not sort groups in a window\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"min-k must run in the typed heap aggregate\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"winner ids must broadcast back, not shuffle the corpus\n$p")
+  }
+
   test("q20: range window is one shuffle on the partition key, no join") {
     val p = plan("q20_range_window")
     val exchanges = p.linesIterator.count(
