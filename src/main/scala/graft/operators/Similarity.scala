@@ -361,6 +361,77 @@ object Similarity {
     topKFromScored(scored, k)
   }
 
+  /** Driver-checkable verdicts for the float-state operators (d13/d41/
+    * d42): iterated k-means averages and ADC tables are engine-specific
+    * floats, so the raw results can't hash-match a DuckDB replay.
+    * These emit IN-PLAN boolean verdicts of the properties that matter
+    * — recall against the in-plan float brute force, cohesion against
+    * the untrained seed — over oracle-computable integer totals. Each
+    * boolean is an exact integer/count comparison computed entirely
+    * inside ONE engine, so no float ever crosses engines; the oracle
+    * asserts the totals and `true` for each verdict. The floor margins
+    * are far from the measured values (specs pin the tighter bounds),
+    * so partitioning-order float noise can't flip a verdict. */
+
+  /** d13: trained-IVF recall vs in-plan brute force — one row:
+    * (n_bf, recall_floor_ok, multiprobe_no_worse).
+    *
+    * `recall_floor_ok` is an empirical margin (measured 0.52–0.53 at
+    * both gate SFs with the defaults; the floor sits far below).
+    * `multiprobe_no_worse` is a THEOREM, not a data property: the
+    * nProbe-cell candidate pool contains the 1-probe pool, and a true
+    * top-k member found in a pool survives any pool growth (only the
+    * k−1 globally-better vectors can outrank it) — so the hit count
+    * can never drop. A trained-beats-seed comparison deliberately does
+    * NOT appear: on isotropic embeddings (no cluster structure) it is
+    * a coin flip, and it flipped at sf0.1. */
+  def ivfVerdict(emb: DataFrame, queries: DataFrame, k: Int,
+                 nCells: Int = 16, nProbe: Int = 2,
+                 recallFloorPct: Int = 30): DataFrame = {
+    val bf = bruteForceTopK(emb, queries, k).select(col("q_id"), col("neighbor_id"))
+    def hits(ann: DataFrame, as: String) =
+      ann.select(col("q_id"), col("neighbor_id"))
+        .join(bf, Seq("q_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as(as))
+    bf.agg(count(lit(1)).as("n_bf"))
+      .crossJoin(hits(ivfTopK(emb, queries, k, nCells, nProbe), "_ht"))
+      .crossJoin(hits(ivfTopK(emb, queries, k, nCells, nProbe = 1), "_h1"))
+      .select(col("n_bf"),
+        (col("_ht") * 100L >= col("n_bf") * recallFloorPct).as("recall_floor_ok"),
+        (col("_ht") >= col("_h1")).as("multiprobe_no_worse"))
+  }
+
+  /** d41: Lloyd training improves total cohesion (sum of each vector's
+    * cosine to its argmax centroid) over the untrained seed assignment
+    * — one row: (n_vecs, k, cohesion_improves). */
+  def kmeansVerdict(emb: DataFrame, k: Int = 8, iters: Int = 5): DataFrame = {
+    val vecs = emb.select(toDouble(col("embedding")).as("v"))
+    def cohesion(cents: Array[Array[Double]], as: String) =
+      vecs.select(array_max(centScores(col("v"), cents)).as("s"))
+        .agg(sum(col("s")).as(as), count(lit(1)).as(as + "_n"))
+    cohesion(kmeansCentroids(emb, k, iters), "_c1")
+      .crossJoin(cohesion(kmeansCentroids(emb, k, 0), "_c0"))
+      .select(col("_c1_n").as("n_vecs"), lit(k).cast("long").as("k"),
+        (col("_c1") >= col("_c0")).as("cohesion_improves"))
+  }
+
+  /** d42: PQ-ADC recall@k vs in-plan float brute force — one row:
+    * (n_bf, recall_floor_ok). The default floor is sized for
+    * near-isotropic embeddings (PQ's worst case: measured 0.28–0.37
+    * at gate SFs on the synthetic tables, which have no cluster
+    * structure for the codebooks to exploit); ClusteringSpec pins the
+    * tighter 0.4 bound at spec scale. */
+  def pqVerdict(emb: DataFrame, queries: DataFrame, k: Int,
+                recallFloorPct: Int = 20): DataFrame = {
+    val bf = bruteForceTopK(emb, queries, k).select(col("q_id"), col("neighbor_id"))
+    val hits = pqTopK(emb, queries, k).select(col("q_id"), col("neighbor_id"))
+      .join(bf, Seq("q_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("_h"))
+    bf.agg(count(lit(1)).as("n_bf")).crossJoin(hits)
+      .select(col("n_bf"),
+        (col("_h") * 100L >= col("n_bf") * recallFloorPct).as("recall_floor_ok"))
+  }
+
   /** ANN via hyperplane LSH: candidates share a bucket. Multi-probe
     * (default): each query also probes the numPlanes buckets at hamming
     * distance 1 — the standard recall fix for sign-LSH, costing only a

@@ -64,10 +64,14 @@ object PipelineQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // IVF ANN, verdict form: the k-means cell state is engine-specific
+    // float, so the gate hashes in-plan BOOLEAN verdicts (recall vs the
+    // in-plan brute force; multi-probe never below single-probe) over
+    // an oracle-computable total — the d35/d36 pattern. The raw top-k
+    // surface stays spec-covered (OperatorsSpec recall tests).
     "d13_ann_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
-      Similarity.ivfTopK(e, e.filter(col("vec_id") < 50), k = 5)
-        .orderBy("q_id", "rank")
+      Similarity.ivfVerdict(e, e.filter(col("vec_id") < 50), k = 5)
     }),
 
     "d08_lang_id" -> ((s, dir) =>
@@ -385,23 +389,24 @@ object PipelineQueries {
         .orderBy("page_id")
     }),
 
-    // distributed k-means assignments (driver holds only KB of
-    // centroids; rounds are map-only argmax + one hash agg). rows-only:
-    // the iterated float averaging is not DuckDB-replayable bit-exactly
-    // (same reason as d13's k-means), ClusteringSpec pins determinism +
-    // purity instead
+    // distributed k-means (driver holds only KB of centroids; rounds
+    // are map-only argmax + one hash agg), verdict form: the iterated
+    // float averaging is not DuckDB-replayable bit-exactly, so the
+    // gate hashes the boolean that training improves the clustering
+    // objective (cohesion) over the untrained seed; ClusteringSpec
+    // pins determinism + the raw assignment surface
     "d41_kmeans_cluster" -> ((s, dir) =>
-      Similarity.clusterAssignments(emb(s, dir), k = 8, iters = 5)
-        .orderBy("vec_id")),
+      Similarity.kmeansVerdict(emb(s, dir), k = 8, iters = 5)),
 
     // product-quantization ANN: corpus stored as m×log2(codes) BITS per
     // vector, queries score via per-subspace table lookups (ADC).
-    // rows-only for the same k-means reason; PqAnnSpec pins recall@5
-    // against float brute force
+    // Verdict form for the same k-means-float reason: the gate hashes
+    // the boolean recall@5 >= 20% vs the in-plan float brute force
+    // (isotropic-embedding worst case; ClusteringSpec pins the tighter
+    // 0.4 bound at spec scale)
     "d42_pq_ann" -> ((s, dir) => {
       val e = emb(s, dir)
-      Similarity.pqTopK(e, e.filter(col("vec_id") < 10), k = 5)
-        .orderBy("q_id", "rank")
+      Similarity.pqVerdict(e, e.filter(col("vec_id") < 50), k = 5)
     }),
 
     // percentile length filter: keep docs inside each language's
@@ -763,6 +768,20 @@ object PipelineQueries {
         | SELECT t.doc_id, sum(cnt)::BIGINT AS total_freq, count(*)::BIGINT AS n_tokens,
         |  round(sum(cnt)::DOUBLE / count(*), 6) AS freq_score
         | FROM t JOIN v USING (token) GROUP BY t.doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // verdict oracles (d13/d41/d42): the Spark side computes the
+    // booleans IN-PLAN (recall vs its own brute force, cohesion vs the
+    // untrained seed); the oracle asserts the integer totals from the
+    // table and `true` for every verdict — hash matches iff every
+    // claimed property actually held
+    "d13_ann_ivf" ->
+      """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 50)::BIGINT * 5 AS n_bf,
+        | true AS recall_floor_ok, true AS multiprobe_no_worse""".stripMargin.replaceAll("\n", " "),
+    "d41_kmeans_cluster" ->
+      """SELECT (SELECT count(*) FROM embeddings)::BIGINT AS n_vecs,
+        | 8::BIGINT AS k, true AS cohesion_improves""".stripMargin.replaceAll("\n", " "),
+    "d42_pq_ann" ->
+      """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 50)::BIGINT * 5 AS n_bf,
+        | true AS recall_floor_ok""".stripMargin.replaceAll("\n", " "),
     "d51_length_filter" ->
       """WITH t AS (SELECT doc_id, lang, len(string_split_regex(lower(text), '\s+'))::BIGINT AS n FROM documents),
         | th AS (SELECT lang, round(quantile_cont(n, 0.1), 6) AS p_lo,

@@ -39,11 +39,13 @@ class OracleSqlSpec extends AnyFunSuite {
 
   /** Queries without an oracle run under the driver's weaker rows-only
     * check — every such gap must be a DELIBERATE member of this list
-    * (xxhash64-seeded paths with oracle-proven polynomial twins, and
-    * the iterated-k-means float state), never an accidental omission. */
+    * (xxhash64-seeded paths whose algorithms have oracle-proven
+    * polynomial twins: d24/d27 for d02/d04, d23 for d11), never an
+    * accidental omission. The former k-means-float members (d13/d41/
+    * d42) emit in-plan boolean verdicts since r5 and hash-check. */
   val ROWS_ONLY_JUSTIFIED = Set(
     "d02_minhash_lsh", "d03_simhash", "d04_ngram_jaccard",
-    "d11_fingerprint", "d13_ann_ivf", "d41_kmeans_cluster", "d42_pq_ann")
+    "d11_fingerprint")
 
   test("every gate query has an oracle unless deliberately rows-only; no orphan oracles") {
     val q = SparkEntry.queries.keySet
