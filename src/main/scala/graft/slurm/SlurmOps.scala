@@ -122,6 +122,30 @@ object SlurmStates {
   * printf %) is presentation-layer and stays out; the numbers match. */
 object Reports {
 
+  /** --partition pattern → LIKE. The reference documents "a raw glob
+    * match" (slurm2sql.py:1198) while its args_to_sql_where
+    * (slurm2sql.py:1075) runs `LIKE '%'||p||'%'` — a substring test.
+    * Honor both: a pattern carrying glob metacharacters translates to
+    * an ANCHORED LIKE (`*`→`%`, `?`→`_` — so `gpu*` matches
+    * `gpu_a100`, never `biggpu`); a plain pattern keeps the
+    * reference's substring behavior. LIKE's own metacharacters in the
+    * user's pattern are escaped (`\` is Spark's default LIKE escape),
+    * so a literal `_` or `%` never silently wildcards. */
+  private[slurm] def globToLike(p: String): String = {
+    val escaped = p.flatMap {
+      case '\\' => "\\\\"
+      case '%' => "\\%"
+      case '_' => "\\_"
+      case c => c.toString
+    }
+    val translated = escaped.map {
+      case '*' => '%'
+      case '?' => '_'
+      case c => c
+    }
+    if (p.exists(c => c == '*' || c == '?')) translated else s"%$translated%"
+  }
+
   /** sacct-style listing: field select + user/partition filters + order
     * (args_to_sql_where, slurm2sql.py:1071-1077), plus the state-category
     * selectors (--ended/--completed/--cancelled/--failed as two-letter
@@ -133,7 +157,7 @@ object Reports {
             states: Option[Seq[String]] = None,
             runningAtTime: Option[Long] = None): DataFrame = {
     val f1 = user.map(u => col("User") === u).getOrElse(lit(true))
-    val f2 = partition.map(p => col("Partition").contains(p)).getOrElse(lit(true))
+    val f2 = partition.map(p => col("Partition").like(globToLike(p))).getOrElse(lit(true))
     val f3 = states.map(cs => SlurmStates.inCategory(col("State"), cs))
       .getOrElse(lit(true))
     val f4 = runningAtTime.map(t =>

@@ -130,6 +130,23 @@ class SacctIngestSpec extends AnyFunSuite {
       states = Some(SlurmStates.CANCELLED)).count() == 2)
   }
 
+  test("--partition pattern: glob anchors, plain pattern stays substring (reference parity)") {
+    import graft.slurm.Reports
+    import spark.implicits._
+    val df = Seq("gpu_a100", "biggpu", "gpu", "gpu1", "cpu_small").toDF("Partition")
+    def names(p: String) =
+      Reports.sacct(df, partition = Some(p)).collect().map(_.getString(0)).toSet
+    // glob (slurm2sql.py:1198 "a raw glob match"): anchored, * spans any run
+    assert(names("gpu*") == Set("gpu_a100", "gpu", "gpu1"))
+    // ? is exactly one character
+    assert(names("gpu?") == Set("gpu1"))
+    // no metacharacters -> the reference's args_to_sql_where substring
+    // behavior (slurm2sql.py:1075)
+    assert(names("gpu") == Set("gpu_a100", "biggpu", "gpu", "gpu1"))
+    // a literal _ in the pattern is NOT a single-char wildcard
+    assert(names("u_a") == Set("gpu_a100"))
+  }
+
   test("eff view rolls steps into the job") {
     val eff = SlurmViews.eff(slurm1)
     assert(eff.count() == 2)
