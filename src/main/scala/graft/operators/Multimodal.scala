@@ -8,12 +8,17 @@ import org.apache.spark.sql.types._
   * opaque `binary` payloads + typed metadata, with a batched decode /
   * feature-extract stage.
   *
-  * The decode itself is STUBBED (no image/audio libs in this container):
-  * `fakeDecode` produces a deterministic feature from the bytes. The
-  * Spark-side plumbing is real — binary column, metadata struct, and a
-  * mapPartitions stage that drains the iterator in fixed-size batches
-  * exactly the way an Arrow/pandas-UDF batch decode would on a cluster
-  * (batch shape: Array[Array[Byte]] of ≤ batchSize payloads).
+  * Two decoders share the one batch contract (Array[Array[Byte]] of
+  * ≤ batchSize payloads in, one feature array per payload out):
+  * [[realDecode]] actually parses uncompressed raster formats (PPM P6,
+  * 24-bit BMP — flat header+pixels, decodable with zero codec libs)
+  * into width/height/channel means; [[fakeDecode]] is the
+  * deterministic stub the cross-engine gate hashes (compressed
+  * formats would need the image/audio libs this container lacks). The
+  * Spark-side plumbing is identical either way — binary column,
+  * metadata struct, and a mapPartitions stage that drains the
+  * iterator in fixed-size batches exactly the way an Arrow/pandas-UDF
+  * batch decode would on a cluster.
   */
 object Multimodal {
 
@@ -52,6 +57,84 @@ object Multimodal {
         ((h >> 32) & 0xFFFF).toFloat, bytes.length.toFloat)
     }
 
+  /** REAL decode for uncompressed raster formats — PPM (P6) and 24-bit
+    * uncompressed BMP — pure JVM header+raster parses, no codec libs
+    * (these formats are flat header + pixels, which is exactly what a
+    * sandbox without media libraries can decode for real). Feature
+    * layout: [width, height, meanR, meanG, meanB]. A payload that is
+    * neither format falls back to [[fakeDecode]]'s deterministic
+    * feature, so a mixed corpus decodes batch-wise with no partial
+    * failure path. Same batch contract as [[fakeDecode]]: plug into
+    * [[decodeFeatures]] via its `decoder` parameter. */
+  def realDecode(batch: Array[Array[Byte]]): Array[Array[Float]] =
+    batch.map { bytes =>
+      decodePpm(bytes).orElse(decodeBmp(bytes))
+        .getOrElse(fakeDecode(Array(bytes))(0))
+    }
+
+  /** PPM "P6": ASCII header `P6 <w> <h> <maxval>` (whitespace-
+    * separated, `#` comments to end-of-line), one whitespace byte,
+    * then w·h RGB triplets (maxval < 256 ⇒ 1 byte per channel). */
+  private[operators] def decodePpm(b: Array[Byte]): Option[Array[Float]] = {
+    if (b.length < 2 || b(0) != 'P' || b(1) != '6') return None
+    var i = 2
+    def nextInt(): Int = { // -1 = malformed
+      while (i < b.length && (b(i) == '#' || Character.isWhitespace(b(i)))) {
+        if (b(i) == '#') while (i < b.length && b(i) != '\n') i += 1
+        else i += 1
+      }
+      val s = i
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') i += 1
+      if (i > s && i - s <= 9) new String(b, s, i - s).toInt else -1
+    }
+    val w = nextInt(); val h = nextInt(); val maxv = nextInt()
+    i += 1 // the single whitespace byte that terminates the header
+    if (w <= 0 || h <= 0 || maxv <= 0 || maxv >= 256 ||
+      w.toLong * h > Int.MaxValue / 3 ||
+      b.length - i < w.toLong * h * 3) return None
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var p = i
+    val end = i + w * h * 3
+    while (p < end) {
+      sr += b(p) & 0xFF; sg += b(p + 1) & 0xFF; sb += b(p + 2) & 0xFF
+      p += 3
+    }
+    val n = w.toLong * h
+    Some(Array(w.toFloat, h.toFloat, (sr.toDouble / n).toFloat,
+      (sg.toDouble / n).toFloat, (sb.toDouble / n).toFloat))
+  }
+
+  /** BMP: "BM" file header (pixel offset at byte 10), BITMAPINFOHEADER
+    * (w/h at 18/22, little-endian; negative height = top-down),
+    * 24 bpp, BI_RGB (uncompressed) only; rows pad to 4 bytes, pixels
+    * are BGR. Row order is irrelevant for channel means. */
+  private[operators] def decodeBmp(b: Array[Byte]): Option[Array[Float]] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    def le32(o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+      ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+    def le16(o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+    val off = le32(10); val w = le32(18); val hRaw = le32(22)
+    if (le16(26) != 1 || le16(28) != 24 || le32(30) != 0) return None
+    val h = math.abs(hRaw)
+    if (w <= 0 || h == 0 || off < 54 || w.toLong * h > Int.MaxValue / 3) return None
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    if (b.length.toLong < off.toLong + rowBytes.toLong * h) return None
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      var p = off + y * rowBytes
+      val end = p + w * 3
+      while (p < end) {
+        sb += b(p) & 0xFF; sg += b(p + 1) & 0xFF; sr += b(p + 2) & 0xFF
+        p += 3
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    Some(Array(w.toFloat, h.toFloat, (sr.toDouble / n).toFloat,
+      (sg.toDouble / n).toFloat, (sb.toDouble / n).toFloat))
+  }
+
   /** Frame sampling over an opaque payload: fixed-size frames at a
     * keep-every-Nth stride — the video-frame-sample shape (a real
     * deployment points frameBytes at the container's frame table or a
@@ -84,15 +167,19 @@ object Multimodal {
   }
 
   /** Batched decode stage: mapPartitions drains rows in BATCH_SIZE
-    * groups — the Scala analog of `mapInPandas` batch decode. */
-  def decodeFeatures(spark: SparkSession, withPayloads: DataFrame): DataFrame = {
+    * groups — the Scala analog of `mapInPandas` batch decode. The
+    * decoder is pluggable: [[fakeDecode]] (default — the
+    * deterministic cross-engine gate path) or [[realDecode]] (actual
+    * PPM/BMP pixel decode). */
+  def decodeFeatures(spark: SparkSession, withPayloads: DataFrame,
+                     decoder: Array[Array[Byte]] => Array[Array[Float]] = fakeDecode): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(featureSchema)
     withPayloads.select(col("doc_id"), col("payload"),
       col("meta.width"), col("meta.height"), col("meta.format"))
       .mapPartitions { rows =>
         rows.grouped(BATCH_SIZE).flatMap { chunk =>
           val payloads = chunk.map(_.getAs[Array[Byte]]("payload")).toArray
-          val feats = fakeDecode(payloads)
+          val feats = decoder(payloads)
           chunk.iterator.zipWithIndex.map { case (r, i) =>
             Row(r.getAs[Long]("doc_id"), r.getAs[Int]("width"),
               r.getAs[Int]("height"), r.getAs[String]("format"),

@@ -316,6 +316,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(chk.count() == 0)
   }
 
+  test("real decode parses synthesized PPM and BMP payloads pixel-exactly") {
+    // 2x2 PPM P6 (with a header comment): pixels R,G,B,white
+    val ppmHeader = "P6\n# test\n2 2\n255\n".getBytes("US-ASCII")
+    val ppmPixels = Array(
+      255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255).map(_.toByte)
+    val ppm = ppmHeader ++ ppmPixels
+    // 3x1 24-bit BMP, bottom-up, rows pad to 4 bytes (3*3=9 -> 12):
+    // pixels stored BGR: pure red, mid gray, pure blue
+    def le32(v: Int) = Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+    def le16(v: Int) = Array(v, v >> 8).map(_.toByte)
+    val bmp = "BM".getBytes("US-ASCII") ++ le32(54 + 12) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(3) ++ le32(1) ++ le16(1) ++ le16(24) ++ le32(0) ++
+      le32(12) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      Array(0, 0, 255, 128, 128, 128, 255, 0, 0, 0, 0, 0).map(_.toByte)
+    val junk = "not an image at all".getBytes("US-ASCII")
+    val Array(fp, fb, fj) = Multimodal.realDecode(Array(ppm, bmp, junk))
+    assert(fp.toSeq == Seq(2f, 2f, 127.5f, 127.5f, 127.5f), s"ppm: ${fp.toSeq}")
+    assert(fb.toSeq == Seq(3f, 1f, (255 + 128) / 3f, 128 / 3f, (255 + 128) / 3f),
+      s"bmp: ${fb.toSeq}")
+    // unrecognized bytes fall back to the deterministic stub feature
+    assert(fj.toSeq == Multimodal.fakeDecode(Array(junk))(0).toSeq)
+    // and the real decoder plugs into the SAME batched stage
+    import spark.implicits._
+    val df = Seq((1L, ppm), (2L, bmp), (3L, junk)).toDF("doc_id", "payload")
+      .withColumn("meta", struct(lit(2).as("width"), lit(2).as("height"),
+        lit("ppm").as("format")))
+    val out = Multimodal.decodeFeatures(spark, df, Multimodal.realDecode)
+      .select("doc_id", "feature").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(out(1L) == Seq(2f, 2f, 127.5f, 127.5f, 127.5f))
+    assert(out(2L).take(2) == Seq(3f, 1f))
+    assert(out(3L).length == 4) // stub fallback shape
+  }
+
   test("language id picks the profile with the best stopword hit rate") {
     val df = Seq(
       (1L, "the cat is on the mat and the dog is in the house"),
