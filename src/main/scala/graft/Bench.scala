@@ -35,6 +35,13 @@ object Bench {
     Tables.load(spark, sfDir, "orders").count()
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val results = HEADLINERS.map { name =>
+      // one UNTIMED warmup rep first: queries that build one-time state
+      // (the warehouse materializations) pay it here, so the timed
+      // reps are all warm and `spread` is a pure machine-load signal
+      // (s26's first rep showed spread 26× from its build, drowning
+      // the noise diagnostic the spread exists for)
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case _: Throwable => () }
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val n = try SparkEntry.queries(name)(spark, sfDir).count()
@@ -47,18 +54,27 @@ object Bench {
       // a regression that fails fast can't masquerade as a speedup
       val ok = times.filter(_._2 >= 0)
       val dt = if (ok.nonEmpty) ok.map(_._1).min else -1.0
+      // spread = max/min over the successful reps: the noise
+      // self-diagnostic. All reps landing on a loaded machine shows up
+      // as spread ≈ 1 with an inflated min (invisible), but cross-rep
+      // load shows immediately — spread > 1.5 means rerun before
+      // calling a cross-round number a regression.
+      val spread = if (ok.size > 1) ok.map(_._1).max / ok.map(_._1).min else 1.0
       // row count from the last SUCCESSFUL rep — times.last can be a
       // failed rep (-1 rows) even when earlier reps measured fine
       val rows = if (ok.nonEmpty) ok.last._2 else -1L
-      System.err.println(f"[bench] $name%-22s $dt%8.3f s  ($rows rows, ${ok.size}/$reps reps ok)")
-      name -> dt
+      System.err.println(f"[bench] $name%-22s $dt%8.3f s  ($rows rows, ${ok.size}/$reps reps ok, spread $spread%.2f)")
+      (name, dt, spread)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val spreads = results.map { case (k, _, s) => "\"" + k + "\":" + f"$s%.2f" }
       .mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).map(n => "\"" + n._1 + "\"")
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val maxSpread = results.map(_._3).max
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spreads,"max_spread":$maxSpread%.2f,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
