@@ -227,15 +227,29 @@ object Dedup {
     * Returns one row per batch doc: (doc_id, bloom_hit, is_dup).
     * `bloom_hit && !is_dup` rows are the false positives the fpp bound
     * paid for. `expectedItems < 0` counts the history first (a real
-    * pipeline passes the known corpus size instead). */
+    * pipeline passes the known corpus size instead).
+    *
+    * The hit/miss branches are a DELIBERATE two-scan union, not an
+    * oversight: a single left join of the whole batch against the
+    * history hashes would shuffle every batch row on content hash,
+    * while the union shuffles only the bloom-positive sliver (true
+    * dups + fpp) and re-derives the miss majority in a second map-only
+    * scan — at a 100 TB batch with a selective filter, one extra
+    * vectorized scan is far cheaper than shuffling everything. */
   def bloomIncremental(history: DataFrame, batch: DataFrame,
                        text: Column, id: Column, fpp: Double = 0.01,
                        expectedItems: Long = -1L): DataFrame = {
     val n = if (expectedItems > 0) expectedItems else history.count()
+    require(n > 0, "bloomIncremental needs a non-empty history (or pass " +
+      "expectedItems > 0): there is nothing to dedupe against — seed the " +
+      "first batch with Dedup.exact instead")
     val filterBytes = history
       .agg(graft.functions.BloomFilterAgg.column(
         xxhash64(text), lit(n), lit(fpp)).as("bf"))
       .head.getAs[Array[Byte]]("bf")
+    require(filterBytes != null, "history built no bloom filter — it is " +
+      "empty despite expectedItems > 0; pass the real history or seed with " +
+      "Dedup.exact")
     val probed = batch.select(id.as("doc_id"), md5(text).as("_ch"),
       graft.functions.BloomContainsExpr.column(
         xxhash64(text), lit(filterBytes)).as("bloom_hit"))

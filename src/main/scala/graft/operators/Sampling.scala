@@ -41,9 +41,11 @@ object Sampling {
     * `budget·w/Σw` and a deterministic hash-sampled keep rate that hits
     * it in expectation — the "rebalance CommonCrawl/code/wiki to the
     * training mixture" step. The keep rule is the pure-integer
-    * comparison `bucket(id)·domain_tokens < target·10⁶` (no division —
-    * exact in both engines; intermediates stay in range for domains up
-    * to ~9·10¹² tokens, beyond which widen to DECIMAL). A domain whose
+    * comparison `bucket(id)·domain_tokens < target·10⁶`, evaluated in
+    * DECIMAL(38,0) (no division — exact in both engines; a 64-bit
+    * product would silently wrap past ~9·10¹² tokens per domain, a
+    * size a 100 TB corpus's head domain actually reaches, and DuckDB
+    * computes the same rule in HUGEINT). A domain whose
     * target exceeds its actual tokens keeps everything — the rule
     * degrades to `bucket < 10⁶`. Raising the budget strictly grows
     * every domain's sample (nested, like [[stratified]]).
@@ -74,7 +76,8 @@ object Sampling {
         nTokens.cast("long").as("n_tokens"))
       .join(broadcast(totals.select(col("domain"), col("_dom_tokens"),
         targetCol.as("_target"))), "domain")
-      .filter(bucket(col("doc_id")) * col("_dom_tokens") < col("_target") * BUCKETS)
+      .filter(bucket(col("doc_id")).cast("decimal(38,0)") * col("_dom_tokens") <
+        col("_target").cast("decimal(38,0)") * BUCKETS)
       .select(col("doc_id"), col("domain"), col("n_tokens"))
   }
 

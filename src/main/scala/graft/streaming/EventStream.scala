@@ -44,7 +44,17 @@ object EventStream {
     * table so the join is co-located).
     * Output: (doc_id, corpus_doc_id) candidate matches (per-band
     * multiplicity retained — aggregation on a stream would need a
-    * watermark; callers dedupe downstream). */
+    * watermark; callers dedupe downstream).
+    *
+    * RECALL NOTE: the default signature is 4 bands × 4 rows of the
+    * POLYNOMIAL permutation family (16 hashes — the fused one-pass
+    * expression's coefficient pool); earlier revisions defaulted to
+    * 8×4 xxhash64 bands (32 hashes). Fewer bands = a lower candidate
+    * recall curve (4 chances to collide instead of 8) and a different
+    * hash family = a different (not comparable) candidate set.
+    * Callers needing the old operating point should pass explicit
+    * bands/rows against a wider coefficient pool rather than assume
+    * the default reproduces pre-poly candidates. */
   def nearDupAgainst(stream: DataFrame, corpus: DataFrame,
                      text: org.apache.spark.sql.Column,
                      id: org.apache.spark.sql.Column,

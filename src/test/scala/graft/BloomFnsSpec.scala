@@ -102,4 +102,12 @@ class BloomFnsSpec extends AnyFunSuite {
     // no false negatives among dups
     assert(flags.filter(col("is_dup") && !col("bloom_hit")).count() == 0)
   }
+
+  test("bloomIncremental rejects an empty history with a clear message") {
+    val empty = docs.filter(lit(false))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.bloomIncremental(empty, docs, col("text"), col("doc_id"))
+    }
+    assert(e.getMessage.contains("non-empty history"), e.getMessage)
+  }
 }
