@@ -33,7 +33,17 @@ object SlurmViews {
     * `withSubmitLines` (the reference's group_concat(SubmitLine)) is
     * opt-in: collect_list forces an ObjectHashAggregate/sort-based agg
     * and the column is presentation-only — leaving it out keeps the
-    * rollup a codegen'd HashAggregate. */
+    * rollup a codegen'd HashAggregate.
+    *
+    * Skew: every aggregate here is map-side combinable (max/min/sum),
+    * so even a pathological array job — 10⁶ steps under ONE
+    * JobIDnostep — pre-aggregates to one partial row per map task
+    * before the shuffle; the hot reducer key receives ~#tasks rows,
+    * not 10⁶ (the rehearsal's hot-job case pins the linear curve).
+    * The escape hatch, if a deployment ever adds a non-combinable
+    * aggregate (e.g. exact step percentiles): two-phase salting on
+    * (JobIDnostep, salt) via [[graft.operators.SkewJoin.saltedCount]]'s
+    * shape, or AQE skew-join handling when the rollup feeds a join. */
   def eff(slurm: DataFrame, withSubmitLines: Boolean = false): DataFrame = {
     val isAlloc = col("JobStep").isNull
     val submitLines =

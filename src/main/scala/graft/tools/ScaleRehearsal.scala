@@ -161,6 +161,24 @@ object ScaleRehearsal {
     time("long-doc ngram repetition")(
       TextOps.ngramRepetition(longDocs, col("text"), col("doc_id"), 3).count())
 
+    // slurm eff rollup under a PATHOLOGICAL ARRAY JOB: every replica's
+    // rows re-keyed to ONE JobIDnostep, so the hottest reducer key
+    // holds factor × |table| step rows. Every aggregate in the rollup
+    // is map-side combinable, so the hot key must pre-shrink to one
+    // partial row per map task — the curve stays ~linear; a blowup
+    // here means a non-combinable aggregate crept into the view
+    // (escape hatch: the SkewJoin salting shape, see SlurmViews.eff).
+    val slurmBase = graft.slurm.SlurmTable.build(
+      graft.slurm.SlurmSim.raw(spark, dir), lit(1750000000L))
+      .repartition(32).persist()
+    val slurmHot = (0 until factor).map(_ =>
+      slurmBase.withColumn("JobIDnostep", lit("hotjob")))
+      .reduce(_ unionByName _).unionByName(slurmBase)
+      .repartition(32).persist()
+    ratio("slurm eff rollup (hot job)",
+      graft.slurm.SlurmViews.eff(slurmBase).count(),
+      graft.slurm.SlurmViews.eff(slurmHot).count())
+
     val q1 = embBase.filter(col("vec_id") < 50)
     ratio("brute-force ANN topk",
       Similarity.bruteForceTopK(embBase, q1, 5).count(),
