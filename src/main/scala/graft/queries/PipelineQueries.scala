@@ -425,21 +425,23 @@ object PipelineQueries {
         .orderBy("doc_id")),
 
     // curation pipeline v2 — the session's operators composed into ONE
-    // lazy plan: normalize → global exact dedup (first-occurrence
-    // window) → token-budget domain mix → token-balanced shard
-    // assignment; every stage oracle-replayed end-to-end. NOTE: the
-    // lazy composition re-executes the normalize+dedup subtree in both
-    // consumers of `surv` (Spark reuses exchanges, not arbitrary
-    // subplans) — a production 100 TB run persists the dedup survivors
-    // between stages; the one-plan form is the gate's determinism
-    // contract, not the deployment recipe
+    // lazy plan: normalize → global exact dedup (min-id keeper via the
+    // map-side-combinable Dedup.exact aggregate — a row_number window
+    // partitioned by content hash would sort a 10⁶-copy boilerplate
+    // doc in one task, the d40 lesson) → token-budget domain mix →
+    // token-balanced shard assignment; every stage oracle-replayed
+    // end-to-end. NOTE: the lazy composition re-executes the
+    // normalize+dedup subtree in both consumers of `surv` (Spark
+    // reuses exchanges, not arbitrary subplans) — a production 100 TB
+    // run persists the dedup survivors between stages; the one-plan
+    // form is the gate's determinism contract, not the deployment
+    // recipe
     "d49_curation_v2" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val norm = docs(s, dir).select(col("doc_id"), col("lang"),
         TextOps.normalizeText(col("text")).as("ntext"))
-      val surv = norm.withColumn("_rk", row_number().over(
-          Window.partitionBy(md5(col("ntext"))).orderBy(col("doc_id"))))
-        .filter(col("_rk") === 1)
+      val keepers = Dedup.exact(norm, col("ntext"), col("doc_id"))
+        .select(col("keeper_id").as("doc_id"))
+      val surv = norm.join(keepers, Seq("doc_id"), "left_semi")
       val mixed = Sampling.domainMix(surv, col("lang"), col("doc_id"),
         size(TextOps.tokens(col("ntext"))), mixWeights, mixBudget)
       TextOps.assignShards(mixed, col("doc_id"), col("n_tokens"), 2048L)
