@@ -180,21 +180,24 @@ object PipelineQueries {
     }),
 
     // end-to-end curation: the operators COMPOSE — exact dedup →
-    // per-language quality filter → stratified sample → token-budget
-    // packing, one lazy plan, fully oracle-checked. The shape a real
-    // 100 TB pretraining-data job runs nightly.
+    // per-language quality filter (threshold form since r5: the
+    // percent_rank window sorted the dominant language in one task) →
+    // stratified sample → token-budget packing, one lazy plan, fully
+    // oracle-checked. The shape a real 100 TB pretraining-data job
+    // runs nightly.
     "d21_curation_pipeline" -> ((s, dir) => {
       val d = docs(s, dir)
       val keepers = Dedup.exact(d, col("text"), col("doc_id"))
         .select(col("keeper_id").as("doc_id"))
       val deduped = d.join(keepers, "doc_id")
-      val q = TextOps.qualityFilter(
-        deduped.select(col("doc_id"), col("lang"), col("source"), col("text")),
+      val q = TextOps.qualityFilterThreshold(
+        deduped.select(col("doc_id"), col("lang"), col("text")),
         col("text"), col("lang"), col("doc_id"), keepFrac = 0.5)
-      val sampled = Sampling.stratified(q, col("source"), col("doc_id"),
+      val qd = deduped.join(q.select("doc_id"), Seq("doc_id"), "left_semi")
+      val sampled = Sampling.stratified(qd, col("source"), col("doc_id"),
         Map("src0" -> 0.9, "src1" -> 0.7), default = 0.5)
         .select(col("doc_id"), col("lang"), col("source"),
-          col("n_tokens").cast("long").as("n_tokens"))
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
       TextOps.packBudget(sampled, col("source"), col("doc_id"),
         col("n_tokens"), budget = 2048L)
         .orderBy("doc_id")
@@ -709,9 +712,10 @@ object PipelineQueries {
         | d AS (SELECT doc.* FROM documents doc JOIN k USING (doc_id)),
         | t AS (SELECT doc_id, lang, source, string_split_regex(lower(text), '\s+') AS toks FROM d),
         | sc AS (SELECT doc_id, lang, source, len(toks) AS n_tokens,
-        |   len(list_distinct(toks))::DOUBLE / len(toks) AS rep FROM t),
-        | r AS (SELECT *, percent_rank() OVER (PARTITION BY lang ORDER BY rep DESC, doc_id) AS pr FROM sc),
-        | q AS (SELECT * FROM r WHERE pr <= 0.5),
+        |   (len(list_distinct(toks))::BIGINT * 1000000) // len(toks) AS rep_scaled FROM t),
+        | th AS (SELECT lang, round(quantile_cont(rep_scaled::DOUBLE, 0.5), 6) AS q_lo
+        |  FROM sc GROUP BY lang),
+        | q AS (SELECT sc.* FROM sc JOIN th USING (lang) WHERE rep_scaled >= q_lo),
         | sam AS (SELECT * FROM q WHERE ((doc_id::HUGEINT * 2654435761) % 4294967296) % 1000000 <
         |   CASE source WHEN 'src0' THEN 900000 WHEN 'src1' THEN 700000 ELSE 500000 END)
         | SELECT doc_id, lang, source, n_tokens,
