@@ -64,6 +64,24 @@ object Similarity {
       .join(dups, Seq("label", "vec_id"), "left_anti")
   }
 
+  /** SemDeDup-style SEMANTIC dedup — [[nearDupSurvivors]] blocked by
+    * k-means cell instead of a label column: the production path (a
+    * real corpus carries no labels to block on). Cell assignment is
+    * the map-only literal-centroid argmax, so the only pair work is
+    * within-cell — n²/nCells of the all-pairs cost, and nCells scales
+    * with the corpus. Cross-cell near-dups are missed by construction
+    * (the SemDeDup recall trade); EXACT duplicates are never missed —
+    * identical vectors get identical argmax cells, so a copy always
+    * meets its original in-cell and the earlier id survives. */
+  def semanticSurvivors(emb: DataFrame, nCells: Int = 16, iters: Int = 2,
+                        threshold: Double = 0.95): DataFrame = {
+    val cents = kmeansCentroids(emb, nCells, iters)
+    val celled = emb.select(col("vec_id"), toDouble(col("embedding")).as("embedding"))
+      .withColumn("label", assignCell(col("embedding"), cents))
+    nearDupSurvivors(celled, threshold)
+      .withColumnRenamed("label", "cell")
+  }
+
   /** Brute-force cosine top-k per query vector: broadcast the (small)
     * query set against one pass over the corpus. The exactness baseline
     * every ANN variant is judged against.

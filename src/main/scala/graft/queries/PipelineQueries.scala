@@ -451,6 +451,26 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // SemDeDup semantic dedup, verdict form: corpus = embeddings +
+    // planted EXACT copies (id + 10⁷). Identical vectors land in the
+    // same argmax cell, so every copy meets its original in-cell and
+    // is dropped (no_planted_survivor); original pairs max out at
+    // cos ≈ 0.6 on these tables (measured both SFs) — far under the
+    // 0.95 threshold, so all originals survive and the survivor count
+    // is the oracle-computable original count
+    "d52_semantic_dedup" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val corpus = e.select(col("vec_id"), col("embedding"))
+        .unionByName(e.select((col("vec_id") + 10000000L).as("vec_id"),
+          col("embedding")))
+      Similarity.semanticSurvivors(corpus)
+        .agg(count(lit(1)).as("_n_surv"), max(col("vec_id")).as("_max_id"))
+        .crossJoin(e.agg(count(lit(1)).as("_n_orig")))
+        .select((col("_n_orig") * 2).as("n_corpus"),
+          (col("_n_surv") === col("_n_orig")).as("all_originals_survive"),
+          (col("_max_id") < 10000000L).as("no_planted_survivor"))
+    }),
+
     // text normalization: the clean synthetic corpus gets deterministic
     // mess planted (leading spaces, uppercased head, tab/newline tail)
     // in BOTH engines, so the hash match proves the normalizer
@@ -788,6 +808,9 @@ object PipelineQueries {
     "d42_pq_ann" ->
       """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 50)::BIGINT * 5 AS n_bf,
         | true AS recall_floor_ok""".stripMargin.replaceAll("\n", " "),
+    "d52_semantic_dedup" ->
+      """SELECT (SELECT count(*) FROM embeddings)::BIGINT * 2 AS n_corpus,
+        | true AS all_originals_survive, true AS no_planted_survivor""".stripMargin.replaceAll("\n", " "),
     "d51_length_filter" ->
       """WITH t AS (SELECT doc_id, lang, len(string_split_regex(lower(text), '\s+'))::BIGINT AS n FROM documents),
         | th AS (SELECT lang, round(quantile_cont(n, 0.1), 6) AS p_lo,

@@ -247,6 +247,23 @@ class OperatorsSpec extends AnyFunSuite {
     bf.unpersist()
   }
 
+  test("semantic dedup: cell blocking removes planted exact copies, keeps originals") {
+    val e = Tables.load(spark, dir, "embeddings")
+    val corpus = e.select(col("vec_id"), col("embedding"))
+      .unionByName(e.select((col("vec_id") + 1000000L).as("vec_id"),
+        col("embedding")))
+    val surv = Similarity.semanticSurvivors(corpus).cache()
+    // an exact copy shares its original's argmax cell, so it is always
+    // caught in-cell and the earlier id wins
+    assert(surv.filter(col("vec_id") >= 1000000L).count() == 0)
+    // original pairs never reach the 0.95 threshold on these tables
+    assert(surv.count() == e.count())
+    // deterministic under repartitioning (centroid rounding pins it)
+    val again = Similarity.semanticSurvivors(corpus.repartition(13))
+    assert(surv.select("vec_id").except(again.select("vec_id")).count() == 0)
+    surv.unpersist()
+  }
+
   test("k-means IVF recall >= seed-centroid IVF at equal nProbe") {
     val e = Tables.load(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") < 50)
