@@ -68,16 +68,30 @@ object Similarity {
     * k-means cell instead of a label column: the production path (a
     * real corpus carries no labels to block on). Cell assignment is
     * the map-only literal-centroid argmax, so the only pair work is
-    * within-cell — n²/nCells of the all-pairs cost, and nCells scales
-    * with the corpus. Cross-cell near-dups are missed by construction
-    * (the SemDeDup recall trade); EXACT duplicates are never missed —
-    * identical vectors get identical argmax cells, so a copy always
-    * meets its original in-cell and the earlier id survives. */
+    * within-cell — n²/nCells of the all-pairs cost. Cross-cell
+    * near-dups are missed by construction (the SemDeDup recall trade);
+    * EXACT duplicates are never missed.
+    *
+    * EXACT duplicates collapse BEFORE the pair join, in a map-side-
+    * combinable `groupBy(embedding).agg(min(vec_id))` (grouping on the
+    * raw array — no hash-collision risk): a boilerplate embedding
+    * repeated 10⁶ times would otherwise contribute 10¹² pairs to ONE
+    * cell's join. The collapse is semantics-preserving, not an
+    * approximation: a non-rep member always has an earlier identical
+    * neighbor (its group's min id) at cos 1 ≥ threshold, so the
+    * any-earlier-neighbor rule drops it unconditionally; and for two
+    * distinct vectors, "some member of v earlier than r" ⟺ "v's min
+    * id earlier than r" (min is the earliest member), so pairing only
+    * the min-id reps decides every rep exactly as the uncollapsed
+    * join would. Centroids train on the collapsed reps, so duplicate
+    * mass cannot drag the cells either. */
   def semanticSurvivors(emb: DataFrame, nCells: Int = 16, iters: Int = 2,
                         threshold: Double = 0.95): DataFrame = {
-    val cents = kmeansCentroids(emb, nCells, iters)
-    val celled = emb.select(col("vec_id"), toDouble(col("embedding")).as("embedding"))
-      .withColumn("label", assignCell(col("embedding"), cents))
+    val reps = emb
+      .select(col("vec_id"), toDouble(col("embedding")).as("embedding"))
+      .groupBy(col("embedding")).agg(min(col("vec_id")).as("vec_id"))
+    val cents = kmeansCentroids(reps, nCells, iters)
+    val celled = reps.withColumn("label", assignCell(col("embedding"), cents))
     nearDupSurvivors(celled, threshold)
       .withColumnRenamed("label", "cell")
   }

@@ -189,6 +189,15 @@ object ScaleRehearsal {
     ratio("quantized ANN topk",
       Similarity.quantizedTopK(embBase, q1, 5).count(),
       Similarity.quantizedTopK(embBig, q1, 5).count())
+    // replication by id-shift makes every replica an EXACT duplicate —
+    // the adversarial case for semantic dedup: without the
+    // exact-collapse stage each cell's pair join would grow factor²
+    // (10⁶ copies of one boilerplate embedding = 10¹² pairs in one
+    // cell); collapsed, the curve stays ~flat (pair work is over
+    // DISTINCT vectors, constant across factors)
+    ratio("semantic dedup (all-dup corpus)",
+      Similarity.semanticSurvivors(embBase).count(),
+      Similarity.semanticSurvivors(embBig).count())
     spark.stop()
   }
 }
