@@ -58,9 +58,19 @@ object Similarity {
     * pair join + one anti-join, and at worst over-drops borderline
     * chain members — the right trade at 100 TB. */
   def nearDupSurvivors(emb: DataFrame, threshold: Double): DataFrame = {
-    val dups = cosinePairs(emb, threshold)
+    // EXACT duplicates collapse before the pair join — map-side-
+    // combinable, grouped by (label, embedding) since blocking is per
+    // label. Semantics-preserving (see [[semanticSurvivors]]'s proof):
+    // a non-rep never survives (earlier identical same-label neighbor
+    // at cos 1), and min-id reps decide exactly as the full join
+    // would. Without this, a block of 10⁶ identical vectors is a
+    // 10¹² - row pair join.
+    val reps = emb.select(col("vec_id"), col("label"), col("embedding"))
+      .groupBy(col("label"), col("embedding"))
+      .agg(min(col("vec_id")).as("vec_id"))
+    val dups = cosinePairs(reps, threshold)
       .select(col("label"), col("vec_b").as("vec_id")).distinct()
-    emb.select(col("label"), col("vec_id"))
+    reps.select(col("label"), col("vec_id"))
       .join(dups, Seq("label", "vec_id"), "left_anti")
   }
 
