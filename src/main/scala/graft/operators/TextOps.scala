@@ -129,21 +129,36 @@ object TextOps {
     * kept fraction can exceed keepFrac by the tie mass. Exact
     * `percentile` at gate SF; swap in `approx_percentile` at 100 TB —
     * d36 documents the sketch's rank-tolerance contract. */
-  def qualityFilterThreshold(df: DataFrame, text: Column, group: Column,
-                             id: Column, keepFrac: Double): DataFrame = {
-    import graft.functions.Round.rd
+  /** The integer-scaled repetition-ratio metric the threshold filter
+    * cuts on: `distinct·10⁶ div total` tokens, exact BIGINT. */
+  def repScaled(text: Column): Column = {
     val toks = tokens(text)
     val n = size(toks)
     // split() never yields an empty array, but guard the division for
     // ANSI foreign sessions anyway
-    val rep = when(n > 0,
+    when(n > 0,
       floor(size(array_distinct(toks)).cast("long") * lit(1000000L) / n))
       .otherwise(lit(0L)).cast("long")
+  }
+
+  /** Per-group keep thresholds for [[qualityFilterThreshold]] — one
+    * tiny aggregate (rows = #groups): (grp, q_lo). Exposed separately
+    * because the streaming path needs thresholds computed BATCH-side
+    * (over the historical corpus) and applied to the stream map-only
+    * ([[graft.streaming.EventStream.qualityFiltered]]). */
+  def qualityThresholds(df: DataFrame, text: Column, group: Column,
+                        keepFrac: Double): DataFrame = {
+    import graft.functions.Round.rd
+    df.select(group.as("grp"), repScaled(text).as("_r"))
+      .groupBy("grp")
+      .agg(rd(percentile(col("_r"), lit(1 - keepFrac)), 6).as("q_lo"))
+  }
+
+  def qualityFilterThreshold(df: DataFrame, text: Column, group: Column,
+                             id: Column, keepFrac: Double): DataFrame = {
     val scored = df.select(id.as("doc_id"), group.as("grp"),
-      rep.as("rep_scaled"))
-    val th = scored.groupBy("grp")
-      .agg(rd(percentile(col("rep_scaled"), lit(1 - keepFrac)), 6).as("q_lo"))
-    scored.join(broadcast(th), "grp")
+      repScaled(text).as("rep_scaled"))
+    scored.join(broadcast(qualityThresholds(df, text, group, keepFrac)), "grp")
       .filter(col("rep_scaled") >= col("q_lo"))
       .select("doc_id", "grp", "rep_scaled")
   }

@@ -105,6 +105,28 @@ object EventStream {
       .select(col("doc_id"), col("bench_id"))
   }
 
+  /** Streaming quality filter — the threshold form's streaming payoff:
+    * per-group keep thresholds are computed BATCH-side over the
+    * historical corpus ([[graft.operators.TextOps.qualityThresholds]],
+    * #groups rows → broadcast) and the stream filters map-only against
+    * them. The window (percent_rank) form could never run here — a
+    * rank over an unbounded stream is undefined; the threshold form
+    * runs unchanged. Kept set == the batch filter's kept set whenever
+    * the thresholds come from the same corpus (spec-pinned). */
+  def qualityFiltered(stream: DataFrame,
+                      text: org.apache.spark.sql.Column,
+                      group: org.apache.spark.sql.Column,
+                      id: org.apache.spark.sql.Column,
+                      thresholds: DataFrame): DataFrame = {
+    import graft.operators.TextOps
+    stream
+      .select(id.as("doc_id"), group.as("grp"),
+        TextOps.repScaled(text).as("rep_scaled"))
+      .join(broadcast(thresholds), "grp")
+      .filter(col("rep_scaled") >= col("q_lo"))
+      .select(col("doc_id"), col("grp"), col("rep_scaled"))
+  }
+
   /** Streaming twin of q19's interval join: tag each incoming event
     * with the static intervals containing it. The binned shape matters
     * MORE on a stream — `RangeJoin.binned` gives a stateless

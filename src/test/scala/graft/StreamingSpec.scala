@@ -342,6 +342,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("streamed quality filter equals the batch threshold filter") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("lang"), col("text")).cache()
+    val want = TextOps.qualityFilterThreshold(docs, col("text"), col("lang"),
+      col("doc_id"), keepFrac = 0.5).collect().map(_.getLong(0)).toSet
+    // thresholds computed BATCH-side over the same corpus; the stream
+    // filter is a stateless broadcast-join + map predicate
+    val th = TextOps.qualityThresholds(docs, col("text"), col("lang"), 0.5)
+    val stream = MemoryStream[(Long, String, String)]
+    val sdf = stream.toDF().toDF("doc_id", "lang", "text")
+    val q = graft.streaming.EventStream.qualityFiltered(sdf, col("text"),
+        col("lang"), col("doc_id"), th)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("qf_out").start()
+    stream.addData(docs.as[(Long, String, String)].collect().toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("qf_out").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+  }
+
   test("streaming slurm ingest: drop-dir files flow through the batch parser exactly once") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import graft.slurm.SacctSource
