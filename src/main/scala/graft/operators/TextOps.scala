@@ -146,19 +146,31 @@ object TextOps {
     * because the streaming path needs thresholds computed BATCH-side
     * (over the historical corpus) and applied to the stream map-only
     * ([[graft.streaming.EventStream.qualityFiltered]]). */
+  /** Exact interpolated percentile or the GK-sketch approximation —
+    * the documented 100 TB swap: `percentile` buffers every value per
+    * group; `approx_percentile` holds a bounded sketch (rank error ≤
+    * 1/accuracy, d36's tolerance contract) and merges map-side. Exact
+    * is the oracle-gate default; approximate is what a real corpus
+    * runs. */
+  private def pctl(c: Column, p: Double, exact: Boolean): Column =
+    if (exact) percentile(c, lit(p))
+    else approx_percentile(c, lit(p), lit(10000)).cast("double")
+
   def qualityThresholds(df: DataFrame, text: Column, group: Column,
-                        keepFrac: Double): DataFrame = {
+                        keepFrac: Double, exact: Boolean = true): DataFrame = {
     import graft.functions.Round.rd
     df.select(group.as("grp"), repScaled(text).as("_r"))
       .groupBy("grp")
-      .agg(rd(percentile(col("_r"), lit(1 - keepFrac)), 6).as("q_lo"))
+      .agg(rd(pctl(col("_r"), 1 - keepFrac, exact), 6).as("q_lo"))
   }
 
   def qualityFilterThreshold(df: DataFrame, text: Column, group: Column,
-                             id: Column, keepFrac: Double): DataFrame = {
+                             id: Column, keepFrac: Double,
+                             exact: Boolean = true): DataFrame = {
     val scored = df.select(id.as("doc_id"), group.as("grp"),
       repScaled(text).as("rep_scaled"))
-    scored.join(broadcast(qualityThresholds(df, text, group, keepFrac)), "grp")
+    scored.join(broadcast(
+        qualityThresholds(df, text, group, keepFrac, exact)), "grp")
       .filter(col("rep_scaled") >= col("q_lo"))
       .select("doc_id", "grp", "rep_scaled")
   }
@@ -464,17 +476,19 @@ object TextOps {
     * map-only filter. Thresholds round to 6 dp before comparing so
     * the keep decision is engine-identical (raw interpolation can
     * differ in the last ulp; token counts are integers, so a rounded
-    * threshold never sits within an ulp of a count). At 100 TB swap
-    * the exact percentile for `approx_percentile` — d36 documents the
-    * sketch's rank-tolerance contract. */
+    * threshold never sits within an ulp of a count). `exact = false`
+    * is the 100 TB swap: `approx_percentile`'s bounded GK sketch
+    * (rank error ≤ 1/accuracy, spec-pinned) instead of buffering
+    * every value per group. */
   def lengthFilter(docs: DataFrame, text: Column, group: Column, id: Column,
-                   lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+                   lo: Double = 0.05, hi: Double = 0.95,
+                   exact: Boolean = true): DataFrame = {
     import graft.functions.Round.rd
     val n = size(tokens(text)).cast("long")
     val th = docs.select(group.as("grp"), n.as("_n"))
       .groupBy("grp")
-      .agg(rd(percentile(col("_n"), lit(lo)), 6).as("p_lo"),
-        rd(percentile(col("_n"), lit(hi)), 6).as("p_hi"))
+      .agg(rd(pctl(col("_n"), lo, exact), 6).as("p_lo"),
+        rd(pctl(col("_n"), hi, exact), 6).as("p_hi"))
     docs.select(id.as("doc_id"), group.as("grp"), n.as("n_tokens"))
       .join(broadcast(th), "grp")
       .filter(col("n_tokens") >= col("p_lo") && col("n_tokens") <= col("p_hi"))

@@ -63,6 +63,12 @@ class AnsiRobustnessSpec extends AnyFunSuite {
       col("doc_id")).count() > 0)
     assert(Sampling.hashReservoir(docs, col("lang"), col("doc_id"), 3)
       .count() > 0)
+    assert(TextOps.qualityFilterThreshold(docs, col("text"), col("lang"),
+      col("doc_id"), 0.5).count() > 0)
+    assert(TextOps.dedupLinesGlobal(docs, col("doc_id"), col("text"))
+      .count() > 0)
+    assert(Similarity.semanticSurvivors(emb, nCells = 4, iters = 1)
+      .count() > 0)
   }
 
   test("bloom, poly-hash and PQ expressions run under ANSI in a foreign session") {

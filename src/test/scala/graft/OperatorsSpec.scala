@@ -531,6 +531,41 @@ class OperatorsSpec extends AnyFunSuite {
       "threshold cut must contain the window form's top 30%")
   }
 
+  test("approx-percentile swap-in: thresholds honor the sketch's rank tolerance") {
+    // the `exact = false` path must put each group's threshold within
+    // the GK guarantee of the target rank. The returned value is an
+    // actual element whose rank INTERVAL (ties span ranks) must
+    // straddle p: strictly-below stays ≤ p + ε, below-or-equal stays
+    // ≥ p − ε (ε = 1/accuracy + 2/n discrete-rank slack).
+    val p = 0.1
+    val n = size(TextOps.tokens(col("text"))).cast("long")
+    val scored = docs.select(col("lang"), n.as("n"))
+    val th = scored.groupBy("lang")
+      .agg(approx_percentile(col("n"), lit(p), lit(10000))
+        .cast("double").as("p_lo"))
+    val chk = scored.join(th, "lang").groupBy("lang")
+      .agg(count(lit(1)).as("sz"),
+        sum(when(col("n") < col("p_lo"), 1L).otherwise(0L)).as("below"),
+        sum(when(col("n") <= col("p_lo"), 1L).otherwise(0L)).as("upto"))
+      .collect()
+    chk.foreach { r =>
+      val (sz, below, upto) =
+        (r.getLong(1).toDouble, r.getLong(2).toDouble, r.getLong(3).toDouble)
+      val eps = 1.0 / 10000 + 2.0 / sz
+      assert(below / sz <= p + eps && upto / sz >= p - eps,
+        s"${r.getString(0)}: rank interval [${below / sz}, ${upto / sz}] " +
+          s"must straddle $p (n=$sz)")
+    }
+    // and the filter runs end-to-end on the approximate path, keeping
+    // a sane fraction
+    val kept = TextOps.lengthFilter(docs, col("text"), col("lang"),
+      col("doc_id"), exact = false).count()
+    assert(kept > 0 && kept < docs.count())
+    assert(TextOps.qualityFilterThreshold(docs.select(col("doc_id"),
+      col("lang"), col("text")), col("text"), col("lang"), col("doc_id"),
+      0.5, exact = false).count() > 0)
+  }
+
   test("token packing: packs respect the budget boundary rule") {
     import spark.implicits._
     val t = Seq((1L, "s", 1000L), (2L, "s", 1000L), (3L, "s", 1000L),
