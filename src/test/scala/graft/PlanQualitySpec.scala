@@ -202,6 +202,34 @@ class PlanQualitySpec extends AnyFunSuite {
       s"winner ids must broadcast back, not shuffle the corpus\n$p")
   }
 
+  test("d21: curation pipeline has no corpus-sized window and no all-pairs join") {
+    val p = plan("d21_curation_pipeline")
+    // dedup = hash agg + join, quality = broadcast threshold (since
+    // r5), sampling = map-only predicate. The only window left is the
+    // per-stream pack cumsum, keyed by source — assert the two walls
+    // (content-hash or language windows) never come back by checking
+    // no window runs over a percent_rank/rank function.
+    assert(!p.contains("percent_rank") && !p.contains("row_number"),
+      s"no rank windows in the pipeline\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("d52: semantic dedup collapses exact dups in a partial agg, no cartesian") {
+    val p = plan("d52_semantic_dedup")
+    // the exact-collapse groupBy(embedding) must have a map-side
+    // partial phase (a 10⁶-copy embedding shrinks per mapper)
+    assert(p.contains("partial_min") || p.contains("Functions: partial"),
+      s"exact collapse must pre-aggregate map-side\n$p")
+    // the verdict wrapper crossJoins two ONE-ROW aggregates (scalar
+    // combine — fine); corpus-sized pair work must still be the
+    // within-cell equi-join, never a cartesian over data
+    assert(!p.contains("CartesianProduct"), "pair work must stay within cells")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"cell pair join must be an equi-join\n$p")
+    assert(!p.contains("Window"), s"no windows anywhere in semantic dedup\n$p")
+  }
+
   test("q20: range window is one shuffle on the partition key, no join") {
     val p = plan("q20_range_window")
     val exchanges = p.linesIterator.count(
