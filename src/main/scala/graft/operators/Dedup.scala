@@ -389,12 +389,26 @@ object Dedup {
     * bucket-min doc (same rationale as [[pairsInBuckets]]). */
   def simhashPairs(docs: DataFrame, text: Column, id: Column,
                    maxHamming: Int = 3,
-                   maxBucket: Int = MAX_FULL_BUCKET): DataFrame = {
+                   maxBucket: Int = MAX_FULL_BUCKET): DataFrame =
+    fingerprintPairs(simhashFingerprints(docs, text, id),
+      bands = 4, bandBits = 16, maxHamming, maxBucket)
+
+  /** Banded hamming-verified pairing over a (doc_id, fp) fingerprint
+    * table — the blocking stage shared by the xxhash64 ([[simhashPairs]])
+    * and polynomial ([[polySimhashPairs]]) SimHash paths. `bands`
+    * consecutive `bandBits`-bit slices of the fingerprint are the bucket
+    * keys; by pigeonhole any pair with hamming ≤ bands−1 shares at least
+    * one intact band, so band equality is a complete candidate generator
+    * for maxHamming ≤ bands−1. Same one-shuffle / capped-hot-bucket
+    * shape as [[pairsInBuckets]]. */
+  private[operators] def fingerprintPairs(f: DataFrame, bands: Int,
+                                          bandBits: Int, maxHamming: Int,
+                                          maxBucket: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val f = simhashFingerprints(docs, text, id)
+    val mask = (1L << bandBits) - 1
     val banded = f.select(col("doc_id"), col("fp"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("fp"), b * 16).bitwiseAND(0xFFFFL)): _*))
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("fp"), b * bandBits).bitwiseAND(mask)): _*))
         .as(Seq("band_idx", "band_val")))
     val w = Window.partitionBy(col("band_idx"), col("band_val"))
     val sized = banded
@@ -416,5 +430,107 @@ object Dedup {
     small.unionByName(big)
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** SimHash over POLYNOMIAL token hashes — the oracle-exact twin of
+    * [[simhashFingerprints]], the same role [[polyMinhashPairs]] plays
+    * for the xxhash64 minhash path: token hashes come from the d23
+    * char-recurrence (mod 2³¹−1, so values fit 31 bits), the per-bit
+    * ±1 votes and the vote>0 bit rule are pure integer arithmetic, and
+    * DuckDB replays every step — fingerprint bits 0..30. Same scale
+    * shape as the throughput path: token-explode → hash once → ONE
+    * aggregate holding 31 vote sums (map-side combinable — a hot doc's
+    * tokens pre-sum per mapper). */
+  val POLY_SIMHASH_BITS = 31
+
+  def polySimhashFingerprints(docs: DataFrame, text: Column, id: Column): DataFrame = {
+    val exploded = docs.select(id.as("doc_id"),
+      explode(polyTokenHashes(text)).as("h"))
+    val votes = (0 until POLY_SIMHASH_BITS).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$j")
+    }
+    val fp = (0 until POLY_SIMHASH_BITS).map { j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ bitwiseOR _)
+    exploded.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fp.as("fp"))
+  }
+
+  /** Near-dup pairs over the polynomial fingerprints: 4×8-bit bands
+    * (band 3 carries the top 7 bits — bit 31 is always 0) — complete
+    * for hamming ≤ 3 by the same pigeonhole as the 64-bit path —
+    * verified by bit_count(xor). Every step exact cross-engine integer
+    * arithmetic, so the WHOLE simhash chain (hash → votes → fingerprint
+    * → banding → hamming verify) is DuckDB-oracle-checkable (query
+    * d53; d03 stays the 64-bit xxhash throughput variant).
+    * maxBucket defaults to unbounded because the oracle computes exact
+    * all-pairs; pass [[MAX_FULL_BUCKET]] for capped production
+    * behavior. */
+  def polySimhashPairs(docs: DataFrame, text: Column, id: Column,
+                       maxHamming: Int = 3,
+                       maxBucket: Int = Int.MaxValue): DataFrame =
+    fingerprintPairs(polySimhashFingerprints(docs, text, id),
+      bands = 4, bandBits = 8, maxHamming, maxBucket)
+
+  /** Corpus-level minhash sketches + pairwise overlap estimates
+    * between GROUPS of documents (sources, snapshots, shards): the
+    * minhash signature of the union of a group's shingle sets is the
+    * element-wise min over all the group's shingle hashes — ONE
+    * map-side-combinable aggregate whose state is `perms` longs per
+    * group, no matter how many documents the group holds. The pairwise
+    * stage runs on the #groups-row sketch table (KB — a corpus has a
+    * handful of sources), estimating each pair's shingle-set Jaccard
+    * as the fraction of agreeing signature components — the
+    * "how similar are two corpus versions / sources without comparing
+    * documents" primitive behind corpus diffing and source triage.
+    * Polynomial hashing end-to-end → DuckDB-replayable bit-exactly. */
+  def corpusOverlap(docs: DataFrame, text: Column, group: Column,
+                    perms: Int = 16): DataFrame = {
+    require(perms <= polyCoefs.length,
+      s"perms must be <= ${polyCoefs.length} (poly coefficient pool)")
+    val exploded = docs.filter(size(TextOps.tokens(text)) >= 3)
+      .select(group.as("grp"), explode(polyShingleHashes(text)).as("h"))
+    val mins = polyCoefs.take(perms).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(P))).as(s"m$i")
+    }
+    val sigs = exploded.groupBy(col("grp")).agg(mins.head, mins.tail: _*)
+    val cols = (0 until perms).map(i => col(s"m$i"))
+    val a = sigs.select(col("grp").as("grp_a") +: cols.zipWithIndex.map {
+      case (c, i) => c.as(s"a$i") }: _*)
+    val b = sigs.select(col("grp").as("grp_b") +: cols.zipWithIndex.map {
+      case (c, i) => c.as(s"b$i") }: _*)
+    val matches = (0 until perms).map { i =>
+      when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)
+    }.reduce(_ + _)
+    // non-equi join over the KB-sized sketch table — broadcast, never
+    // touches corpus-sized data
+    a.join(broadcast(b), col("grp_a") < col("grp_b"))
+      .select(col("grp_a"), col("grp_b"), matches.as("n_match"),
+        rd(matches.cast("double") / perms, 6).as("jaccard_est"))
+  }
+
+  /** Corpus snapshot diff by content hash — the versioning primitive
+    * behind incremental curation runs ("what changed between crawl N
+    * and N+1"): per distinct content, occurrence counts in both
+    * snapshots and a status (added / removed / unchanged / recount —
+    * recount = present in both with different multiplicity). Shape:
+    * one partial-agg shuffle per side on content hash, then a
+    * full-outer join on the SAME key — Spark co-partitions both sides
+    * on the agg's partitioning, so the join adds no new exchange. No
+    * skew hazard: content hash is effectively unique after the agg. */
+  def snapshotDiff(old: DataFrame, current: DataFrame, text: Column): DataFrame = {
+    def counted(df: DataFrame, as: String) =
+      df.groupBy(md5(text).as("content_hash")).agg(count(lit(1)).as(as))
+    counted(old, "n_old").join(counted(current, "n_new"),
+        Seq("content_hash"), "full_outer")
+      .select(col("content_hash"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        when(col("n_old").isNull, "added")
+          .when(col("n_new").isNull, "removed")
+          .when(col("n_old") === col("n_new"), "unchanged")
+          .otherwise("recount").as("status"))
   }
 }

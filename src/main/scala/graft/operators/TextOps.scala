@@ -526,6 +526,35 @@ object TextOps {
           .as("ttr"))
   }
 
+  /** Sliding token-window chunking with stride — the context-window
+    * step of RAG indexing and long-doc pretraining: each doc yields
+    * chunks of `win` tokens starting every `stride` tokens (overlap =
+    * win − stride), the last chunk keeping whatever tail remains. A doc
+    * with ≤ win tokens yields exactly one chunk. Chunk count is
+    * `1 + max(0, ceil((n − win)/stride))` in pure integer arithmetic,
+    * so the decomposition is engine-exact. Map-only: one transform +
+    * posexplode at scan speed — no shuffle, no state, any corpus size.
+    * Returns (doc_id, chunk_idx, n_tokens, chunk_hash); callers wanting
+    * the chunk text swap the md5 for the concat itself. */
+  def chunkTokens(docs: DataFrame, text: Column, id: Column,
+                  win: Int, stride: Int): DataFrame = {
+    require(win > 0 && stride > 0, "win and stride must be positive")
+    val toks = tokens(text)
+    val n = size(toks).cast("long")
+    // ceil((n - win)/stride) via (n - win + stride - 1) div stride;
+    // values are doc-token counts — far below 2^52, so the double
+    // floor is the true integer quotient
+    val extra = greatest(lit(0L),
+      floor((n - win + (stride - 1)).cast("double") / stride).cast("long"))
+    docs.select(id.as("doc_id"), toks.as("_t"), extra.as("_x"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0L), col("_x")),
+          i => slice(col("_t"), (i * stride + 1).cast("int"), lit(win)))).as(Seq("chunk_idx", "_c")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(col("_c")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("_c"))).as("chunk_hash"))
+  }
+
   /** PII scrubbing: emails first (their local part would otherwise leak
     * into the digit pass), then runs of 5+ digits (ids, phone-ish
     * numbers). Pattern subset chosen to mean the same thing in Java

@@ -540,7 +540,50 @@ object PipelineQueries {
           lit(" contact user"), col("doc_id").cast("string"),
           lit("@example.com ref "),
           (col("doc_id") * 7919L + 1000000L).cast("string"))).as("clean"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // the FULL simhash chain oracle-PROVEN via the polynomial path
+    // (what d24 did for minhash): token hashes → 31 bit votes →
+    // fingerprint → 4×8-bit banding → hamming verify, every step
+    // exact cross-engine integer arithmetic. d03 stays the 64-bit
+    // xxhash throughput variant
+    "d53_simhash_oracle" -> ((s, dir) =>
+      Dedup.polySimhashPairs(corpusWithDups(s, dir), col("text"),
+        col("doc_id"), maxHamming = 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy("doc_a", "doc_b")),
+
+    // corpus-level minhash sketches per source + pairwise Jaccard
+    // estimates — "how similar are two corpus slices" without touching
+    // document pairs; the sketch agg is one map-side-combinable pass
+    "d54_corpus_overlap" -> ((s, dir) =>
+      Dedup.corpusOverlap(docs(s, dir), col("text"), col("source"))
+        .orderBy("grp_a", "grp_b")),
+
+    // snapshot diff by content hash: old = the corpus minus every 7th
+    // doc, plus perturbed extras (dropped in the new crawl), plus a
+    // doubled slice (recount); new = the full corpus
+    "d55_corpus_diff" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val toks = split(col("text"), "\\s+")
+      val pert = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat_ws(" ", slice(toks, lit(1),
+            greatest(size(toks) - 1, lit(1)))).as("text"))
+      val old = d.filter(col("doc_id") % 7 =!= 0)
+        .unionByName(pert)
+        .unionByName(d.filter(col("doc_id") % 13 === 0 && col("doc_id") % 7 =!= 0))
+      Dedup.snapshotDiff(old, d, col("text"))
+        .orderBy("content_hash")
+    }),
+
+    // sliding token-window chunking (64-token windows every 48): the
+    // RAG/pretraining context-window step — map-only, engine-exact
+    // integer chunk decomposition
+    "d56_chunk_windows" -> ((s, dir) =>
+      TextOps.chunkTokens(docs(s, dir), col("text"), col("doc_id"),
+        win = 64, stride = 48)
+        .orderBy("doc_id", "chunk_idx"))
   )
 
   /** d44's mixture parameters — one source of truth for the Spark query
@@ -1019,6 +1062,70 @@ object PipelineQueries {
         | round(quantile_cont(n_chars::DOUBLE, 0.5), 4) AS p50,
         | round(quantile_cont(n_chars::DOUBLE, 0.9), 4) AS p90,
         | true AS p50_within_tol, true AS p90_within_tol
-        | FROM documents GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " ")
+        | FROM documents GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
+    // the full polynomial simhash chain replayed: per-token char
+    // recurrence → 31 bit-vote sums → vote>0 fingerprint bits →
+    // 4×8-bit bands → hamming(xor) verify — every step exact integer
+    "d53_simhash_oracle" -> {
+      val P = 2147483647L
+      val votes = (0 until Dedup.POLY_SIMHASH_BITS).map(j =>
+        s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j").mkString(", ")
+      val fp = (0 until Dedup.POLY_SIMHASH_BITS).map(j =>
+        s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END").mkString("(", " + ", ")::BIGINT")
+      s"""WITH pert AS (SELECT doc_id + 1000000 AS doc_id,
+         |   array_to_string(list_slice(toks, 1, greatest(len(toks) - 1, 1)), ' ') AS text
+         |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents WHERE doc_id % 10 = 0)),
+         | corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM pert),
+         | t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM corpus),
+         | hx AS (SELECT doc_id, unnest(list_transform(toks, w -> list_reduce(list_prepend('0', string_split(w, '')), (acc, c) -> ((acc::BIGINT * 31 + ascii(c)) % $P)::VARCHAR)::BIGINT)) AS h FROM t),
+         | v AS (SELECT doc_id, $votes FROM hx GROUP BY doc_id),
+         | f AS (SELECT doc_id, $fp AS fp FROM v),
+         | b AS (SELECT doc_id, fp, unnest([0, 1, 2, 3]) AS band_idx,
+         |   unnest([fp & 255, (fp >> 8) & 255, (fp >> 16) & 255, (fp >> 24) & 255]) AS band_val FROM f),
+         | cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         |   bit_count(xor(a.fp, c.fp))::BIGINT AS hamming
+         |  FROM b a JOIN b c ON a.band_idx = c.band_idx AND a.band_val = c.band_val AND a.doc_id < c.doc_id)
+         | SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
+         | ORDER BY doc_a, doc_b""".stripMargin.replaceAll("\n", " ")
+    },
+    // per-source union-of-shingles minhash sketch (min over permuted
+    // hashes — multiset min == distinct-set min) + pairwise agreement
+    "d54_corpus_overlap" -> {
+      val P = 2147483647L
+      val minExprs = Dedup.polyCoefs.take(16).zipWithIndex.map { case ((a, b), i) =>
+        s"min(($a * h + $b) % $P) AS m$i" }.mkString(", ")
+      val matches = (0 until 16).map(i =>
+        s"CASE WHEN a.m$i = c.m$i THEN 1 ELSE 0 END").mkString("(", " + ", ")")
+      s"""WITH t AS (SELECT source, string_split_regex(lower(text), '\\s+') AS toks FROM documents),
+         | th AS (SELECT source, list_transform(toks, w -> list_reduce(list_prepend('0', string_split(w, '')), (acc, c) -> ((acc::BIGINT * 31 + ascii(c)) % $P)::VARCHAR)::BIGINT) AS hs FROM t WHERE len(toks) >= 3),
+         | sh AS (SELECT source, unnest(list_distinct(list_transform(generate_series(1, len(hs) - 2), i -> (((hs[i] * 131 + hs[i+1]) % $P) * 131 + hs[i+2]) % $P))) AS h FROM th),
+         | sig AS (SELECT source, $minExprs FROM sh GROUP BY source)
+         | SELECT a.source AS grp_a, c.source AS grp_b, $matches::BIGINT AS n_match,
+         |  round($matches::DOUBLE / 16, 6) AS jaccard_est
+         | FROM sig a JOIN sig c ON a.source < c.source
+         | ORDER BY grp_a, grp_b""".stripMargin.replaceAll("\n", " ")
+    },
+    "d55_corpus_diff" ->
+      """WITH pert AS (SELECT doc_id + 1000000 AS doc_id,
+        |   array_to_string(list_slice(toks, 1, greatest(len(toks) - 1, 1)), ' ') AS text
+        |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents WHERE doc_id % 10 = 0)),
+        | old AS (SELECT text FROM documents WHERE doc_id % 7 != 0
+        |   UNION ALL SELECT text FROM pert
+        |   UNION ALL SELECT text FROM documents WHERE doc_id % 13 = 0 AND doc_id % 7 != 0),
+        | oc AS (SELECT md5(text) AS content_hash, count(*) AS n_old FROM old GROUP BY 1),
+        | nc AS (SELECT md5(text) AS content_hash, count(*) AS n_new FROM documents GROUP BY 1)
+        | SELECT content_hash, COALESCE(n_old, 0)::BIGINT AS n_old, COALESCE(n_new, 0)::BIGINT AS n_new,
+        |  CASE WHEN n_old IS NULL THEN 'added' WHEN n_new IS NULL THEN 'removed'
+        |   WHEN n_old = n_new THEN 'unchanged' ELSE 'recount' END AS status
+        | FROM oc FULL JOIN nc USING (content_hash)
+        | ORDER BY content_hash""".stripMargin.replaceAll("\n", " "),
+    "d56_chunk_windows" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        | c AS (SELECT doc_id, toks,
+        |   unnest(generate_series(0, greatest(0, (len(toks)::BIGINT - 64 + 47) // 48))) AS chunk_idx FROM t)
+        | SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+        |  len(list_slice(toks, (chunk_idx * 48 + 1)::INT, (chunk_idx * 48 + 64)::INT))::BIGINT AS n_tokens,
+        |  md5(array_to_string(list_slice(toks, (chunk_idx * 48 + 1)::INT, (chunk_idx * 48 + 64)::INT), ' ')) AS chunk_hash
+        | FROM c ORDER BY doc_id, chunk_idx""".stripMargin.replaceAll("\n", " ")
   )
 }

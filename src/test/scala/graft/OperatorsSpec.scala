@@ -850,4 +850,74 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
     assert(got2 == ref)
   }
+
+  test("poly simhash recalls planted near-duplicates; exact copies at hamming 0") {
+    val pairs = Dedup.polySimhashPairs(planted, col("text"), col("doc_id"))
+      .cache()
+    // exact copies: identical token multiset -> identical votes -> fp
+    // xor = 0, and the pair must surface through band blocking
+    val exact = pairs.filter(col("doc_b") === col("doc_a") + 500000L)
+    assert(exact.count() == 5)
+    assert(exact.filter(col("hamming") =!= 0).count() == 0)
+    // near copies (" tail" appended): two extra tokens flip few votes
+    val near = pairs.filter(col("doc_b") === col("doc_a") + 600000L)
+    assert(near.count() >= 3, "appended-tail near-dups should mostly stay within hamming 3")
+    pairs.unpersist()
+  }
+
+  test("poly simhash fingerprints are repartition-invariant and fit 31 bits") {
+    val a = Dedup.polySimhashFingerprints(docs, col("text"), col("doc_id"))
+    val b = Dedup.polySimhashFingerprints(docs.repartition(13), col("text"), col("doc_id"))
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+    assert(a.filter(col("fp") < 0 || col("fp") >= (1L << 31)).count() == 0)
+  }
+
+  test("corpus overlap: identical slices sketch to jaccard 1, disjoint near 0") {
+    // two copies of the same slice + one disjoint slice built from
+    // reversed token order (different shingles)
+    val slice = docs.filter(col("doc_id") < 50).select(col("text"))
+    val rev = docs.filter(col("doc_id") < 50)
+      .select(concat_ws(" ", reverse(TextOps.tokens(col("text")))).as("text"))
+    val corpus = slice.withColumn("grp", lit("a"))
+      .unionByName(slice.withColumn("grp", lit("b")))
+      .unionByName(rev.withColumn("grp", lit("c")))
+    val ov = Dedup.corpusOverlap(corpus, col("text"), col("grp")).cache()
+    val ab = ov.filter(col("grp_a") === "a" && col("grp_b") === "b").head()
+    assert(ab.getAs[Long]("n_match") == 16L)
+    assert(ab.getAs[Double]("jaccard_est") == 1.0)
+    val ac = ov.filter(col("grp_a") === "a" && col("grp_b") === "c").head()
+    assert(ac.getAs[Long]("n_match") <= 4L,
+      s"reversed-token slice should share few sketch components, got ${ac.getAs[Long]("n_match")}")
+    ov.unpersist()
+  }
+
+  test("snapshot diff labels added/removed/unchanged/recount correctly") {
+    val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "gamma"))
+      .toDF("doc_id", "text")
+    val cur = Seq((1L, "alpha"), (3L, "gamma"), (5L, "delta"))
+      .toDF("doc_id", "text")
+    val st = Dedup.snapshotDiff(old, cur, col("text"))
+      .collect().map(r => (r.getAs[Long]("n_old"), r.getAs[Long]("n_new"),
+        r.getAs[String]("status"))).toSet
+    assert(st == Set((1L, 1L, "unchanged"),   // alpha
+      (1L, 0L, "removed"),                     // beta
+      (2L, 1L, "recount"),                     // gamma: 2 -> 1
+      (0L, 1L, "added")))                      // delta
+  }
+
+  test("token chunking covers every token; last chunk carries the tail") {
+    val d = Seq((1L, (1 to 11).map(i => s"t$i").mkString(" ")),
+      (2L, "a b c"), (3L, "solo")).toDF("doc_id", "text")
+    val ch = TextOps.chunkTokens(d, col("text"), col("doc_id"), win = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1: 11 tokens -> ceil((11-4)/3)=3 extra chunks, sizes 4,4,4,2
+    assert(ch.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq == Seq(4L, 4L, 4L, 2L))
+    // docs at/below the window: exactly one chunk of full size
+    assert(ch.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 3L)))
+    assert(ch.filter(_._1 == 3L).toSeq == Seq((3L, 0L, 1L)))
+    // stride coverage: every token index lands in some chunk
+    val covered = ch.filter(_._1 == 1L).flatMap { case (_, idx, n) =>
+      (idx * 3 until idx * 3 + n).map(_.toInt) }.toSet
+    assert(covered == (0 until 11).toSet)
+  }
 }

@@ -276,6 +276,44 @@ class PlanQualitySpec extends AnyFunSuite {
         "(only the groups-row offset table may see a single partition)")
   }
 
+  test("d53: poly simhash votes aggregate with a partial phase; no all-pairs join") {
+    val p = plan("d53_simhash_oracle")
+    // 31 vote sums live in ONE HashAggregate with a map-side partial —
+    // a hot doc's exploded tokens pre-sum per mapper before the shuffle
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_sum") || p.contains("Functions: partial"),
+      s"vote aggregate must have a partial (map-side) phase\n$p")
+    // candidates come from band buckets, never a corpus self-cross
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "simhash pairing must stay band-blocked")
+  }
+
+  test("d54: corpus overlap shuffles the corpus once; pairing is a KB-table broadcast") {
+    val p = plan("d54_corpus_overlap")
+    // one hash exchange for the per-group sketch agg (both join sides
+    // read the SAME aggregate — reused, not recomputed); the pairwise
+    // non-equi join runs broadcast over the #groups-row sketch table
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "group-pair join should broadcast the KB sketch table")
+    val exchanges = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+    assert(exchanges <= 2, s"expected <=2 hash exchanges (sketch agg), got $exchanges\n$p")
+  }
+
+  test("d55: snapshot diff is two partial aggs + a co-partitioned full outer join") {
+    val p = plan("d55_corpus_diff")
+    assert(p.contains("FullOuter"), s"diff must be a full outer join\n$p")
+    assert(p.contains("partial_count") || p.contains("Functions: partial"),
+      "per-snapshot counts must pre-aggregate map-side")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+  }
+
+  test("d56: token chunking is map-only — no shuffle, no join, no window") {
+    val p = plan("d56_chunk_windows")
+    assert(!p.contains("Arguments: hashpartitioning"),
+      s"chunking must not shuffle (the orderBy range partition is presentation only)\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"))
+  }
+
   test("salted join distributes a hot key across n buckets, same result") {
     import spark.implicits._
     val big = (1 to 1000).map(i => ("hot", i.toLong)).toDF("key", "payload")
