@@ -351,6 +351,56 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** Span-CUT dedup — the ACTION counterpart of [[dupSpans]] (Lee et
+    * al. remove the repeated span, not just report it): every k-token
+    * window whose hash occurs more than once in the corpus is cut from
+    * every occurrence EXCEPT the global first (min (doc_id, pos) —
+    * within-doc repeats cut too), and each doc is reassembled from its
+    * surviving tokens in order.
+    *
+    * Scale shape — all the skew lessons applied at once:
+    *  - first-occurrence per window hash is `min(struct(doc_id, pos))`
+    *    with a partial phase (the d40 rule): a boilerplate span
+    *    repeated 10⁹ times pre-aggregates per mapper;
+    *  - the dup flag is a hash join of occurrences against the
+    *    ≤-one-row-per-hash firsts table — per-row probe, no sort of
+    *    the hot hash's occurrence list;
+    *  - cut positions and the token regroup are keyed by (doc_id, idx)
+    *    / doc_id — unique-ish, skew-free keys; per-group state is one
+    *    doc's tokens, never corpus-sized. No window function anywhere.
+    * Exact integer + string operations end-to-end → DuckDB-replayable.
+    * Returns per doc: (doc_id, n_tokens, n_cut, clean_hash — null when
+    * nothing survives). */
+  def cutDupSpans(docs: DataFrame, text: Column, id: Column, k: Int = 8): DataFrame = {
+    val wins = docs.filter(size(TextOps.tokens(text)) >= k)
+      .select(id.as("doc_id"), posexplode(polyWindowHashes(text, k))
+        .as(Seq("pos0", "wh")))
+    val firsts = wins.groupBy(col("wh"))
+      .agg(min(struct(col("doc_id"), col("pos0"))).as("w"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+    val cuts = wins.join(firsts, Seq("wh"))
+      .filter(!(col("doc_id") === col("w.doc_id") && col("pos0") === col("w.pos0")))
+      // window at 0-based pos0 covers 1-based token indices
+      // pos0+1 .. pos0+k
+      .select(col("doc_id"), explode(sequence(col("pos0") + 1, col("pos0") + k)).as("idx"))
+      .distinct()
+    val toks = docs.select(id.as("doc_id"),
+        posexplode(TextOps.tokens(text)).as(Seq("idx0", "tok")))
+      .select(col("doc_id"), (col("idx0") + 1).as("idx"), col("tok"))
+    val kept = toks.join(cuts, Seq("doc_id", "idx"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        sort_array(collect_list(struct(col("idx"), col("tok")))).as("_k"))
+      .select(col("doc_id"), col("n_kept"),
+        concat_ws(" ", transform(col("_k"), x => x("tok"))).as("_clean"))
+    docs.select(id.as("doc_id"), size(TextOps.tokens(text)).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("long").as("n_cut"),
+        when(coalesce(col("n_kept"), lit(0L)) > 0, md5(col("_clean"))).as("clean_hash"))
+  }
+
   /** n-gram Jaccard verification over candidate pairs only. */
   def jaccardVerify(candidates: DataFrame, docs: DataFrame,
                     text: Column, id: Column, minJaccard: Double): DataFrame = {

@@ -112,6 +112,20 @@ object Sampling {
       group === col("_g") && id.cast("long") === col("_i"), "left_semi")
   }
 
+  /** Importance resampling — the DSIR accept step that consumes
+    * [[graft.operators.TextOps.importanceWeights]]' scores: keep a row
+    * with probability min(1, weight/τ) via the deterministic
+    * pure-integer rule `bucket(id)·τ < weight·10⁶` (weight is the
+    * ×10⁶-scaled importance ratio; τ likewise — τ = 2·10⁶ keeps every
+    * doc with ratio ≥ 2 and a ratio-1 doc half the time). Evaluated in
+    * DECIMAL(38,0) like [[domainMix]] so the product can't wrap for
+    * any weight at any scale. Map-only; nested in τ (lowering τ only
+    * adds rows). */
+  def resampleByWeight(df: DataFrame, id: Column, weight: Column,
+                       tau: Long): DataFrame =
+    df.filter(bucket(id).cast("decimal(38,0)") * tau <
+      weight.cast("decimal(38,0)") * lit(1000000L))
+
   /** Stratified sample: per-stratum keep fractions (stratum → rate);
     * rows of unlisted strata keep `default`. The per-row decision is
     * `bucket(id) < rate · 10⁶`, so enlarging a rate strictly grows the

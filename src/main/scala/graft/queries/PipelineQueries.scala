@@ -583,7 +583,29 @@ object PipelineQueries {
     "d56_chunk_windows" -> ((s, dir) =>
       TextOps.chunkTokens(docs(s, dir), col("text"), col("doc_id"),
         win = 64, stride = 48)
-        .orderBy("doc_id", "chunk_idx"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // span-CUT dedup: the dup-span REMOVAL action over the perturbed
+    // corpus (shared prefixes between originals and their perturbed
+    // copies are cut from the later occurrence, docs reassembled)
+    "d57_span_cut" -> ((s, dir) =>
+      Dedup.cutDupSpans(corpusWithDups(s, dir), col("text"), col("doc_id"), k = 8)
+        .orderBy("doc_id")),
+
+    // DSIR importance RESAMPLING: d43's weights fed through the
+    // deterministic accept rule — keep probability min(1, ratio/1.5)
+    "d58_dsir_resample" -> ((s, dir) => {
+      val w = TextOps.importanceWeightsBy(docs(s, dir), col("lang") === "en",
+          col("text"), col("doc_id"))
+        .select(col("doc_id"),
+          // integer avg ratio ×10⁶: weight sum stays far below 2^52,
+          // so the double floor is the true integer quotient
+          floor(col("weight").cast("double") / col("n_feats")).cast("long")
+            .as("w_scaled"))
+      Sampling.resampleByWeight(w, col("doc_id"), col("w_scaled"),
+        tau = 1500000L)
+        .orderBy("doc_id")
+    })
   )
 
   /** d44's mixture parameters — one source of truth for the Spark query
@@ -594,6 +616,18 @@ object PipelineQueries {
   private val mixBudget = 10000L
   private lazy val mixTargets: Map[String, Long] =
     Sampling.domainTargets(mixWeights, mixBudget)
+
+  /** Shared WITH-clause chain replaying d43's hashed-bigram DSIR
+    * feature scores (`f` = per-doc features, `sc` = per-bucket scores);
+    * the d43 weight rollup and the d58 resample both read from it. */
+  private lazy val dsirCtes: String =
+    """t AS (SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+      | th AS (SELECT doc_id, lang, list_transform(toks, w -> list_reduce(list_prepend('0', string_split(w, '')), (acc, c) -> ((acc::BIGINT * 31 + ascii(c)) % 2147483647)::VARCHAR)::BIGINT) AS hs FROM t WHERE len(toks) >= 2),
+      | f AS (SELECT doc_id, lang, unnest(list_transform(generate_series(1, len(hs) - 1), i -> (((hs[i] * 131 + hs[i+1]) % 2147483647) % 4096))) AS f FROM th),
+      | raw AS (SELECT f, count(*) AS raw_cnt FROM f GROUP BY f),
+      | tgt AS (SELECT f, count(*) AS tgt_cnt FROM f WHERE lang = 'en' GROUP BY f),
+      | sc AS (SELECT raw.f AS f, floor((COALESCE(tgt_cnt, 0) + 1)::DOUBLE * 1000000 / (raw_cnt + 1))::BIGINT AS f_score
+      |   FROM raw LEFT JOIN tgt ON raw.f = tgt.f)""".stripMargin.replaceAll("\n", " ")
 
   /** CTE chain `{p}t → {p}th → {p}sh → {p}sig → {p}bands` replaying the
     * polynomial minhash banding over a `(idCol, text)` source — mirrors
@@ -907,16 +941,20 @@ object PipelineQueries {
          | FROM c_bands c JOIN b_bands b ON c.band_idx = b.band_idx AND c.band_hash = b.band_hash
          | GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin.replaceAll("\n", " "),
     "d43_dsir_weight" ->
-      """WITH t AS (SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS toks FROM documents),
-        | th AS (SELECT doc_id, lang, list_transform(toks, w -> list_reduce(list_prepend('0', string_split(w, '')), (acc, c) -> ((acc::BIGINT * 31 + ascii(c)) % 2147483647)::VARCHAR)::BIGINT) AS hs FROM t WHERE len(toks) >= 2),
-        | f AS (SELECT doc_id, lang, unnest(list_transform(generate_series(1, len(hs) - 1), i -> (((hs[i] * 131 + hs[i+1]) % 2147483647) % 4096))) AS f FROM th),
-        | raw AS (SELECT f, count(*) AS raw_cnt FROM f GROUP BY f),
-        | tgt AS (SELECT f, count(*) AS tgt_cnt FROM f WHERE lang = 'en' GROUP BY f),
-        | sc AS (SELECT raw.f AS f, floor((COALESCE(tgt_cnt, 0) + 1)::DOUBLE * 1000000 / (raw_cnt + 1))::BIGINT AS f_score
-        |   FROM raw LEFT JOIN tgt ON raw.f = tgt.f)
-        | SELECT doc_id, sum(f_score)::BIGINT AS weight, count(*)::BIGINT AS n_feats,
-        |  round(sum(f_score)::DOUBLE / count(*) / 1000000, 6) AS avg_ratio
-        | FROM f JOIN sc USING (f) GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+      s"""WITH $dsirCtes
+         | SELECT doc_id, sum(f_score)::BIGINT AS weight, count(*)::BIGINT AS n_feats,
+         |  round(sum(f_score)::DOUBLE / count(*) / 1000000, 6) AS avg_ratio
+         | FROM f JOIN sc USING (f) GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // d43's weights through the deterministic accept rule — HUGEINT
+    // products, integer floor-average ratio
+    "d58_dsir_resample" ->
+      s"""WITH $dsirCtes,
+         | w AS (SELECT doc_id, (sum(f_score)::BIGINT // count(*))::BIGINT AS w_scaled
+         |  FROM f JOIN sc USING (f) GROUP BY doc_id)
+         | SELECT doc_id, w_scaled FROM w
+         | WHERE (((doc_id::HUGEINT * 2654435761) % 4294967296) % 1000000) * 1500000 <
+         |  w_scaled::HUGEINT * 1000000
+         | ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "d44_domain_mix" -> {
       val cases = mixTargets.map { case (d, t) => s"WHEN '$d' THEN $t" }.mkString(" ")
       s"""WITH t AS (SELECT doc_id, lang, len(string_split_regex(lower(text), '\\s+'))::BIGINT AS n_tokens FROM documents),
@@ -1119,6 +1157,38 @@ object PipelineQueries {
         |   WHEN n_old = n_new THEN 'unchanged' ELSE 'recount' END AS status
         | FROM oc FULL JOIN nc USING (content_hash)
         | ORDER BY content_hash""".stripMargin.replaceAll("\n", " "),
+    // the span-cut replay: window hashes, global first per hash via a
+    // combined (doc_id·2²⁰ + pos) order key — identical ordering to
+    // Spark's struct(doc_id, pos) min while positions stay < 2²⁰
+    "d57_span_cut" -> {
+      val P = 2147483647L
+      val fold = (1 until 8).foldLeft("hs[pos]") {
+        (acc, j) => s"(($acc) * 131 + hs[pos + $j]) % $P"
+      }
+      s"""WITH pert AS (SELECT doc_id + 1000000 AS doc_id,
+         |   array_to_string(list_slice(toks, 1, greatest(len(toks) - 1, 1)), ' ') AS text
+         |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents WHERE doc_id % 10 = 0)),
+         | corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM pert),
+         | t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM corpus),
+         | th AS (SELECT doc_id, toks, list_transform(toks, w -> list_reduce(list_prepend('0', string_split(w, '')), (acc, c) -> ((acc::BIGINT * 31 + ascii(c)) % $P)::VARCHAR)::BIGINT) AS hs FROM t),
+         | w0 AS (SELECT doc_id, hs, unnest(generate_series(1, len(hs) - 7)) AS pos FROM th WHERE len(hs) >= 8),
+         | w AS (SELECT doc_id, pos, $fold AS wh FROM w0),
+         | fst AS (SELECT wh, min(doc_id * 1048576 + pos) AS mk FROM w GROUP BY wh HAVING count(*) > 1),
+         | dup AS (SELECT doc_id, pos FROM w JOIN fst USING (wh) WHERE doc_id * 1048576 + pos <> mk),
+         | cutx AS (SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS idx FROM dup),
+         | cut AS (SELECT DISTINCT doc_id, idx FROM cutx),
+         | tk0 AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS idx FROM t),
+         | tk AS (SELECT doc_id, idx, toks[idx] AS tok FROM tk0),
+         | kept AS (SELECT tk.doc_id, tk.idx, tk.tok FROM tk
+         |  LEFT JOIN cut ON tk.doc_id = cut.doc_id AND tk.idx = cut.idx
+         |  WHERE cut.idx IS NULL),
+         | ag AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+         |   string_agg(tok, ' ' ORDER BY idx) AS clean FROM kept GROUP BY doc_id)
+         | SELECT t.doc_id, len(toks)::BIGINT AS n_tokens,
+         |  (len(toks) - COALESCE(n_kept, 0))::BIGINT AS n_cut,
+         |  CASE WHEN COALESCE(n_kept, 0) > 0 THEN md5(clean) END AS clean_hash
+         | FROM t LEFT JOIN ag USING (doc_id) ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    },
     "d56_chunk_windows" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
         | c AS (SELECT doc_id, toks,

@@ -851,6 +851,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got2 == ref)
   }
 
+  test("span cut removes repeated spans, keeps first occurrence and unique tails") {
+    val d = Seq(
+      (1L, (1 to 12).map(i => s"w$i").mkString(" ")),              // original
+      (2L, (1 to 12).map(i => s"w$i").mkString(" ") + " x y"),     // copy + tail
+      (3L, ((1 to 8).map(i => s"a$i") ++ Seq("z") ++ (1 to 8).map(i => s"a$i")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.cutDupSpans(d, col("text"), col("doc_id"), k = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        Option(r.getString(3)))).toMap
+    // doc 1 holds every first occurrence — nothing cut
+    assert(out(1L) == ((12L, 0L, Some(md5Hex((1 to 12).map(i => s"w$i").mkString(" "))))))
+    // doc 2: the five windows over the shared 12-token prefix are dups
+    // -> tokens 1..12 cut; the windows touching "x y" are unique
+    assert(out(2L) == ((14L, 12L, Some(md5Hex("x y")))))
+    // doc 3: within-doc repeat — the second a1..a8 run is cut
+    assert(out(3L) == ((17L, 8L,
+      Some(md5Hex(((1 to 8).map(i => s"a$i") :+ "z").mkString(" "))))))
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("weight resampling: always kept at/above tau, never at zero, nested in tau") {
+    val d = (1L to 400L).map(i => (i, (i % 4) * 750000L)).toDF("doc_id", "w")
+    def kept(tau: Long) = Sampling.resampleByWeight(d, col("doc_id"), col("w"), tau)
+    val atTau = kept(1500000L)
+    // w = 2.25e6 >= tau -> bucket·tau < w·1e6 for every bucket < 1e6
+    assert(atTau.filter(col("w") === 2250000L).count() == 100)
+    assert(atTau.filter(col("w") === 0L).count() == 0)
+    val loose = kept(750000L)
+    assert(atTau.except(loose).count() == 0, "raising tau must only drop rows")
+  }
+
   test("poly simhash recalls planted near-duplicates; exact copies at hamming 0") {
     val pairs = Dedup.polySimhashPairs(planted, col("text"), col("doc_id"))
       .cache()

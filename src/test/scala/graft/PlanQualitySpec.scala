@@ -314,6 +314,28 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Window") && !p.contains("Join"))
   }
 
+  test("d57: span cut has a partial min on the window-hash key; no window function") {
+    val p = plan("d57_span_cut")
+    // first-occurrence per span = min(struct) agg with a map-side
+    // phase (the d40 rule): a 10⁹-repeat boilerplate span pre-shrinks
+    // per mapper; no WindowExec may touch corpus-sized data
+    assert(p.contains("partial_min") || p.contains("Functions: partial"),
+      s"first-occurrence agg must have a partial phase\n$p")
+    assert(!p.contains("Window"), s"span cut must not use a window\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("d58: resample keeps d43's broadcast score join; the accept rule adds no shuffle") {
+    val p = plan("d58_dsir_resample")
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket-bounded score table must broadcast")
+    assert(!p.contains("Window"))
+    // exchanges: feature agg for scores (1-2) + per-doc rollup (1) +
+    // presentation orderBy (range); the filter itself is map-only
+    val exchanges = p.linesIterator.count(_.contains("Arguments: hashpartitioning"))
+    assert(exchanges <= 3, s"accept rule must not add exchanges, got $exchanges\n$p")
+  }
+
   test("salted join distributes a hot key across n buckets, same result") {
     import spark.implicits._
     val big = (1 to 1000).map(i => ("hot", i.toLong)).toDF("key", "payload")
