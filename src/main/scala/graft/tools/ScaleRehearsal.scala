@@ -143,6 +143,37 @@ object ScaleRehearsal {
     ratio("hash reservoir sample",
       Sampling.hashReservoir(base, col("lang"), col("doc_id"), 100).count(),
       Sampling.hashReservoir(big, col("lang"), col("doc_id"), 100).count())
+    ratio("token chunking",
+      TextOps.chunkTokens(base, col("text"), col("doc_id"), 64, 48).count(),
+      TextOps.chunkTokens(big, col("text"), col("doc_id"), 64, 48).count())
+    // adversarial direction: the new snapshot is N× the old — almost
+    // everything lands in the full-outer join as added/recount rows
+    ratio("snapshot diff (old=1x)",
+      Dedup.snapshotDiff(base, base, col("text")).count(),
+      Dedup.snapshotDiff(base, big, col("text")).count())
+    ratio("corpus overlap sketches",
+      Dedup.corpusOverlap(base, col("text"), col("source")).count(),
+      Dedup.corpusOverlap(big, col("text"), col("source")).count())
+    // replication = exact-duplicate fingerprints: every simhash band
+    // bucket is factor× deep, so the capped star expansion is what
+    // keeps per-bucket pair work O(b) instead of O(b²)
+    ratio("poly simhash pairs (capped)",
+      Dedup.polySimhashPairs(base, col("text"), col("doc_id"),
+        maxBucket = Dedup.MAX_FULL_BUCKET).count(),
+      Dedup.polySimhashPairs(big, col("text"), col("doc_id"),
+        maxBucket = Dedup.MAX_FULL_BUCKET).count())
+    // planted HOT span: one shared 8-gram leads 50% of docs — the
+    // first-occurrence rule must pre-combine per mapper (the d40 hot-
+    // line rule applied to spans); the token regroup is keyed by
+    // doc_id, so no reducer ever sees the hot span's full occurrence
+    // list
+    def plantHotSpan(df: org.apache.spark.sql.DataFrame) = df.withColumn("text",
+      when(col("doc_id") % 2 === 0,
+        concat(lit("one two three four five six seven eight "), col("text")))
+        .otherwise(col("text")))
+    ratio("span cut (hot span)",
+      Dedup.cutDupSpans(plantHotSpan(base), col("text"), col("doc_id")).count(),
+      Dedup.cutDupSpans(plantHotSpan(big), col("text"), col("doc_id")).count())
 
     // long-DOCUMENT stress: n-gram/shingle ops are linear in doc length
     // only because zipNgrams avoids per-element re-evaluation inside

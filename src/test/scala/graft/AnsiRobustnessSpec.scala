@@ -69,6 +69,14 @@ class AnsiRobustnessSpec extends AnyFunSuite {
       .count() > 0)
     assert(Similarity.semanticSurvivors(emb, nCells = 4, iters = 1)
       .count() > 0)
+    assert(Dedup.polySimhashPairs(docs, col("text"), col("doc_id")).count() >= 0)
+    assert(Dedup.corpusOverlap(docs, col("text"), col("source")).count() > 0)
+    assert(Dedup.snapshotDiff(docs.limit(50), docs, col("text")).count() > 0)
+    assert(Dedup.cutDupSpans(docs, col("text"), col("doc_id")).count() > 0)
+    assert(TextOps.chunkTokens(docs, col("text"), col("doc_id"), 64, 48).count() > 0)
+    assert(Sampling.resampleByWeight(
+      docs.select(col("doc_id"), lit(Long.MaxValue / 2).as("w")),
+      col("doc_id"), col("w"), tau = 1500000L).count() > 0)
   }
 
   test("bloom, poly-hash and PQ expressions run under ANSI in a foreign session") {

@@ -262,6 +262,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(1L).getAs[String]("lang") == "en")
   }
 
+  test("token chunking runs unchanged on a stream and matches the batch chunks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val sdf = stream.toDF().toDF("doc_id", "text")
+    // chunkTokens is a pure transform+posexplode — stateless, so the
+    // SAME call chunks an unbounded stream with no watermark
+    val q = graft.operators.TextOps.chunkTokens(sdf, col("text"),
+        col("doc_id"), win = 4, stride = 3)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("chunk_out").start()
+    val data = Seq(
+      (1L, (1 to 11).map(i => s"t$i").mkString(" ")),
+      (2L, "a b c"))
+    stream.addData(data)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("chunk_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val want = graft.operators.TextOps.chunkTokens(data.toDF("doc_id", "text"),
+        col("text"), col("doc_id"), win = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(got == want && got.size == 5)
+  }
+
   test("streaming near-dup flags docs that match the static corpus") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
