@@ -431,7 +431,7 @@ object SlurmQueries {
         | memeff, ngpus, round(gpueff, 6) AS gpueff,
         | round(totdiskread_b / elapsed_s / 1048576, 2) AS read_mibps,
         | round(totdiskwrite_b / elapsed_s / 1048576, 2) AS write_mibps
-        | FROM eff WHERE start_ts IS NOT NULL AND end_ts IS NOT NULL
+        | FROM eff WHERE end_ts IS NOT NULL
         | ORDER BY jobid""".stripMargin.replaceAll("\n", " ")),
     "s24_seff_peruser" ->
       (EFFCTE + """SELECT user_name,

@@ -166,9 +166,12 @@ object Reports {
     slurm.filter(f1 && f2 && f3 && f4)
   }
 
-  /** seff per-job report (slurm2sql.py:1332-1358), numeric columns. */
+  /** seff per-job report (slurm2sql.py:1332-1358), numeric columns.
+    * Filter is `End IS NOT NULL` ONLY (slurm2sql.py:1335 — "this only
+    * queries jobs with an End time"): a cancelled-never-started job has
+    * End set but no Start and the reference still lists it. */
   def seffPerJob(eff: DataFrame): DataFrame =
-    eff.filter(col("Start").isNotNull && col("End").isNotNull)
+    eff.filter(col("End").isNotNull)
       .select(
         col("JobID"), col("User"),
         rd(col("Elapsed") / 3600, 2).as("hours"),

@@ -121,4 +121,23 @@ class SlurmFunctionsSpec extends AnyFunSuite {
       .select(F.memEff(col("alloc"), col("used"))).collect()(0)
     assert(z.get(0) == null)
   }
+
+  test("seff per-job filters on End ONLY: cancelled-never-started jobs are listed") {
+    // slurm2sql.py:1335 — `WHERE End IS NOT NULL`; a job cancelled
+    // before starting has End set but NO Start, and the reference
+    // still shows it
+    val eff = Seq(
+      ("1", "u", Some(100L), Some(1000L), Some(1100L), "COMPLETED"),
+      ("2", "u", Some(0L), None, Some(1100L), "CANCELLED"), // never started
+      ("3", "u", None, Some(1000L), None, "RUNNING"))       // no End -> dropped
+      .toDF("JobID", "User", "Elapsed", "Start", "End", "State")
+      .withColumn("NCPUS", lit(1L)).withColumn("CPUeff", lit(0.5))
+      .withColumn("AllocMem", lit(1073741824L)).withColumn("TotalMem", lit(1073741824L))
+      .withColumn("MemEff", lit(0.5)).withColumn("NGpus", lit(0L))
+      .withColumn("GpuEff", lit(null).cast("double"))
+      .withColumn("TotDiskRead", lit(0L)).withColumn("TotDiskWrite", lit(0L))
+    val got = graft.slurm.Reports.seffPerJob(eff)
+      .select("JobID").collect().map(_.getString(0)).toSet
+    assert(got == Set("1", "2"))
+  }
 }
