@@ -80,6 +80,19 @@ object TextOps {
       .otherwise(xxhash64(concat_ws(" ", toks)))
   }
 
+  /** Polynomial twin of [[minWindowHash]] — the winnowing-lite
+    * signature in exact cross-engine integer arithmetic (oracle query
+    * d59 replays it; d11 keeps the xxhash64 throughput variant, the
+    * same split as d02/d24 and d03/d53). Docs shorter than the window
+    * fall back to the base-131 fold of their whole token-hash chain. */
+  def minPolyWindowHash(text: Column, window: Int = 8): Column = {
+    val hs = Dedup.polyTokenHashes(text)
+    val P = graft.functions.PolyHashUtil.P
+    when(size(hs) >= window,
+      array_min(Dedup.polyWindowHashes(text, window)))
+      .otherwise(aggregate(hs, lit(0L), (acc, h) => pmod(acc * 131L + h, lit(P))))
+  }
+
   /** Global vocabulary: token → frequency, top-n (ties broken by
     * token). explode + one partial-agg shuffle on token, then top-n via
     * orderBy+limit — Spark plans that as TakeOrderedAndProject (each

@@ -592,6 +592,15 @@ object PipelineQueries {
       Dedup.cutDupSpans(corpusWithDups(s, dir), col("text"), col("doc_id"), k = 8)
         .orderBy("doc_id")),
 
+    // d11's fingerprint pair fully oracle-proven: the d23 polynomial
+    // document fingerprint + the POLY winnowing signature (d11 keeps
+    // the xxhash64 min-window-hash as the throughput variant)
+    "d59_winnow_oracle" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fingerprint"),
+        TextOps.minPolyWindowHash(col("text")).as("min_window_hash"))
+        .orderBy("doc_id")),
+
     // DSIR importance RESAMPLING: d43's weights fed through the
     // deterministic accept rule — keep probability min(1, ratio/1.5)
     "d58_dsir_resample" -> ((s, dir) => {
@@ -1188,6 +1197,22 @@ object PipelineQueries {
          |  (len(toks) - COALESCE(n_kept, 0))::BIGINT AS n_cut,
          |  CASE WHEN COALESCE(n_kept, 0) > 0 THEN md5(clean) END AS clean_hash
          | FROM t LEFT JOIN ag USING (doc_id) ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    },
+    "d59_winnow_oracle" -> {
+      val P = 2147483647L
+      val fold = (1 until 8).foldLeft("hs[pos]") {
+        (acc, j) => s"(($acc) * 131 + hs[pos + $j]) % $P"
+      }
+      s"""WITH t AS (SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS toks FROM documents),
+         | th AS (SELECT doc_id, text, list_transform(toks, w -> list_reduce(list_prepend('0', string_split(w, '')), (acc, c) -> ((acc::BIGINT * 31 + ascii(c)) % $P)::VARCHAR)::BIGINT) AS hs FROM t),
+         | w0 AS (SELECT doc_id, hs, unnest(generate_series(1, len(hs) - 7)) AS pos FROM th WHERE len(hs) >= 8),
+         | mw AS (SELECT doc_id, min($fold) AS mwh FROM w0 GROUP BY doc_id),
+         | short AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT, hs), (acc, h) -> (acc * 131 + h) % $P) AS mwh FROM th WHERE len(hs) < 8)
+         | SELECT th.doc_id,
+         |  list_reduce(list_prepend('0', string_split(text, '')), (acc, c) -> ((acc::BIGINT * 31 + ascii(c)) % $P)::VARCHAR)::BIGINT AS fingerprint,
+         |  COALESCE(mw.mwh, short.mwh)::BIGINT AS min_window_hash
+         | FROM th LEFT JOIN mw USING (doc_id) LEFT JOIN short USING (doc_id)
+         | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
     },
     "d56_chunk_windows" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),

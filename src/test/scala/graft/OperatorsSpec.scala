@@ -885,6 +885,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(atTau.except(loose).count() == 0, "raising tau must only drop rows")
   }
 
+  test("poly winnow signature matches a hand-rolled reference; short docs fold the chain") {
+    val P = 2147483647L
+    def tokHash(w: String): Long =
+      w.toLowerCase.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % P)
+    def winFold(hs: Seq[Long]): Long =
+      hs.reduceLeft((a, h) => (a * 131 + h) % P)
+    val t1 = (1 to 10).map(i => s"w$i")
+    val t2 = Seq("a", "b", "c")
+    val d = Seq((1L, t1.mkString(" ")), (2L, t2.mkString(" "))).toDF("doc_id", "text")
+    val got = d.select(col("doc_id"),
+        TextOps.minPolyWindowHash(col("text")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h1 = t1.map(tokHash)
+    assert(got(1L) == (0 to 2).map(i => winFold(h1.slice(i, i + 8))).min)
+    // short doc: base-131 fold of the whole token-hash chain from 0
+    assert(got(2L) == t2.map(tokHash).foldLeft(0L)((a, h) => (a * 131 + h) % P))
+  }
+
   test("poly simhash recalls planted near-duplicates; exact copies at hamming 0") {
     val pairs = Dedup.polySimhashPairs(planted, col("text"), col("doc_id"))
       .cache()
