@@ -17,6 +17,17 @@ object RelationalQueries {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
+  /** q11's wide conditional-pivot report — shared with q21's unpivot. */
+  private def pivoted(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        rd(sum(when(col("o_orderstatus") === "F", col("o_totalprice"))), 2).as("price_f"),
+        rd(sum(when(col("o_orderstatus") === "O", col("o_totalprice"))), 2).as("price_o"),
+        rd(sum(when(col("o_orderstatus") === "P", col("o_totalprice"))), 2).as("price_p"),
+        count(lit(1)).as("n_orders"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // scan→filter→groupBy multi-agg; map-side partial agg, one shuffle.
@@ -140,15 +151,19 @@ object RelationalQueries {
 
     // pivot via conditional aggregation (no per-key pass).
     "q11_conditional_pivot" -> ((s, dir) =>
-      t(s, dir, "orders")
-        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
-        .groupBy(col("c_mktsegment"))
-        .agg(
-          rd(sum(when(col("o_orderstatus") === "F", col("o_totalprice"))), 2).as("price_f"),
-          rd(sum(when(col("o_orderstatus") === "O", col("o_totalprice"))), 2).as("price_o"),
-          rd(sum(when(col("o_orderstatus") === "P", col("o_totalprice"))), 2).as("price_p"),
-          count(lit(1)).as("n_orders"))
-        .orderBy("c_mktsegment")),
+      pivoted(s, dir).orderBy("c_mktsegment")),
+
+    // UNPIVOT — the melt direction of q11's pivot (wide report → long
+    // (segment, status, value) rows). Spark's native unpivot keeps
+    // NULL cells, DuckDB's drops them; filter explicitly so the
+    // contract is engine-independent. Map-only over the wide input.
+    "q21_unpivot" -> ((s, dir) =>
+      pivoted(s, dir)
+        .unpivot(Array(col("c_mktsegment")),
+          Array(col("price_f"), col("price_o"), col("price_p")),
+          "status", "price")
+        .filter(col("price").isNotNull)
+        .orderBy("c_mktsegment", "status")),
 
     // sessionization: 30-min-gap sessions via lag + cumulative flag sum.
     "q12_sessionize" -> ((s, dir) => {
@@ -366,6 +381,17 @@ object RelationalQueries {
         | count(*) AS n_orders
         | FROM orders JOIN customer ON o_custkey = c_custkey
         | GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " "),
+    "q21_unpivot" ->
+      """WITH q11 AS (SELECT c_mktsegment,
+        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS price_f,
+        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS price_o,
+        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS price_p
+        | FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1)
+        | SELECT c_mktsegment, status, price FROM (
+        |  SELECT c_mktsegment, 'price_f' AS status, price_f AS price FROM q11
+        |  UNION ALL SELECT c_mktsegment, 'price_o', price_o FROM q11
+        |  UNION ALL SELECT c_mktsegment, 'price_p', price_p FROM q11)
+        | WHERE price IS NOT NULL ORDER BY c_mktsegment, status""".stripMargin.replaceAll("\n", " "),
     "q12_sessionize" ->
       """SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 2) AS session_value FROM (
         | SELECT user_id, value,

@@ -12,7 +12,7 @@ object PlanAudit {
     val out = args.lift(1).getOrElse("/tmp/plans.txt")
     val spark = Tables.session("graft-plans", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     val w = new java.io.PrintWriter(out)
-    (Bench.HEADLINERS :+ "q15_asof_join").foreach { name =>
+    ((Bench.HEADLINERS :+ "q15_asof_join") ++ args.drop(2)).distinct.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       w.println(s"========== $name ==========")
       w.println(df.queryExecution.explainString(

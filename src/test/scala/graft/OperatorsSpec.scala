@@ -885,6 +885,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(atTau.except(loose).count() == 0, "raising tau must only drop rows")
   }
 
+  test("chunk decomposition: coverage and counts hold across win/stride combos") {
+    val d = (1L to 30L).map(n => (n, (1 to n.toInt).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    for ((win, stride) <- Seq((4, 3), (8, 8), (5, 2), (16, 15))) {
+      val ch = TextOps.chunkTokens(d, col("text"), col("doc_id"), win, stride)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1)
+      (1L to 30L).foreach { n =>
+        val want = 1 + math.max(0, math.ceil((n - win).toDouble / stride).toLong)
+        val chunks = ch(n).sortBy(_._2)
+        assert(chunks.length == want, s"n=$n win=$win stride=$stride")
+        // every token index covered (stride <= win in all combos)
+        val covered = chunks.flatMap { case (_, idx, len) =>
+          idx * stride until idx * stride + len }.toSet
+        assert(covered == (0L until n).toSet, s"n=$n win=$win stride=$stride")
+        // all chunks are full-width except possibly the tail
+        assert(chunks.dropRight(1).forall(_._3 == win))
+      }
+    }
+  }
+
   test("poly winnow signature matches a hand-rolled reference; short docs fold the chain") {
     val P = 2147483647L
     def tokHash(w: String): Long =

@@ -40,9 +40,10 @@ class OracleSqlSpec extends AnyFunSuite {
   /** Queries without an oracle run under the driver's weaker rows-only
     * check — every such gap must be a DELIBERATE member of this list
     * (xxhash64-seeded paths whose algorithms have oracle-proven
-    * polynomial twins: d24/d27 for d02/d04, d23 for d11), never an
-    * accidental omission. The former k-means-float members (d13/d41/
-    * d42) emit in-plan boolean verdicts since r5 and hash-check. */
+    * polynomial twins: d24/d27 for d02/d04, d53 for d03, d23+d59 for
+    * d11), never an accidental omission. The former k-means-float
+    * members (d13/d41/d42) emit in-plan boolean verdicts since r5 and
+    * hash-check. */
   val ROWS_ONLY_JUSTIFIED = Set(
     "d02_minhash_lsh", "d03_simhash", "d04_ngram_jaccard",
     "d11_fingerprint")
