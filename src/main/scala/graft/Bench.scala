@@ -23,7 +23,8 @@ object Bench {
     "d25_decontaminate", "d26_token_freq", "d28_ngram_repetition",
     "d30_line_cleanup", "d32_quantized_ann",
     "d37_bloom_dedup", "d39_dup_spans", "d40_line_dedup", "q20_range_window",
-    "d43_dsir_weight", "d46_fuzzy_decontam")
+    "d43_dsir_weight", "d46_fuzzy_decontam",
+    "d56_chunk_windows", "d57_span_cut")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
