@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Connected components over the near-duplicate candidate graph — the
@@ -48,5 +48,56 @@ object Components {
       i += 1
     }
     labels
+  }
+
+  /** PageRank with a fixed iteration count, pure 64-bit integer
+    * arithmetic — the domain/source authority score a curation
+    * pipeline feeds into quality weighting (rank a link graph, then
+    * up/down-weight documents by their host's rank).
+    *
+    * Total rank mass starts as `scale` (10¹² µ-units) split evenly;
+    * each round every node keeps 15% of the base share and receives
+    * 85% of its in-neighbors' contributions, where a node's
+    * contribution is rank ÷ out-degree. Every step is an exact
+    * integer floor-division (`(r − r mod d) / d` — overflow-free:
+    * 85·scale < 2⁶³), so ranks are bit-identical across engines,
+    * partitionings, and runs — no float mass sums. Dangling nodes
+    * (out-degree 0) leak their mass, the standard simplification;
+    * renormalizing each round would need only the same 1-row
+    * aggregate used for the node count.
+    *
+    * Scale shape: out-degrees fold into the edge list ONCE before the
+    * loop; each iteration is one edges⋈ranks join on src (both sides
+    * hash-partitioned on the same key — AQE reuses the edge shuffle
+    * across rounds) + one partial-agg sum keyed by dst (a hub with
+    * 10⁸ in-links pre-aggregates map-side), + a left join back to the
+    * node list. Nothing is ever collected to the driver; with tens of
+    * iterations add the [[connectedComponents]] localCheckpoint to cut
+    * lineage (3-5 PageRank rounds don't need it). */
+  def pageRank(edges: DataFrame, iters: Int,
+               scale: Long = 1000000000000L): DataFrame = {
+    def intDiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val ej = e.join(outdeg, "src")
+    val g = nodes.agg(count(lit(1)).as("n"))
+    var ranks = nodes.crossJoin(broadcast(g))
+      .select(col("id"), intDiv(lit(scale), col("n")).as("init"))
+      .withColumn("r", col("init"))
+    for (_ <- 1 to iters) {
+      val sums = ej.join(ranks.select(col("id"), col("r")),
+          ej("src") === col("id"))
+        .groupBy(col("dst"))
+        .agg(sum(intDiv(col("r"), col("outdeg"))).as("c"))
+      ranks = ranks.select(col("id"), col("init"))
+        .join(sums, ranks("id") === sums("dst"), "left")
+        .select(col("id"), col("init"),
+          intDiv(lit(15L) * col("init") + lit(85L) * coalesce(col("c"), lit(0L)),
+            lit(100L)).as("r"))
+    }
+    ranks.select(col("id").as("node_id"), col("r").as("rank"))
   }
 }

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval over an inverted index — the BM25 ranking every
+  * RAG corpus build and retrieval-based decontamination pass starts
+  * from (score the training corpus against benchmark queries, drop
+  * the hits). The index here is not a separate structure: on Spark
+  * the (token → doc postings) table IS the inverted index, built by
+  * one explode + partial aggregate and kept distributed.
+  *
+  * Cross-engine exactness: BM25's k1/b saturation is evaluated as an
+  * exact rational — with k1 = 6/5, b = 3/4, S = Σ dl, N = #docs,
+  *
+  *   tf·(k1+1) / (tf + k1·(1 − b + b·dl·N/S))
+  *     = 22·tf·S / (10·tf·S + 3·S + 9·dl·N)
+  *
+  * so numerator and denominator are 64-bit integers; the linear idf
+  * N/df (same ranking trade as [[TextOps.tfidfTopTerms]] — ln() would
+  * differ in the last ulp) enters through ONE fixed-shape double
+  * expression `floor(10⁶·N · num / den)`, identical IEEE op sequence
+  * in Spark and the oracle, and the per-term scores are summed as
+  * LONGS — order-independent under shuffle, where a float-score sum
+  * would hash-differ run to run. The integer products stay below 2⁶³
+  * through corpus sizes of ~10¹² tokens; past that, swap the num/den
+  * columns to DECIMAL(38,0) (the [[Sampling.domainMix]] treatment).
+  *
+  * Scale shape: the postings table shuffles once on (doc_id, token)
+  * partial-agg; document frequencies are Zipf-bounded and BROADCAST;
+  * the query term set (#queries · terms) is tiny and BROADCAST — the
+  * corpus is never shuffled for the probe. Per-(query, doc) scores
+  * are one partial-agg shuffle keyed by (q_id, doc_id) — skew-free —
+  * and ranking is the O(k)-state [[graft.functions.TopKByScore]] heap,
+  * not a window sort over every candidate. A real engine would also
+  * prune stopword postings (WAND / df cutoff) before the probe join;
+  * that is a candidate-set optimization, not a semantics change.
+  */
+object Retrieval {
+
+  /** Top-k BM25 hits per query: (q_id, rank, doc_id, score) with
+    * score the summed scaled-integer term score (ties broken by
+    * smaller doc_id). A query doc never retrieves itself. */
+  def bm25TopK(docs: DataFrame, text: Column, id: Column,
+               queries: DataFrame, qText: Column, qId: Column,
+               k: Int): DataFrame = {
+    val toks = TextOps.tokens(text)
+    // postings: one row per (doc, term) with tf; dl carried through
+    // the aggregate (functionally dependent on doc_id, costs nothing)
+    val tf = docs
+      .select(id.as("doc_id"), size(toks).cast("long").as("dl"),
+        explode(toks).as("token"))
+      .groupBy("doc_id", "dl", "token")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // corpus globals (one extra pruned scan to a 1-row aggregate)
+    val g = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(toks).cast("long")).as("s_tokens"))
+    val q = queries.select(qId.as("q_id"),
+      explode(array_distinct(TextOps.tokens(qText))).as("token"))
+    val scored = tf
+      .join(broadcast(q), "token")
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(g))
+      .withColumn("num", lit(22L) * col("tf") * col("s_tokens"))
+      .withColumn("den", col("df") * (lit(10L) * col("tf") * col("s_tokens")
+        + lit(3L) * col("s_tokens") + lit(9L) * col("dl") * col("n_docs")))
+      .withColumn("t_score",
+        floor(lit(1000000.0) * col("n_docs") * col("num") / col("den"))
+          .cast("long"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("t_score")).as("score"))
+    scored.groupBy(col("q_id"))
+      .agg(graft.functions.TopKByScore.column(
+        col("score").cast("double"), col("doc_id"), lit(k)).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("doc_id"), col("t.score").cast("long").as("score"))
+  }
+}

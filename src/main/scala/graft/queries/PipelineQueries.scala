@@ -614,6 +614,37 @@ object PipelineQueries {
       Sampling.resampleByWeight(w, col("doc_id"), col("w_scaled"),
         tau = 1500000L)
         .orderBy("doc_id")
+    }),
+
+    // BM25 retrieval: every 97th doc is a query against the rest of
+    // the corpus — the RAG / decontamination-by-retrieval primitive.
+    // Postings + broadcast df/query probe + long-summed term scores
+    "d60_bm25_topk" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Retrieval.bm25TopK(d, col("text"), col("doc_id"),
+        d.filter(col("doc_id") % 97 === 0), col("text"), col("doc_id"),
+        k = 10)
+        .orderBy("q_id", "rank")
+    }),
+
+    // integer PageRank (3 rounds) over the customer↔supplier link
+    // graph — the domain-authority score quality weighting consumes.
+    // Supplier ids offset into their own space; every 3rd order also
+    // contributes the reverse edge so the graph has cycles
+    "d61_graph_rank" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (lit(1000000000L) + col("l_suppkey")).as("dst"))
+      val sc = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("o_orderkey") % 3 === 0)
+        .select((lit(1000000000L) + col("l_suppkey")).as("src"),
+          col("o_custkey").as("dst"))
+      Components.pageRank(cs.unionByName(sc), iters = 3)
+        .orderBy("node_id")
     })
   )
 
@@ -1221,6 +1252,46 @@ object PipelineQueries {
         | SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
         |  len(list_slice(toks, (chunk_idx * 48 + 1)::INT, (chunk_idx * 48 + 64)::INT))::BIGINT AS n_tokens,
         |  md5(array_to_string(list_slice(toks, (chunk_idx * 48 + 1)::INT, (chunk_idx * 48 + 64)::INT), ' ')) AS chunk_hash
-        | FROM c ORDER BY doc_id, chunk_idx""".stripMargin.replaceAll("\n", " ")
+        | FROM c ORDER BY doc_id, chunk_idx""".stripMargin.replaceAll("\n", " "),
+    // BM25 replay: the saturation rational and the ONE double
+    // expression floor(1e6·N·num/den) mirror Retrieval.bm25TopK's op
+    // order exactly; per-(q,doc) scores sum as integers
+    "d60_bm25_topk" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        | x AS (SELECT doc_id, len(toks)::BIGINT AS dl, unnest(toks) AS token FROM t),
+        | tf AS (SELECT doc_id, dl, token, count(*)::BIGINT AS tf FROM x GROUP BY 1, 2, 3),
+        | df AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        | g AS (SELECT count(*)::BIGINT AS n_docs, sum(len(toks))::BIGINT AS s_tokens FROM t),
+        | q AS (SELECT doc_id AS q_id, unnest(list_distinct(toks)) AS token FROM t WHERE doc_id % 97 = 0),
+        | sc AS (SELECT q.q_id, tf.doc_id,
+        |   sum(floor(1000000.0 * n_docs * (22 * tf.tf * s_tokens)
+        |     / (df.df * (10 * tf.tf * s_tokens + 3 * s_tokens + 9 * tf.dl * n_docs)))::BIGINT)::BIGINT AS score
+        |  FROM tf JOIN q USING (token) JOIN df USING (token) CROSS JOIN g
+        |  WHERE tf.doc_id <> q.q_id GROUP BY 1, 2),
+        | r AS (SELECT q_id, doc_id, score,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank FROM sc)
+        | SELECT q_id, rank::BIGINT AS rank, doc_id, score
+        | FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin.replaceAll("\n", " "),
+    // PageRank replay: 3 unrolled rounds of the same integer
+    // floor-division recurrence (// on non-negative BIGINTs = the
+    // Spark-side (r - r mod d)/d)
+    "d61_graph_rank" ->
+      """WITH e0 AS (
+        |   SELECT o_custkey AS src, 1000000000 + l_suppkey AS dst
+        |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |   UNION
+        |   SELECT 1000000000 + l_suppkey AS src, o_custkey AS dst
+        |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey WHERE o_orderkey % 3 = 0),
+        | nodes AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
+        | od AS (SELECT src, count(*)::BIGINT AS outdeg FROM e0 GROUP BY 1),
+        | g AS (SELECT count(*)::BIGINT AS n FROM nodes),
+        | r0 AS (SELECT id, 1000000000000 // n AS init, 1000000000000 // n AS r FROM nodes CROSS JOIN g),
+        | s1 AS (SELECT e0.dst AS id, sum(r.r // od.outdeg)::BIGINT AS c FROM e0 JOIN od USING (src) JOIN r0 r ON e0.src = r.id GROUP BY 1),
+        | r1 AS (SELECT n.id, n.init, (15 * n.init + 85 * COALESCE(c, 0)) // 100 AS r FROM r0 n LEFT JOIN s1 USING (id)),
+        | s2 AS (SELECT e0.dst AS id, sum(r.r // od.outdeg)::BIGINT AS c FROM e0 JOIN od USING (src) JOIN r1 r ON e0.src = r.id GROUP BY 1),
+        | r2 AS (SELECT n.id, n.init, (15 * n.init + 85 * COALESCE(c, 0)) // 100 AS r FROM r1 n LEFT JOIN s2 USING (id)),
+        | s3 AS (SELECT e0.dst AS id, sum(r.r // od.outdeg)::BIGINT AS c FROM e0 JOIN od USING (src) JOIN r2 r ON e0.src = r.id GROUP BY 1),
+        | r3 AS (SELECT n.id, n.init, (15 * n.init + 85 * COALESCE(c, 0)) // 100 AS r FROM r2 n LEFT JOIN s3 USING (id))
+        | SELECT id AS node_id, r::BIGINT AS rank FROM r3 ORDER BY node_id""".stripMargin.replaceAll("\n", " ")
   )
 }

@@ -993,4 +993,59 @@ class OperatorsSpec extends AnyFunSuite {
       (idx * 3 until idx * 3 + n).map(_.toInt) }.toSet
     assert(covered == (0 until 11).toSet)
   }
+
+  test("BM25 ranking: full-overlap doc beats partial beats disjoint") {
+    val corpus = Seq(
+      (1L, "apple banana cherry"),
+      (10L, "apple banana cherry"),            // exact copy of the query
+      (11L, "apple banana date elderberry"),   // partial overlap, longer
+      (12L, "grape kiwi lemon"),               // disjoint — must not appear
+      (13L, "apple apple apple apple apple apple apple apple")
+    ).toDF("doc_id", "text")
+    val hits = Retrieval.bm25TopK(corpus, col("text"), col("doc_id"),
+      corpus.filter(col("doc_id") === 1), col("text"), col("doc_id"), k = 4)
+      .collect().map(r => (r.getLong(1), r.getAs[Long]("doc_id")))
+    assert(hits.head == (1L, 10L), s"exact copy must rank 1: ${hits.toSeq}")
+    assert(hits(1) == (2L, 11L), s"partial overlap must rank 2: ${hits.toSeq}")
+    assert(!hits.map(_._2).contains(12L), "disjoint doc retrieved")
+    assert(!hits.map(_._2).contains(1L), "query retrieved itself")
+    // tf saturation: 8×'apple' scores under the 3-term exact match
+    assert(hits.map(_._2).indexOf(13L) > hits.map(_._2).indexOf(10L))
+  }
+
+  test("BM25 on the corpus: k hits per query, no self-retrieval, monotone scores") {
+    // near-dup recall is NOT asserted here: the synthetic corpus has a
+    // ~31-token vocabulary, so every doc matches every query and the
+    // ranking is legitimately decided by length normalization — the
+    // controlled-corpus test above pins the overlap semantics
+    val queries = planted.filter(col("doc_id").between(5, 9))
+    val hits = Retrieval.bm25TopK(planted, col("text"), col("doc_id"),
+      queries, col("text"), col("doc_id"), k = 5)
+    val perQ = hits.groupBy("q_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") =!= 5).count()
+    assert(perQ == 0, "every query must return exactly k hits")
+    assert(hits.filter(col("doc_id") === col("q_id")).count() == 0)
+    // scores non-increasing down each ranking
+    import org.apache.spark.sql.expressions.Window
+    val mono = hits.withColumn("prev", lag(col("score"), 1)
+        .over(Window.partitionBy("q_id").orderBy("rank")))
+      .filter(col("prev").isNotNull && col("prev") < col("score")).count()
+    assert(mono == 0)
+  }
+
+  test("integer PageRank: hand-computed ranks on a star graph, no mass created") {
+    val edges = Seq((1L, 2L), (3L, 2L), (4L, 2L), (2L, 1L)).toDF("src", "dst")
+    val scale = 1000000000000L
+    val r1 = Components.pageRank(edges, iters = 1, scale)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val init = scale / 4
+    // node 2 receives 3 full shares, node 1 one, nodes 3/4 nothing
+    assert(r1(2L) == (15L * init + 85L * 3L * init) / 100L)
+    assert(r1(1L) == (15L * init + 85L * init) / 100L)
+    assert(r1(3L) == 15L * init / 100L && r1(4L) == r1(3L))
+    // floors only ever destroy mass
+    val r3 = Components.pageRank(edges, iters = 3, scale)
+      .agg(sum(col("rank"))).head().getLong(0)
+    assert(r3 <= scale && r3 > scale / 2)
+  }
 }

@@ -336,6 +336,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges <= 3, s"accept rule must not add exchanges, got $exchanges\n$p")
   }
 
+  test("d60: BM25 probe broadcasts queries/df/globals; ranking is the heap, not a window") {
+    val p = plan("d60_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      "query-term and df joins must broadcast — the corpus is never shuffled for the probe")
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row globals join must broadcast, not cartesian")
+    assert(p.contains("ObjectHashAggregate"),
+      "top-k must be the O(k) heap aggregate")
+    assert(!p.contains("Window"),
+      "no window sort over scored candidates")
+  }
+
+  test("d61: each PageRank round is join + partial agg — no window, no cartesian") {
+    val p = plan("d61_graph_rank")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Window"))
+    assert(p.contains("HashAggregate"),
+      "per-dst contribution sums must be partial-aggregated")
+  }
+
   test("salted join distributes a hot key across n buckets, same result") {
     import spark.implicits._
     val big = (1 to 1000).map(i => ("hot", i.toLong)).toDF("key", "payload")
