@@ -126,6 +126,25 @@ object Sampling {
     df.filter(bucket(id).cast("decimal(38,0)") * tau <
       weight.cast("decimal(38,0)") * lit(1000000L))
 
+  /** Leakage-free train/valid/test assignment: the split decision
+    * hashes the near-dup CLUSTER label, not the document id, so every
+    * member of a duplicate cluster lands in the SAME split — hashing
+    * doc ids leaks near-identical text across the train/test boundary,
+    * which inflates eval scores exactly like benchmark contamination
+    * does. Feed it [[graft.operators.Components.connectedComponents]]
+    * labels (or any blocking key: url host, chapter id).
+    *
+    * Percentages are over hash buckets (exact in expectation; a huge
+    * cluster tilts realized sizes — that is inherent to leak-free
+    * splitting, not an artifact). Map-only given the labels; nested:
+    * growing trainPct only moves rows INTO train. */
+  def clusterSplit(labeled: DataFrame, id: Column, cluster: Column,
+                   trainPct: Int = 80, validPct: Int = 10): DataFrame =
+    labeled.select(id.as("doc_id"), cluster.as("cluster"),
+      when(bucket(cluster) < trainPct * 10000L, "train")
+        .when(bucket(cluster) < (trainPct + validPct) * 10000L, "valid")
+        .otherwise("test").as("split"))
+
   /** Stratified sample: per-stratum keep fractions (stratum → rate);
     * rows of unlisted strata keep `default`. The per-row decision is
     * `bucket(id) < rate · 10⁶`, so enlarging a rate strictly grows the

@@ -645,6 +645,21 @@ object PipelineQueries {
           col("o_custkey").as("dst"))
       Components.pageRank(cs.unionByName(sc), iters = 3)
         .orderBy("node_id")
+    }),
+
+    // leak-free split: near-dup clusters (the d34 chain) decide the
+    // train/valid/test assignment, so a test doc never has a near-copy
+    // in train — the split-time decontamination rule
+    "d62_split_leakfree" -> ((s, dir) => {
+      val corpus = corpusWithDups(s, dir)
+      val edges = Dedup.jaccardVerify(
+        Dedup.polyMinhashPairs(corpus, col("text"), col("doc_id")),
+        corpus, col("text"), col("doc_id"), minJaccard = 0.5)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val labels = Components.connectedComponents(
+        corpus.select(col("doc_id").as("id")), edges)
+      Sampling.clusterSplit(labels, col("id"), col("label"))
+        .orderBy("doc_id")
     })
   )
 
@@ -702,6 +717,24 @@ object PipelineQueries {
        | ${polyBandCtes("", "corpus", "doc_id")},
        | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)""".stripMargin.replaceAll("\n", " ")
+
+  /** Jaccard-verify + undirected closure over [[polyPairCtes]]'
+    * candidates: `reach(a, b)` enumerates each doc's cluster members.
+    * Shared by d34 (survivor report) and d62 (leak-free split). */
+  private lazy val clusterReachCtes: String =
+    """gram AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS g
+      |   FROM t WHERE len(toks) >= 3),
+      | j AS (SELECT doc_a, doc_b,
+      |   len(list_filter(ga.g, x -> list_contains(gb.g, x))) AS inter,
+      |   len(ga.g) + len(gb.g) - len(list_filter(ga.g, x -> list_contains(gb.g, x))) AS uni
+      |  FROM cand JOIN gram ga ON cand.doc_a = ga.doc_id
+      |  JOIN gram gb ON cand.doc_b = gb.doc_id),
+      | jv AS (SELECT doc_a, doc_b FROM j WHERE inter::DOUBLE / uni >= 0.5),
+      | ed AS (SELECT doc_a AS src, doc_b AS dst FROM jv UNION SELECT doc_b, doc_a FROM jv),
+      | reach(a, b) AS (
+      |   SELECT doc_id, doc_id FROM corpus
+      |   UNION
+      |   SELECT r.a, ed.dst FROM reach r JOIN ed ON r.b = ed.src)""".stripMargin.replaceAll("\n", " ")
 
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" ->
@@ -1065,22 +1098,19 @@ object PipelineQueries {
         | SELECT doc_id, rank::BIGINT AS rank, token, round(score, 6) AS score
         | FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin.replaceAll("\n", " "),
     "d34_neardup_survivors" ->
-      s"""WITH RECURSIVE $polyPairCtes,
-         | gram AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS g
-         |   FROM t WHERE len(toks) >= 3),
-         | j AS (SELECT doc_a, doc_b,
-         |   len(list_filter(ga.g, x -> list_contains(gb.g, x))) AS inter,
-         |   len(ga.g) + len(gb.g) - len(list_filter(ga.g, x -> list_contains(gb.g, x))) AS uni
-         |  FROM cand JOIN gram ga ON cand.doc_a = ga.doc_id
-         |  JOIN gram gb ON cand.doc_b = gb.doc_id),
-         | jv AS (SELECT doc_a, doc_b FROM j WHERE inter::DOUBLE / uni >= 0.5),
-         | ed AS (SELECT doc_a AS src, doc_b AS dst FROM jv UNION SELECT doc_b, doc_a FROM jv),
-         | reach(a, b) AS (
-         |   SELECT doc_id, doc_id FROM corpus
-         |   UNION
-         |   SELECT r.a, ed.dst FROM reach r JOIN ed ON r.b = ed.src)
+      s"""WITH RECURSIVE $polyPairCtes, $clusterReachCtes
          | SELECT a AS doc_id, min(b) AS cluster, (a = min(b)) AS survivor
          | FROM reach GROUP BY a ORDER BY a""".stripMargin.replaceAll("\n", " "),
+    // leak-free split: the SAME cluster chain, then the Knuth-hash
+    // bucket of the CLUSTER label decides train/valid/test
+    "d62_split_leakfree" ->
+      s"""WITH RECURSIVE $polyPairCtes, $clusterReachCtes,
+         | cl AS (SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a)
+         | SELECT doc_id, cluster,
+         |  CASE WHEN ((cluster::HUGEINT * 2654435761) % 4294967296) % 1000000 < 800000 THEN 'train'
+         |       WHEN ((cluster::HUGEINT * 2654435761) % 4294967296) % 1000000 < 900000 THEN 'valid'
+         |       ELSE 'test' END AS split
+         | FROM cl ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "d35_approx_distinct" ->
       """WITH t AS (SELECT lang AS grp, unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents)
         | SELECT grp, count(DISTINCT token)::BIGINT AS exact_distinct,

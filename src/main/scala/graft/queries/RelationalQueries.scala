@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Round.rd
+import graft.operators.{AsOfJoin, Profile, RangeJoin, SkewJoin}
 
 /** Relational core q01–q18 (SURVEY.md §2.4): the query surface the
   * reference's users get from SQLite/DuckDB over the `slurm` table,
@@ -164,6 +165,20 @@ object RelationalQueries {
           "status", "price")
         .filter(col("price").isNotNull)
         .orderBy("c_mktsegment", "status")),
+
+    // table profiling: per-column nulls/distincts/ranges in ONE
+    // aggregation pass over one lineitem scan (the ANALYZE step)
+    "q22_profile" -> ((s, dir) =>
+      Profile.numeric(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount",
+          "l_suppkey", "l_partkey"))
+        .orderBy("col_name")),
+
+    // fixed-width value histogram: bounded key space, partial-agg only
+    "q23_histogram" -> ((s, dir) =>
+      Profile.histogram(t(s, dir, "lineitem"), col("l_extendedprice"),
+        width = 5000.0)
+        .orderBy("bucket")),
 
     // sessionization: 30-min-gap sessions via lag + cumulative flag sum.
     "q12_sessionize" -> ((s, dir) => {
@@ -392,6 +407,20 @@ object RelationalQueries {
         |  UNION ALL SELECT c_mktsegment, 'price_o', price_o FROM q11
         |  UNION ALL SELECT c_mktsegment, 'price_p', price_p FROM q11)
         | WHERE price IS NOT NULL ORDER BY c_mktsegment, status""".stripMargin.replaceAll("\n", " "),
+    "q22_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,
+           | (count(*) - count($c))::BIGINT AS n_nulls,
+           | count(DISTINCT $c)::BIGINT AS n_distinct,
+           | round(min($c)::DOUBLE, 6) AS min_val,
+           | round(max($c)::DOUBLE, 6) AS max_val FROM lineitem""".stripMargin.replaceAll("\n", " ")
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_suppkey", "l_partkey")
+        .map(one).mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")
+    },
+    "q23_histogram" ->
+      """SELECT floor(l_extendedprice::DOUBLE / 5000.0)::BIGINT AS bucket, count(*)::BIGINT AS n
+        | FROM lineitem WHERE l_extendedprice IS NOT NULL
+        | GROUP BY 1 ORDER BY bucket""".stripMargin.replaceAll("\n", " "),
     "q12_sessionize" ->
       """SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 2) AS session_value FROM (
         | SELECT user_id, value,

@@ -1033,6 +1033,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(mono == 0)
   }
 
+  test("cluster split is leak-free: a near-dup pair never straddles the train/test boundary") {
+    val labeled = Seq(
+      (1L, 1L), (600001L, 1L),   // a near-dup cluster
+      (2L, 2L), (3L, 3L), (600003L, 3L), (4L, 4L))
+      .toDF("id", "label")
+    val split = Sampling.clusterSplit(labeled, col("id"), col("label"))
+    // one split per cluster, by construction of the hash-on-label rule
+    val multi = split.groupBy("cluster")
+      .agg(countDistinct(col("split")).as("n")).filter(col("n") > 1).count()
+    assert(multi == 0)
+    // nested: raising trainPct only moves rows INTO train
+    val s80 = Sampling.clusterSplit(labeled, col("id"), col("label"), 80, 10)
+      .filter(col("split") === "train").select("doc_id")
+    val s90 = Sampling.clusterSplit(labeled, col("id"), col("label"), 90, 5)
+      .filter(col("split") === "train").select("doc_id")
+    assert(s80.except(s90).count() == 0)
+  }
+
+  test("profile: one-pass stats handle nulls and report exact distincts/ranges") {
+    val d = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 2.5), (2L, null), (3L, 2.5), (4L, 7.0), (null, 1.0))
+      .toDF("a", "b")
+    val p = Profile.numeric(d, Seq("a", "b")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p("a").getLong(1) == 5 && p("a").getLong(2) == 1)   // rows, nulls
+    assert(p("a").getLong(3) == 4)                              // distinct
+    assert(p("b").getLong(2) == 1 && p("b").getLong(3) == 3)
+    assert(p("b").getDouble(4) == 1.0 && p("b").getDouble(5) == 7.0)
+  }
+
+  test("histogram: fixed-width buckets partition the value range") {
+    val d = Seq(0.0, 1.0, 4.9, 5.0, 9.9, 10.0, -0.1).toDF("v")
+    val h = Profile.histogram(d, col("v"), width = 5.0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h == Map(-1L -> 1L, 0L -> 3L, 1L -> 2L, 2L -> 1L))
+  }
+
   test("integer PageRank: hand-computed ranks on a star graph, no mass created") {
     val edges = Seq((1L, 2L), (3L, 2L), (4L, 2L), (2L, 1L)).toDF("src", "dst")
     val scale = 1000000000000L

@@ -356,6 +356,23 @@ class PlanQualitySpec extends AnyFunSuite {
       "per-dst contribution sums must be partial-aggregated")
   }
 
+  test("q22: profiling is one scan — a single aggregation tree, no joins") {
+    val p = plan("q22_profile")
+    assert(!p.contains("Join"), "per-column stats must not recompute via joins")
+    assert(!p.contains("Window"))
+    // exact count(DISTINCT) over N columns legally expands; what must
+    // hold is the single-scan shape: exactly one parquet scan (counted
+    // via the formatted detail headers — the tree repeats each node)
+    val scans = "(?m)^\\([0-9]+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected one scan, got $scans")
+  }
+
+  test("q23: histogram is a partial-agg count on a bounded key") {
+    val p = plan("q23_histogram")
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("Window") && !p.contains("Join"))
+  }
+
   test("salted join distributes a hot key across n buckets, same result") {
     import spark.implicits._
     val big = (1 to 1000).map(i => ("hot", i.toLong)).toDF("key", "payload")
