@@ -412,6 +412,56 @@ object TextOps {
     weightRollup(corpus, text, id, buckets, scores)
   }
 
+  /** CCNet-style n-gram language-model quality scoring: score every
+    * corpus document by its average smoothed bigram likelihood under a
+    * model trained on a trusted `target` slice (CCNet trains KenLM on
+    * Wikipedia and buckets CommonCrawl by perplexity; this is the same
+    * signal with an add-one-smoothed bigram model). Differs from
+    * [[importanceWeights]] in kind: CONDITIONAL P(w₂|w₁) estimates
+    * against real (unhashed) bigrams with vocabulary smoothing, not an
+    * unconditioned hashed-bucket frequency ratio — low scores flag
+    * token-order gibberish that bag-of-features ratios miss.
+    *
+    * Per doc-bigram: `⌊(c(w₁w₂)+1)·10⁶ / (c(w₁)+V)⌋` (counts from the
+    * target; V = target vocabulary) — one fixed-shape double divide
+    * floored to a long, so the per-doc SUM is order-independent and
+    * hashes identically in any engine (ln-perplexity would differ in
+    * the last ulp; the ranking is monotone-equivalent per bigram).
+    *
+    * Scale shape: the model is vocabulary-bounded, not corpus-bounded —
+    * both count tables live on the target slice (tiny by construction)
+    * and BROADCAST; the corpus pays one map-only bigram explode and one
+    * per-doc partial-agg shuffle. Docs with < 2 tokens have no bigrams
+    * and produce no row. */
+  def bigramLmScore(corpus: DataFrame, target: DataFrame,
+                    text: Column, id: Column): DataFrame = {
+    val toks = tokens(text)
+    val tgUni = target.select(explode(tokens(text)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val vocab = tgUni.agg(count(lit(1)).as("v"))
+    val tgBi = target.filter(size(tokens(text)) >= 2)
+      .select(explode(Dedup.zipNgrams(tokens(text), 2,
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c12"))
+    val docBi = corpus.filter(size(toks) >= 2)
+      .select(id.as("doc_id"),
+        explode(Dedup.zipNgrams(toks, 2,
+          (a, b) => struct(a.as("w1"), concat(a, lit(" "), b).as("bg")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+    docBi
+      .join(broadcast(tgBi), Seq("bg"), "left")
+      .join(broadcast(tgUni), col("w1") === col("w"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("s", floor((coalesce(col("c12"), lit(0L)) + lit(1L))
+        * lit(1000000.0) / (coalesce(col("c1"), lit(0L)) + col("v")))
+        .cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("s")).as("lm_sum"), count(lit(1)).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"), col("lm_sum"),
+        floor(col("lm_sum").cast("double") / col("n_bigrams"))
+          .cast("long").as("lm_score"))
+  }
+
   /** Hashed-bigram feature buckets (polynomial bigram hash mod
     * `buckets`) — the DSIR feature space. Zip-sliced so the token-hash
     * array is computed O(1) times per row, not per bigram (see

@@ -660,6 +660,44 @@ object PipelineQueries {
         corpus.select(col("doc_id").as("id")), edges)
       Sampling.clusterSplit(labels, col("id"), col("label"))
         .orderBy("doc_id")
+    }),
+
+    // incremental curation: today's crawl against yesterday's
+    // warehouse — drop content already ingested (anti join on content
+    // hash; d37's bloom probe is the 100 TB pre-filter for this join),
+    // collapse within-batch exact dups to the min-id copy (partial-agg
+    // min-struct — the d40 rule), then the quality gate. Only the
+    // DELTA ever reaches the expensive stages
+    "d63_incremental_curation" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val toksCol = split(col("text"), "\\s+")
+      val pert = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat_ws(" ", slice(toksCol, lit(1),
+            greatest(size(toksCol) - 1, lit(1)))).as("text"))
+      val history = d.filter(col("doc_id") % 7 =!= 0)
+      val crawl = d.unionByName(pert)
+      val delta = crawl
+        .select(col("doc_id"), md5(col("text")).as("content_hash"),
+          size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+        .join(history.select(md5(col("text")).as("content_hash")).distinct(),
+          Seq("content_hash"), "left_anti")
+      delta.groupBy("content_hash")
+        .agg(min(struct(col("doc_id"), col("n_tokens"))).as("w"))
+        .select(col("w.doc_id").as("doc_id"), col("content_hash"),
+          col("w.n_tokens").as("n_tokens"))
+        .filter(col("n_tokens") >= 5)
+        .orderBy("doc_id")
+    }),
+
+    // bigram LM quality score (CCNet signal): conditional add-one
+    // bigram likelihood under the en-slice model — model broadcast,
+    // corpus map-only + one per-doc agg
+    "d64_lm_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextOps.bigramLmScore(d, d.filter(col("lang") === "en"),
+        col("text"), col("doc_id"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1322,6 +1360,39 @@ object PipelineQueries {
         | r2 AS (SELECT n.id, n.init, (15 * n.init + 85 * COALESCE(c, 0)) // 100 AS r FROM r1 n LEFT JOIN s2 USING (id)),
         | s3 AS (SELECT e0.dst AS id, sum(r.r // od.outdeg)::BIGINT AS c FROM e0 JOIN od USING (src) JOIN r2 r ON e0.src = r.id GROUP BY 1),
         | r3 AS (SELECT n.id, n.init, (15 * n.init + 85 * COALESCE(c, 0)) // 100 AS r FROM r2 n LEFT JOIN s3 USING (id))
-        | SELECT id AS node_id, r::BIGINT AS rank FROM r3 ORDER BY node_id""".stripMargin.replaceAll("\n", " ")
+        | SELECT id AS node_id, r::BIGINT AS rank FROM r3 ORDER BY node_id""".stripMargin.replaceAll("\n", " "),
+    "d63_incremental_curation" ->
+      """WITH pert AS (SELECT doc_id + 1000000 AS doc_id,
+        |   array_to_string(list_slice(toks, 1, greatest(len(toks) - 1, 1)), ' ') AS text
+        |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents WHERE doc_id % 10 = 0)),
+        | crawl AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM pert),
+        | hist AS (SELECT DISTINCT md5(text) AS ch FROM documents WHERE doc_id % 7 <> 0),
+        | delta AS (SELECT doc_id, md5(text) AS content_hash,
+        |   len(string_split_regex(text, '\s+'))::BIGINT AS n_tokens
+        |  FROM crawl WHERE md5(text) NOT IN (SELECT ch FROM hist)),
+        | kept AS (SELECT content_hash, min(doc_id) AS doc_id, min(n_tokens) AS n_tokens
+        |  FROM delta GROUP BY 1)
+        | SELECT doc_id, content_hash, n_tokens FROM kept
+        | WHERE n_tokens >= 5 ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // bigram LM replay: identical add-one rule, w1 recovered from the
+    // bigram key (tokens cannot contain whitespace)
+    "d64_lm_score" ->
+      """WITH t AS (SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        | tg AS (SELECT toks FROM t WHERE lang = 'en'),
+        | c1t AS (SELECT w, count(*)::BIGINT AS c1 FROM (SELECT unnest(toks) AS w FROM tg) GROUP BY 1),
+        | v AS (SELECT count(*)::BIGINT AS v FROM c1t),
+        | c12t AS (SELECT bg, count(*)::BIGINT AS c12 FROM (
+        |   SELECT unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |   FROM tg WHERE len(toks) >= 2) GROUP BY 1),
+        | db AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM (
+        |   SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |   FROM t WHERE len(toks) >= 2)),
+        | sc AS (SELECT doc_id,
+        |   floor((COALESCE(c12, 0) + 1) * 1000000.0 / (COALESCE(c1, 0) + v))::BIGINT AS s
+        |  FROM db LEFT JOIN c12t USING (bg) LEFT JOIN c1t ON db.w1 = c1t.w CROSS JOIN v),
+        | agg AS (SELECT doc_id, sum(s)::BIGINT AS lm_sum, count(*)::BIGINT AS n_bigrams FROM sc GROUP BY 1)
+        | SELECT doc_id, n_bigrams, lm_sum,
+        |  floor(lm_sum::DOUBLE / n_bigrams)::BIGINT AS lm_score
+        | FROM agg ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
   )
 }

@@ -1070,6 +1070,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(h == Map(-1L -> 1L, 0L -> 3L, 1L -> 2L, 2L -> 1L))
   }
 
+  test("bigram LM score orders in-distribution > scrambled > out-of-vocabulary") {
+    val target = Seq((100L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the cat sat"),     // model bigrams throughout
+      (2L, "sat the cat"),     // same words, one unseen transition
+      (3L, "zebra quark xylo") // nothing in the vocabulary
+    ).toDF("doc_id", "text")
+    val sc = TextOps.bigramLmScore(corpus, target, col("text"), col("doc_id"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("lm_score")).toMap
+    assert(sc(1L) > sc(2L) && sc(2L) > sc(3L), sc.toString)
+    // hand check doc 1: ("the cat": (1+1)e6/(2+5), "cat sat": (1+1)e6/(1+5))
+    assert(sc(1L) == (285714L + 333333L) / 2)
+  }
+
+  test("incremental curation keeps only new content, min-id per duplicate") {
+    val history = Seq((1L, "seen text one two three four five"))
+      .toDF("doc_id", "text")
+    val crawl = Seq(
+      (1L, "seen text one two three four five"),   // already ingested
+      (7L, "fresh text one two three four five"),  // new
+      (9L, "fresh text one two three four five"),  // in-batch dup of 7
+      (8L, "too short"))                           // fails the quality gate
+      .toDF("doc_id", "text")
+    val delta = crawl
+      .select(col("doc_id"), md5(col("text")).as("content_hash"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      .join(history.select(md5(col("text")).as("content_hash")).distinct(),
+        Seq("content_hash"), "left_anti")
+      .groupBy("content_hash")
+      .agg(min(struct(col("doc_id"), col("n_tokens"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.n_tokens").as("n_tokens"))
+      .filter(col("n_tokens") >= 5)
+    assert(delta.collect().map(_.getLong(0)).toSet == Set(7L))
+  }
+
   test("integer PageRank: hand-computed ranks on a star graph, no mass created") {
     val edges = Seq((1L, 2L), (3L, 2L), (4L, 2L), (2L, 1L)).toDF("src", "dst")
     val scale = 1000000000000L

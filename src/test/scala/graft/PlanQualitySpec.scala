@@ -373,6 +373,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Window") && !p.contains("Join"))
   }
 
+  test("d64: LM model tables broadcast — the corpus is never shuffled for scoring") {
+    val p = plan("d64_lm_score")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+    // every join must be broadcast: the only hash exchanges allowed are
+    // aggregations (model counts on the tiny target slice + the per-doc
+    // rollup) — a shuffle JOIN would mean the corpus moved for the probe
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "model joins must broadcast, not shuffle the corpus")
+  }
+
+  test("d63: delta dedup is an anti join plus a partial-agg min, no window") {
+    val p = plan("d63_incremental_curation")
+    assert(p.contains("LeftAnti"), "history exclusion must be an anti join")
+    assert(!p.contains("Window"),
+      "in-batch first-occurrence must be the min-struct aggregate, not a window")
+  }
+
   test("salted join distributes a hot key across n buckets, same result") {
     import spark.implicits._
     val big = (1 to 1000).map(i => ("hot", i.toLong)).toDF("key", "payload")
