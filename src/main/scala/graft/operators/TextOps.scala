@@ -462,6 +462,33 @@ object TextOps {
           .cast("long").as("lm_score"))
   }
 
+  /** [[bigramLmScore]]'s model, materialized as driver-side maps for
+    * the MAP-ONLY scoring path (streaming, or a broadcast-variable
+    * deployment): per-bigram scores, per-context fallbacks (seen w₁,
+    * unseen bigram), and the unseen-context default. The maps are
+    * vocabulary-bounded — KB-scale like the k-means centroid state,
+    * never corpus-scale — which is what makes collecting them
+    * legitimate. Scores are identical to the join path's by
+    * construction (same floored-long rule; spec-pinned). */
+  def bigramLmModel(target: DataFrame, text: Column):
+      (Map[String, Long], Map[String, Long], Long) = {
+    val tgUni = target.select(explode(tokens(text)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val uni = tgUni.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val v = uni.size.toLong.max(1L)
+    val bi = target.filter(size(tokens(text)) >= 2)
+      .select(explode(Dedup.zipNgrams(tokens(text), 2,
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c12"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def score(c12: Long, c1: Long): Long =
+      math.floor((c12 + 1L) * 1000000.0 / (c1 + v)).toLong
+    val bgScore = bi.map { case (bg, c12) =>
+      bg -> score(c12, uni(bg.substring(0, bg.indexOf(' ')))) }
+    val w1Score = uni.map { case (w, c1) => w -> score(0L, c1) }
+    (bgScore, w1Score, score(0L, 0L))
+  }
+
   /** Hashed-bigram feature buckets (polynomial bigram hash mod
     * `buckets`) — the DSIR feature space. Zip-sliced so the token-hash
     * array is computed O(1) times per row, not per bigram (see

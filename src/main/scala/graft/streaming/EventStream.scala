@@ -127,6 +127,44 @@ object EventStream {
       .select(col("doc_id"), col("grp"), col("rep_scaled"))
   }
 
+  /** Streaming LM quality scoring — d64's streaming twin: the bigram
+    * model is trained BATCH-side ([[graft.operators.TextOps
+    * .bigramLmModel]], vocabulary-bounded maps — KB driver state, the
+    * k-means-centroid class) and each incoming doc is scored MAP-ONLY
+    * by folding over its bigram array with literal-map lookups: no
+    * explode, no shuffle, no stream state — append mode at scan speed.
+    * Scores are bit-identical to the batch join path (same floored-long
+    * rule; spec-pinned), so a perplexity gate applied at ingest admits
+    * exactly the docs the batch backfill would. */
+  def lmScored(stream: DataFrame, text: org.apache.spark.sql.Column,
+               id: org.apache.spark.sql.Column,
+               bgScore: Map[String, Long], w1Score: Map[String, Long],
+               defaultScore: Long): DataFrame = {
+    import graft.operators.{Dedup, TextOps}
+    val toks = TextOps.tokens(text)
+    val bgs = Dedup.zipNgrams(toks, 2,
+      (a, b) => struct(a.as("w1"), concat(a, lit(" "), b).as("bg")))
+    // empty-map literals are untypeable; seed with an impossible key
+    // (tokens never contain whitespace, so "  " collides with nothing)
+    def mapLit(m: Map[String, Long]) =
+      typedLit(if (m.nonEmpty) m else Map("  " -> 0L))
+    val bgM = mapLit(bgScore)
+    val w1M = mapLit(w1Score)
+    stream.filter(size(toks) >= 2)
+      .select(id.as("doc_id"), aggregate(bgs,
+        struct(lit(0L).as("s"), lit(0L).as("n")),
+        (acc, p) => struct(
+          (acc.getField("s") + coalesce(
+            element_at(bgM, p.getField("bg")),
+            element_at(w1M, p.getField("w1")),
+            lit(defaultScore))).as("s"),
+          (acc.getField("n") + 1L).as("n"))).as("a"))
+      .select(col("doc_id"), col("a.n").as("n_bigrams"),
+        col("a.s").as("lm_sum"),
+        floor(col("a.s").cast("double") / col("a.n"))
+          .cast("long").as("lm_score"))
+  }
+
   /** Streaming twin of q19's interval join: tag each incoming event
     * with the static intervals containing it. The binned shape matters
     * MORE on a stream — `RangeJoin.binned` gives a stateless

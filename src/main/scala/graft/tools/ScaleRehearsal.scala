@@ -229,6 +229,60 @@ object ScaleRehearsal {
     ratio("semantic dedup (all-dup corpus)",
       Similarity.semanticSurvivors(embBase).count(),
       Similarity.semanticSurvivors(embBig).count())
+
+    // BM25 probe: FIXED query set vs a growing corpus — postings and
+    // the scored candidate set grow linearly; the query/df/global
+    // joins stay broadcast at any corpus size (every replica of a
+    // matched doc matches, so output rows grow ~linearly too)
+    val bmQ = base.filter(col("doc_id") % 97 === 0)
+    ratio("BM25 topk probe",
+      Retrieval.bm25TopK(base, col("text"), col("doc_id"),
+        bmQ, col("text"), col("doc_id"), 10).count(),
+      Retrieval.bm25TopK(big, col("text"), col("doc_id"),
+        bmQ, col("text"), col("doc_id"), 10).count())
+    // PageRank with planted HUBS: every doc links to one of 100 hub
+    // nodes, so replication deepens each hub's in-edge list factor× —
+    // the per-dst contribution sum must pre-aggregate map-side or the
+    // hot hubs become single-reducer walls
+    def hubEdges(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id").as("src"),
+        (lit(2000000000L) + pmod(col("doc_id"), lit(100L))).as("dst"))
+    ratio("pagerank (hub skew)",
+      Components.pageRank(hubEdges(base), iters = 3).count(),
+      Components.pageRank(hubEdges(big), iters = 3).count())
+    // bigram LM scoring: the model is VOCAB-bounded — replicating the
+    // corpus (and with it the en target slice) grows the count tables'
+    // values, not their width, so the broadcast stays KB-sized and the
+    // corpus side stays map-only + one per-doc agg
+    ratio("bigram LM score",
+      TextOps.bigramLmScore(base, base.filter(col("lang") === "en"),
+        col("text"), col("doc_id")).count(),
+      TextOps.bigramLmScore(big, big.filter(col("lang") === "en"),
+        col("text"), col("doc_id")).count())
+    // incremental curation, adversarial direction: history stays 1×,
+    // the crawl is N× and almost ALL of it is novel content (shifted
+    // ids, same text ⇒ content-hash dups collapse in the partial agg)
+    def curate(hist: org.apache.spark.sql.DataFrame,
+               crawl: org.apache.spark.sql.DataFrame): Long = {
+      val delta = crawl
+        .select(col("doc_id"), md5(col("text")).as("content_hash"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+        .join(hist.select(md5(col("text")).as("content_hash")).distinct(),
+          Seq("content_hash"), "left_anti")
+      delta.groupBy("content_hash")
+        .agg(min(struct(col("doc_id"), col("n_tokens"))).as("w"))
+        .filter(col("w.n_tokens") >= 5).count()
+    }
+    ratio("incremental curation (crawl=Nx)",
+      curate(base.filter(col("doc_id") % 7 =!= 0), base),
+      curate(base.filter(col("doc_id") % 7 =!= 0), big))
+    // one-pass profiling: the exact-distinct Expand multiplies agg
+    // input by #profiled columns but stays one scan + partial aggs
+    ratio("table profile (2 num cols)",
+      Profile.numeric(base.withColumn("n_chars", length(col("text"))),
+        Seq("doc_id", "n_chars")).count(),
+      Profile.numeric(big.withColumn("n_chars", length(col("text"))),
+        Seq("doc_id", "n_chars")).count())
     spark.stop()
   }
 }

@@ -451,4 +451,32 @@ class StreamingSpec extends AnyFunSuite {
     val want = Set((1L, ts(0), ts(2)), (2L, ts(5), ts(4)))
     assert(got == want, s"got $got")
   }
+
+  test("streaming LM scoring matches the batch join path bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val target = Seq((100L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val data = Seq(
+      (1L, "the cat sat"),
+      (2L, "sat the cat"),
+      (3L, "zebra quark xylo"),
+      (4L, "solo"))  // < 2 tokens: no row, batch and stream alike
+    val (bg, w1, dflt) = graft.operators.TextOps.bigramLmModel(
+      target, col("text"))
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStream.lmScored(
+        stream.toDF().toDF("doc_id", "text"), col("text"), col("doc_id"),
+        bg, w1, dflt)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("lm_out").start()
+    stream.addData(data)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("lm_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = graft.operators.TextOps.bigramLmScore(
+        data.toDF("doc_id", "text"), target, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want && got.size == 3, s"stream $got vs batch $want")
+  }
 }
