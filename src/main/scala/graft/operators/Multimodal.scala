@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -165,6 +165,56 @@ object Multimodal {
         length(frame).cast("long").as("frame_len"),
         md5(frame).as("frame_hash"))
   }
+
+  /** Blockhash-style PERCEPTUAL fingerprint (Yang et al.'s blockhash;
+    * the aHash family): split the payload byte stream into `blocks`
+    * equal spans, one fingerprint bit per span = "span mean above the
+    * global mean", compared as the cross-multiplication
+    * `sum_b · n > S · n_b` — pure integer arithmetic, no division, so
+    * the fingerprint is bit-identical in any engine. On a real image
+    * corpus the spans are pixel tiles of the decoded raster (the
+    * [[realDecode]] path feeds the same rule); byte spans are the
+    * payload-level analog that needs no codec and still clusters
+    * shifted/truncated variants at small hamming distance.
+    *
+    * Map-only Catalyst expressions (transform/slice/aggregate) — the
+    * fingerprint costs one codegen'd pass, O(blocks·len) per row, no
+    * shuffle. MSB-first bit fold keeps fp in [0, 2³²) for the default
+    * 32 blocks (never a negative long, so band shifts are safe).
+    * Assumes a non-empty single-byte-encoded payload (the corpus
+    * ASCII guarantee d29 documents). */
+  def blockHash(payloadText: Column, blocks: Int = 32): Column = {
+    require(blocks > 0 && (blocks & (blocks - 1)) == 0,
+      "blocks must be a power of two (block bounds via shiftright)")
+    val shift = java.lang.Integer.numberOfTrailingZeros(blocks)
+    val codes = transform(split(payloadText, ""), c => ascii(c).cast("long"))
+    val n = size(codes).cast("long")
+    val s = aggregate(codes, lit(0L), (a, x) => a + x)
+    val bits = transform(sequence(lit(0L), lit(blocks - 1L)), b => {
+      val lo = shiftright(b * n, shift)
+      val nb = shiftright((b + 1L) * n, shift) - lo
+      val sb = aggregate(slice(codes, (lo + 1L).cast("int"), nb.cast("int")),
+        lit(0L), (a, x) => a + x)
+      when(sb * n > s * nb, lit(1L)).otherwise(lit(0L))
+    })
+    aggregate(bits, lit(0L), (a, x) => a * 2L + x)
+  }
+
+  /** Perceptual near-dup pairs over payloads: [[blockHash]]
+    * fingerprints → the SAME 4×8-bit banded blocking + hamming verify
+    * the simhash path uses ([[Dedup.fingerprintPairs]]) — shifted or
+    * truncated payload variants collide in ≥ 1 band and verify at
+    * hamming ≤ `maxHamming`. Default uncapped (oracle-exact);
+    * production passes `maxBucket = Dedup.MAX_FULL_BUCKET` so a
+    * boilerplate-payload bucket star-expands instead of pairing O(b²)
+    * (d53's trade, spec-pinned there). */
+  def phashPairs(docs: DataFrame, payloadText: Column,
+                 id: org.apache.spark.sql.Column, maxHamming: Int = 3,
+                 maxBucket: Int = Int.MaxValue): DataFrame =
+    Dedup.fingerprintPairs(
+      docs.select(id.as("doc_id"), blockHash(payloadText).as("fp")),
+      bands = 4, bandBits = 8, maxHamming = maxHamming,
+      maxBucket = maxBucket)
 
   /** Batched decode stage: mapPartitions drains rows in BATCH_SIZE
     * groups — the Scala analog of `mapInPandas` batch decode. The

@@ -690,6 +690,25 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // perceptual (blockhash) near-dup over payload bytes — the image-
+    // dedup primitive: single-byte-edit variants (the one-pixel-edit
+    // analog; boundary-preserving, which is what aHash is robust to)
+    // land at hamming ≤ 1. Sliced to every 3rd doc BEFORE planting: a
+    // 31-token vocabulary makes byte profiles collide far more than
+    // real media would, and the gate replays the UNCAPPED pair join
+    // (production caps via maxBucket = Dedup.MAX_FULL_BUCKET)
+    "d65_phash_neardup" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 3 === 0)
+      val edited = base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(lit("z"), substring(col("text"), 2, Int.MaxValue)).as("text"))
+      Multimodal.phashPairs(base.unionByName(edited), col("text"), col("doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // bigram LM quality score (CCNet signal): conditional add-one
     // bigram likelihood under the en-slice model — model broadcast,
     // corpus map-only + one per-doc agg
@@ -1361,6 +1380,28 @@ object PipelineQueries {
         | s3 AS (SELECT e0.dst AS id, sum(r.r // od.outdeg)::BIGINT AS c FROM e0 JOIN od USING (src) JOIN r2 r ON e0.src = r.id GROUP BY 1),
         | r3 AS (SELECT n.id, n.init, (15 * n.init + 85 * COALESCE(c, 0)) // 100 AS r FROM r2 n LEFT JOIN s3 USING (id))
         | SELECT id AS node_id, r::BIGINT AS rank FROM r3 ORDER BY node_id""".stripMargin.replaceAll("\n", " "),
+    // blockhash replay: same integer cross-multiplication bit rule,
+    // same 4×8-bit banding as the d53 oracle
+    "d65_phash_neardup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        | pert AS (SELECT doc_id + 3000000 AS doc_id, 'z' || text[2:] AS text
+        |  FROM base WHERE doc_id % 10 = 0),
+        | corpus AS (SELECT doc_id, text FROM base UNION ALL SELECT doc_id, text FROM pert),
+        | c AS (SELECT doc_id, list_transform(string_split(text, ''), ch -> ascii(ch)::BIGINT) AS codes
+        |  FROM corpus),
+        | st AS (SELECT doc_id, codes, len(codes)::BIGINT AS n, list_sum(codes)::BIGINT AS s FROM c),
+        | f AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+        |   list_transform(generate_series(0, 31), b ->
+        |     CASE WHEN list_sum(list_slice(codes, ((b * n) // 32 + 1)::INT, (((b + 1) * n) // 32)::INT))::BIGINT * n
+        |       > s * (((b + 1) * n) // 32 - (b * n) // 32) THEN 1::BIGINT ELSE 0::BIGINT END)),
+        |   (acc, x) -> acc * 2 + x) AS fp FROM st),
+        | b AS (SELECT doc_id, fp, unnest([0, 1, 2, 3]) AS band_idx,
+        |   unnest([fp & 255, (fp >> 8) & 255, (fp >> 16) & 255, (fp >> 24) & 255]) AS band_val FROM f),
+        | cand AS (SELECT DISTINCT a.doc_id AS doc_a, c2.doc_id AS doc_b,
+        |   bit_count(xor(a.fp, c2.fp))::BIGINT AS hamming
+        |  FROM b a JOIN b c2 ON a.band_idx = c2.band_idx AND a.band_val = c2.band_val AND a.doc_id < c2.doc_id)
+        | SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
+        | ORDER BY doc_a, doc_b""".stripMargin.replaceAll("\n", " "),
     "d63_incremental_curation" ->
       """WITH pert AS (SELECT doc_id + 1000000 AS doc_id,
         |   array_to_string(list_slice(toks, 1, greatest(len(toks) - 1, 1)), ' ') AS text

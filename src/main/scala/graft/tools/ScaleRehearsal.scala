@@ -276,6 +276,14 @@ object ScaleRehearsal {
     ratio("incremental curation (crawl=Nx)",
       curate(base.filter(col("doc_id") % 7 =!= 0), base),
       curate(base.filter(col("doc_id") % 7 =!= 0), big))
+    // perceptual blockhash dedup, capped: replicas are byte-identical
+    // payloads, so every fingerprint bucket is factor× deep — the
+    // star-expansion cap is what keeps pair work O(bucket), not O(b²)
+    ratio("phash near-dup (capped)",
+      Multimodal.phashPairs(base, col("text"), col("doc_id"),
+        maxBucket = graft.operators.Dedup.MAX_FULL_BUCKET).count(),
+      Multimodal.phashPairs(big, col("text"), col("doc_id"),
+        maxBucket = graft.operators.Dedup.MAX_FULL_BUCKET).count())
     // one-pass profiling: the exact-distinct Expand multiplies agg
     // input by #profiled columns but stays one scan + partial aggs
     ratio("table profile (2 num cols)",

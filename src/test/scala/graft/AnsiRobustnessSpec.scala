@@ -77,6 +77,19 @@ class AnsiRobustnessSpec extends AnyFunSuite {
     assert(Sampling.resampleByWeight(
       docs.select(col("doc_id"), lit(Long.MaxValue / 2).as("w")),
       col("doc_id"), col("w"), tau = 1500000L).count() > 0)
+    assert(Retrieval.bm25TopK(docs, col("text"), col("doc_id"),
+      docs.filter(col("doc_id") % 97 === 0), col("text"), col("doc_id"),
+      5).count() > 0)
+    assert(Components.pageRank(
+      docs.select(col("doc_id").as("src"),
+        pmod(col("doc_id"), lit(50L)).as("dst")), iters = 2).count() > 0)
+    assert(Sampling.clusterSplit(
+      docs.select(col("doc_id")), col("doc_id"), col("doc_id"))
+      .count() > 0)
+    assert(TextOps.bigramLmScore(docs, docs.filter(col("lang") === "en"),
+      col("text"), col("doc_id")).count() > 0)
+    assert(Profile.numeric(docs, Seq("doc_id", "n_chars")).count() > 0)
+    assert(Profile.histogram(docs, col("n_chars"), 100.0).count() > 0)
   }
 
   test("bloom, poly-hash and PQ expressions run under ANSI in a foreign session") {

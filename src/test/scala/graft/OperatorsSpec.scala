@@ -1105,6 +1105,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(delta.collect().map(_.getLong(0)).toSet == Set(7L))
   }
 
+  test("blockhash: identical payloads at hamming 0, single-byte edits ≤ 1, found by banding") {
+    val base = docs.select(col("doc_id"), col("text")).filter(col("doc_id") < 50)
+    val exact = base.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 700000L).as("doc_id"), col("text"))
+    val edited = base.filter(col("doc_id").between(5, 9))
+      .select((col("doc_id") + 800000L).as("doc_id"),
+        concat(lit("z"), substring(col("text"), 2, Int.MaxValue)).as("text"))
+    val pairs = Multimodal.phashPairs(
+      base.unionByName(exact).unionByName(edited), col("text"), col("doc_id"))
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("hamming"))).toSeq
+    // every exact copy pairs with its original at hamming 0
+    (0L until 5L).foreach { i =>
+      assert(pairs.exists(p => p._1 == i && p._2 == i + 700000L && p._3 == 0),
+        s"exact copy $i not found at hamming 0") }
+    // every single-byte edit collides in some band and verifies ≤ 1
+    (5L until 10L).foreach { i =>
+      assert(pairs.exists(p => p._1 == i && p._2 == i + 800000L && p._3 <= 1),
+        s"edited copy $i not within hamming 1") }
+    // the capped variant still reports every planted pair (star form)
+    val capped = Multimodal.phashPairs(
+      base.unionByName(exact).unionByName(edited), col("text"), col("doc_id"),
+      maxBucket = 4)
+    assert(capped.count() >= 10)
+  }
+
   test("integer PageRank: hand-computed ranks on a star graph, no mass created") {
     val edges = Seq((1L, 2L), (3L, 2L), (4L, 2L), (2L, 1L)).toDF("src", "dst")
     val scale = 1000000000000L
