@@ -25,7 +25,8 @@ object Bench {
     "d37_bloom_dedup", "d39_dup_spans", "d40_line_dedup", "q20_range_window",
     "d43_dsir_weight", "d46_fuzzy_decontam",
     "d56_chunk_windows", "d57_span_cut",
-    "d60_bm25_topk", "d61_graph_rank", "d64_lm_score", "q22_profile")
+    "d60_bm25_topk", "d61_graph_rank", "d64_lm_score", "q22_profile",
+    "d65_phash_neardup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

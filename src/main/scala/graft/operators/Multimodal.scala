@@ -183,13 +183,23 @@ object Multimodal {
     * 32 blocks (never a negative long, so band shifts are safe).
     * Assumes a non-empty single-byte-encoded payload (the corpus
     * ASCII guarantee d29 documents). */
-  def blockHash(payloadText: Column, blocks: Int = 32): Column = {
+  /** The payload byte-code array (ASCII contract — see [[blockHash]]). */
+  def payloadCodes(payloadText: Column): Column =
+    transform(split(payloadText, ""), c => ascii(c).cast("long"))
+
+  /** Fingerprint from PRE-MATERIALIZED codes/length/sum attributes.
+    * Keeping these as attributes matters: referencing the codes
+    * EXPRESSION here would inline the split+ascii tree into every one
+    * of the `blocks` lambdas (CollapseProject declines to merge a
+    * multi-referenced non-cheap alias for exactly this reason), turning
+    * one pass per row into `blocks` passes. [[phashPairs]] stages the
+    * projection; [[blockHash]] is the composed single-Column reference
+    * form. */
+  private def blockHashFromStats(codes: Column, n: Column, s: Column,
+                                 blocks: Int): Column = {
     require(blocks > 0 && (blocks & (blocks - 1)) == 0,
       "blocks must be a power of two (block bounds via shiftright)")
     val shift = java.lang.Integer.numberOfTrailingZeros(blocks)
-    val codes = transform(split(payloadText, ""), c => ascii(c).cast("long"))
-    val n = size(codes).cast("long")
-    val s = aggregate(codes, lit(0L), (a, x) => a + x)
     val bits = transform(sequence(lit(0L), lit(blocks - 1L)), b => {
       val lo = shiftright(b * n, shift)
       val nb = shiftright((b + 1L) * n, shift) - lo
@@ -198,6 +208,12 @@ object Multimodal {
       when(sb * n > s * nb, lit(1L)).otherwise(lit(0L))
     })
     aggregate(bits, lit(0L), (a, x) => a * 2L + x)
+  }
+
+  def blockHash(payloadText: Column, blocks: Int = 32): Column = {
+    val codes = payloadCodes(payloadText)
+    blockHashFromStats(codes, size(codes).cast("long"),
+      aggregate(codes, lit(0L), (a, x) => a + x), blocks)
   }
 
   /** Perceptual near-dup pairs over payloads: [[blockHash]]
@@ -210,11 +226,17 @@ object Multimodal {
     * (d53's trade, spec-pinned there). */
   def phashPairs(docs: DataFrame, payloadText: Column,
                  id: org.apache.spark.sql.Column, maxHamming: Int = 3,
-                 maxBucket: Int = Int.MaxValue): DataFrame =
-    Dedup.fingerprintPairs(
-      docs.select(id.as("doc_id"), blockHash(payloadText).as("fp")),
-      bands = 4, bandBits = 8, maxHamming = maxHamming,
-      maxBucket = maxBucket)
+                 maxBucket: Int = Int.MaxValue): DataFrame = {
+    val staged = docs
+      .select(id.as("doc_id"), payloadCodes(payloadText).as("_codes"))
+      .select(col("doc_id"), col("_codes"),
+        size(col("_codes")).cast("long").as("_n"),
+        aggregate(col("_codes"), lit(0L), (a, x) => a + x).as("_s"))
+      .select(col("doc_id"), blockHashFromStats(col("_codes"),
+        col("_n"), col("_s"), blocks = 32).as("fp"))
+    Dedup.fingerprintPairs(staged, bands = 4, bandBits = 8,
+      maxHamming = maxHamming, maxBucket = maxBucket)
+  }
 
   /** Batched decode stage: mapPartitions drains rows in BATCH_SIZE
     * groups — the Scala analog of `mapInPandas` batch decode. The

@@ -34,6 +34,37 @@ object EventStream {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming dedup against a STATIC HISTORY — d63's ingest-time
+    * form, the streaming face of d37's bloom shape: the warehouse is
+    * sketched ONCE batch-side into a bloom filter
+    * ([[graft.functions.BloomFilterAgg]], KB literal — same driver-
+    * state class as the LM model maps), the stream probes it MAP-ONLY
+    * at scan speed, and only the bloom-positive sliver (true dups +
+    * fpp) pays the stream-static verify join against the exact hash
+    * set. A bloom-negative row is PROVABLY novel (no false negatives),
+    * so the common case — new content — never joins anything: the
+    * history hash set is CORPUS-sized (it cannot broadcast at 100 TB),
+    * and only bloom hits reach it. Output: the stream rows with
+    * `is_dup`; no stream state at all (cross-batch self-dedup
+    * composes via [[deduplicated]]). */
+  def dedupAgainstHistory(stream: DataFrame,
+                          text: org.apache.spark.sql.Column,
+                          id: org.apache.spark.sql.Column,
+                          filterBytes: Array[Byte],
+                          historyHashes: DataFrame): DataFrame = {
+    val probed = stream.select(id.as("doc_id"), md5(text).as("content_hash"),
+      graft.functions.BloomContainsExpr.column(
+        xxhash64(text), lit(filterBytes)).as("bloom_hit"))
+    val hits = probed.filter(col("bloom_hit"))
+      .join(historyHashes.select(col("content_hash"), lit(true).as("_dup")),
+        Seq("content_hash"), "left")
+      .select(col("doc_id"), col("content_hash"),
+        coalesce(col("_dup"), lit(false)).as("is_dup"))
+    val misses = probed.filter(!col("bloom_hit"))
+      .select(col("doc_id"), col("content_hash"), lit(false).as("is_dup"))
+    hits.unionByName(misses)
+  }
+
   /** Streaming NEAR-dup: flag incoming docs that near-duplicate a
     * static reference corpus. Both sides compute the fused per-row
     * minhash band signature (`Dedup.polyRowBands` — one map-only pass,

@@ -452,6 +452,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"got $got")
   }
 
+  test("streaming history dedup: bloom probe + verify join matches batch bloomIncremental") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val history = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma"),   // dup of history 1
+      (11L, "brand new content"),
+      (12L, "delta epsilon zeta")) // dup of history 2
+    val bf = history.agg(graft.functions.BloomFilterAgg.column(
+        xxhash64(col("text")), lit(2L), lit(0.01)).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val histHashes = history.select(md5(col("text")).as("content_hash"))
+      .distinct()
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStream.dedupAgainstHistory(
+        stream.toDF().toDF("doc_id", "text"), col("text"), col("doc_id"),
+        bf, histHashes)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("hist_out").start()
+    stream.addData(batch)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("hist_out").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got == Map(10L -> true, 11L -> false, 12L -> true))
+    // identical verdicts to the batch operator on the same inputs
+    val want = graft.operators.Dedup.bloomIncremental(history,
+        batch.toDF("doc_id", "text"), col("text"), col("doc_id"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_dup")).toMap
+    assert(got == want)
+  }
+
   test("streaming LM scoring matches the batch join path bit-for-bit") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
