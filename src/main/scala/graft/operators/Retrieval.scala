@@ -38,6 +38,23 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  /** The postings table — (doc_id, dl, token, tf), one row per
+    * (doc, term): the inverted index in relational form. Built by one
+    * explode + partial aggregate; dl is carried through the aggregate
+    * (functionally dependent on doc_id, costs nothing). Materialize
+    * this once (parquet, bucketed by token) and every query probe
+    * skips the corpus re-tokenization — the [[bm25FromIndex]] /
+    * d66 deployment shape, same trade the slurm warehouse twins
+    * (s26/s27) measure. */
+  def postings(docs: DataFrame, text: Column, id: Column): DataFrame = {
+    val toks = TextOps.tokens(text)
+    docs
+      .select(id.as("doc_id"), size(toks).cast("long").as("dl"),
+        explode(toks).as("token"))
+      .groupBy("doc_id", "dl", "token")
+      .agg(count(lit(1)).as("tf"))
+  }
+
   /** Top-k BM25 hits per query: (q_id, rank, doc_id, score) with
     * score the summed scaled-integer term score (ties broken by
     * smaller doc_id). A query doc never retrieves itself. */
@@ -45,17 +62,28 @@ object Retrieval {
                queries: DataFrame, qText: Column, qId: Column,
                k: Int): DataFrame = {
     val toks = TextOps.tokens(text)
-    // postings: one row per (doc, term) with tf; dl carried through
-    // the aggregate (functionally dependent on doc_id, costs nothing)
-    val tf = docs
-      .select(id.as("doc_id"), size(toks).cast("long").as("dl"),
-        explode(toks).as("token"))
-      .groupBy("doc_id", "dl", "token")
-      .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     // corpus globals (one extra pruned scan to a 1-row aggregate)
     val g = docs.agg(count(lit(1)).as("n_docs"),
       sum(size(toks).cast("long")).as("s_tokens"))
+    probe(postings(docs, text, id), g, queries, qText, qId, k)
+  }
+
+  /** BM25 over a MATERIALIZED postings table: document frequencies and
+    * corpus globals derive from pruned index scans — the corpus text
+    * is never re-tokenized per query batch. (Every doc yields ≥ 1
+    * postings row — split("") is [""] — so the distinct-doc globals
+    * equal [[bm25TopK]]'s corpus-scan globals and both paths return
+    * identical hits.) */
+  def bm25FromIndex(post: DataFrame, queries: DataFrame,
+                    qText: Column, qId: Column, k: Int): DataFrame = {
+    val g = post.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("s_tokens"))
+    probe(post, g, queries, qText, qId, k)
+  }
+
+  private def probe(tf: DataFrame, g: DataFrame, queries: DataFrame,
+                    qText: Column, qId: Column, k: Int): DataFrame = {
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val q = queries.select(qId.as("q_id"),
       explode(array_distinct(TextOps.tokens(qText))).as("token"))
     val scored = tf

@@ -16,6 +16,20 @@ object PipelineQueries {
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents", spread = true)
   private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings", spread = true)
 
+  /** d66's materialized postings index — written once per sf dir (the
+    * s26/s27 warehouse-twin mechanics): the d60 vs d66 bench delta is
+    * the measured value of materializing the inverted index. */
+  private val idxCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def postingsIndex(s: SparkSession, dir: String): DataFrame = {
+    val path = idxCache.computeIfAbsent(dir, d => {
+      val p = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
+      Retrieval.postings(docs(s, d), col("text"), col("doc_id"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   /** Corpus with injected near-duplicates (doc_id+1000000, last word
     * dropped) so near-dup operators have true positives to find. */
   private def corpusWithDups(s: SparkSession, dir: String): DataFrame = {
@@ -709,6 +723,15 @@ object PipelineQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // BM25 over the MATERIALIZED index: same hits as d60, but df and
+    // globals come from pruned index scans instead of re-tokenizing
+    // the corpus — the deployment shape for repeated query batches
+    "d66_bm25_warehouse" -> ((s, dir) =>
+      Retrieval.bm25FromIndex(postingsIndex(s, dir),
+        docs(s, dir).filter(col("doc_id") % 97 === 0),
+        col("text"), col("doc_id"), k = 10)
+        .orderBy("q_id", "rank")),
+
     // bigram LM quality score (CCNet signal): conditional add-one
     // bigram likelihood under the en-slice model — model broadcast,
     // corpus map-only + one per-doc agg
@@ -774,6 +797,28 @@ object PipelineQueries {
        | ${polyBandCtes("", "corpus", "doc_id")},
        | cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)""".stripMargin.replaceAll("\n", " ")
+
+  /** BM25 replay shared by d60 (corpus path) and d66 (materialized
+    * index path — provably the same hits): the saturation rational and
+    * the ONE double expression floor(1e6·N·num/den) mirror
+    * `Retrieval.probe`'s op order exactly; per-(q,doc) scores sum as
+    * integers. */
+  private lazy val bm25OracleSql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+      | x AS (SELECT doc_id, len(toks)::BIGINT AS dl, unnest(toks) AS token FROM t),
+      | tf AS (SELECT doc_id, dl, token, count(*)::BIGINT AS tf FROM x GROUP BY 1, 2, 3),
+      | df AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+      | g AS (SELECT count(*)::BIGINT AS n_docs, sum(len(toks))::BIGINT AS s_tokens FROM t),
+      | q AS (SELECT doc_id AS q_id, unnest(list_distinct(toks)) AS token FROM t WHERE doc_id % 97 = 0),
+      | sc AS (SELECT q.q_id, tf.doc_id,
+      |   sum(floor(1000000.0 * n_docs * (22 * tf.tf * s_tokens)
+      |     / (df.df * (10 * tf.tf * s_tokens + 3 * s_tokens + 9 * tf.dl * n_docs)))::BIGINT)::BIGINT AS score
+      |  FROM tf JOIN q USING (token) JOIN df USING (token) CROSS JOIN g
+      |  WHERE tf.doc_id <> q.q_id GROUP BY 1, 2),
+      | r AS (SELECT q_id, doc_id, score,
+      |   row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank FROM sc)
+      | SELECT q_id, rank::BIGINT AS rank, doc_id, score
+      | FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin.replaceAll("\n", " ")
 
   /** Jaccard-verify + undirected closure over [[polyPairCtes]]'
     * candidates: `reach(a, b)` enumerates each doc's cluster members.
@@ -1343,22 +1388,9 @@ object PipelineQueries {
     // BM25 replay: the saturation rational and the ONE double
     // expression floor(1e6·N·num/den) mirror Retrieval.bm25TopK's op
     // order exactly; per-(q,doc) scores sum as integers
-    "d60_bm25_topk" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
-        | x AS (SELECT doc_id, len(toks)::BIGINT AS dl, unnest(toks) AS token FROM t),
-        | tf AS (SELECT doc_id, dl, token, count(*)::BIGINT AS tf FROM x GROUP BY 1, 2, 3),
-        | df AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
-        | g AS (SELECT count(*)::BIGINT AS n_docs, sum(len(toks))::BIGINT AS s_tokens FROM t),
-        | q AS (SELECT doc_id AS q_id, unnest(list_distinct(toks)) AS token FROM t WHERE doc_id % 97 = 0),
-        | sc AS (SELECT q.q_id, tf.doc_id,
-        |   sum(floor(1000000.0 * n_docs * (22 * tf.tf * s_tokens)
-        |     / (df.df * (10 * tf.tf * s_tokens + 3 * s_tokens + 9 * tf.dl * n_docs)))::BIGINT)::BIGINT AS score
-        |  FROM tf JOIN q USING (token) JOIN df USING (token) CROSS JOIN g
-        |  WHERE tf.doc_id <> q.q_id GROUP BY 1, 2),
-        | r AS (SELECT q_id, doc_id, score,
-        |   row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank FROM sc)
-        | SELECT q_id, rank::BIGINT AS rank, doc_id, score
-        | FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin.replaceAll("\n", " "),
+    "d60_bm25_topk" -> bm25OracleSql,
+    // the index path returns identical hits (globals provably equal)
+    "d66_bm25_warehouse" -> bm25OracleSql,
     // PageRank replay: 3 unrolled rounds of the same integer
     // floor-division recurrence (// on non-negative BIGINTs = the
     // Spark-side (r - r mod d)/d)

@@ -1013,6 +1013,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hits.map(_._2).indexOf(13L) > hits.map(_._2).indexOf(10L))
   }
 
+  test("BM25 from the materialized index returns exactly the corpus-path hits") {
+    val queries = docs.filter(col("doc_id") % 97 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("score"))).toSet
+    val direct = rows(Retrieval.bm25TopK(docs, col("text"), col("doc_id"),
+      queries, col("text"), col("doc_id"), k = 5))
+    val viaIndex = rows(Retrieval.bm25FromIndex(
+      Retrieval.postings(docs, col("text"), col("doc_id")),
+      queries, col("text"), col("doc_id"), k = 5))
+    assert(direct == viaIndex && direct.nonEmpty)
+  }
+
   test("BM25 on the corpus: k hits per query, no self-retrieval, monotone scores") {
     // near-dup recall is NOT asserted here: the synthetic corpus has a
     // ~31-token vocabulary, so every doc matches every query and the
