@@ -50,6 +50,30 @@ object Components {
     labels
   }
 
+  /** Quality-aware cluster representative selection — what production
+    * dedup actually keeps: not the min-id member but the BEST one
+    * (longest, highest quality score — Dolma/RefinedWeb keep-longest
+    * rule). One partial-agg `min(struct(-quality, id))` per cluster
+    * (map-side combinable — a 10⁶-member boilerplate cluster
+    * pre-shrinks to one candidate per mapper), then a broadcast-sized
+    * keeper table joins back on the cluster label. Ties break to the
+    * smaller id, so the keeper is deterministic.
+    *
+    * `labeled`: (id, label) from [[connectedComponents]];
+    * `quality`: integral score column on `labeled` (higher = better).
+    * Returns (id, label, keeper_id, is_keeper). */
+  def bestInCluster(labeled: DataFrame, id: Column, label: Column,
+                    quality: Column): DataFrame = {
+    val base = labeled.select(id.as("id"), label.as("label"),
+      quality.cast("long").as("_q"))
+    val keepers = base.groupBy(col("label"))
+      .agg(min(struct(negate(col("_q")), col("id"))).as("w"))
+      .select(col("label"), col("w").getField("id").as("keeper_id"))
+    base.join(keepers, "label")
+      .select(col("id"), col("label"), col("keeper_id"),
+        (col("id") === col("keeper_id")).as("is_keeper"))
+  }
+
   /** PageRank with a fixed iteration count, pure 64-bit integer
     * arithmetic — the domain/source authority score a curation
     * pipeline feeds into quality weighting (rank a link graph, then

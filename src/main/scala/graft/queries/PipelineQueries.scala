@@ -676,6 +676,25 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // quality-aware keeper per near-dup cluster (the keep-LONGEST rule
+    // production dedup uses, not keep-min-id): same cluster chain as
+    // d34/d62, keeper = argmax token count (ties to the smaller id)
+    "d67_best_keeper" -> ((s, dir) => {
+      val corpus = corpusWithDups(s, dir)
+      val edges = Dedup.jaccardVerify(
+        Dedup.polyMinhashPairs(corpus, col("text"), col("doc_id")),
+        corpus, col("text"), col("doc_id"), minJaccard = 0.5)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val labels = Components.connectedComponents(
+        corpus.select(col("doc_id").as("id")), edges)
+        .join(corpus.select(col("doc_id").as("id"),
+          size(split(col("text"), "\\s+")).cast("long").as("n_tokens")), "id")
+      Components.bestInCluster(labels, col("id"), col("label"), col("n_tokens"))
+        .select(col("id").as("doc_id"), col("label").as("cluster"),
+          col("keeper_id"), col("is_keeper"))
+        .orderBy("doc_id")
+    }),
+
     // incremental curation: today's crawl against yesterday's
     // warehouse — drop content already ingested (anti join on content
     // hash; d37's bloom probe is the 100 TB pre-filter for this join),
@@ -1203,6 +1222,18 @@ object PipelineQueries {
       s"""WITH RECURSIVE $polyPairCtes, $clusterReachCtes
          | SELECT a AS doc_id, min(b) AS cluster, (a = min(b)) AS survivor
          | FROM reach GROUP BY a ORDER BY a""".stripMargin.replaceAll("\n", " "),
+    // keeper replay: the cluster chain + the keep-longest rule (the
+    // row_number form is ordering-equivalent to min(struct(-q, id)))
+    "d67_best_keeper" ->
+      s"""WITH RECURSIVE $polyPairCtes, $clusterReachCtes,
+         | cl AS (SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a),
+         | tq AS (SELECT doc_id, len(string_split_regex(text, '\\s+'))::BIGINT AS n_tokens FROM corpus),
+         | jq AS (SELECT cl.doc_id, cluster, n_tokens FROM cl JOIN tq USING (doc_id)),
+         | kp AS (SELECT cluster, doc_id AS keeper_id FROM (
+         |   SELECT cluster, doc_id, row_number() OVER (PARTITION BY cluster ORDER BY n_tokens DESC, doc_id) AS rk
+         |   FROM jq) WHERE rk = 1)
+         | SELECT jq.doc_id, cluster, keeper_id, (jq.doc_id = keeper_id) AS is_keeper
+         | FROM jq JOIN kp USING (cluster) ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     // leak-free split: the SAME cluster chain, then the Knuth-hash
     // bucket of the CLUSTER label decides train/valid/test
     "d62_split_leakfree" ->

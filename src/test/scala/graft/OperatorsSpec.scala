@@ -1144,6 +1144,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(capped.count() >= 10)
   }
 
+  test("best-in-cluster keeps the longest member, ties to the smaller id") {
+    val labeled = Seq(
+      (1L, 1L, 10L), (2L, 1L, 30L), (3L, 1L, 30L),  // cluster 1: 2 and 3 tie
+      (4L, 4L, 5L))                                  // singleton keeps itself
+      .toDF("id", "label", "n_tokens")
+    val got = Components.bestInCluster(labeled, col("id"), col("label"),
+        col("n_tokens"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(got(1L) == (2L, false) && got(2L) == (2L, true) && got(3L) == (2L, false))
+    assert(got(4L) == (4L, true))
+  }
+
   test("integer PageRank: hand-computed ranks on a star graph, no mass created") {
     val edges = Seq((1L, 2L), (3L, 2L), (4L, 2L), (2L, 1L)).toDF("src", "dst")
     val scale = 1000000000000L
