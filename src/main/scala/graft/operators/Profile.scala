@@ -25,6 +25,7 @@ object Profile {
     * n_distinct, min_val, max_val) — one row per profiled column, all
     * from a single scan. */
   def numeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "numeric profiling needs at least one column")
     val aggs = cols.flatMap { c => Seq(
       count(col(c)).as(s"${c}__nn"),
       countDistinct(col(c)).as(s"${c}__nd"),

@@ -139,11 +139,15 @@ object Sampling {
     * splitting, not an artifact). Map-only given the labels; nested:
     * growing trainPct only moves rows INTO train. */
   def clusterSplit(labeled: DataFrame, id: Column, cluster: Column,
-                   trainPct: Int = 80, validPct: Int = 10): DataFrame =
+                   trainPct: Int = 80, validPct: Int = 10): DataFrame = {
+    require(trainPct >= 0 && validPct >= 0 && trainPct + validPct <= 100,
+      s"split percentages must be non-negative and sum <= 100, " +
+        s"got train=$trainPct valid=$validPct")
     labeled.select(id.as("doc_id"), cluster.as("cluster"),
       when(bucket(cluster) < trainPct * 10000L, "train")
         .when(bucket(cluster) < (trainPct + validPct) * 10000L, "valid")
         .otherwise("test").as("split"))
+  }
 
   /** Stratified sample: per-stratum keep fractions (stratum → rate);
     * rows of unlisted strata keep `default`. The per-row decision is

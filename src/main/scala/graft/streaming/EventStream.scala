@@ -287,6 +287,43 @@ object EventStream {
   case class Session(user_id: Long, session_start: Long, n_events: Long,
                      session_value: Double)
 
+  case class PackDoc(stream_id: Long, doc_id: Long, n_tokens: Long)
+  case class PackAssign(stream_id: Long, doc_id: Long, n_tokens: Long,
+                        pack_id: Long)
+
+  /** Streaming token-budget packing — d19's streaming twin: assign
+    * arriving docs to fixed-token-budget training packs per stream
+    * key. State is ONE long per stream (the running token count), so
+    * the batch form's prefix-sum window becomes
+    * `flatMapGroupsWithState` with O(1) state — the same assignment
+    * rule `pack_id = ⌊tokens_before / budget⌋`, continued across
+    * micro-batches. Docs inside a micro-batch slice are processed in
+    * doc_id order (the batch form's ordering); across batches,
+    * arrival order — a stream has no global sort to appeal to.
+    * Spec pins single-batch output equal to the batch
+    * [[graft.operators.TextOps.packBudget]]. */
+  def packBudgetStreaming(spark: SparkSession, docs: DataFrame,
+                          budget: Long): DataFrame = {
+    import spark.implicits._
+    require(budget > 0, "budget must be positive")
+    val ds = docs.select(col("stream_id").cast("long"),
+      col("doc_id").cast("long"), col("n_tokens").cast("long")).as[PackDoc]
+    ds.groupByKey(_.stream_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (sid: Long, rows: Iterator[PackDoc], state: GroupState[Long]) => {
+          var acc = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+            val pack = acc / budget
+            acc += d.n_tokens
+            PackAssign(sid, d.doc_id, d.n_tokens, pack)
+          }
+          state.update(acc)
+          out.iterator
+        })
+      .toDF()
+  }
+
   /** Gap-based sessionization (30 min), one state entry per live user. */
   def sessionize(spark: SparkSession, events: DataFrame,
                  gapSeconds: Long = 1800): DataFrame = {

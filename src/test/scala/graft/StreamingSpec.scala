@@ -485,6 +485,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("streaming token-budget packing matches batch packBudget; state persists across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = Seq((1L, 1L, 40L), (1L, 2L, 40L), (1L, 3L, 40L), (2L, 10L, 90L))
+    val b2 = Seq((1L, 4L, 50L), (2L, 11L, 20L))
+    val stream = MemoryStream[(Long, Long, Long)]
+    val q = graft.streaming.EventStream.packBudgetStreaming(spark,
+        stream.toDF().toDF("stream_id", "doc_id", "n_tokens"), budget = 100L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("pack_out").start()
+    stream.addData(b1)
+    q.processAllAvailable()
+    stream.addData(b2)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("pack_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // batch oracle over the SAME total data, same id order per stream
+    val want = graft.operators.TextOps.packBudget(
+        (b1 ++ b2).toDF("stream_id", "doc_id", "n_tokens"),
+        col("stream_id"), col("doc_id"), col("n_tokens"), budget = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got == want, s"stream $got vs batch $want")
+    // the cross-batch carry actually happened: doc 4 starts at 120 tokens
+    assert(got((1L, 4L)) == 1L)
+  }
+
   test("streaming LM scoring matches the batch join path bit-for-bit") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
