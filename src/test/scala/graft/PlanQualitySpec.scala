@@ -391,6 +391,29 @@ class PlanQualitySpec extends AnyFunSuite {
       "in-batch first-occurrence must be the min-struct aggregate, not a window")
   }
 
+  test("d66: index path scans documents ONLY for the query set, postings from the index") {
+    val p = plan("d66_bm25_warehouse")
+    // tf + df + globals all come from the materialized index; the one
+    // legitimate documents scan is the (tiny) query-set read
+    val docScans = p.linesIterator.count(_.contains("documents.parquet"))
+    assert(docScans == 1,
+      s"expected exactly one documents scan (the query set), got $docScans")
+    assert(p.contains("graft_bm25_idx"),
+      "postings must come from the materialized index")
+    assert(p.contains("ObjectHashAggregate") && !p.contains("Window"))
+  }
+
+  test("d67: keeper selection is a partial min-struct aggregate, not a cluster window sort") {
+    val p = plan("d67_best_keeper")
+    // the near-dup chain itself owns bounded-key windows (band buckets);
+    // the keeper choice must be the map-side-combinable min(struct)
+    // partial+final pair (struct min legally plans as SortAggregate —
+    // what matters is the partial phase shrinking hot clusters per
+    // mapper, not the hash-vs-sort operator choice)
+    assert(p.contains("partial_min(struct("),
+      "keeper must be the map-side-combinable min-struct aggregate")
+  }
+
   test("salted join distributes a hot key across n buckets, same result") {
     import spark.implicits._
     val big = (1 to 1000).map(i => ("hot", i.toLong)).toDF("key", "payload")
