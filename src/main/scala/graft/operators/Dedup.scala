@@ -311,6 +311,49 @@ object Dedup {
         min(col("bench_id")).as("first_bench_id"))
   }
 
+  /** Cross-corpus near-dup where BOTH sides are corpus-scale — "dedupe
+    * this month's crawl against last month's". [[crossNearDup]]
+    * broadcasts its reference side (right for KB eval suites, wrong
+    * for a 100 TB history): here both sides band map-only
+    * ([[polyRowBands]] — zero corpus shuffle before the join) and meet
+    * in a SHUFFLE join keyed by (band_idx, band_hash). Hot buckets — a
+    * boilerplate band shared by 10⁶ docs on each side — would make the
+    * equi-join materialize |A_bucket|·|B_bucket| rows, so each side's
+    * bucket membership is capped at `maxBucket` — smallest ids win,
+    * selected by the O(k)-state [[graft.functions.TopKByScore]] heap
+    * (map-side combinable: a 10⁹-member hot bucket pre-shrinks to
+    * maxBucket candidates per mapper; a row_number window here would
+    * re-create the single-task bucket sort d40/d50 were cured of).
+    * The trade is the d02/d53 star-cap adapted to the bipartite case:
+    * pair COVERAGE of capped buckets is partial, but every capped
+    * bucket still reports up to maxBucket² witness pairs — far more
+    * than dedup decisions need. Output: (doc_id, n_hist_hits,
+    * first_hist_id) for corpus docs with ≥ 1 banded match. */
+  def crossNearDupLarge(corpus: DataFrame, history: DataFrame,
+                        text: Column, id: Column, histText: Column,
+                        histId: Column,
+                        maxBucket: Int = Int.MaxValue): DataFrame = {
+    def banded(df: DataFrame, c: Column, i: Column, as: String): DataFrame = {
+      val b = df.select(i.as(as),
+        posexplode(polyRowBands(c)).as(Seq("band_idx", "band_hash")))
+      if (maxBucket == Int.MaxValue) b
+      else b.groupBy("band_idx", "band_hash")
+        .agg(graft.functions.TopKByScore.column(
+          negate(col(as).cast("double")), col(as), lit(maxBucket)).as("_top"))
+        .select(col("band_idx"), col("band_hash"),
+          explode(col("_top").getField("id")).as(as))
+    }
+    // shuffle_merge declares the contract (both sides corpus-scale):
+    // without it a gate-sized history gets broadcast and the plan no
+    // longer rehearses the shape that must hold at 100 TB
+    banded(corpus, text, id, "doc_id")
+      .join(banded(history, histText, histId, "hist_id").hint("shuffle_merge"),
+        Seq("band_idx", "band_hash"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("hist_id")).as("n_hist_hits"),
+        min(col("hist_id")).as("first_hist_id"))
+  }
+
   /** Polynomial rolling window hashes over token hashes: one hash per
     * k-token window, exact cross-engine integer arithmetic (same base
     * 131 mod 2³¹−1 chain as [[polyShingleHashes]], which is the k=3

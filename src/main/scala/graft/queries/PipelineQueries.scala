@@ -695,6 +695,20 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // cross-corpus near-dup, BOTH sides corpus-scale ("this month's
+    // crawl vs last month's") — band map-only on each side, SHUFFLE
+    // join on (band, hash); d46's broadcast is the eval-suite special
+    // case. History = the even half re-keyed, so every even doc must
+    // hit its history copy on all bands
+    "d68_cross_corpus_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val hist = d.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 7000000L).as("hist_id"), col("text"))
+      Dedup.crossNearDupLarge(d, hist, col("text"), col("doc_id"),
+        col("text"), col("hist_id"))
+        .orderBy("doc_id")
+    }),
+
     // incremental curation: today's crawl against yesterday's
     // warehouse — drop content already ingested (anti join on content
     // hash; d37's bloom probe is the 100 TB pre-filter for this join),
@@ -1133,6 +1147,14 @@ object PipelineQueries {
          | SELECT c.doc_id, count(DISTINCT b.bench_id)::BIGINT AS n_bench_hits,
          |  min(b.bench_id)::BIGINT AS first_bench_id
          | FROM c_bands c JOIN b_bands b ON c.band_idx = b.band_idx AND c.band_hash = b.band_hash
+         | GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin.replaceAll("\n", " "),
+    "d68_cross_corpus_dedup" ->
+      s"""WITH hist AS (SELECT doc_id + 7000000 AS hist_id, text FROM documents WHERE doc_id % 2 = 0),
+         | ${polyBandCtes("c_", "documents", "doc_id")},
+         | ${polyBandCtes("h_", "hist", "hist_id")}
+         | SELECT c.doc_id, count(DISTINCT h.hist_id)::BIGINT AS n_hist_hits,
+         |  min(h.hist_id)::BIGINT AS first_hist_id
+         | FROM c_bands c JOIN h_bands h ON c.band_idx = h.band_idx AND c.band_hash = h.band_hash
          | GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin.replaceAll("\n", " "),
     "d43_dsir_weight" ->
       s"""WITH $dsirCtes

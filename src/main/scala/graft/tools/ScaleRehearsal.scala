@@ -276,6 +276,20 @@ object ScaleRehearsal {
     ratio("incremental curation (crawl=Nx)",
       curate(base.filter(col("doc_id") % 7 =!= 0), base),
       curate(base.filter(col("doc_id") % 7 =!= 0), big))
+    // cross-corpus band join, adversarial: the crawl is N× and EVERY
+    // replica of a history doc band-hits; per-side heap caps keep hot
+    // buckets from materializing |A|·|B| pair rows
+    ratio("cross-corpus near-dup (capped)",
+      Dedup.crossNearDupLarge(base,
+        base.filter(col("doc_id") % 2 === 0)
+          .select((col("doc_id") + 7000000L).as("hist_id"), col("text")),
+        col("text"), col("doc_id"), col("text"), col("hist_id"),
+        maxBucket = Dedup.MAX_FULL_BUCKET).count(),
+      Dedup.crossNearDupLarge(big,
+        base.filter(col("doc_id") % 2 === 0)
+          .select((col("doc_id") + 7000000L).as("hist_id"), col("text")),
+        col("text"), col("doc_id"), col("text"), col("hist_id"),
+        maxBucket = Dedup.MAX_FULL_BUCKET).count())
     // perceptual blockhash dedup, capped: replicas are byte-identical
     // payloads, so every fingerprint bucket is factor× deep — the
     // star-expansion cap is what keeps pair work O(bucket), not O(b²)

@@ -1144,6 +1144,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(capped.count() >= 10)
   }
 
+  test("cross-corpus near-dup finds every re-keyed history copy; cap keeps smallest ids") {
+    val base = docs.select(col("doc_id"), col("text")).filter(col("doc_id") < 100)
+    val hist = base.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 7000000L).as("hist_id"), col("text"))
+    val hits = Dedup.crossNearDupLarge(base, hist, col("text"), col("doc_id"),
+        col("text"), col("hist_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // every even doc hits its exact history copy (all 4 bands equal)
+    base.select("doc_id").collect().map(_.getLong(0)).filter(_ % 2 == 0)
+      .foreach { i => assert(hits.contains(i), s"doc $i missed its history copy") }
+    // capped: buckets shrink to the smallest ids but planted hits survive
+    // (ids below the cap threshold are exactly the ones the heap keeps)
+    val capped = Dedup.crossNearDupLarge(base, hist, col("text"),
+      col("doc_id"), col("text"), col("hist_id"), maxBucket = 8)
+    assert(capped.count() > 0)
+    val cappedHits = capped.collect().map(r => r.getLong(0)).toSet
+    assert(cappedHits.subsetOf(hits.keySet))
+  }
+
   test("best-in-cluster keeps the longest member, ties to the smaller id") {
     val labeled = Seq(
       (1L, 1L, 10L), (2L, 1L, 30L), (3L, 1L, 30L),  // cluster 1: 2 and 3 tie

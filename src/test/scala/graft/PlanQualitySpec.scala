@@ -414,6 +414,13 @@ class PlanQualitySpec extends AnyFunSuite {
       "keeper must be the map-side-combinable min-struct aggregate")
   }
 
+  test("d68: both banded sides meet in a shuffle join — neither corpus broadcasts") {
+    val p = plan("d68_cross_corpus_dedup")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "corpus-vs-history band join must shuffle, not broadcast a corpus")
+    assert(!p.contains("Window"))
+  }
+
   test("salted join distributes a hot key across n buckets, same result") {
     import spark.implicits._
     val big = (1 to 1000).map(i => ("hot", i.toLong)).toDF("key", "payload")
