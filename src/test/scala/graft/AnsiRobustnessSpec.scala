@@ -90,6 +90,20 @@ class AnsiRobustnessSpec extends AnyFunSuite {
       col("text"), col("doc_id")).count() > 0)
     assert(Profile.numeric(docs, Seq("doc_id", "n_chars")).count() > 0)
     assert(Profile.histogram(docs, col("n_chars"), 100.0).count() > 0)
+    assert(Retrieval.bm25FromIndex(
+      Retrieval.postings(docs, col("text"), col("doc_id")),
+      docs.filter(col("doc_id") % 97 === 0), col("text"), col("doc_id"),
+      5).count() > 0)
+    assert(Components.bestInCluster(
+      docs.select(col("doc_id").as("id"), pmod(col("doc_id"), lit(7L)).as("label"),
+        col("n_chars")), col("id"), col("label"), col("n_chars")).count() > 0)
+    assert(Multimodal.phashPairs(docs, col("text"), col("doc_id"),
+      maxBucket = Dedup.MAX_FULL_BUCKET).count() >= 0)
+    assert(Dedup.crossNearDupLarge(docs,
+      docs.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 7000000L).as("hist_id"), col("text")),
+      col("text"), col("doc_id"), col("text"), col("hist_id"),
+      maxBucket = Dedup.MAX_FULL_BUCKET).count() > 0)
   }
 
   test("bloom, poly-hash and PQ expressions run under ANSI in a foreign session") {
