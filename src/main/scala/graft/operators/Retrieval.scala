@@ -27,9 +27,12 @@ import org.apache.spark.sql.functions._
   * columns to DECIMAL(38,0) (the [[Sampling.domainMix]] treatment).
   *
   * Scale shape: the postings table shuffles once on (doc_id, token)
-  * partial-agg; document frequencies are Zipf-bounded and BROADCAST;
-  * the query term set (#queries · terms) is tiny and BROADCAST — the
-  * corpus is never shuffled for the probe. Per-(query, doc) scores
+  * partial-agg; the query term set (#queries · terms) is tiny and
+  * BROADCAST, and document frequencies are computed AFTER the
+  * postings are restricted to query tokens, so the df broadcast is
+  * query-bounded, never vocabulary-bounded (a full-vocabulary df
+  * table at 100 TB is ~10⁹ rows — not broadcastable). The corpus is
+  * never shuffled for the probe. Per-(query, doc) scores
   * are one partial-agg shuffle keyed by (q_id, doc_id) — skew-free —
   * and ranking is the O(k)-state [[graft.functions.TopKByScore]] heap,
   * not a window sort over every candidate. A real engine would also
@@ -83,9 +86,17 @@ object Retrieval {
 
   private def probe(tf: DataFrame, g: DataFrame, queries: DataFrame,
                     qText: Column, qId: Column, k: Int): DataFrame = {
-    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val q = queries.select(qId.as("q_id"),
       explode(array_distinct(TextOps.tokens(qText))).as("token"))
+    // Restrict postings to query tokens BEFORE counting document
+    // frequencies: df per surviving token is unchanged (the filter is
+    // token-wise), but the df table shrinks from the full vocabulary
+    // (Heaps-law ~10^9 tokens at 100 TB — an executor-OOM broadcast)
+    // to the query term set. The distinct-token join (not q itself)
+    // keeps postings un-multiplied when two queries share a term.
+    val qtok = q.select(col("token")).distinct()
+    val dfreq = tf.join(broadcast(qtok), "token")
+      .groupBy("token").agg(count(lit(1)).as("df"))
     val scored = tf
       .join(broadcast(q), "token")
       .filter(col("doc_id") =!= col("q_id"))

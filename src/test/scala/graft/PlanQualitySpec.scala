@@ -393,11 +393,14 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("d66: index path scans documents ONLY for the query set, postings from the index") {
     val p = plan("d66_bm25_warehouse")
-    // tf + df + globals all come from the materialized index; the one
-    // legitimate documents scan is the (tiny) query-set read
+    // tf + df + globals all come from the materialized index; the only
+    // legitimate documents scans are query-set-sized — the query
+    // tokenization and the distinct-query-token branch that restricts
+    // postings before the df aggregate (keeping the df broadcast
+    // query-bounded, not vocabulary-bounded)
     val docScans = p.linesIterator.count(_.contains("documents.parquet"))
-    assert(docScans == 1,
-      s"expected exactly one documents scan (the query set), got $docScans")
+    assert(docScans == 2,
+      s"expected the two query-set documents scans, got $docScans")
     assert(p.contains("graft_bm25_idx"),
       "postings must come from the materialized index")
     assert(p.contains("ObjectHashAggregate") && !p.contains("Window"))
