@@ -81,6 +81,51 @@ object Sampling {
       .select(col("doc_id"), col("domain"), col("n_tokens"))
   }
 
+  /** Temperature-scaled domain mixing — the multilingual α-sampling
+    * rule (p_i^α re-weighting, mT5/XLM-R style): low-resource domains
+    * are UP-weighted relative to their natural share so the head
+    * domain doesn't drown them. Where [[domainMix]] takes explicit
+    * targets, this derives them from the observed shares:
+    * w_i = p_i^α with p_i the domain's token share and α = 2^-halvings
+    * — α is restricted to inverse powers of two so the power is
+    * `halvings` REPEATED SQUARE ROOTS. That restriction is what makes
+    * the operator oracle-exact: IEEE-754 requires sqrt (and /,·) to be
+    * correctly rounded, so `floor(10⁹·sqrt^h(dom/total))` is
+    * bit-identical in every engine, where a general `pow(p, 0.3)` is
+    * library-defined and cross-engine drifty. The keep rule folds the
+    * weight normalization INTO the comparison —
+    *   bucket(id)·dom_tokens·Σw < budget·w_i·10⁶
+    * — so no per-domain target is ever rounded through a division;
+    * evaluated in DECIMAL(38,0) (the [[domainMix]] overflow treatment:
+    * the triple product reaches ~10³² for a 100 TB head domain).
+    *
+    * Scale shape: two tiny aggregates (per-domain totals → grand total
+    * + weight sum, rows = #domains), broadcast back, then a map-only
+    * filter at scan speed — identical topology to [[domainMix]]. */
+  def temperatureMix(docs: DataFrame, domain: Column, id: Column,
+                     nTokens: Column, budgetTokens: Long,
+                     halvings: Int = 1): DataFrame = {
+    require(halvings >= 1 && halvings <= 4,
+      s"halvings must be in [1,4] (alpha = 1/2 .. 1/16), got $halvings")
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val totals = docs.groupBy(domain.as("domain"))
+      .agg(sum(nTokens.cast("long")).as("_dom_tokens"))
+    val grand = totals.agg(sum(col("_dom_tokens")).as("_total"))
+    val ratio = col("_dom_tokens").cast("double") / col("_total").cast("double")
+    val rooted = (1 to halvings).foldLeft(ratio)((c, _) => sqrt(c))
+    val weighted = totals.crossJoin(broadcast(grand))
+      .select(col("domain"), col("_dom_tokens"),
+        floor(lit(1.0e9) * rooted).cast("long").as("_w"))
+    val wsum = weighted.agg(sum(col("_w")).as("_wsum"))
+    docs.select(id.as("doc_id"), domain.as("domain"),
+        nTokens.cast("long").as("n_tokens"))
+      .join(broadcast(weighted.crossJoin(broadcast(wsum))), "domain")
+      .filter(bucket(col("doc_id")).cast("decimal(38,0)") *
+          col("_dom_tokens") * col("_wsum") <
+        col("_w").cast("decimal(38,0)") * budgetTokens * BUCKETS)
+      .select(col("doc_id"), col("domain"), col("n_tokens"))
+  }
+
   /** Deterministic fixed-SIZE per-group sample ("hash reservoir"): the
     * k rows with the smallest id-hash per group. Rate-based sampling
     * ([[stratified]]) can't guarantee output size; this yields exactly

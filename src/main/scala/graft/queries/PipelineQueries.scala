@@ -536,6 +536,15 @@ object PipelineQueries {
         size(TextOps.tokens(col("text"))), mixWeights, mixBudget)
         .orderBy("doc_id")),
 
+    // temperature-scaled mixing: targets DERIVED from observed shares
+    // via p^(1/2) (repeated correctly-rounded sqrt — cross-engine
+    // exact), normalization folded into the division-free keep rule
+    "d69_temperature_mix" -> ((s, dir) =>
+      Sampling.temperatureMix(docs(s, dir), col("lang"), col("doc_id"),
+        size(TextOps.tokens(col("text"))), budgetTokens = mixBudget,
+        halvings = 1)
+        .orderBy("doc_id")),
+
     // token-balanced shard assignment: hash-ordered global exclusive
     // prefix sum (computed distributed — range slices + offset join,
     // no global window) → fixed-token shards
@@ -1181,6 +1190,18 @@ object PipelineQueries {
          |  (CASE lang $cases ELSE 0 END)::HUGEINT * 1000000
          | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
     },
+    "d69_temperature_mix" ->
+      s"""WITH t AS (SELECT doc_id, lang, len(string_split_regex(lower(text), '\\s+'))::BIGINT AS n_tokens FROM documents),
+         | dom AS (SELECT lang, sum(n_tokens)::BIGINT AS dom_tokens FROM t GROUP BY lang),
+         | g AS (SELECT sum(dom_tokens)::BIGINT AS total FROM dom),
+         | w AS (SELECT lang, dom_tokens, floor(1000000000 * sqrt(dom_tokens::DOUBLE / total::DOUBLE))::BIGINT AS w FROM dom, g),
+         | ws AS (SELECT sum(w)::BIGINT AS wsum FROM w)
+         | SELECT doc_id, lang AS domain, n_tokens
+         | FROM t JOIN w USING (lang), ws
+         | WHERE (((doc_id::HUGEINT * 2654435761) % 4294967296) % 1000000) * dom_tokens * wsum <
+         |  w::HUGEINT * $mixBudget * 1000000
+         | ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
     "d45_shard_assign" ->
       """WITH t AS (SELECT doc_id, len(string_split_regex(lower(text), '\s+'))::BIGINT AS n_tokens,
         |   (((doc_id::HUGEINT * 2654435761) % 4294967296) % 1000000)::BIGINT AS b FROM documents),

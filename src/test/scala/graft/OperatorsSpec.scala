@@ -806,6 +806,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(noEn.filter(col("domain") === "en").count() == 0)
   }
 
+  test("temperature mix: flattens the head domain, nested in budget, repartition-invariant") {
+    val nTok = size(TextOps.tokens(col("text")))
+    def mix(b: Long, h: Int = 1) =
+      Sampling.temperatureMix(docs, col("lang"), col("doc_id"), nTok, b, h)
+    // alpha < 1 must UP-weight low-resource domains: every domain's
+    // keep RATE (kept/natural tokens) ordering is the reverse of the
+    // natural-share ordering — smaller domains keep a larger fraction
+    val natural = docs.select(col("lang"), nTok.cast("long").as("n"))
+      .groupBy("lang").agg(sum("n").as("tot"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = mix(3000L).groupBy("domain").agg(sum("n_tokens").as("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = natural.map { case (d, t) =>
+      d -> kept.getOrElse(d, 0L).toDouble / t }
+    val head = natural.maxBy(_._2)._1
+    val tail = natural.minBy(_._2)._1
+    assert(rates(tail) > rates(head),
+      s"alpha=1/2 must keep a larger fraction of the smallest domain: $rates")
+    // nested in budget; saturates to the full corpus
+    val small = mix(3000L); val big = mix(30000L)
+    assert(small.select("doc_id").except(big.select("doc_id")).count() == 0)
+    assert(small.count() < docs.count())
+    assert(mix(100000000L).count() == docs.count())
+    // deeper halvings flatten harder: rate_tail/rate_head =
+    // (p_head/p_tail)^(1-alpha) grows as alpha shrinks (up to
+    // keep-all saturation, hence the >= tolerance)
+    val kept4 = mix(3000L, h = 4).groupBy("domain")
+      .agg(sum("n_tokens").as("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val r1 = rates(tail) / rates(head)
+    val r4 = (kept4.getOrElse(tail, 0L).toDouble / natural(tail)) /
+      (kept4.getOrElse(head, 0L).toDouble / natural(head))
+    assert(r4 >= r1 * 0.999,
+      s"alpha=1/16 should flatten at least as hard as alpha=1/2: h1=$r1 h4=$r4")
+    // deterministic under repartitioning
+    val a = mix(3000L)
+    val b = Sampling.temperatureMix(docs.repartition(13), col("lang"),
+      col("doc_id"), nTok, 3000L, 1)
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+
   test("length filter drops per-group outliers by percentile cutoffs") {
     val d = (1 to 100).map(i => (i.toLong, ("w " * i).trim))
       .toDF("doc_id", "text").withColumn("grp", lit("g"))

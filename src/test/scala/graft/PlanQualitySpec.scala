@@ -262,6 +262,17 @@ class PlanQualitySpec extends AnyFunSuite {
       "domain-totals join must broadcast (one row per domain)")
   }
 
+  test("d69: derived-weight mix is broadcast + map-only filter — no window, no shuffle join") {
+    val p = plan("d69_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"),
+      "domain weight table (#domains rows) must broadcast")
+    assert(!p.contains("Window"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the corpus must never shuffle for the keep decision")
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row grand-total/weight-sum joins must broadcast (BNLJ), not cartesian")
+  }
+
   test("d49: composed pipeline keeps the broadcast mix join and the sliced shard window") {
     val p = plan("d49_curation_v2")
     assert(p.contains("BroadcastHashJoin"))
