@@ -645,6 +645,56 @@ object TextOps {
         md5(concat_ws(" ", col("_c"))).as("chunk_hash"))
   }
 
+  /** fastText-style hashed linear quality classifier — the CCNet /
+    * RefinedWeb "model-based quality filter": token features are
+    * HASHED into a fixed `buckets`-slot space (the hashing trick), so
+    * the model is bounded at `buckets` rows regardless of corpus
+    * vocabulary — broadcast-safe at ANY scale, where a
+    * vocabulary-keyed model grows Heaps-law-unbounded (~10⁹ rows at
+    * 100 TB, the un-broadcastable shape the BM25 df fix removed).
+    * Labels come from `labelExpr`, a cheap heuristic gate evaluated on
+    * the same rows (bootstrap labeling — the CCNet move of training
+    * against a reference-vs-crawl split, here any integer rule);
+    * weights are add-one-smoothed class-conditional frequencies in
+    * pure integer arithmetic:
+    *   w_f = ⌊10⁶·(pos_f + 1) / (pos_f + neg_f + 2)⌋
+    * and a doc's score is the integer mean of its DISTINCT features'
+    * weights (distinct = Bernoulli features, so a token repeated 100×
+    * votes once), is_good = score > 500000. Every step — poly token
+    * hash, bucket mod, floor divisions, long sums — is exact 64-bit
+    * integer arithmetic: bit-identical across engines, runs, and
+    * partitionings.
+    *
+    * Scale shape: training is one explode + partial-agg shuffle keyed
+    * by feature — at most `buckets` keys, uniformized BY the hashing,
+    * map-side combined; scoring is a map-only explode + BROADCAST
+    * model join + per-doc partial agg. The corpus itself never
+    * shuffles. At 100 TB train on a [[graft.operators.Sampling]]
+    * sample instead of the full corpus — the score path is unchanged. */
+  def classifierQuality(docs: DataFrame, text: Column, id: Column,
+                        labelExpr: Column, buckets: Int = 65536): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    def intDiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val feats = array_distinct(transform(Dedup.polyTokenHashes(text),
+      h => pmod(h, lit(buckets.toLong))))
+    val base = docs.select(id.as("doc_id"), labelExpr.as("_pos"),
+      feats.as("_f"))
+    val model = base.select(col("_pos"), explode(col("_f")).as("f"))
+      .groupBy("f")
+      .agg(sum(when(col("_pos"), 1L).otherwise(0L)).as("_np"),
+        count(lit(1)).as("_nt"))
+      .select(col("f"),
+        intDiv(lit(1000000L) * (col("_np") + 1L), col("_nt") + 2L).as("_w"))
+    base.select(col("doc_id"), explode(col("_f")).as("f"))
+      .join(broadcast(model), "f")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum(col("_w")).as("_ws"))
+      .select(col("doc_id"), col("n_feats"),
+        intDiv(col("_ws"), col("n_feats")).as("clf_score"),
+        (intDiv(col("_ws"), col("n_feats")) > 500000L).as("is_good"))
+  }
+
   /** PII scrubbing: emails first (their local part would otherwise leak
     * into the digit pass), then runs of 5+ digits (ids, phone-ish
     * numbers). Pattern subset chosen to mean the same thing in Java

@@ -536,6 +536,16 @@ object PipelineQueries {
         size(TextOps.tokens(col("text"))), mixWeights, mixBudget)
         .orderBy("doc_id")),
 
+    // hashed-feature quality classifier: 2^16-bucket hashing trick
+    // (model broadcast-bounded at any corpus size), bootstrap labels
+    // from the integer repetition rule, pure-integer smoothed weights
+    "d70_quality_classifier" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      TextOps.classifierQuality(docs(s, dir), col("text"), col("doc_id"),
+        size(array_distinct(toks)) * 2 >= size(toks))
+        .orderBy("doc_id")
+    }),
+
     // temperature-scaled mixing: targets DERIVED from observed shares
     // via p^(1/2) (repeated correctly-rounded sqrt — cross-engine
     // exact), normalization folded into the division-free keep rule
@@ -1190,6 +1200,16 @@ object PipelineQueries {
          |  (CASE lang $cases ELSE 0 END)::HUGEINT * 1000000
          | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
     },
+    "d70_quality_classifier" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        | th AS (SELECT doc_id, 2 * len(list_distinct(toks)) >= len(toks) AS pos,
+        |   list_distinct(list_transform(toks, w -> list_reduce(list_prepend('0', string_split(w, '')), (acc, c) -> ((acc::BIGINT * 31 + ascii(c)) % 2147483647)::VARCHAR)::BIGINT % 65536)) AS fs FROM t),
+        | f AS (SELECT doc_id, pos, unnest(fs) AS f FROM th),
+        | m AS (SELECT f, ((1000000 * (sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1)) // (count(*) + 2))::BIGINT AS w FROM f GROUP BY f),
+        | s AS (SELECT doc_id, count(*)::BIGINT AS n_feats, sum(w)::BIGINT AS ws FROM f JOIN m USING (f) GROUP BY doc_id)
+        | SELECT doc_id, n_feats, (ws // n_feats)::BIGINT AS clf_score, (ws // n_feats) > 500000 AS is_good
+        | FROM s ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
     "d69_temperature_mix" ->
       s"""WITH t AS (SELECT doc_id, lang, len(string_split_regex(lower(text), '\\s+'))::BIGINT AS n_tokens FROM documents),
          | dom AS (SELECT lang, sum(n_tokens)::BIGINT AS dom_tokens FROM t GROUP BY lang),

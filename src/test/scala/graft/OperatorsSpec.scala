@@ -806,6 +806,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(noEn.filter(col("domain") === "en").count() == 0)
   }
 
+  test("hashed classifier: separates classes, generalizes to held-out docs, repartition-invariant") {
+    // two disjoint token populations: "good" docs draw diverse tokens,
+    // "bad" docs repeat one boilerplate token — the heuristic label
+    // (repetition rule) marks them, the classifier must learn the
+    // token→class association well enough to score a HELD-OUT doc of
+    // unseen COMBINATIONS of good-class tokens as good
+    val train = ((1 to 40).map { i =>
+      (i.toLong, s"alpha$i beta$i gamma$i delta$i epsilon$i")
+    } ++ (41 to 80).map { i =>
+      (i.toLong, "spam spam spam spam spam")
+    }).toDF("doc_id", "text")
+    val toks = TextOps.tokens(col("text"))
+    val label = size(array_distinct(toks)) * 2 >= size(toks)
+    val scored = TextOps.classifierQuality(train, col("text"),
+      col("doc_id"), label)
+    val byClass = scored
+      .withColumn("cls", col("doc_id") <= 40)
+      .groupBy("cls").agg(avg(col("clf_score")).as("m"), min(col("is_good")).as("allGood"))
+      .collect().map(r => r.getBoolean(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(byClass(true)._1 > byClass(false)._1,
+      s"diverse docs must outscore boilerplate: $byClass")
+    assert(byClass(true)._2, "every diverse doc must classify good")
+    // unseen token COMBINATIONS score by their tokens' learned class —
+    // the generalization a per-doc heuristic alone cannot provide
+    val held = Seq((1000L, "alpha3 beta17 gamma29 delta5 epsilon38"),
+      (1001L, "spam spam spam")).toDF("doc_id", "text")
+    val hs = TextOps.classifierQuality(train.union(held), col("text"),
+      col("doc_id"), label)
+      .filter(col("doc_id") >= 1000L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(hs(1000L) && !hs(1001L),
+      s"mixed docs must classify by their tokens' learned class: $hs")
+    // deterministic under repartitioning
+    val a = scored
+    val b = TextOps.classifierQuality(train.repartition(13), col("text"),
+      col("doc_id"), label)
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+
   test("temperature mix: flattens the head domain, nested in budget, repartition-invariant") {
     val nTok = size(TextOps.tokens(col("text")))
     def mix(b: Long, h: Int = 1) =

@@ -262,6 +262,15 @@ class PlanQualitySpec extends AnyFunSuite {
       "domain-totals join must broadcast (one row per domain)")
   }
 
+  test("d70: classifier model broadcasts — the corpus never shuffles for scoring") {
+    val p = plan("d70_quality_classifier")
+    assert(p.contains("BroadcastHashJoin"),
+      "the bucket-bounded model (<= 2^16 rows) must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "a shuffle join would move the corpus for the model probe")
+    assert(!p.contains("Window"))
+  }
+
   test("d69: derived-weight mix is broadcast + map-only filter — no window, no shuffle join") {
     val p = plan("d69_temperature_mix")
     assert(p.contains("BroadcastHashJoin"),
