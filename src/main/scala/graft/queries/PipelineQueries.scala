@@ -536,6 +536,18 @@ object PipelineQueries {
         size(TextOps.tokens(col("text"))), mixWeights, mixBudget)
         .orderBy("doc_id")),
 
+    // z-order layout report: Morton-interleaved (user, time) blocks —
+    // per-block key spans are the parquet min/max pruning metric; the
+    // interleave is exact integer bit arithmetic, oracle-replayed.
+    // Keys are pre-scaled to the 11-bit grid the operator documents:
+    // time as 2048-second cells since the corpus epoch (2024-01-01)
+    "d71_zorder_layout" -> ((s, dir) =>
+      Layout.zBlocks(Tables.load(s, dir, "events", spread = true),
+        col("user_id"),
+        shiftright(unix_timestamp(col("ts")) - 1704067200L, 11),
+        bits = 11, blockShift = 14)
+        .orderBy("z_block")),
+
     // hashed-feature quality classifier: 2^16-bucket hashing trick
     // (model broadcast-bounded at any corpus size), bootstrap labels
     // from the integer repetition rule, pure-integer smoothed weights
@@ -1200,6 +1212,17 @@ object PipelineQueries {
          |  (CASE lang $cases ELSE 0 END)::HUGEINT * 1000000
          | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
     },
+    "d71_zorder_layout" -> {
+      val zi = (0 until 11).map(i =>
+        s"((((x % 2048) >> $i) & 1) << ${2 * i}) + ((((y % 2048) >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT user_id::BIGINT AS x, ((floor(epoch(ts))::BIGINT - 1704067200) >> 11) AS y FROM events),
+         | z AS (SELECT x, y, ($zi) AS zv FROM t)
+         | SELECT (zv >> 14)::BIGINT AS z_block, count(*) AS n,
+         |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+         | FROM z GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " ")
+    },
+
     "d70_quality_classifier" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
         | th AS (SELECT doc_id, 2 * len(list_distinct(toks)) >= len(toks) AS pos,

@@ -806,6 +806,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(noEn.filter(col("domain") === "en").count() == 0)
   }
 
+  test("z-order: blocks are bounded rectangles; clustered partitions cover disjoint z-runs") {
+    // full 64x64 grid replicated — every (x, y) combination present,
+    // so any un-clustered blocking would span the whole key range
+    val grid = (0 until 4096).map(i => (i.toLong, (i / 64).toLong, (i % 64).toLong))
+      .toDF("id", "x", "y")
+    val blocks = Layout.zBlocks(grid, col("x"), col("y"),
+      bits = 6, blockShift = 6).collect()
+    // blockShift=6 leaves x bits 0..2 and y bits 0..2 free inside a
+    // block: every block is an exact 8x8 rectangle — THE pruning
+    // guarantee (a predicate on either key skips 7/8 of the blocks)
+    assert(blocks.length == 64)
+    blocks.foreach { r =>
+      assert(r.getAs[Long]("max_x") - r.getAs[Long]("min_x") == 7, r.toString)
+      assert(r.getAs[Long]("max_y") - r.getAs[Long]("min_y") == 7, r.toString)
+      assert(r.getAs[Long]("n") == 64)
+    }
+    // a y-sorted layout blocked the same way spans the FULL x range in
+    // every block — z-order's per-block x-span is 8x tighter here
+    val ySorted = grid.select(col("x"), col("y"), shiftright(col("y"), 3).as("blk"))
+      .groupBy("blk").agg(max(col("x")) - min(col("x")), lit(0L))
+      .collect().map(_.getLong(1)).max
+    assert(ySorted == 63L)
+    // clusterByZ: range partitions cover DISJOINT z-runs (files prune)
+    val parts = Layout.clusterByZ(grid, col("x"), col("y"), bits = 6,
+        partitions = 8)
+      .select(Layout.zValue(col("x"), col("y"), 6).as("z"),
+        spark_partition_id().as("p"))
+      .groupBy("p").agg(min(col("z")).as("lo"), max(col("z")).as("hi"))
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1)
+    parts.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"partition z-runs must not overlap: $parts")
+      case _ =>
+    }
+    // zValue is a bijection on the grid (no two cells collide)
+    assert(grid.select(Layout.zValue(col("x"), col("y"), 6)).distinct()
+      .count() == 4096)
+  }
+
   test("hashed classifier: separates classes, generalizes to held-out docs, repartition-invariant") {
     // two disjoint token populations: "good" docs draw diverse tokens,
     // "bad" docs repeat one boilerplate token — the heuristic label

@@ -262,6 +262,13 @@ class PlanQualitySpec extends AnyFunSuite {
       "domain-totals join must broadcast (one row per domain)")
   }
 
+  test("d71: layout report is one partial agg on the z-prefix — no join, no window") {
+    val p = plan("d71_zorder_layout")
+    assert(p.contains("HashAggregate"),
+      "per-block stats must partial-aggregate (z-prefix is a bounded key)")
+    assert(!p.contains("Join") && !p.contains("Window"))
+  }
+
   test("d70: classifier model broadcasts — the corpus never shuffles for scoring") {
     val p = plan("d70_quality_classifier")
     assert(p.contains("BroadcastHashJoin"),
