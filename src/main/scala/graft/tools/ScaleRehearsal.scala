@@ -305,6 +305,30 @@ object ScaleRehearsal {
         Seq("doc_id", "n_chars")).count(),
       Profile.numeric(big.withColumn("n_chars", length(col("text"))),
         Seq("doc_id", "n_chars")).count())
+    // temperature mix: replication scales every domain's tokens
+    // uniformly (shares unchanged) — the weight table stays #domains
+    // rows and the keep decision stays a map-only filter
+    def tmix(df: org.apache.spark.sql.DataFrame): Long =
+      Sampling.temperatureMix(df, col("lang"), col("doc_id"),
+        size(TextOps.tokens(col("text"))), budgetTokens = 30000L).count()
+    ratio("temperature mix", tmix(base), tmix(big))
+    // hashed classifier: replication deepens every feature's postings
+    // but the model stays <= 2^16 rows (the hashing trick) — hot
+    // common-token features pre-aggregate map-side, the score join
+    // stays broadcast
+    def clf(df: org.apache.spark.sql.DataFrame): Long = {
+      val toks = TextOps.tokens(col("text"))
+      TextOps.classifierQuality(df, col("text"), col("doc_id"),
+        size(array_distinct(toks)) * 2 >= size(toks)).count()
+    }
+    ratio("hashed classifier", clf(base), clf(big))
+    // z-order layout report: the z-prefix key space is FIXED by
+    // (bits, blockShift) — replication deepens blocks, never widens
+    // the agg state; map-side combine absorbs the depth
+    def zrep(df: org.apache.spark.sql.DataFrame): Long =
+      Layout.zBlocks(df, col("doc_id"), length(col("text")),
+        bits = 11, blockShift = 14).count()
+    ratio("z-order block report", zrep(base), zrep(big))
     spark.stop()
   }
 }

@@ -104,6 +104,13 @@ class AnsiRobustnessSpec extends AnyFunSuite {
         .select((col("doc_id") + 7000000L).as("hist_id"), col("text")),
       col("text"), col("doc_id"), col("text"), col("hist_id"),
       maxBucket = Dedup.MAX_FULL_BUCKET).count() > 0)
+    assert(Sampling.temperatureMix(docs, col("lang"), col("doc_id"),
+      size(TextOps.tokens(col("text"))), budgetTokens = 3000L).count() > 0)
+    val tk = TextOps.tokens(col("text"))
+    assert(TextOps.classifierQuality(docs, col("text"), col("doc_id"),
+      size(array_distinct(tk)) * 2 >= size(tk)).count() > 0)
+    assert(Layout.zBlocks(docs, col("doc_id"), col("n_chars"),
+      bits = 11, blockShift = 14).count() > 0)
   }
 
   test("bloom, poly-hash and PQ expressions run under ANSI in a foreign session") {
