@@ -671,28 +671,45 @@ object TextOps {
     * model join + per-doc partial agg. The corpus itself never
     * shuffles. At 100 TB train on a [[graft.operators.Sampling]]
     * sample instead of the full corpus — the score path is unchanged. */
-  def classifierQuality(docs: DataFrame, text: Column, id: Column,
-                        labelExpr: Column, buckets: Int = 65536): DataFrame = {
+  private def intDivL(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** The distinct hashed feature ids of a doc — shared by the batch
+    * train/score paths and the streaming twin so the three can never
+    * hash differently. */
+  def classifierFeatures(text: Column, buckets: Int = 65536): Column = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    def intDiv(a: Column, b: Column): Column =
-      ((a - pmod(a, b)) / b).cast("long")
-    val feats = array_distinct(transform(Dedup.polyTokenHashes(text),
+    array_distinct(transform(Dedup.polyTokenHashes(text),
       h => pmod(h, lit(buckets.toLong))))
-    val base = docs.select(id.as("doc_id"), labelExpr.as("_pos"),
-      feats.as("_f"))
-    val model = base.select(col("_pos"), explode(col("_f")).as("f"))
+  }
+
+  /** The trained model: (f, _w) — at most `buckets` rows. A feature
+    * absent from the model scores the smoothing prior
+    * ⌊10⁶·1/2⌋ = 500000 (the (0+1)/(0+2) add-one case), which is what
+    * [[graft.streaming.EventStream.classifierScored]] substitutes for
+    * unseen features at ingest. */
+  def classifierModel(docs: DataFrame, text: Column, labelExpr: Column,
+                      buckets: Int = 65536): DataFrame =
+    docs.select(labelExpr.as("_pos"),
+        explode(classifierFeatures(text, buckets)).as("f"))
       .groupBy("f")
       .agg(sum(when(col("_pos"), 1L).otherwise(0L)).as("_np"),
         count(lit(1)).as("_nt"))
       .select(col("f"),
-        intDiv(lit(1000000L) * (col("_np") + 1L), col("_nt") + 2L).as("_w"))
+        intDivL(lit(1000000L) * (col("_np") + 1L), col("_nt") + 2L).as("_w"))
+
+  def classifierQuality(docs: DataFrame, text: Column, id: Column,
+                        labelExpr: Column, buckets: Int = 65536): DataFrame = {
+    val base = docs.select(id.as("doc_id"), labelExpr.as("_pos"),
+      classifierFeatures(text, buckets).as("_f"))
+    val model = classifierModel(docs, text, labelExpr, buckets)
     base.select(col("doc_id"), explode(col("_f")).as("f"))
       .join(broadcast(model), "f")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"), sum(col("_w")).as("_ws"))
       .select(col("doc_id"), col("n_feats"),
-        intDiv(col("_ws"), col("n_feats")).as("clf_score"),
-        (intDiv(col("_ws"), col("n_feats")) > 500000L).as("is_good"))
+        intDivL(col("_ws"), col("n_feats")).as("clf_score"),
+        (intDivL(col("_ws"), col("n_feats")) > 500000L).as("is_good"))
   }
 
   /** PII scrubbing: emails first (their local part would otherwise leak

@@ -30,4 +30,21 @@ object CorpusStore {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Z-clustered path write — the third layout lever, for TWO-key
+    * RANGE scans (partitioning prunes a slice column, bucketing
+    * co-locates joins, z-clustering prunes 2-D range boxes): rows are
+    * range-partitioned and sorted on the Morton interleave of (x, y)
+    * ([[graft.operators.Layout.clusterByZ]]), so every output file
+    * covers a bounded rectangle of the key space and parquet min/max
+    * footers prune scans filtered on EITHER key (WarehouseSpec pins
+    * disjoint per-file z-runs and rectangle-bounded spans). `files` is
+    * the target file count — at 100 TB set it so files land near the
+    * rowgroup-friendly 128 MB–1 GB band. */
+  def writeZClustered(docs: DataFrame, path: String,
+                      x: org.apache.spark.sql.Column,
+                      y: org.apache.spark.sql.Column,
+                      bits: Int = 31, files: Int = 32): Unit =
+    graft.operators.Layout.clusterByZ(docs, x, y, bits, files)
+      .write.mode(SaveMode.Overwrite).parquet(path)
 }

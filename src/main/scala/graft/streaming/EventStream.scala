@@ -196,6 +196,39 @@ object EventStream {
           .cast("long").as("lm_score"))
   }
 
+  /** Streaming twin of d70's hashed quality classifier — score docs at
+    * INGEST with the batch-trained model: weights collected to a
+    * literal map (bounded by the 2¹⁶ feature buckets — ~KB-to-MB
+    * driver state, the hashing trick's point) and each doc scored
+    * MAP-ONLY by folding over its distinct feature array: no explode,
+    * no shuffle, no stream state — append mode at scan speed (a
+    * per-doc groupBy would be stateful on a stream; the fold is the
+    * lmScored move). Features the training corpus never saw score the
+    * smoothing prior 500000 — exactly what the batch model assigns a
+    * (0 pos, 0 neg) feature — so scores equal the batch path's
+    * whenever the doc's features were trained (spec-pinned). */
+  def classifierScored(stream: DataFrame,
+                       text: org.apache.spark.sql.Column,
+                       id: org.apache.spark.sql.Column,
+                       weights: Map[Long, Long],
+                       buckets: Int = 65536): DataFrame = {
+    import graft.operators.TextOps
+    val feats = TextOps.classifierFeatures(text, buckets)
+    // empty-map literals are untypeable; -1 is outside [0, buckets)
+    val m = typedLit(if (weights.nonEmpty) weights else Map(-1L -> 0L))
+    def intDiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      ((a - pmod(a, b)) / b).cast("long")
+    stream
+      .select(id.as("doc_id"), feats.as("_f"))
+      .select(col("doc_id"), size(col("_f")).cast("long").as("n_feats"),
+        aggregate(col("_f"), lit(0L),
+          (acc, f) => acc + coalesce(element_at(m, f), lit(500000L)))
+          .as("_ws"))
+      .select(col("doc_id"), col("n_feats"),
+        intDiv(col("_ws"), col("n_feats")).as("clf_score"),
+        (intDiv(col("_ws"), col("n_feats")) > 500000L).as("is_good"))
+  }
+
   /** Streaming twin of q19's interval join: tag each incoming event
     * with the static intervals containing it. The binned shape matters
     * MORE on a stream — `RangeJoin.binned` gives a stateless

@@ -512,6 +512,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(got((1L, 4L)) == 1L)
   }
 
+  test("streaming classifier scoring matches the batch join path; unseen features get the prior") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val train = ((1 to 20).map(i => (i.toLong, s"good$i nice$i fine$i")) ++
+      (21 to 40).map(_ => (0L, "spam spam spam"))).zipWithIndex
+      .map { case ((_, t), i) => ((i + 1).toLong, t) }
+      .toDF("doc_id", "text")
+    val toks = graft.operators.TextOps.tokens(col("text"))
+    val label = size(array_distinct(toks)) * 2 >= size(toks)
+    val weights = graft.operators.TextOps.classifierModel(
+        train, col("text"), label)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val data = Seq((1L, "good3 nice17 fine9"), (2L, "spam spam"),
+      (3L, "neverseen tokens here"))
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStream.classifierScored(
+        stream.toDF().toDF("doc_id", "text"), col("text"), col("doc_id"),
+        weights)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("clf_out").start()
+    stream.addData(data)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("clf_out").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(got(1L)._2 && !got(2L)._2,
+      s"stream scores must follow the trained classes: $got")
+    // every feature of doc 3 is unseen: score = the smoothing prior
+    // exactly (what the batch model would assign a 0/0 feature)
+    assert(got(3L)._1 == 500000L && !got(3L)._2)
+    // trained-feature docs reproduce the batch weight formula exactly:
+    // each good-class feature appears in 1 pos doc → w = 2·10⁶/3;
+    // "spam" in 20 neg docs → w = 10⁶/22
+    assert(got(1L)._1 == 666666L, s"expected the batch weights: $got")
+    assert(got(2L)._1 == 45454L, s"expected the batch weights: $got")
+  }
+
   test("streaming LM scoring matches the batch join path bit-for-bit") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -144,6 +144,69 @@ class WarehouseSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS corpus_bucketed_spec")
   }
 
+  test("z-clustered write: files cover disjoint z-runs and bounded key rectangles") {
+    import graft.sources.CorpusStore
+    import graft.operators.Layout
+    import org.apache.spark.sql.functions._
+    // full 64x64 key grid — any unclustered layout would give every
+    // file the full span of at least one key
+    val grid = spark.range(4096).select(col("id"),
+      (col("id") / 64).cast("long").as("x"),
+      pmod(col("id"), lit(64L)).as("y"))
+    val dir = Files.createTempDirectory("graft_zw").toString + "/zgrid"
+    CorpusStore.writeZClustered(grid, dir, col("x"), col("y"),
+      bits = 6, files = 8)
+    val back = spark.read.parquet(dir)
+      .select(input_file_name().as("f"), col("x"), col("y"),
+        Layout.zValue(col("x"), col("y"), 6).as("z"))
+    val files = back.groupBy("f")
+      .agg(min(col("z")).as("zlo"), max(col("z")).as("zhi"),
+        (max(col("x")) - min(col("x"))).as("sx"),
+        (max(col("y")) - min(col("y"))).as("sy"))
+      .collect()
+    assert(files.length == 8, s"expected 8 files, got ${files.length}")
+    // disjoint z-runs: parquet min/max on a z column would prune
+    val runs = files.map(r => (r.getAs[Long]("zlo"), r.getAs[Long]("zhi")))
+      .sortBy(_._1)
+    runs.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"file z-runs must be disjoint: ${runs.toSeq}")
+      case _ =>
+    }
+    // z-curve locality: every file's bounding box covers at most ~4x
+    // its row count (a run crossing a high-bit seam legitimately
+    // spans one key wide, but the AREA stays bounded — the constant
+    // behind O(perimeter) query cost)
+    val counts = back.groupBy("f").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    files.foreach { r =>
+      val area = (r.getAs[Long]("sx") + 1) * (r.getAs[Long]("sy") + 1)
+      assert(area <= 4 * counts(r.getString(0)),
+        s"file bounding box must stay near its row count: $r area=$area")
+    }
+    // BOTH axes prune simultaneously: an 8-wide range box on x skips
+    // files, and so does one on y — a single-key sort can never do
+    // both (every file spans the full non-sorted axis, so that axis'
+    // query hits all files; checked against the y-sorted layout)
+    def hits(fs: Array[org.apache.spark.sql.Row], k: String, lo: Long, hi: Long) =
+      fs.count(r => !(r.getAs[Long](s"max_$k") < lo || r.getAs[Long](s"min_$k") > hi))
+    val fx = back.groupBy("f").agg(
+      min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+      min(col("y")).as("min_y"), max(col("y")).as("max_y")).collect()
+    assert(hits(fx, "x", 24, 31) < 8 && hits(fx, "y", 24, 31) < 8,
+      s"both-axis pruning must hold: x=${hits(fx, "x", 24, 31)} y=${hits(fx, "y", 24, 31)}")
+    val yDir = Files.createTempDirectory("graft_yw").toString + "/ygrid"
+    grid.repartitionByRange(8, col("y")).sortWithinPartitions(col("y"))
+      .write.parquet(yDir)
+    val fy = spark.read.parquet(yDir)
+      .select(input_file_name().as("f"), col("x"), col("y"))
+      .groupBy("f").agg(
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y")).collect()
+    assert(hits(fy, "x", 24, 31) == 8,
+      "the y-sorted layout must fail to prune x — that is what z-order buys")
+  }
+
   test("history collection commits per batch and resumes after a crash") {
     import graft.slurm.HistoryCollector
     val dir = Files.createTempDirectory("graft_wh5").toString
