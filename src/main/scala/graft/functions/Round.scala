@@ -19,6 +19,25 @@ object Round {
   }
 }
 
+/** Exact integer floor division for non-negative longs — THE shared
+  * helper for every oracle-exact integer-arithmetic path (classifier
+  * weights/scores, streaming twins). The naive
+  * `((a - pmod(a, b)) / b).cast("long")` routes two longs through
+  * Spark's double `Divide`: above 2⁵³ the numerator loses ulps and the
+  * truncating cast can land at q−1 — silently breaking the documented
+  * bit-identical-to-DuckDB (`//`) contract exactly at the corpus sizes
+  * the operators advertise. Here the subtraction makes the numerator
+  * an EXACT multiple of b in DECIMAL(38,0), so the decimal division's
+  * scale-6 rounding hits the integer quotient exactly and the final
+  * cast is lossless for any |q| < 2⁶³. */
+object IntMath {
+  def intDiv(a: Column, b: Column): Column = {
+    val ad = a.cast("decimal(38,0)")
+    val bd = b.cast("decimal(38,0)")
+    ((ad - pmod(ad, bd)) / bd).cast("long")
+  }
+}
+
 object OracleSql {
   // word boundary before "round(": don't corrupt a_round(...) / xround(...)
   private val RoundCall = "(?i)(?<![a-zA-Z0-9_])round\\(".r

@@ -100,8 +100,7 @@ object Components {
     * lineage (3-5 PageRank rounds don't need it). */
   def pageRank(edges: DataFrame, iters: Int,
                scale: Long = 1000000000000L): DataFrame = {
-    def intDiv(a: Column, b: Column): Column =
-      ((a - pmod(a, b)) / b).cast("long")
+    val intDiv = graft.functions.IntMath.intDiv _
     val e = edges.select(col("src"), col("dst")).distinct()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()

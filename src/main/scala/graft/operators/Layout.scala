@@ -69,7 +69,13 @@ object Layout {
               bits: Int = 31, blockShift: Int = 54): DataFrame = {
     require(blockShift >= 0 && blockShift < 2 * bits,
       s"blockShift must be in [0, ${2 * bits}), got $blockShift")
-    df.select(x.cast("long").as("_x"), y.cast("long").as("_y"),
+    // report spans on the SAME clipped keys the z-value groups by:
+    // raw-key spans would silently mix distant values whenever a key
+    // exceeds 2^bits and wraps — the report must stay coherent with
+    // its own blocking even on out-of-range input
+    val m = 1L << bits
+    df.select(pmod(x.cast("long"), lit(m)).as("_x"),
+        pmod(y.cast("long"), lit(m)).as("_y"),
         shiftright(zValue(x, y, bits), blockShift).as("z_block"))
       .groupBy("z_block")
       .agg(count(lit(1)).as("n"),

@@ -672,7 +672,7 @@ object TextOps {
     * shuffles. At 100 TB train on a [[graft.operators.Sampling]]
     * sample instead of the full corpus — the score path is unchanged. */
   private def intDivL(a: Column, b: Column): Column =
-    ((a - pmod(a, b)) / b).cast("long")
+    graft.functions.IntMath.intDiv(a, b)
 
   /** The distinct hashed feature ids of a doc — shared by the batch
     * train/score paths and the streaming twin so the three can never
@@ -700,7 +700,7 @@ object TextOps {
 
   def classifierQuality(docs: DataFrame, text: Column, id: Column,
                         labelExpr: Column, buckets: Int = 65536): DataFrame = {
-    val base = docs.select(id.as("doc_id"), labelExpr.as("_pos"),
+    val base = docs.select(id.as("doc_id"),
       classifierFeatures(text, buckets).as("_f"))
     val model = classifierModel(docs, text, labelExpr, buckets)
     base.select(col("doc_id"), explode(col("_f")).as("f"))

@@ -1213,11 +1213,15 @@ object PipelineQueries {
          | ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
     },
     "d71_zorder_layout" -> {
+      // pmod semantics, not truncated %: DuckDB's % is negative for
+      // negative operands where Spark's pmod is not — the twin
+      // expressions must stay equivalent for ANY key sign
       val zi = (0 until 11).map(i =>
-        s"((((x % 2048) >> $i) & 1) << ${2 * i}) + ((((y % 2048) >> $i) & 1) << ${2 * i + 1})")
+        s"(((xb >> $i) & 1) << ${2 * i}) + (((yb >> $i) & 1) << ${2 * i + 1})")
         .mkString(" + ")
       s"""WITH t AS (SELECT user_id::BIGINT AS x, ((floor(epoch(ts))::BIGINT - 1704067200) >> 11) AS y FROM events),
-         | z AS (SELECT x, y, ($zi) AS zv FROM t)
+         | c AS (SELECT ((x % 2048) + 2048) % 2048 AS xb, ((y % 2048) + 2048) % 2048 AS yb FROM t),
+         | z AS (SELECT xb AS x, yb AS y, ($zi) AS zv FROM c)
          | SELECT (zv >> 14)::BIGINT AS z_block, count(*) AS n,
          |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
          | FROM z GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " ")

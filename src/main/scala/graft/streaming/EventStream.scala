@@ -185,9 +185,11 @@ object EventStream {
       .select(id.as("doc_id"), aggregate(bgs,
         struct(lit(0L).as("s"), lit(0L).as("n")),
         (acc, p) => struct(
+          // try_element_at: unseen bigrams/unigrams are the NORMAL
+          // backoff path; ANSI element_at would throw on them
           (acc.getField("s") + coalesce(
-            element_at(bgM, p.getField("bg")),
-            element_at(w1M, p.getField("w1")),
+            try_element_at(bgM, p.getField("bg")),
+            try_element_at(w1M, p.getField("w1")),
             lit(defaultScore))).as("s"),
           (acc.getField("n") + 1L).as("n"))).as("a"))
       .select(col("doc_id"), col("a.n").as("n_bigrams"),
@@ -216,13 +218,15 @@ object EventStream {
     val feats = TextOps.classifierFeatures(text, buckets)
     // empty-map literals are untypeable; -1 is outside [0, buckets)
     val m = typedLit(if (weights.nonEmpty) weights else Map(-1L -> 0L))
-    def intDiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      ((a - pmod(a, b)) / b).cast("long")
+    val intDiv = graft.functions.IntMath.intDiv _
     stream
       .select(id.as("doc_id"), feats.as("_f"))
       .select(col("doc_id"), size(col("_f")).cast("long").as("n_feats"),
+        // try_element_at, not element_at: the missing-key → prior path
+        // IS the contract, and under ANSI (Spark 4's default in a
+        // user's own session) element_at throws on a miss
         aggregate(col("_f"), lit(0L),
-          (acc, f) => acc + coalesce(element_at(m, f), lit(500000L)))
+          (acc, f) => acc + coalesce(try_element_at(m, f), lit(500000L)))
           .as("_ws"))
       .select(col("doc_id"), col("n_feats"),
         intDiv(col("_ws"), col("n_feats")).as("clf_score"),

@@ -130,6 +130,17 @@ class AnsiRobustnessSpec extends AnyFunSuite {
     val emb = Tables.load(spark, dir, "embeddings")
     assert(Similarity.pqTopK(emb, emb.filter(col("vec_id") < 3), 5,
       m = 4, codes = 8, iters = 1).count() > 0)
+    // literal-map scoring twins: every doc here has features/bigrams
+    // ABSENT from the tiny models — under ANSI a bare element_at would
+    // throw MAP_KEY_DOES_NOT_EXIST; the miss → default path is the
+    // documented contract
+    val clf = graft.streaming.EventStream.classifierScored(docs,
+      col("text"), col("doc_id"), Map(0L -> 600000L)).collect()
+    assert(clf.nonEmpty && clf.forall(_.getLong(2) >= 0L))
+    val lm = graft.streaming.EventStream.lmScored(docs, col("text"),
+      col("doc_id"), Map("zz qq" -> -1000000L), Map("zz" -> -500000L),
+      defaultScore = -2000000L)
+    assert(lm.count() > 0)
   }
 
   test("quality metrics on an empty/whitespace doc stay null, not an ANSI error") {

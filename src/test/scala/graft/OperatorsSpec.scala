@@ -868,16 +868,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(byClass(true)._1 > byClass(false)._1,
       s"diverse docs must outscore boilerplate: $byClass")
     assert(byClass(true)._2, "every diverse doc must classify good")
-    // unseen token COMBINATIONS score by their tokens' learned class —
-    // the generalization a per-doc heuristic alone cannot provide
+    // GENUINE hold-out: model trained on `train` only, held docs
+    // scored against it (classifierScored is pure column ops — it
+    // scores a static frame the same as a stream) — unseen token
+    // COMBINATIONS must classify by their tokens' learned class, the
+    // generalization a per-doc heuristic alone cannot provide
     val held = Seq((1000L, "alpha3 beta17 gamma29 delta5 epsilon38"),
       (1001L, "spam spam spam")).toDF("doc_id", "text")
-    val hs = TextOps.classifierQuality(train.union(held), col("text"),
-      col("doc_id"), label)
-      .filter(col("doc_id") >= 1000L)
+    val weights = TextOps.classifierModel(train, col("text"), label)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hs = graft.streaming.EventStream.classifierScored(held,
+        col("text"), col("doc_id"), weights)
       .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     assert(hs(1000L) && !hs(1001L),
-      s"mixed docs must classify by their tokens' learned class: $hs")
+      s"held-out docs must classify by their tokens' learned class: $hs")
     // deterministic under repartitioning
     val a = scored
     val b = TextOps.classifierQuality(train.repartition(13), col("text"),
