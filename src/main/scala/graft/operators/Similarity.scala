@@ -479,6 +479,46 @@ object Similarity {
     * distance 1 — the standard recall fix for sign-LSH, costing only a
     * wider broadcast of the (small) query set, never a second corpus
     * pass. */
+  /** Semantic decontamination — the embedding-space counterpart of the
+    * n-gram paths (d25 exact, d46 fuzzy): flag corpus docs whose
+    * embedding sits above `threshold` cosine to ANY benchmark item.
+    * Paraphrased eval questions share no 8-gram with the original but
+    * land on nearly the same embedding — this is the pass that catches
+    * them. Per flagged doc: how many bench items it matches, the max
+    * cosine, and the smallest matching bench id.
+    *
+    * Scale shape: the d07 sign-LSH blocking reused cross-set — the
+    * corpus computes its bucket MAP-ONLY and is never shuffled; the
+    * (small) bench side multi-probes its bucket's hamming-1 neighbors
+    * and BROADCASTS; candidates verify with one exact cosine; the
+    * per-doc rollup keys on vec_id (unique — skew-free). A bench pair
+    * can meet a corpus doc in at most one bucket (the probe list is
+    * distinct buckets), so the hit counts need no distinct state.
+    * Recall is the d07 trade, spec-pinned there; raise numPlanes'
+    * probe width before ever considering a corpus shuffle. */
+  def semanticDecontam(corpus: DataFrame, bench: DataFrame,
+                       threshold: Double, dim: Int = 64,
+                       numPlanes: Int = 8): DataFrame = {
+    val c = corpus.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("bucket", hyperplaneBucket(col("v"), dim, numPlanes))
+      .withColumn("n", norm(col("v")))
+    val probes: Column => Seq[Column] = b =>
+      b +: (0 until numPlanes).map(j => b.bitwiseXOR(lit(1L << j)))
+    val q = bench.select(col("vec_id").as("bench_id"),
+        toDouble(col("embedding")).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .withColumn("bucket",
+        explode(array(probes(hyperplaneBucket(col("qv"), dim, numPlanes)): _*)))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("bench_id"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("n")))
+      .filter(col("cos") > threshold)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_bench_hits"),
+        rd(max(col("cos")), 6).as("max_cos"),
+        min(col("bench_id")).as("first_bench_id"))
+  }
+
   def lshTopK(emb: DataFrame, queries: DataFrame, k: Int,
               dim: Int = 64, numPlanes: Int = 8,
               multiProbe: Boolean = true): DataFrame = {

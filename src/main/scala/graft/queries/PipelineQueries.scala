@@ -78,6 +78,16 @@ object PipelineQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // semantic decontamination: corpus embeddings vs a benchmark slice
+    // through the d07 sign-LSH blocking — corpus map-only, bench
+    // multi-probed + broadcast, exact-cosine verify
+    "d72_semantic_decontam" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.semanticDecontam(e, e.filter(col("vec_id") % 17 === 0),
+        threshold = 0.3)
+        .orderBy("vec_id")
+    }),
+
     // IVF ANN, verdict form: the k-means cell state is engine-specific
     // float, so the gate hashes in-plan BOOLEAN verdicts (recall vs the
     // in-plan brute force; multi-probe never below single-probe) over
@@ -973,6 +983,24 @@ object PipelineQueries {
          | SELECT q_id, rank, vec_id AS neighbor_id, round(cos, 6) AS cos
          | FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin.replaceAll("\n", " ")
     },
+    "d72_semantic_decontam" -> {
+      val planes = Similarity.hyperplanes(64, 8)
+      def bucketExpr(v: String) = planes.zipWithIndex.map { case (p, j) =>
+        s"CASE WHEN list_dot_product($v, ${p.mkString("[", ", ", "]")}) > 0 THEN ${1L << j} ELSE 0 END"
+      }.mkString("(", " + ", ")::BIGINT")
+      val probes = (Seq("bucket0") ++ (0 until 8).map(j => s"xor(bucket0, ${1L << j})"))
+        .mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | c AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n, ${bucketExpr("v")} AS bucket FROM e),
+         | q0 AS (SELECT vec_id AS bench_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn, ${bucketExpr("v")} AS bucket0 FROM e WHERE vec_id % 17 = 0),
+         | q AS (SELECT bench_id, qv, qn, unnest($probes) AS bucket FROM q0),
+         | hit AS (SELECT vec_id, bench_id, list_dot_product(qv, v) / (qn * n) AS cos
+         |  FROM c JOIN q USING (bucket) WHERE vec_id != bench_id)
+         | SELECT vec_id, count(*) AS n_bench_hits, round(max(cos), 6) AS max_cos,
+         |  min(bench_id) AS first_bench_id
+         | FROM hit WHERE cos > 0.3 GROUP BY vec_id ORDER BY vec_id""".stripMargin.replaceAll("\n", " ")
+    },
+
     // d12's whole pipeline — metadata arithmetic AND the deterministic
     // stub decoder's 64-bit wrapping polynomial — replayed via HUGEINT
     // mod 2^64: the batched mapPartitions decode plumbing is now

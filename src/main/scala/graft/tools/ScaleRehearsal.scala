@@ -329,6 +329,14 @@ object ScaleRehearsal {
       Layout.zBlocks(df, col("doc_id"), length(col("text")),
         bits = 11, blockShift = 14).count()
     ratio("z-order block report", zrep(base), zrep(big))
+    // semantic decontam: the corpus side grows N×, the bench side is
+    // fixed — corpus buckets map-only and never shuffles, so the curve
+    // tracks the scan, not a pair explosion (replicas of a flagged
+    // vector all flag: hit rows grow N×, absorbed by the per-doc agg)
+    def semdec(e: org.apache.spark.sql.DataFrame): Long =
+      Similarity.semanticDecontam(e,
+        embBase.filter(col("vec_id") % 17 === 0), threshold = 0.3).count()
+    ratio("semantic decontam", semdec(embBase), semdec(embBig))
     spark.stop()
   }
 }

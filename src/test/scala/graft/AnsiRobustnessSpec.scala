@@ -111,6 +111,9 @@ class AnsiRobustnessSpec extends AnyFunSuite {
       size(array_distinct(tk)) * 2 >= size(tk)).count() > 0)
     assert(Layout.zBlocks(docs, col("doc_id"), col("n_chars"),
       bits = 11, blockShift = 14).count() > 0)
+    val e = Tables.load(spark, dir, "embeddings")
+    assert(Similarity.semanticDecontam(e,
+      e.filter(col("vec_id") % 17 === 0), threshold = 0.3).count() > 0)
   }
 
   test("bloom, poly-hash and PQ expressions run under ANSI in a foreign session") {

@@ -806,6 +806,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(noEn.filter(col("domain") === "en").count() == 0)
   }
 
+  test("semantic decontam flags scaled copies of bench vectors, not unrelated ones") {
+    // bench item + corpus: two scaled copies (cosine 1 to the bench
+    // vector — the "paraphrase" stand-in), the bench vector itself
+    // under a corpus id, and orthogonal distractors
+    val dim = 64
+    def vec(scale: Double, active: Int*): Seq[Double] =
+      (0 until dim).map(i => if (active.contains(i)) scale else 0.0)
+    val bench = Seq((9000L, vec(1.0, 0, 1, 2))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, vec(0.5, 0, 1, 2)),   // scaled copy → cos 1
+      (2L, vec(3.0, 0, 1, 2)),   // scaled copy → cos 1
+      (3L, vec(1.0, 10, 11, 12)), // orthogonal
+      (4L, vec(1.0, 20))).toDF("vec_id", "embedding")
+    val flagged = Similarity.semanticDecontam(corpus, bench,
+        threshold = 0.9, dim = dim)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.keySet == Set(1L, 2L),
+      s"exactly the scaled copies must flag: $flagged")
+    assert(flagged.values.forall(_ == 1L))
+    // identical-direction vectors share the bench vector's bucket, so
+    // blocking can never lose them (sign bits are equal by
+    // construction); the orthogonal ones stay unflagged at any probe
+    // width
+    val wide = Similarity.semanticDecontam(corpus, bench,
+      threshold = 0.9, dim = dim, numPlanes = 12)
+    assert(wide.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
   test("z-order: blocks are bounded rectangles; clustered partitions cover disjoint z-runs") {
     // full 64x64 grid replicated — every (x, y) combination present,
     // so any un-clustered blocking would span the whole key range

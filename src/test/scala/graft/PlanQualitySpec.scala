@@ -262,6 +262,15 @@ class PlanQualitySpec extends AnyFunSuite {
       "domain-totals join must broadcast (one row per domain)")
   }
 
+  test("d72: bench side broadcasts — the corpus is never shuffled before the per-doc rollup") {
+    val p = plan("d72_semantic_decontam")
+    assert(p.contains("BroadcastHashJoin"),
+      "the multi-probed bench set must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "a shuffle join would move the corpus for the probe")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+  }
+
   test("d71: layout report is one partial agg on the z-prefix — no join, no window") {
     val p = plan("d71_zorder_layout")
     assert(p.contains("HashAggregate"),
