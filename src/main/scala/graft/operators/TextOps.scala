@@ -712,6 +712,31 @@ object TextOps {
         (intDivL(col("_ws"), col("n_feats")) > 500000L).as("is_good"))
   }
 
+  /** Tokenizer merge-candidate statistics — the inner loop of BPE /
+    * WordPiece training, distributed: count every ADJACENT token pair
+    * in the corpus and return the top `topN` merge candidates (count
+    * desc, pair asc — deterministic ties). One training round of a
+    * real tokenizer = take the top pair, merge it corpus-wide, and
+    * recount; this operator is that recount as ONE Spark job, the
+    * step that does not fit a single machine at 100 TB (the merge
+    * itself is a map-only regexp/array rewrite between rounds).
+    *
+    * Scale shape: explode is O(corpus tokens) map-only; one
+    * partial-agg shuffle keyed by pair (Zipf-skewed, but partial
+    * aggregation absorbs the hot pairs per mapper — the d40 rule);
+    * top-N via orderBy+limit plans as TakeOrderedAndProject (each
+    * partition keeps ≤ N rows, the driver merges — never a full sort
+    * of the pair vocabulary). */
+  def mergePairStats(docs: DataFrame, text: Column, topN: Int): DataFrame = {
+    require(topN > 0, s"topN must be positive, got $topN")
+    val toks = tokens(text)
+    docs.filter(size(toks) >= 2)
+      .select(explode(Dedup.zipNgrams(toks, 2,
+        (a, b) => concat(a, lit(" "), b))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(topN)
+  }
+
   /** PII scrubbing: emails first (their local part would otherwise leak
     * into the digit pass), then runs of 5+ digits (ids, phone-ish
     * numbers). Pattern subset chosen to mean the same thing in Java

@@ -558,6 +558,12 @@ object PipelineQueries {
         bits = 11, blockShift = 14)
         .orderBy("z_block")),
 
+    // tokenizer merge-pair statistics: the distributed BPE recount —
+    // adjacent-pair explode, partial-agg on the Zipf pair key, top-N
+    // as TakeOrderedAndProject
+    "d73_merge_pairs" -> ((s, dir) =>
+      TextOps.mergePairStats(docs(s, dir), col("text"), topN = 40)),
+
     // hashed-feature quality classifier: 2^16-bucket hashing trick
     // (model broadcast-bounded at any corpus size), bootstrap labels
     // from the integer repetition rule, pure-integer smoothed weights
@@ -1254,6 +1260,11 @@ object PipelineQueries {
          |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
          | FROM z GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " ")
     },
+
+    "d73_merge_pairs" ->
+      """WITH t AS (SELECT string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        | p AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])) AS pair FROM t WHERE len(toks) >= 2)
+        | SELECT pair, count(*) AS n FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 40""".stripMargin.replaceAll("\n", " "),
 
     "d70_quality_classifier" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),

@@ -294,6 +294,28 @@ object EventStream {
         count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("cms"), col("n"))
 
+  /** Streaming window quantiles — the streaming twin of d36,
+    * completing the per-window sketch trio (HLL distinct, CMS heavy
+    * hitters, quantiles): per tumbling window, approximate value
+    * percentiles via `approx_percentile`'s mergeable KLL-style buffer.
+    * Per-window state is ONE bounded sketch (partials merge across
+    * micro-batches and shuffle), where exact percentiles would buffer
+    * and sort every value per open window — undefined on an unbounded
+    * stream, bounded here; the watermark bounds the open-window count.
+    * `accuracy` trades state size for rank error (1/accuracy). */
+  def quantilesPerWindow(events: DataFrame,
+                         valueCol: String = "value",
+                         accuracy: Int = 1000): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(percentile_approx(col(valueCol),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(accuracy)).as("q"),
+        count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"),
+        col("q").getItem(0).as("p50"), col("q").getItem(1).as("p90"),
+        col("q").getItem(2).as("p99"), col("n"))
+
   /** STREAM-STREAM interval join: correlate two live event streams on a
     * key within a ±`toleranceS` event-time band (clicks↔impressions,
     * job-start↔job-metric, order↔payment). This is the one join shape

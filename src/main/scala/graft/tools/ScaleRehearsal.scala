@@ -337,6 +337,12 @@ object ScaleRehearsal {
       Similarity.semanticDecontam(e,
         embBase.filter(col("vec_id") % 17 === 0), threshold = 0.3).count()
     ratio("semantic decontam", semdec(embBase), semdec(embBig))
+    // merge-pair stats: the synthetic corpus's 31-token vocabulary is
+    // the pair-skew worst case (every pair is hot) — replication
+    // deepens every pair count 5x, all absorbed by map-side partials
+    ratio("bpe merge-pair stats",
+      TextOps.mergePairStats(base, col("text"), topN = 40).count(),
+      TextOps.mergePairStats(big, col("text"), topN = 40).count())
     spark.stop()
   }
 }

@@ -114,6 +114,7 @@ class AnsiRobustnessSpec extends AnyFunSuite {
     val e = Tables.load(spark, dir, "embeddings")
     assert(Similarity.semanticDecontam(e,
       e.filter(col("vec_id") % 17 === 0), threshold = 0.3).count() > 0)
+    assert(TextOps.mergePairStats(docs, col("text"), topN = 10).count() == 10)
   }
 
   test("bloom, poly-hash and PQ expressions run under ANSI in a foreign session") {

@@ -806,6 +806,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(noEn.filter(col("domain") === "en").count() == 0)
   }
 
+  test("merge-pair stats rank the planted pair first; a merge round removes it") {
+    val d = ((1 to 30).map(i => (i.toLong, "new york city")) ++
+      (31 to 40).map(i => (i.toLong, "san francisco")) ++
+      (41 to 45).map(i => (i.toLong, "york minster"))).toDF("doc_id", "text")
+    val stats = TextOps.mergePairStats(d, col("text"), topN = 10).collect()
+    assert(stats.head.getString(0) == "new york" && stats.head.getLong(1) == 30)
+    // one BPE round: merge the winning pair corpus-wide (map-only
+    // rewrite), recount — the merged pair must vanish and the
+    // bridging pairs re-form around the new token
+    val merged = d.withColumn("text",
+      regexp_replace(col("text"), "\\bnew york\\b", "new_york"))
+    val next = TextOps.mergePairStats(merged, col("text"), topN = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!next.contains("new york"))
+    assert(next("new_york city") == 30L, s"bridged pair must re-form: $next")
+    // deterministic under repartitioning
+    val a = TextOps.mergePairStats(d.repartition(7), col("text"), 10).collect()
+    assert(a.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      stats.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
   test("semantic decontam flags scaled copies of bench vectors, not unrelated ones") {
     // bench item + corpus: two scaled copies (cosine 1 to the bench
     // vector — the "paraphrase" stand-in), the bench vector itself

@@ -262,6 +262,13 @@ class PlanQualitySpec extends AnyFunSuite {
       "domain-totals join must broadcast (one row per domain)")
   }
 
+  test("d73: merge-pair top-N is TakeOrdered over a partial agg — never a full pair-vocab sort") {
+    val p = plan("d73_merge_pairs")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-N must merge per-partition heads, not globally sort the pair vocabulary")
+    assert(p.contains("HashAggregate") && !p.contains("Window"))
+  }
+
   test("d72: bench side broadcasts — the corpus is never shuffled before the per-doc rollup") {
     val p = plan("d72_semantic_decontam")
     assert(p.contains("BroadcastHashJoin"),

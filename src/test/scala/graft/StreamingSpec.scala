@@ -72,6 +72,45 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming windowed quantiles are rank-faithful vs batch-exact values per window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("ts"), col("value").cast("double").as("value"))
+    val rows = events.as[(java.sql.Timestamp, Double)].collect().toSeq
+
+    val stream = MemoryStream[(java.sql.Timestamp, Double)]
+    val sdf = stream.toDF().toDF("ts", "value")
+    val q = EventStream.quantilesPerWindow(sdf).writeStream
+      .outputMode("append").format("memory").queryName("qtl_out").start()
+    stream.addData(rows)
+    q.processAllAvailable()
+    stream.addData(Seq((java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), 0.0)))
+    q.processAllAvailable()
+    q.stop()
+
+    // rank-faithfulness: each emitted quantile must sit within ±2% of
+    // the target rank among the window's exact sorted values
+    val byWindow = events
+      .withColumn("window_start", date_trunc("hour", col("ts")))
+      .collect().groupBy(_.getAs[java.sql.Timestamp]("window_start"))
+      .map { case (w, rs) => w -> rs.map(_.getAs[Double]("value")).sorted }
+    val got = spark.table("qtl_out")
+      .filter(col("window_start") < "2030-01-01").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val vals = byWindow(r.getAs[java.sql.Timestamp]("window_start"))
+      val n = vals.length
+      for ((p, i) <- Seq(0.5 -> 1, 0.9 -> 2, 0.99 -> 3)) {
+        val v = r.getDouble(i)
+        val rank = vals.count(_ <= v).toDouble / n
+        // ±2% rank error, floored at the window's own rank granularity
+        assert(math.abs(rank - p) <= math.max(0.02, 1.5 / n),
+          s"p$p estimate $v lands at rank $rank of $n")
+      }
+    }
+  }
+
   test("streaming windowed CMS estimates bound batch-exact key counts per window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
