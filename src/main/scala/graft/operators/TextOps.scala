@@ -585,6 +585,38 @@ object TextOps {
       .select("doc_id", "grp", "n_tokens")
   }
 
+  /** Curriculum difficulty binning — the data-ladder ASSIGNMENT step
+    * (d51's threshold machinery pointed at binning instead of
+    * filtering): per group, the metric's (1/n .. (n−1)/n) percentile
+    * boundaries are computed in a TINY aggregate (#groups rows),
+    * broadcast, and every doc is tagged map-only with
+    * bin = #boundaries strictly below its metric (0 = easiest). Equal
+    * metric values always share a bin, so the binning is deterministic
+    * and repartition-invariant; bins are nested in refinement (the
+    * quartile cut points are a subset of the octile ones). No window
+    * ever touches corpus-sized data — the same reason d18/d51 moved
+    * off percent_rank; exact percentile at gate SF,
+    * `exact = false` swaps in approx_percentile's mergeable sketch for
+    * the 100 TB run. */
+  def difficultyBins(docs: DataFrame, metric: Column, group: Column,
+                     id: Column, nBins: Int = 4,
+                     exact: Boolean = true): DataFrame = {
+    import graft.functions.Round.rd
+    require(nBins >= 2 && nBins <= 100,
+      s"nBins must be in [2,100], got $nBins")
+    val m = metric.cast("double")
+    val bounds = (1 until nBins).map(i =>
+      rd(pctl(col("_m"), i.toDouble / nBins, exact), 6).as(s"_b$i"))
+    val th = docs.select(group.as("grp"), m.as("_m"))
+      .groupBy("grp").agg(bounds.head, bounds.tail: _*)
+    val binCol = (1 until nBins).map(i =>
+      when(col("_mv") > col(s"_b$i"), 1L).otherwise(0L)).reduce(_ + _)
+    docs.select(id.as("doc_id"), group.as("grp"), m.as("_mv"))
+      .join(broadcast(th), "grp")
+      .select(col("doc_id"), col("grp"), col("_mv").as("metric"),
+        binCol.as("bin"))
+  }
+
   /** Canonical text normalization — the first stage of every curation
     * pipeline: lowercase, control characters → space, whitespace runs
     * collapsed, ends trimmed. Regex subset chosen to mean the same

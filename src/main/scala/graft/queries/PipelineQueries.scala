@@ -558,6 +558,14 @@ object PipelineQueries {
         bits = 11, blockShift = 14)
         .orderBy("z_block")),
 
+    // curriculum difficulty bins: per-language token-count quartiles
+    // from a tiny broadcast aggregate, map-only bin assignment
+    "d74_difficulty_bins" -> ((s, dir) =>
+      TextOps.difficultyBins(docs(s, dir),
+        size(TextOps.tokens(col("text"))).cast("long"), col("lang"),
+        col("doc_id"), nBins = 4)
+        .orderBy("doc_id")),
+
     // tokenizer merge-pair statistics: the distributed BPE recount —
     // adjacent-pair explode, partial-agg on the Zipf pair key, top-N
     // as TakeOrderedAndProject
@@ -1260,6 +1268,14 @@ object PipelineQueries {
          |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
          | FROM z GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " ")
     },
+
+    "d74_difficulty_bins" ->
+      """WITH t AS (SELECT doc_id, lang, len(string_split_regex(lower(text), '\s+'))::DOUBLE AS m FROM documents),
+        | th AS (SELECT lang, round(quantile_cont(m, 0.25), 6) AS b1, round(quantile_cont(m, 0.5), 6) AS b2,
+        |   round(quantile_cont(m, 0.75), 6) AS b3 FROM t GROUP BY lang)
+        | SELECT doc_id, lang AS grp, m AS metric,
+        |  ((CASE WHEN m > b1 THEN 1 ELSE 0 END) + (CASE WHEN m > b2 THEN 1 ELSE 0 END) + (CASE WHEN m > b3 THEN 1 ELSE 0 END))::BIGINT AS bin
+        | FROM t JOIN th USING (lang) ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     "d73_merge_pairs" ->
       """WITH t AS (SELECT string_split_regex(lower(text), '\s+') AS toks FROM documents),

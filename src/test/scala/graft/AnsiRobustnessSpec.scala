@@ -115,6 +115,8 @@ class AnsiRobustnessSpec extends AnyFunSuite {
     assert(Similarity.semanticDecontam(e,
       e.filter(col("vec_id") % 17 === 0), threshold = 0.3).count() > 0)
     assert(TextOps.mergePairStats(docs, col("text"), topN = 10).count() == 10)
+    assert(TextOps.difficultyBins(docs, col("n_chars"), col("lang"),
+      col("doc_id"), nBins = 4).count() > 0)
   }
 
   test("bloom, poly-hash and PQ expressions run under ANSI in a foreign session") {

@@ -806,6 +806,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(noEn.filter(col("domain") === "en").count() == 0)
   }
 
+  test("difficulty bins split a group at its quartiles; equal metrics share a bin") {
+    // group g: metrics 1..100 → quartile boundaries 25.75/50.5/75.25;
+    // group h: all-equal metrics → every doc lands in bin 0
+    val d = ((1 to 100).map(i => (i.toLong, "g", i.toLong)) ++
+      (101 to 120).map(i => (i.toLong, "h", 7L)))
+      .toDF("doc_id", "grp_in", "m")
+    val bins = TextOps.difficultyBins(d, col("m"), col("grp_in"),
+        col("doc_id"), nBins = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert((1 to 25).forall(i => bins(i.toLong) == 0L))
+    assert((26 to 50).forall(i => bins(i.toLong) == 1L))
+    assert((51 to 75).forall(i => bins(i.toLong) == 2L))
+    assert((76 to 100).forall(i => bins(i.toLong) == 3L))
+    assert((101 to 120).forall(i => bins(i.toLong) == 0L),
+      "an all-equal group must collapse into one bin, never error")
+    // nested refinement: octile cut points contain the quartile ones —
+    // quartile bin = octile bin >> 1 for every doc
+    val oct = TextOps.difficultyBins(d, col("m"), col("grp_in"),
+        col("doc_id"), nBins = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(bins.forall { case (id, b) => oct(id) / 2 == b },
+      "quartile bins must be the coarsening of octile bins")
+  }
+
   test("merge-pair stats rank the planted pair first; a merge round removes it") {
     val d = ((1 to 30).map(i => (i.toLong, "new york city")) ++
       (31 to 40).map(i => (i.toLong, "san francisco")) ++

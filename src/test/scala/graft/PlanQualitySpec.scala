@@ -262,6 +262,15 @@ class PlanQualitySpec extends AnyFunSuite {
       "domain-totals join must broadcast (one row per domain)")
   }
 
+  test("d74: bin boundaries broadcast — no corpus-sized window, no shuffle join") {
+    val p = plan("d74_difficulty_bins")
+    assert(p.contains("BroadcastHashJoin"),
+      "the #groups-row boundary table must broadcast")
+    assert(!p.contains("Window"),
+      "binning must never sort a corpus-sized group (the d18/d51 rule)")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"))
+  }
+
   test("d73: merge-pair top-N is TakeOrdered over a partial agg — never a full pair-vocab sort") {
     val p = plan("d73_merge_pairs")
     assert(p.contains("TakeOrderedAndProject"),
