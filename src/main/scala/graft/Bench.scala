@@ -29,7 +29,8 @@ object Bench {
     "d65_phash_neardup", "d66_bm25_warehouse", "d63_incremental_curation",
     "d68_cross_corpus_dedup",
     "d69_temperature_mix", "d70_quality_classifier", "d71_zorder_layout",
-    "d72_semantic_decontam", "d73_merge_pairs", "d74_difficulty_bins")
+    "d72_semantic_decontam", "d73_merge_pairs", "d74_difficulty_bins",
+    "d75_compress_quality")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -744,6 +744,22 @@ object TextOps {
         (intDivL(col("_ws"), col("n_feats")) > 500000L).as("is_good"))
   }
 
+  /** Compression-ratio quality signal — the Gopher-class redundancy
+    * score: `deflate_len(text) / octet_length(text)`, scaled-rounded
+    * to 6 dp. Boilerplate, templates, and long-range repeats compress
+    * far below natural prose, catching redundancy the n-gram
+    * heuristics (d28) miss. Map-only native expression
+    * ([[graft.functions.DeflateLenExpr]] — inside whole-stage
+    * codegen, thread-local Deflater); NULL for empty text. zlib output
+    * is engine-specific, so the gate hashes the d75 in-plan verdict
+    * and the per-doc surface is spec-pinned, not oracle-replayed. */
+  def compressionRatio(text: Column): Column = {
+    import graft.functions.Round.rd
+    val raw = octet_length(text)
+    when(raw > 0,
+      rd(graft.functions.DeflateLenExpr.column(text).cast("double") / raw, 6))
+  }
+
   /** Tokenizer merge-candidate statistics — the inner loop of BPE /
     * WordPiece training, distributed: count every ADJACENT token pair
     * in the corpus and return the top `topN` merge candidates (count

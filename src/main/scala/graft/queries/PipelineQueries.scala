@@ -558,6 +558,23 @@ object PipelineQueries {
         bits = 11, blockShift = 14)
         .orderBy("z_block")),
 
+    // compression-ratio quality, verdict form (zlib bytes are
+    // engine-specific — the d13/d41/d42 pattern): planted boilerplate
+    // (one token repeated 50x) must compress harder than the prose it
+    // came from, per doc and in aggregate
+    "d75_compress_quality" -> ((s, dir) => {
+      val boiler = concat_ws(" ",
+        array_repeat(element_at(TextOps.tokens(col("text")), 1), 50))
+      docs(s, dir)
+        .select(TextOps.compressionRatio(col("text")).as("rp"),
+          TextOps.compressionRatio(boiler).as("rb"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rb") < col("rp"), 1L).otherwise(0L)).as("n_harder"))
+        .select(col("n_docs"),
+          (col("n_harder") * 10L >= col("n_docs") * 9L)
+            .as("boilerplate_compresses_harder"))
+    }),
+
     // curriculum difficulty bins: per-language token-count quartiles
     // from a tiny broadcast aggregate, map-only bin assignment
     "d74_difficulty_bins" -> ((s, dir) =>
@@ -1268,6 +1285,10 @@ object PipelineQueries {
          |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
          | FROM z GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " ")
     },
+
+    "d75_compress_quality" ->
+      """SELECT count(*)::BIGINT AS n_docs, true AS boilerplate_compresses_harder
+        | FROM documents""".stripMargin.replaceAll("\n", " "),
 
     "d74_difficulty_bins" ->
       """WITH t AS (SELECT doc_id, lang, len(string_split_regex(lower(text), '\s+'))::DOUBLE AS m FROM documents),

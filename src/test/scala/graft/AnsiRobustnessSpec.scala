@@ -132,6 +132,8 @@ class AnsiRobustnessSpec extends AnyFunSuite {
       xxhash64(col("text")), lit(bytes))).count() == 0)
     assert(docs.select(graft.functions.PolyTokenHashExpr.column(col("text")))
       .count() > 0)
+    assert(docs.select(graft.functions.DeflateLenExpr.column(col("text")).as("dl"))
+      .filter(col("dl") > 0).count() > 0)
     assert(Dedup.dupSpans(docs, col("text"), col("doc_id")).count() > 0)
     val emb = Tables.load(spark, dir, "embeddings")
     assert(Similarity.pqTopK(emb, emb.filter(col("vec_id") < 3), 5,

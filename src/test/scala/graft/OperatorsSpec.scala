@@ -806,6 +806,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(noEn.filter(col("domain") === "en").count() == 0)
   }
 
+  test("compression ratio scores boilerplate below prose; empty text is null") {
+    val d = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "the quick brown fox jumps over the lazy dog near riverbanks"),
+      (3L, "")).toDF("doc_id", "text")
+    val r = d.select(col("doc_id"),
+        TextOps.compressionRatio(col("text")).as("ratio"))
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(1)) None else Some(x.getDouble(1)))).toMap
+    assert(r(1L).get < r(2L).get,
+      s"repetition must compress harder than prose: $r")
+    assert(r(3L).isEmpty, "empty text has no ratio, not a division error")
+    // deterministic: same inputs give bit-identical ratios across
+    // partitionings (fixed Deflater settings, no per-run state)
+    val a = d.repartition(5)
+      .select(TextOps.compressionRatio(col("text")).as("x")).collect()
+      .map(x => if (x.isNullAt(0)) -1.0 else x.getDouble(0)).sorted.toSeq
+    val b = d.select(TextOps.compressionRatio(col("text")).as("x")).collect()
+      .map(x => if (x.isNullAt(0)) -1.0 else x.getDouble(0)).sorted.toSeq
+    assert(a == b)
+  }
+
   test("difficulty bins split a group at its quartiles; equal metrics share a bin") {
     // group g: metrics 1..100 → quartile boundaries 25.75/50.5/75.25;
     // group h: all-equal metrics → every doc lands in bin 0

@@ -262,6 +262,13 @@ class PlanQualitySpec extends AnyFunSuite {
       "domain-totals join must broadcast (one row per domain)")
   }
 
+  test("d75: compression verdict is one scan + one aggregate — map-only scoring") {
+    val p = plan("d75_compress_quality")
+    assert(!p.contains("Join") && !p.contains("Window"))
+    val scans = "(?m)^\\([0-9]+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected one scan, got $scans")
+  }
+
   test("d74: bin boundaries broadcast — no corpus-sized window, no shuffle join") {
     val p = plan("d74_difficulty_bins")
     assert(p.contains("BroadcastHashJoin"),
