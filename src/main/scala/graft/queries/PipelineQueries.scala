@@ -845,8 +845,49 @@ object PipelineQueries {
       TextOps.bigramLmScore(d, d.filter(col("lang") === "en"),
         col("text"), col("doc_id"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // URL curation: canonicalize, registered domain, blocklist — the
+    // corpus carries no URL column, so the query plants deterministic
+    // URLs exercising every canonicalization rule (case, default and
+    // non-default ports, tracking params, fragments, trailing slashes,
+    // multi-part public suffixes) and the oracle plants the identical
+    // strings — the hash match proves the curation, not the input
+    "d76_url_curation" -> ((s, dir) =>
+      Web.curateUrls(docs(s, dir), synthUrl(col("doc_id")), col("doc_id"),
+        blockedDomains).orderBy("doc_id"))
   )
+
+  /** d76's planted URL — one generator for the Spark query (the oracle
+    * replays it as CASE arithmetic on doc_id). Covers: mixed-case
+    * scheme/host, default port on https, non-default port, empty and
+    * trailing-slash paths, tracking params in lead/mid position,
+    * fragments, and a multi-part public suffix. */
+  private def synthUrl(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val scheme = when(pmod(id, lit(2)) === 0, lit("https")).otherwise(lit("HTTP"))
+    val host = when(pmod(id, lit(5)) === 0, lit("WWW.Example.CO.UK"))
+      .when(pmod(id, lit(5)) === 1, lit("blog.example.com:443"))
+      .when(pmod(id, lit(5)) === 2, lit("ads.tracker.net"))
+      .when(pmod(id, lit(5)) === 3,
+        concat(lit("sub"), pmod(id, lit(7)).cast("string"), lit(".news-site.org:8080")))
+      .otherwise(lit("example.com"))
+    val path = when(pmod(id, lit(3)) === 0, lit(""))
+      .when(pmod(id, lit(3)) === 1,
+        concat(lit("/articles/"), id.cast("string"), lit("/")))
+      .otherwise(lit("/a/b"))
+    val query = when(pmod(id, lit(4)) === 0,
+        concat(lit("?utm_source=feed&id="), id.cast("string")))
+      .when(pmod(id, lit(4)) === 1,
+        concat(lit("?id="), id.cast("string"), lit("&utm_campaign=x&fbclid=zz")))
+      .when(pmod(id, lit(4)) === 2, lit(""))
+      .otherwise(lit("?a=1&b=2"))
+    val frag = when(pmod(id, lit(2)) === 0, lit("#sec")).otherwise(lit(""))
+    concat(scheme, lit("://"), host, path, query, frag)
+  }
+
+  /** d76's blocklist — one multi-suffix domain so the blocklist path
+    * exercises the 3-label registered-domain rule too. */
+  private val blockedDomains = Seq("tracker.net", "example.co.uk")
 
   /** d44's mixture parameters — one source of truth for the Spark query
     * and the generated oracle SQL (the per-domain token targets are
@@ -1663,6 +1704,46 @@ object PipelineQueries {
         | agg AS (SELECT doc_id, sum(s)::BIGINT AS lm_sum, count(*)::BIGINT AS n_bigrams FROM sc GROUP BY 1)
         | SELECT doc_id, n_bigrams, lm_sum,
         |  floor(lm_sum::DOUBLE / n_bigrams)::BIGINT AS lm_score
-        | FROM agg ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+        | FROM agg ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    "d76_url_curation" -> {
+      val blocked = blockedDomains.map(d => s"'$d'").mkString(", ")
+      s"""WITH u AS (SELECT doc_id,
+         |  (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END) || '://' ||
+         |  (CASE doc_id % 5 WHEN 0 THEN 'WWW.Example.CO.UK' WHEN 1 THEN 'blog.example.com:443'
+         |    WHEN 2 THEN 'ads.tracker.net' WHEN 3 THEN 'sub' || (doc_id % 7)::VARCHAR || '.news-site.org:8080'
+         |    ELSE 'example.com' END) ||
+         |  (CASE doc_id % 3 WHEN 0 THEN '' WHEN 1 THEN '/articles/' || doc_id::VARCHAR || '/' ELSE '/a/b' END) ||
+         |  (CASE doc_id % 4 WHEN 0 THEN '?utm_source=feed&id=' || doc_id::VARCHAR
+         |    WHEN 1 THEN '?id=' || doc_id::VARCHAR || '&utm_campaign=x&fbclid=zz'
+         |    WHEN 2 THEN '' ELSE '?a=1&b=2' END) ||
+         |  (CASE WHEN doc_id % 2 = 0 THEN '#sec' ELSE '' END) AS url
+         | FROM documents),
+         | p AS (SELECT doc_id,
+         |  lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+         |  lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host,
+         |  regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#:@]+:([0-9]+)', 1) AS port,
+         |  regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+         |  regexp_extract(url, '\\?([^#]*)', 1) AS query
+         | FROM u),
+         | c AS (SELECT doc_id, scheme, host, port,
+         |  CASE WHEN rawpath = '' OR rawpath = '/' THEN '/' ELSE regexp_replace(rawpath, '/$$', '') END AS path,
+         |  list_filter(string_split(query, '&'), t -> NOT regexp_matches(t, '^(utm_[a-z0-9]+|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)=') AND t <> '') AS kp,
+         |  string_split(host, '.') AS labels,
+         |  CASE WHEN regexp_matches(host, '\\.(co|com|org|net|ac|gov|edu)\\.[a-z]{2}$$') THEN 3 ELSE 2 END AS tk
+         | FROM p),
+         | d AS (SELECT doc_id, scheme, host, port, path, kp,
+         |  CASE WHEN len(labels) <= tk THEN host
+         |    ELSE array_to_string(labels[len(labels)-tk+1:len(labels)], '.') END AS domain
+         | FROM c)
+         | SELECT doc_id,
+         |  scheme || '://' || host ||
+         |   (CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+         |     AND NOT (scheme = 'https' AND port = '443') THEN ':' || port ELSE '' END) ||
+         |  path ||
+         |  (CASE WHEN len(kp) > 0 THEN '?' || array_to_string(kp, '&') ELSE '' END) AS canon_url,
+         |  domain, domain NOT IN ($blocked) AS kept
+         | FROM d ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    }
   )
 }

@@ -483,6 +483,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Window"))
   }
 
+  test("d76: URL curation is map-only — no exchange besides the presentation sort") {
+    val p = plan("d76_url_curation")
+    // canonicalize + domain + blocklist are pure column arithmetic: at
+    // 100 TB this runs at scan speed; any hash exchange here would mean
+    // the corpus shuffles for a per-row string transform
+    assert(!p.contains("Arguments: hashpartitioning"),
+      s"URL curation must not shuffle\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"))
+  }
+
   test("salted join distributes a hot key across n buckets, same result") {
     import spark.implicits._
     val big = (1 to 1000).map(i => ("hot", i.toLong)).toDF("key", "payload")
