@@ -194,6 +194,40 @@ object Sampling {
         .otherwise("test").as("split"))
   }
 
+  /** Epoch-repeat materialization — the data-repetition step of a
+    * training mix (up-sample Wikipedia 3.25×, down-sample the crawl
+    * head to 0.8×): each doc appears `floor(f)` times plus one more
+    * with probability `frac(f)`, decided by the deterministic
+    * [[bucket]] hash so the realized corpus is reproducible across
+    * runs, partitionings, and engines. Factors are micro-units
+    * (`1_000_000 = 1.0×`) — pure integer arithmetic end to end, and a
+    * factor below 1.0× degrades to plain hash sampling (the unified
+    * rule covers both directions). Domains absent from `factors` get
+    * 0× and vanish.
+    *
+    * Output: (doc_id, domain, epoch) with epoch ∈ [0, n_copies) — the
+    * expansion a sequence-packing / shard-assignment stage consumes
+    * downstream. Map-only: a broadcast-free per-row factor lookup
+    * (literal when-chain — #domains is mixture-sized), a sequence
+    * explode, no shuffle at any corpus size. Output rows scale by the
+    * mean factor, not by a join: a 100 TB corpus at mean 1.5× writes
+    * 150 TB without ever shuffling. Nested in f: raising a domain's
+    * factor only ADDS (doc, epoch) rows, never changes which docs got
+    * the fractional extra copy. */
+  def epochRepeat(docs: DataFrame, domain: Column, id: Column,
+                  factorsMicro: Map[String, Long]): DataFrame = {
+    require(factorsMicro.values.forall(_ >= 0L),
+      "epoch factors must be non-negative micro-units")
+    val f = factorsMicro.foldLeft(lit(0L)) { case (acc, (d, m)) =>
+      when(domain === d, lit(m)).otherwise(acc) }
+    val copies = graft.functions.IntMath.intDiv(f, lit(BUCKETS)) +
+      when(bucket(id) < pmod(f, lit(BUCKETS)), 1L).otherwise(0L)
+    docs.select(id.as("doc_id"), domain.as("domain"), copies.as("_n"))
+      .filter(col("_n") > 0)
+      .select(col("doc_id"), col("domain"),
+        explode(sequence(lit(0L), col("_n") - 1L)).as("epoch"))
+  }
+
   /** Stratified sample: per-stratum keep fractions (stratum → rate);
     * rows of unlisted strata keep `default`. The per-row decision is
     * `bucket(id) < rate · 10⁶`, so enlarging a rate strictly grows the

@@ -855,8 +855,22 @@ object PipelineQueries {
     // strings — the hash match proves the curation, not the input
     "d76_url_curation" -> ((s, dir) =>
       Web.curateUrls(docs(s, dir), synthUrl(col("doc_id")), col("doc_id"),
-        blockedDomains).orderBy("doc_id"))
+        blockedDomains).orderBy("doc_id")),
+
+    // epoch-repeat materialization: fractional per-domain repeat
+    // factors (up-sample tail domains past 1.0, down-sample the head
+    // below it) realized as deterministic (doc, epoch) rows
+    "d77_epoch_repeat" -> ((s, dir) =>
+      Sampling.epochRepeat(docs(s, dir), col("lang"), col("doc_id"),
+        epochFactors).orderBy("doc_id", "epoch"))
   )
+
+  /** d77's repeat factors (micro-units; 1e6 = 1.0×) — covers
+    * down-sampling (en), whole multiples (es), and fractional
+    * up-sampling (zh/de/fr). One source of truth for the Spark query
+    * and the generated oracle CASE. */
+  private val epochFactors = Map("en" -> 800000L, "zh" -> 2500000L,
+    "es" -> 1000000L, "de" -> 3250000L, "fr" -> 1750000L)
 
   /** d76's planted URL — one generator for the Spark query (the oracle
     * replays it as CASE arithmetic on doc_id). Covers: mixed-case
@@ -1744,6 +1758,16 @@ object PipelineQueries {
          |  (CASE WHEN len(kp) > 0 THEN '?' || array_to_string(kp, '&') ELSE '' END) AS canon_url,
          |  domain, domain NOT IN ($blocked) AS kept
          | FROM d ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    },
+
+    "d77_epoch_repeat" -> {
+      val cases = epochFactors.map { case (d, m) => s"WHEN '$d' THEN $m" }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, lang, (CASE lang $cases ELSE 0 END)::BIGINT AS f FROM documents),
+         | n AS (SELECT doc_id, lang, f // 1000000 +
+         |   (CASE WHEN ((doc_id::HUGEINT * 2654435761) % 4294967296) % 1000000 < f % 1000000 THEN 1 ELSE 0 END) AS n
+         |  FROM t)
+         | SELECT doc_id, lang AS domain, unnest(generate_series(0, n - 1))::BIGINT AS epoch
+         | FROM n WHERE n > 0 ORDER BY doc_id, epoch""".stripMargin.replaceAll("\n", " ")
     }
   )
 }

@@ -1409,4 +1409,37 @@ class OperatorsSpec extends AnyFunSuite {
       .agg(sum(col("rank"))).head().getLong(0)
     assert(r3 <= scale && r3 > scale / 2)
   }
+
+  test("epoch repeat: whole multiples exact, fractional extras hash-deterministic, nested") {
+    val d = (0L until 1000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "dom")
+    // a = 2.0x exactly; b = 1.5x
+    val rep = Sampling.epochRepeat(d, col("dom"), col("doc_id"),
+      Map("a" -> 2000000L, "b" -> 1500000L))
+    val perDoc = rep.groupBy("doc_id", "domain").count()
+    // every a-doc exactly twice, epochs 0 and 1
+    assert(perDoc.filter(col("domain") === "a" && col("count") =!= 2).count() == 0)
+    assert(rep.filter(col("domain") === "a").agg(max("epoch")).head.getLong(0) == 1L)
+    // b-docs appear 1 or 2 times; the realized extra rate is near 50%
+    val bCounts = perDoc.filter(col("domain") === "b")
+    assert(bCounts.filter(col("count") < 1 || col("count") > 2).count() == 0)
+    val extras = rep.filter(col("domain") === "b").count() - 500L
+    assert(extras > 200L && extras < 300L, s"extra copies $extras of 500")
+    // deterministic under repartitioning
+    val rep2 = Sampling.epochRepeat(d.repartition(7), col("dom"), col("doc_id"),
+      Map("a" -> 2000000L, "b" -> 1500000L))
+    assert(rep.exceptAll(rep2).isEmpty && rep2.exceptAll(rep).isEmpty)
+    // nested: raising b's factor only ADDS rows
+    val more = Sampling.epochRepeat(d, col("dom"), col("doc_id"),
+      Map("a" -> 2000000L, "b" -> 1900000L))
+    assert(rep.exceptAll(more).isEmpty)
+    // factor below 1x degrades to hash sampling (epoch always 0)
+    val sampled = Sampling.epochRepeat(d, col("dom"), col("doc_id"),
+      Map("a" -> 300000L))
+    assert(sampled.agg(max("epoch")).head.getLong(0) == 0L)
+    val n = sampled.count()
+    assert(n > 100L && n < 200L, s"0.3x of 500 gave $n")
+    // unlisted domain vanishes
+    assert(sampled.filter(col("domain") === "b").count() == 0)
+  }
 }

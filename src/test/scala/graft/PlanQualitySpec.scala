@@ -493,6 +493,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Join") && !p.contains("Window"))
   }
 
+  test("d77: epoch repeat is map-only — factor lookup + sequence explode, no shuffle") {
+    val p = plan("d77_epoch_repeat")
+    assert(!p.contains("Arguments: hashpartitioning"),
+      s"epoch materialization must not shuffle\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"))
+    assert(p.contains("Generate"), "expected the sequence explode")
+  }
+
   test("salted join distributes a hot key across n buckets, same result") {
     import spark.implicits._
     val big = (1 to 1000).map(i => ("hot", i.toLong)).toDF("key", "payload")
