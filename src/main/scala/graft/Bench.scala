@@ -30,7 +30,8 @@ object Bench {
     "d68_cross_corpus_dedup",
     "d69_temperature_mix", "d70_quality_classifier", "d71_zorder_layout",
     "d72_semantic_decontam", "d73_merge_pairs", "d74_difficulty_bins",
-    "d75_compress_quality", "d76_url_curation", "d77_epoch_repeat")
+    "d75_compress_quality", "d76_url_curation", "d77_epoch_repeat",
+    "d78_subword_encode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -13,6 +13,14 @@ object TextOps {
   /** Whitespace tokens, lowercased. */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
+  /** Real subword tokenization (WordPiece greedy longest-match against
+    * a literal vocab — see [[graft.functions.WordPieceEncodeExpr]]):
+    * the token count a training budget is actually denominated in.
+    * Map-only, vocab embedded as a codegen reference object (tokenizer
+    * vocabs are ~1 MB — broadcast-bounded at any corpus size). */
+  def subwordTokens(text: Column, vocab: graft.functions.WordPieceVocab): Column =
+    graft.functions.WordPieceEncodeExpr.column(text, vocab)
+
   /** BPE-ish subword segmentation: letter runs, single digits, single
     * punctuation — the standard pre-tokenizer shape. */
   val BPE_PATTERN = "[a-z]+|[0-9]|[^a-z0-9\\s]"

@@ -862,8 +862,41 @@ object PipelineQueries {
     // below it) realized as deterministic (doc, epoch) rows
     "d77_epoch_repeat" -> ((s, dir) =>
       Sampling.epochRepeat(docs(s, dir), col("lang"), col("doc_id"),
-        epochFactors).orderBy("doc_id", "epoch"))
+        epochFactors).orderBy("doc_id", "epoch")),
+
+    // real subword tokenization (WordPiece greedy longest-match):
+    // greedy matching has no SQL replay, so the gate hashes the
+    // coverage verdict (roundtrip + exact word totals — the d75
+    // pattern); piece-level decompositions are spec-pinned
+    "d78_subword_encode" -> ((s, dir) => {
+      val pieces = TextOps.subwordTokens(col("text"), wpVocab)
+      // pieces reassemble the text exactly (full-alphabet vocab → no
+      // [UNK]); "##" appears only as the continuation prefix over the
+      // [a-z] corpus, so stripping it after the join is exact
+      val rt = regexp_replace(array_join(pieces, ""), "##", "") ===
+        regexp_replace(col("text"), "\\s+", "")
+      docs(s, dir)
+        .select(size(TextOps.tokens(col("text"))).cast("long").as("nw"),
+          size(pieces).cast("long").as("np"),
+          length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("nc"),
+          rt.as("rt"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("total_words"),
+          min(col("rt")).as("roundtrip_ok"),
+          (sum(col("np")) >= sum(col("nw"))).as("pieces_at_least_words"),
+          (sum(col("np")) <= sum(col("nc"))).as("pieces_at_most_chars"))
+    })
   )
+
+  /** d78's tokenizer vocab: full single-letter alphabet (coverage — no
+    * [UNK] on the [a-z] corpus), frequent corpus words as whole
+    * pieces, and a few multi-letter continuations so real subword
+    * splits occur. A literal here for determinism; a deployment loads
+    * the trained vocab file. */
+  private lazy val wpVocab = new graft.functions.WordPieceVocab(
+    ('a' to 'z').map(_.toString) ++ ('a' to 'z').map(c => s"##$c") ++
+      Seq("the", "spark", "table", "value", "hash", "scan", "fast", "slow",
+        "row", "key", "part", "agg", "batch", "merge", "filter", "join",
+        "##an", "##at", "##er", "##ue", "##le", "##st", "##ow"))
 
   /** d77's repeat factors (micro-units; 1e6 = 1.0×) — covers
     * down-sampling (en), whole multiples (es), and fractional
@@ -1768,6 +1801,12 @@ object PipelineQueries {
          |  FROM t)
          | SELECT doc_id, lang AS domain, unnest(generate_series(0, n - 1))::BIGINT AS epoch
          | FROM n WHERE n > 0 ORDER BY doc_id, epoch""".stripMargin.replaceAll("\n", " ")
-    }
+    },
+
+    "d78_subword_encode" ->
+      """SELECT count(*)::BIGINT AS n_docs,
+        | sum(len(string_split_regex(lower(text), '\s+')))::BIGINT AS total_words,
+        | true AS roundtrip_ok, true AS pieces_at_least_words,
+        | true AS pieces_at_most_chars FROM documents""".stripMargin.replaceAll("\n", " ")
   )
 }

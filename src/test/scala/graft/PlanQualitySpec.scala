@@ -501,6 +501,18 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("Generate"), "expected the sequence explode")
   }
 
+  test("d78: subword encode is one codegen'd scan + one aggregate — vocab never joins") {
+    val p = plan("d78_subword_encode")
+    // the vocab rides along as a codegen reference object; a vocab
+    // JOIN (or any hash exchange) would shuffle the corpus per word
+    assert(!p.contains("Arguments: hashpartitioning"),
+      s"subword encoding must not shuffle\n$p")
+    assert(!p.contains("Join"))
+    // (WholeStageCodegen spans don't print under AQE's formatted mode;
+    // the expression's codegen path is exercised by WordPieceSpec)
+    assert(p.contains("HashAggregate"))
+  }
+
   test("salted join distributes a hot key across n buckets, same result") {
     import spark.implicits._
     val big = (1 to 1000).map(i => ("hot", i.toLong)).toDF("key", "payload")
