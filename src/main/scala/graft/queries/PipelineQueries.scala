@@ -864,6 +864,29 @@ object PipelineQueries {
       Sampling.epochRepeat(docs(s, dir), col("lang"), col("doc_id"),
         epochFactors).orderBy("doc_id", "epoch")),
 
+    // curation v3 — this session's ops composed into ONE lazy plan:
+    // URL blocklist gate → exact dedup → epoch-repeat materialization
+    // → token-balanced shard assignment of the EXPANDED stream (the
+    // (doc, epoch) composite id keeps shard keys unique; epochs < 8
+    // by the factor map). Every stage oracle-replayed end to end.
+    "d79_curation_v3" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val gated = Web.curateUrls(d, synthUrl(col("doc_id")), col("doc_id"),
+        blockedDomains).filter(col("kept")).select("doc_id")
+      val surv = d.join(gated, Seq("doc_id"), "left_semi")
+      val keepers = Dedup.exact(surv, col("text"), col("doc_id"))
+        .select(col("keeper_id").as("doc_id"))
+      val uniq = surv.join(keepers, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      val rep = Sampling.epochRepeat(uniq, col("lang"), col("doc_id"),
+        epochFactors)
+      val expanded = rep.join(uniq.select("doc_id", "n_tokens"), "doc_id")
+      TextOps.assignShards(expanded,
+        col("doc_id") * 8L + col("epoch"), col("n_tokens"), 4096L)
+        .orderBy("doc_id")
+    }),
+
     // real subword tokenization (WordPiece greedy longest-match):
     // greedy matching has no SQL replay, so the gate hashes the
     // coverage verdict (roundtrip + exact word totals — the d75
@@ -1801,6 +1824,28 @@ object PipelineQueries {
          |  FROM t)
          | SELECT doc_id, lang AS domain, unnest(generate_series(0, n - 1))::BIGINT AS epoch
          | FROM n WHERE n > 0 ORDER BY doc_id, epoch""".stripMargin.replaceAll("\n", " ")
+    },
+
+    "d79_curation_v3" -> {
+      val cases = epochFactors.map { case (d, m) => s"WHEN '$d' THEN $m" }.mkString(" ")
+      // the URL gate's closed form: synthUrl's registered domain is a
+      // pure function of doc_id % 5 (d76's oracle proves the regex
+      // chain; the composition replays the decision it feeds)
+      s"""WITH g AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 NOT IN (0, 2)),
+         | k AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY md5(text)),
+         | s AS (SELECT doc_id, lang, len(string_split_regex(lower(text), '\\s+'))::BIGINT AS n_tokens
+         |   FROM g WHERE doc_id IN (SELECT doc_id FROM k)),
+         | n AS (SELECT doc_id, lang, n_tokens, (CASE lang $cases ELSE 0 END)::BIGINT AS f FROM s),
+         | e AS (SELECT doc_id, n_tokens,
+         |   unnest(generate_series(0, f // 1000000 +
+         |     (CASE WHEN ((doc_id::HUGEINT * 2654435761) % 4294967296) % 1000000 < f % 1000000 THEN 1 ELSE 0 END) - 1))::BIGINT AS epoch
+         |  FROM n),
+         | t AS (SELECT doc_id * 8 + epoch AS rid, n_tokens,
+         |   (((((doc_id * 8 + epoch)::HUGEINT) * 2654435761) % 4294967296) % 1000000)::BIGINT AS b FROM e),
+         | p AS (SELECT rid, n_tokens,
+         |   COALESCE(sum(n_tokens) OVER (ORDER BY b, rid ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_pos FROM t)
+         | SELECT rid AS doc_id, n_tokens, start_pos, (start_pos // 4096)::BIGINT AS shard_id
+         | FROM p ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
     },
 
     "d78_subword_encode" ->

@@ -343,6 +343,31 @@ object ScaleRehearsal {
     ratio("bpe merge-pair stats",
       TextOps.mergePairStats(base, col("text"), topN = 40).count(),
       TextOps.mergePairStats(big, col("text"), topN = 40).count())
+    // URL curation: pure map-only string work — the curve IS the scan
+    def urls(df: org.apache.spark.sql.DataFrame): Long = {
+      val u = concat(lit("https://sub"), pmod(col("doc_id"), lit(50)),
+        lit(".example.co.uk/p/"), col("doc_id"),
+        lit("?utm_source=x&id="), col("doc_id"))
+      Web.curateUrls(df, u, col("doc_id"), Seq("blocked.net"))
+        .filter(col("kept")).count()
+    }
+    ratio("url curation", urls(base), urls(big))
+    // epoch repeat at mean 1.87x: output rows grow with input × factor
+    // but stay write-bound — no shuffle to amplify
+    def erep(df: org.apache.spark.sql.DataFrame): Long =
+      Sampling.epochRepeat(df, col("lang"), col("doc_id"),
+        Map("en" -> 800000L, "zh" -> 2500000L, "es" -> 1000000L,
+          "de" -> 3250000L, "fr" -> 1750000L)).count()
+    ratio("epoch repeat", erep(base), erep(big))
+    // subword encode: O(len · maxPiece) per row, vocab a reference
+    // object — replication must scale like the scan, no per-row setup
+    val wpv = new graft.functions.WordPieceVocab(
+      ('a' to 'z').map(_.toString) ++ ('a' to 'z').map(c => s"##$c") ++
+        Seq("the", "spark", "table", "value", "hash", "scan", "fast"))
+    def wp(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(sum(size(TextOps.subwordTokens(col("text"), wpv))))
+        .head.getLong(0)
+    ratio("subword encode", wp(base), wp(big))
     spark.stop()
   }
 }

