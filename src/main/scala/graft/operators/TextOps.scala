@@ -793,6 +793,31 @@ object TextOps {
       .orderBy(col("n").desc, col("pair")).limit(topN)
   }
 
+  /** Per-phrase occurrence counts over `lower(text)` via ONE
+    * Aho–Corasick pass ([[graft.functions.PhraseCountsExpr]]) —
+    * O(len + matches) per row regardless of wordlist size, where a
+    * per-phrase `contains` chain is O(len · |list|). Counts include
+    * overlapping occurrences; the DuckDB oracle replays that rule
+    * exactly by position scan. */
+  def phraseCounts(text: Column, phrases: Seq[String]): Column =
+    graft.functions.PhraseCountsExpr.column(lower(text),
+      new graft.functions.PhraseAutomaton(phrases))
+
+  /** Wordlist gate — the C4 "bad words" rule generalized: per doc, the
+    * total / distinct phrase hits and a keep verdict (zero hits). The
+    * automaton is a codegen reference object (broadcast-bounded model,
+    * the d70/d78 shape), so the stage is map-only at any corpus size:
+    * no join, no shuffle, one text pass for the whole list. */
+  def phraseFilter(docs: DataFrame, text: Column, id: Column,
+                   phrases: Seq[String]): DataFrame = {
+    val counts = phraseCounts(text, phrases)
+    docs.select(id.as("doc_id"), counts.as("_c"))
+      .select(col("doc_id"),
+        aggregate(col("_c"), lit(0L), (a, x) => a + x).as("total_hits"),
+        size(filter(col("_c"), _ > 0L)).cast("long").as("distinct_hits"))
+      .withColumn("kept", col("total_hits") === 0L)
+  }
+
   /** PII scrubbing: emails first (their local part would otherwise leak
     * into the digit pass), then runs of 5+ digits (ids, phone-ish
     * numbers). Pattern subset chosen to mean the same thing in Java

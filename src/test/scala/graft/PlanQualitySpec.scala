@@ -519,13 +519,11 @@ class PlanQualitySpec extends AnyFunSuite {
     // partial agg; the shard stage's global window runs over ≤ 64
     // offset rows (d45's design), never the corpus
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
-    val windows = p.linesIterator.count(_.trim.startsWith("(") &&
-      p.linesIterator.exists(_.contains("Window")))
-    // corpus-sized work must carry a partition key: every WindowExec in
-    // this plan is either partitioned by _g (slice-local prefix sum) or
-    // runs on the broadcast offsets aggregate
-    val unpartitionedCorpusWindow = p.contains("Window [") &&
-      !p.contains("windowspecdefinition(_g")
+    // corpus-sized work must carry a partition key: the per-row prefix
+    // sum runs partitioned by the hash-range slice (_g); only the
+    // ≤64-row offsets table may see a single-partition window
+    assert(p.contains("hashpartitioning(_g"),
+      s"the shard prefix sum must stay slice-partitioned\n$p")
     assert(p.contains("partial_min("),
       "exact dedup keeper must be a map-side-combinable min")
   }
