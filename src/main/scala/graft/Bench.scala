@@ -76,13 +76,15 @@ object Bench {
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val spreads = results.map { case (k, _, s) => "\"" + k + "\":" + f"$s%.2f" }
-      .mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).map(n => "\"" + n._1 + "\"")
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val maxSpread = results.map(_._3).max
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spreads,"max_spread":$maxSpread%.2f,"failed":$failed,"sf":"$sfDir"}""")
+    // stdout line must stay compact: the driver tail-captures stdout and
+    // a too-long line truncates from the front, parsing as nothing (the
+    // r5 failure). Per-query spreads are a diagnostic — stderr only
+    // (printed per-query above); the contract line carries max_spread.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"max_spread":$maxSpread%.2f,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -21,12 +21,19 @@ object Tables {
       if (spread && sys.env.getOrElse("SPARK_GRAFT_SPREAD", "1") == "1")
         raw.repartition(spark.sparkContext.defaultParallelism)
       else raw
-    // events.ts is parquet TIMESTAMP(NANOS): with nanosAsLong it scans
-    // as a long; truncate to micros (exactly what DuckDB's reader does).
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    // events.ts has shipped as both parquet TIMESTAMP(NANOS) (scans as
+    // a long under nanosAsLong — truncate to micros, exactly what
+    // DuckDB's reader does) and TIMESTAMP(MICROS) (scans as a native
+    // timestamp type). Dispatch on the scanned dtype so either parquet
+    // encoding yields the same session-TZ TimestampType column.
+    if (name == "events") {
+      import org.apache.spark.sql.functions.{expr, timestamp_micros}
+      import org.apache.spark.sql.types.LongType
+      df.schema("ts").dataType match {
+        case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _        => df.withColumn("ts", df("ts").cast("timestamp"))
+      }
+    } else df
   }
 
   /** Common session defaults used by Verify/Bench/tests.
