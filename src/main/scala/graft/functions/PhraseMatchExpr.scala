@@ -24,11 +24,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * shape — KB-to-MB scale, broadcast-bounded at any corpus size; a
   * phrase JOIN would shuffle the corpus per candidate).
   *
-  * Matching is exact char-sequence (caller lowercases for
-  * case-insensitive semantics) and counts OVERLAPPING occurrences —
-  * `aa` occurs twice in `aaa`. The DuckDB oracle replays that rule by
-  * brute-force position scan, so the gate hash covers the automaton's
-  * output exactly. */
+  * Matching is exact char-sequence (callers lowercase both sides for
+  * case-insensitive semantics — `TextOps.phraseCounts` does) and
+  * counts OVERLAPPING occurrences — `aa` occurs twice in `aaa`. The
+  * `d80_phrase_filter` DuckDB oracle replays that rule by brute-force
+  * position scan, so the gate hash covers the automaton's output
+  * exactly. */
 final class PhraseAutomaton(val phrases: Seq[String]) extends Serializable {
   require(phrases.nonEmpty, "phrase list must be non-empty")
   require(phrases.forall(_.nonEmpty), "phrases must be non-empty strings")

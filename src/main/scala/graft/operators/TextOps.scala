@@ -796,12 +796,15 @@ object TextOps {
   /** Per-phrase occurrence counts over `lower(text)` via ONE
     * Aho–Corasick pass ([[graft.functions.PhraseCountsExpr]]) —
     * O(len + matches) per row regardless of wordlist size, where a
-    * per-phrase `contains` chain is O(len · |list|). Counts include
-    * overlapping occurrences; the DuckDB oracle replays that rule
+    * per-phrase `contains` chain is O(len · |list|). Matching is
+    * case-insensitive on BOTH sides: the text is lowered in-plan and
+    * the phrases are lowered here (a mixed-case phrase would otherwise
+    * silently never match the lowered text). Counts include
+    * overlapping occurrences; the d80 DuckDB oracle replays that rule
     * exactly by position scan. */
   def phraseCounts(text: Column, phrases: Seq[String]): Column =
     graft.functions.PhraseCountsExpr.column(lower(text),
-      new graft.functions.PhraseAutomaton(phrases))
+      new graft.functions.PhraseAutomaton(phrases.map(_.toLowerCase)))
 
   /** Wordlist gate — the C4 "bad words" rule generalized: per doc, the
     * total / distinct phrase hits and a keep verdict (zero hits). The
@@ -810,7 +813,13 @@ object TextOps {
     * no join, no shuffle, one text pass for the whole list. */
   def phraseFilter(docs: DataFrame, text: Column, id: Column,
                    phrases: Seq[String]): DataFrame = {
-    val counts = phraseCounts(text, phrases)
+    // null text = zero occurrences of everything → kept (explicitly):
+    // the wordlist gate judges CONTENT; dropping empty docs is the
+    // length filter's job (d51). Without the coalesce, null counts
+    // would propagate to null total/kept and a filter(col("kept"))
+    // would drop null-text docs with no recorded verdict.
+    val counts = coalesce(phraseCounts(text, phrases),
+      array_repeat(lit(0L), phrases.size))
     docs.select(id.as("doc_id"), counts.as("_c"))
       .select(col("doc_id"),
         aggregate(col("_c"), lit(0L), (a, x) => a + x).as("total_hits"),

@@ -907,8 +907,24 @@ object PipelineQueries {
           min(col("rt")).as("roundtrip_ok"),
           (sum(col("np")) >= sum(col("nw"))).as("pieces_at_least_words"),
           (sum(col("np")) <= sum(col("nc"))).as("pieces_at_most_chars"))
-    })
+    }),
+
+    // wordlist gate (the C4 "bad words" rule): per-doc phrase hit
+    // counts + keep verdict, ONE Aho–Corasick pass for the whole list.
+    // Phrases chosen to exercise every matching rule: overlapping
+    // occurrences ("batch batch" hits twice in "batch batch batch"),
+    // substring-within-word ("art" inside "part"), case-insensitivity
+    // (mixed-case "Spark" must match the lowered text), and a
+    // guaranteed miss; the oracle replays each by position scan
+    "d80_phrase_filter" -> ((s, dir) =>
+      TextOps.phraseFilter(docs(s, dir), col("text"), col("doc_id"),
+        gatePhrases).orderBy("doc_id"))
   )
+
+  /** d80's wordlist — one source of truth for the Spark query and the
+    * generated oracle SQL. Mixed-case entry deliberate: pins the
+    * phrase-side lowercasing. */
+  private val gatePhrases = Seq("batch batch", "art", "Spark", "xyzzy")
 
   /** d78's tokenizer vocab: full single-letter alphabet (coverage — no
     * [UNK] on the [a-z] corpus), frequent corpus words as whole
@@ -1852,6 +1868,27 @@ object PipelineQueries {
       """SELECT count(*)::BIGINT AS n_docs,
         | sum(len(string_split_regex(lower(text), '\s+')))::BIGINT AS total_words,
         | true AS roundtrip_ok, true AS pieces_at_least_words,
-        | true AS pieces_at_most_chars FROM documents""".stripMargin.replaceAll("\n", " ")
+        | true AS pieces_at_most_chars FROM documents""".stripMargin.replaceAll("\n", " "),
+
+    "d80_phrase_filter" -> {
+      // brute-force position scan per phrase: counts OVERLAPPING
+      // occurrences (substr at every start position), the exact rule
+      // the Aho–Corasick automaton implements — generated from the
+      // same gatePhrases list the Spark query uses
+      val cnts = gatePhrases.map(_.toLowerCase).zipWithIndex.map {
+        case (p, i) =>
+          val n = p.length
+          s"coalesce(list_sum(list_transform(range(1, length(t) - ${n - 2}), " +
+            s"i -> CASE WHEN substr(t, i::INTEGER, $n) = '$p' THEN 1 ELSE 0 END)), 0)::BIGINT AS c$i"
+      }.mkString(", ")
+      val tot = gatePhrases.indices.map(i => s"c$i").mkString(" + ")
+      val dst = gatePhrases.indices
+        .map(i => s"(CASE WHEN c$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
+         | c AS (SELECT doc_id, $cnts FROM t)
+         | SELECT doc_id, ($tot)::BIGINT AS total_hits,
+         |  ($dst)::BIGINT AS distinct_hits, ($tot) = 0 AS kept
+         | FROM c ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    }
   )
 }

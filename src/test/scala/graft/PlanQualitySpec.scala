@@ -501,6 +501,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("Generate"), "expected the sequence explode")
   }
 
+  test("d80: phrase filter is map-only — wordlist never joins or shuffles") {
+    val p = plan("d80_phrase_filter")
+    // the automaton is a codegen reference object; the only exchange
+    // allowed is the gate query's presentation orderBy (range)
+    assert(!p.contains("Arguments: hashpartitioning"),
+      s"phrase filter must not hash-shuffle\n$p")
+    assert(!p.contains("Join"), s"wordlist must never join\n$p")
+    assert(p.contains("phrase_counts"), "native expression missing from plan")
+  }
+
   test("d78: subword encode is one codegen'd scan + one aggregate — vocab never joins") {
     val p = plan("d78_subword_encode")
     // the vocab rides along as a codegen reference object; a vocab
@@ -524,6 +534,20 @@ class PlanQualitySpec extends AnyFunSuite {
     // ≤64-row offsets table may see a single-partition window
     assert(p.contains("hashpartitioning(_g"),
       s"the shard prefix sum must stay slice-partitioned\n$p")
+    // ...and that offsets window must be the ONLY unpartitioned one: a
+    // corpus-sized Window without a partition key anywhere else in the
+    // plan would still satisfy the check above, so bound the count. An
+    // unpartitioned windowspecdefinition starts with an ORDER spec
+    // ("col ASC/DESC ..."); a partitioned one starts with the bare
+    // partition attribute(s) — e.g. "windowspecdefinition(_g#1, _b#2
+    // ASC" is partitioned by _g, "windowspecdefinition(_g#1 ASC" is
+    // unpartitioned and merely ordered by _g.
+    val unpartitionedWindows = p.linesIterator.count(l =>
+      """windowspecdefinition\([^,)]*\b(ASC|DESC)\b""".r
+        .findFirstIn(l).isDefined)
+    assert(unpartitionedWindows == 1,
+      s"expected exactly 1 unpartitioned window (the <=64-row offsets " +
+        s"table), got $unpartitionedWindows\n$p")
     assert(p.contains("partial_min("),
       "exact dedup keeper must be a map-side-combinable min")
   }
