@@ -16,11 +16,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     SlurmQueries.queries ++ RelationalQueries.queries ++ PipelineQueries.queries
 
-  /** DuckDB-equivalent SQL for every SQL-expressible query; keys absent
-    * here (d02/d03/d04/d11/d13) run under the driver's rows-only check —
-    * xxhash64-seeded LSH/sketch paths and the driver-side k-means state,
-    * whose exact outputs DuckDB cannot replay (the polynomial twins
-    * d24/d27 and d23 oracle-prove the same algorithms). */
+  /** DuckDB-equivalent SQL for every query — since r6 every key is
+    * hash-gated: the xxhash64-seeded paths (d02/d03/d04/d11) carry
+    * in-plan verdict columns pinned to their oracle-proven polynomial
+    * twins (d24/d27/d53/d23), the d13/d41/d42 pattern, so DuckDB
+    * replays the oracle-computable columns plus literal-true verdicts
+    * and any divergence breaks the hash. */
   def oracleSql: Map[String, String] =
     (SlurmQueries.oracles ++ RelationalQueries.oracles ++ PipelineQueries.oracles)
       .view.mapValues(graft.functions.OracleSql.fixRounds).toMap

@@ -38,15 +38,12 @@ class OracleSqlSpec extends AnyFunSuite {
   }
 
   /** Queries without an oracle run under the driver's weaker rows-only
-    * check — every such gap must be a DELIBERATE member of this list
-    * (xxhash64-seeded paths whose algorithms have oracle-proven
-    * polynomial twins: d24/d27 for d02/d04, d53 for d03, d23+d59 for
-    * d11), never an accidental omission. The former k-means-float
-    * members (d13/d41/d42) emit in-plan boolean verdicts since r5 and
-    * hash-check. */
-  val ROWS_ONLY_JUSTIFIED = Set(
-    "d02_minhash_lsh", "d03_simhash", "d04_ngram_jaccard",
-    "d11_fingerprint")
+    * check — every such gap must be a DELIBERATE member of this list,
+    * never an accidental omission. Empty since r6: the last rows-only
+    * members (d02/d03/d04/d11, xxhash64-seeded) now carry in-plan
+    * verdicts pinned to their oracle-proven polynomial twins
+    * (d24/d27/d53/d23+d59) and hash-check like everything else. */
+  val ROWS_ONLY_JUSTIFIED = Set.empty[String]
 
   test("every gate query has an oracle unless deliberately rows-only; no orphan oracles") {
     val q = SparkEntry.queries.keySet
