@@ -18,7 +18,10 @@ object Bench {
     "q19_range_join",
     "s15_sacct_ingest", "s17_eff_view", "s24_seff_peruser",
     "s26_eff_warehouse", "s27_seff_warehouse",
-    "d01_dedup_exact", "d02_minhash_lsh", "d05_cosine_pairs",
+    // d24 (not d02) is the minhash throughput headliner since r6:
+    // d02 became a gate-verdict query that runs BOTH hash families
+    // plus verification; d24 is the pure candidate-generation path
+    "d01_dedup_exact", "d24_minhash_oracle", "d05_cosine_pairs",
     "d06_ann_topk", "d08_lang_id", "d10_token_count",
     "d25_decontaminate", "d26_token_freq", "d28_ngram_repetition",
     "d30_line_cleanup", "d32_quantized_ann",
