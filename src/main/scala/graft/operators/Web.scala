@@ -97,4 +97,62 @@ object Web {
       .join(broadcast(b), col("_dom") === col("_blocked_domain"), "left_anti")
       .drop("_dom")
   }
+
+  /** Entity decode for the extraction path: the named/numeric
+    * entities that dominate real crawl text. `&amp;` is decoded LAST
+    * so double-escaped text stays single-decoded (`&amp;lt;` →
+    * literal `&lt;`, never `<`). */
+  private[operators] def htmlDecode(x: Column): Column =
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(x) { case (c, (e, r)) => regexp_replace(c, e, r) }
+
+  /** Cleaned text from raw HTML: comments, then script and style
+    * blocks (content included), then every remaining tag stripped to
+    * a space; entities decoded; whitespace collapsed. Chain order
+    * matters — script bodies legally contain `<` (e.g. `1 < 2`) that
+    * the generic tag-strip would mangle, so they go first. */
+  def htmlText(html: Column): Column = {
+    val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val noScript = regexp_replace(noComment, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "(?s)<[^>]+>", " ")
+    trim(regexp_replace(htmlDecode(noTags), "\\s+", " "))
+  }
+
+  /** HTML → text extraction + boilerplate verdict — the content-
+    * extraction stage between the URL gate and every text operator
+    * (C4's WET processing; trafilatura/jusText's role): cleaned text
+    * identity, anchor stats, and the jusText-class LINK-DENSITY
+    * signal (boilerplate chrome — navs, footers, link farms — is
+    * mostly anchor text; body prose is not). `kept` compares in pure
+    * integer arithmetic (link_chars·100 ≤ n_chars·maxPct), so the
+    * verdict has no float edge. Map-only engine-portable regex (the
+    * d76/PII rule: every pattern means the same in Java regex and
+    * RE2) — no shuffle at any corpus size, and the DuckDB oracle
+    * replays the whole chain byte-for-byte. Anchor matching is
+    * `<a>`/`<a ...>` specifically (non-capturing attr group), never
+    * `<article>`. */
+  def extractHtml(docs: DataFrame, html: Column, id: Column,
+                  maxLinkPct: Int = 25): DataFrame = {
+    val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val noScript = regexp_replace(noComment, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val linkTexts = regexp_extract_all(noStyle,
+      lit("(?is)<a(?:\\s[^>]*)?>(.*?)</a>"), lit(1))
+    val clean = trim(regexp_replace(
+      htmlDecode(regexp_replace(noStyle, "(?s)<[^>]+>", " ")), "\\s+", " "))
+    val linkChars = aggregate(linkTexts, lit(0L), (a, t) =>
+      a + length(trim(regexp_replace(htmlDecode(t), "\\s+", " "))))
+    val nChars = length(clean).cast("long")
+    docs.select(id.as("doc_id"),
+      md5(clean).as("clean_hash"),
+      nChars.as("n_chars"),
+      size(linkTexts).cast("long").as("n_links"),
+      linkChars.as("link_chars"),
+      graft.functions.Round.rd(
+        when(nChars > 0, linkChars.cast("double") / nChars)
+          .otherwise(lit(0.0)), 6).as("link_density"),
+      (linkChars * 100L <= nChars * maxLinkPct).as("kept"))
+  }
 }

@@ -988,6 +988,17 @@ object PipelineQueries {
           (sum(col("np")) <= sum(col("nc"))).as("pieces_at_most_chars"))
     }),
 
+    // HTML → text extraction + link-density boilerplate verdict: the
+    // corpus carries plain text, so the query wraps each doc in a
+    // deterministic HTML page exercising every extraction rule
+    // (comments, script with a naked `<`, conditional style block,
+    // nav/footer anchors, entities incl. double-escaping) and the
+    // oracle plants the identical page and replays the identical
+    // regex chain — the hash proves the extraction, not the input
+    "d81_html_extract" -> ((s, dir) =>
+      Web.extractHtml(docs(s, dir), synthHtml(col("doc_id"), col("text")),
+        col("doc_id")).orderBy("doc_id")),
+
     // wordlist gate (the C4 "bad words" rule): per-doc phrase hit
     // counts + keep verdict, ONE Aho–Corasick pass for the whole list.
     // Phrases chosen to exercise every matching rule: overlapping
@@ -1004,6 +1015,30 @@ object PipelineQueries {
     * generated oracle SQL. Mixed-case entry deliberate: pins the
     * phrase-side lowercasing. */
   private val gatePhrases = Seq("batch batch", "art", "Spark", "xyzzy")
+
+  /** d81's planted HTML page — one generator for the Spark query (the
+    * oracle replays it as string concat on (doc_id, text)). Covers:
+    * comments, a script body with a naked `<` and quotes (mangled by
+    * any tag-strip that runs before script removal), a conditional
+    * style block, plain and attributed anchors (nav/footer chrome —
+    * the link-density signal), uppercase tags, entities, and a
+    * double-escaped `&amp;lt;` that must decode to literal `&lt;`. */
+  private def synthHtml(id: org.apache.spark.sql.Column,
+                        text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val ids = id.cast("string")
+    concat(
+      lit("<html><head><title>Doc "), ids, lit("</title>"),
+      when(pmod(id, lit(2)) === 0,
+        lit("<style>body { color: #333; }</style>")).otherwise(lit("")),
+      lit("<script>var x = 1 < 2 && \"q\";</script></head><body><!-- crawl "),
+      ids, lit(" -->"),
+      lit("<NAV><a href=\"/s/0\">section zero</a><a href=\"/s/1\">section one</a>"),
+      when(pmod(id, lit(3)) === 0,
+        lit("<a href=\"/s/2\">section two and more</a>")).otherwise(lit("")),
+      lit("</NAV><h1>Title &amp; "), ids, lit("</h1><p>"), text,
+      lit("</p><div>tail &lt;b&gt;&nbsp;&amp;lt; "), ids,
+      lit("</div><footer><a href=\"/about\">about us</a></footer></body></html>"))
+  }
 
   /** d78's tokenizer vocab: full single-letter alphabet (coverage — no
     * [UNK] on the [a-z] corpus), frequent corpus words as whole
@@ -1983,6 +2018,44 @@ object PipelineQueries {
         | sum(len(string_split_regex(lower(text), '\s+')))::BIGINT AS total_words,
         | true AS roundtrip_ok, true AS pieces_at_least_words,
         | true AS pieces_at_most_chars FROM documents""".stripMargin.replaceAll("\n", " "),
+
+    // d81's gate: plant the identical page (string concat replays
+    // synthHtml) and run the identical extraction chain — RE2 and
+    // Java regex agree on every pattern (the d76/PII subset rule);
+    // DuckDB needs the explicit 'g' flag where Spark's
+    // regexp_replace is global by default
+    "d81_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>Doc ' || doc_id::VARCHAR || '</title>' ||
+        |  CASE WHEN doc_id % 2 = 0 THEN '<style>body { color: #333; }</style>' ELSE '' END ||
+        |  '<script>var x = 1 < 2 && "q";</script></head><body><!-- crawl ' || doc_id::VARCHAR || ' -->' ||
+        |  '<NAV><a href="/s/0">section zero</a><a href="/s/1">section one</a>' ||
+        |  CASE WHEN doc_id % 3 = 0 THEN '<a href="/s/2">section two and more</a>' ELSE '' END ||
+        |  '</NAV><h1>Title &amp; ' || doc_id::VARCHAR || '</h1><p>' || text ||
+        |  '</p><div>tail &lt;b&gt;&nbsp;&amp;lt; ' || doc_id::VARCHAR ||
+        |  '</div><footer><a href="/about">about us</a></footer></body></html>' AS html
+        | FROM documents),
+        | s1 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
+        |   '(?s)<!--.*?-->', ' ', 'g'), '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |   '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS h3 FROM h),
+        | s2 AS (SELECT doc_id,
+        |   regexp_extract_all(h3, '(?is)<a(?:\s[^>]*)?>(.*?)</a>', 1) AS links,
+        |   trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+        |     regexp_replace(h3, '(?s)<[^>]+>', ' ', 'g'),
+        |     '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),'&nbsp;',' '),'&amp;','&'),
+        |     '\s+', ' ', 'g')) AS clean
+        |  FROM s1),
+        | s3 AS (SELECT doc_id, clean, links,
+        |   coalesce(list_sum(list_transform(links, t -> length(trim(regexp_replace(
+        |     replace(replace(replace(replace(replace(replace(t,
+        |     '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),'&nbsp;',' '),'&amp;','&'),
+        |     '\s+', ' ', 'g'))))), 0)::BIGINT AS link_chars
+        |  FROM s2)
+        | SELECT doc_id, md5(clean) AS clean_hash, length(clean)::BIGINT AS n_chars,
+        |  len(links)::BIGINT AS n_links, link_chars,
+        |  round(CASE WHEN length(clean) > 0 THEN link_chars::DOUBLE / length(clean) ELSE 0 END, 6) AS link_density,
+        |  link_chars * 100 <= length(clean)::BIGINT * 25 AS kept
+        | FROM s3 ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     "d80_phrase_filter" -> {
       // brute-force position scan per phrase: counts OVERLAPPING

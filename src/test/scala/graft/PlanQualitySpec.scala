@@ -501,6 +501,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("Generate"), "expected the sequence explode")
   }
 
+  test("d81: html extraction is map-only — no shuffle, no join") {
+    val p = plan("d81_html_extract")
+    assert(!p.contains("Arguments: hashpartitioning"),
+      s"html extraction must not hash-shuffle\n$p")
+    assert(!p.contains("Join"))
+    assert(p.contains("regexp_extract_all") || p.contains("RegExpExtractAll"),
+      "anchor extraction missing from plan")
+  }
+
   test("d80: phrase filter is map-only — wordlist never joins or shuffles") {
     val p = plan("d80_phrase_filter")
     // the automaton is a codegen reference object; the only exchange

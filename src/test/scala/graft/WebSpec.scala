@@ -65,6 +65,37 @@ class WebSpec extends AnyFunSuite {
       "example.com", "localhost"))
   }
 
+  test("htmlText: script/style/comment content dropped, tags stripped, entities decoded") {
+    val got = Seq(
+      // script body with a naked `<` — tag-strip before script removal
+      // would eat from `< 2` to the next `>` and corrupt the text
+      "<p>a</p><script>if (1 < 2) { x(\"b\"); }</script><p>c</p>",
+      "<style>p { color: red; }</style><DIV>shout</DIV>",
+      "<!-- hidden -->visible",
+      "x &lt;tag&gt; &amp;&nbsp;y &#39;q&#39; &quot;r&quot;",
+      // double-escaped: decodes ONCE to the literal entity
+      "&amp;lt;")
+      .toDF("h").select(Web.htmlText(col("h")).as("t"))
+      .as[String].collect().toSeq
+    assert(got == Seq("a c", "shout", "visible",
+      "x <tag> & y 'q' \"r\"", "&lt;"))
+  }
+
+  test("extractHtml: anchors counted (never <article>), link-density verdict") {
+    val docs = Seq(
+      (1L, "<body><a href=\"/x\">nav nav nav</a><p>hi</p></body>"),
+      (2L, "<article>long body prose here</article><a>ok</a>"),
+      (3L, "<p>no links at all</p>")).toDF("doc_id", "h")
+    val r = Web.extractHtml(docs, col("h"), col("doc_id"), maxLinkPct = 50)
+      .orderBy("doc_id").collect()
+    // doc 1: link text 11 of 14 chars -> dropped at 50%
+    assert(r(0).getLong(3) == 1L && !r(0).getBoolean(6))
+    // doc 2: <article> is NOT an anchor; only <a>ok</a> counts
+    assert(r(1).getLong(3) == 1L && r(1).getLong(4) == 2L && r(1).getBoolean(6))
+    // doc 3: zero links, kept
+    assert(r(2).getLong(3) == 0L && r(2).getLong(4) == 0L && r(2).getBoolean(6))
+  }
+
   test("literal blocklist and broadcast-table blocklist keep the same docs") {
     val docs = (0L until 40L).map(i =>
       (i, s"https://host$i.${if (i % 3 == 0) "blocked.net" else "ok.org"}/p"))
