@@ -793,6 +793,74 @@ object TextOps {
       .orderBy(col("n").desc, col("pair")).limit(topN)
   }
 
+  /** Distributed BPE tokenizer TRAINING — the iterative merge-learning
+    * loop d73's single-round recount feeds (Sennrich's formulation):
+    * count adjacent symbol pairs weighted by word frequency, take the
+    * argmax (ties by pair string — deterministic cross-engine), apply
+    * the merge corpus-wide, repeat. Returns the learned merge table
+    * (merge_round, lhs, rhs, merged, pair_count).
+    *
+    * Scale shape: the corpus is touched ONCE (the vocabulary build —
+    * one partial-agg shuffle on the Zipf word key, hot words absorbed
+    * map-side); every round after that runs on the VOCABULARY table
+    * (Heaps-law ~10⁸ rows at 100 TB — bounded by distinct words, not
+    * corpus size), shuffling only the vocab-sized pair table. Driver
+    * state is one collected argmax row per round plus the merge list
+    * itself (KB at any corpus size — the d41-centroid bounded-state
+    * pattern).
+    *
+    * The merge rewrite is a left-to-right non-overlapping fold over a
+    * space-joined symbol string (accumulator: merged-so-far string;
+    * step: if the accumulator's last symbol is `lhs` and the next is
+    * `rhs`, fuse them, else append) — `[a a a]` under merge (a,a)
+    * becomes `[aa a]`, never `[a aa]`, and a freshly merged symbol
+    * can't merge again in the same round. The d82 DuckDB oracle
+    * replays the whole loop as chained CTEs with the IDENTICAL
+    * string-fold (`list_reduce` with the same lambda), so every
+    * learned merge and count is hash-checked. */
+  def bpeTrain(docs: DataFrame, text: Column, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // cache the corpus-touching stage: without it every round's argmax
+    // collect would re-scan the corpus through the lineage (N scans for
+    // N rounds); the cached table is vocabulary-sized (Heaps-law
+    // bounded — what a real BPE trainer materializes too)
+    var vocab = docs.select(explode(tokens(text)).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), split(col("w"), "").as("syms"))
+      .cache()
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val top = vocab.filter(size(col("syms")) >= 2)
+        .select(col("freq"),
+          explode(Dedup.zipNgrams(col("syms"), 2,
+            (a, b) => concat(a, lit(" "), b))).as("p"))
+        .groupBy("p").agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("p")).limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val Array(a, b) = top.head.getString(0).split(" ", 2)
+        merges += ((r.toLong, a, b, a + b, top.head.getLong(1)))
+        val first = element_at(col("syms"), 1)
+        val rest = slice(col("syms"), lit(2),
+          greatest(size(col("syms")) - 1, lit(0)))
+        val folded = aggregate(rest, first, (acc, x) =>
+          when(regexp_extract(acc, "[^ ]*$", 0) === a && x === b,
+            concat(acc.substr(lit(1), length(acc) - lit(a.length)),
+              lit(a + b)))
+            .otherwise(concat(acc, lit(" "), x)))
+        vocab = vocab.withColumn("syms", split(folded, " "))
+        r += 1
+      }
+    }
+    merges.result()
+      .toDF("merge_round", "lhs", "rhs", "merged", "pair_count")
+  }
+
   /** Per-phrase occurrence counts over `lower(text)` via ONE
     * Aho–Corasick pass ([[graft.functions.PhraseCountsExpr]]) —
     * O(len + matches) per row regardless of wordlist size, where a

@@ -988,6 +988,15 @@ object PipelineQueries {
           (sum(col("np")) <= sum(col("nc"))).as("pieces_at_most_chars"))
     }),
 
+    // BPE tokenizer training: 4 rounds of count-argmax-merge over the
+    // word-frequency vocabulary — the iterative loop d73's one-round
+    // recount feeds; the oracle replays the WHOLE loop (chained CTEs,
+    // identical string-fold merge), so every learned merge and its
+    // count are hash-checked
+    "d82_bpe_train" -> ((s, dir) =>
+      TextOps.bpeTrain(docs(s, dir), col("text"), rounds = 4)
+        .orderBy("merge_round")),
+
     // HTML → text extraction + link-density boilerplate verdict: the
     // corpus carries plain text, so the query wraps each doc in a
     // deterministic HTML page exercising every extraction rule
@@ -2018,6 +2027,28 @@ object PipelineQueries {
         | sum(len(string_split_regex(lower(text), '\s+')))::BIGINT AS total_words,
         | true AS roundtrip_ok, true AS pieces_at_least_words,
         | true AS pieces_at_most_chars FROM documents""".stripMargin.replaceAll("\n", " "),
+
+    // d82's gate: the full training loop as chained CTEs — per round,
+    // pair counts (vocab-weighted), deterministic argmax (cnt DESC,
+    // pair ASC), and the identical leftmost-non-overlapping
+    // string-fold merge; generated for the same `rounds` the Spark
+    // query uses
+    "d82_bpe_train" -> {
+      val rounds = 4
+      val sb = new StringBuilder
+      sb ++= """WITH v1 AS (SELECT count(*)::BIGINT AS freq, string_split(w, '') AS syms FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents) g WHERE w <> '' GROUP BY w)"""
+      for (r <- 1 to rounds) {
+        sb ++= s""", p$r AS (SELECT p, sum(freq)::BIGINT AS cnt FROM (SELECT freq, unnest(list_transform(range(1, len(syms)), i -> syms[i] || ' ' || syms[i + 1])) AS p FROM v$r WHERE len(syms) >= 2) q GROUP BY p)"""
+        sb ++= s""", b$r AS (SELECT split_part(p, ' ', 1) AS lhs, split_part(p, ' ', 2) AS rhs, cnt FROM p$r ORDER BY cnt DESC, p LIMIT 1)"""
+        if (r < rounds)
+          sb ++= s""", v${r + 1} AS (SELECT freq, string_split(list_reduce(syms, (acc, x) -> CASE WHEN regexp_extract(acc, '[^ ]*$$') = lhs AND x = rhs THEN substr(acc, 1, length(acc) - length(lhs)) || lhs || rhs ELSE acc || ' ' || x END), ' ') AS syms FROM v$r, b$r)"""
+      }
+      sb ++= (1 to rounds).map(r =>
+        s" SELECT $r::BIGINT AS merge_round, lhs, rhs, lhs || rhs AS merged, cnt AS pair_count FROM b$r")
+        .mkString("", " UNION ALL", "")
+      sb ++= " ORDER BY merge_round"
+      sb.toString
+    },
 
     // d81's gate: plant the identical page (string concat replays
     // synthHtml) and run the identical extraction chain — RE2 and
