@@ -411,4 +411,36 @@ object EventStream {
         })
       .toDF()
   }
+
+  /** Streaming wordlist gate — d80's streaming twin: the Aho–Corasick
+    * automaton is a codegen reference object (the d70/d78 model
+    * shape), so the gate is a STATELESS projection that runs on a
+    * stream unchanged — per-microbatch map-only, no state store, no
+    * shuffle; verdicts are bit-identical to the batch gate
+    * (spec-pinned). The ingest point where a deployment drops
+    * wordlist-flagged docs before they ever land. */
+  def phraseFiltered(stream: DataFrame, text: org.apache.spark.sql.Column,
+                     id: org.apache.spark.sql.Column,
+                     phrases: Seq[String]): DataFrame =
+    graft.operators.TextOps.phraseFilter(stream, text, id, phrases)
+
+  /** Streaming HTML extraction — d81's streaming twin: the regex
+    * chain and link-density verdict are stateless column arithmetic,
+    * unchanged on a stream (map-only, no state). Crawl ingest shape:
+    * extract + boilerplate-gate each page as it arrives; the batch
+    * operator backfills identically (spec-pinned). */
+  def htmlExtracted(stream: DataFrame, html: org.apache.spark.sql.Column,
+                    id: org.apache.spark.sql.Column,
+                    maxLinkPct: Int = 25): DataFrame =
+    graft.operators.Web.extractHtml(stream, html, id, maxLinkPct)
+
+  /** Streaming URL curation — d76's streaming twin: canonicalization,
+    * registered-domain extraction and the literal-blocklist verdict
+    * are stateless column arithmetic (map-only, no state); the
+    * table-sized blocklist variant becomes a broadcast stream-static
+    * anti join ([[graft.operators.Web.filterBlockedTable]] unchanged). */
+  def urlCurated(stream: DataFrame, url: org.apache.spark.sql.Column,
+                 id: org.apache.spark.sql.Column,
+                 blockedDomains: Seq[String]): DataFrame =
+    graft.operators.Web.curateUrls(stream, url, id, blockedDomains)
 }

@@ -615,4 +615,50 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(got == want && got.size == 3, s"stream $got vs batch $want")
   }
+
+  test("stateless ingest gates (phrase/html/url) match batch bit-for-bit on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      (1L, "clean prose here", "<p>body <a href=\"/x\">l</a></p>",
+        "https://ok.org/p?utm_source=a&id=1"),
+      (2L, "a bad batch appears", "<nav><a>n1</a><a>n2</a></nav><p>x</p>",
+        "HTTP://Blocked.NET:80/q#f"),
+      (3L, "short", "<script>1 < 2</script>&amp;lt;done",
+        "https://sub.ok.org/r/"))
+    val phrases = Seq("bad batch")
+    val blocked = Seq("blocked.net")
+
+    val stream = MemoryStream[(Long, String, String, String)]
+    val sdf = stream.toDF().toDF("doc_id", "text", "html", "url")
+    val joined = graft.streaming.EventStream
+      .phraseFiltered(sdf, col("text"), col("doc_id"), phrases)
+      .join(graft.streaming.EventStream
+        .htmlExtracted(sdf, col("html"), col("doc_id"))
+        .withColumnRenamed("kept", "html_kept"), "doc_id")
+      .join(graft.streaming.EventStream
+        .urlCurated(sdf, col("url"), col("doc_id"), blocked)
+        .withColumnRenamed("kept", "url_kept"), "doc_id")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("gates_out").start()
+    stream.addData(data)
+    q.processAllAvailable()
+    q.stop()
+
+    val bdf = data.toDF("doc_id", "text", "html", "url")
+    val want = graft.operators.TextOps
+      .phraseFilter(bdf, col("text"), col("doc_id"), phrases)
+      .join(graft.operators.Web.extractHtml(bdf, col("html"), col("doc_id"))
+        .withColumnRenamed("kept", "html_kept"), "doc_id")
+      .join(graft.operators.Web.curateUrls(bdf, col("url"), col("doc_id"), blocked)
+        .withColumnRenamed("kept", "url_kept"), "doc_id")
+    val g = spark.table("gates_out").orderBy("doc_id").collect().map(_.toString)
+    val w = want.orderBy("doc_id").collect().map(_.toString)
+    assert(g.toSeq == w.toSeq && g.length == 3)
+    // the gates actually fire: doc 2 is wordlist-flagged AND
+    // blocklist-dropped; its nav-only page fails link density
+    val d2 = spark.table("gates_out").filter(col("doc_id") === 2).collect()(0)
+    assert(!d2.getAs[Boolean]("kept") && !d2.getAs[Boolean]("url_kept")
+      && !d2.getAs[Boolean]("html_kept"))
+  }
 }
