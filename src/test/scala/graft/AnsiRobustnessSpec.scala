@@ -117,6 +117,12 @@ class AnsiRobustnessSpec extends AnyFunSuite {
     assert(TextOps.mergePairStats(docs, col("text"), topN = 10).count() == 10)
     assert(TextOps.difficultyBins(docs, col("n_chars"), col("lang"),
       col("doc_id"), nBins = 4).count() > 0)
+    assert(TextOps.phraseFilter(docs, col("text"), col("doc_id"),
+      Seq("the", "batch batch")).count() > 0)
+    assert(Web.extractHtml(docs,
+      concat(lit("<p>"), col("text"), lit("</p><a href=\"/x\">n</a>")),
+      col("doc_id")).count() > 0)
+    assert(TextOps.bpeTrain(docs, col("text"), rounds = 2).count() == 2)
   }
 
   test("bloom, poly-hash and PQ expressions run under ANSI in a foreign session") {
