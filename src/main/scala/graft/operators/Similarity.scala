@@ -537,4 +537,60 @@ object Similarity {
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("n")))
     topKFromScored(scored, k)
   }
+
+  /** Margin-based bitext mining (the Artetxe–Schwenk criterion that
+    * curates parallel translation data from two monolingual embedding
+    * spaces): a candidate pair's raw cosine is normalized by the mean
+    * cosine of each side's k nearest neighbors — margin =
+    * cos(x,y) / ((meanNNk(x) + meanNNk(y)) / 2) — which suppresses
+    * "hub" vectors that are near everything; mined pairs are the
+    * MUTUAL margin-argmaxes above a threshold.
+    *
+    * Determinism across engines: neighbor means are computed as SUMS
+    * of integer-scaled cosines (`⌊cos·10⁶ + 0.5⌋` — exact given the
+    * d05/d06-pinned dot products), because a float `avg` over rows
+    * sums in partition order and drifts at the last bit; long sums
+    * commute. The margin is then ONE double division of exact longs.
+    * Ranking ties break on the counterpart id.
+    *
+    * Scale shape: the gate query scores all pairs with the small side
+    * BROADCAST (the d06 brute-force baseline); at corpus scale the
+    * scored-candidate table comes from the LSH/IVF blocks instead
+    * ([[lshTopK]]/[[ivfTopK]] — same downstream margin machinery,
+    * per-side state bounded by k), and the per-id windows stay
+    * bounded by the candidate fan-in, never the corpus. */
+  def bitextMine(embA: DataFrame, embB: DataFrame, k: Int,
+                 minMargin: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    val a = embA.select(col("vec_id").as("a_id"), toDouble(col("embedding")).as("av"))
+      .withColumn("an", norm(col("av")))
+    val b = embB.select(col("vec_id").as("b_id"), toDouble(col("embedding")).as("bv"))
+      .withColumn("bn", norm(col("bv")))
+    val scored = a.crossJoin(broadcast(b))
+      .withColumn("cos", dot(col("av"), col("bv")) / (col("an") * col("bn")))
+      .select(col("a_id"), col("b_id"), col("cos"),
+        floor(col("cos") * 1e6 + 0.5).cast("long").as("c6"))
+    val wA = Window.partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id"))
+    val wB = Window.partitionBy(col("b_id")).orderBy(col("cos").desc, col("a_id"))
+    val ranked = scored
+      .withColumn("ra", row_number().over(wA))
+      .withColumn("rb", row_number().over(wB))
+    val sumA = ranked.filter(col("ra") <= k)
+      .groupBy("a_id").agg(sum(col("c6")).as("sa"))
+    val sumB = ranked.filter(col("rb") <= k)
+      .groupBy("b_id").agg(sum(col("c6")).as("sb"))
+    val margins = scored
+      .join(broadcast(sumA), "a_id").join(broadcast(sumB), "b_id")
+      .withColumn("margin",
+        (col("c6") * 2.0 * k) / (col("sa") + col("sb")))
+    val bestA = Window.partitionBy(col("a_id")).orderBy(col("margin").desc, col("b_id"))
+    val bestB = Window.partitionBy(col("b_id")).orderBy(col("margin").desc, col("a_id"))
+    margins
+      .withColumn("ba", row_number().over(bestA))
+      .withColumn("bb", row_number().over(bestB))
+      .filter(col("ba") === 1 && col("bb") === 1 && col("margin") >= minMargin)
+      .select(col("a_id"), col("b_id"), rd(col("cos"), 6).as("cos"),
+        rd(col("margin"), 6).as("margin"))
+  }
 }

@@ -988,6 +988,16 @@ object PipelineQueries {
           (sum(col("np")) <= sum(col("nc"))).as("pieces_at_most_chars"))
     }),
 
+    // margin-based bitext mining: the even/odd vec_id slices stand in
+    // for two monolingual embedding spaces; mutual margin-argmax
+    // pairs above threshold are the mined "translations"
+    "d83_bitext_mine" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bitextMine(e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1), k = 4, minMargin = 1.02)
+        .orderBy("a_id")
+    }),
+
     // BPE tokenizer training: 4 rounds of count-argmax-merge over the
     // word-frequency vocabulary — the iterative loop d73's one-round
     // recount feeds; the oracle replays the WHOLE loop (chained CTEs,
@@ -2027,6 +2037,30 @@ object PipelineQueries {
         | sum(len(string_split_regex(lower(text), '\s+')))::BIGINT AS total_words,
         | true AS roundtrip_ok, true AS pieces_at_least_words,
         | true AS pieces_at_most_chars FROM documents""".stripMargin.replaceAll("\n", " "),
+
+    // d83's gate: full margin replay — cosines via the d05/d06-pinned
+    // dot products, neighbor means as order-independent BIGINT sums
+    // of half-up-scaled cosines, margin as one double division of
+    // exact longs, mutual argmax with id tie-breaks
+    "d83_bitext_mine" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | a AS (SELECT vec_id AS a_id, v AS av, sqrt(list_dot_product(v, v)) AS an FROM e WHERE vec_id % 2 = 0),
+        | b AS (SELECT vec_id AS b_id, v AS bv, sqrt(list_dot_product(v, v)) AS bn FROM e WHERE vec_id % 2 = 1),
+        | s AS (SELECT a_id, b_id, list_dot_product(av, bv) / (an * bn) AS cos,
+        |   floor(list_dot_product(av, bv) / (an * bn) * 1e6 + 0.5)::BIGINT AS c6 FROM a CROSS JOIN b),
+        | r AS (SELECT a_id, b_id, cos, c6,
+        |   row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS ra,
+        |   row_number() OVER (PARTITION BY b_id ORDER BY cos DESC, a_id) AS rb FROM s),
+        | sa AS (SELECT a_id, sum(c6)::BIGINT AS sa FROM r WHERE ra <= 4 GROUP BY a_id),
+        | sb AS (SELECT b_id, sum(c6)::BIGINT AS sb FROM r WHERE rb <= 4 GROUP BY b_id),
+        | m AS (SELECT s.a_id, s.b_id, s.cos, (s.c6 * 2.0 * 4) / (sa.sa + sb.sb) AS margin
+        |   FROM s JOIN sa USING (a_id) JOIN sb USING (b_id)),
+        | mm AS (SELECT a_id, b_id, cos, margin,
+        |   row_number() OVER (PARTITION BY a_id ORDER BY margin DESC, b_id) AS ba,
+        |   row_number() OVER (PARTITION BY b_id ORDER BY margin DESC, a_id) AS bb FROM m)
+        | SELECT a_id, b_id, round(cos, 6) AS cos, round(margin, 6) AS margin
+        | FROM mm WHERE ba = 1 AND bb = 1 AND margin >= 1.02
+        | ORDER BY a_id""".stripMargin.replaceAll("\n", " "),
 
     // d82's gate: the full training loop as chained CTEs — per round,
     // pair counts (vocab-weighted), deterministic argmax (cnt DESC,
