@@ -368,6 +368,25 @@ object ScaleRehearsal {
       df.select(sum(size(TextOps.subwordTokens(col("text"), wpv))))
         .head.getLong(0)
     ratio("subword encode", wp(base), wp(big))
+    // phrase gate: automaton is per-JVM setup, the curve is the scan
+    def pg(df: org.apache.spark.sql.DataFrame): Long =
+      TextOps.phraseFilter(df, col("text"), col("doc_id"),
+        Seq("batch batch", "slow join", "the fast")).filter(col("kept")).count()
+    ratio("phrase gate", pg(base), pg(big))
+    // html extraction: regex chain is map-only; replication must scale
+    // like the scan (no per-row regex recompilation)
+    def hx(df: org.apache.spark.sql.DataFrame): Long = {
+      val h = concat(lit("<html><body><nav><a href=\"/x\">nav</a></nav><p>"),
+        col("text"), lit("</p><!-- c --></body></html>"))
+      Web.extractHtml(df, h, col("doc_id")).filter(col("kept")).count()
+    }
+    ratio("html extraction", hx(base), hx(big))
+    // BPE training: vocab is REPLICATION-INVARIANT (same words, freq
+    // ×N), so per-round work must NOT grow with the corpus — only the
+    // one-time vocab build scans it. Sub-linear is the design claim.
+    def bpe(df: org.apache.spark.sql.DataFrame): Long =
+      TextOps.bpeTrain(df, col("text"), rounds = 3).count()
+    ratio("bpe train (3 rounds)", bpe(base), bpe(big))
     spark.stop()
   }
 }
