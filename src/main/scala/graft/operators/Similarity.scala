@@ -559,6 +559,44 @@ object Similarity {
     * ([[lshTopK]]/[[ivfTopK]] — same downstream margin machinery,
     * per-side state bounded by k), and the per-id windows stay
     * bounded by the candidate fan-in, never the corpus. */
+  /** The corpus-scale path of [[bitextMine]]: candidate pairs come
+    * from sign-LSH bucket blocking instead of the all-pairs cross
+    * join — both sides bucket MAP-ONLY (one hyperplane pass each, the
+    * d07 machinery), the A side multi-probes (flips each plane once)
+    * to recover near-boundary pairs, and the only corpus-sized
+    * movement is ONE shuffle on the bucket key (the d68 two-big-sides
+    * shape; neither side broadcasts). Margins are then computed by
+    * the same integer-sum machinery as the exact miner, with k-NN
+    * means taken over each id's CANDIDATE fan-in (standard
+    * approximation: hubs surface in any reasonable candidate set).
+    * Recall vs the exact miner is spec-pinned. */
+  def bitextMineLsh(embA: DataFrame, embB: DataFrame, k: Int,
+                    minMargin: Double, dim: Int = 64,
+                    numPlanes: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val a = embA.select(col("vec_id").as("a_id"), toDouble(col("embedding")).as("av"))
+      .withColumn("an", norm(col("av")))
+      .withColumn("b0", hyperplaneBucket(col("av"), dim, numPlanes))
+      .withColumn("bucket", explode(array(
+        (col("b0") +: (0 until numPlanes).map(j =>
+          col("b0").bitwiseXOR(lit(1L << j)))): _*)))
+      .drop("b0")
+    val b = embB.select(col("vec_id").as("b_id"), toDouble(col("embedding")).as("bv"))
+      .withColumn("bn", norm(col("bv")))
+      .withColumn("bucket", hyperplaneBucket(col("bv"), dim, numPlanes))
+    // multi-probe duplicates a pair once per shared probe: reduce to
+    // distinct pairs BEFORE the dot products so each cosine is
+    // computed once
+    val cand = a.join(b, Seq("bucket"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(first(col("av")).as("av"), first(col("an")).as("an"),
+        first(col("bv")).as("bv"), first(col("bn")).as("bn"))
+      .withColumn("cos", dot(col("av"), col("bv")) / (col("an") * col("bn")))
+      .select(col("a_id"), col("b_id"), col("cos"),
+        floor(col("cos") * 1e6 + 0.5).cast("long").as("c6"))
+    mineFromScored(cand, k, minMargin)
+  }
+
   def bitextMine(embA: DataFrame, embB: DataFrame, k: Int,
                  minMargin: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -571,6 +609,17 @@ object Similarity {
       .withColumn("cos", dot(col("av"), col("bv")) / (col("an") * col("bn")))
       .select(col("a_id"), col("b_id"), col("cos"),
         floor(col("cos") * 1e6 + 0.5).cast("long").as("c6"))
+    mineFromScored(scored, k, minMargin)
+  }
+
+  /** Margin + mutual-argmax stage shared by the exact and LSH miners:
+    * per-id windows run over the scored-candidate fan-in (the full
+    * counterpart side for the exact miner, the bucket fan-in for the
+    * LSH path — bounded either way by the candidate generator, never
+    * the corpus). */
+  private def mineFromScored(scored: DataFrame, k: Int,
+                             minMargin: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wA = Window.partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id"))
     val wB = Window.partitionBy(col("b_id")).orderBy(col("cos").desc, col("a_id"))
     val ranked = scored

@@ -43,6 +43,38 @@ class BitextMineSpec extends AnyFunSuite {
     assert(Similarity.bitextMine(a, b, k = 2, minMargin = 1.01).count() == 0)
   }
 
+  test("LSH miner recalls >= 90% of PLANTED translation pairs; exact finds them all") {
+    // The regime bitext mining actually runs in: true translation
+    // pairs sit at cos ≈ 0.99, far above the ~0 background (the
+    // sf embeddings are near-random — max cross-cos 0.48 — so
+    // "recall of noise pairings" is meaningless for either miner;
+    // recall of PLANTED structure is the operational claim).
+    val rnd = new scala.util.Random(42)
+    def vec() = Seq.fill(64)(rnd.nextGaussian())
+    def mix(v: Seq[Double], w: Seq[Double], eps: Double) =
+      v.zip(w).map { case (x, y) => (1 - eps) * x + eps * y }
+    val as = (0 until 40).map(i => (i.toLong * 2, vec()))
+    val bs = as.map { case (id, v) => (id + 1, mix(v, vec(), 0.02)) } ++
+      (0 until 40).map(i => (1000L + i * 2 + 1, vec()))
+    val a = as.toDF("vec_id", "embedding")
+    val b = bs.toDF("vec_id", "embedding")
+    val planted = as.map { case (id, _) => (id, id + 1) }.toSet
+    val exact = Similarity.bitextMine(a, b, k = 4, minMargin = 1.02)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.bitextMineLsh(a, b, k = 4, minMargin = 1.02)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((planted -- exact).isEmpty,
+      s"exact miner missed planted pairs: ${planted -- exact}")
+    val recall = (planted & lsh).size.toDouble / planted.size
+    info(f"planted=${planted.size} lsh=${lsh.size} recall=$recall%.3f")
+    assert(recall >= 0.9, f"LSH miner planted recall $recall%.3f < 0.9")
+    // mutual-argmax property holds on the LSH path too
+    assert(lsh.toSeq.map(_._1).distinct.size == lsh.size)
+    assert(lsh.toSeq.map(_._2).distinct.size == lsh.size)
+  }
+
   test("mined pairs are mutual best by margin, not just cosine") {
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val mined = Similarity.bitextMine(e.filter(col("vec_id") % 2 === 0),
