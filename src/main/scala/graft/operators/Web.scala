@@ -134,7 +134,7 @@ object Web {
     * `<a>`/`<a ...>` specifically (non-capturing attr group), never
     * `<article>`. */
   def extractHtml(docs: DataFrame, html: Column, id: Column,
-                  maxLinkPct: Int = 25): DataFrame = {
+                  maxLinkPct: Int = 25, withText: Boolean = false): DataFrame = {
     val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
     val noScript = regexp_replace(noComment, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
@@ -145,7 +145,7 @@ object Web {
     val linkChars = aggregate(linkTexts, lit(0L), (a, t) =>
       a + length(trim(regexp_replace(htmlDecode(t), "\\s+", " "))))
     val nChars = length(clean).cast("long")
-    docs.select(id.as("doc_id"),
+    val cols = Seq(id.as("doc_id"),
       md5(clean).as("clean_hash"),
       nChars.as("n_chars"),
       size(linkTexts).cast("long").as("n_links"),
@@ -153,6 +153,10 @@ object Web {
       graft.functions.Round.rd(
         when(nChars > 0, linkChars.cast("double") / nChars)
           .otherwise(lit(0.0)), 6).as("link_density"),
-      (linkChars * 100L <= nChars * maxLinkPct).as("kept"))
+      (linkChars * 100L <= nChars * maxLinkPct).as("kept")) ++
+      // downstream pipeline stages (the d84 capstone) consume the
+      // extracted text itself, still in ONE map-only projection
+      (if (withText) Seq(clean.as("clean_text")) else Nil)
+    docs.select(cols: _*)
   }
 }

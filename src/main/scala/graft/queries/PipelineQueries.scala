@@ -988,6 +988,31 @@ object PipelineQueries {
           (sum(col("np")) <= sum(col("nc"))).as("pieces_at_most_chars"))
     }),
 
+    // curation v4 — THIS round's gates composed into ONE lazy plan:
+    // HTML extraction (d81, id-free chrome so exact copies stay
+    // exact) → link-density gate → wordlist gate (d80) → exact dedup
+    // (planted every-9th copies actually deduplicate, unlike a
+    // unique-text corpus) → token-balanced shard assignment (d45).
+    // Every stage oracle-replayed end to end.
+    "d84_curation_v4" -> ((s, dir) => {
+      val d0 = docs(s, dir).select(col("doc_id"), col("text"))
+      val base = d0.unionByName(d0.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      val ext = Web.extractHtml(base, synthPage84(col("text")),
+        col("doc_id"), withText = true)
+      val surv = ext.filter(col("kept"))
+        .withColumn("_pc", TextOps.phraseCounts(col("clean_text"), capstonePhrases))
+        .filter(aggregate(col("_pc"), lit(0L), (a, x) => a + x) === 0L)
+        .select(col("doc_id"), col("clean_text"))
+      val keepers = Dedup.exact(surv, col("clean_text"), col("doc_id"))
+        .select(col("keeper_id").as("doc_id"))
+      val uniq = surv.join(keepers, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("clean_text"))).cast("long").as("n_tokens"))
+      TextOps.assignShards(uniq, col("doc_id"), col("n_tokens"), 4096L)
+        .orderBy("doc_id")
+    }),
+
     // margin-based bitext mining: the even/odd vec_id slices stand in
     // for two monolingual embedding spaces; mutual margin-argmax
     // pairs above threshold are the mined "translations"
@@ -1034,6 +1059,28 @@ object PipelineQueries {
     * generated oracle SQL. Mixed-case entry deliberate: pins the
     * phrase-side lowercasing. */
   private val gatePhrases = Seq("batch batch", "art", "Spark", "xyzzy")
+
+  /** d84's wordlist: phrases that fire on a realistic minority of the
+    * corpus (~12%), so the capstone's gate does real filtering without
+    * gutting the downstream stages the way d80's deliberately broad
+    * list (hits "spark"/"part") would. */
+  private val capstonePhrases = Seq("slow join", "big slow", "xyzzy")
+
+  /** d84's planted page: the d81 extraction rules with ID-FREE chrome,
+    * so a doc and its planted exact copy extract to byte-identical
+    * text and the capstone's dedup stage has real work to do. One
+    * generator for the Spark query; the oracle replays it as static
+    * concat. */
+  private def synthPage84(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit(Page84Head), text, lit(Page84Tail))
+
+  private val Page84Head =
+    "<html><head><style>p { margin: 0; }</style>" +
+      "<script>var q = 1 < 2;</script></head><body><!-- c -->" +
+      "<nav><a href=\"/a\">menu one</a><a href=\"/b\">menu two</a></nav>" +
+      "<h1>Archive &amp; Index</h1><p>"
+  private val Page84Tail =
+    "</p><div>tail &lt;end&gt;</div><footer><a href=\"/about\">about</a></footer></body></html>"
 
   /** d81's planted HTML page — one generator for the Spark query (the
     * oracle replays it as string concat on (doc_id, text)). Covers:
@@ -2090,7 +2137,7 @@ object PipelineQueries {
     // DuckDB needs the explicit 'g' flag where Spark's
     // regexp_replace is global by default
     "d81_html_extract" ->
-      """WITH h AS (SELECT doc_id,
+      (s"""WITH h AS (SELECT doc_id,
         |  '<html><head><title>Doc ' || doc_id::VARCHAR || '</title>' ||
         |  CASE WHEN doc_id % 2 = 0 THEN '<style>body { color: #333; }</style>' ELSE '' END ||
         |  '<script>var x = 1 < 2 && "q";</script></head><body><!-- crawl ' || doc_id::VARCHAR || ' -->' ||
@@ -2100,47 +2147,80 @@ object PipelineQueries {
         |  '</p><div>tail &lt;b&gt;&nbsp;&amp;lt; ' || doc_id::VARCHAR ||
         |  '</div><footer><a href="/about">about us</a></footer></body></html>' AS html
         | FROM documents),
-        | s1 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
-        |   '(?s)<!--.*?-->', ' ', 'g'), '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-        |   '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS h3 FROM h),
-        | s2 AS (SELECT doc_id,
-        |   regexp_extract_all(h3, '(?is)<a(?:\s[^>]*)?>(.*?)</a>', 1) AS links,
-        |   trim(regexp_replace(replace(replace(replace(replace(replace(replace(
-        |     regexp_replace(h3, '(?s)<[^>]+>', ' ', 'g'),
-        |     '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),'&nbsp;',' '),'&amp;','&'),
-        |     '\s+', ' ', 'g')) AS clean
-        |  FROM s1),
-        | s3 AS (SELECT doc_id, clean, links,
-        |   coalesce(list_sum(list_transform(links, t -> length(trim(regexp_replace(
-        |     replace(replace(replace(replace(replace(replace(t,
-        |     '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),'&nbsp;',' '),'&amp;','&'),
-        |     '\s+', ' ', 'g'))))), 0)::BIGINT AS link_chars
-        |  FROM s2)
+        | $ExtractChainSql
         | SELECT doc_id, md5(clean) AS clean_hash, length(clean)::BIGINT AS n_chars,
         |  len(links)::BIGINT AS n_links, link_chars,
         |  round(CASE WHEN length(clean) > 0 THEN link_chars::DOUBLE / length(clean) ELSE 0 END, 6) AS link_density,
         |  link_chars * 100 <= length(clean)::BIGINT * 25 AS kept
-        | FROM s3 ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+        | FROM s3 ORDER BY doc_id""").stripMargin.replaceAll("\n", " "),
 
-    "d80_phrase_filter" -> {
-      // brute-force position scan per phrase: counts OVERLAPPING
-      // occurrences (substr at every start position), the exact rule
-      // the Aho–Corasick automaton implements — generated from the
-      // same gatePhrases list the Spark query uses
-      val cnts = gatePhrases.map(_.toLowerCase).zipWithIndex.map {
-        case (p, i) =>
-          val n = p.length
-          s"coalesce(list_sum(list_transform(range(1, length(t) - ${n - 2}), " +
-            s"i -> CASE WHEN substr(t, i::INTEGER, $n) = '$p' THEN 1 ELSE 0 END)), 0)::BIGINT AS c$i"
-      }.mkString(", ")
-      val tot = gatePhrases.indices.map(i => s"c$i").mkString(" + ")
-      val dst = gatePhrases.indices
-        .map(i => s"(CASE WHEN c$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+    // d84's gate: the full capstone chain — planted copies, the d81
+    // extraction replay, link-density and wordlist gates, md5 dedup
+    // keeper, and the d45 shard prefix sum
+    "d84_curation_v4" ->
+      (s"""WITH base AS (SELECT doc_id, text FROM documents
+        |   UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 9 = 0),
+        | h AS (SELECT doc_id, '$Page84Head' || text || '$Page84Tail' AS html FROM base),
+        | $ExtractChainSql,
+        | e AS (SELECT doc_id, clean, lower(clean) AS t,
+        |   (link_chars * 100 <= length(clean)::BIGINT * 25) AS hk FROM s3),
+        | pc AS (SELECT doc_id, clean, hk, ${phraseCntsSqlFor(capstonePhrases)} FROM e),
+        | g AS (SELECT doc_id, clean FROM pc WHERE hk AND (${phraseTotSqlFor(capstonePhrases)}) = 0),
+        | k AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY md5(clean)),
+        | u AS (SELECT doc_id, len(string_split_regex(lower(clean), '\\s+'))::BIGINT AS n_tokens,
+        |   (((doc_id::HUGEINT * 2654435761) % 4294967296) % 1000000)::BIGINT AS b
+        |  FROM g WHERE doc_id IN (SELECT doc_id FROM k)),
+        | p AS (SELECT doc_id, n_tokens,
+        |   COALESCE(sum(n_tokens) OVER (ORDER BY b, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_pos FROM u)
+        | SELECT doc_id, n_tokens, start_pos, (start_pos // 4096)::BIGINT AS shard_id
+        | FROM p ORDER BY doc_id""").stripMargin.replaceAll("\n", " "),
+
+    "d80_phrase_filter" ->
       s"""WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
-         | c AS (SELECT doc_id, $cnts FROM t)
-         | SELECT doc_id, ($tot)::BIGINT AS total_hits,
-         |  ($dst)::BIGINT AS distinct_hits, ($tot) = 0 AS kept
+         | c AS (SELECT doc_id, $PhraseCntsSql FROM t)
+         | SELECT doc_id, ($PhraseTotSql)::BIGINT AS total_hits,
+         |  ($PhraseDstSql)::BIGINT AS distinct_hits, ($PhraseTotSql) = 0 AS kept
          | FROM c ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
-    }
   )
+
+  /** Shared oracle fragment: the d81 extraction chain over a CTE
+    * `h(doc_id, html)` — scripts/styles/comments out, anchors
+    * captured, tags stripped, entities decoded, whitespace collapsed.
+    * Yields CTEs s1/s2/s3 with s3(doc_id, clean, links, link_chars).
+    * ONE copy for every oracle that replays extraction (d81, d84). */
+  private lazy val ExtractChainSql =
+    """s1 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
+      |   '(?s)<!--.*?-->', ' ', 'g'), '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      |   '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS h3 FROM h),
+      | s2 AS (SELECT doc_id,
+      |   regexp_extract_all(h3, '(?is)<a(?:\s[^>]*)?>(.*?)</a>', 1) AS links,
+      |   trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+      |     regexp_replace(h3, '(?s)<[^>]+>', ' ', 'g'),
+      |     '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),'&nbsp;',' '),'&amp;','&'),
+      |     '\s+', ' ', 'g')) AS clean
+      |  FROM s1),
+      | s3 AS (SELECT doc_id, clean, links,
+      |   coalesce(list_sum(list_transform(links, t -> length(trim(regexp_replace(
+      |     replace(replace(replace(replace(replace(replace(t,
+      |     '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),'&nbsp;',' '),'&amp;','&'),
+      |     '\s+', ' ', 'g'))))), 0)::BIGINT AS link_chars
+      |  FROM s2)""".stripMargin.replaceAll("\n", " ")
+
+  /** Shared oracle fragments: brute-force position-scan phrase counts
+    * over an alias `t` (the lowered text) — counts OVERLAPPING
+    * occurrences, the exact Aho–Corasick rule; generated from the
+    * same gatePhrases list the Spark queries use (d80, d84). */
+  private def phraseCntsSqlFor(ps: Seq[String]): String =
+    ps.map(_.toLowerCase).zipWithIndex.map { case (p, i) =>
+      val n = p.length
+      s"coalesce(list_sum(list_transform(range(1, length(t) - ${n - 2}), " +
+        s"i -> CASE WHEN substr(t, i::INTEGER, $n) = '$p' THEN 1 ELSE 0 END)), 0)::BIGINT AS c$i"
+    }.mkString(", ")
+  private def phraseTotSqlFor(ps: Seq[String]): String =
+    ps.indices.map(i => s"c$i").mkString(" + ")
+  private lazy val PhraseCntsSql: String = phraseCntsSqlFor(gatePhrases)
+  private lazy val PhraseTotSql: String = phraseTotSqlFor(gatePhrases)
+  private lazy val PhraseDstSql: String =
+    gatePhrases.indices
+      .map(i => s"(CASE WHEN c$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
 }

@@ -501,6 +501,23 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("Generate"), "expected the sequence explode")
   }
 
+  test("d84: curation v4 — extraction+gates map-only, dedup partial-agg, no corpus window") {
+    val p = plan("d84_curation_v4")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // exact dedup keeper must be the map-side-combinable min, and the
+    // shard prefix sum must stay slice-partitioned (the d79 rules)
+    assert(p.contains("partial_min("),
+      "exact dedup keeper must be a map-side-combinable min")
+    assert(p.contains("hashpartitioning(_g"),
+      s"the shard prefix sum must stay slice-partitioned\n$p")
+    val unpartitionedWindows = p.linesIterator.count(l =>
+      """windowspecdefinition\([^,)]*\b(ASC|DESC)\b""".r
+        .findFirstIn(l).isDefined)
+    assert(unpartitionedWindows == 1,
+      s"expected exactly 1 unpartitioned window (the <=64-row offsets " +
+        s"table), got $unpartitionedWindows\n$p")
+  }
+
   test("d81: html extraction is map-only — no shuffle, no join") {
     val p = plan("d81_html_extract")
     assert(!p.contains("Arguments: hashpartitioning"),
