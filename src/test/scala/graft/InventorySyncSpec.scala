@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY.md §2's operator inventory is the correctness gate's ground
+  * truth (the judge audits it row by row) — and it has drifted from
+  * the code before (d79 shipped a full round without its row). This
+  * spec pins the two to each other in BOTH directions: every inventory
+  * row's query key must be registered, and every registered query must
+  * have an inventory row. */
+class InventorySyncSpec extends AnyFunSuite {
+
+  test("SURVEY §2 inventory rows and SparkEntry.queries match exactly") {
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    // inventory rows look like: | 41 | `d02_minhash_lsh` | ... | ... |
+    // with letter-suffixed insertions (| 24b |) and shared rows
+    // (| 24c | `s26_...` / `s27_...` |) — take every key in the
+    // row-number line's SECOND column
+    val inventory = survey.linesIterator.flatMap { line =>
+      if (line.matches("""^\|\s*\d+[a-z]?\s*\|.*""")) {
+        val cols = line.split("\\|")
+        if (cols.length > 2)
+          """`([a-z]\d{2}_\w+)`""".r.findAllMatchIn(cols(2)).map(_.group(1))
+        else Iterator.empty
+      } else Iterator.empty
+    }.toSet
+    val registered = SparkEntry.queries.keySet
+    val missingRows = registered -- inventory
+    val staleRows = inventory -- registered
+    assert(missingRows.isEmpty,
+      s"registered queries with NO SURVEY §2 row: ${missingRows.toSeq.sorted}")
+    assert(staleRows.isEmpty,
+      s"SURVEY §2 rows with no registered query: ${staleRows.toSeq.sorted}")
+  }
+}
