@@ -861,6 +861,37 @@ object TextOps {
       .toDF("merge_round", "lhs", "rhs", "merged", "pair_count")
   }
 
+  /** Apply a LEARNED merge list to text — [[bpeTrain]]'s ingest-side
+    * counterpart (train batch-side, encode anywhere): per word, the
+    * merges run in training order with the IDENTICAL
+    * leftmost-non-overlapping string fold, so encode(train corpus)
+    * reproduces the trainer's final symbol state exactly
+    * (spec-pinned). Returns the flattened piece array per row.
+    *
+    * Stateless column arithmetic — streaming-safe unchanged (the
+    * d76/d80/d81 ingest-gate property). The plan nests one fold per
+    * merge: right for list-sized demo vocabs and for the gate; a
+    * production 10k-merge tokenizer wants a native single-pass
+    * expression (exactly what [[graft.functions.WordPieceEncodeExpr]]
+    * demonstrates for the WordPiece family). */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column = {
+    val pieces = transform(tokens(text), w => {
+      var cur: Column = array_join(split(w, ""), " ")
+      for ((a, b) <- merges) {
+        val syms = split(cur, " ")
+        val first = element_at(syms, 1)
+        val rest = slice(syms, lit(2), greatest(size(syms) - 1, lit(0)))
+        cur = aggregate(rest, first, (acc, x) =>
+          when(regexp_extract(acc, "[^ ]*$", 0) === a && x === b,
+            concat(acc.substr(lit(1), length(acc) - lit(a.length)),
+              lit(a + b)))
+            .otherwise(concat(acc, lit(" "), x)))
+      }
+      split(cur, " ")
+    })
+    filter(flatten(pieces), p => p =!= "")
+  }
+
   /** Per-phrase occurrence counts over `lower(text)` via ONE
     * Aho–Corasick pass ([[graft.functions.PhraseCountsExpr]]) —
     * O(len + matches) per row regardless of wordlist size, where a

@@ -1013,6 +1013,28 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // BPE ENCODE with the d82-learned merges — train → apply, the
+    // full tokenizer lifecycle on one corpus; greedy merge folds have
+    // no per-row SQL replay, so the gate hashes the coverage verdict
+    // (exact roundtrip + piece-count bounds + merges-actually-applied
+    // over oracle-computable word totals — the d78 pattern)
+    "d85_bpe_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = TextOps.bpeTrain(d, col("text"), rounds = 4)
+        .orderBy("merge_round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val pieces = TextOps.bpeEncode(col("text"), merges)
+      val flat = regexp_replace(lower(col("text")), "\\s+", "")
+      d.select(size(TextOps.tokens(col("text"))).cast("long").as("nw"),
+          size(pieces).cast("long").as("np"),
+          length(flat).cast("long").as("nc"),
+          (array_join(pieces, "") === flat).as("rt"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("total_words"),
+          min(col("rt")).as("roundtrip_ok"),
+          (sum(col("np")) >= sum(col("nw"))).as("pieces_at_least_words"),
+          (sum(col("np")) < sum(col("nc"))).as("merges_applied"))
+    }),
+
     // margin-based bitext mining: the even/odd vec_id slices stand in
     // for two monolingual embedding spaces; mutual margin-argmax
     // pairs above threshold are the mined "translations"
@@ -2174,6 +2196,12 @@ object PipelineQueries {
         |   COALESCE(sum(n_tokens) OVER (ORDER BY b, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_pos FROM u)
         | SELECT doc_id, n_tokens, start_pos, (start_pos // 4096)::BIGINT AS shard_id
         | FROM p ORDER BY doc_id""").stripMargin.replaceAll("\n", " "),
+
+    "d85_bpe_encode" ->
+      """SELECT count(*)::BIGINT AS n_docs,
+        | sum(len(string_split_regex(lower(text), '\s+')))::BIGINT AS total_words,
+        | true AS roundtrip_ok, true AS pieces_at_least_words,
+        | true AS merges_applied FROM documents""".stripMargin.replaceAll("\n", " "),
 
     "d80_phrase_filter" ->
       s"""WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),

@@ -41,6 +41,35 @@ class BpeTrainSpec extends AnyFunSuite {
     assert((m(0)._2, m(0)._3) == ("x", "y"))
   }
 
+  test("bpeEncode applies learned merges in order with the trainer's fold") {
+    // hand merges: (a,b) then (ab,c) — order matters
+    val m = Seq(("a", "b"), ("ab", "c"))
+    val got = Seq("abc abd ba cab")
+      .toDF("text").select(TextOps.bpeEncode(col("text"), m).as("p"))
+      .as[Seq[String]].collect().head
+    assert(got == Seq("abc", "ab", "d", "b", "a", "c", "ab"))
+  }
+
+  test("encode(train corpus) reproduces the trainer's symbol state") {
+    val texts = Seq("low lower lowest low low slow")
+    val df = texts.toDF("text")
+    val learned = TextOps.bpeTrain(df, col("text"), rounds = 3)
+      .orderBy("merge_round")
+      .as[(Long, String, String, String, Long)].collect()
+      .map(t => (t._2, t._3)).toSeq
+    assert(learned.size == 3)
+    val pieces = df.select(TextOps.bpeEncode(col("text"), learned).as("p"))
+      .as[Seq[String]].collect().head
+    // roundtrip: pieces concatenate back to the whitespace-free text
+    assert(pieces.mkString("") == texts.head.replaceAll("\\s+", ""))
+    // the LAST learned merge's product survives as a final piece (an
+    // earlier product can be legitimately consumed by later merges —
+    // "lo" disappears into "low")
+    val mergedLast = learned.last._1 + learned.last._2
+    assert(pieces.contains(mergedLast),
+      s"expected piece $mergedLast in ${pieces.mkString(",")}")
+  }
+
   test("early stop: single-char words leave nothing to merge") {
     assert(train(3, "a b c a b").isEmpty)
     // one mergeable word: learns its pairs then stops at full fusion
