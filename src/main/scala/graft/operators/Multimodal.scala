@@ -238,6 +238,49 @@ object Multimodal {
       maxHamming = maxHamming, maxBucket = maxBucket)
   }
 
+  /** Keyframe selection — the shot-boundary rule of video curation:
+    * split the payload into consecutive frames, fingerprint each with
+    * the [[blockHash]] perceptual rule, and keep a frame when its
+    * hamming distance to the PREVIOUS frame jumps above the threshold
+    * (plus the first frame, unconditionally). Redundant near-static
+    * runs collapse to their first frame; every visual cut survives —
+    * the frame-budget lever a video corpus needs before feature
+    * extraction.
+    *
+    * The lag window is keyed by doc and bounded by frames-per-doc
+    * (payload/frameBytes — never corpus-sized). Fingerprints stage
+    * codes/len/sum as attributes first (the [[phashPairs]] rule: a
+    * multi-referenced non-cheap alias inlines into all 32 block
+    * lambdas otherwise). Pure integer arithmetic end-to-end — the
+    * oracle replays frames, fingerprints, and the lag rule exactly. */
+  def keyFrames(withPayloads: DataFrame, frameBytes: Int = 256,
+                maxStaticHamming: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nFrames = ceil(length(col("_b")).cast("double") / frameBytes).cast("long")
+    val frameStr = col("_b").substr((col("frame_idx") * frameBytes + 1).cast("int"),
+      lit(frameBytes)).cast("string")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    withPayloads
+      .select(col("doc_id"), col("payload").as("_b"))
+      .where(length(col("_b")) > 0)
+      .select(col("doc_id"), col("_b"),
+        explode(sequence(lit(0L), nFrames - 1)).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"), payloadCodes(frameStr).as("_codes"))
+      .select(col("doc_id"), col("frame_idx"), col("_codes"),
+        size(col("_codes")).cast("long").as("_n"),
+        aggregate(col("_codes"), lit(0L), (a, x) => a + x).as("_s"))
+      .select(col("doc_id"), col("frame_idx"),
+        blockHashFromStats(col("_codes"), col("_n"), col("_s"), blocks = 32).as("fp"))
+      .withColumn("hamming",
+        when(lag(col("fp"), 1).over(w).isNull, lit(-1L))
+          .otherwise(bit_count(col("fp").bitwiseXOR(lag(col("fp"), 1).over(w)))
+            .cast("long")))
+      .withColumn("keyframe",
+        col("hamming") === -1L || col("hamming") > maxStaticHamming)
+      .select(col("doc_id"), col("frame_idx"), col("fp"), col("hamming"),
+        col("keyframe"))
+  }
+
   /** Batched decode stage: mapPartitions drains rows in BATCH_SIZE
     * groups — the Scala analog of `mapInPandas` batch decode. The
     * decoder is pluggable: [[fakeDecode]] (default — the

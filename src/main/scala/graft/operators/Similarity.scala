@@ -538,6 +538,35 @@ object Similarity {
     topKFromScored(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training data (the DPR /
+    * sentence-transformers preparation step): per anchor, the top-k
+    * most-similar corpus items with a DIFFERENT label — the negatives
+    * that actually teach the model (random negatives are trivially
+    * separable; the hardest near-misses carry the gradient). Composed
+    * from the d06 brute-force scorer with the label inequality pushed
+    * INTO the scored-candidate filter (never a post-rank filter,
+    * which would under-fill k), ranked by the same O(k) heap
+    * aggregate. Anchors broadcast (query-set-sized); at corpus scale
+    * the scored candidates come from the LSH/IVF blocks instead —
+    * same downstream shape. */
+  def hardNegatives(emb: DataFrame, anchors: DataFrame, k: Int): DataFrame = {
+    val corpus = emb.select(col("vec_id"), col("label"),
+        toDouble(col("embedding")).as("v"))
+      .withColumn("n", norm(col("v")))
+    val q = anchors.select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        toDouble(col("embedding")).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val scored = corpus.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("n")))
+    scored.groupBy(col("q_id"))
+      .agg(graft.functions.TopKByScore.column(
+        col("cos"), col("vec_id"), lit(k)).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("neg_id"), rd(col("t.score"), 6).as("cos"))
+  }
+
   /** Margin-based bitext mining (the Artetxe–Schwenk criterion that
     * curates parallel translation data from two monolingual embedding
     * spaces): a candidate pair's raw cosine is normalized by the mean

@@ -1013,6 +1013,29 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // keyframe selection: consecutive payload frames, blockhash
+    // fingerprints, keep on perceptual jump vs the previous frame.
+    // The payload opens with the first 256-byte block repeated 3× (a
+    // planted STATIC run — raw doc frames are all-distinct random
+    // words, which would never exercise the collapse branch): frames
+    // 1-2 must come out non-key, the rest key
+    "d87_keyframes" -> ((s, dir) => {
+      val payload = concat(repeat(substring(col("text"), 1, 256), 3),
+        col("text")).cast("binary")
+      Multimodal.keyFrames(docs(s, dir)
+          .select(col("doc_id"), payload.as("payload")))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    // hard-negative mining: top-k most-similar DIFFERENT-label items
+    // per anchor — the contrastive-training negatives that carry the
+    // gradient; label filter inside the candidate set, never post-rank
+    "d86_hard_negatives" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 10), k = 5)
+        .orderBy("q_id", "rank")
+    }),
+
     // BPE ENCODE with the d82-learned merges — train → apply, the
     // full tokenizer lifecycle on one corpus; greedy merge folds have
     // no per-row SQL replay, so the gate hashes the coverage verdict
@@ -2196,6 +2219,37 @@ object PipelineQueries {
         |   COALESCE(sum(n_tokens) OVER (ORDER BY b, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_pos FROM u)
         | SELECT doc_id, n_tokens, start_pos, (start_pos // 4096)::BIGINT AS shard_id
         | FROM p ORDER BY doc_id""").stripMargin.replaceAll("\n", " "),
+
+    "d87_keyframes" ->
+      """WITH pay AS (SELECT doc_id, repeat(substr(text, 1, 256), 3) || text AS text FROM documents),
+        | fdef AS (SELECT doc_id, text,
+        |   unnest(generate_series(0, ceil(length(text)::DOUBLE / 256)::BIGINT - 1)) AS frame_idx
+        |  FROM pay WHERE length(text) > 0),
+        | fr AS (SELECT doc_id, frame_idx, substr(text, (frame_idx * 256 + 1)::INT, 256) AS f FROM fdef),
+        | c AS (SELECT doc_id, frame_idx, list_transform(string_split(f, ''), ch -> ascii(ch)::BIGINT) AS codes FROM fr),
+        | st AS (SELECT doc_id, frame_idx, codes, len(codes)::BIGINT AS n, list_sum(codes)::BIGINT AS s FROM c),
+        | f2 AS (SELECT doc_id, frame_idx, list_reduce(list_prepend(0::BIGINT,
+        |   list_transform(generate_series(0, 31), b ->
+        |     CASE WHEN list_sum(list_slice(codes, ((b * n) // 32 + 1)::INT, (((b + 1) * n) // 32)::INT))::BIGINT * n
+        |       > s * (((b + 1) * n) // 32 - (b * n) // 32) THEN 1::BIGINT ELSE 0::BIGINT END)),
+        |   (acc, x) -> acc * 2 + x) AS fp FROM st),
+        | l AS (SELECT doc_id, frame_idx, fp,
+        |   lag(fp) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS pfp FROM f2)
+        | SELECT doc_id, frame_idx, fp,
+        |  (CASE WHEN pfp IS NULL THEN -1 ELSE bit_count(xor(fp, pfp)) END)::BIGINT AS hamming,
+        |  (pfp IS NULL OR bit_count(xor(fp, pfp)) > 3) AS keyframe
+        | FROM l ORDER BY doc_id, frame_idx""".stripMargin.replaceAll("\n", " "),
+
+    "d86_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        | q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv FROM e WHERE vec_id < 10),
+        | scored AS (SELECT q_id, vec_id,
+        |   list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS c
+        |  FROM e CROSS JOIN q WHERE vec_id != q_id AND label != q_label),
+        | ranked AS (SELECT q_id, vec_id, c,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rank FROM scored)
+        | SELECT q_id, rank, vec_id AS neg_id, round(c, 6) AS cos
+        | FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin.replaceAll("\n", " "),
 
     "d85_bpe_encode" ->
       """SELECT count(*)::BIGINT AS n_docs,
