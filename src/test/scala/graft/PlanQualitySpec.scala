@@ -518,6 +518,27 @@ class PlanQualitySpec extends AnyFunSuite {
         s"table), got $unpartitionedWindows\n$p")
   }
 
+  test("d86: hard negatives — broadcast anchors, heap ranking, no window sort") {
+    val p = plan("d86_hard_negatives")
+    // anchors broadcast (the d06 scoring shape); ranking is the O(k)
+    // heap aggregate — a WindowExec here would sort every scored
+    // candidate per anchor
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"anchor side must broadcast\n$p")
+    assert(!p.contains("Window"), s"ranking must be the heap agg, not a window\n$p")
+    assert(p.contains("topk_by_score"), s"heap aggregate missing\n$p")
+  }
+
+  test("d87: keyframes — the only window is doc-keyed (frames-per-doc bounded)") {
+    val p = plan("d87_keyframes")
+    assert(!p.contains("Join"), s"keyframes must not join\n$p")
+    val unpartitionedWindows = p.linesIterator.count(l =>
+      """windowspecdefinition\([^,)]*\b(ASC|DESC)\b""".r
+        .findFirstIn(l).isDefined)
+    assert(unpartitionedWindows == 0,
+      s"lag window must be doc-partitioned, got $unpartitionedWindows unpartitioned\n$p")
+  }
+
   test("d81: html extraction is map-only — no shuffle, no join") {
     val p = plan("d81_html_extract")
     assert(!p.contains("Arguments: hashpartitioning"),
