@@ -658,8 +658,13 @@ object Similarity {
       .groupBy("a_id").agg(sum(col("c6")).as("sa"))
     val sumB = ranked.filter(col("rb") <= k)
       .groupBy("b_id").agg(sum(col("c6")).as("sb"))
+    // NO broadcast hint on the sum tables: they are id-sized — fine
+    // to broadcast for a query-set-sized exact mine, but corpus-sized
+    // on the LSH path where BOTH sides are big (AQE converts to
+    // broadcast at runtime when a side turns out small; a hard hint
+    // would OOM the corpus case)
     val margins = scored
-      .join(broadcast(sumA), "a_id").join(broadcast(sumB), "b_id")
+      .join(sumA, "a_id").join(sumB, "b_id")
       .withColumn("margin",
         (col("c6") * 2.0 * k) / (col("sa") + col("sb")))
     val bestA = Window.partitionBy(col("a_id")).orderBy(col("margin").desc, col("b_id"))

@@ -826,11 +826,12 @@ object TextOps {
     // collect would re-scan the corpus through the lineage (N scans for
     // N rounds); the cached table is vocabulary-sized (Heaps-law
     // bounded — what a real BPE trainer materializes too)
-    var vocab = docs.select(explode(tokens(text)).as("w"))
+    val vocab0 = docs.select(explode(tokens(text)).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(col("freq"), split(col("w"), "").as("syms"))
       .cache()
+    var vocab = vocab0
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     var r = 1
     var done = false
@@ -857,6 +858,11 @@ object TextOps {
         r += 1
       }
     }
+    // the merge list is fully collected: release the cached base
+    // vocab (vocab0, not the derived var — unpersisting a derivative
+    // leaves the base entry alive) so repeated training calls (gate +
+    // bench reps) don't accumulate cache entries
+    vocab0.unpersist()
     merges.result()
       .toDF("merge_round", "lhs", "rhs", "merged", "pair_count")
   }

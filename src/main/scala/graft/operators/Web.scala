@@ -135,28 +135,40 @@ object Web {
     * `<article>`. */
   def extractHtml(docs: DataFrame, html: Column, id: Column,
                   maxLinkPct: Int = 25, withText: Boolean = false): DataFrame = {
+    // STAGED projections: the comment/script/style chain, the cleaned
+    // text, and the link array are each referenced more than once
+    // downstream, and CollapseProject declines to merge a
+    // multi-referenced non-cheap alias (the blockHashFromStats rule)
+    // — composing them as one expression tree would re-run the whole
+    // regex chain once per reference. Still map-only: stacked
+    // projections, zero exchanges.
     val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
     val noScript = regexp_replace(noComment, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
-    val linkTexts = regexp_extract_all(noStyle,
-      lit("(?is)<a(?:\\s[^>]*)?>(.*?)</a>"), lit(1))
-    val clean = trim(regexp_replace(
-      htmlDecode(regexp_replace(noStyle, "(?s)<[^>]+>", " ")), "\\s+", " "))
-    val linkChars = aggregate(linkTexts, lit(0L), (a, t) =>
-      a + length(trim(regexp_replace(htmlDecode(t), "\\s+", " "))))
-    val nChars = length(clean).cast("long")
-    val cols = Seq(id.as("doc_id"),
-      md5(clean).as("clean_hash"),
-      nChars.as("n_chars"),
-      size(linkTexts).cast("long").as("n_links"),
-      linkChars.as("link_chars"),
+    val staged = docs.select(id.as("doc_id"), noStyle.as("_h3"))
+      .select(col("doc_id"),
+        regexp_extract_all(col("_h3"),
+          lit("(?is)<a(?:\\s[^>]*)?>(.*?)</a>"), lit(1)).as("_links"),
+        trim(regexp_replace(
+          htmlDecode(regexp_replace(col("_h3"), "(?s)<[^>]+>", " ")),
+          "\\s+", " ")).as("_clean"))
+      .select(col("doc_id"), col("_links"), col("_clean"),
+        length(col("_clean")).cast("long").as("_nc"),
+        aggregate(col("_links"), lit(0L), (a, t) =>
+          a + length(trim(regexp_replace(htmlDecode(t), "\\s+", " "))))
+          .as("_lc"))
+    val cols = Seq(col("doc_id"),
+      md5(col("_clean")).as("clean_hash"),
+      col("_nc").as("n_chars"),
+      size(col("_links")).cast("long").as("n_links"),
+      col("_lc").as("link_chars"),
       graft.functions.Round.rd(
-        when(nChars > 0, linkChars.cast("double") / nChars)
+        when(col("_nc") > 0, col("_lc").cast("double") / col("_nc"))
           .otherwise(lit(0.0)), 6).as("link_density"),
-      (linkChars * 100L <= nChars * maxLinkPct).as("kept")) ++
+      (col("_lc") * 100L <= col("_nc") * maxLinkPct).as("kept")) ++
       // downstream pipeline stages (the d84 capstone) consume the
-      // extracted text itself, still in ONE map-only projection
-      (if (withText) Seq(clean.as("clean_text")) else Nil)
-    docs.select(cols: _*)
+      // extracted text itself, still map-only
+      (if (withText) Seq(col("_clean").as("clean_text")) else Nil)
+    staged.select(cols: _*)
   }
 }
