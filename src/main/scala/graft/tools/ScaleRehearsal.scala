@@ -387,6 +387,30 @@ object ScaleRehearsal {
     def bpe(df: org.apache.spark.sql.DataFrame): Long =
       TextOps.bpeTrain(df, col("text"), rounds = 3).count()
     ratio("bpe train (3 rounds)", bpe(base), bpe(big))
+    // keyframes: doc-keyed lag window — partitions bounded by
+    // frames-per-doc, so replication must scale like the scan
+    def kf(df: org.apache.spark.sql.DataFrame): Long =
+      Multimodal.keyFrames(df.select(col("doc_id"),
+        col("text").cast("binary").as("payload")))
+        .filter(col("keyframe")).count()
+    ratio("keyframe selection", kf(base), kf(big))
+    // curation capstone: extraction map-only, dedup partial-agg (the
+    // replicas are EXACT dups — adversarial for the keeper agg), shard
+    // prefix sum slice-partitioned; the whole chain must stay linear
+    def v4(df: org.apache.spark.sql.DataFrame): Long = {
+      val page = concat(lit("<html><body><nav><a href=\"/x\">m</a></nav><p>"),
+        col("text"), lit("</p><!-- c --></body></html>"))
+      val ext = Web.extractHtml(df.select(col("doc_id"), col("text")),
+        page, col("doc_id"), withText = true)
+      val surv = ext.filter(col("kept")).select(col("doc_id"), col("clean_text"))
+      val keepers = Dedup.exact(surv, col("clean_text"), col("doc_id"))
+        .select(col("keeper_id").as("doc_id"))
+      val uniq = surv.join(keepers, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("clean_text"))).cast("long").as("n_tokens"))
+      TextOps.assignShards(uniq, col("doc_id"), col("n_tokens"), 4096L).count()
+    }
+    ratio("curation v4 chain", v4(base), v4(big))
     spark.stop()
   }
 }
