@@ -232,6 +232,30 @@ object TextOps {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Per-suite contamination REPORT — the audit a decontamination run
+    * publishes per benchmark ("how much of suite X leaked into the
+    * corpus"): contaminated-doc counts, total and max shared n-grams,
+    * per suite. All suites' grams carry their suite tag into ONE
+    * broadcast join, so the corpus is shingled and scanned ONCE no
+    * matter how many benchmarks are audited (per-suite
+    * [[contaminationCounts]] calls would pay one corpus pass each).
+    * Output is suite-sized — rows, not corpus data. */
+  def contaminationReport(corpus: DataFrame, benches: DataFrame,
+                          text: Column, id: Column,
+                          n: Int = 8): DataFrame = {
+    val grams = benches.select(col("suite"),
+      explode(Dedup.shingles(col("snippet"), n)).as("ngram")).distinct()
+    corpus.filter(size(tokens(text)) >= n)
+      .select(id.as("doc_id"), explode(Dedup.shingles(text, n)).as("ngram"))
+      .join(broadcast(grams), "ngram")
+      .groupBy(col("suite"), col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .groupBy(col("suite"))
+      .agg(count(lit(1)).as("n_contaminated_docs"),
+        sum(col("n_shared")).as("total_shared"),
+        max(col("n_shared")).as("max_shared"))
+  }
+
   /** Corpus-frequency quality score: average corpus frequency of the
     * document's tokens (rare-token-heavy docs — codes, gibberish,
     * boilerplate IDs — score low; a distribution-based cousin of

@@ -1013,6 +1013,22 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // per-suite contamination report: two synthetic eval suites
+    // (distinct corpus slices and token windows), audited in ONE
+    // corpus pass via suite-tagged gram broadcast
+    "d88_contam_report" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val toks = TextOps.tokens(col("text"))
+      val suiteA = d.filter(col("doc_id") % 97 === 0 && size(toks) >= 26)
+        .select(lit("suiteA").as("suite"),
+          concat_ws(" ", slice(toks, 11, 16)).as("snippet"))
+      val suiteB = d.filter(col("doc_id") % 89 === 0 && size(toks) >= 21)
+        .select(lit("suiteB").as("suite"),
+          concat_ws(" ", slice(toks, 6, 16)).as("snippet"))
+      TextOps.contaminationReport(d, suiteA.unionByName(suiteB),
+        col("text"), col("doc_id")).orderBy("suite")
+    }),
+
     // keyframe selection: consecutive payload frames, blockhash
     // fingerprints, keep on perceptual jump vs the previous frame.
     // The payload opens with the first 256-byte block repeated 3× (a
@@ -2219,6 +2235,21 @@ object PipelineQueries {
         |   COALESCE(sum(n_tokens) OVER (ORDER BY b, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_pos FROM u)
         | SELECT doc_id, n_tokens, start_pos, (start_pos // 4096)::BIGINT AS shard_id
         | FROM p ORDER BY doc_id""").stripMargin.replaceAll("\n", " "),
+
+    "d88_contam_report" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+        | bA AS (SELECT DISTINCT 'suiteA' AS suite, unnest(list_transform(generate_series(1, 9), i -> array_to_string(list_slice(toks, 10 + i, 17 + i), ' '))) AS ngram
+        |   FROM t WHERE doc_id % 97 = 0 AND len(toks) >= 26),
+        | bB AS (SELECT DISTINCT 'suiteB' AS suite, unnest(list_transform(generate_series(1, 9), i -> array_to_string(list_slice(toks, 5 + i, 12 + i), ' '))) AS ngram
+        |   FROM t WHERE doc_id % 89 = 0 AND len(toks) >= 21),
+        | b AS (SELECT suite, ngram FROM bA UNION ALL SELECT suite, ngram FROM bB),
+        | ds AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(toks) - 7), i -> array_to_string(list_slice(toks, i, i + 7), ' ')))) AS ngram
+        |   FROM t WHERE len(toks) >= 8),
+        | j AS (SELECT suite, doc_id, count(*)::BIGINT AS n_shared
+        |   FROM ds JOIN b USING (ngram) GROUP BY suite, doc_id)
+        | SELECT suite, count(*)::BIGINT AS n_contaminated_docs,
+        |  sum(n_shared)::BIGINT AS total_shared, max(n_shared)::BIGINT AS max_shared
+        | FROM j GROUP BY suite ORDER BY suite""".stripMargin.replaceAll("\n", " "),
 
     "d87_keyframes" ->
       """WITH pay AS (SELECT doc_id, repeat(substr(text, 1, 256), 3) || text AS text FROM documents),
