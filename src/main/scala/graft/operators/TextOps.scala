@@ -859,6 +859,7 @@ object TextOps {
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     var r = 1
     var done = false
+    try {
     while (r <= rounds && !done) {
       val top = vocab.filter(size(col("syms")) >= 2)
         .select(col("freq"),
@@ -882,11 +883,14 @@ object TextOps {
         r += 1
       }
     }
-    // the merge list is fully collected: release the cached base
-    // vocab (vocab0, not the derived var — unpersisting a derivative
-    // leaves the base entry alive) so repeated training calls (gate +
-    // bench reps) don't accumulate cache entries
-    vocab0.unpersist()
+    } finally {
+      // the merge list is fully collected (or a round's collect
+      // threw): release the cached base vocab either way (vocab0, not
+      // the derived var — unpersisting a derivative leaves the base
+      // entry alive) so repeated training calls (gate + bench reps)
+      // don't accumulate cache entries even across failures
+      vocab0.unpersist()
+    }
     merges.result()
       .toDF("merge_round", "lhs", "rhs", "merged", "pair_count")
   }
@@ -933,7 +937,8 @@ object TextOps {
     * exactly by position scan. */
   def phraseCounts(text: Column, phrases: Seq[String]): Column =
     graft.functions.PhraseCountsExpr.column(lower(text),
-      new graft.functions.PhraseAutomaton(phrases.map(_.toLowerCase)))
+      new graft.functions.PhraseAutomaton(
+        phrases.map(_.toLowerCase(java.util.Locale.ROOT))))
 
   /** Wordlist gate — the C4 "bad words" rule generalized: per doc, the
     * total / distinct phrase hits and a keep verdict (zero hits). The

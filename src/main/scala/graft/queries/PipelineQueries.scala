@@ -65,9 +65,13 @@ object PipelineQueries {
         .select(col("doc_a"), col("doc_b"))
       val verified = Dedup.jaccardVerify(poly, corpus, col("text"),
         col("doc_id"), minJaccard = 0.5)
+      // coalesce: over an EMPTY verified set sum() is null; a regen'd
+      // testdata with no J>=0.5 pairs should read vacuously true, not
+      // null-vs-true hash-mismatch the oracle
       val recall = verified.join(xx, Seq("doc_a", "doc_b"), "left")
-        .agg((sum(when(col("_x").isNotNull, 1L).otherwise(0L)) * 100L >=
-          count(lit(1)) * 95L).as("xx_recall_ok"))
+        .agg(coalesce(
+          sum(when(col("_x").isNotNull, 1L).otherwise(0L)) * 100L >=
+            count(lit(1)) * 95L, lit(true)).as("xx_recall_ok"))
       poly.crossJoin(broadcast(recall)).orderBy("doc_a", "doc_b")
     }),
 
@@ -118,9 +122,12 @@ object PipelineQueries {
       val vp = Dedup.jaccardVerify(
           Dedup.polyMinhashPairs(corpus, col("text"), col("doc_id")),
           corpus, col("text"), col("doc_id"), minJaccard = 0.5)
+      // coalesce: vacuously-true recall on an empty verified set (the
+      // d02 note — sum over zero rows is null, not 0)
       val recall = vp.join(vx, Seq("doc_a", "doc_b"), "left")
-        .agg((sum(when(col("_x").isNotNull, 1L).otherwise(0L)) * 100L >=
-          count(lit(1)) * 95L).as("xx_recall_ok"))
+        .agg(coalesce(
+          sum(when(col("_x").isNotNull, 1L).otherwise(0L)) * 100L >=
+            count(lit(1)) * 95L, lit(true)).as("xx_recall_ok"))
       vp.crossJoin(broadcast(recall)).orderBy("doc_a", "doc_b")
     }),
 
@@ -1034,7 +1041,9 @@ object PipelineQueries {
     // The payload opens with the first 256-byte block repeated 3× (a
     // planted STATIC run — raw doc frames are all-distinct random
     // words, which would never exercise the collapse branch): frames
-    // 1-2 must come out non-key, the rest key
+    // 1-3 must come out non-key (frame 3 — the original text's first
+    // 256 bytes — is byte-identical to the planted block too), the
+    // rest key
     "d87_keyframes" -> ((s, dir) => {
       val payload = concat(repeat(substring(col("text"), 1, 256), 3),
         col("text")).cast("binary")
