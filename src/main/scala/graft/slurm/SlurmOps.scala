@@ -131,7 +131,7 @@ object Reports {
     * reference's substring behavior. LIKE's own metacharacters in the
     * user's pattern are escaped (`\` is Spark's default LIKE escape),
     * so a literal `_` or `%` never silently wildcards. */
-  private[slurm] def globToLike(p: String): String = {
+  private[graft] def globToLike(p: String): String = {
     val escaped = p.flatMap {
       case '\\' => "\\\\"
       case '%' => "\\%"

@@ -1,0 +1,365 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.slurm.{Reports, SacctSource, SlurmStates, SlurmTable, SlurmViews, SlurmWarehouse}
+
+/** The reference's installed console scripts (`slurm2sql-sacct` /
+  * `slurm2sql-seff`, slurm2sql.py:1160-1371 + the `__main__` dispatch
+  * at :1373-1378) as Spark mains: `graft.tools.SacctCli` and
+  * `graft.tools.SeffCli` (or `graft.tools.GraftCli sacct|seff ...`).
+  *
+  * Flag semantics follow the reference:
+  *   --db PATH            read an existing graft warehouse (parquet),
+  *                        don't import new data (slurm2sql.py:1172)
+  *   --csv-input PATH     import this CSV instead of running sacct
+  *   --sacct-input PATH   import a raw `sacct -P` dump (the sandbox
+  *                        twin of spawning sacct — SURVEY §4 item 1)
+  *   --output/-o LIST     comma field list, '*' for all, 'long' for
+  *                        the longer default list (sacct CLI only)
+  *   --format/-f FMT      simple | csv | tsv | json  (tabulate's
+  *                        grid formats are presentation; these cover
+  *                        the machine- and human-readable cases)
+  *   --order EXPR         comma list of `col [desc]` — column names
+  *                        only, NOT raw SQL: the reference passes the
+  *                        string into SQL verbatim and documents the
+  *                        injection; graft resolves names instead
+  *   --user/-u U          filter (exact match, reference :1071-1077)
+  *   --partition/-r P     filter (substring, or anchored glob when the
+  *                        pattern carries * / ? — Reports.globToLike)
+  *   --ended/-e --completed --cancelled --failed --running-at-time T
+  *                        state-category selectors (mutually
+  *                        exclusive, reference :1156-1159,1192-1203).
+  *                        The reference can only apply them at sacct
+  *                        fetch time (not with --db); graft applies
+  *                        them as filters on any input — strictly more
+  *                        capable, documented deviation.
+  *   --aggregate-user     seff: per-user rollup (reference :1300)
+  *   --long/-l            seff: add Start/End columns (:1288);
+  *                        sacct: alias for --output long
+  *   --write PATH         write the result as parquet instead of
+  *                        printing — the 100 TB-safe path: rendering
+  *                        collects to the driver and is meant for
+  *                        human-sized reports; --write keeps the
+  *                        output distributed end to end
+  *   --limit N            cap printed rows (collect safety valve)
+  *   --quiet/-q --verbose/-v  accepted for parity (logging is Spark's)
+  *
+  * A single positional argument that looks like a JobID selects that
+  * job (args_to_sacct_filter, slurm2sql.py:1040-1048: `--jobs=ID`).
+  */
+object Cli {
+
+  final case class Args(
+      db: Option[String] = None,
+      csvInput: Option[String] = None,
+      sacctInput: Option[String] = None,
+      output: Option[String] = None,
+      format: String = "simple",
+      order: Option[String] = None,
+      user: Option[String] = None,
+      partition: Option[String] = None,
+      states: Option[Seq[String]] = None,
+      runningAtTime: Option[Long] = None,
+      aggregateUser: Boolean = false,
+      long: Boolean = false,
+      write: Option[String] = None,
+      limit: Option[Int] = None,
+      jobId: Option[String] = None)
+
+  /** SACCT_DEFAULT_FIELDS (slurm2sql.py:1154) minus the '┃' spacer
+    * pseudo-columns (pure presentation) — Start/End render as UTC
+    * datetimes like the reference's `datetime(X,'unixepoch')`. */
+  val SACCT_DEFAULT: Seq[String] = Seq(
+    "JobID", "User", "State", "Start", "End", "Partition", "ExitCodeRaw",
+    "NodeList", "NCPUS", "CPUTime", "CPUEff", "AllocMem", "TotalMem",
+    "MemEff", "ReqGPUS", "GpuEff", "TotDiskRead", "TotDiskWrite",
+    "ReqTRES", "AllocTRES", "TRESUsageInTot", "TRESUsageOutTot")
+
+  /** SACCT_DEFAULT_FIELDS_LONG (:1155): adds Elapsed, ReqMem, MaxRSS,
+    * GpuUtil at the reference's positions. */
+  val SACCT_DEFAULT_LONG: Seq[String] = Seq(
+    "JobID", "User", "State", "Start", "End", "Elapsed", "Partition",
+    "ExitCodeRaw", "NodeList", "NCPUS", "CPUTime", "CPUEff", "AllocMem",
+    "TotalMem", "MemEff", "ReqMem", "MaxRSS", "ReqGPUS", "GpuEff",
+    "GpuUtil", "TotDiskRead", "TotDiskWrite", "ReqTRES", "AllocTRES",
+    "TRESUsageInTot", "TRESUsageOutTot")
+
+  private val JOBID_RE = "[0-9][0-9+_]*(\\.[0-9a-z]+)?".r
+
+  /** argparse twin. Left = error/usage message (caller prints + exits
+    * 2, the argparse failure code). Accepts `--flag value` and
+    * `--flag=value`; short flags; one optional positional JobID. */
+  def parse(argv: Seq[String]): Either[String, Args] = {
+    var a = Args()
+    var stateFlag: Option[String] = None
+    def setStates(flag: String, codes: Seq[String]): Either[String, Unit] =
+      stateFlag match {
+        case Some(prev) => Left(s"$flag: not allowed with $prev " +
+          "(state selectors are mutually exclusive)")
+        case None => stateFlag = Some(flag); a = a.copy(states = Some(codes)); Right(())
+      }
+    val it = argv.iterator.buffered
+    def value(flag: String, inline: Option[String]): Either[String, String] =
+      inline match {
+        case Some(v) => Right(v)
+        case None if it.hasNext => Right(it.next())
+        case None => Left(s"$flag: expected a value")
+      }
+    while (it.hasNext) {
+      val tok = it.next()
+      val (flag, inline) = tok.split("=", 2) match {
+        case Array(f, v) if f.startsWith("--") => (f, Some(v))
+        case _ => (tok, None)
+      }
+      val res: Either[String, Unit] = flag match {
+        case "--db" => value(flag, inline).map(v => a = a.copy(db = Some(v)))
+        case "--csv-input" => value(flag, inline).map(v => a = a.copy(csvInput = Some(v)))
+        case "--sacct-input" => value(flag, inline).map(v => a = a.copy(sacctInput = Some(v)))
+        case "--output" | "-o" => value(flag, inline).map(v => a = a.copy(output = Some(v)))
+        case "--format" | "-f" => value(flag, inline).flatMap {
+          case v @ ("simple" | "csv" | "tsv" | "json") => Right { a = a.copy(format = v) }
+          case v => Left(s"--format: unknown format '$v' (simple|csv|tsv|json)")
+        }
+        case "--order" => value(flag, inline).map(v => a = a.copy(order = Some(v)))
+        case "--user" | "-u" => value(flag, inline).map(v => a = a.copy(user = Some(v)))
+        case "--partition" | "-r" => value(flag, inline).map(v => a = a.copy(partition = Some(v)))
+        case "--ended" | "-e" => setStates(flag, SlurmStates.ENDED)
+        case "--completed" => setStates(flag, SlurmStates.COMPLETED)
+        case "--cancelled" => setStates(flag, SlurmStates.CANCELLED)
+        case "--failed" => setStates(flag, SlurmStates.FAILED)
+        case "--running-at-time" => value(flag, inline).flatMap { v =>
+          stateFlag match {
+            case Some(prev) => Left(s"--running-at-time: not allowed with $prev")
+            case None =>
+              stateFlag = Some(flag)
+              parseTime(v).map(t => a = a.copy(runningAtTime = Some(t)))
+          }
+        }
+        case "--aggregate-user" => Right { a = a.copy(aggregateUser = true) }
+        case "--long" | "-l" => Right { a = a.copy(long = true) }
+        case "--write" => value(flag, inline).map(v => a = a.copy(write = Some(v)))
+        case "--limit" => value(flag, inline).flatMap(v =>
+          v.toIntOption.toRight(s"--limit: not a number: '$v'")
+            .map(n => a = a.copy(limit = Some(n))))
+        case "--quiet" | "-q" | "--verbose" | "-v" => Right(())
+        case p if !p.startsWith("-") && JOBID_RE.pattern.matcher(p).matches() &&
+            a.jobId.isEmpty =>
+          Right { a = a.copy(jobId = Some(p)) }
+        case other => Left(s"unknown argument '$other' (graft reads stored " +
+          "data — sacct pass-through flags are not supported; use " +
+          "--db/--csv-input/--sacct-input plus the documented selectors)")
+      }
+      res match { case Left(e) => return Left(e); case Right(_) => () }
+    }
+    if (a.db.isEmpty && a.csvInput.isEmpty && a.sacctInput.isEmpty)
+      Left("one of --db, --csv-input, --sacct-input is required " +
+        "(graft cannot spawn sacct in this environment)")
+    else Right(a)
+  }
+
+  /** `--running-at-time` accepts epoch seconds or an ISO local
+    * datetime (interpreted UTC, the unixTime/s05 convention). */
+  def parseTime(v: String): Either[String, Long] =
+    if (v.forall(_.isDigit)) Right(v.toLong)
+    else try {
+      val base = if (v.length == 10) v + "T00:00:00"
+                 else v.replace(' ', 'T') + (if (v.count(_ == ':') == 1) ":00" else "")
+      Right(java.time.LocalDateTime.parse(base)
+        .toEpochSecond(java.time.ZoneOffset.UTC))
+    } catch { case _: Exception =>
+      Left(s"--running-at-time: cannot parse '$v' (epoch or YYYY-MM-DD[ HH:MM[:SS]])")
+    }
+
+  /** Load the slurm table from whichever input the args name. The
+    * warehouse path is a partitioned-parquet scan (day-pruned,
+    * cluster-ready); csv/sacct paths ingest + derive on the fly. */
+  def loadSlurm(spark: SparkSession, a: Args): DataFrame =
+    a.db.map(SlurmWarehouse.read(spark, _))
+      .orElse(a.csvInput.map(SacctSource.loadSlurmTable(spark, _)))
+      .orElse(a.sacctInput.map(p =>
+        SlurmTable.build(SacctSource.readSacct(spark, p))))
+      .getOrElse(sys.error("no input (parse() guarantees one)"))
+
+  private def resolve(df: DataFrame, name: String): Either[String, String] =
+    df.columns.find(_.equalsIgnoreCase(name.trim))
+      .toRight(s"unknown column '${name.trim}' (have: ${df.columns.mkString(", ")})")
+
+  /** `--order` = comma list of `col [desc]`, names resolved
+    * case-insensitively (SQLite is case-insensitive; raw SQL is not
+    * honored — see the scaladoc). */
+  def orderCols(df: DataFrame, order: String): Either[String, Seq[Column]] = {
+    val parts = order.split(",").map(_.trim).filter(_.nonEmpty)
+    val res = parts.map { p =>
+      val (name, desc) = p.split("\\s+") match {
+        case Array(n) => (n, false)
+        case Array(n, d) if d.equalsIgnoreCase("desc") => (n, true)
+        case Array(n, d) if d.equalsIgnoreCase("asc") => (n, false)
+        case _ => return Left(s"--order: cannot parse '$p'")
+      }
+      resolve(df, name).map(c => if (desc) col(c).desc else col(c).asc)
+    }
+    res.collectFirst { case Left(e) => Left(e) }
+      .getOrElse(Right(res.map(_.toOption.get).toSeq))
+  }
+
+  /** The sacct report frame (sacct_cli, slurm2sql.py:1160-1226):
+    * filters via [[Reports.sacct]], then the field projection. */
+  def sacctFrame(spark: SparkSession, a: Args): Either[String, DataFrame] = {
+    val slurm0 = loadSlurm(spark, a)
+    val slurm = a.jobId match {
+      case Some(id) => slurm0.filter(col("JobIDonly") ===
+        graft.functions.SlurmFunctions.jobIdOnly(lit(id)))
+      case None => slurm0
+    }
+    val filtered = Reports.sacct(slurm, a.user, a.partition, a.states,
+      a.runningAtTime)
+    val fieldSpec = a.output.getOrElse(if (a.long) "long" else "default")
+    val fields: Either[String, Seq[Column]] = fieldSpec match {
+      case "*" => Right(filtered.columns.toSeq.map(col))
+      case "long" | "default" =>
+        val names = if (fieldSpec == "long") SACCT_DEFAULT_LONG else SACCT_DEFAULT
+        Right(names.map {
+          // datetime(X,'unixepoch') rendering (slurm2sql.py:1154): UTC
+          // Tables.session pins the session timeZone to UTC, so
+          // date_format over timestamp_seconds IS the unixepoch form
+          case n @ ("Start" | "End") =>
+            date_format(timestamp_seconds(col(n)), "yyyy-MM-dd HH:mm:ss").as(n)
+          case n => col(n)
+        })
+      case list =>
+        val res = list.split(",").map(n => resolve(filtered, n))
+        res.collectFirst { case Left(e) => Left(e) }
+          .getOrElse(Right(res.map(r => col(r.toOption.get)).toSeq))
+    }
+    for {
+      fs <- fields
+      ord <- a.order.map(orderCols(filtered, _)).getOrElse(Right(Seq.empty))
+    } yield {
+      val proj = filtered.select(fs: _*)
+      if (ord.nonEmpty) proj.orderBy(ord: _*) else proj
+    }
+  }
+
+  /** The seff report frame (seff_cli, slurm2sql.py:1228-1371): the eff
+    * view, End-IS-NOT-NULL rule inside Reports.seff*, user/partition
+    * applied on eff (the reference's WHERE rides the eff select). */
+  def seffFrame(spark: SparkSession, a: Args): Either[String, DataFrame] = {
+    val slurm0 = loadSlurm(spark, a)
+    val slurm = a.jobId match {
+      case Some(id) => slurm0.filter(col("JobIDonly") ===
+        graft.functions.SlurmFunctions.jobIdOnly(lit(id)))
+      case None => slurm0
+    }
+    // state/running-at selectors act on allocation rows pre-rollup
+    // (the reference applies them at sacct fetch = raw rows)
+    val selected = Reports.sacct(slurm, None, None, a.states, a.runningAtTime)
+    val eff = SlurmViews.eff(selected)
+    val f1 = a.user.map(u => col("User") === u).getOrElse(lit(true))
+    val f2 = a.partition.map(p =>
+      col("Partition").like(Reports.globToLike(p))).getOrElse(lit(true))
+    val effF = eff.filter(f1 && f2)
+    val base =
+      if (a.aggregateUser) Reports.seffPerUser(effF)
+      else {
+        val perJob = Reports.seffPerJob(effF)
+        if (a.long) {
+          // --long: start/end columns, strftime('%m-%d_%H:%M') (:1288)
+          val startEnd = effF.select(col("JobID"),
+            date_format(timestamp_seconds(col("Start")), "MM-dd_HH:mm").as("StartT"),
+            date_format(timestamp_seconds(col("End")), "MM-dd_HH:mm").as("EndT"))
+          perJob.join(startEnd, Seq("JobID"), "left")
+        } else perJob
+      }
+    a.order.map(orderCols(base, _)).getOrElse(Right(Seq.empty))
+      .map(ord => if (ord.nonEmpty) base.orderBy(ord: _*) else base)
+  }
+
+  /** Collect + format. Reports are human-sized (bounded by jobs/users
+    * on screen); `--limit` guards, `--write` bypasses entirely. */
+  def render(df: DataFrame, format: String, limit: Option[Int]): String = {
+    val capped = limit.map(df.limit).getOrElse(df)
+    val names = capped.columns
+    val rows = capped.collect().map(_.toSeq.map {
+      case null => ""
+      case d: Double => if (d == d.floor && math.abs(d) < 1e15) f"$d%.1f" else d.toString
+      case x => x.toString
+    })
+    format match {
+      case "csv" => (names.mkString(",") +: rows.map(_.map(csvQuote).mkString(","))).mkString("\n")
+      case "tsv" => (names.mkString("\t") +: rows.map(_.mkString("\t"))).mkString("\n")
+      case "json" => rows.map(r => names.zip(r)
+        .map { case (k, v) => "\"" + k + "\":" + "\"" + v.replace("\"", "\\\"") + "\"" }
+        .mkString("{", ",", "}")).mkString("\n")
+      case _ => // simple: tabulate-style aligned columns
+        val widths = names.indices.map(i =>
+          (names(i).length +: rows.map(_(i).length)).max)
+        val header = names.zipWithIndex.map { case (n, i) => n.padTo(widths(i), ' ') }.mkString("  ")
+        val sep = widths.map("-" * _).mkString("  ")
+        val body = rows.map(r => r.zipWithIndex.map { case (v, i) => v.padTo(widths(i), ' ') }.mkString("  "))
+        (header +: sep +: body).mkString("\n")
+    }
+  }
+
+  private def csvQuote(s: String): String =
+    if (s.exists(c => c == ',' || c == '"' || c == '\n'))
+      "\"" + s.replace("\"", "\"\"") + "\"" else s
+
+  def session(): SparkSession = graft.Tables.session("graft-cli",
+    sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(8, Runtime.getRuntime.availableProcessors()).toString))
+
+  /** Shared main body; `frame` picks the report. Exit codes mirror the
+    * reference: 2 on bad args or an empty seff result (:1327,1362). */
+  def run(argv: Array[String],
+          frame: (SparkSession, Args) => Either[String, DataFrame],
+          emptyExits: Boolean): Unit =
+    parse(argv.toSeq) match {
+      case Left(err) =>
+        System.err.println(s"error: $err")
+        sys.exit(2)
+      case Right(a) =>
+        val spark = session()
+        val out = frame(spark, a) match {
+          case Left(err) =>
+            System.err.println(s"error: $err"); spark.stop(); sys.exit(2)
+          case Right(df) => df
+        }
+        a.write match {
+          case Some(path) =>
+            out.write.mode("overwrite").parquet(path)
+            System.err.println(s"[cli] wrote ${path}")
+          case None =>
+            val rendered = render(out, a.format, a.limit)
+            if (emptyExits && !rendered.contains('\n')) {
+              // header+sep only = zero data rows (reference :1327)
+              println("No data fetched with these sacct options.")
+              spark.stop(); sys.exit(2)
+            }
+            println(rendered)
+        }
+        spark.stop()
+    }
+}
+
+/** `graft-sacct` — the slurm2sql-sacct twin. */
+object SacctCli {
+  def main(args: Array[String]): Unit = Cli.run(args, Cli.sacctFrame, emptyExits = false)
+}
+
+/** `graft-seff` — the slurm2sql-seff twin. */
+object SeffCli {
+  def main(args: Array[String]): Unit = Cli.run(args, Cli.seffFrame, emptyExits = true)
+}
+
+/** `graft.tools.GraftCli sacct|seff ...` — the `python -m slurm2sql
+  * sacct|seff` dispatch (slurm2sql.py:1373-1378). */
+object GraftCli {
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some("sacct") => SacctCli.main(args.tail)
+    case Some("seff") => SeffCli.main(args.tail)
+    case _ =>
+      System.err.println("usage: GraftCli {sacct|seff} [options]")
+      sys.exit(2)
+  }
+}
