@@ -36,7 +36,8 @@ object Bench {
     "d75_compress_quality", "d76_url_curation", "d77_epoch_repeat",
     "d78_subword_encode", "d79_curation_v3", "d80_phrase_filter",
     "d81_html_extract", "d82_bpe_train", "d84_curation_v4",
-    "d85_bpe_encode", "d86_hard_negatives", "d87_keyframes")
+    "d85_bpe_encode", "d86_hard_negatives", "d87_keyframes",
+    "d89_image_decode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -303,4 +303,129 @@ object Multimodal {
         }
       }(enc)
   }
+
+  val statsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("status", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sum_r", LongType),
+    StructField("sum_g", LongType),
+    StructField("sum_b", LongType),
+    StructField("n_bytes", LongType)))
+
+  /** STRICT batched decode → per-image stats, with quarantine: a
+    * payload the real decoder cannot parse (wrong magic, malformed
+    * header, truncated raster) produces a `status='quarantined'` row
+    * with NULL stats instead of silently falling back to the stub —
+    * the error-path contract a 100 TB multimodal ingest needs (drop
+    * nothing, decode nothing wrong, keep the rejects auditable).
+    *
+    * Emits exact per-channel pixel SUMS, not means: sums are integers
+    * (≤ 255·npixels), recovered exactly from the decoder's float mean
+    * (mean·n has abs error ≪ 0.5 for gate-sized rasters), so the
+    * DuckDB oracle replays them with integer arithmetic — no
+    * float-rounding boundary cases in the hash.
+    *
+    * Same mapPartitions batch shape as [[decodeFeatures]]: the stage
+    * is map-only, one decoder call per [[BATCH_SIZE]] payloads, scan
+    * partitioning preserved — at any corpus size this parallelizes as
+    * widely as the scan itself. */
+  def decodeStats(spark: SparkSession, withPayloads: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(statsSchema)
+    withPayloads.select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.grouped(BATCH_SIZE).flatMap { chunk =>
+          val payloads = chunk.map(_.getAs[Array[Byte]]("payload")).toArray
+          val feats = payloads.map(b => decodePpm(b).orElse(decodeBmp(b)))
+          chunk.iterator.zipWithIndex.map { case (r, i) =>
+            val id = r.getAs[Long]("doc_id")
+            val nb = payloads(i).length.toLong
+            feats(i) match {
+              case Some(f) =>
+                val n = f(0).toLong * f(1).toLong
+                Row(id, "ok", f(0).toInt, f(1).toInt,
+                  math.round(f(2).toDouble * n), math.round(f(3).toDouble * n),
+                  math.round(f(4).toDouble * n), nb)
+              case None =>
+                Row(id, "quarantined", null, null, null, null, null, nb)
+            }
+          }
+        }
+      }(enc)
+  }
+}
+
+/** Deterministic in-plan image synthesizer for the d89 gate: every
+  * doc becomes a REAL raster file (PPM P6 for even doc_ids, 24-bit
+  * BMP for odd — built byte-exact with hex/unhex Column expressions),
+  * two-tone so the raster loop genuinely sums differing pixels, with
+  * closed-form dimensions/colors a SQL oracle can replay
+  * arithmetically. doc_id % 7 ∈ {0, 3} payloads are then damaged
+  * (raster truncated to half / magic overwritten) to exercise the
+  * quarantine path. The same construct-from-columns-then-parse
+  * pattern as the slurm s-queries (SURVEY §2 preamble). */
+object ImageSim {
+
+  /** 2-digit uppercase hex of a byte-valued column. */
+  private def hb(c: Column): Column = lpad(hex(c % 256), 2, "0")
+
+  private def le32(x: Column): Column = concat(
+    hb(x), hb(x / 256), hb(x / 65536), hb(x / 16777216))
+
+  /** doc_id → (payload, plus the closed-form ground truth columns the
+    * spec asserts against; the gate only ships doc_id+payload). */
+  def payloads(docs: DataFrame): DataFrame = {
+    val k = col("doc_id")
+    val base = docs.select(
+      k.as("doc_id"),
+      (lit(2) + k % 6).cast("int").as("w"),        // 2..7
+      (lit(2) + (k * 3) % 5).cast("int").as("h"),  // 2..6
+      (k % 256).as("rA"), ((k * 7 + 11) % 256).as("gA"),
+      ((k * 13 + 5) % 256).as("bA"))
+      .withColumn("rB", (col("rA") + 91) % 256)
+      .withColumn("gB", (col("gA") + 57) % 256)
+      .withColumn("bB", (col("bA") + 171) % 256)
+      .withColumn("hA", col("h") / 2 cast "int")   // first hA rows tone A
+      .withColumn("hB", col("h") - col("hA"))
+    // SQL repeat() takes a column count (unlike functions.repeat's Int
+    // parameter) — build the rasters through expr() over named columns
+    val mid = base
+      .withColumn("_pixA", concat(hb(col("rA")), hb(col("gA")), hb(col("bA"))))
+      .withColumn("_pixB", concat(hb(col("rB")), hb(col("gB")), hb(col("bB"))))
+      .withColumn("_pixABgr", concat(hb(col("bA")), hb(col("gA")), hb(col("rA"))))
+      .withColumn("_pixBBgr", concat(hb(col("bB")), hb(col("gB")), hb(col("rB"))))
+      .withColumn("_rowBytes", ((col("w") * 3 + 3) / 4).cast("int") * 4)
+      .withColumn("_pad", expr("repeat('00', _rowBytes - 3*w)"))
+      .withColumn("_ppmRaster", expr(
+        "concat(repeat(repeat(_pixA, w), hA), repeat(repeat(_pixB, w), hB))"))
+      .withColumn("_bmpRaster", expr(
+        "concat(repeat(concat(repeat(_pixABgr, w), _pad), hA)," +
+        " repeat(concat(repeat(_pixBBgr, w), _pad), hB))"))
+    val ppmHeader = concat(lit("P6\n"), col("w").cast("string"), lit(" "),
+      col("h").cast("string"), lit("\n255\n"))
+    // 14-byte file header + 40-byte BITMAPINFOHEADER, trailing 20 bytes
+    // (image size / resolutions / palette counts) zero — ignored by any
+    // BI_RGB reader
+    val bmpHeaderHex = concat(lit("424D"),
+      le32(lit(54) + col("_rowBytes") * col("h")), lit("00000000"),
+      le32(lit(54)), le32(lit(40)), le32(col("w")), le32(col("h")),
+      lit("0100"), lit("1800"), le32(lit(0)), expr("repeat('00', 20)"))
+    val built = mid
+      .withColumn("_payload0",
+        when(col("doc_id") % 2 === 0,
+          concat(ppmHeader.cast("binary"), unhex(col("_ppmRaster"))))
+        .otherwise(unhex(concat(bmpHeaderHex, col("_bmpRaster")))))
+    // damage pass: %7==0 → truncate to half; %7==3 → stomp the magic
+    val damaged = built.withColumn("payload",
+      when(col("doc_id") % 7 === 0,
+        col("_payload0").substr(lit(1), floor(length(col("_payload0")) / 2).cast("int")))
+      .when(col("doc_id") % 7 === 3,
+        concat(unhex(lit("5858")),
+          col("_payload0").substr(lit(3), length(col("_payload0")).cast("int"))))
+      .otherwise(col("_payload0")))
+    damaged.select(col("doc_id"), col("payload"),
+      col("w"), col("h"), col("hA"), col("hB"),
+      col("rA"), col("gA"), col("bA"), col("rB"), col("gB"), col("bB"))
+  }
 }

@@ -1020,6 +1020,19 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL raster decode, oracle-gated (closes the d12 stub note):
+    // every doc becomes a byte-exact PPM P6 or 24-bit BMP built
+    // in-plan from closed-form dims/colors (ImageSim), doc_id%7∈{0,3}
+    // payloads damaged (raster truncated / magic stomped); the strict
+    // batched mapPartitions decode parses the real formats and
+    // quarantines the damage, and the oracle replays the expected
+    // stats with pure integer arithmetic — a hash match proves
+    // constructor∘decoder = identity on dims and exact channel sums,
+    // plus the quarantine rule
+    "d89_image_decode" -> ((s, dir) =>
+      Multimodal.decodeStats(s, ImageSim.payloads(docs(s, dir)))
+        .orderBy("doc_id")),
+
     // per-suite contamination report: two synthetic eval suites
     // (distinct corpus slices and token windows), audited in ONE
     // corpus pass via suite-tagged gram broadcast
@@ -2244,6 +2257,31 @@ object PipelineQueries {
         |   COALESCE(sum(n_tokens) OVER (ORDER BY b, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_pos FROM u)
         | SELECT doc_id, n_tokens, start_pos, (start_pos // 4096)::BIGINT AS shard_id
         | FROM p ORDER BY doc_id""").stripMargin.replaceAll("\n", " "),
+
+    "d89_image_decode" ->
+      """WITH p AS (SELECT doc_id,
+        |  (2 + doc_id % 6)::INT AS w, (2 + (doc_id * 3) % 5)::INT AS h,
+        |  doc_id % 256 AS ra, (doc_id * 7 + 11) % 256 AS ga, (doc_id * 13 + 5) % 256 AS ba
+        |  FROM documents),
+        | q AS (SELECT doc_id, w, h, (h // 2) AS hA, h - (h // 2) AS hB,
+        |  ra, ga, ba, (ra + 91) % 256 AS rb, (ga + 57) % 256 AS gb, (ba + 171) % 256 AS bb,
+        |  ((w * 3 + 3) // 4) * 4 AS rowbytes FROM p),
+        | r AS (SELECT doc_id, w, h,
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN 3 + length(w::VARCHAR) + 1 + length(h::VARCHAR) + 5 + 3 * w * h
+        |    ELSE 54 + rowbytes * h END AS full_bytes,
+        |  hA * w * ra + hB * w * rb AS sr,
+        |  hA * w * ga + hB * w * gb AS sg,
+        |  hA * w * ba + hB * w * bb AS sb FROM q)
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 7 IN (0, 3) THEN 'quarantined' ELSE 'ok' END AS status,
+        |  (CASE WHEN doc_id % 7 IN (0, 3) THEN NULL ELSE w END)::INT AS width,
+        |  (CASE WHEN doc_id % 7 IN (0, 3) THEN NULL ELSE h END)::INT AS height,
+        |  (CASE WHEN doc_id % 7 IN (0, 3) THEN NULL ELSE sr END)::BIGINT AS sum_r,
+        |  (CASE WHEN doc_id % 7 IN (0, 3) THEN NULL ELSE sg END)::BIGINT AS sum_g,
+        |  (CASE WHEN doc_id % 7 IN (0, 3) THEN NULL ELSE sb END)::BIGINT AS sum_b,
+        |  (CASE WHEN doc_id % 7 = 0 THEN full_bytes // 2 ELSE full_bytes END)::BIGINT AS n_bytes
+        | FROM r ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     "d88_contam_report" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),

@@ -367,6 +367,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(3L).length == 4) // stub fallback shape
   }
 
+  test("decodeStats: ImageSim payloads decode to closed-form sums; damage quarantines") {
+    import spark.implicits._
+    val docs = (0L until 60L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = Multimodal.decodeStats(spark, ImageSim.payloads(docs))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 60)
+    for (k <- 0L until 60L) {
+      val r = out(k)
+      val (w, h) = ((2 + k % 6).toInt, (2 + (k * 3) % 5).toInt)
+      if (k % 7 == 0 || k % 7 == 3) {
+        assert(r.getString(1) == "quarantined", s"doc $k")
+        assert(r.isNullAt(2) && r.isNullAt(4), s"doc $k stats must be null")
+        assert(r.getLong(7) > 0, s"doc $k keeps its byte count")
+      } else {
+        val (hA, hB) = (h / 2, h - h / 2)
+        val (ra, ga, ba) = (k % 256, (k * 7 + 11) % 256, (k * 13 + 5) % 256)
+        assert(r.getString(1) == "ok", s"doc $k")
+        assert(r.getInt(2) == w && r.getInt(3) == h, s"doc $k dims")
+        assert(r.getLong(4) == hA * w * ra + hB * w * ((ra + 91) % 256), s"doc $k sum_r")
+        assert(r.getLong(5) == hA * w * ga + hB * w * ((ga + 57) % 256), s"doc $k sum_g")
+        assert(r.getLong(6) == hA * w * ba + hB * w * ((ba + 171) % 256), s"doc $k sum_b")
+      }
+    }
+    // both formats and both damage modes actually occur in the range
+    assert((0L until 60L).exists(k => k % 2 == 0 && k % 7 == 0))
+    assert((0L until 60L).exists(k => k % 2 == 1 && k % 7 == 3))
+  }
+
   test("language id picks the profile with the best stopword hit rate") {
     val df = Seq(
       (1L, "the cat is on the mat and the dog is in the house"),
