@@ -18,19 +18,40 @@ import org.apache.spark.sql.functions._
   */
 object SlurmWarehouse {
 
-  /** Write/append the slurm table to the warehouse layout. */
+  /** Write the slurm table to the warehouse layout.
+    *
+    * Range-partitioned on (time_day, User, Start) rather than
+    * hash-partitioned on the day alone: a bare
+    * `repartition(col("time_day"))` caps each day at ONE writer task —
+    * at 100 TB a single day is ~hundreds of GB and that one task is
+    * the whole load's wall — while ranging lets a big day span many
+    * tasks (parallel write, several files with NON-overlapping
+    * (User, Start) spans → tighter min/max pruning) and lets many
+    * tiny days share one task. The writer still splits each task's
+    * rows into per-day files via partitionBy. */
   def write(slurm: DataFrame, path: String,
             mode: SaveMode = SaveMode.Overwrite): Unit = {
     slurm
       .withColumn("time_day", date_format(
         timestamp_seconds(coalesce(col("Time"), col("Submit"))), "yyyy-MM-dd"))
-      .repartition(col("time_day"))
-      .sortWithinPartitions(col("User"), col("Start"))
+      .repartitionByRange(col("time_day"), col("User"), col("Start"))
+      .sortWithinPartitions(col("time_day"), col("User"), col("Start"))
       .write
       .partitionBy("time_day")
       .mode(mode)
       .parquet(s"$path/slurm")
   }
+
+  /** Blind APPEND load: the cheap daily-ingest path for batches known
+    * to be disjoint from stored data (a fresh day's jobs, a backfill
+    * of a never-loaded range). No stale-day scan, no partition
+    * rewrite — each batch just adds its files, which is why it pairs
+    * with [[compact]]: appends accrete one file set per batch per
+    * touched day, and the off-peak compactor bin-packs them back to
+    * target-size sorted files. For batches that may RE-REPORT stored
+    * jobs use [[resumeAppend]] (replace semantics) instead. */
+  def append(slurm: DataFrame, path: String): Unit =
+    write(slurm, path, SaveMode.Append)
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/slurm")
@@ -66,6 +87,20 @@ object SlurmWarehouse {
     try Some(spark.read.parquet(s"$path/meta_lastupdate")
       .agg(max(col("update_time"))).collect()(0).getLong(0))
     catch { case _: Exception => None }
+
+  /** Bin-pack the day partitions that daily [[resumeAppend]] /
+    * [[HistoryCollector]] loads have fragmented (every batch writes ≥1
+    * file per touched day), restoring the (User, Start) within-file
+    * sort the layout scaladoc promises — see
+    * [[graft.sources.Compaction]] for the mechanics and the 100 TB
+    * rationale. Results of every query over [[read]] are unchanged
+    * (WarehouseSpec pins rows + eff rollup); the bookmark is
+    * untouched. Run off-peak; each day rewrites independently. */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L << 20,
+              minFiles: Int = 4): Seq[graft.sources.Compaction.Stats] =
+    graft.sources.Compaction.compact(spark, s"$path/slurm", "time_day",
+      Seq("User", "Start"), targetBytes, minFiles)
 
   /** Incremental load with the reference's `INSERT OR REPLACE` resume
     * semantics (slurm2sql.py:1023-1027 unique-JobID replace;

@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Small-file compaction for partition-dir parquet warehouses.
+  *
+  * Incremental loads accrete files: every
+  * [[graft.slurm.SlurmWarehouse.resumeAppend]] / HistoryCollector
+  * batch writes ≥ 1 file into each day partition it touches, so a
+  * year of daily loads leaves O(days × batches) files. At 100 TB the
+  * bottleneck this creates is not data volume but FILE COUNT — driver
+  * memory for scan file listings, a scheduler task per file, parquet
+  * footer reads per file — the classic small-files wall. The fix is a
+  * periodic layout-only rewrite: bin-pack each partition back to
+  * ⌈bytes / targetBytes⌉ files, restoring the within-partition sort
+  * the write layout promises (min/max page pruning works only when
+  * each file covers a tight sort range; accreted batch files overlap).
+  *
+  * Query results are unchanged by construction (same rows, same
+  * schema — spec-pinned); only the file layout changes. Each
+  * partition compacts independently (the loop is per-partition;
+  * each rewrite is a distributed job), and the swap is
+  * rename-based: new files land in a temp dir, the old dir moves
+  * aside, the temp dir moves in, the old dir is deleted — a crash
+  * leaves either the old or the new layout live, never a mix and
+  * never a hole. A compaction scheduled off-peak (the reference's
+  * sqlite VACUUM analog, slurm2sql.py's load loop has no equivalent
+  * because SQLite is one file) keeps steady-state scans at
+  * target-size files forever.
+  */
+object Compaction {
+
+  /** One partition's before/after file counts. */
+  final case class Stats(partition: String, filesBefore: Int,
+                         filesAfter: Int, bytes: Long)
+
+  /** Compact every `partCol=value` directory under `tableDir` whose
+    * file count exceeds `minFiles`, rewriting it as
+    * max(1, ⌈bytes / targetBytes⌉) files sorted by `sortCols`.
+    * Returns per-partition stats for the partitions rewritten. */
+  def compact(spark: SparkSession, tableDir: String, partCol: String,
+              sortCols: Seq[String], targetBytes: Long = 128L << 20,
+              minFiles: Int = 4): Seq[Stats] = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val root = new Path(tableDir)
+    if (!fs.exists(root)) return Seq.empty
+    val parts = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith(partCol + "="))
+    parts.toSeq.flatMap { dir =>
+      val files = fs.listStatus(dir).filter(s => s.isFile &&
+        !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
+      val bytes = files.map(_.getLen).sum
+      if (files.length <= minFiles) None
+      else {
+        val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+        val tmp = new Path(root, s".compact_tmp_${dir.getName}")
+        val bak = new Path(root, s".compact_bak_${dir.getName}")
+        fs.delete(tmp, true); fs.delete(bak, true)
+        spark.read.parquet(dir.toString)
+          .repartition(n)
+          .sortWithinPartitions(sortCols.map(col): _*)
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        // drop the _SUCCESS marker so the dir looks like any other
+        // partition dir to a recursive lister
+        fs.delete(new Path(tmp, "_SUCCESS"), false)
+        // rename-based swap: old aside, new in, old gone
+        if (!fs.rename(dir, bak))
+          sys.error(s"compact: cannot move $dir aside")
+        if (!fs.rename(tmp, dir)) {
+          fs.rename(bak, dir) // roll back — old layout stays live
+          sys.error(s"compact: cannot move $tmp into place")
+        }
+        fs.delete(bak, true)
+        Some(Stats(dir.getName, files.length, n, bytes))
+      }
+    }
+  }
+}

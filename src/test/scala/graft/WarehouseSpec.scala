@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.slurm.{SlurmSim, SlurmTable, SlurmWarehouse}
+import graft.slurm.{SlurmSim, SlurmTable, SlurmViews, SlurmWarehouse}
 
 /** Warehouse layout: day-partitioned parquet + resume bookmark — the
   * reference's sqlite file + indexes + meta_slurm_lastupdate. */
@@ -93,6 +93,69 @@ class WarehouseSpec extends AnyFunSuite {
     val back = SlurmWarehouse.read(spark, dir)
     assert(back.count() == first.count() + 1)
     assert(back.filter(col("JobID") === "999999_late").count() == 1)
+  }
+
+  test("compact: accreted day files bin-pack, results and bookmark unchanged") {
+    val dir = Files.createTempDirectory("graft_wh5").toString
+    val slurm = SlurmTable.build(SlurmSim.raw(spark, "/root/testdata/sf0.001"),
+      lit(1750000000L)).cache()
+    // fragment the warehouse the way cheap append-mode daily loads do:
+    // an initial write plus several disjoint append batches hitting
+    // the same days (each batch adds its own file set per day)
+    val cutoff = slurm.agg(expr("percentile_approx(Time, 0.3)")).collect()(0)
+      .getLong(0)
+    SlurmWarehouse.write(slurm.filter(col("Time") <= cutoff), dir)
+    SlurmWarehouse.updateLastTimestamp(spark, dir, cutoff)
+    val rest = slurm.filter(col("Time") > cutoff)
+    for (m <- 0 to 4)
+      SlurmWarehouse.append(
+        rest.filter(pmod(col("JobIDonly"), lit(5)) === m), dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def dayFiles(): Map[String, Int] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/slurm"))
+        .filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith("time_day="))
+        .map(p => p.getName -> fs.listStatus(p)
+          .count(s => s.isFile && !s.getPath.getName.startsWith("_"))).toMap
+    val before = dayFiles()
+    assert(before.values.exists(_ > 2), s"fixture failed to fragment: $before")
+    val preRows = SlurmWarehouse.read(spark, dir).count()
+    val preEff = SlurmViews.eff(SlurmWarehouse.read(spark, dir))
+      .agg(sum(col("Elapsed")), sum(col("NCPUS")), count(lit(1))).collect()(0)
+    val preBookmark = SlurmWarehouse.lastTimestamp(spark, dir)
+
+    val stats = SlurmWarehouse.compact(spark, dir, minFiles = 2)
+    assert(stats.nonEmpty, "at least one day should compact")
+    val after = dayFiles()
+    // every compacted day reached its target count; untouched days kept
+    // their files; nothing vanished
+    stats.foreach { st =>
+      assert(after(st.partition) == st.filesAfter, st.toString)
+      assert(st.filesAfter < st.filesBefore, st.toString)
+      assert(st.filesAfter == 1, s"tiny partitions pack to one file: $st")
+    }
+    assert(after.keySet == before.keySet)
+    // results byte-identical: rows, rollup aggregates, bookmark
+    assert(SlurmWarehouse.read(spark, dir).count() == preRows)
+    val postEff = SlurmViews.eff(SlurmWarehouse.read(spark, dir))
+      .agg(sum(col("Elapsed")), sum(col("NCPUS")), count(lit(1))).collect()(0)
+    assert(postEff == preEff)
+    assert(SlurmWarehouse.lastTimestamp(spark, dir) == preBookmark)
+    // within-file sort restored: each compacted file is (User, Start)
+    // nondecreasing — the min/max pruning contract
+    val perFile = SlurmWarehouse.read(spark, dir)
+      .withColumn("_f", input_file_name())
+      .select(col("_f"), col("User"), col("Start"))
+      .collect().groupBy(_.getString(0))
+    perFile.values.foreach { rows =>
+      val keys = rows.map(r => (Option(r.getString(1)).getOrElse(""),
+        if (r.isNullAt(2)) Long.MinValue else r.getLong(2)))
+      // rows within a parquet file come back in row order
+      assert(keys.sameElements(keys.sorted), "file not (User,Start)-sorted")
+    }
+    // idempotent: a second pass finds nothing over minFiles
+    assert(SlurmWarehouse.compact(spark, dir, minFiles = 2).isEmpty)
   }
 
   test("bucketed warehouse: job-key rollup and join plan with NO exchange") {
