@@ -216,6 +216,21 @@ object Multimodal {
       aggregate(codes, lit(0L), (a, x) => a + x), blocks)
   }
 
+  /** Add the 32-block fingerprint of `frameStr` as column `fp`,
+    * STAGED through named projections so the codes array is computed
+    * once, not once per block-bound reference (CollapseProject keeps
+    * the staging because the alias is non-cheap and multi-referenced
+    * — the SURVEY §8.3 inlining wall). Shared by the batch
+    * [[keyFrames]] and the streaming twin — a map-only column
+    * transform, so it runs on a stream unchanged. */
+  def withFrameFingerprint(df: DataFrame, frameStr: Column): DataFrame =
+    df.withColumn("_codes", payloadCodes(frameStr))
+      .withColumn("_n", size(col("_codes")).cast("long"))
+      .withColumn("_s", aggregate(col("_codes"), lit(0L), (a, x) => a + x))
+      .withColumn("fp",
+        blockHashFromStats(col("_codes"), col("_n"), col("_s"), blocks = 32))
+      .drop("_codes", "_n", "_s")
+
   /** Perceptual near-dup pairs over payloads: [[blockHash]]
     * fingerprints → the SAME 4×8-bit banded blocking + hamming verify
     * the simhash path uses ([[Dedup.fingerprintPairs]]) — shifted or
@@ -265,12 +280,9 @@ object Multimodal {
       .where(length(col("_b")) > 0)
       .select(col("doc_id"), col("_b"),
         explode(sequence(lit(0L), nFrames - 1)).as("frame_idx"))
-      .select(col("doc_id"), col("frame_idx"), payloadCodes(frameStr).as("_codes"))
-      .select(col("doc_id"), col("frame_idx"), col("_codes"),
-        size(col("_codes")).cast("long").as("_n"),
-        aggregate(col("_codes"), lit(0L), (a, x) => a + x).as("_s"))
-      .select(col("doc_id"), col("frame_idx"),
-        blockHashFromStats(col("_codes"), col("_n"), col("_s"), blocks = 32).as("fp"))
+      .select(col("doc_id"), col("frame_idx"), frameStr.as("_frame"))
+      .transform(withFrameFingerprint(_, col("_frame")))
+      .select(col("doc_id"), col("frame_idx"), col("fp"))
       .withColumn("hamming",
         when(lag(col("fp"), 1).over(w).isNull, lit(-1L))
           .otherwise(bit_count(col("fp").bitwiseXOR(lag(col("fp"), 1).over(w)))

@@ -443,4 +443,84 @@ object EventStream {
                  id: org.apache.spark.sql.Column,
                  blockedDomains: Seq[String]): DataFrame =
     graft.operators.Web.curateUrls(stream, url, id, blockedDomains)
+
+  case class FrameFp(doc_id: Long, frame_idx: Long, fp: Long)
+  case class KfState(lastIdx: Long, lastFp: Long)
+  case class KfOut(doc_id: Long, frame_idx: Long, fp: Long,
+                   hamming: Long, keyframe: Boolean)
+
+  /** Streaming keyframe selection — d87's streaming twin: frames
+    * arrive incrementally per doc (the live-video shape), each is
+    * fingerprinted MAP-ONLY with the batch operator's exact staged
+    * blockhash columns ([[graft.operators.Multimodal
+    * .withFrameFingerprint]] — stateless, stream-safe unchanged), and
+    * the batch form's doc-keyed lag window becomes
+    * `flatMapGroupsWithState` whose state is ONE (lastIdx, lastFp)
+    * pair per live doc — O(1), continued across micro-batches, so a
+    * doc whose frames span many batches still compares each frame to
+    * its true predecessor. Frames inside a micro-batch slice process
+    * in frame_idx order (the batch form's ordering).
+    * `frames` needs (doc_id, frame_idx, frame: string). Spec pins
+    * single-batch and split-batch output equal to the batch
+    * [[graft.operators.Multimodal.keyFrames]]. */
+  def keyFramesStreaming(spark: SparkSession, frames: DataFrame,
+                         maxStaticHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    val fps = graft.operators.Multimodal
+      .withFrameFingerprint(frames.select(
+        col("doc_id").cast("long"), col("frame_idx").cast("long"),
+        col("frame")), col("frame"))
+      .select(col("doc_id"), col("frame_idx"), col("fp")).as[FrameFp]
+    fps.groupByKey(_.doc_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (id: Long, rows: Iterator[FrameFp], state: GroupState[KfState]) => {
+          var st = state.getOption.orNull
+          val out = rows.toSeq.sortBy(_.frame_idx).map { f =>
+            val hamming =
+              if (st == null) -1L
+              else java.lang.Long.bitCount(f.fp ^ st.lastFp).toLong
+            st = KfState(f.frame_idx, f.fp)
+            KfOut(id, f.frame_idx, f.fp, hamming,
+              hamming == -1L || hamming > maxStaticHamming)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+        })
+      .toDF()
+  }
+
+  /** Streaming bitext candidate generation — the d83 LSH path's
+    * streaming twin (the d46-decontaminate shape for mining): each
+    * arriving A-side embedding gets its multi-probe hyperplane
+    * buckets MAP-ONLY ([[graft.operators.Similarity
+    * .hyperplaneBucket]] is stateless column arithmetic) and
+    * stream-static joins against the PRE-BUCKETED static B side; the
+    * cosine is computed per matched pair, also map-only. No stream
+    * state beyond the micro-batch. Probe multiplicity is retained —
+    * a pair sharing p probes emits p rows (the batch path's distinct
+    * + margin/mutual-argmax stages need corpus-global windows, which
+    * is the batch backfill's job; the stream's job is surfacing
+    * candidates AT INGEST). Spec pins the streamed candidate set ⊇
+    * the batch miner's mined pairs on planted translations. */
+  def bitextCandidates(stream: DataFrame, corpus: DataFrame,
+                       dim: Int = 64, numPlanes: Int = 8,
+                       minCos: Double = 0.0): DataFrame = {
+    import graft.operators.Similarity.{dot, hyperplaneBucket, norm, toDouble}
+    val b = corpus.select(col("vec_id").as("b_id"),
+        toDouble(col("embedding")).as("bv"))
+      .withColumn("bn", norm(col("bv")))
+      .withColumn("bucket", hyperplaneBucket(col("bv"), dim, numPlanes))
+    val a = stream.select(col("vec_id").as("a_id"),
+        toDouble(col("embedding")).as("av"))
+      .withColumn("an", norm(col("av")))
+      .withColumn("b0", hyperplaneBucket(col("av"), dim, numPlanes))
+      .withColumn("bucket", explode(array(
+        (col("b0") +: (0 until numPlanes).map(j =>
+          col("b0").bitwiseXOR(lit(1L << j)))): _*)))
+    a.join(b, Seq("bucket"))
+      .withColumn("cos", dot(col("av"), col("bv")) / (col("an") * col("bn")))
+      .filter(col("cos") >= minCos)
+      .select(col("a_id"), col("b_id"), col("cos"))
+  }
 }

@@ -661,4 +661,85 @@ class StreamingSpec extends AnyFunSuite {
     assert(!d2.getAs[Boolean]("kept") && !d2.getAs[Boolean]("url_kept")
       && !d2.getAs[Boolean]("html_kept"))
   }
+
+  test("streaming keyframes match batch keyFrames; lag state persists across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the d87 payload shape: a planted 3x-repeated leading block so
+    // the collapse branch fires, then the raw doc text
+    val payloads = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 30)
+      .select(col("doc_id"),
+        concat(repeat(substring(col("text"), 1, 256), 3), col("text"))
+          .cast("binary").as("payload"))
+    val want = graft.operators.Multimodal.keyFrames(payloads)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    // frames as the stream sees them: one (doc_id, frame_idx, frame)
+    // row per frame, sliced exactly like the batch operator slices
+    val nFrames = ceil(length(col("_b")).cast("double") / 256).cast("long")
+    val frames = payloads.select(col("doc_id"), col("payload").as("_b"))
+      .where(length(col("_b")) > 0)
+      .select(col("doc_id"), col("_b"),
+        explode(sequence(lit(0L), nFrames - 1)).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        col("_b").substr((col("frame_idx") * 256 + 1).cast("int"), lit(256))
+          .cast("string").as("frame"))
+      .as[(Long, Long, String)].collect().toSeq
+    // split mid-doc: early frames in batch 1, the rest in batch 2 —
+    // the cross-batch lag carry is what the state exists for
+    val (b1, b2) = frames.partition(_._2 < 2)
+    val stream = MemoryStream[(Long, Long, String)]
+    val q = graft.streaming.EventStream.keyFramesStreaming(spark,
+        stream.toDF().toDF("doc_id", "frame_idx", "frame"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("kf_out").start()
+    stream.addData(b1)
+    q.processAllAvailable()
+    stream.addData(b2)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("kf_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(got == want, s"stream/batch diverge: ${
+      got.keySet.union(want.keySet).filter(k => got.get(k) != want.get(k)).take(5)}")
+    // the planted repeat actually collapsed (non-key frames exist) and
+    // batch-2 frames compared against batch-1 predecessors (hamming != -1)
+    assert(got.values.exists(!_._3))
+    assert(b2.map(f => (f._1, f._2)).exists(k => got(k)._2 >= 0))
+  }
+
+  test("streaming bitext candidates cover every batch-mined planted pair") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    def vec() = Seq.fill(64)(rnd.nextGaussian())
+    def mix(v: Seq[Double], w: Seq[Double], eps: Double) =
+      v.zip(w).map { case (x, y) => (1 - eps) * x + eps * y }
+    val as = (0 until 30).map(i => (i.toLong * 2, vec()))
+    val bs = as.map { case (id, v) => (id + 1, mix(v, vec(), 0.02)) } ++
+      (0 until 30).map(i => (1000L + i * 2 + 1, vec()))
+    val aDf = as.toDF("vec_id", "embedding")
+    val bDf = bs.toDF("vec_id", "embedding")
+    val mined = graft.operators.Similarity
+      .bitextMineLsh(aDf, bDf, k = 4, minMargin = 1.02)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mined.nonEmpty)
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.EventStream.bitextCandidates(
+        stream.toDF().toDF("vec_id", "embedding"), bDf, minCos = 0.5)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bitext_out").start()
+    stream.addData(as)
+    q.processAllAvailable()
+    q.stop()
+    val cands = spark.table("bitext_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every pair the batch miner would keep surfaced at ingest time
+    assert((mined -- cands).isEmpty, s"missed: ${mined -- cands}")
+    // and the cos gate actually pruned the noise fan-in
+    assert(cands.size < as.size.toLong * bs.size)
+  }
 }
