@@ -211,6 +211,41 @@ object TextOps {
       floor(coalesce(sum(nTokens).over(w), lit(0L)) / budget))
   }
 
+  /** [[packBudget]] with the per-stream window decomposed into a
+    * two-phase distributed prefix sum — IDENTICAL assignments
+    * (spec-pinned, including ties and empty slices), but no one-task-
+    * per-stream wall: `packBudget`'s window puts each stream's ENTIRE
+    * row set through one task, so a corpus where 90% of docs share one
+    * stream serializes behind a single sorter at 100 TB. Here rows
+    * range-partition on (stream, id) — a dominant stream spans many
+    * contiguous partitions — then phase 1 aggregates one token total
+    * per (stream, partition) (a ≤`slices`-row table; its per-stream
+    * cumulative window is KB-sized), and phase 2 adds the broadcast
+    * offset to each partition's LOCAL prefix sum, whose window is
+    * bounded by the range partitioner's split, never the stream.
+    * Both phases read ONE exchange (the range shuffle is reused). */
+  def packBudgetScalable(df: DataFrame, stream: Column, id: Column,
+                         nTokens: Column, budget: Long,
+                         slices: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val staged = df.withColumn("_stream", stream).withColumn("_id", id)
+      .withColumn("_nt", nTokens.cast("long"))
+      .repartitionByRange(slices, col("_stream"), col("_id"))
+      .withColumn("_pid", spark_partition_id())
+    val wOff = Window.partitionBy(col("_stream")).orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = staged.groupBy(col("_stream"), col("_pid"))
+      .agg(sum(col("_nt")).as("_slice_tokens"))
+      .withColumn("_offset", coalesce(sum(col("_slice_tokens")).over(wOff), lit(0L)))
+      .select(col("_stream"), col("_pid"), col("_offset"))
+    val wLoc = Window.partitionBy(col("_stream"), col("_pid")).orderBy(col("_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    staged.join(broadcast(offsets), Seq("_stream", "_pid"))
+      .withColumn("pack_id", floor(
+        (col("_offset") + coalesce(sum(col("_nt")).over(wLoc), lit(0L))) / budget))
+      .drop("_stream", "_id", "_nt", "_pid", "_offset")
+  }
+
   /** Benchmark decontamination: count, per corpus document, the
     * distinct n-grams it shares with a benchmark snippet set — the
     * standard "did an eval question leak into the training set" check.

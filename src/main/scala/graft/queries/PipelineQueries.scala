@@ -249,7 +249,10 @@ object PipelineQueries {
     "d19_doc_pack" -> ((s, dir) => {
       val t = docs(s, dir).select(col("doc_id"), col("source"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
-      TextOps.packBudget(t, col("source"), col("doc_id"),
+      // the scalable two-phase form: identical assignments to
+      // packBudget (spec-pinned), no one-task-per-stream window — the
+      // gate exercises the plan a dominant-stream 100 TB corpus needs
+      TextOps.packBudgetScalable(t, col("source"), col("doc_id"),
         col("n_tokens"), budget = 2048L)
         .orderBy("doc_id")
     }),

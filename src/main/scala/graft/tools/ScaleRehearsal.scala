@@ -19,6 +19,11 @@ object ScaleRehearsal {
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
     val spark = Tables.session("scale-rehearsal",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    if (args.lift(2).contains("capstones")) {
+      Capstones.run(spark, dir, factor)
+      spark.stop()
+      return
+    }
     val base = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
     // replica shift derived from the real id range (one scalar collect

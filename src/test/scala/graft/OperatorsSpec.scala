@@ -609,6 +609,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(6L) == 0L) // separate stream restarts at 0
   }
 
+  test("packBudgetScalable: identical assignments to packBudget, dominant stream included") {
+    import spark.implicits._
+    // 90% of docs in ONE stream (the wall case for the window form),
+    // uneven token sizes, a tiny tail stream, and more rows than
+    // slices so every range partition is non-trivial
+    val docs = (1L to 2000L).map(i =>
+      (i, if (i % 10 == 0) s"s${i % 3}" else "hot", 1L + i % 37)).toDF(
+      "doc_id", "source", "n_tokens")
+    val slow = TextOps.packBudget(docs, col("source"), col("doc_id"),
+        col("n_tokens"), budget = 256L)
+      .select("doc_id", "pack_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (slices <- Seq(1, 7, 32)) {
+      val fast = TextOps.packBudgetScalable(docs, col("source"),
+          col("doc_id"), col("n_tokens"), budget = 256L, slices = slices)
+        .select("doc_id", "pack_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast == slow, s"slices=$slices diverged: ${
+        slow.keySet.filter(k => slow(k) != fast(k)).take(5).map(k =>
+          (k, slow(k), fast(k)))}")
+    }
+    // and the plan has NO per-stream unpartitioned-by-slice window: every
+    // corpus-sized window is keyed by (stream, partition)
+    val plan = TextOps.packBudgetScalable(docs, col("source"), col("doc_id"),
+      col("n_tokens"), budget = 256L).queryExecution.optimizedPlan.toString
+    assert(plan.contains("_pid"), plan.take(500))
+  }
+
   test("pii scrub redacts emails before digit runs, leaves short numbers") {
     val df = Seq((1L, "mail me at john.doe99@corp.example.org or call 5551234567 ext 42"))
       .toDF("doc_id", "text")
