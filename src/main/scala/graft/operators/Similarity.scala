@@ -226,18 +226,93 @@ object Similarity {
     bits.reduce(_ bitwiseOR _)
   }
 
-  /** Spherical k-means (Lloyd) centroids, seeded with the nCells
-    * lowest-vec_id vectors, `iters` assign/recompute rounds. Centroid
-    * state lives on the driver (nCells × dim doubles — KB, not data
-    * scale); each round is one map-only literal-argmax assignment plus
-    * one (cell, dim) hash aggregate. Centroids are rounded to 1e-9 so
-    * float summation order can't flip downstream assignments. */
+  /** splitmix64-style integer mix — the deterministic "random" the
+    * k-means++ seeder races on. */
+  private def mix64(a: Long, b: Long): Long = {
+    var x = a * 0x9E3779B97F4A7C15L + b
+    x ^= (x >>> 32); x *= 0xBF58476D1CE4E5B9L; x ^= (x >>> 29)
+    x
+  }
+  private def unit(a: Long, b: Long): Double =
+    ((mix64(a, b) >>> 11).toDouble + 0.5) / (1L << 53).toDouble
+
+  /** Deterministic k-means++ seeding (Arthur–Vassilvitskii) over a
+    * bounded hash-sample: seeding quality decides cell balance, and
+    * the old lowest-vec_id seed degrades badly when ingest order
+    * correlates with content (adversarial id orderings put all k
+    * seeds in one region). The D²-weighted draw is derandomized with
+    * the Gumbel-max trick — priority = log D²(x) + Gumbel(u(x, r))
+    * with u a splitmix64 hash of (vec_id, round), so the argmax IS a
+    * faithful D²-proportional sample yet bit-reproducible and
+    * repartition-invariant. Runs driver-side over ≤4096 vectors
+    * chosen by a deterministic hash order (one TakeOrdered scan; MB
+    * of driver state, the kmeansCentroids bound), distances =
+    * 1 − cos (spherical) or squared L2 (PQ subspaces). */
+  private[operators] def kmeansPlusPlusSeeds(vecs: DataFrame, nCells: Int,
+                                             euclidean: Boolean): Array[Array[Double]] = {
+    val pts = vecs.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(4096).select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    require(pts.nonEmpty, "k-means++ seeding needs a non-empty corpus")
+    def dist2(a: Array[Double], b: Array[Double]): Double =
+      if (euclidean) {
+        var s = 0.0; var i = 0
+        while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+        s
+      } else {
+        var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        val cos = if (na == 0 || nb == 0) 0.0 else dp / math.sqrt(na * nb)
+        val d = 1.0 - cos
+        d * d
+      }
+    val seeds = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    // first seed: a uniform hash-race (round 0 has no D² yet)
+    seeds += pts.minBy { case (id, _) => (unit(id, 0L), id) }._2
+    val d2 = pts.map { case (_, v) => dist2(v, seeds.head) }
+    var r = 1L
+    while (seeds.length < math.min(nCells, pts.length)) {
+      var bestI = -1; var bestP = Double.NegativeInfinity
+      var i = 0
+      while (i < pts.length) {
+        if (d2(i) > 0) {
+          val u = unit(pts(i)._1, r)
+          val p = math.log(d2(i)) + -math.log(-math.log(u))
+          if (p > bestP) { bestP = p; bestI = i }
+        }
+        i += 1
+      }
+      if (bestI < 0) {
+        // all remaining points coincide with a seed: pad by id order
+        val left = pts.filterNot(p => seeds.exists(_.sameElements(p._2)))
+        left.take(nCells - seeds.length).foreach(seeds += _._2)
+      } else {
+        seeds += pts(bestI)._2
+        var j = 0
+        while (j < pts.length) {
+          d2(j) = math.min(d2(j), dist2(pts(j)._2, seeds.last)); j += 1
+        }
+      }
+      r += 1
+    }
+    // an all-duplicates corpus can't fill nCells distinct seeds: repeat
+    // the first so downstream argmax stays well-defined (ties → cell 0)
+    while (seeds.length < nCells) seeds += seeds.head
+    seeds.toArray
+  }
+
+  /** Spherical k-means (Lloyd) centroids, k-means++-seeded
+    * ([[kmeansPlusPlusSeeds]]), `iters` assign/recompute rounds.
+    * Centroid state lives on the driver (nCells × dim doubles — KB,
+    * not data scale); each round is one map-only literal-argmax
+    * assignment plus one (cell, dim) hash aggregate. Centroids are
+    * rounded to 1e-9 so float summation order can't flip downstream
+    * assignments. */
   private[operators] def kmeansCentroids(emb: DataFrame, nCells: Int,
                                          iters: Int,
                                          euclidean: Boolean = false): Array[Array[Double]] = {
     val vecs = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    var cents: Array[Array[Double]] = vecs.orderBy(col("vec_id")).limit(nCells)
-      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    var cents: Array[Array[Double]] = kmeansPlusPlusSeeds(vecs, nCells, euclidean)
     for (_ <- 0 until iters) {
       val assign = if (euclidean) pqAssign(col("v"), cents)
                    else assignCell(col("v"), cents)
@@ -311,10 +386,12 @@ object Similarity {
     * semantic dedup blocking). Centroid state is KB-sized on the
     * driver; every round is one map-only literal-argmax pass + one
     * (cell, dim) hash aggregate over the corpus — the 100 TB shape
-    * (no per-pair work, no windows). Deterministic: seeded by the k
-    * lowest-id vectors, centroids rounded 1e-9 (ClusteringSpec pins
-    * repartition-invariance and that label purity beats the
-    * no-training seed assignment). */
+    * (no per-pair work, no windows). Deterministic: k-means++ seeded
+    * via the Gumbel-hash race ([[kmeansPlusPlusSeeds]]), centroids
+    * rounded 1e-9 (ClusteringSpec pins repartition-invariance, that
+    * label purity beats the no-training seed assignment, and that ++
+    * seeding beats the old lowest-id seeds on an adversarial id
+    * ordering). */
   def clusterAssignments(emb: DataFrame, k: Int = 8,
                          iters: Int = 5): DataFrame = {
     val cents = kmeansCentroids(emb, k, iters)
