@@ -366,6 +366,102 @@ object Multimodal {
         }
       }(enc)
   }
+
+  /** Samples with |s| below this are "silence" for trim purposes —
+    * far under [[AudioSim]]'s minimum tone amplitude (500) and far
+    * over its exact-zero silence, so the boundary is unambiguous in
+    * both engines. */
+  val SILENCE_THRESH = 100
+
+  val audioStatsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("status", StringType),
+    StructField("n_samples", LongType),
+    StructField("lead_silence", LongType),
+    StructField("trail_silence", LongType),
+    StructField("sum_abs", LongType),
+    StructField("peak", IntegerType),
+    StructField("n_bytes", LongType)))
+
+  /** RIFF/WAVE s16le mono PCM parser — the audio twin of
+    * [[decodePpm]]/[[decodeBmp]]: walks the chunk list (not fixed
+    * offsets — a real WAV may carry LIST/fact chunks before data),
+    * requires PCM format 1, 16-bit, and a data chunk fully present in
+    * the buffer (a declared-size past the available bytes is the
+    * truncation signal → None → quarantine). Returns
+    * (nSamples, leadSilence, trailSilence, sumAbs, peak). */
+  private[graft] def decodeWav(b: Array[Byte]): Option[Array[Long]] = {
+    def u16(i: Int): Int = (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+    def u32(i: Int): Long = (u16(i).toLong) | (u16(i + 2).toLong << 16)
+    def tag(i: Int, s: String): Boolean =
+      i + 4 <= b.length && s.indices.forall(j => b(i + j) == s.charAt(j))
+    if (b.length < 12 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var i = 12
+    var fmtOk = false
+    var dataAt = -1; var dataLen = -1L
+    while (i + 8 <= b.length && dataAt < 0) {
+      val sz = u32(i + 4)
+      // a declared chunk size past the buffer is either corruption or
+      // truncation; for non-data chunks it would also overflow the
+      // Int stride below
+      if (sz > b.length) return None
+      if (tag(i, "fmt ")) {
+        if (sz < 16 || i + 8 + 16 > b.length) return None
+        // PCM (1), mono, 16-bit — anything else needs a codec lib
+        fmtOk = u16(i + 8) == 1 && u16(i + 10) == 1 && u16(i + 22) == 16
+      } else if (tag(i, "data")) { dataAt = i + 8; dataLen = sz }
+      i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+    if (!fmtOk || dataAt < 0 || dataLen < 0 || dataLen % 2 != 0 ||
+      dataAt + dataLen > b.length) return None
+    val n = (dataLen / 2).toInt
+    var sumAbs = 0L; var peak = 0
+    var lead = 0; var leadDone = false
+    var trail = 0
+    var j = 0
+    while (j < n) {
+      val s = u16(dataAt + 2 * j).toShort.toInt
+      val a = math.abs(s)
+      sumAbs += a
+      if (a > peak) peak = a
+      if (a < SILENCE_THRESH && !leadDone) lead += 1
+      else leadDone = true
+      if (a < SILENCE_THRESH) trail += 1 else trail = 0
+      j += 1
+    }
+    // all-silent buffer: everything is lead, nothing is trail
+    if (!leadDone) trail = 0
+    Some(Array(n.toLong, lead.toLong, trail.toLong, sumAbs, peak.toLong))
+  }
+
+  /** Batched WAV decode → per-clip stats with quarantine — the d93
+    * gate: same mapPartitions batch contract as [[decodeStats]]
+    * (map-only, one decoder call per [[BATCH_SIZE]] payloads, scan
+    * partitioning preserved), emitting sample count, leading/trailing
+    * silence runs (the trim decision), exact integer Σ|sample| and
+    * peak. Unparseable payloads (bad magic, truncated data chunk,
+    * non-PCM fmt) become `status='quarantined'` rows with NULL stats
+    * and their byte count — nothing dropped, everything auditable. */
+  def audioStats(spark: SparkSession, withPayloads: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(audioStatsSchema)
+    withPayloads.select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.grouped(BATCH_SIZE).flatMap { chunk =>
+          val payloads = chunk.map(_.getAs[Array[Byte]]("payload")).toArray
+          val feats = payloads.map(decodeWav)
+          chunk.iterator.zipWithIndex.map { case (r, i) =>
+            val id = r.getAs[Long]("doc_id")
+            val nb = payloads(i).length.toLong
+            feats(i) match {
+              case Some(f) =>
+                Row(id, "ok", f(0), f(1), f(2), f(3), f(4).toInt, nb)
+              case None =>
+                Row(id, "quarantined", null, null, null, null, null, nb)
+            }
+          }
+        }
+      }(enc)
+  }
 }
 
 /** Deterministic in-plan image synthesizer for the d89 gate: every
@@ -439,5 +535,69 @@ object ImageSim {
     damaged.select(col("doc_id"), col("payload"),
       col("w"), col("h"), col("hA"), col("hB"),
       col("rA"), col("gA"), col("bA"), col("rB"), col("gB"), col("bB"))
+  }
+}
+
+/** Deterministic in-plan WAV synthesizer for the d93 gate — the audio
+  * twin of [[ImageSim]]: every doc becomes a REAL RIFF/WAVE file
+  * (44-byte canonical header + s16le mono PCM, built byte-exact with
+  * hex/unhex Column expressions) holding leading silence, an
+  * alternating ±A square tone, and trailing silence with closed-form
+  * lengths/amplitude a SQL oracle replays arithmetically. doc_id % 9
+  * ∈ {0, 4} payloads are damaged (data chunk cut short by 6 bytes /
+  * RIFF magic overwritten) to exercise the quarantine path. */
+object AudioSim {
+
+  private def hb(c: Column): Column = lpad(hex(c % 256), 2, "0")
+  private def le16(x: Column): Column = concat(hb(x), hb(x / 256))
+  private def le32(x: Column): Column = concat(
+    hb(x), hb(x / 256), hb(x / 65536), hb(x / 16777216))
+  private def tagHex(s: String): Column =
+    lit(s.getBytes("US-ASCII").map(b => f"$b%02X").mkString)
+
+  /** doc_id → (payload, plus the closed-form ground-truth columns the
+    * spec asserts against; the gate only ships doc_id+payload). */
+  def payloads(docs: DataFrame): DataFrame = {
+    val k = col("doc_id")
+    val base = docs.select(
+      k.as("doc_id"),
+      (lit(2) + k % 5).cast("int").as("z1"),            // 2..6 lead zeros
+      (lit(4) + k % 7).cast("int").as("n"),             // 4..10 tone samples
+      (lit(1) + (k * 3) % 4).cast("int").as("z2"),      // 1..4 trail zeros
+      (lit(500) + (k * 37) % 2000).cast("int").as("amp")) // 500..2499
+      .withColumn("_nsamp", col("z1") + col("n") + col("z2"))
+      .withColumn("_dbytes", col("_nsamp") * 2)
+    // tone = ⌊n/2⌋ (+A, −A) pairs, plus one +A if n is odd; −A s16le
+    // is the two's-complement 65536 − A
+    val mid = base
+      .withColumn("_pairHex", concat(le16(col("amp")), le16(lit(65536) - col("amp"))))
+      .withColumn("_oddHex", le16(col("amp")))
+      .withColumn("_nPairs", (col("n") / 2).cast("int"))
+      .withColumn("_toneHex", expr(
+        "concat(repeat(_pairHex, _nPairs), if(n % 2 = 1, _oddHex, ''))"))
+      .withColumn("_pcmHex", expr(
+        "concat(repeat('0000', z1), _toneHex, repeat('0000', z2))"))
+    val headerHex = concat(
+      tagHex("RIFF"), le32(lit(36) + col("_dbytes")), tagHex("WAVE"),
+      tagHex("fmt "), le32(lit(16)),
+      le16(lit(1)), le16(lit(1)),            // PCM, mono
+      le32(lit(8000)), le32(lit(16000)),     // rate, byte rate
+      le16(lit(2)), le16(lit(16)),           // block align, bits
+      tagHex("data"), le32(col("_dbytes")))
+    val built = mid.withColumn("_payload0",
+      unhex(concat(headerHex, col("_pcmHex"))))
+    // damage pass: %9==0 → data chunk cut 6 bytes short (declared
+    // size outruns the buffer — the truncation signal a chunk walker
+    // must catch); %9==4 → RIFF magic stomped
+    val damaged = built.withColumn("payload",
+      when(col("doc_id") % 9 === 0,
+        col("_payload0").substr(lit(1),
+          (length(col("_payload0")) - 6).cast("int")))
+      .when(col("doc_id") % 9 === 4,
+        concat(unhex(lit("5858")),
+          col("_payload0").substr(lit(3), length(col("_payload0")).cast("int"))))
+      .otherwise(col("_payload0")))
+    damaged.select(col("doc_id"), col("payload"),
+      col("z1"), col("n"), col("z2"), col("amp"))
   }
 }

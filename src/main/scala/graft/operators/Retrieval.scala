@@ -117,4 +117,45 @@ object Retrieval {
       .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
         col("t.id").as("doc_id"), col("t.score").cast("long").as("score"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09) — the standard
+    * hybrid-retrieval combiner: each input ranking contributes
+    * `1/(c + rank)` per (query, doc) and the fused list re-ranks by
+    * the sum. Rank-space fusion is what makes lexical + dense hybrid
+    * retrieval work without score calibration: BM25's scaled-integer
+    * scores and cosine's [-1, 1] never meet — only their RANKS do, so
+    * ANY candidate generator plugs in unchanged (brute-force cosine
+    * here; the IVF / LSH / PQ paths at scale).
+    *
+    * Cross-engine exactness: the contribution is the INTEGER quotient
+    * `10⁹ div (c + rank)` summed as longs — order-independent under
+    * shuffle, and bit-identical in any engine with integer division
+    * (a float 1/(c+r) sum would be addition-order-dependent). With
+    * c = 60 and rank ≥ 1 each term is ≤ 16 393 442; a doc appearing in
+    * every list of a thousand-way fusion stays far below 2⁶³.
+    *
+    * Scale shape: inputs are top-k lists — #queries · k rows, tiny
+    * relative to the corpus that produced them — so the fusion itself
+    * is one partial-agg shuffle keyed by (q_id, doc_id) plus the
+    * O(k)-state [[graft.functions.TopKByScore]] heap per query. No
+    * corpus scan, no window sort. Ties break toward the smaller
+    * doc_id (the heap's id-ascending tie rule, same as [[bm25TopK]]).
+    *
+    * Inputs must expose (q_id, rank, doc_id); extra columns are
+    * dropped. */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, c: Long = 60L): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranking")
+    val normalized = lists.map(_.select(col("q_id"), col("rank"), col("doc_id")))
+    val contrib = normalized.reduce(_.unionByName(_))
+      .withColumn("contrib", expr(s"1000000000L div (${c}L + rank)"))
+    val fused = contrib
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("rrf_score"))
+    fused.groupBy(col("q_id"))
+      .agg(graft.functions.TopKByScore.column(
+        col("rrf_score").cast("double"), col("doc_id"), lit(k)).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("doc_id"), col("t.score").cast("long").as("rrf_score"))
+  }
 }

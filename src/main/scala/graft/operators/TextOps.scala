@@ -1005,4 +1005,95 @@ object TextOps {
   def scrubPii(text: Column): Column =
     regexp_replace(regexp_replace(text, EMAIL_RE, "<EMAIL>"),
       LONGNUM_RE, "<NUM>")
+
+  /** Encoding-artifact repair — the ftfy-style pass every web-scraped
+    * corpus runs before anything else: UTF-8-read-as-Latin-1 mojibake
+    * ("Ã©" that should be "é"), U+FFFD replacement characters left by
+    * lossy decodes, zero-width characters (ZWSP/ZWNJ/ZWJ/BOM), and
+    * NBSP-for-space. The fix table is LITERAL string pairs — no regex,
+    * so the repair means byte-for-byte the same thing in every engine
+    * (ftfy itself is, at its core, an ordered literal-sequence fixer).
+    *
+    * Every mojibake pair is 2 chars → 1 char, so occurrence counts
+    * fall out of character-length differences — integer columns, no
+    * second scan. All characters involved are BMP code points, where
+    * Spark's and DuckDB's length() agree (UTF-16 code units = code
+    * points). Map-only, codegen'd: scan speed at any corpus size, and
+    * stateless — streaming-safe unchanged (the d76/d80/d81
+    * ingest-gate property). */
+  val MOJIBAKE_PAIRS: Seq[(String, String)] = Seq(
+    "\u00C3\u00A1" -> "\u00E1", // A-tilde + inv-excl  -> a-acute
+    "\u00C3\u00A9" -> "\u00E9", // the same family: e-acute
+    "\u00C3\u00AD" -> "\u00ED", // i-acute
+    "\u00C3\u00B3" -> "\u00F3", // o-acute
+    "\u00C3\u00BA" -> "\u00FA", // u-acute
+    "\u00C3\u00B1" -> "\u00F1", // n-tilde
+    "\u00C3\u00BC" -> "\u00FC", // u-umlaut
+    "\u00C3\u00B6" -> "\u00F6", // o-umlaut
+    "\u00C3\u00A4" -> "\u00E4", // a-umlaut
+    "\u00C2\u00A0" -> " ") // A-circumflex + NBSP -> space (double-encoded NBSP)
+  val ZERO_WIDTH_CHARS: Seq[String] =
+    Seq("\u200B", "\u200C", "\u200D", "\uFEFF") // ZWSP ZWNJ ZWJ BOM
+
+  /** (fixed, n_mojibake, n_replacement, n_zero_width, n_nbsp) as a
+    * struct over a possibly-corrupted text column. NBSP → plain space
+    * is length-preserving, so its count comes from a delete-probe
+    * before the substitution; the other three classes count via
+    * length deltas across the actual fixes. */
+  def fixEncoding(text: Column): Column = {
+    val mojiFixed = MOJIBAKE_PAIRS.foldLeft(text) { case (t, (pat, rep)) =>
+      replace(t, lit(pat), lit(rep))
+    }
+    val nMoji = (length(text) - length(mojiFixed)).cast("long")
+    val nNbsp = (length(mojiFixed) -
+      length(replace(mojiFixed, lit("\u00A0"), lit("")))).cast("long")
+    val nbspFixed = replace(mojiFixed, lit("\u00A0"), lit(" "))
+    val replFixed = replace(nbspFixed, lit("\uFFFD"), lit(""))
+    val nRepl = (length(nbspFixed) - length(replFixed)).cast("long")
+    val zwFixed = ZERO_WIDTH_CHARS.foldLeft(replFixed) { (t, z) =>
+      replace(t, lit(z), lit(""))
+    }
+    val nZw = (length(replFixed) - length(zwFixed)).cast("long")
+    struct(zwFixed.as("fixed"), nMoji.as("n_mojibake"),
+      nRepl.as("n_replacement"), nZw.as("n_zero_width"),
+      nNbsp.as("n_nbsp"))
+  }
+
+  /** Global curriculum ordering — the training-data pipeline's LAST
+    * step: a total order over the corpus by (difficulty bin asc,
+    * deterministic shuffle within bin) so an easy→hard schedule can
+    * stream shards in position order. Same two-phase prefix-sum shape
+    * as [[assignShards]] (d45): rows hash into 10⁶ buckets
+    * ([[Sampling.bucket]] — engine-exact integer hash), buckets fold
+    * into `groups` slices per bin, per-(bin, slice) COUNTS (a
+    * bins·groups-row aggregate) are cumsummed in one KB-sized
+    * unpartitioned window and broadcast back as offsets, and each
+    * slice ranks only its LOCAL rows. `slice = floor(bucket·groups /
+    * 10⁶)` is monotone in the intra-bin hash order, so offset + local
+    * rank == the global row_number over (bin, bucket, doc_id), row
+    * for row — with no corpus-sized window anywhere. */
+  def curriculumOrder(docs: DataFrame, id: Column, bin: Column,
+                      groups: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = 1000000L
+    val base = docs.select(id.as("doc_id"), bin.cast("long").as("bin"),
+        Sampling.bucket(id).as("_b"))
+      // b·groups < 10⁶·groups — exact in double, so floor is the true
+      // integer quotient
+      .withColumn("_g", floor(col("_b") * groups / lit(B.toDouble)))
+    val wg = Window.orderBy("bin", "_g")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("bin", "_g")
+      .agg(count(lit(1)).as("_slice_rows"))
+      // ≤ bins·groups rows: the unpartitioned window runs over a
+      // KB-sized aggregate, not the corpus
+      .withColumn("_offset", coalesce(sum("_slice_rows").over(wg), lit(0L)))
+      .select("bin", "_g", "_offset")
+    val wl = Window.partitionBy("bin", "_g").orderBy(col("_b"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(offsets), Seq("bin", "_g"))
+      .withColumn("pos",
+        col("_offset") + coalesce(sum(lit(1L)).over(wl), lit(0L)))
+      .select(col("doc_id"), col("bin"), col("pos"))
+  }
 }

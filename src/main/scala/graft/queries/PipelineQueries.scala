@@ -1036,6 +1036,72 @@ object PipelineQueries {
       Multimodal.decodeStats(s, ImageSim.payloads(docs(s, dir)))
         .orderBy("doc_id")),
 
+    // hybrid retrieval: BM25 top-10 (lexical) + brute-force cosine
+    // top-10 (dense) fused in RANK space via reciprocal-rank fusion —
+    // score calibration never happens, so any candidate generator
+    // plugs in. Queries = every 97th doc (same set on both sides —
+    // doc_id and vec_id align 1:1 in the testdata)
+    "d90_rrf_fusion" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val e = emb(s, dir)
+      val lex = Retrieval.bm25TopK(d, col("text"), col("doc_id"),
+        d.filter(col("doc_id") % 97 === 0), col("text"), col("doc_id"),
+        k = 10)
+      val dense = Similarity.bruteForceTopK(e,
+          e.filter(col("vec_id") % 97 === 0), k = 10)
+        .select(col("q_id"), col("rank"), col("neighbor_id").as("doc_id"))
+      Retrieval.rrfFuse(Seq(lex, dense), k = 10)
+        .orderBy("q_id", "rank")
+    }),
+
+    // encoding-artifact repair (the ftfy pass): the corpus is
+    // corrupted IN-PLAN with four deterministic damage classes —
+    // latin-1 mojibake (doc_id%3), U+FFFD replacement chars (%5),
+    // NBSP-for-space (%7), zero-width inserts (%11) — then repaired
+    // by the literal-pair fix table; counts fall out of character
+    // length deltas, map-only end to end
+    "d91_mojibake_fix" -> ((s, dir) => {
+      val mj = TextOps.MOJIBAKE_PAIRS
+      val t0 = when(col("doc_id") % 3 === 0,
+        replace(replace(col("text"), lit("a"), lit(mj(0)._1)),
+          lit("e"), lit(mj(1)._1))).otherwise(col("text"))
+      val t1 = when(col("doc_id") % 5 === 0,
+        replace(t0, lit("t"), lit("t\uFFFD"))).otherwise(t0)
+      val t2 = when(col("doc_id") % 7 === 0,
+        replace(t1, lit(" "), lit("\u00A0"))).otherwise(t1)
+      val t3 = when(col("doc_id") % 11 === 0,
+        replace(t2, lit("s"), lit("s\u200B"))).otherwise(t2)
+      docs(s, dir).select(col("doc_id"), TextOps.fixEncoding(t3).as("f"))
+        .select(col("doc_id"), col("f.fixed").as("fixed"),
+          col("f.n_mojibake").as("n_mojibake"),
+          col("f.n_replacement").as("n_replacement"),
+          col("f.n_zero_width").as("n_zero_width"),
+          col("f.n_nbsp").as("n_nbsp"))
+        .withColumn("was_dirty",
+          col("n_mojibake") + col("n_replacement")
+            + col("n_zero_width") + col("n_nbsp") > 0)
+        .orderBy("doc_id")
+    }),
+
+    // audio twin of d89: synthesized REAL RIFF/WAVE s16le clips
+    // (closed-form silence/tone layout), batch-decoded by the real
+    // chunk-walking parser; damaged payloads (%9∈{0,4}: short data
+    // chunk / stomped magic) quarantine with NULL stats
+    "d93_audio_trim" -> ((s, dir) =>
+      Multimodal.audioStats(s, AudioSim.payloads(docs(s, dir)))
+        .orderBy("doc_id")),
+
+    // global curriculum ordering: per-lang difficulty quartiles (d74's
+    // bin rule) then a total (bin asc, hash-shuffle) order via the
+    // two-phase prefix sum — no corpus-sized window (d45's design)
+    "d92_curriculum_order" -> ((s, dir) => {
+      val bins = TextOps.difficultyBins(docs(s, dir),
+        size(TextOps.tokens(col("text"))).cast("long"), col("lang"),
+        col("doc_id"), nBins = 4)
+      TextOps.curriculumOrder(bins, col("doc_id"), col("bin"))
+        .orderBy("doc_id")
+    }),
+
     // per-suite contamination report: two synthetic eval suites
     // (distinct corpus slices and token windows), audited in ONE
     // corpus pass via suite-tagged gram broadcast
@@ -1301,8 +1367,8 @@ object PipelineQueries {
     * the ONE double expression floor(1e6·N·num/den) mirror
     * `Retrieval.probe`'s op order exactly; per-(q,doc) scores sum as
     * integers. */
-  private lazy val bm25OracleSql: String =
-    """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+  private lazy val bm25RankCtes: String =
+    """t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),
       | x AS (SELECT doc_id, len(toks)::BIGINT AS dl, unnest(toks) AS token FROM t),
       | tf AS (SELECT doc_id, dl, token, count(*)::BIGINT AS tf FROM x GROUP BY 1, 2, 3),
       | df AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
@@ -1314,7 +1380,10 @@ object PipelineQueries {
       |  FROM tf JOIN q USING (token) JOIN df USING (token) CROSS JOIN g
       |  WHERE tf.doc_id <> q.q_id GROUP BY 1, 2),
       | r AS (SELECT q_id, doc_id, score,
-      |   row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank FROM sc)
+      |   row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank FROM sc)""".stripMargin.replaceAll("\n", " ")
+
+  private lazy val bm25OracleSql: String =
+    s"""WITH $bm25RankCtes
       | SELECT q_id, rank::BIGINT AS rank, doc_id, score
       | FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin.replaceAll("\n", " ")
 
@@ -2285,6 +2354,91 @@ object PipelineQueries {
         |  (CASE WHEN doc_id % 7 IN (0, 3) THEN NULL ELSE sb END)::BIGINT AS sum_b,
         |  (CASE WHEN doc_id % 7 = 0 THEN full_bytes // 2 ELSE full_bytes END)::BIGINT AS n_bytes
         | FROM r ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // BM25 ranks (shared CTE chain) + d06-style dense cosine ranks,
+    // fused with integer reciprocal-rank contributions: DuckDB's `//`
+    // is the same integer quotient as Spark's `div`
+    "d90_rrf_fusion" ->
+      s"""WITH $bm25RankCtes,
+        | de AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | dq AS (SELECT vec_id AS q_id, v AS qv FROM de WHERE vec_id % 97 = 0),
+        | dscored AS (SELECT q_id, vec_id,
+        |   list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS c
+        |  FROM de CROSS JOIN dq WHERE vec_id != q_id),
+        | dranked AS (SELECT q_id, vec_id, c,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rank FROM dscored),
+        | u AS (SELECT q_id, doc_id, rank FROM r WHERE rank <= 10
+        |  UNION ALL SELECT q_id, vec_id AS doc_id, rank FROM dranked WHERE rank <= 10),
+        | f AS (SELECT q_id, doc_id, sum(1000000000 // (60 + rank))::BIGINT AS rrf_score
+        |  FROM u GROUP BY 1, 2),
+        | fr AS (SELECT q_id, doc_id, rrf_score,
+        |   row_number() OVER (PARTITION BY q_id ORDER BY rrf_score DESC, doc_id) AS fused_rank FROM f)
+        | SELECT q_id, fused_rank::BIGINT AS rank, doc_id, rrf_score
+        | FROM fr WHERE fused_rank <= 10 ORDER BY q_id, rank""".stripMargin.replaceAll("\n", " "),
+
+    // the corruption layers and the literal-pair repair chain replay
+    // from the SAME Scala constants (TextOps.MOJIBAKE_PAIRS /
+    // ZERO_WIDTH_CHARS) — both engines see identical UTF-8 literals,
+    // and every counted character is BMP so length() agrees
+    "d91_mojibake_fix" -> {
+      val mj = TextOps.MOJIBAKE_PAIRS
+      val mojiChain = mj.foldLeft("t3") { case (e, (p, r)) =>
+        s"replace($e, '$p', '$r')" }
+      val zwChain = TextOps.ZERO_WIDTH_CHARS.foldLeft("rf") { (e, z) =>
+        s"replace($e, '$z', '')" }
+      val nbsp = "\u00A0"
+      s"""WITH c AS (SELECT doc_id,
+        |   CASE WHEN doc_id % 3 = 0 THEN replace(replace(text, 'a', '${mj(0)._1}'), 'e', '${mj(1)._1}') ELSE text END AS t0 FROM documents),
+        | c2 AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN replace(t0, 't', 't' || chr(65533)) ELSE t0 END AS t1 FROM c),
+        | c3 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN replace(t1, ' ', '$nbsp') ELSE t1 END AS t2 FROM c2),
+        | c4 AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN replace(t2, 's', 's' || chr(8203)) ELSE t2 END AS t3 FROM c3),
+        | s1 AS (SELECT doc_id, t3, $mojiChain AS mf FROM c4),
+        | s2 AS (SELECT doc_id, length(t3) - length(mf) AS n_mojibake,
+        |   length(mf) - length(replace(mf, '$nbsp', '')) AS n_nbsp,
+        |   replace(mf, '$nbsp', ' ') AS nb FROM s1),
+        | s3 AS (SELECT doc_id, n_mojibake, n_nbsp, nb, replace(nb, chr(65533), '') AS rf FROM s2),
+        | s4 AS (SELECT doc_id, n_mojibake, n_nbsp, length(nb) - length(rf) AS n_replacement,
+        |   rf, $zwChain AS fixed FROM s3)
+        | SELECT doc_id, fixed, n_mojibake::BIGINT AS n_mojibake,
+        |  n_replacement::BIGINT AS n_replacement,
+        |  (length(rf) - length(fixed))::BIGINT AS n_zero_width,
+        |  n_nbsp::BIGINT AS n_nbsp,
+        |  (n_mojibake + n_replacement + (length(rf) - length(fixed)) + n_nbsp) > 0 AS was_dirty
+        | FROM s4 ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+    },
+
+    // closed-form replay of the WAV layout: lead/trail silence runs,
+    // Σ|sample| = n·amp, peak = amp; the two damage classes map to
+    // quarantined rows with the exact surviving byte counts
+    "d93_audio_trim" ->
+      """WITH p AS (SELECT doc_id,
+        |  (2 + doc_id % 5) AS z1, (4 + doc_id % 7) AS n,
+        |  (1 + (doc_id * 3) % 4) AS z2, (500 + (doc_id * 37) % 2000) AS amp
+        |  FROM documents),
+        | r AS (SELECT doc_id, z1 + n + z2 AS ns, z1, z2, n * amp AS sabs, amp,
+        |  44 + 2 * (z1 + n + z2) AS full_bytes FROM p)
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 9 IN (0, 4) THEN 'quarantined' ELSE 'ok' END AS status,
+        |  (CASE WHEN doc_id % 9 IN (0, 4) THEN NULL ELSE ns END)::BIGINT AS n_samples,
+        |  (CASE WHEN doc_id % 9 IN (0, 4) THEN NULL ELSE z1 END)::BIGINT AS lead_silence,
+        |  (CASE WHEN doc_id % 9 IN (0, 4) THEN NULL ELSE z2 END)::BIGINT AS trail_silence,
+        |  (CASE WHEN doc_id % 9 IN (0, 4) THEN NULL ELSE sabs END)::BIGINT AS sum_abs,
+        |  (CASE WHEN doc_id % 9 IN (0, 4) THEN NULL ELSE amp END)::INT AS peak,
+        |  (CASE WHEN doc_id % 9 = 0 THEN full_bytes - 6 ELSE full_bytes END)::BIGINT AS n_bytes
+        | FROM r ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // d74's bin rule + the Knuth-hash shuffle key, then ONE global
+    // row_number replays the distributed two-phase prefix sum
+    "d92_curriculum_order" ->
+      """WITH t AS (SELECT doc_id, lang, len(string_split_regex(lower(text), '\s+'))::DOUBLE AS m FROM documents),
+        | th AS (SELECT lang, round(quantile_cont(m, 0.25), 6) AS b1, round(quantile_cont(m, 0.5), 6) AS b2,
+        |   round(quantile_cont(m, 0.75), 6) AS b3 FROM t GROUP BY lang),
+        | bins AS (SELECT doc_id,
+        |   ((CASE WHEN m > b1 THEN 1 ELSE 0 END) + (CASE WHEN m > b2 THEN 1 ELSE 0 END) + (CASE WHEN m > b3 THEN 1 ELSE 0 END))::BIGINT AS bin
+        |  FROM t JOIN th USING (lang)),
+        | b AS (SELECT doc_id, bin, ((doc_id::HUGEINT * 2654435761) % 4294967296) % 1000000 AS bk FROM bins)
+        | SELECT doc_id, bin, (row_number() OVER (ORDER BY bin, bk, doc_id) - 1)::BIGINT AS pos
+        | FROM b ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     "d88_contam_report" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),

@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{AudioSim, Multimodal, TextOps, Retrieval}
+
+/** The r7 additions: rank-space hybrid fusion (d90), encoding-artifact
+  * repair (d91), global curriculum ordering (d92), and the real WAV
+  * decode with silence-trim stats (d93). */
+class CurationOpsR7Spec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+  import spark.implicits._
+
+  // ---- d90: reciprocal-rank fusion -------------------------------
+
+  test("rrfFuse: hand-computed integer contributions, both-list docs first") {
+    // query 1: lexical ranks docs 10,11,12; dense ranks 11,13
+    val lex = Seq((1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L))
+      .toDF("q_id", "rank", "doc_id")
+    val dense = Seq((1L, 1L, 11L), (1L, 2L, 13L))
+      .toDF("q_id", "rank", "doc_id")
+    val out = Retrieval.rrfFuse(Seq(lex, dense), k = 10)
+      .orderBy("rank").as[(Long, Long, Long, Long)].collect()
+    def c(r: Long) = 1000000000L / (60L + r)
+    // doc 11: lex rank 2 + dense rank 1 — beats doc 10 (lex rank 1
+    // only); doc 13 (dense rank 2, c(2)) outscores doc 12 (lex rank
+    // 3, c(3)) since c is decreasing in rank
+    assert(out.map(_._3).toSeq == Seq(11L, 10L, 13L, 12L))
+    assert(out.head == ((1L, 1L, 11L, c(2) + c(1))))
+    assert(out(1)._4 == c(1))
+    assert(out(2)._4 == c(2) && out(3)._4 == c(3))
+  }
+
+  test("rrfFuse: equal fused scores break toward the smaller doc_id") {
+    val a = Seq((1L, 1L, 20L), (1L, 2L, 30L)).toDF("q_id", "rank", "doc_id")
+    val b = Seq((1L, 2L, 20L), (1L, 1L, 30L)).toDF("q_id", "rank", "doc_id")
+    val out = Retrieval.rrfFuse(Seq(a, b), k = 10)
+      .orderBy("rank").as[(Long, Long, Long, Long)].collect()
+    assert(out.map(_._3).toSeq == Seq(20L, 30L))
+    assert(out(0)._4 == out(1)._4)
+  }
+
+  // ---- d91: encoding repair --------------------------------------
+
+  private def fix(texts: String*) = {
+    texts.toDF("text").select(TextOps.fixEncoding(col("text")).as("f"))
+      .select("f.fixed", "f.n_mojibake", "f.n_replacement",
+        "f.n_zero_width", "f.n_nbsp")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+  }
+
+  test("fixEncoding: each damage class is repaired and counted") {
+    val moji = "caf\u00C3\u00A9 ni\u00C3\u00B1o" // cafe/nino mojibake
+    val Seq((fixed, nm, nr, nz, nn)) = fix(moji)
+    assert(fixed == "caf\u00E9 ni\u00F1o")
+    assert((nm, nr, nz, nn) == ((2L, 0L, 0L, 0L)))
+
+    val mixed = "a\uFFFDb\u00A0c\u200Bd\uFEFF"
+    val Seq((f2, m2, r2, z2, n2)) = fix(mixed)
+    assert(f2 == "ab cd")
+    assert((m2, r2, z2, n2) == ((0L, 1L, 2L, 1L)))
+  }
+
+  test("fixEncoding: clean text is untouched with zero counts (idempotent)") {
+    val clean = "plain ascii text, nothing to fix"
+    val Seq((fixed, nm, nr, nz, nn)) = fix(clean)
+    assert(fixed == clean && nm + nr + nz + nn == 0)
+    // repairing repaired text changes nothing further
+    val Seq((fixed2, m2, r2, z2, n2)) = fix(fixed)
+    assert(fixed2 == fixed && m2 + r2 + z2 + n2 == 0)
+  }
+
+  test("fixEncoding: double-encoded NBSP collapses via the pair table") {
+    // Â+NBSP is the 2-char mojibake of NBSP — one pair fix to a space
+    val Seq((fixed, nm, _, _, nn)) = fix("x\u00C2\u00A0y")
+    assert(fixed == "x y" && nm == 1 && nn == 0)
+  }
+
+  // ---- d92: curriculum order -------------------------------------
+
+  test("curriculumOrder: positions are the exact global row_number over (bin, hash, id)") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = (0L until 500L).map(i => (i, i % 4)).toDF("doc_id", "bin")
+    val out = TextOps.curriculumOrder(docs, col("doc_id"), col("bin"))
+    val ref = docs.select(col("doc_id"), col("bin"),
+      (row_number().over(Window.orderBy(col("bin"),
+        graft.operators.Sampling.bucket(col("doc_id")), col("doc_id")))
+        - 1).cast("long").as("pos"))
+    assert(out.except(ref).count() == 0 && ref.except(out).count() == 0)
+    // and the positions are a permutation of 0..n-1
+    assert(out.agg(min("pos"), max("pos"), countDistinct("pos"))
+      .as[(Long, Long, Long)].head() == ((0L, 499L, 500L)))
+  }
+
+  test("curriculumOrder: repartition-invariant") {
+    val docs = (0L until 300L).map(i => (i, i % 3)).toDF("doc_id", "bin")
+    val a = TextOps.curriculumOrder(docs, col("doc_id"), col("bin"))
+    val b = TextOps.curriculumOrder(docs.repartition(17), col("doc_id"), col("bin"))
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+
+  // ---- d93: WAV decode -------------------------------------------
+
+  private def wav(samples: Seq[Int], extraChunk: Boolean = false): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF) }
+    def w32(v: Int): Unit = { w16(v & 0xFFFF); w16((v >> 16) & 0xFFFF) }
+    def tag(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    val extra = if (extraChunk) 8 + 4 else 0
+    tag("RIFF"); w32(36 + extra + samples.size * 2); tag("WAVE")
+    tag("fmt "); w32(16); w16(1); w16(1); w32(8000); w32(16000); w16(2); w16(16)
+    if (extraChunk) { tag("LIST"); w32(4); tag("INFO") }
+    tag("data"); w32(samples.size * 2)
+    samples.foreach(w16)
+    bos.toByteArray
+  }
+
+  test("decodeWav: round-trips a hand-built clip, LIST chunk skipped") {
+    val samples = Seq(0, 0, 700, -700, 700, 0)
+    val Some(f) = Multimodal.decodeWav(wav(samples, extraChunk = true))
+    assert(f.toSeq == Seq(6L, 2L, 1L, 2100L, 700L))
+  }
+
+  test("decodeWav: all-silent clip is all lead, no trail") {
+    val Some(f) = Multimodal.decodeWav(wav(Seq(0, 1, -1)))
+    assert(f.toSeq == Seq(3L, 3L, 0L, 2L, 1L))
+  }
+
+  test("decodeWav: quarantines truncation, bad magic, and non-PCM fmt") {
+    val good = wav(Seq(0, 500, 0))
+    assert(Multimodal.decodeWav(good).isDefined)
+    assert(Multimodal.decodeWav(good.dropRight(3)).isEmpty)
+    val stomped = good.clone(); stomped(0) = 'X'.toByte
+    assert(Multimodal.decodeWav(stomped).isEmpty)
+    val nonPcm = good.clone(); nonPcm(20) = 3.toByte // fmt code 3 = float
+    assert(Multimodal.decodeWav(nonPcm).isEmpty)
+  }
+
+  test("AudioSim payloads decode to the closed-form ground truth") {
+    val docs = (0L until 60L).toDF("doc_id")
+    val p = AudioSim.payloads(docs)
+    val out = Multimodal.audioStats(spark, p)
+      .orderBy("doc_id").collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val z1 = 2 + id % 5; val n = 4 + id % 7
+      val z2 = 1 + (id * 3) % 4; val amp = 500 + (id * 37) % 2000
+      val full = 44 + 2 * (z1 + n + z2)
+      if (id % 9 == 0 || id % 9 == 4) {
+        assert(r.getString(1) == "quarantined" && r.isNullAt(2))
+        assert(r.getLong(7) == (if (id % 9 == 0) full - 6 else full))
+      } else {
+        assert(r.getString(1) == "ok")
+        assert(r.getLong(2) == z1 + n + z2)
+        assert(r.getLong(3) == z1 && r.getLong(4) == z2)
+        assert(r.getLong(5) == n * amp && r.getInt(6) == amp)
+        assert(r.getLong(7) == full)
+      }
+    }
+  }
+}
