@@ -599,6 +599,51 @@ class PlanQualitySpec extends AnyFunSuite {
       "exact dedup keeper must be a map-side-combinable min")
   }
 
+  test("d90: fusion ranks come from heaps, never a window; query sides broadcast") {
+    val p = plan("d90_rrf_fusion")
+    // both candidate generators (BM25 probe, dense scoring) and the
+    // fused re-rank all rank via the O(k) heap aggregate — a WindowExec
+    // anywhere would sort per-query candidate sets at corpus scale
+    assert(!p.contains("Window"), s"ranking must be heap aggregates, not windows\n$p")
+    assert(p.contains("topk_by_score"), s"heap aggregate missing\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"query sides must broadcast\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("d91: encoding repair is map-only — no shuffle besides the presentation sort") {
+    val p = plan("d91_mojibake_fix")
+    // the fix table is literal replace chains: pure column arithmetic,
+    // scan speed at 100 TB; a hash exchange would mean the corpus
+    // shuffles for a per-row string transform
+    assert(!p.contains("Arguments: hashpartitioning"),
+      s"encoding repair must not hash-shuffle\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"))
+  }
+
+  test("d92: curriculum prefix sum is slice-partitioned; 1 unpartitioned window (offsets)") {
+    val p = plan("d92_curriculum_order")
+    // corpus-sized ranking carries the (bin, _g) partition key; the
+    // only single-partition window is the bins·64-row offsets cumsum
+    assert(p.contains("hashpartitioning(bin"),
+      s"the local rank window must stay (bin, slice)-partitioned\n$p")
+    val unpartitionedWindows = p.linesIterator.count(l =>
+      """windowspecdefinition\([^,)]*\b(ASC|DESC)\b""".r
+        .findFirstIn(l).isDefined)
+    assert(unpartitionedWindows == 1,
+      s"expected exactly 1 unpartitioned window (the KB offsets table), " +
+        s"got $unpartitionedWindows\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("d93: audio decode is map-only — one mapPartitions pass, no shuffle") {
+    val p = plan("d93_audio_trim")
+    assert(!p.contains("Arguments: hashpartitioning"),
+      s"payload synthesis + decode must not shuffle\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"))
+    assert(p.contains("MapPartitions"), s"batched decode pass missing\n$p")
+  }
+
   test("salted join distributes a hot key across n buckets, same result") {
     import spark.implicits._
     val big = (1 to 1000).map(i => ("hot", i.toLong)).toDF("key", "payload")
