@@ -1059,6 +1059,20 @@ object TextOps {
       nNbsp.as("n_nbsp"))
   }
 
+  /** The d91 gate's output shape over [[fixEncoding]]: repaired text,
+    * per-class counts, and the dirty verdict. One projection — the
+    * streaming twin runs it on a stream unchanged. */
+  def repairEncoding(docs: DataFrame, text: Column, id: Column): DataFrame =
+    docs.select(id.as("doc_id"), fixEncoding(text).as("f"))
+      .select(col("doc_id"), col("f.fixed").as("fixed"),
+        col("f.n_mojibake").as("n_mojibake"),
+        col("f.n_replacement").as("n_replacement"),
+        col("f.n_zero_width").as("n_zero_width"),
+        col("f.n_nbsp").as("n_nbsp"))
+      .withColumn("was_dirty",
+        col("n_mojibake") + col("n_replacement")
+          + col("n_zero_width") + col("n_nbsp") > 0)
+
   /** Global curriculum ordering — the training-data pipeline's LAST
     * step: a total order over the corpus by (difficulty bin asc,
     * deterministic shuffle within bin) so an easy→hard schedule can

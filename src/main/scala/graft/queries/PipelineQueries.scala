@@ -1071,15 +1071,7 @@ object PipelineQueries {
         replace(t1, lit(" "), lit("\u00A0"))).otherwise(t1)
       val t3 = when(col("doc_id") % 11 === 0,
         replace(t2, lit("s"), lit("s\u200B"))).otherwise(t2)
-      docs(s, dir).select(col("doc_id"), TextOps.fixEncoding(t3).as("f"))
-        .select(col("doc_id"), col("f.fixed").as("fixed"),
-          col("f.n_mojibake").as("n_mojibake"),
-          col("f.n_replacement").as("n_replacement"),
-          col("f.n_zero_width").as("n_zero_width"),
-          col("f.n_nbsp").as("n_nbsp"))
-        .withColumn("was_dirty",
-          col("n_mojibake") + col("n_replacement")
-            + col("n_zero_width") + col("n_nbsp") > 0)
+      TextOps.repairEncoding(docs(s, dir), t3, col("doc_id"))
         .orderBy("doc_id")
     }),
 

@@ -444,6 +444,25 @@ object EventStream {
                  blockedDomains: Seq[String]): DataFrame =
     graft.operators.Web.curateUrls(stream, url, id, blockedDomains)
 
+  /** Streaming encoding repair — d91's streaming twin: the literal
+    * fix table is pure column arithmetic (map-only, no state store,
+    * no shuffle), so the repair runs on a stream unchanged and
+    * bit-identical to the batch gate (spec-pinned). The natural
+    * ingest point: fix mojibake/ZWSP/NBSP before anything downstream
+    * ever sees the text. */
+  def encodingRepaired(stream: DataFrame, text: org.apache.spark.sql.Column,
+                       id: org.apache.spark.sql.Column): DataFrame =
+    graft.operators.TextOps.repairEncoding(stream, text, id)
+
+  /** Streaming audio decode — d93's streaming twin: the chunk-walking
+    * WAV parser runs per micro-batch through the same batched
+    * mapPartitions contract (stateless, map-only), quarantining
+    * undecodable payloads at the ingest edge instead of letting them
+    * land. Bit-identical to the batch stats (spec-pinned). */
+  def audioDecoded(spark: org.apache.spark.sql.SparkSession,
+                   stream: DataFrame): DataFrame =
+    graft.operators.Multimodal.audioStats(spark, stream)
+
   case class FrameFp(doc_id: Long, frame_idx: Long, fp: Long)
   case class KfState(lastIdx: Long, lastFp: Long)
   case class KfOut(doc_id: Long, frame_idx: Long, fp: Long,

@@ -742,4 +742,50 @@ class StreamingSpec extends AnyFunSuite {
     // and the cos gate actually pruned the noise fan-in
     assert(cands.size < as.size.toLong * bs.size)
   }
+
+  test("streaming encoding repair and audio decode match batch bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // d91 twin: corrupted texts through the literal fix table
+    val texts = Seq(
+      (1L, "caf\u00C3\u00A9 con espa\u00C3\u00B1ol"),
+      (2L, "clean ascii text"),
+      (3L, "bad\uFFFDdecode\u00A0here\u200Bzw\uFEFF"))
+    val ts = MemoryStream[(Long, String)]
+    val q1 = graft.streaming.EventStream.encodingRepaired(
+        ts.toDF().toDF("doc_id", "text"), col("text"), col("doc_id"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("fix_out").start()
+    ts.addData(texts)
+    q1.processAllAvailable()
+    q1.stop()
+    val gotFix = spark.table("fix_out").orderBy("doc_id").collect().map(_.toString)
+    val wantFix = graft.operators.TextOps.repairEncoding(
+        texts.toDF("doc_id", "text"), col("text"), col("doc_id"))
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(gotFix.toSeq == wantFix.toSeq && gotFix.length == 3)
+
+    // d93 twin: synthesized WAV payloads (incl. both damage classes)
+    // through the chunk-walking decoder on a stream
+    val payloadRows = graft.operators.AudioSim
+      .payloads((0L until 20L).toDF("doc_id"))
+      .select("doc_id", "payload").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val ps = MemoryStream[(Long, Array[Byte])]
+    val q2 = graft.streaming.EventStream.audioDecoded(spark,
+        ps.toDF().toDF("doc_id", "payload"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wav_out").start()
+    ps.addData(payloadRows.toSeq)
+    q2.processAllAvailable()
+    q2.stop()
+    val gotWav = spark.table("wav_out").orderBy("doc_id").collect().map(_.toString)
+    val wantWav = graft.operators.Multimodal.audioStats(spark,
+        payloadRows.toSeq.toDF("doc_id", "payload"))
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(gotWav.toSeq == wantWav.toSeq && gotWav.length == 20)
+    // both damage classes quarantined on the stream
+    assert(spark.table("wav_out")
+      .filter(col("status") === "quarantined").count() == 5)
+  }
 }
