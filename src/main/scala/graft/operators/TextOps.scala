@@ -1073,6 +1073,28 @@ object TextOps {
         col("n_mojibake") + col("n_replacement")
           + col("n_zero_width") + col("n_nbsp") > 0)
 
+  /** Unicode compatibility normalization gate — the d94 shape: NFKC
+    * text (via the codegen'd [[graft.functions.NfkcNormalizeExpr]])
+    * plus per-class compatibility-character counts (ligature ﬁ,
+    * fullwidth Ａ, superscript ², ideographic space) probed with
+    * engine-exact length deltas, and the dirty verdict. Map-only and
+    * stateless — scan speed at any corpus size, streaming-safe
+    * unchanged. */
+  def normalizeNfkc(docs: DataFrame, text: Column, id: Column): DataFrame = {
+    def probe(c: Column, ch: String): Column =
+      (length(c) - length(replace(c, lit(ch), lit("")))).cast("long")
+    docs.select(id.as("doc_id"), text.as("_t"))
+      .select(col("doc_id"),
+        graft.functions.NfkcNormalizeExpr.column(col("_t")).as("normalized"),
+        probe(col("_t"), "ﬁ").as("n_ligature"),
+        probe(col("_t"), "Ａ").as("n_fullwidth"),
+        probe(col("_t"), "²").as("n_super"),
+        probe(col("_t"), "　").as("n_wspace"))
+      .withColumn("was_dirty",
+        col("n_ligature") + col("n_fullwidth")
+          + col("n_super") + col("n_wspace") > 0)
+  }
+
   /** Global curriculum ordering — the training-data pipeline's LAST
     * step: a total order over the corpus by (difficulty bin asc,
     * deterministic shuffle within bin) so an easy→hard schedule can

@@ -1094,6 +1094,27 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Unicode compatibility normalization (NFKC) via the native
+    // codegen expression: the corpus is ASCII-sanitized then
+    // corrupted IN-PLAN with four compatibility classes (ligature ﬁ
+    // %3, fullwidth Ａ %5, superscript ² %7, ideographic space %11)
+    // whose NFKC images are known literals — the oracle replays the
+    // normalization as reverse literal replaces, so a hash match
+    // proves the expression's NFKC semantics on these classes
+    "d94_nfkc_normalize" -> ((s, dir) => {
+      val base = regexp_replace(col("text"), "[^ -~]", "")
+      val c1 = when(col("doc_id") % 3 === 0,
+        replace(base, lit("fi"), lit("ﬁ"))).otherwise(base)
+      val c2 = when(col("doc_id") % 5 === 0,
+        replace(c1, lit("A"), lit("Ａ"))).otherwise(c1)
+      val c3 = when(col("doc_id") % 7 === 0,
+        replace(c2, lit("2"), lit("²"))).otherwise(c2)
+      val c4 = when(col("doc_id") % 11 === 0,
+        replace(c3, lit(" "), lit("　"))).otherwise(c3)
+      TextOps.normalizeNfkc(docs(s, dir), c4, col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // per-suite contamination report: two synthetic eval suites
     // (distinct corpus slices and token windows), audited in ONE
     // corpus pass via suite-tagged gram broadcast
@@ -2431,6 +2452,27 @@ object PipelineQueries {
         | b AS (SELECT doc_id, bin, ((doc_id::HUGEINT * 2654435761) % 4294967296) % 1000000 AS bk FROM bins)
         | SELECT doc_id, bin, (row_number() OVER (ORDER BY bin, bk, doc_id) - 1)::BIGINT AS pos
         | FROM b ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // ASCII base is NFKC-invariant by construction, so the oracle
+    // replays NFKC as reverse literal replaces of the four planted
+    // compatibility characters; probes replay as length deltas
+    "d94_nfkc_normalize" ->
+      """WITH b AS (SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS base FROM documents),
+        | c1 AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN replace(base, 'fi', '\ufb01') ELSE base END AS t1 FROM b),
+        | c2 AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN replace(t1, 'A', '\uff21') ELSE t1 END AS t2 FROM c1),
+        | c3 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN replace(t2, '2', '\u00b2') ELSE t2 END AS t3 FROM c2),
+        | c4 AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN replace(t3, ' ', '\u3000') ELSE t3 END AS t FROM c3),
+        | n AS (SELECT doc_id, t,
+        |   length(t) - length(replace(t, '\ufb01', '')) AS n_ligature,
+        |   length(t) - length(replace(t, '\uff21', '')) AS n_fullwidth,
+        |   length(t) - length(replace(t, '\u00b2', '')) AS n_super,
+        |   length(t) - length(replace(t, '\u3000', '')) AS n_wspace FROM c4)
+        | SELECT doc_id,
+        |  replace(replace(replace(replace(t, '\ufb01', 'fi'), '\uff21', 'A'), '\u00b2', '2'), '\u3000', ' ') AS normalized,
+        |  n_ligature::BIGINT AS n_ligature, n_fullwidth::BIGINT AS n_fullwidth,
+        |  n_super::BIGINT AS n_super, n_wspace::BIGINT AS n_wspace,
+        |  (n_ligature + n_fullwidth + n_super + n_wspace) > 0 AS was_dirty
+        | FROM n ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     "d88_contam_report" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),

@@ -159,4 +159,43 @@ class CurationOpsR7Spec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- d94: NFKC normalization ------------------------------------
+
+  test("nfkc_normalize: compatibility folds, idempotence, null safety") {
+    import graft.functions.NfkcNormalizeExpr
+    val data = Seq(
+      (1L, "con\uFB01g \uFF21lpha 10\u00B2\u3000end"), // all four classes
+      (2L, "plain ascii, untouched"),
+      (3L, "caf\u00E9 d\u00E9j\u00E0"), // composed accents: NFKC-invariant
+      (4L, null))
+    val out = data.toDF("id", "t")
+      .select(col("id"), NfkcNormalizeExpr.column(col("t")).as("n"))
+      .orderBy("id").as[(Long, String)].collect()
+    assert(out(0)._2 == "config Alpha 102 end")
+    assert(out(1)._2 == "plain ascii, untouched")
+    assert(out(2)._2 == "caf\u00E9 d\u00E9j\u00E0")
+    assert(out(3)._2 == null)
+    // idempotent: a second pass changes nothing
+    val twice = data.toDF("id", "t")
+      .select(col("id"), NfkcNormalizeExpr.column(
+        NfkcNormalizeExpr.column(col("t"))).as("n"))
+      .orderBy("id").as[(Long, String)].collect()
+    assert(twice.map(_._2).toSeq == out.map(_._2).toSeq)
+    // decomposed e + combining acute RECOMPOSES under NFKC
+    val Seq((_, rec)) = Seq((1L, "e\u0301")).toDF("id", "t")
+      .select(col("id"), NfkcNormalizeExpr.column(col("t")).as("n"))
+      .as[(Long, String)].collect().toSeq
+    assert(rec == "\u00E9")
+  }
+
+  test("normalizeNfkc gate: counts probe the corrupted text exactly") {
+    val docs = Seq((1L, "\uFB01sh \uFF21 \u00B2\u3000\u3000")).toDF("doc_id", "text")
+    val r = graft.operators.TextOps.normalizeNfkc(docs, col("text"), col("doc_id"))
+      .collect()(0)
+    assert(r.getString(1) == "fish A 2  ")
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+      ((1L, 1L, 1L, 2L)))
+    assert(r.getBoolean(6))
+  }
 }
