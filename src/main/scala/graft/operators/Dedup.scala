@@ -626,4 +626,30 @@ object Dedup {
           .when(col("n_old") === col("n_new"), "unchanged")
           .otherwise("recount").as("status"))
   }
+
+  /** Soft deduplication — reweight instead of remove: every member of
+    * a duplicate cluster keeps a training weight of `scale div
+    * cluster_size` (scaled-integer, engine-exact), so an n-fold
+    * duplicated document contributes ~one document's worth of loss in
+    * aggregate rather than n (the data-constrained-scaling
+    * alternative to hard dedup: nothing is dropped, the information a
+    * near-dup cluster carries survives, only its gradient weight
+    * shrinks). Works over ANY cluster assignment — exact content-hash
+    * groups, MinHash CC labels, semantic clusters.
+    *
+    * Scale shape: one partial-agg count on the cluster key (map-side
+    * combinable) plus one co-partitioned hash join back on the same
+    * key — the corpus shuffles once, the sizes table is
+    * one-row-per-cluster. No window, no broadcast of anything
+    * corpus-sized. */
+  def softWeights(assign: DataFrame, id: Column, cluster: Column,
+                  scale: Long = 1000000L): DataFrame = {
+    val base = assign.select(id.as("_id"), cluster.as("_cluster"))
+    val sizes = base.groupBy(col("_cluster"))
+      .agg(count(lit(1)).as("cluster_size"))
+    base.join(sizes, "_cluster")
+      .select(col("_id"), col("_cluster"),
+        col("cluster_size"),
+        expr(s"${scale}L div cluster_size").as("weight"))
+  }
 }

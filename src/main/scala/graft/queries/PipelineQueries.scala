@@ -267,6 +267,22 @@ object PipelineQueries {
         .orderBy("vec_id")
     }),
 
+    // soft dedup: d20's semantic clusters reweighted instead of
+    // removed — every cluster member keeps weight 10⁶ div size, so an
+    // n-fold duplicated doc contributes ~one doc of loss in aggregate
+    "d95_soft_dedup" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val pairs = Similarity.cosinePairs(e, threshold = 0.3)
+        .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      val cc = Components.connectedComponents(
+        e.select(col("vec_id").as("id")), pairs)
+        .select(col("id").as("vec_id"), col("label").as("cluster"))
+      Dedup.softWeights(cc, col("vec_id"), col("cluster"))
+        .select(col("_id").as("vec_id"), col("_cluster").as("cluster"),
+          col("cluster_size"), col("weight"))
+        .orderBy("vec_id")
+    }),
+
     // the polynomial fingerprint alone, oracle-PROVEN: after the r2
     // modulus fix (2^31-1, no 64-bit wrap) DuckDB can replay the exact
     // recurrence via list_reduce — d11 stays rows-only only for its
@@ -1565,6 +1581,25 @@ object PipelineQueries {
         |   SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src)
         | SELECT a AS vec_id, min(b) AS cluster FROM reach GROUP BY a
         | ORDER BY vec_id""".stripMargin.replaceAll("\n", " "),
+    // d20's recursive-CTE labels + a group count and the same integer
+    // division (DuckDB // == Spark div on positives)
+    "d95_soft_dedup" ->
+      """WITH RECURSIVE
+        | ev AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        | p AS (SELECT a.vec_id AS src, b.vec_id AS dst FROM ev a
+        |   JOIN ev b ON a.label = b.label AND a.vec_id < b.vec_id
+        |   WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) > 0.3),
+        | e AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+        | reach(a, b) AS (
+        |   SELECT vec_id, vec_id FROM embeddings
+        |   UNION
+        |   SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+        | lab AS (SELECT a AS vec_id, min(b) AS cluster FROM reach GROUP BY a),
+        | sz AS (SELECT cluster, count(*)::BIGINT AS cluster_size FROM lab GROUP BY 1)
+        | SELECT vec_id, cluster, cluster_size,
+        |  (1000000 // cluster_size)::BIGINT AS weight
+        | FROM lab JOIN sz USING (cluster) ORDER BY vec_id""".stripMargin.replaceAll("\n", " "),
+
     "d23_fingerprint" ->
       """SELECT doc_id, list_reduce(list_prepend('0', string_split(text, '')),
         |  (acc, c) -> ((acc::BIGINT * 31 + ascii(c)) % 2147483647)::VARCHAR)::BIGINT AS fingerprint

@@ -198,4 +198,25 @@ class CurationOpsR7Spec extends AnyFunSuite {
       ((1L, 1L, 1L, 2L)))
     assert(r.getBoolean(6))
   }
+
+  // ---- d95: soft dedup --------------------------------------------
+
+  test("softWeights: cluster mass ~1e6 regardless of multiplicity") {
+    import graft.operators.Dedup
+    val assign = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 40L))
+      .toDF("id", "cluster")
+    val out = Dedup.softWeights(assign, col("id"), col("cluster"))
+      .orderBy("_id")
+      .as[(Long, Long, Long, Long)].collect()
+    // triple cluster: each member 1e6 div 3; singleton keeps full weight
+    assert(out.take(3).forall { case (_, c, sz, w) =>
+      c == 10L && sz == 3L && w == 333333L })
+    assert(out(3) == ((4L, 40L, 1L, 1000000L)))
+    // per-cluster mass is within floor rounding of the scale
+    val mass = Dedup.softWeights(assign, col("id"), col("cluster"))
+      .groupBy("_cluster").agg(sum("weight").as("m"), count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect()
+    mass.foreach { case (_, m, n) =>
+      assert(m <= 1000000L && m > 1000000L - n) }
+  }
 }
