@@ -35,7 +35,11 @@ object Capstones {
     }
   }
 
-  def run(spark: SparkSession, dir: String, factor: Int): Unit = {
+  def run(spark: SparkSession, dir: String, factor: Int,
+          only: Option[String] = None): Unit = {
+    // `only` (4th CLI arg) names one chain — rerun a single rehearsal
+    // without paying for the whole suite
+    def want(tag: String): Boolean = only.forall(_ == tag)
     val base = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
     val docShift = base.agg(max("doc_id")).head.getLong(0) + 1
@@ -73,7 +77,7 @@ object Capstones {
     }
     def v3full(df: DataFrame) = TextOps.assignShards(v3rep(df),
       col("doc_id") * 8L + col("epoch"), col("n_tokens"), 4096L)
-    chainRatio("d79 curation v3", factor, Seq(
+    if (want("d79")) chainRatio("d79 curation v3", factor, Seq(
       ("url gate", (d: DataFrame) => v3url(d).count()),
       ("+ exact dedup", (d: DataFrame) => v3uniq(d).count()),
       ("+ epoch repeat", (d: DataFrame) => v3rep(d).count()),
@@ -104,7 +108,7 @@ object Capstones {
     }
     def v4full(df: DataFrame) = TextOps.assignShards(v4uniq(df),
       col("doc_id"), col("n_tokens"), 4096L)
-    chainRatio("d84 curation v4", factor, Seq(
+    if (want("d84")) chainRatio("d84 curation v4", factor, Seq(
       ("html extract", (d: DataFrame) => v4ext(d).count()),
       ("+ phrase gate", (d: DataFrame) => v4gated(d).count()),
       ("+ exact dedup", (d: DataFrame) => v4uniq(d).count()),
@@ -123,7 +127,7 @@ object Capstones {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     def d34cc(df: DataFrame) = Components.connectedComponents(
       df.select(col("doc_id").as("id")), d34edges(df))
-    chainRatio("d34 near-dup survivors", factor, Seq(
+    if (want("d34")) chainRatio("d34 near-dup survivors", factor, Seq(
       ("LSH candidates (capped)", (d: DataFrame) => d34cand(d).count()),
       ("+ jaccard verify", (d: DataFrame) => d34edges(d).count()),
       ("+ connected components", (d: DataFrame) => d34cc(d).count())),
@@ -136,13 +140,13 @@ object Capstones {
     def d68(df: DataFrame) = Dedup.crossNearDupLarge(df, hist,
       col("text"), col("doc_id"), col("text"), col("hist_id"),
       maxBucket = Dedup.MAX_FULL_BUCKET).count()
-    chainRatio("d68 cross-corpus near-dup", factor, Seq(
+    if (want("d68")) chainRatio("d68 cross-corpus near-dup", factor, Seq(
       ("capped band join", d68)), base, big)
 
     // ---- d82 BPE training: vocab is replication-invariant (same
     // words, freq xN) — only the one-time vocab build scans the
     // corpus; per-round work must NOT grow with the factor
-    chainRatio("d82 bpe train (4 rounds)", factor, Seq(
+    if (want("d82")) chainRatio("d82 bpe train (4 rounds)", factor, Seq(
       ("train", (d: DataFrame) => TextOps.bpeTrain(d, col("text"),
         rounds = 4).count())), base, big)
 
@@ -154,6 +158,7 @@ object Capstones {
         .otherwise(concat(lit("tail"), pmod(col("doc_id"), lit(7))))
         .as("stream"),
       (length(col("text")) / 4).cast("long").as("n_tokens"))
+    if (want("pack")) {
     println("== dominant-stream packing (90% one stream) ==")
     val pw1 = time("  window form 1x")(TextOps.packBudget(packInput(base),
       col("stream"), col("doc_id"), col("n_tokens"), 4096L).count())
@@ -164,6 +169,7 @@ object Capstones {
     val psN = time(s"  two-phase form ${factor}x")(TextOps.packBudgetScalable(
       packInput(big), col("stream"), col("doc_id"), col("n_tokens"), 4096L).count())
     println(f"  -> window ratio ${pwN / pw1}%6.1f, two-phase ratio ${psN / ps1}%6.1f (linear = $factor.0)")
+    }
 
     // ---- slurm warehouse lifecycle: ingest-write, rollups over the
     // materialized table, a resume merge, compaction — at Nx the day
@@ -171,6 +177,7 @@ object Capstones {
     // deep: the write must parallelize WITHIN days (the
     // repartitionByRange layout) and the merge must stay bounded by
     // the batch's horizon
+    if (want("slurm")) {
     val slurmBase = graft.slurm.SlurmTable.build(
       graft.slurm.SlurmSim.raw(spark, dir), lit(1750000000L))
       .repartition(32).persist()
@@ -209,5 +216,23 @@ object Capstones {
       graft.slurm.SlurmWarehouse.compact(spark, whN, minFiles = 1).size.toLong)
     println(f"  -> write ${wN / w1}%5.1f  eff ${eN / e1}%5.1f  seff ${sN / s1}%5.1f" +
       f"  merge ${mN / m1}%5.1f  compact ${cN / c1}%5.1f  (linear = $factor.0)")
+    }
+
+    // ---- d92 curriculum order: per-lang quantile bins -> two-phase
+    // global prefix sum (the d45 machinery keyed by bin). The total
+    // order must come out of slice-local ranks: at Nx the single
+    // remaining unpartitioned window still sees only the KB-sized
+    // (bin, slice) offsets table, never the corpus
+    if (want("d92")) {
+      def cbins(df: DataFrame) = TextOps.difficultyBins(df,
+        size(TextOps.tokens(col("text"))).cast("long"), col("lang"),
+        col("doc_id"), nBins = 4)
+      def corder(df: DataFrame) = TextOps.curriculumOrder(cbins(df),
+        col("doc_id"), col("bin"))
+      chainRatio("d92 curriculum order", factor, Seq(
+        ("difficulty bins", (d: DataFrame) => cbins(d).count()),
+        ("+ global order", (d: DataFrame) => corder(d).count())),
+        base, big)
+    }
   }
 }

@@ -20,7 +20,7 @@ object ScaleRehearsal {
     val spark = Tables.session("scale-rehearsal",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     if (args.lift(2).contains("capstones")) {
-      Capstones.run(spark, dir, factor)
+      Capstones.run(spark, dir, factor, args.lift(3))
       spark.stop()
       return
     }
