@@ -44,6 +44,16 @@ object GraftFunctions {
       "poly_minhash_bands",
       exprs => graft.functions.PolyMinhashBandsExpr(exprs.head, 4, 4),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "deflate_len",
+      exprs => graft.functions.DeflateLenExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "nfkc_normalize",
+      exprs => graft.functions.NfkcNormalizeExpr(exprs.head), "built-in")
+    // PhraseCountsExpr / WordPieceEncodeExpr carry compiled automaton /
+    // vocab objects and stay Column-API-only (TextOps.phraseCounts,
+    // TextOps.wordpieceEncode) — a SQL surface would need a literal
+    // re-compile per call site
   }
 
   /** Idempotent per-session registration for the `.column` helpers:

@@ -219,4 +219,14 @@ class CurationOpsR7Spec extends AnyFunSuite {
     mass.foreach { case (_, m, n) =>
       assert(m <= 1000000L && m > 1000000L - n) }
   }
+
+  test("nfkc_normalize and deflate_len are callable from SQL") {
+    graft.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT nfkc_normalize('con\uFB01g \uFF212') AS n, " +
+        "deflate_len('aaaaaaaaaaaaaaaaaaaaaaaa') < 24 AS compresses")
+      .collect()(0)
+    assert(r.getString(0) == "config A2")
+    assert(r.getBoolean(1))
+  }
 }
