@@ -37,7 +37,9 @@ object Bench {
     "d78_subword_encode", "d79_curation_v3", "d80_phrase_filter",
     "d81_html_extract", "d82_bpe_train", "d84_curation_v4",
     "d85_bpe_encode", "d86_hard_negatives", "d87_keyframes",
-    "d89_image_decode")
+    "d89_image_decode",
+    "d90_rrf_fusion", "d91_mojibake_fix", "d92_curriculum_order",
+    "d93_audio_trim", "d94_nfkc_normalize", "d95_soft_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -454,6 +454,14 @@ object EventStream {
                        id: org.apache.spark.sql.Column): DataFrame =
     graft.operators.TextOps.repairEncoding(stream, text, id)
 
+  /** Streaming NFKC normalization — d94's streaming twin: the native
+    * codegen'd expression is a stateless projection (map-only, no
+    * state store), so compatibility folding runs at the ingest edge
+    * unchanged and bit-identical to batch (spec-pinned). */
+  def nfkcNormalized(stream: DataFrame, text: org.apache.spark.sql.Column,
+                     id: org.apache.spark.sql.Column): DataFrame =
+    graft.operators.TextOps.normalizeNfkc(stream, text, id)
+
   /** Streaming audio decode — d93's streaming twin: the chunk-walking
     * WAV parser runs per micro-batch through the same batched
     * mapPartitions contract (stateless, map-only), quarantining

@@ -155,6 +155,15 @@ class AnsiRobustnessSpec extends AnyFunSuite {
       col("doc_id"), Map("zz qq" -> -1000000L), Map("zz" -> -500000L),
       defaultScore = -2000000L)
     assert(lm.count() > 0)
+    // r7 additions under ANSI: NFKC expression, encoding repair, the
+    // WAV decode chain (payload synthesis uses % / division on longs)
+    assert(docs.select(graft.functions.NfkcNormalizeExpr.column(col("text")))
+      .count() > 0)
+    assert(TextOps.repairEncoding(docs, col("text"), col("doc_id"))
+      .filter(!col("was_dirty")).count() > 0)
+    val wav = Multimodal.audioStats(spark,
+      AudioSim.payloads(docs.select(col("doc_id")).limit(40)))
+    assert(wav.filter(col("status") === "ok").count() > 0)
   }
 
   test("quality metrics on an empty/whitespace doc stay null, not an ANSI error") {

@@ -788,4 +788,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("wav_out")
       .filter(col("status") === "quarantined").count() == 5)
   }
+
+  test("streaming NFKC normalization matches batch bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Seq(
+      (1L, "con\uFB01g \uFF21lpha 10\u00B2\u3000end"),
+      (2L, "plain ascii"),
+      (3L, "e\u0301tude")) // decomposed accent recomposes
+    val ts = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStream.nfkcNormalized(
+        ts.toDF().toDF("doc_id", "text"), col("text"), col("doc_id"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("nfkc_out").start()
+    ts.addData(texts)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("nfkc_out").orderBy("doc_id").collect().map(_.toString)
+    val want = graft.operators.TextOps.normalizeNfkc(
+        texts.toDF("doc_id", "text"), col("text"), col("doc_id"))
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(got.toSeq == want.toSeq && got.length == 3)
+    assert(spark.table("nfkc_out").filter(col("doc_id") === 1)
+      .select("normalized").as[String].head() == "config Alpha 102 end")
+  }
 }
