@@ -246,6 +246,37 @@ object TextOps {
       .drop("_stream", "_id", "_nt", "_pid", "_offset")
   }
 
+  /** Training-example assembly — the pipeline's last mile after
+    * packing: the per-doc MANIFEST a training loader consumes, with
+    * each doc's token offset range inside its pack plus the pack's
+    * totals (doc count, token count, scaled fill ratio vs budget).
+    * Builds on [[packBudgetScalable]] (no one-task-per-stream wall);
+    * offsets and totals come from windows partitioned by (stream,
+    * pack_id) — a pack holds < budget + max_doc tokens by
+    * construction, so these partitions are BOUNDED regardless of
+    * corpus size (never a corpus- or stream-sized sort). Fill ratio is
+    * scaled-integer (10⁶·tokens div budget): engine-exact, and packs
+    * under ~90% fill are the loader's padding-waste signal. */
+  def packManifest(df: DataFrame, stream: Column, id: Column,
+                   nTokens: Column, budget: Long,
+                   slices: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val packed = packBudgetScalable(
+      df.select(stream.as("stream"), id.as("doc_id"),
+        nTokens.cast("long").as("n_tokens")),
+      col("stream"), col("doc_id"), col("n_tokens"), budget, slices)
+    val part = Window.partitionBy(col("stream"), col("pack_id"))
+    val before = part.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    packed
+      .withColumn("off_start", coalesce(sum(col("n_tokens")).over(before), lit(0L)))
+      .withColumn("off_end", col("off_start") + col("n_tokens"))
+      .withColumn("pack_tokens", sum(col("n_tokens")).over(part))
+      .withColumn("n_docs", count(lit(1)).over(part))
+      .withColumn("fill_ppm",
+        expr(s"(pack_tokens * 1000000L) div ${budget}L"))
+  }
+
   /** Benchmark decontamination: count, per corpus document, the
     * distinct n-grams it shares with a benchmark snippet set — the
     * standard "did an eval question leak into the training set" check.

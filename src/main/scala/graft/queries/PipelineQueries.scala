@@ -257,6 +257,20 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // training-example manifest: d19's packing materialized into the
+    // per-doc offset ranges + pack totals a training loader consumes —
+    // all windows (stream, pack)-partitioned, bounded by the budget
+    "d96_pack_manifest" -> ((s, dir) => {
+      val t = docs(s, dir).select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      TextOps.packManifest(t, col("source"), col("doc_id"),
+        col("n_tokens"), budget = 2048L)
+        .select(col("doc_id"), col("stream"), col("n_tokens"),
+          col("pack_id"), col("off_start"), col("off_end"),
+          col("pack_tokens"), col("n_docs"), col("fill_ppm"))
+        .orderBy("doc_id")
+    }),
+
     "d20_cc_clusters" -> ((s, dir) => {
       val e = emb(s, dir)
       val pairs = Similarity.cosinePairs(e, threshold = 0.3)
@@ -1568,6 +1582,26 @@ object PipelineQueries {
         |  COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT // 2048 AS pack_id
         | FROM t ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    // d19's cumsum replay, then (source, pack)-window sums for the
+    // offsets and totals; 10^6 * tokens // budget is the same integer
+    // quotient as Spark's div
+    "d96_pack_manifest" ->
+      """WITH t AS (SELECT doc_id, source,
+        |   len(string_split_regex(lower(text), '\s+')) AS n_tokens FROM documents),
+        | p AS (SELECT doc_id, source, n_tokens,
+        |  COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT // 2048 AS pack_id
+        |  FROM t)
+        | SELECT doc_id, source AS stream, n_tokens::BIGINT AS n_tokens, pack_id,
+        |  COALESCE(sum(n_tokens) OVER (PARTITION BY source, pack_id ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off_start,
+        |  (COALESCE(sum(n_tokens) OVER (PARTITION BY source, pack_id ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n_tokens)::BIGINT AS off_end,
+        |  sum(n_tokens) OVER (PARTITION BY source, pack_id)::BIGINT AS pack_tokens,
+        |  count(*) OVER (PARTITION BY source, pack_id)::BIGINT AS n_docs,
+        |  ((sum(n_tokens) OVER (PARTITION BY source, pack_id)) * 1000000 // 2048)::BIGINT AS fill_ppm
+        | FROM p ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
     "d20_cc_clusters" ->
       """WITH RECURSIVE
         | ev AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

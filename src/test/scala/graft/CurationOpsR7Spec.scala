@@ -229,4 +229,33 @@ class CurationOpsR7Spec extends AnyFunSuite {
     assert(r.getString(0) == "config A2")
     assert(r.getBoolean(1))
   }
+
+  // ---- d96: pack manifest -----------------------------------------
+
+  test("packManifest: offsets abut, totals agree, fill is the integer ratio") {
+    import graft.operators.TextOps
+    val docs = (0L until 200L).map(i => (i, s"s${i % 3}", 100L + i % 7))
+      .toDF("doc_id", "source", "n_tokens")
+    val m = TextOps.packManifest(docs, col("source"), col("doc_id"),
+      col("n_tokens"), budget = 512L).cache()
+    // within each pack, ordered by doc_id, ranges abut from 0
+    val rows = m.orderBy("stream", "pack_id", "doc_id")
+      .select("stream", "pack_id", "off_start", "off_end", "n_tokens",
+        "pack_tokens", "n_docs", "fill_ppm")
+      .collect()
+    rows.groupBy(r => (r.getString(0), r.getLong(1))).foreach { case (_, rs) =>
+      var expect = 0L
+      rs.foreach { r =>
+        assert(r.getLong(2) == expect && r.getLong(3) == expect + r.getLong(4))
+        expect = r.getLong(3)
+      }
+      assert(rs.head.getLong(5) == expect && rs.head.getLong(6) == rs.length.toLong)
+      assert(rs.head.getLong(7) == expect * 1000000L / 512L)
+    }
+    // pack ids match the two-phase packer exactly
+    val want = TextOps.packBudgetScalable(docs, col("source"), col("doc_id"),
+      col("n_tokens"), 512L).select("doc_id", "pack_id")
+    assert(m.select("doc_id", "pack_id").except(want).count() == 0)
+    m.unpersist()
+  }
 }

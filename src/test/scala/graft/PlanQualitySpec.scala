@@ -644,6 +644,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("MapPartitions"), s"batched decode pass missing\n$p")
   }
 
+  test("d96: manifest windows all carry a partition key (pack-bounded); no corpus window") {
+    val p = plan("d96_pack_manifest")
+    val unpartitionedWindows = p.linesIterator.count(l =>
+      """windowspecdefinition\([^,)]*\b(ASC|DESC)\b""".r
+        .findFirstIn(l).isDefined)
+    assert(unpartitionedWindows == 0,
+      s"every manifest window must be (stream, pack)-partitioned, got " +
+        s"$unpartitionedWindows unpartitioned\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("salted join distributes a hot key across n buckets, same result") {
     import spark.implicits._
     val big = (1 to 1000).map(i => ("hot", i.toLong)).toDF("key", "payload")
