@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.slurm.{Reports, SacctSource, SlurmStates, SlurmTable, SlurmViews, SlurmWarehouse}
+import graft.slurm.{HistoryCollector, Reports, SacctSource, SlurmStates, SlurmTable, SlurmViews, SlurmWarehouse}
 
 /** The reference's installed console scripts (`slurm2sql-sacct` /
   * `slurm2sql-seff`, slurm2sql.py:1160-1371 + the `__main__` dispatch
@@ -352,14 +352,193 @@ object SeffCli {
   def main(args: Array[String]): Unit = Cli.run(args, Cli.seffFrame, emptyExits = true)
 }
 
-/** `graft.tools.GraftCli sacct|seff ...` — the `python -m slurm2sql
-  * sacct|seff` dispatch (slurm2sql.py:1373-1378). */
+/** `graft-ingest` — the reference's PRIMARY command (`slurm2sql
+  * [options] db`, slurm2sql.py:694-788): build or update the
+  * warehouse from an sacct/CSV dump, with the day-batched history
+  * collection and resume bookkeeping of get_history (:792-860).
+  *
+  *   positional WAREHOUSE   parquet warehouse dir (the `db` argument)
+  *   --sacct-input F        raw `sacct -P` dump (the sandbox twin of
+  *                          spawning sacct) / --csv-input F
+  *   --update/-u            merge into an existing warehouse instead
+  *                          of recreating it (:750-752: without
+  *                          --update or a resume flag, an existing db
+  *                          is deleted first)
+  *   --history SPEC         ingest [now - slurmtime(SPEC), now) in
+  *                          day batches (:822)
+  *   --history-days N       from UTC midnight N days back (:825)
+  *   --history-start D      from YYYY-MM-DD; --history-end D caps the
+  *                          range (default now) (:827-832)
+  *   --history-resume       resume from the stored bookmark - 5 s
+  *                          (:805-821); --history-resume-or-start SPEC
+  *                          falls back to now - slurmtime(SPEC) when
+  *                          no bookmark exists
+  *   --jobs-only            allocations only, no steps (`sacct -X`)
+  *   --now TS               pin "now" (epoch/ISO) for deterministic
+  *                          tests; defaults to wall clock
+  *
+  * Each day batch REPLACE-merges and advances the bookmark before the
+  * next starts, so a crash resumes from the last committed day. Exit
+  * 1 when batches failed (reference :786), 2 on bad args. */
+object IngestCli {
+  final case class IngestArgs(
+      warehouse: String = "",
+      csvInput: Option[String] = None,
+      sacctInput: Option[String] = None,
+      update: Boolean = false,
+      history: Option[String] = None,
+      historyResume: Boolean = false,
+      historyResumeOrStart: Option[String] = None,
+      historyDays: Option[Int] = None,
+      historyStart: Option[String] = None,
+      historyEnd: Option[String] = None,
+      jobsOnly: Boolean = false,
+      now: Option[Long] = None)
+
+  private def slurmtime(flag: String, v: String): Either[String, Long] = {
+    val s = graft.functions.SlurmTimeUtil.parseOrNaN(
+      org.apache.spark.unsafe.types.UTF8String.fromString(v))
+    if (s.isNaN) Left(s"$flag: cannot parse slurm time '$v'")
+    else Right(s.toLong)
+  }
+
+  private def midnight(epoch: Long): Long = (epoch / 86400L) * 86400L
+
+  def parse(args: Seq[String]): Either[String, IngestArgs] = {
+    var a = IngestArgs()
+    var rest = args.toList
+    def value(flag: String, inline: Option[String]): Either[String, String] =
+      inline.orElse {
+        rest match { case v :: t if !v.startsWith("--") => rest = t; Some(v)
+                     case _ => None }
+      }.toRight(s"$flag: expected a value")
+    while (rest.nonEmpty) {
+      val tok = rest.head; rest = rest.tail
+      val (flag, inline) = tok.split("=", 2) match {
+        case Array(f, v) => (f, Some(v))
+        case _ => (tok, None)
+      }
+      val res: Either[String, Unit] = flag match {
+        case "--csv-input" => value(flag, inline).map(v => a = a.copy(csvInput = Some(v)))
+        case "--sacct-input" => value(flag, inline).map(v => a = a.copy(sacctInput = Some(v)))
+        case "--update" | "-u" => Right { a = a.copy(update = true) }
+        case "--history" => value(flag, inline).map(v => a = a.copy(history = Some(v)))
+        case "--history-resume" => Right { a = a.copy(historyResume = true) }
+        case "--history-resume-or-start" =>
+          value(flag, inline).map(v => a = a.copy(historyResumeOrStart = Some(v)))
+        case "--history-days" => value(flag, inline).flatMap(v =>
+          v.toIntOption.toRight(s"--history-days: not an int '$v'")
+            .map(n => a = a.copy(historyDays = Some(n))))
+        case "--history-start" => value(flag, inline).map(v => a = a.copy(historyStart = Some(v)))
+        case "--history-end" => value(flag, inline).map(v => a = a.copy(historyEnd = Some(v)))
+        case "--jobs-only" => Right { a = a.copy(jobsOnly = true) }
+        case "--now" => value(flag, inline).flatMap(v =>
+          Cli.parseTime(v).left.map(_ => s"--now: cannot parse '$v'")
+            .map(t => a = a.copy(now = Some(t))))
+        case "--quiet" | "-q" | "--verbose" | "-v" => Right(())
+        case f if !f.startsWith("-") && a.warehouse.isEmpty =>
+          Right { a = a.copy(warehouse = f) }
+        case f => Left(s"unrecognized flag $f")
+      }
+      res match { case Left(e) => return Left(e); case _ => }
+    }
+    if (a.warehouse.isEmpty) Left("warehouse directory argument is required")
+    else if (a.csvInput.isEmpty && a.sacctInput.isEmpty)
+      Left("one of --csv-input, --sacct-input is required " +
+        "(graft cannot spawn sacct in this environment)")
+    else Right(a)
+  }
+
+  /** Runs the ingest; returns the error-batch count (0 = clean). */
+  def ingest(spark: SparkSession, a: IngestArgs): Either[String, Int] = {
+    val now = a.now.getOrElse(System.currentTimeMillis() / 1000L)
+    val raw0 = a.csvInput.map(SacctSource.loadSlurmTable(spark, _))
+      .orElse(a.sacctInput.map(p => SlurmTable.build(SacctSource.readSacct(spark, p))))
+      .get
+    val raw = if (a.jobsOnly) raw0.filter(col("JobStep").isNull) else raw0
+    val historyMode = a.history.isDefined || a.historyResume ||
+      a.historyResumeOrStart.isDefined || a.historyDays.isDefined ||
+      a.historyStart.isDefined
+    // without --update or a resume flag an existing warehouse is
+    // recreated, never silently merged (slurm2sql.py:750-752)
+    if (!a.update && !a.historyResume && a.historyResumeOrStart.isEmpty) {
+      val dir = new java.io.File(a.warehouse)
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(dir)
+      }
+    }
+    if (!historyMode) {
+      val maxT = SlurmWarehouse.mergeInto(spark, raw, a.warehouse)
+      maxT.foreach(t => SlurmWarehouse.updateLastTimestamp(
+        spark, a.warehouse, math.min(t, now)))
+      Right(0)
+    } else {
+      val startE: Either[String, Long] =
+        if (a.historyResumeOrStart.isDefined)
+          slurmtime("--history-resume-or-start", a.historyResumeOrStart.get)
+            .map(s => HistoryCollector.resumeStart(spark, a.warehouse, now - s))
+        else if (a.historyResume)
+          Right(HistoryCollector.resumeStart(spark, a.warehouse, now))
+        else if (a.history.isDefined)
+          slurmtime("--history", a.history.get).map(now - _)
+        else if (a.historyDays.isDefined)
+          Right(midnight(now) - a.historyDays.get * 86400L)
+        else Cli.parseTime(a.historyStart.get)
+          .left.map(_ => s"--history-start: cannot parse '${a.historyStart.get}'")
+      val stopE: Either[String, Long] = a.historyEnd match {
+        case Some(v) => Cli.parseTime(v)
+          .left.map(_ => s"--history-end: cannot parse '$v'")
+        case None => Right(now)
+      }
+      for {
+        start <- startE
+        stop <- stopE
+        // each day is one sacct batch: a mis-typed spec that expands
+        // to centuries would grind through thousands of no-op batches
+        // before anyone notices — fail fast instead
+        _ <- if (stop - start > 36600L * 86400L)
+          Left(s"history range [$start, $stop) exceeds 100 years — " +
+            "check --history/--history-days/--history-start/--now")
+        else Right(())
+      } yield {
+        val ts = coalesce(col("Time"), col("Submit"))
+        HistoryCollector.collect(spark, a.warehouse,
+          (s, e) => raw.filter(ts >= s && ts < e), start, stop, now)
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = parse(args.toSeq) match {
+    case Left(err) =>
+      System.err.println(s"error: $err"); sys.exit(2)
+    case Right(a) =>
+      val spark = Cli.session()
+      ingest(spark, a) match {
+        case Left(err) =>
+          System.err.println(s"error: $err"); spark.stop(); sys.exit(2)
+        case Right(errors) =>
+          spark.stop()
+          if (errors > 0) {
+            System.err.println(s"[ingest] completed with $errors errors")
+            sys.exit(1)
+          }
+      }
+  }
+}
+
+/** `graft.tools.GraftCli ingest|sacct|seff ...` — the `python -m
+  * slurm2sql` dispatch (slurm2sql.py:1373-1378; bare `slurm2sql` is
+  * the ingest command). */
 object GraftCli {
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("sacct") => SacctCli.main(args.tail)
     case Some("seff") => SeffCli.main(args.tail)
+    case Some("ingest") => IngestCli.main(args.tail)
     case _ =>
-      System.err.println("usage: GraftCli {sacct|seff} [options]")
+      System.err.println("usage: GraftCli {ingest|sacct|seff} [options]")
       sys.exit(2)
   }
 }

@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.slurm.{SlurmSim, SlurmTable, SlurmWarehouse}
+import graft.tools.IngestCli
+
+/** graft-ingest (the reference's PRIMARY `slurm2sql db` command,
+  * slurm2sql.py:694-788) — each flag combination must land the same
+  * warehouse the API calls produce: the CLI is a parser + orchestration
+  * layer over SlurmWarehouse/HistoryCollector, never new ingest
+  * logic. */
+class IngestCliSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+  val sfDir = "/root/testdata/sf0.001"
+
+  /** The sim's raw sacct strings as a CSV file (--csv-input). */
+  lazy val csvDir: String = {
+    val d = Files.createTempDirectory("graft_ingest_csv").toString + "/raw"
+    SlurmSim.raw(spark, sfDir)
+      .coalesce(1).write.option("header", "true").mode("overwrite").csv(d)
+    d
+  }
+  lazy val direct = SlurmTable.build(SlurmSim.raw(spark, sfDir))
+  lazy val nowPin: Long = direct
+    .agg(max(coalesce(col("Time"), col("Submit")))).head.getLong(0) + 10L
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft_ingest_wh").toString + "/wh"
+
+  private def run(args: String*): (String, Int) = {
+    val wh = freshDir()
+    val a = IngestCli.parse(wh +: args.toSeq).toOption.get
+    val errors = IngestCli.ingest(spark, a).toOption.get
+    (wh, errors)
+  }
+
+  test("parse: warehouse and an input source are required; bad values rejected") {
+    assert(IngestCli.parse(Seq("--csv-input", csvDir)).isLeft) // no warehouse
+    assert(IngestCli.parse(Seq("/tmp/wh")).isLeft)             // no input
+    assert(IngestCli.parse(Seq("/tmp/wh", "--csv-input", csvDir, "--bogus")).isLeft)
+    assert(IngestCli.parse(
+      Seq("/tmp/wh", "--csv-input", csvDir, "--history-days", "x")).isLeft)
+    assert(IngestCli.parse(
+      Seq("/tmp/wh", "--csv-input", csvDir, "--history-days=7")).isRight)
+  }
+
+  test("plain ingest builds the direct table; bookmark lands at max Time") {
+    val (wh, errors) = run("--csv-input", csvDir, "--now", nowPin.toString)
+    assert(errors == 0)
+    val got = SlurmWarehouse.read(spark, wh)
+    assert(got.count() == direct.count() && got.count() > 0)
+    assert(SlurmWarehouse.lastTimestamp(spark, wh).contains(
+      direct.agg(max(coalesce(col("Time"), col("Submit")))).head.getLong(0)))
+  }
+
+  test("re-ingest without --update recreates; --update merges without duplicates") {
+    val (wh, _) = run("--csv-input", csvDir)
+    val n = SlurmWarehouse.read(spark, wh).count()
+    // recreate: same data, same count, no accretion
+    val a2 = IngestCli.parse(Seq(wh, "--csv-input", csvDir)).toOption.get
+    assert(IngestCli.ingest(spark, a2).toOption.get == 0)
+    assert(SlurmWarehouse.read(spark, wh).count() == n)
+    // update: REPLACE-merge is idempotent on identical input
+    val a3 = IngestCli.parse(Seq(wh, "--csv-input", csvDir, "--update")).toOption.get
+    assert(IngestCli.ingest(spark, a3).toOption.get == 0)
+    val merged = SlurmWarehouse.read(spark, wh)
+    assert(merged.count() == n)
+    assert(merged.groupBy("JobID").count().filter(col("count") > 1).count() == 0)
+  }
+
+  // the sim's Time axis rides TPC-H order dates (~7 years); history
+  // tests use a NARROW trailing window — each day is one merge batch,
+  // exactly the per-day sacct querying the reference does, so a
+  // years-deep test would grind through thousands of batches for no
+  // extra coverage
+  private def ts = coalesce(col("Time"), col("Submit"))
+
+  test("--history-days ingests the trailing day batches; bookmark = now") {
+    val days = 4L
+    val start = (nowPin / 86400L) * 86400L - days * 86400L
+    val (wh, errors) = run("--csv-input", csvDir,
+      "--history-days", days.toString, "--now", nowPin.toString)
+    assert(errors == 0)
+    val want = direct.filter(ts >= start && ts < nowPin + 86400L).count()
+    assert(want > 0 && SlurmWarehouse.read(spark, wh).count() == want)
+    assert(SlurmWarehouse.lastTimestamp(spark, wh).contains(nowPin))
+  }
+
+  test("--history-resume continues from the bookmark and stays idempotent") {
+    val (wh, _) = run("--csv-input", csvDir,
+      "--history-days", "4", "--now", nowPin.toString)
+    val n = SlurmWarehouse.read(spark, wh).count()
+    // resume from bookmark (= nowPin): re-merges only the tail slack
+    val a = IngestCli.parse(Seq(wh, "--csv-input", csvDir,
+      "--history-resume", "--now", (nowPin + 3600L).toString)).toOption.get
+    assert(IngestCli.ingest(spark, a).toOption.get == 0)
+    val after = SlurmWarehouse.read(spark, wh)
+    assert(after.count() == n)
+    assert(after.groupBy("JobID").count().filter(col("count") > 1).count() == 0)
+    // --history-resume-or-start on a FRESH warehouse takes the fallback
+    // (a 3-day slurmtime duration)
+    val wh2 = freshDir()
+    val b = IngestCli.parse(Seq(wh2, "--csv-input", csvDir,
+      "--history-resume-or-start", "3-00:00:00",
+      "--now", nowPin.toString)).toOption.get
+    assert(IngestCli.ingest(spark, b).toOption.get == 0)
+    val want2 = direct.filter(ts >= nowPin - 3L * 86400L).count()
+    assert(SlurmWarehouse.read(spark, wh2).count() == want2 && want2 > 0)
+    // a century-wide range is rejected up front, not ground through
+    val c = IngestCli.parse(Seq(freshDir(), "--csv-input", csvDir,
+      "--history-start", "1800-01-01", "--now", nowPin.toString))
+    assert(c.isLeft || IngestCli.ingest(spark, c.toOption.get).isLeft)
+  }
+
+  test("--jobs-only ingests allocations only (sacct -X)") {
+    val (wh, _) = run("--csv-input", csvDir, "--jobs-only")
+    val got = SlurmWarehouse.read(spark, wh)
+    assert(got.count() == direct.filter(col("JobStep").isNull).count())
+    assert(got.filter(col("JobStep").isNotNull).count() == 0)
+  }
+}
