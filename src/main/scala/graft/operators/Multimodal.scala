@@ -462,6 +462,126 @@ object Multimodal {
         }
       }(enc)
   }
+
+  val videoStatsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("status", StringType),
+    StructField("n_frames", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sum_b", LongType),
+    StructField("sum_g", LongType),
+    StructField("sum_r", LongType),
+    StructField("n_bytes", LongType)))
+
+  /** RIFF/AVI uncompressed-DIB parser — the video twin of
+    * [[decodeWav]]: walks the top-level chunk list for the hdrl LIST
+    * (avih main header → width/height/frame count; strf
+    * BITMAPINFOHEADER → must be 24-bit BI_RGB) and the movi LIST,
+    * then iterates the 00db frame chunks, summing per-channel pixel
+    * values row by row and SKIPPING the 4-byte row padding — the real
+    * DIB walk, not a byte sum. Truncated frames, a frame-count
+    * mismatch, non-DIB formats, or a stomped form tag → None →
+    * quarantine. Returns (nFrames, width, height, sumB, sumG, sumR). */
+  private[graft] def decodeAvi(b: Array[Byte]): Option[Array[Long]] = {
+    def u16(i: Int): Int = (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+    def u32(i: Int): Long = (u16(i).toLong) | (u16(i + 2).toLong << 16)
+    def tag(i: Int, s: String): Boolean =
+      i + 4 <= b.length && s.indices.forall(j => b(i + j) == s.charAt(j))
+    if (b.length < 12 || !tag(0, "RIFF") || !tag(8, "AVI ")) return None
+    var w = 0; var h = 0; var frames = -1L
+    var fmtOk = false
+    var moviAt = -1; var moviEnd = -1
+    var i = 12
+    while (i + 8 <= b.length && (moviAt < 0 || frames < 0)) {
+      val sz = u32(i + 4)
+      if (sz > b.length) return None
+      if (tag(i, "LIST")) {
+        if (i + 12 > b.length) return None
+        if (tag(i + 8, "movi")) { moviAt = i + 12; moviEnd = i + 8 + sz.toInt }
+        else if (tag(i + 8, "hdrl")) {
+          // walk the hdrl sub-chunks: avih, then nested strl LIST
+          var j = i + 12
+          val hEnd = i + 8 + sz.toInt
+          while (j + 8 <= hEnd) {
+            val ssz = u32(j + 4)
+            if (j + 8 + ssz > b.length) return None
+            if (tag(j, "avih") && ssz >= 40) {
+              frames = u32(j + 8 + 16)
+              w = u32(j + 8 + 32).toInt; h = u32(j + 8 + 36).toInt
+            } else if (tag(j, "LIST") && tag(j + 8, "strl")) {
+              var k = j + 12
+              val sEnd = j + 8 + ssz.toInt
+              while (k + 8 <= sEnd) {
+                val csz = u32(k + 4)
+                if (tag(k, "strf") && csz >= 40)
+                  // BITMAPINFOHEADER: planes=1, 24-bit, BI_RGB
+                  fmtOk = u16(k + 8 + 12) == 1 && u16(k + 8 + 14) == 24 &&
+                    u32(k + 8 + 16) == 0L
+                k += 8 + csz.toInt + (csz.toInt & 1)
+              }
+            }
+            j += 8 + ssz.toInt + (ssz.toInt & 1)
+          }
+        }
+      }
+      i += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    if (!fmtOk || frames < 0 || moviAt < 0 || w <= 0 || h <= 0 ||
+      moviEnd > b.length) return None
+    val rowBytes = ((3 * w + 3) / 4) * 4
+    val frameBytes = rowBytes * h
+    var sb = 0L; var sg = 0L; var sr = 0L
+    var n = 0L
+    var p = moviAt
+    while (p + 8 <= moviEnd) {
+      val csz = u32(p + 4)
+      if (!tag(p, "00db") && !tag(p, "00dc")) return None
+      if (csz != frameBytes || p + 8 + frameBytes > b.length) return None
+      var row = 0
+      while (row < h) {
+        val base = p + 8 + row * rowBytes
+        var x = 0
+        while (x < w) {
+          sb += b(base + 3 * x) & 0xFF
+          sg += b(base + 3 * x + 1) & 0xFF
+          sr += b(base + 3 * x + 2) & 0xFF
+          x += 1
+        }
+        row += 1
+      }
+      n += 1
+      p += 8 + frameBytes + (frameBytes & 1)
+    }
+    if (n != frames) return None
+    Some(Array(n, w.toLong, h.toLong, sb, sg, sr))
+  }
+
+  /** Batched AVI decode → per-clip stats with quarantine — the d97
+    * gate (same mapPartitions batch contract as [[decodeStats]] and
+    * [[audioStats]]): frame count, dimensions, per-channel pixel sums
+    * over all frames; unparseable payloads quarantine with NULL stats
+    * and their byte count. */
+  def videoStats(spark: SparkSession, withPayloads: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(videoStatsSchema)
+    withPayloads.select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.grouped(BATCH_SIZE).flatMap { chunk =>
+          val payloads = chunk.map(_.getAs[Array[Byte]]("payload")).toArray
+          val feats = payloads.map(decodeAvi)
+          chunk.iterator.zipWithIndex.map { case (r, i) =>
+            val id = r.getAs[Long]("doc_id")
+            val nb = payloads(i).length.toLong
+            feats(i) match {
+              case Some(f) =>
+                Row(id, "ok", f(0), f(1).toInt, f(2).toInt, f(3), f(4), f(5), nb)
+              case None =>
+                Row(id, "quarantined", null, null, null, null, null, null, nb)
+            }
+          }
+        }
+      }(enc)
+  }
 }
 
 /** Deterministic in-plan image synthesizer for the d89 gate: every
@@ -599,5 +719,87 @@ object AudioSim {
       .otherwise(col("_payload0")))
     damaged.select(col("doc_id"), col("payload"),
       col("z1"), col("n"), col("z2"), col("amp"))
+  }
+}
+
+/** Deterministic in-plan AVI synthesizer for the d97 gate — the video
+  * member of the [[ImageSim]]/[[AudioSim]] family: every doc becomes a
+  * REAL RIFF/AVI file (hdrl LIST with avih + strl/strh/strf headers,
+  * movi LIST of 00db uncompressed 24-bit DIB frames with 4-byte row
+  * padding) built byte-exact from hex/unhex Column expressions.
+  * Per-frame solid BGR colors vary by a closed-form recurrence the SQL
+  * oracle replays; doc_id % 11 ∈ {0, 5} payloads are damaged
+  * (truncated mid-frame / 'AVI ' form tag stomped) to exercise the
+  * quarantine path. */
+object VideoSim {
+
+  private def hb(c: Column): Column = lpad(hex(c % 256), 2, "0")
+  private def le16(x: Column): Column = concat(hb(x), hb(x / 256))
+  private def le32(x: Column): Column = concat(
+    hb(x), hb(x / 256), hb(x / 65536), hb(x / 16777216))
+  private def tagHex(s: String): Column =
+    lit(s.getBytes("US-ASCII").map(b => f"$b%02X").mkString)
+  private def zeros(n: Int): Column = lit("00" * n)
+
+  /** doc_id → (payload, plus the closed-form ground-truth columns the
+    * spec asserts against; the gate ships doc_id+payload only). */
+  def payloads(docs: DataFrame): DataFrame = {
+    val k = col("doc_id")
+    val base = docs.select(
+      k.as("doc_id"),
+      (lit(1) + k % 4).cast("int").as("nf"),   // 1..4 frames
+      (lit(4) + k % 5).cast("int").as("w"),    // 4..8 px wide
+      (lit(2) + k % 3).cast("int").as("h"))    // 2..4 px tall
+      .withColumn("_rb", ((col("w") * 3 + 3) / 4).cast("int") * 4)
+      .withColumn("_pad", col("_rb") - col("w") * 3)
+      .withColumn("_fb", col("_rb") * col("h"))
+    val avih = concat(tagHex("avih"), le32(lit(56)),
+      le32(lit(33333)), le32(lit(0)), le32(lit(0)), le32(lit(0)),
+      le32(col("nf")), le32(lit(0)), le32(lit(1)), le32(col("_fb")),
+      le32(col("w")), le32(col("h")), zeros(16))
+    val strh = concat(tagHex("strh"), le32(lit(56)),
+      tagHex("vids"), tagHex("DIB "), le32(lit(0)), le16(lit(0)), le16(lit(0)),
+      le32(lit(0)), le32(lit(1)), le32(lit(30)), le32(lit(0)),
+      le32(col("nf")), le32(col("_fb")), le32(lit(0)), le32(lit(0)), zeros(8))
+    val strf = concat(tagHex("strf"), le32(lit(40)),
+      le32(lit(40)), le32(col("w")), le32(col("h")), le16(lit(1)), le16(lit(24)),
+      le32(lit(0)), le32(col("_fb")), le32(lit(0)), le32(lit(0)),
+      le32(lit(0)), le32(lit(0)))
+    val strl = concat(tagHex("LIST"), le32(lit(116)), tagHex("strl"), strh, strf)
+    val hdrl = concat(tagHex("LIST"), le32(lit(192)), tagHex("hdrl"), avih, strl)
+    // movi: nf frames of 00db chunks; per-frame solid BGR color from
+    // the closed-form recurrence; rows pad to 4 bytes with zero bytes
+    val mid = base
+      .withColumn("_chunkHdrHex", concat(tagHex("00db"), le32(col("_fb"))))
+      .withColumn("_framesHex", expr(
+        """array_join(transform(sequence(0, nf - 1), f ->
+          | concat(_chunkHdrHex,
+          |   repeat(concat(repeat(concat(
+          |     lpad(hex((doc_id * 7 + f * 13) % 256), 2, '0'),
+          |     lpad(hex((doc_id * 11 + f * 17) % 256), 2, '0'),
+          |     lpad(hex((doc_id * 13 + f * 19) % 256), 2, '0')), w),
+          |     repeat('00', _pad)), h))), '')""".stripMargin.replaceAll("\n", " ")))
+    val moviContent = lit(4) + col("nf") * (col("_fb") + 8)
+    val riffSize = lit(4) + lit(200) + lit(8) + moviContent
+    val built = mid.withColumn("_payload0", unhex(concat(
+      tagHex("RIFF"), le32(riffSize), tagHex("AVI "),
+      hdrl,
+      tagHex("LIST"), le32(moviContent), tagHex("movi"),
+      col("_framesHex"))))
+    // damage pass: %11==0 → truncated mid-frame (the last 6 payload
+    // bytes cut — the movi LIST now outruns the buffer); %11==5 →
+    // 'AVI ' form tag stomped
+    val damaged = built.withColumn("payload",
+      when(col("doc_id") % 11 === 0,
+        col("_payload0").substr(lit(1),
+          (length(col("_payload0")) - 6).cast("int")))
+      .when(col("doc_id") % 11 === 5,
+        concat(col("_payload0").substr(lit(1), lit(8)),
+          unhex(lit("58585858")),
+          col("_payload0").substr(lit(13),
+            (length(col("_payload0")) - 12).cast("int"))))
+      .otherwise(col("_payload0")))
+    damaged.select(col("doc_id"), col("payload"),
+      col("nf"), col("w"), col("h"), col("_fb").as("fb"))
   }
 }

@@ -1145,6 +1145,15 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // video twin of d89/d93, REAL RIFF/AVI decode oracle-gated:
+    // synthesized uncompressed-DIB AVIs (hdrl/avih/strl/strf headers,
+    // 00db frames, padded rows) batch-decoded by the real chunk+DIB
+    // walker; damaged payloads (%11: truncated mid-frame / form tag
+    // stomped) quarantine with NULL stats
+    "d97_video_decode" -> ((s, dir) =>
+      Multimodal.videoStats(s, VideoSim.payloads(docs(s, dir)))
+        .orderBy("doc_id")),
+
     // per-suite contamination report: two synthetic eval suites
     // (distinct corpus slices and token windows), audited in ONE
     // corpus pass via suite-tagged gram broadcast
@@ -2542,6 +2551,30 @@ object PipelineQueries {
         |  n_super::BIGINT AS n_super, n_wspace::BIGINT AS n_wspace,
         |  (n_ligature + n_fullwidth + n_super + n_wspace) > 0 AS was_dirty
         | FROM n ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // closed-form replay of the AVI layout: per-frame solid colors from
+    // the integer recurrence, pixel sums = color * w * h summed over
+    // frames, byte counts from the exact header+chunk arithmetic
+    "d97_video_decode" ->
+      """WITH p AS (SELECT doc_id,
+        |  (1 + doc_id % 4) AS nf, (4 + doc_id % 5) AS w, (2 + doc_id % 3) AS h
+        |  FROM documents),
+        | r AS (SELECT doc_id, nf, w, h, ((w * 3 + 3) // 4) * 4 * h AS fb FROM p),
+        | c AS (SELECT doc_id, nf, w, h, fb,
+        |  list_sum(list_transform(generate_series(0, nf - 1), f -> (doc_id * 7 + f * 13) % 256)) * w * h AS sb,
+        |  list_sum(list_transform(generate_series(0, nf - 1), f -> (doc_id * 11 + f * 17) % 256)) * w * h AS sg,
+        |  list_sum(list_transform(generate_series(0, nf - 1), f -> (doc_id * 13 + f * 19) % 256)) * w * h AS sr,
+        |  224 + nf * (fb + 8) AS full_bytes FROM r)
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 11 IN (0, 5) THEN 'quarantined' ELSE 'ok' END AS status,
+        |  (CASE WHEN doc_id % 11 IN (0, 5) THEN NULL ELSE nf END)::BIGINT AS n_frames,
+        |  (CASE WHEN doc_id % 11 IN (0, 5) THEN NULL ELSE w END)::INT AS width,
+        |  (CASE WHEN doc_id % 11 IN (0, 5) THEN NULL ELSE h END)::INT AS height,
+        |  (CASE WHEN doc_id % 11 IN (0, 5) THEN NULL ELSE sb END)::BIGINT AS sum_b,
+        |  (CASE WHEN doc_id % 11 IN (0, 5) THEN NULL ELSE sg END)::BIGINT AS sum_g,
+        |  (CASE WHEN doc_id % 11 IN (0, 5) THEN NULL ELSE sr END)::BIGINT AS sum_r,
+        |  (CASE WHEN doc_id % 11 = 0 THEN full_bytes - 6 ELSE full_bytes END)::BIGINT AS n_bytes
+        | FROM c ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     "d88_contam_report" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents),

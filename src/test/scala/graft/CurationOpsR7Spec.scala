@@ -258,4 +258,56 @@ class CurationOpsR7Spec extends AnyFunSuite {
     assert(m.select("doc_id", "pack_id").except(want).count() == 0)
     m.unpersist()
   }
+
+  // ---- d97: AVI decode --------------------------------------------
+
+  test("VideoSim payloads decode to the closed-form ground truth") {
+    import graft.operators.VideoSim
+    val docs = (0L until 44L).toDF("doc_id")
+    val out = Multimodal.videoStats(spark, VideoSim.payloads(docs))
+      .orderBy("doc_id").collect()
+    assert(out.length == 44)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val nf = 1 + id % 4; val w = 4 + id % 5; val h = 2 + id % 3
+      val rb = ((w * 3 + 3) / 4) * 4; val fb = rb * h
+      val full = 224 + nf * (fb + 8)
+      if (id % 11 == 0 || id % 11 == 5) {
+        assert(r.getString(1) == "quarantined" && r.isNullAt(2), s"doc $id")
+        assert(r.getLong(8) == (if (id % 11 == 0) full - 6 else full))
+      } else {
+        assert(r.getString(1) == "ok", s"doc $id")
+        assert(r.getLong(2) == nf && r.getInt(3) == w && r.getInt(4) == h)
+        def cs(a: Long, b: Long) =
+          (0L until nf).map(f => (id * a + f * b) % 256).sum * w * h
+        assert(r.getLong(5) == cs(7, 13), s"doc $id sum_b")
+        assert(r.getLong(6) == cs(11, 17), s"doc $id sum_g")
+        assert(r.getLong(7) == cs(13, 19), s"doc $id sum_r")
+        assert(r.getLong(8) == full)
+      }
+    }
+  }
+
+  test("decodeAvi rejects non-DIB formats and frame-count mismatches") {
+    import graft.operators.VideoSim
+    val one = Multimodal.videoStats(spark,
+      VideoSim.payloads(Seq(1L).toDF("doc_id"))).collect()(0)
+    assert(one.getString(1) == "ok")
+    val payload = VideoSim.payloads(Seq(1L).toDF("doc_id"))
+      .select("payload").collect()(0).getAs[Array[Byte]](0)
+    // stomp the strf bit count (24 -> 8): quarantined as non-DIB
+    // strf data starts after RIFF(12) + LIST hdrl hdr(12) + avih(64)
+    // + LIST strl hdr(12) + strh(64) + strf hdr(8); bitcount at +14
+    val bad = payload.clone()
+    val strfData = 12 + 12 + 64 + 12 + 64 + 8
+    assert((bad(strfData + 14) & 0xFF) == 24)
+    bad(strfData + 14) = 8.toByte
+    assert(Multimodal.decodeAvi(bad).isEmpty)
+    // lie about the frame count in avih (dwTotalFrames at avih data +16)
+    val lied = payload.clone()
+    val avihData = 12 + 12 + 8
+    lied(avihData + 16) = (lied(avihData + 16) + 1).toByte
+    assert(Multimodal.decodeAvi(lied).isEmpty)
+    assert(Multimodal.decodeAvi(payload).isDefined)
+  }
 }

@@ -655,6 +655,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("d97: video decode is map-only — one mapPartitions pass, no shuffle") {
+    val p = plan("d97_video_decode")
+    assert(!p.contains("Arguments: hashpartitioning"),
+      s"payload synthesis + decode must not shuffle\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"))
+    assert(p.contains("MapPartitions"), s"batched decode pass missing\n$p")
+  }
+
   test("salted join distributes a hot key across n buckets, same result") {
     import spark.implicits._
     val big = (1 to 1000).map(i => ("hot", i.toLong)).toDF("key", "payload")
