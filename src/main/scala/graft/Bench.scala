@@ -39,7 +39,8 @@ object Bench {
     "d85_bpe_encode", "d86_hard_negatives", "d87_keyframes",
     "d89_image_decode",
     "d90_rrf_fusion", "d91_mojibake_fix", "d92_curriculum_order",
-    "d93_audio_trim", "d94_nfkc_normalize", "d95_soft_dedup")
+    "d93_audio_trim", "d94_nfkc_normalize", "d95_soft_dedup",
+    "d96_pack_manifest", "d97_video_decode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

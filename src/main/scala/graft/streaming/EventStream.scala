@@ -471,6 +471,15 @@ object EventStream {
                    stream: DataFrame): DataFrame =
     graft.operators.Multimodal.audioStats(spark, stream)
 
+  /** Streaming video decode — d97's streaming twin: the chunk+DIB
+    * walker runs per micro-batch through the same batched
+    * mapPartitions contract (stateless, map-only), quarantining
+    * undecodable containers at the ingest edge. Bit-identical to the
+    * batch stats (spec-pinned). */
+  def videoDecoded(spark: org.apache.spark.sql.SparkSession,
+                   stream: DataFrame): DataFrame =
+    graft.operators.Multimodal.videoStats(spark, stream)
+
   case class FrameFp(doc_id: Long, frame_idx: Long, fp: Long)
   case class KfState(lastIdx: Long, lastFp: Long)
   case class KfOut(doc_id: Long, frame_idx: Long, fp: Long,

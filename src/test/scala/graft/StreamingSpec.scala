@@ -789,6 +789,31 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("status") === "quarantined").count() == 5)
   }
 
+  test("streaming video decode matches batch bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val payloadRows = graft.operators.VideoSim
+      .payloads((0L until 22L).toDF("doc_id"))
+      .select("doc_id", "payload").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val ps = MemoryStream[(Long, Array[Byte])]
+    val q = graft.streaming.EventStream.videoDecoded(spark,
+        ps.toDF().toDF("doc_id", "payload"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("avi_out").start()
+    ps.addData(payloadRows.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("avi_out").orderBy("doc_id").collect().map(_.toString)
+    val want = graft.operators.Multimodal.videoStats(spark,
+        payloadRows.toSeq.toDF("doc_id", "payload"))
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(got.toSeq == want.toSeq && got.length == 22)
+    // both damage classes (%11 in {0,5}) quarantined on the stream
+    assert(spark.table("avi_out")
+      .filter(col("status") === "quarantined").count() == 4)
+  }
+
   test("streaming NFKC normalization matches batch bit-for-bit") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
