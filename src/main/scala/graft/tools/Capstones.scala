@@ -218,6 +218,34 @@ object Capstones {
       f"  merge ${mN / m1}%5.1f  compact ${cN / c1}%5.1f  (linear = $factor.0)")
     }
 
+    // ---- media decode (d93/d97): in-plan container synthesis + the
+    // real chunk-walking parsers — map-only end to end, so 50× bytes
+    // must ride the scan with no shuffle anywhere
+    if (want("media")) {
+      def wavs(df: DataFrame) = Multimodal.audioStats(spark,
+        AudioSim.payloads(df.select(col("doc_id")))).count()
+      def avis(df: DataFrame) = Multimodal.videoStats(spark,
+        VideoSim.payloads(df.select(col("doc_id")))).count()
+      chainRatio("media decode", factor, Seq(
+        ("wav decode", wavs), ("avi decode", avis)), base, big)
+    }
+
+    // ---- d96 pack manifest: d19's two-phase packing + the bounded
+    // (stream, pack)-partitioned offset/total windows — a pack holds
+    // < budget + max_doc tokens by construction, so the added windows
+    // must stay flat under the dominant-stream skew too
+    if (want("manifest")) {
+      def manifestIn(df: DataFrame) = df.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(10)) =!= 0, lit("hot"))
+          .otherwise(concat(lit("tail"), pmod(col("doc_id"), lit(7))))
+          .as("stream"),
+        (length(col("text")) / 4).cast("long").as("n_tokens"))
+      chainRatio("d96 pack manifest (90% one stream)", factor, Seq(
+        ("manifest", (d: DataFrame) => TextOps.packManifest(manifestIn(d),
+          col("stream"), col("doc_id"), col("n_tokens"), 4096L).count())),
+        base, big)
+    }
+
     // ---- d92 curriculum order: per-lang quantile bins -> two-phase
     // global prefix sum (the d45 machinery keyed by bin). The total
     // order must come out of slice-local ranks: at Nx the single
