@@ -1,0 +1,102 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import graft.operators.Multimodal
+
+/** Property-based round trips for the container parsers: ARBITRARY
+  * hand-built WAV sample arrays and AVI frame stacks (random dims,
+  * counts, colors, optional junk chunks) must decode to exactly the
+  * stats computed straight off the inputs — the closed-form sims
+  * (AudioSim/VideoSim) cover one layout family; hundreds of random
+  * layouts cover header/stride/padding corner cases they can't. Pure
+  * JVM — no Spark jobs. */
+object MediaDecodePropertySpec extends Properties("MediaDecode") {
+
+  // ---- WAV ---------------------------------------------------------
+
+  private def wavBytes(samples: Seq[Int], junk: Boolean): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF) }
+    def w32(v: Int): Unit = { w16(v & 0xFFFF); w16((v >> 16) & 0xFFFF) }
+    def tag(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    val extra = if (junk) 8 + 6 else 0
+    tag("RIFF"); w32(36 + extra + samples.size * 2); tag("WAVE")
+    tag("fmt "); w32(16); w16(1); w16(1); w32(8000); w32(16000); w16(2); w16(16)
+    if (junk) { tag("LIST"); w32(6); bos.write(Array.fill(6)(0x55.toByte)) }
+    tag("data"); w32(samples.size * 2)
+    samples.foreach(w16)
+    bos.toByteArray
+  }
+
+  private val sampleGen = Gen.choose(-32768, 32767)
+  private val samplesGen = Gen.choose(0, 40).flatMap(Gen.listOfN(_, sampleGen))
+
+  property("wav: decode == direct stats for arbitrary samples") =
+    Prop.forAll(samplesGen, Gen.oneOf(true, false)) { (samples, junk) =>
+      val got = Multimodal.decodeWav(wavBytes(samples, junk))
+      val abs = samples.map(s => math.abs(s).toLong)
+      val lead = abs.takeWhile(_ < Multimodal.SILENCE_THRESH).size.toLong
+      val trail =
+        if (lead == samples.size) 0L
+        else abs.reverse.takeWhile(_ < Multimodal.SILENCE_THRESH).size.toLong
+      got.map(_.toSeq).contains(Seq(samples.size.toLong, lead, trail,
+        abs.sum, if (abs.isEmpty) 0L else abs.max))
+    }
+
+  property("wav: any truncation of the data chunk quarantines") =
+    Prop.forAll(samplesGen.suchThat(_.nonEmpty), Gen.choose(1, 4)) { (samples, cut) =>
+      Multimodal.decodeWav(wavBytes(samples, junk = false).dropRight(cut)).isEmpty
+    }
+
+  // ---- AVI ---------------------------------------------------------
+
+  private def aviBytes(w: Int, h: Int, frames: Seq[(Int, Int, Int)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF) }
+    def w32(v: Int): Unit = { w16(v & 0xFFFF); w16((v >> 16) & 0xFFFF) }
+    def tag(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    val rb = ((3 * w + 3) / 4) * 4
+    val fb = rb * h
+    val movi = 4 + frames.size * (8 + fb)
+    tag("RIFF"); w32(4 + 200 + 8 + movi); tag("AVI ")
+    tag("LIST"); w32(192); tag("hdrl")
+    tag("avih"); w32(56)
+    w32(33333); w32(0); w32(0); w32(0); w32(frames.size); w32(0); w32(1)
+    w32(fb); w32(w); w32(h); (1 to 4).foreach(_ => w32(0))
+    tag("LIST"); w32(116); tag("strl")
+    tag("strh"); w32(56); tag("vids"); tag("DIB "); w32(0); w16(0); w16(0)
+    w32(0); w32(1); w32(30); w32(0); w32(frames.size); w32(fb); w32(0); w32(0)
+    w32(0); w32(0)
+    tag("strf"); w32(40); w32(40); w32(w); w32(h); w16(1); w16(24)
+    w32(0); w32(fb); w32(0); w32(0); w32(0); w32(0)
+    tag("LIST"); w32(movi); tag("movi")
+    frames.foreach { case (b0, g0, r0) =>
+      tag("00db"); w32(fb)
+      (0 until h).foreach { _ =>
+        (0 until w).foreach { _ => bos.write(b0); bos.write(g0); bos.write(r0) }
+        (0 until rb - 3 * w).foreach(_ => bos.write(0))
+      }
+    }
+    bos.toByteArray
+  }
+
+  private val dimGen = for { w <- Gen.choose(1, 9); h <- Gen.choose(1, 6) } yield (w, h)
+  private val colGen = Gen.choose(0, 255)
+  private val framesGen = Gen.choose(1, 5).flatMap(n =>
+    Gen.listOfN(n, for { b <- colGen; g <- colGen; r <- colGen } yield (b, g, r)))
+
+  property("avi: decode == direct stats for arbitrary dims/frames/colors") =
+    Prop.forAll(dimGen, framesGen) { case ((w, h), frames) =>
+      val got = Multimodal.decodeAvi(aviBytes(w, h, frames))
+      val px = w.toLong * h
+      got.map(_.toSeq).contains(Seq(frames.size.toLong, w.toLong, h.toLong,
+        frames.map(_._1.toLong).sum * px,
+        frames.map(_._2.toLong).sum * px,
+        frames.map(_._3.toLong).sum * px))
+    }
+
+  property("avi: any truncation inside movi quarantines") =
+    Prop.forAll(dimGen, framesGen, Gen.choose(1, 5)) { case ((w, h), frames, cut) =>
+      Multimodal.decodeAvi(aviBytes(w, h, frames).dropRight(cut)).isEmpty
+    }
+}
