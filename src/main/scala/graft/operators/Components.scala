@@ -35,15 +35,22 @@ object Components {
     while (!converged && i < maxIter) {
       val nbrMin = und.join(labels, und("b") === labels("id"))
         .groupBy(col("a")).agg(min(col("label")).as("nbr_label"))
+      // the changed flag rides the SAME projection, so convergence is
+      // one filter-count over the checkpointed frame — a re-join diff
+      // would pay a per-round shuffle just to compare old vs new.
+      // (A pointer-jumping variant was measured and reverted: near-dup
+      // cluster graphs are shallow stars/short chains that converge in
+      // 2-3 propagation rounds, so the label-of-label self-join adds a
+      // shuffle per round without saving any.)
       val next = labels.join(nbrMin, labels("id") === nbrMin("a"), "left")
         .select(labels("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
-            .as("label"))
+            .as("label"),
+          (coalesce(col("nbr_label"), col("label")) < col("label"))
+            .as("_changed"))
         .localCheckpoint(true)
-      val changed = next
-        .join(labels.withColumnRenamed("label", "_old"), "id")
-        .filter(col("label") =!= col("_old")).count()
-      labels = next
+      val changed = next.filter(col("_changed")).count()
+      labels = next.drop("_changed")
       converged = changed == 0
       i += 1
     }
