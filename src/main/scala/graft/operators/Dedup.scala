@@ -647,9 +647,14 @@ object Dedup {
     val base = assign.select(id.as("_id"), cluster.as("_cluster"))
     val sizes = base.groupBy(col("_cluster"))
       .agg(count(lit(1)).as("cluster_size"))
-    base.join(sizes, "_cluster")
-      .select(col("_id"), col("_cluster"),
-        col("cluster_size"),
+    // null-SAFE join key: an unclustered row often carries cluster =
+    // NULL (a left-join-shaped assignment); a plain equi join would
+    // silently drop every such doc, breaking the "nothing is dropped"
+    // contract — groupBy counts the null group, so <=> keeps them
+    base.as("b").join(sizes.as("s"),
+        col("b._cluster") <=> col("s._cluster"))
+      .select(col("b._id").as("_id"), col("b._cluster").as("_cluster"),
+        col("s.cluster_size").as("cluster_size"),
         expr(s"${scale}L div cluster_size").as("weight"))
   }
 }

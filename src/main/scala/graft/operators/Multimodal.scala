@@ -495,17 +495,22 @@ object Multimodal {
     var i = 12
     while (i + 8 <= b.length && (moviAt < 0 || frames < 0)) {
       val sz = u32(i + 4)
-      if (sz > b.length) return None
+      // every declared size is bounds-checked BEFORE use: a lying
+      // header must quarantine (None), never index past the buffer or
+      // produce a non-advancing (or negative) stride that hangs the
+      // executor task — the i+8+sz form also rejects u32 values whose
+      // .toInt would go negative
+      if (i + 8 + sz > b.length) return None
       if (tag(i, "LIST")) {
         if (i + 12 > b.length) return None
         if (tag(i + 8, "movi")) { moviAt = i + 12; moviEnd = i + 8 + sz.toInt }
         else if (tag(i + 8, "hdrl")) {
           // walk the hdrl sub-chunks: avih, then nested strl LIST
           var j = i + 12
-          val hEnd = i + 8 + sz.toInt
+          val hEnd = i + 8 + sz.toInt // <= b.length by the guard above
           while (j + 8 <= hEnd) {
             val ssz = u32(j + 4)
-            if (j + 8 + ssz > b.length) return None
+            if (j + 8 + ssz > hEnd) return None
             if (tag(j, "avih") && ssz >= 40) {
               frames = u32(j + 8 + 16)
               w = u32(j + 8 + 32).toInt; h = u32(j + 8 + 36).toInt
@@ -514,6 +519,7 @@ object Multimodal {
               val sEnd = j + 8 + ssz.toInt
               while (k + 8 <= sEnd) {
                 val csz = u32(k + 4)
+                if (k + 8 + csz > sEnd) return None
                 if (tag(k, "strf") && csz >= 40)
                   // BITMAPINFOHEADER: planes=1, 24-bit, BI_RGB
                   fmtOk = u16(k + 8 + 12) == 1 && u16(k + 8 + 14) == 24 &&

@@ -271,7 +271,8 @@ object Similarity {
     seeds += pts.minBy { case (id, _) => (unit(id, 0L), id) }._2
     val d2 = pts.map { case (_, v) => dist2(v, seeds.head) }
     var r = 1L
-    while (seeds.length < math.min(nCells, pts.length)) {
+    var exhausted = false
+    while (!exhausted && seeds.length < math.min(nCells, pts.length)) {
       var bestI = -1; var bestP = Double.NegativeInfinity
       var i = 0
       while (i < pts.length) {
@@ -283,9 +284,16 @@ object Similarity {
         i += 1
       }
       if (bestI < 0) {
-        // all remaining points coincide with a seed: pad by id order
+        // all remaining points coincide with a seed: pad by id order.
+        // When even the pad has nothing left (fewer DISTINCT vectors
+        // than seats — a duplicate-heavy corpus), STOP: without the
+        // flag this branch adds nothing, the loop condition never
+        // changes, and the driver spins forever; the repeat-pad below
+        // completes the fill.
         val left = pts.filterNot(p => seeds.exists(_.sameElements(p._2)))
-        left.take(nCells - seeds.length).foreach(seeds += _._2)
+        if (left.isEmpty) exhausted = true
+        else left.take(math.min(nCells, pts.length) - seeds.length)
+          .foreach(seeds += _._2)
       } else {
         seeds += pts(bestI)._2
         var j = 0

@@ -216,22 +216,46 @@ object TextOps {
     * (spec-pinned, including ties and empty slices), but no one-task-
     * per-stream wall: `packBudget`'s window puts each stream's ENTIRE
     * row set through one task, so a corpus where 90% of docs share one
-    * stream serializes behind a single sorter at 100 TB. Here rows
-    * range-partition on (stream, id) — a dominant stream spans many
-    * contiguous partitions — then phase 1 aggregates one token total
-    * per (stream, partition) (a ≤`slices`-row table; its per-stream
-    * cumulative window is KB-sized), and phase 2 adds the broadcast
-    * offset to each partition's LOCAL prefix sum, whose window is
-    * bounded by the range partitioner's split, never the stream.
-    * Both phases read ONE exchange (the range shuffle is reused). */
+    * stream serializes behind a single sorter at 100 TB. Each stream's
+    * id axis splits into `slices` DETERMINISTIC contiguous ranges
+    * (per-stream min/max id bounds, broadcast; slice = the
+    * proportional position of the id in its stream's range — monotone
+    * in id, so slice order IS id order): phase 1 aggregates one token
+    * total per (stream, slice) (a ≤`slices`-row-per-stream table whose
+    * per-stream cumulative window is KB-sized), phase 2 adds the
+    * broadcast offset to each slice's LOCAL prefix sum, whose window
+    * is bounded by the slice, never the stream.
+    *
+    * The slice expression is deliberately a PURE FUNCTION of
+    * (stream, id) rather than `spark_partition_id` over a range
+    * shuffle: the physical partition id is only consistent between
+    * phase 1 and phase 2 if the optimizer reuses the exchange, and a
+    * reuse miss (pruned columns, `exchange.reuse=false`, AQE
+    * re-planning) would silently mis-join offsets. A deterministic
+    * slice is identical however many times the plan recomputes it.
+    * The trade: slice balance now follows the id distribution (dense
+    * ids → even slices; adversarially clustered ids degrade balance,
+    * never correctness). */
   def packBudgetScalable(df: DataFrame, stream: Column, id: Column,
                          nTokens: Column, budget: Long,
                          slices: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val staged = df.withColumn("_stream", stream).withColumn("_id", id)
+    val staged0 = df.withColumn("_stream", stream).withColumn("_id", id)
       .withColumn("_nt", nTokens.cast("long"))
-      .repartitionByRange(slices, col("_stream"), col("_id"))
-      .withColumn("_pid", spark_partition_id())
+    val bounds = staged0.groupBy(col("_stream"))
+      .agg(min(col("_id")).as("_lo"), max(col("_id")).as("_hi"))
+    // proportional position of _id in [_lo, _hi] → slice 0..slices-1.
+    // ALL-double arithmetic: long→double and x−c, x·c are monotone
+    // non-decreasing in IEEE, so the slice mapping is monotone in _id
+    // for the entire long range (a long-typed _id − _lo could overflow
+    // on extreme spans and break contiguity), which is all
+    // correctness needs
+    val staged = staged0.join(broadcast(bounds), Seq("_stream"))
+      .withColumn("_pid", least(lit(slices - 1), greatest(lit(0), floor(
+        (col("_id").cast("double") - col("_lo").cast("double")) * slices /
+          (col("_hi").cast("double") - col("_lo").cast("double") + 1))
+        .cast("int"))))
+      .drop("_lo", "_hi")
     val wOff = Window.partitionBy(col("_stream")).orderBy(col("_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = staged.groupBy(col("_stream"), col("_pid"))

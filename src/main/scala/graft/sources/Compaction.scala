@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.col
 
@@ -43,9 +43,28 @@ object Compaction {
   def compact(spark: SparkSession, tableDir: String, partCol: String,
               sortCols: Seq[String], targetBytes: Long = 128L << 20,
               minFiles: Int = 4): Seq[Stats] = {
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val root = new Path(tableDir)
+    // per-path FS resolution: FileSystem.get(conf) binds to
+    // fs.defaultFS, which is the WRONG filesystem for a file:/// or
+    // s3a:// warehouse on an hdfs-default cluster
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
+    // crash recovery BEFORE compacting: a .compact_bak_* dir whose
+    // visible partition is missing means a previous run died between
+    // rename(dir→bak) and rename(tmp→dir) — every reader ignores
+    // dot-dirs, so without this restore the partition is silently
+    // invisible until the same partition happens to recompact. Restore
+    // completes the documented either-old-or-new invariant. Orphan tmp
+    // dirs are partial writes: always safe to drop.
+    fs.listStatus(root).filter(_.isDirectory).map(_.getPath).foreach { d =>
+      if (d.getName.startsWith(".compact_bak_")) {
+        val visible = new Path(root, d.getName.stripPrefix(".compact_bak_"))
+        if (!fs.exists(visible)) {
+          if (!fs.rename(d, visible))
+            sys.error(s"compact: cannot restore $d to $visible")
+        }
+      } else if (d.getName.startsWith(".compact_tmp_")) fs.delete(d, true)
+    }
     val parts = fs.listStatus(root).filter(_.isDirectory)
       .map(_.getPath).filter(_.getName.startsWith(partCol + "="))
     parts.toSeq.flatMap { dir =>

@@ -161,7 +161,7 @@ object Cli {
   /** `--running-at-time` accepts epoch seconds or an ISO local
     * datetime (interpreted UTC, the unixTime/s05 convention). */
   def parseTime(v: String): Either[String, Long] =
-    if (v.forall(_.isDigit)) Right(v.toLong)
+    if (v.nonEmpty && v.forall(_.isDigit)) Right(v.toLong)
     else try {
       val base = if (v.length == 10) v + "T00:00:00"
                  else v.replace(' ', 'T') + (if (v.count(_ == ':') == 1) ":00" else "")
@@ -289,7 +289,7 @@ object Cli {
       case "csv" => (names.mkString(",") +: rows.map(_.map(csvQuote).mkString(","))).mkString("\n")
       case "tsv" => (names.mkString("\t") +: rows.map(_.mkString("\t"))).mkString("\n")
       case "json" => rows.map(r => names.zip(r)
-        .map { case (k, v) => "\"" + k + "\":" + "\"" + v.replace("\"", "\\\"") + "\"" }
+        .map { case (k, v) => "\"" + k + "\":" + "\"" + jsonEscape(v) + "\"" }
         .mkString("{", ",", "}")).mkString("\n")
       case _ => // simple: tabulate-style aligned columns
         val widths = names.indices.map(i =>
@@ -300,6 +300,20 @@ object Cli {
         (header +: sep +: body).mkString("\n")
     }
   }
+
+  // minimal RFC 8259 string escaping: backslash and quote, then the
+  // control range (a raw TRES/NodeList backslash must not produce an
+  // unparseable --format json line)
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
 
   private def csvQuote(s: String): String =
     if (s.exists(c => c == ',' || c == '"' || c == '\n'))
@@ -331,8 +345,15 @@ object Cli {
             System.err.println(s"[cli] wrote ${path}")
           case None =>
             val rendered = render(out, a.format, a.limit)
-            if (emptyExits && !rendered.contains('\n')) {
-              // header+sep only = zero data rows (reference :1327)
+            // zero DATA rows (reference :1327) — count per format:
+            // 'simple' always carries header + separator lines, so a
+            // newline test can never fire for the default format
+            val bodyRows = a.format match {
+              case "simple" => rendered.linesIterator.size - 2
+              case "csv" | "tsv" => rendered.linesIterator.size - 1
+              case _ => rendered.linesIterator.count(_.nonEmpty)
+            }
+            if (emptyExits && bodyRows <= 0) {
               println("No data fetched with these sacct options.")
               spark.stop(); sys.exit(2)
             }

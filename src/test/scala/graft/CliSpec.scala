@@ -159,6 +159,32 @@ class CliSpec extends AnyFunSuite {
     assert(df.count() == direct.count() && df.count() > 0)
   }
 
+  test("seff empty result exits 2 for EVERY format (the simple header is not data)") {
+    // the reference prints 'No data fetched' + exit 2 (:1327); the
+    // check counts DATA rows per format — 'simple' always renders a
+    // header + separator, so a newline test would never fire
+    val empty = seff("-u", "no_such_user_xyz")
+    assert(empty.limit(1).count() == 0)
+    for (fmt <- Seq("simple", "csv", "tsv", "json")) {
+      val rendered = Cli.render(empty, fmt, None)
+      val bodyRows = fmt match {
+        case "simple" => rendered.linesIterator.size - 2
+        case "csv" | "tsv" => rendered.linesIterator.size - 1
+        case _ => rendered.linesIterator.count(_.nonEmpty)
+      }
+      assert(bodyRows <= 0, s"format $fmt: $rendered")
+    }
+  }
+
+  test("json rendering escapes backslashes and control chars; parseTime rejects empty") {
+    import spark.implicits._
+    val df = Seq(("a\\b", "x\ny")).toDF("A", "B")
+    val json = Cli.render(df, "json", None)
+    // must parse as JSON: backslash doubled, newline escaped
+    assert(json.contains("\"a\\\\b\"") && json.contains("\"x\\ny\""))
+    assert(Cli.parseTime("").isLeft)
+  }
+
   test("render: csv/json/tsv/simple shapes") {
     val df = sacct("-o", "JobID,User,NCPUS", "--limit", "5")
     val csv = Cli.render(df, "csv", Some(3))

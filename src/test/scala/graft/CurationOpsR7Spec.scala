@@ -220,6 +220,18 @@ class CurationOpsR7Spec extends AnyFunSuite {
       assert(m <= 1000000L && m > 1000000L - n) }
   }
 
+  test("softWeights: null-cluster rows keep full weight, never dropped") {
+    import graft.operators.Dedup
+    val assign = Seq((1L, Some(10L)), (2L, Some(10L)), (3L, None), (4L, None))
+      .toDF("id", "cluster")
+    val out = Dedup.softWeights(assign, col("id"), col("cluster"))
+      .orderBy("_id").as[(Long, Option[Long], Long, Long)].collect()
+    // the null group is a real group: counted, joined, weighted
+    assert(out.length == 4)
+    assert(out(2) == ((3L, None, 2L, 500000L)))
+    assert(out(3) == ((4L, None, 2L, 500000L)))
+  }
+
   test("nfkc_normalize and deflate_len are callable from SQL") {
     graft.GraftFunctions.register(spark)
     val r = spark.sql(

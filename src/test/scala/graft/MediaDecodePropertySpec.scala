@@ -95,6 +95,31 @@ object MediaDecodePropertySpec extends Properties("MediaDecode") {
         frames.map(_._3.toLong).sum * px))
     }
 
+  property("avi/wav: arbitrary single-byte corruption never throws (decode or quarantine)") =
+    Prop.forAll(dimGen, framesGen, Gen.choose(0, 10000), colGen) {
+      case ((w, h), frames, posSeed, v) =>
+        val avi = aviBytes(w, h, frames)
+        avi(posSeed % avi.length) = v.toByte
+        val wav = wavBytes(List(0, 700, -700), junk = true)
+        wav(posSeed % wav.length) = v.toByte
+        // a lying header must map to Some/None, never an exception or
+        // a non-advancing loop (a hang here fails the suite timeout)
+        Multimodal.decodeAvi(avi)
+        Multimodal.decodeWav(wav)
+        true
+    }
+
+  property("avi: a chunk size of 0xFFFFFFF8 quarantines instead of hanging") =
+    Prop.forAll(dimGen, framesGen) { case ((w, h), frames) =>
+      val avi = aviBytes(w, h, frames)
+      // stomp the strf declared size (strf header sits at RIFF(12) +
+      // LIST hdrl hdr(12) + avih(64) + LIST strl hdr(12) + strh(64))
+      val off = 12 + 12 + 64 + 12 + 64 + 4
+      avi(off) = 0xF8.toByte; avi(off + 1) = 0xFF.toByte
+      avi(off + 2) = 0xFF.toByte; avi(off + 3) = 0xFF.toByte
+      Multimodal.decodeAvi(avi).isEmpty
+    }
+
   property("avi: any truncation inside movi quarantines") =
     Prop.forAll(dimGen, framesGen, Gen.choose(1, 5)) { case ((w, h), frames, cut) =>
       Multimodal.decodeAvi(aviBytes(w, h, frames).dropRight(cut)).isEmpty
