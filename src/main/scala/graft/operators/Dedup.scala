@@ -645,16 +645,18 @@ object Dedup {
   def softWeights(assign: DataFrame, id: Column, cluster: Column,
                   scale: Long = 1000000L): DataFrame = {
     val base = assign.select(id.as("_id"), cluster.as("_cluster"))
-    val sizes = base.groupBy(col("_cluster"))
+    // NULL cluster = UNCLUSTERED (a left-join-shaped assignment): each
+    // such doc is its own size-1 cluster with full weight. Lumping the
+    // nulls into one pseudo-cluster would hand a mostly-unique corpus
+    // ~zero weight per unique doc — the opposite of the contract —
+    // and a plain equi join would drop them outright.
+    val sizes = base.filter(col("_cluster").isNotNull)
+      .groupBy(col("_cluster"))
       .agg(count(lit(1)).as("cluster_size"))
-    // null-SAFE join key: an unclustered row often carries cluster =
-    // NULL (a left-join-shaped assignment); a plain equi join would
-    // silently drop every such doc, breaking the "nothing is dropped"
-    // contract — groupBy counts the null group, so <=> keeps them
     base.as("b").join(sizes.as("s"),
-        col("b._cluster") <=> col("s._cluster"))
+        col("b._cluster") === col("s._cluster"), "left")
       .select(col("b._id").as("_id"), col("b._cluster").as("_cluster"),
-        col("s.cluster_size").as("cluster_size"),
-        expr(s"${scale}L div cluster_size").as("weight"))
+        coalesce(col("s.cluster_size"), lit(1L)).as("cluster_size"))
+      .withColumn("weight", expr(s"${scale}L div cluster_size"))
   }
 }

@@ -75,7 +75,7 @@ object Multimodal {
   /** PPM "P6": ASCII header `P6 <w> <h> <maxval>` (whitespace-
     * separated, `#` comments to end-of-line), one whitespace byte,
     * then w·h RGB triplets (maxval < 256 ⇒ 1 byte per channel). */
-  private[operators] def decodePpm(b: Array[Byte]): Option[Array[Float]] = {
+  private[graft] def decodePpmSums(b: Array[Byte]): Option[Array[Long]] = {
     if (b.length < 2 || b(0) != 'P' || b(1) != '6') return None
     var i = 2
     def nextInt(): Int = { // -1 = malformed
@@ -99,16 +99,17 @@ object Multimodal {
       sr += b(p) & 0xFF; sg += b(p + 1) & 0xFF; sb += b(p + 2) & 0xFF
       p += 3
     }
-    val n = w.toLong * h
-    Some(Array(w.toFloat, h.toFloat, (sr.toDouble / n).toFloat,
-      (sg.toDouble / n).toFloat, (sb.toDouble / n).toFloat))
+    Some(Array(w.toLong, h.toLong, sr, sg, sb))
   }
+
+  private[operators] def decodePpm(b: Array[Byte]): Option[Array[Float]] =
+    decodePpmSums(b).map(meanFeature)
 
   /** BMP: "BM" file header (pixel offset at byte 10), BITMAPINFOHEADER
     * (w/h at 18/22, little-endian; negative height = top-down),
     * 24 bpp, BI_RGB (uncompressed) only; rows pad to 4 bytes, pixels
     * are BGR. Row order is irrelevant for channel means. */
-  private[operators] def decodeBmp(b: Array[Byte]): Option[Array[Float]] = {
+  private[graft] def decodeBmpSums(b: Array[Byte]): Option[Array[Long]] = {
     if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
     def le32(o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
       ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
@@ -130,9 +131,21 @@ object Multimodal {
       }
       y += 1
     }
-    val n = w.toLong * h
-    Some(Array(w.toFloat, h.toFloat, (sr.toDouble / n).toFloat,
-      (sg.toDouble / n).toFloat, (sb.toDouble / n).toFloat))
+    Some(Array(w.toLong, h.toLong, sr, sg, sb))
+  }
+
+  private[operators] def decodeBmp(b: Array[Byte]): Option[Array[Float]] =
+    decodeBmpSums(b).map(meanFeature)
+
+  /** [w, h, meanR, meanG, meanB] from exact sums — the
+    * [[decodeFeatures]] float-feature contract; the exact long sums
+    * stay available to [[decodeStats]], which must not round-trip a
+    * 24-bit-mantissa mean back into a sum (exact only under ~30 k
+    * pixels). */
+  private def meanFeature(sums: Array[Long]): Array[Float] = {
+    val n = sums(0) * sums(1)
+    Array(sums(0).toFloat, sums(1).toFloat, (sums(2).toDouble / n).toFloat,
+      (sums(3).toDouble / n).toFloat, (sums(4).toDouble / n).toFloat)
   }
 
   /** Frame sampling over an opaque payload: fixed-size frames at a
@@ -305,7 +318,12 @@ object Multimodal {
       col("meta.width"), col("meta.height"), col("meta.format"))
       .mapPartitions { rows =>
         rows.grouped(BATCH_SIZE).flatMap { chunk =>
-          val payloads = chunk.map(_.getAs[Array[Byte]]("payload")).toArray
+          // NULL payloads decode as empty byte arrays (the pluggable
+          // decoder contract takes raw batches; an NPE here would
+          // abort the whole stage)
+          val payloads = chunk.map(r =>
+            Option(r.getAs[Array[Byte]]("payload"))
+              .getOrElse(Array.emptyByteArray)).toArray
           val feats = decoder(payloads)
           chunk.iterator.zipWithIndex.map { case (r, i) =>
             Row(r.getAs[Long]("doc_id"), r.getAs[Int]("width"),
@@ -349,16 +367,18 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.grouped(BATCH_SIZE).flatMap { chunk =>
           val payloads = chunk.map(_.getAs[Array[Byte]]("payload")).toArray
-          val feats = payloads.map(b => decodePpm(b).orElse(decodeBmp(b)))
+          // exact long sums straight from the decoders — reconstructing
+          // a sum from the float mean is only exact under ~30 k pixels;
+          // a NULL payload (outer join, missing blob) quarantines
+          // instead of NPE-ing the task
+          val feats = payloads.map(b =>
+            if (b == null) None else decodePpmSums(b).orElse(decodeBmpSums(b)))
           chunk.iterator.zipWithIndex.map { case (r, i) =>
             val id = r.getAs[Long]("doc_id")
-            val nb = payloads(i).length.toLong
+            val nb = if (payloads(i) == null) 0L else payloads(i).length.toLong
             feats(i) match {
               case Some(f) =>
-                val n = f(0).toLong * f(1).toLong
-                Row(id, "ok", f(0).toInt, f(1).toInt,
-                  math.round(f(2).toDouble * n), math.round(f(3).toDouble * n),
-                  math.round(f(4).toDouble * n), nb)
+                Row(id, "ok", f(0).toInt, f(1).toInt, f(2), f(3), f(4), nb)
               case None =>
                 Row(id, "quarantined", null, null, null, null, null, nb)
             }
@@ -448,10 +468,10 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.grouped(BATCH_SIZE).flatMap { chunk =>
           val payloads = chunk.map(_.getAs[Array[Byte]]("payload")).toArray
-          val feats = payloads.map(decodeWav)
+          val feats = payloads.map(b => if (b == null) None else decodeWav(b))
           chunk.iterator.zipWithIndex.map { case (r, i) =>
             val id = r.getAs[Long]("doc_id")
-            val nb = payloads(i).length.toLong
+            val nb = if (payloads(i) == null) 0L else payloads(i).length.toLong
             feats(i) match {
               case Some(f) =>
                 Row(id, "ok", f(0), f(1), f(2), f(3), f(4).toInt, nb)
@@ -574,10 +594,10 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.grouped(BATCH_SIZE).flatMap { chunk =>
           val payloads = chunk.map(_.getAs[Array[Byte]]("payload")).toArray
-          val feats = payloads.map(decodeAvi)
+          val feats = payloads.map(b => if (b == null) None else decodeAvi(b))
           chunk.iterator.zipWithIndex.map { case (r, i) =>
             val id = r.getAs[Long]("doc_id")
-            val nb = payloads(i).length.toLong
+            val nb = if (payloads(i) == null) 0L else payloads(i).length.toLong
             feats(i) match {
               case Some(f) =>
                 Row(id, "ok", f(0), f(1).toInt, f(2).toInt, f(3), f(4), f(5), nb)

@@ -250,7 +250,14 @@ object TextOps {
     // for the entire long range (a long-typed _id − _lo could overflow
     // on extreme spans and break contiguity), which is all
     // correctness needs
-    val staged = staged0.join(broadcast(bounds), Seq("_stream"))
+    // null-SAFE stream joins throughout: packBudget's window keeps a
+    // NULL stream as its own partition, so the two-phase twin must
+    // too — a plain equi join would silently drop every NULL-stream
+    // row and break the IDENTICAL-assignments contract
+    val staged = staged0.as("d")
+      .join(broadcast(bounds.as("bo")),
+        col("d._stream") <=> col("bo._stream"))
+      .select(col("d.*"), col("bo._lo"), col("bo._hi"))
       .withColumn("_pid", least(lit(slices - 1), greatest(lit(0), floor(
         (col("_id").cast("double") - col("_lo").cast("double")) * slices /
           (col("_hi").cast("double") - col("_lo").cast("double") + 1))
@@ -264,7 +271,9 @@ object TextOps {
       .select(col("_stream"), col("_pid"), col("_offset"))
     val wLoc = Window.partitionBy(col("_stream"), col("_pid")).orderBy(col("_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    staged.join(broadcast(offsets), Seq("_stream", "_pid"))
+    staged.as("x").join(broadcast(offsets.as("o")),
+        col("x._stream") <=> col("o._stream") && col("x._pid") === col("o._pid"))
+      .select(col("x.*"), col("o._offset"))
       .withColumn("pack_id", floor(
         (col("_offset") + coalesce(sum(col("_nt")).over(wLoc), lit(0L))) / budget))
       .drop("_stream", "_id", "_nt", "_pid", "_offset")
@@ -1180,11 +1189,19 @@ object TextOps {
       // KB-sized aggregate, not the corpus
       .withColumn("_offset", coalesce(sum("_slice_rows").over(wg), lit(0L)))
       .select("bin", "_g", "_offset")
-    val wl = Window.partitionBy("bin", "_g").orderBy(col("_b"), col("doc_id"))
+    // the local-rank window must read the BASE side's keys — after the
+    // aliased join both sides carry bin/_g, so unqualified names would
+    // be ambiguous
+    val wl = Window.partitionBy(col("b.bin"), col("b._g"))
+      .orderBy(col("b._b"), col("b.doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    base.join(broadcast(offsets), Seq("bin", "_g"))
+    // null-safe on bin: a doc whose difficulty metric is null (null
+    // text → null token count) must keep a position, not vanish from
+    // the "total order over the corpus"
+    base.as("b").join(broadcast(offsets.as("o")),
+        col("b.bin") <=> col("o.bin") && col("b._g") === col("o._g"))
       .withColumn("pos",
-        col("_offset") + coalesce(sum(lit(1L)).over(wl), lit(0L)))
-      .select(col("doc_id"), col("bin"), col("pos"))
+        col("o._offset") + coalesce(sum(lit(1L)).over(wl), lit(0L)))
+      .select(col("b.doc_id"), col("b.bin"), col("pos"))
   }
 }

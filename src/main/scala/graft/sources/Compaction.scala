@@ -62,7 +62,12 @@ object Compaction {
         if (!fs.exists(visible)) {
           if (!fs.rename(d, visible))
             sys.error(s"compact: cannot restore $d to $visible")
-        }
+        } else
+          // the swap completed but the JVM died before the cleanup
+          // delete: the bak is a full dead copy of the partition —
+          // drop it now rather than waiting for the partition to
+          // happen to recompact
+          fs.delete(d, true)
       } else if (d.getName.startsWith(".compact_tmp_")) fs.delete(d, true)
     }
     val parts = fs.listStatus(root).filter(_.isDirectory)

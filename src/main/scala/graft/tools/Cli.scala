@@ -435,8 +435,9 @@ object IngestCli {
       }.toRight(s"$flag: expected a value")
     while (rest.nonEmpty) {
       val tok = rest.head; rest = rest.tail
+      // only --flag=value splits; a positional path may contain '='
       val (flag, inline) = tok.split("=", 2) match {
-        case Array(f, v) => (f, Some(v))
+        case Array(f, v) if f.startsWith("--") => (f, Some(v))
         case _ => (tok, None)
       }
       val res: Either[String, Unit] = flag match {
@@ -467,6 +468,11 @@ object IngestCli {
     else if (a.csvInput.isEmpty && a.sacctInput.isEmpty)
       Left("one of --csv-input, --sacct-input is required " +
         "(graft cannot spawn sacct in this environment)")
+    else if (a.historyEnd.isDefined && a.history.isEmpty && !a.historyResume &&
+      a.historyResumeOrStart.isEmpty && a.historyDays.isEmpty &&
+      a.historyStart.isEmpty)
+      Left("--history-end requires a start selector " +
+        "(--history/--history-days/--history-start/--history-resume)")
     else Right(a)
   }
 
@@ -481,15 +487,16 @@ object IngestCli {
       a.historyResumeOrStart.isDefined || a.historyDays.isDefined ||
       a.historyStart.isDefined
     // without --update or a resume flag an existing warehouse is
-    // recreated, never silently merged (slurm2sql.py:750-752)
+    // recreated, never silently merged (slurm2sql.py:750-752).
+    // Hadoop-FS per-path resolution: java.io.File never "exists" for
+    // an hdfs:// or s3a:// warehouse, which would silently turn the
+    // recreate into a merge against stale data
     if (!a.update && !a.historyResume && a.historyResumeOrStart.isEmpty) {
-      val dir = new java.io.File(a.warehouse)
-      if (dir.exists()) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(dir)
-      }
+      val path = new org.apache.hadoop.fs.Path(a.warehouse)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(path) && !fs.delete(path, true))
+        return Left(s"cannot delete existing warehouse ${a.warehouse} " +
+          "(use --update to merge instead)")
     }
     if (!historyMode) {
       val maxT = SlurmWarehouse.mergeInto(spark, raw, a.warehouse)

@@ -226,10 +226,12 @@ class CurationOpsR7Spec extends AnyFunSuite {
       .toDF("id", "cluster")
     val out = Dedup.softWeights(assign, col("id"), col("cluster"))
       .orderBy("_id").as[(Long, Option[Long], Long, Long)].collect()
-    // the null group is a real group: counted, joined, weighted
+    // each unclustered (NULL) doc is its OWN size-1 cluster with full
+    // weight — lumping them into one pseudo-cluster would hand a
+    // mostly-unique corpus ~zero weight per unique doc
     assert(out.length == 4)
-    assert(out(2) == ((3L, None, 2L, 500000L)))
-    assert(out(3) == ((4L, None, 2L, 500000L)))
+    assert(out(2) == ((3L, None, 1L, 1000000L)))
+    assert(out(3) == ((4L, None, 1L, 1000000L)))
   }
 
   test("nfkc_normalize and deflate_len are callable from SQL") {
