@@ -324,4 +324,31 @@ class CurationOpsR7Spec extends AnyFunSuite {
     assert(Multimodal.decodeAvi(lied).isEmpty)
     assert(Multimodal.decodeAvi(payload).isDefined)
   }
+
+  test("decodeStats sums stay exact beyond the float-mean precision horizon") {
+    // 300x300 = 90k pixels: reconstructing the sum from a Float mean
+    // is off by hundreds here (24-bit mantissa); the decoders must
+    // return exact longs. Build a PPM whose channel sums are known.
+    val w = 300; val h = 300
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val px = new Array[Byte](w * h * 3)
+    var i = 0; var sr = 0L; var sg = 0L; var sb = 0L
+    while (i < w * h) {
+      val r = (i * 31 + 7) % 256; val g = (i * 17 + 3) % 256; val b = (i * 13 + 11) % 256
+      px(3 * i) = r.toByte; px(3 * i + 1) = g.toByte; px(3 * i + 2) = b.toByte
+      sr += r; sg += g; sb += b
+      i += 1
+    }
+    val payload = header ++ px
+    val Some(f) = Multimodal.decodePpmSums(payload)
+    assert(f.toSeq == Seq(w.toLong, h.toLong, sr, sg, sb))
+    // the full stage path agrees, and a NULL payload quarantines
+    // instead of NPE-ing the task
+    val df = Seq((1L, payload), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decodeStats(spark, df).orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "ok" && out(0).getLong(4) == sr
+      && out(0).getLong(5) == sg && out(0).getLong(6) == sb)
+    assert(out(1).getString(1) == "quarantined" && out(1).getLong(7) == 0L)
+  }
 }
