@@ -555,15 +555,25 @@ object Multimodal {
     }
     if (!fmtOk || frames < 0 || moviAt < 0 || w <= 0 || h <= 0 ||
       moviEnd > b.length) return None
-    val rowBytes = ((3 * w + 3) / 4) * 4
-    val frameBytes = rowBytes * h
+    // frame geometry in Long: width/height come from unvalidated u32
+    // header fields, and the Int product can WRAP to a small
+    // non-negative value (w=2, h=0x20000000 → frameBytes=0) that
+    // passes the csz and bounds checks and sends the pixel loop past
+    // the buffer. A frame bigger than the movi payload cannot be real,
+    // so reject before narrowing to Int.
+    val rowBytesL = ((3L * w + 3) / 4) * 4
+    val frameBytesL = rowBytesL * h.toLong
+    if (frameBytesL <= 0 || frameBytesL > moviEnd.toLong - moviAt - 8)
+      return None
+    val rowBytes = rowBytesL.toInt
+    val frameBytes = frameBytesL.toInt
     var sb = 0L; var sg = 0L; var sr = 0L
     var n = 0L
     var p = moviAt
     while (p + 8 <= moviEnd) {
       val csz = u32(p + 4)
       if (!tag(p, "00db") && !tag(p, "00dc")) return None
-      if (csz != frameBytes || p + 8 + frameBytes > b.length) return None
+      if (csz != frameBytesL || p + 8 + frameBytes > moviEnd) return None
       var row = 0
       while (row < h) {
         val base = p + 8 + row * rowBytes

@@ -82,13 +82,27 @@ object Compaction {
         val tmp = new Path(root, s".compact_tmp_${dir.getName}")
         val bak = new Path(root, s".compact_bak_${dir.getName}")
         fs.delete(tmp, true); fs.delete(bak, true)
-        spark.read.parquet(dir.toString)
-          .repartition(n)
+        // repartitionByRange, NOT round-robin repartition: the write
+        // layout (SlurmWarehouse range-partitions on its sort keys)
+        // gives each file a disjoint key span so min/max footer stats
+        // prune whole files; a round-robin rewrite would make every
+        // file span the full key range and a point-filter scan would
+        // read all n files instead of ~1.
+        val keyed =
+          if (sortCols.isEmpty) spark.read.parquet(dir.toString).repartition(n)
+          else spark.read.parquet(dir.toString)
+            .repartitionByRange(n, sortCols.map(col): _*)
+        keyed
           .sortWithinPartitions(sortCols.map(col): _*)
           .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
         // drop the _SUCCESS marker so the dir looks like any other
         // partition dir to a recursive lister
         fs.delete(new Path(tmp, "_SUCCESS"), false)
+        // range partitions with no rows write no file, so the actual
+        // file count can be < n (tiny partitions, few distinct keys) —
+        // report what landed, not what was requested
+        val written = fs.listStatus(tmp).count(s => s.isFile &&
+          !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
         // rename-based swap: old aside, new in, old gone
         if (!fs.rename(dir, bak))
           sys.error(s"compact: cannot move $dir aside")
@@ -97,7 +111,7 @@ object Compaction {
           sys.error(s"compact: cannot move $tmp into place")
         }
         fs.delete(bak, true)
-        Some(Stats(dir.getName, files.length, n, bytes))
+        Some(Stats(dir.getName, files.length, written, bytes))
       }
     }
   }

@@ -389,7 +389,7 @@ object SeffCli {
   *                          day batches (:822)
   *   --history-days N       from UTC midnight N days back (:825)
   *   --history-start D      from YYYY-MM-DD; --history-end D caps the
-  *                          range (default now) (:827-832)
+  *                          range (default now + 6 h) (:827-832)
   *   --history-resume       resume from the stored bookmark - 5 s
   *                          (:805-821); --history-resume-or-start SPEC
   *                          falls back to now - slurmtime(SPEC) when
@@ -519,7 +519,11 @@ object IngestCli {
       val stopE: Either[String, Long] = a.historyEnd match {
         case Some(v) => Cli.parseTime(v)
           .left.map(_ => s"--history-end: cannot parse '$v'")
-        case None => Right(now)
+        // reference default is now + 6h, NOT now (slurm2sql.py:831
+        // `stop = now + datetime.timedelta(seconds=6*3600)`), so the
+        // final partial-day batch window includes jobs reported
+        // slightly ahead of the collection clock
+        case None => Right(now + 6L * 3600L)
       }
       for {
         start <- startE

@@ -120,6 +120,23 @@ object MediaDecodePropertySpec extends Properties("MediaDecode") {
       Multimodal.decodeAvi(avi).isEmpty
     }
 
+  property("avi: wrapped Int frame size (w=2, h=2^29) quarantines, not AIOOBE") = {
+    val avi = aviBytes(2, 1, Seq((1, 2, 3)))
+    // avih height (RIFF 12 + hdrl LIST hdr 12 + 'avih'+size 8 + offset
+    // 36) → 2^29: rowBytes(8) × h wraps the Int product to 0, which —
+    // before the Long-math fix — matched a zero-size frame chunk,
+    // passed every bounds check, and sent the pixel loop past the
+    // buffer (ArrayIndexOutOfBoundsException crashing the task)
+    val hOff = 12 + 12 + 8 + 36
+    avi(hOff) = 0; avi(hOff + 1) = 0; avi(hOff + 2) = 0
+    avi(hOff + 3) = 0x20
+    // frame chunk declared size → 0 to match the wrapped product
+    val cszOff = 12 + 200 + 12 + 4
+    avi(cszOff) = 0; avi(cszOff + 1) = 0; avi(cszOff + 2) = 0
+    avi(cszOff + 3) = 0
+    Multimodal.decodeAvi(avi).isEmpty
+  }
+
   property("avi: any truncation inside movi quarantines") =
     Prop.forAll(dimGen, framesGen, Gen.choose(1, 5)) { case ((w, h), frames, cut) =>
       Multimodal.decodeAvi(aviBytes(w, h, frames).dropRight(cut)).isEmpty

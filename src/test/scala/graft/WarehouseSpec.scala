@@ -158,6 +158,68 @@ class WarehouseSpec extends AnyFunSuite {
     assert(SlurmWarehouse.compact(spark, dir, minFiles = 2).isEmpty)
   }
 
+  test("compact: multi-file partitions keep DISJOINT (User,Start) spans — pruning control") {
+    val dir = Files.createTempDirectory("graft_wh6").toString
+    import spark.implicits._
+    // a partition large enough to rewrite as SEVERAL files — the
+    // layout the within-file sort test above (filesAfter == 1) cannot
+    // exercise. 6 append batches × row-sliced → every batch's file
+    // spans the full (User, Start) range, the worst case compaction
+    // must repair.
+    val rows = (0 until 6000).map { i =>
+      (f"user_${i % 200}%03d", 880000000L + (i * 7919L) % 500000L, i.toLong)
+    }.toDF("User", "Start", "payload")
+    for (m <- 0 to 5)
+      rows.filter(pmod(col("payload"), lit(6)) === m)
+        .write.mode("append").parquet(s"$dir/d=1")
+    val preRows = spark.read.parquet(s"$dir/d=1").count()
+    val stats = graft.sources.Compaction.compact(spark, dir, "d",
+      Seq("User", "Start"), targetBytes = 16L << 10, minFiles = 2)
+    assert(stats.nonEmpty)
+    val multi = stats.filter(_.filesAfter >= 3)
+    assert(multi.nonEmpty,
+      s"fixture failed to force multi-file partitions: $stats")
+    assert(spark.read.parquet(s"$dir/d=1").count() == preRows)
+    // per compacted multi-file partition: each file's (User, Start)
+    // min/max span must be DISJOINT from every other file's — the
+    // min/max footer-stats pruning contract the write layout
+    // (SlurmWarehouse.write repartitionByRange) establishes and a
+    // round-robin compactor would destroy (every file would span the
+    // full key range)
+    implicit val ord: Ordering[(String, Long)] =
+      Ordering.Tuple2(Ordering.String, Ordering.Long)
+    multi.foreach { st =>
+      val fileRows = spark.read.parquet(s"$dir/${st.partition}")
+        .withColumn("_f", input_file_name())
+        .select(col("_f"), col("User"), col("Start"))
+        .collect()
+      val spans = fileRows.groupBy(_.getString(0)).map { case (_, rs) =>
+        val keys = rs.map(r => (r.getString(1), r.getLong(2)))
+        (keys.min, keys.max)
+      }.toSeq.sortBy(_._1)
+      assert(spans.length == st.filesAfter, st.toString)
+      spans.sliding(2).foreach {
+        case Seq((_, hi1), (lo2, _)) =>
+          assert(ord.lteq(hi1, lo2),
+            s"${st.partition}: file spans overlap: $spans")
+        case _ =>
+      }
+      // pruning control (zBlocks-style): a `User = u` point scan only
+      // has to open files whose User span covers u. With disjoint
+      // spans most users live in exactly one of the n files — the scan
+      // skips ~n−1. A round-robin layout fails this: every file covers
+      // every user.
+      val userSpans = spans.map { case ((lo, _), (hi, _)) => (lo, hi) }
+      val users = fileRows.map(_.getString(1)).distinct
+      val coverCounts = users.map(u =>
+        userSpans.count { case (lo, hi) => lo <= u && u <= hi })
+      assert(coverCounts.max <= 2,
+        s"${st.partition}: some user forces opening >2 of ${st.filesAfter} files")
+      assert(coverCounts.count(_ == 1) * 2 >= users.length,
+        s"${st.partition}: fewer than half the users prune to one file")
+    }
+  }
+
   test("bucketed warehouse: job-key rollup and join plan with NO exchange") {
     val slurm = SlurmTable.build(SlurmSim.raw(spark, "/root/testdata/sf0.001"),
       lit(1750000000L))
