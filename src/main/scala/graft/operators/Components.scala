@@ -19,42 +19,105 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
-  /** vertices: one column `id`; edges: columns `src`, `dst`
-    * (undirected; both orientations are derived). Returns (id, label)
-    * where label = min vertex id reachable — the cluster
-    * representative. */
+  /** vertices: one column `id`; edges: columns `src`, `dst` (both
+    * integral; undirected — both orientations are derived). Returns
+    * (id, label) as longs, where label = min vertex id reachable — the
+    * cluster representative.
+    *
+    * This operator is the library's one deliberate RDD core (the
+    * "genuine per-partition imperative logic" exception — the same
+    * reason GraphX is RDD-based). Iterative label propagation is
+    * hostile to the DataFrame layer in three measured ways (r9):
+    * (1) every round re-plans, re-optimizes and re-shuffles from
+    * scratch — partitioning can't be carried across rounds, so each
+    * round paid 4 Catalyst exchanges plus AQE stage materialization
+    * latency; (2) checkpointed rounds keep their origin plan's
+    * Catalyst size estimate, and because joins MULTIPLY child sizes
+    * the estimate's bit-length doubles per round — by round ~12 the
+    * optimizer burned minutes multiplying million-bit BigInts
+    * (tools/StatsProbe); (3) the convergence test was a second job per
+    * round. The RDD loop fixes all three: one HashPartitioner is
+    * reused for adjacency and labels so the neighbor join and the
+    * final merge are NARROW (2 shuffles/round: the contribution
+    * reduceByKey and the pointer-jump re-key), there is no per-round
+    * planning at all, and the changed-count rides a Spark accumulator
+    * on the single materializing action.
+    *
+    * Round semantics: label(v) ← min(label(v), min label among
+    * neighbors, label(label(v))). The label(label(v)) POINTER JUMP
+    * doubles the reach to the component minimum each round —
+    * O(log diameter) rounds. Not optional polish: the sf0.1 d20 gate
+    * graph (cosine ≥ 0.3 on embeddings) has diameter > 20, and plain
+    * per-hop propagation exhausted maxIter with labels still moving (a
+    * silent wrong-answer, caught r9).
+    *
+    * `checkpointDir`: when set, per-round snapshots use RELIABLE
+    * checkpointing into that directory (HDFS/object-store path on a
+    * cluster) instead of executor-local storage — localCheckpoint data
+    * dies with an executor, which on a 1000-executor preemptible fleet
+    * means a lost round cascades into recomputing from a truncated
+    * (gone) lineage. Locally the default stays localCheckpoint: same
+    * semantics, no filesystem round-trip. */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
-                          maxIter: Int = 20): DataFrame = {
-    val und = edges.select(col("src").as("a"), col("dst").as("b"))
-      .union(edges.select(col("dst").as("a"), col("src").as("b")))
-      .distinct().localCheckpoint(true)
-    var labels = vertices.select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
+                          maxIter: Int = 20,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val part = new org.apache.spark.HashPartitioner(nPart)
+    def snap(rr: org.apache.spark.rdd.RDD[(Long, Long)]): Unit =
+      if (checkpointDir.isDefined) rr.checkpoint() else { rr.localCheckpoint(); () }
+    // adjacency keyed by vertex, partitioned ONCE and reused every
+    // round (self-loops dropped: they can never change a min)
+    val und = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].rdd
+      .flatMap { case (s, d) =>
+        if (s == d) Iterator.empty else Iterator((s, d), (d, s)) }
+      .distinct(nPart)
+      .partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = vertices.select(col("id").cast("long")).as[Long].rdd
+      .map(v => (v, v)).partitionBy(part)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val nbrMin = und.join(labels, und("b") === labels("id"))
-        .groupBy(col("a")).agg(min(col("label")).as("nbr_label"))
-      // the changed flag rides the SAME projection, so convergence is
-      // one filter-count over the checkpointed frame — a re-join diff
-      // would pay a per-round shuffle just to compare old vs new.
-      // (A pointer-jumping variant was measured and reverted: near-dup
-      // cluster graphs are shallow stars/short chains that converge in
-      // 2-3 propagation rounds, so the label-of-label self-join adds a
-      // shuffle per round without saving any.)
-      val next = labels.join(nbrMin, labels("id") === nbrMin("a"), "left")
-        .select(labels("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label")))
-            .as("label"),
-          (coalesce(col("nbr_label"), col("label")) < col("label"))
-            .as("_changed"))
-        .localCheckpoint(true)
-      val changed = next.filter(col("_changed")).count()
-      labels = next.drop("_changed")
-      converged = changed == 0
+      // neighbor contributions: und is co-partitioned with labels, so
+      // this join is narrow; the re-key to the receiving endpoint
+      // lands in the suggestion shuffle below
+      val nbr = und.join(labels)
+        .map { case (_, (to, lab)) => (to, lab) }
+      // pointer jump: (label, v) re-key is the round's second shuffle;
+      // the join against labels is then narrow again
+      val jump = labels.map { case (v, l) => (l, v) }
+        .partitionBy(part).join(labels)
+        .map { case (_, (v, ll)) => (v, ll) }
+      // map-side combine shrinks a 10⁶-degree hub's contributions to
+      // one candidate per mapper before the shuffle
+      val suggestions = nbr.union(jump).reduceByKey(part, math.min)
+      val changedAcc = spark.sparkContext.longAccumulator("cc_changed")
+      val next = labels.leftOuterJoin(suggestions)
+        .mapValues { case (old, s) =>
+          val v = s.fold(old)(math.min(old, _))
+          if (v < old) changedAcc.add(1L)
+          v
+        }
+      snap(next)
+      // ONE action per round: materializes the snapshot (truncating
+      // lineage) while the accumulator tallies the changed labels —
+      // no separate convergence job. A task retry can only inflate the
+      // tally, which costs at most one extra (no-op) round.
+      next.count()
+      labels = next
+      converged = changedAcc.value == 0L
       i += 1
     }
-    labels
+    und.unpersist(blocking = false)
+    // an unconverged exit means labels are NOT components — with
+    // pointer jumping that needs diameter ≈ 2^maxIter, so this is a
+    // config error worth failing loudly over, never silently returning
+    require(converged, s"connectedComponents: not converged after $maxIter rounds")
+    labels.toDF("id", "label")
   }
 
   /** Quality-aware cluster representative selection — what production
@@ -97,6 +160,12 @@ object Components {
     * renormalizing each round would need only the same 1-row
     * aggregate used for the node count.
     *
+    * `checkpointDir`: as in [[connectedComponents]] — when set, the
+    * rank frame is reliably checkpointed every third round (lineage
+    * with tens of iterations otherwise compounds into a plan Catalyst
+    * re-analyzes per action, and executor loss replays the whole
+    * chain); locally the 3-5 round default needs no snapshot at all.
+    *
     * Scale shape: out-degrees fold into the edge list ONCE before the
     * loop; each iteration is one edges⋈ranks join on src (both sides
     * hash-partitioned on the same key — AQE reuses the edge shuffle
@@ -106,7 +175,9 @@ object Components {
     * iterations add the [[connectedComponents]] localCheckpoint to cut
     * lineage (3-5 PageRank rounds don't need it). */
   def pageRank(edges: DataFrame, iters: Int,
-               scale: Long = 1000000000000L): DataFrame = {
+               scale: Long = 1000000000000L,
+               checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
     val intDiv = graft.functions.IntMath.intDiv _
     val e = edges.select(col("src"), col("dst")).distinct()
     val nodes = e.select(col("src").as("id"))
@@ -117,7 +188,7 @@ object Components {
     var ranks = nodes.crossJoin(broadcast(g))
       .select(col("id"), intDiv(lit(scale), col("n")).as("init"))
       .withColumn("r", col("init"))
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val sums = ej.join(ranks.select(col("id"), col("r")),
           ej("src") === col("id"))
         .groupBy(col("dst"))
@@ -127,6 +198,8 @@ object Components {
         .select(col("id"), col("init"),
           intDiv(lit(15L) * col("init") + lit(85L) * coalesce(col("c"), lit(0L)),
             lit(100L)).as("r"))
+      if (checkpointDir.isDefined && (it % 3 == 0 || it == iters))
+        ranks = ranks.checkpoint(false)
     }
     ranks.select(col("id").as("node_id"), col("r").as("rank"))
   }

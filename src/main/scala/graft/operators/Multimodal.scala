@@ -563,7 +563,12 @@ object Multimodal {
     // so reject before narrowing to Int.
     val rowBytesL = ((3L * w + 3) / 4) * 4
     val frameBytesL = rowBytesL * h.toLong
-    if (frameBytesL <= 0 || frameBytesL > moviEnd.toLong - moviAt - 8)
+    // The movi-payload fit check only applies when a frame must
+    // actually fit: a zero-frame AVI legitimately carries an empty
+    // movi LIST (payload −8 after the list header) and must still
+    // decode to n=0. The <=0 overflow guard stays unconditional.
+    if (frameBytesL <= 0 ||
+      (frames > 0 && frameBytesL > moviEnd.toLong - moviAt - 8))
       return None
     val rowBytes = rowBytesL.toInt
     val frameBytes = frameBytesL.toInt
@@ -573,7 +578,14 @@ object Multimodal {
     while (p + 8 <= moviEnd) {
       val csz = u32(p + 4)
       if (!tag(p, "00db") && !tag(p, "00dc")) return None
-      if (csz != frameBytesL || p + 8 + frameBytes > moviEnd) return None
+      // the bound must stay in LONG: for a movi payload approaching
+      // 2 GiB the Int sum p + 8 + frameBytes can exceed 2³¹, wrap
+      // negative, pass the check, and the row walk indexes past `b` —
+      // the same wrap class the frameBytesL guard above closes, one
+      // notch narrower (needs a >1 GiB single frame). A 2 GiB fixture
+      // is untestable at sane heap, so the invariant is held by
+      // construction here instead of by a spec.
+      if (csz != frameBytesL || p.toLong + 8 + frameBytesL > moviEnd) return None
       var row = 0
       while (row < h) {
         val base = p + 8 + row * rowBytes

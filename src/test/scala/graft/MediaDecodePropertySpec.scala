@@ -95,6 +95,15 @@ object MediaDecodePropertySpec extends Properties("MediaDecode") {
         frames.map(_._3.toLong).sum * px))
     }
 
+  property("avi: zero-frame file (empty movi) decodes to n=0, not quarantine") =
+    Prop.forAll(dimGen) { case (w, h) =>
+      // a frames=0 AVI carries an empty movi LIST whose payload is
+      // smaller than one frame; the frame-fits-in-movi guard must be
+      // vacuous when no frame chunk exists (ADVICE r8)
+      Multimodal.decodeAvi(aviBytes(w, h, Seq.empty)).map(_.toSeq)
+        .contains(Seq(0L, w.toLong, h.toLong, 0L, 0L, 0L))
+    }
+
   property("avi/wav: arbitrary single-byte corruption never throws (decode or quarantine)") =
     Prop.forAll(dimGen, framesGen, Gen.choose(0, 10000), colGen) {
       case ((w, h), frames, posSeed, v) =>

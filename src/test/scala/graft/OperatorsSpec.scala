@@ -509,6 +509,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(reps == Set(10L))
   }
 
+  test("cc/pagerank: reliable-checkpoint mode matches local mode on the d20 gate graph") {
+    // the localCheckpoint default dies with an executor; the
+    // checkpointDir switch is the cluster-scale path — both modes must
+    // label identically (the snapshot strategy is invisible to results)
+    val e = Tables.load(spark, dir, "embeddings")
+    val pairs = Similarity.cosinePairs(e, threshold = 0.3)
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+    val verts = e.select(col("vec_id").as("id"))
+    val local = Components.connectedComponents(verts, pairs)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val reliable = Components.connectedComponents(verts, pairs,
+      checkpointDir = Some(ckpt))
+    assert(local.except(reliable).count() == 0 &&
+      reliable.except(local).count() == 0)
+    // the reliable mode wrote actual snapshot files into the directory
+    val wrote = new java.io.File(ckpt).listFiles()
+    assert(wrote != null && wrote.nonEmpty, "no reliable checkpoint written")
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val prLocal = Components.pageRank(edges, iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prRel = Components.pageRank(edges, iters = 6, checkpointDir = Some(ckpt))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prLocal == prRel)
+  }
+
   test("quality filter keeps ~half per group, deterministically") {
     val kept = TextOps.qualityFilter(
       docs.select(col("doc_id"), col("lang"), col("text")),
