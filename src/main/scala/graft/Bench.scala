@@ -42,6 +42,41 @@ object Bench {
     "d93_audio_trim", "d94_nfkc_normalize", "d95_soft_dedup",
     "d96_pack_manifest", "d97_video_decode")
 
+  /** Fixed CPU-bound calibration microbench ("DotBench"): scalar dot
+    * products over pinned-size float arrays with deterministic
+    * contents — a constant FLOP count, no Spark, no I/O, single
+    * thread. Its wall time measures THIS HOST at THIS MOMENT, so
+    * cross-round bench totals compare normalized (total ÷ calib vs
+    * baseline_total ÷ baseline_calib) and host-speed / load drift
+    * cancels out instead of masquerading as a plan regression.
+    * min-of-3 after a JIT warmup, same discipline as the queries. */
+  def calibrate(): Double = {
+    val n = 1 << 16
+    val a = new Array[Float](n)
+    val b = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      a(i) = ((i * 1103515245 + 12345) & 0xffff) / 65536.0f
+      b(i) = ((i * 69069 + 1) & 0xffff) / 65536.0f
+      i += 1
+    }
+    var sink = 0.0f
+    def pass(reps: Int): Double = {
+      val t0 = System.nanoTime()
+      var r = 0
+      while (r < reps) {
+        var j = 0; var s = 0.0f
+        while (j < n) { s += a(j) * b(j); j += 1 }
+        sink += s; r += 1
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    pass(512) // JIT warmup, untimed
+    val dt = (1 to 3).map(_ => pass(4096)).min
+    System.err.println(f"[bench] calib dot 4096x$n: $dt%.3f s (sink=$sink%.1f)")
+    dt
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -51,6 +86,7 @@ object Bench {
     Tables.load(spark, sfDir, "lineitem").count()
     Tables.load(spark, sfDir, "orders").count()
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val calib = calibrate()
     val results = HEADLINERS.map { name =>
       // one UNTIMED warmup rep first: queries that build one-time state
       // (the warehouse materializations) pay it here, so the timed
@@ -95,7 +131,7 @@ object Bench {
     // (printed per-query above); the contract line carries max_spread
     // plus WHICH query produced it (one field, not the whole map), so
     // a >1.5 spread is attributable from the artifact alone.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"max_spread":$maxSpread%.2f,"max_spread_query":"$spreadQuery","failed":$failed,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"max_spread":$maxSpread%.2f,"max_spread_query":"$spreadQuery","calib_sec":$calib%.3f,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -57,61 +57,106 @@ object Components {
     * dies with an executor, which on a 1000-executor preemptible fleet
     * means a lost round cascades into recomputing from a truncated
     * (gone) lineage. Locally the default stays localCheckpoint: same
-    * semantics, no filesystem round-trip. */
+    * semantics, no filesystem round-trip. Each round's snapshot is
+    * persisted BEFORE the checkpoint (so the reliable write reads the
+    * cache instead of re-running the round's lineage — Spark otherwise
+    * recomputes an unpersisted RDD to write its checkpoint), the
+    * previous round's cache is dropped and its checkpoint file deleted
+    * once the new round is materialized (cleanCheckpoints is off by
+    * default; without this the dir grows one full labels snapshot per
+    * round). Setting checkpointDir configures the SparkContext
+    * checkpoint dir ONLY when none is set yet — a caller-configured
+    * dir is never hijacked. */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
                           maxIter: Int = 20,
                           checkpointDir: Option[String] = None): DataFrame = {
     val spark = vertices.sparkSession
     import spark.implicits._
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    val sc = spark.sparkContext
+    checkpointDir.foreach(d =>
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d))
+    val reliable = checkpointDir.isDefined
     val nPart = spark.sessionState.conf.numShufflePartitions
     val part = new org.apache.spark.HashPartitioner(nPart)
-    def snap(rr: org.apache.spark.rdd.RDD[(Long, Long)]): Unit =
-      if (checkpointDir.isDefined) rr.checkpoint() else { rr.localCheckpoint(); () }
-    // adjacency keyed by vertex, partitioned ONCE and reused every
-    // round (self-loops dropped: they can never change a min)
+    val MAD = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // adjacency keyed by vertex: ONE shuffle (partitionBy), with
+    // partition-local exact dedup — every copy of (s, d) hashes to
+    // s's partition, so a per-partition set sees them all. (Replaces
+    // the r9 distinct(n) + partitionBy DOUBLE shuffle: distinct keys
+    // by the whole pair, so its output partitioning was useless and
+    // partitionBy re-shuffled everything by src.) Self-loops dropped:
+    // they can never change a min.
     val und = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .as[(Long, Long)].rdd
       .flatMap { case (s, d) =>
         if (s == d) Iterator.empty else Iterator((s, d), (d, s)) }
-      .distinct(nPart)
       .partitionBy(part)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .mapPartitions({ it =>
+        val seen = new java.util.HashSet[(Long, Long)]()
+        it.filter(seen.add)
+      }, preservesPartitioning = true)
+      .persist(MAD)
     var labels = vertices.select(col("id").cast("long")).as[Long].rdd
       .map(v => (v, v)).partitionBy(part)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // neighbor contributions: und is co-partitioned with labels, so
-      // this join is narrow; the re-key to the receiving endpoint
-      // lands in the suggestion shuffle below
-      val nbr = und.join(labels)
-        .map { case (_, (to, lab)) => (to, lab) }
-      // pointer jump: (label, v) re-key is the round's second shuffle;
-      // the join against labels is then narrow again
-      val jump = labels.map { case (v, l) => (l, v) }
-        .partitionBy(part).join(labels)
-        .map { case (_, (v, ll)) => (v, ll) }
+      val contrib =
+        if (i == 0)
+          // round 0 labels are the identity, so label(v) = v: the
+          // neighbor contribution is just the reversed edge, no join —
+          // and the pointer jump (label(label(v)) = v) is a provable
+          // no-op, so it is skipped entirely (one shuffle this round)
+          und.map { case (v, to) => (to, v) }
+        else {
+          // neighbor contributions: und is co-partitioned with labels,
+          // so this join is narrow; the re-key to the receiving
+          // endpoint lands in the suggestion shuffle below
+          val nbr = und.join(labels)
+            .map { case (_, (to, lab)) => (to, lab) }
+          // pointer jump: (label, v) re-key is the round's second
+          // shuffle; the join against labels is then narrow again
+          val jump = labels.map { case (v, l) => (l, v) }
+            .partitionBy(part).join(labels)
+            .map { case (_, (v, ll)) => (v, ll) }
+          nbr.union(jump)
+        }
       // map-side combine shrinks a 10⁶-degree hub's contributions to
       // one candidate per mapper before the shuffle
-      val suggestions = nbr.union(jump).reduceByKey(part, math.min)
-      val changedAcc = spark.sparkContext.longAccumulator("cc_changed")
+      val suggestions = contrib.reduceByKey(part, math.min(_: Long, _: Long))
+      val changedAcc = sc.longAccumulator("cc_changed")
       val next = labels.leftOuterJoin(suggestions)
         .mapValues { case (old, s) =>
           val v = s.fold(old)(math.min(old, _))
           if (v < old) changedAcc.add(1L)
           v
         }
-      snap(next)
+      if (reliable) { next.persist(MAD); next.checkpoint() }
+      else next.localCheckpoint()
       // ONE action per round: materializes the snapshot (truncating
       // lineage) while the accumulator tallies the changed labels —
       // no separate convergence job. A task retry can only inflate the
       // tally, which costs at most one extra (no-op) round.
       next.count()
+      // round i−1 is dead once round i is materialized (the checkpoint
+      // truncated next's lineage): free its cache and reliable file
+      val prev = labels
       labels = next
+      if (i > 0) {
+        val prevFile = prev.getCheckpointFile
+        prev.unpersist(blocking = false)
+        if (reliable) prevFile.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(sc.hadoopConfiguration).delete(p, true); ()
+        }
+      }
       converged = changedAcc.value == 0L
       i += 1
     }
+    // degenerate inputs converge trivially: maxIter = 0 (or a vertex
+    // set with no edges at all) on an EMPTY edge list is the identity
+    // labeling, not a convergence failure
+    if (!converged && und.isEmpty()) converged = true
     und.unpersist(blocking = false)
     // an unconverged exit means labels are NOT components — with
     // pointer jumping that needs diameter ≈ 2^maxIter, so this is a
@@ -161,10 +206,17 @@ object Components {
     * aggregate used for the node count.
     *
     * `checkpointDir`: as in [[connectedComponents]] — when set, the
-    * rank frame is reliably checkpointed every third round (lineage
-    * with tens of iterations otherwise compounds into a plan Catalyst
-    * re-analyzes per action, and executor loss replays the whole
-    * chain); locally the 3-5 round default needs no snapshot at all.
+    * rank frame is EAGERLY reliably checkpointed every third round
+    * (lineage with tens of iterations otherwise compounds into a plan
+    * Catalyst re-analyzes per action, and executor loss replays the
+    * whole chain). Eager matters: a lazy checkpoint(false) inside the
+    * loop never materializes the intermediate snapshots — with
+    * spark.checkpoint.checkpointAllMarkedAncestors at its false
+    * default only the LAST marked RDD is written at the terminal
+    * action, so the promised per-3-rounds fault-tolerance would
+    * silently degrade to plan truncation only. Locally the 3-5 round
+    * default needs no snapshot at all. The context checkpoint dir is
+    * only set when none is configured yet.
     *
     * Scale shape: out-degrees fold into the edge list ONCE before the
     * loop; each iteration is one edges⋈ranks join on src (both sides
@@ -177,7 +229,10 @@ object Components {
   def pageRank(edges: DataFrame, iters: Int,
                scale: Long = 1000000000000L,
                checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    checkpointDir.foreach { d =>
+      val sc = edges.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
+    }
     val intDiv = graft.functions.IntMath.intDiv _
     val e = edges.select(col("src"), col("dst")).distinct()
     val nodes = e.select(col("src").as("id"))
@@ -199,7 +254,7 @@ object Components {
           intDiv(lit(15L) * col("init") + lit(85L) * coalesce(col("c"), lit(0L)),
             lit(100L)).as("r"))
       if (checkpointDir.isDefined && (it % 3 == 0 || it == iters))
-        ranks = ranks.checkpoint(false)
+        ranks = ranks.checkpoint(eager = true)
     }
     ranks.select(col("id").as("node_id"), col("r").as("rank"))
   }

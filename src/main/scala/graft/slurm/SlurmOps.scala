@@ -203,3 +203,89 @@ object Reports {
         rd(SlurmViews.safeDiv(sum(col("TotDiskRead") / 1048576L), sum(col("Elapsed"))), 2).as("read_MiBps"),
         rd(SlurmViews.safeDiv(sum(col("TotDiskWrite") / 1048576L), sum(col("Elapsed"))), 2).as("write_MiBps"))
 }
+
+/** The reference's `sacct_filter` passthrough (slurm2sql.py:738
+  * `parse_known_args` + args_to_sacct_filter :1040-1048): any extra
+  * `--key=value` argument rides through to sacct as a row selector,
+  * and one bare positional that looks like a JobID becomes
+  * `--jobs=ID`. graft cannot spawn sacct, so the same selectors are
+  * applied as FILTERS on whatever rows the csv/sacct input carries —
+  * strictly more capable than the reference (which cannot combine
+  * them with --db), documented deviation.
+  *
+  * Supported keys (sacct's own selector spellings, comma lists where
+  * sacct takes lists): jobs, user, account/accounts, partition,
+  * state, name, starttime, endtime. Each token contributes one
+  * predicate; tokens AND together. Unknown keys are an ERROR, never
+  * silently ignored — a dropped filter would return unfiltered rows
+  * as if they matched. */
+object SacctFilter {
+
+  val KEYS: Set[String] = Set("jobs", "user", "account", "accounts",
+    "partition", "state", "name", "starttime", "endtime")
+
+  /** `--key=value`, `--key value` handled by callers; this recognizes
+    * a single token of the form `--key=value` or bare `key=value`.
+    * Returns None when the token is not filter-shaped (callers fall
+    * through to their own error path). */
+  def parseToken(tok: String): Option[(String, String)] = {
+    val t = if (tok.startsWith("--")) tok.drop(2) else tok
+    t.split("=", 2) match {
+      case Array(k, v) if KEYS.contains(k.toLowerCase) => Some((k.toLowerCase, v))
+      case _ => None
+    }
+  }
+
+  private def list(v: String): Seq[String] =
+    v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** One state value → full-name predicate: two-letter sacct codes via
+    * [[SlurmStates.CODE_TO_NAME]], else the (upper-cased) full name;
+    * `CANCELLED by <uid>` counts as CANCELLED. */
+  private def stateMatch(v: String): Either[String, Column] = {
+    val name = SlurmStates.CODE_TO_NAME.getOrElse(v.toUpperCase, v.toUpperCase)
+    if (!SlurmStates.CODE_TO_NAME.valuesIterator.contains(name))
+      Left(s"--state: unknown state '$v'")
+    else Right(col("State") === name || col("State").startsWith(name + " "))
+  }
+
+  /** Translate parsed (key, value) tokens into one AND predicate.
+    * starttime/endtime follow sacct's window semantics — keep jobs
+    * whose [Start, End] interval overlaps the window (a NULL End means
+    * still running; a NULL Start means not yet started and stays
+    * in-window, sacct's eligible-time behavior). */
+  def predicate(tokens: Seq[(String, String)]): Either[String, Column] = {
+    val preds = tokens.map {
+      case ("jobs", v) =>
+        Right(list(v).map(id => col("JobIDonly") ===
+          graft.functions.SlurmFunctions.jobIdOnly(lit(id))).reduce(_ || _))
+      case ("user", v) => Right(col("User").isin(list(v): _*))
+      case ("account" | "accounts", v) => Right(col("Account").isin(list(v): _*))
+      case ("partition", v) =>
+        Right(list(v).map(p => col("Partition").like(Reports.globToLike(p)))
+          .reduce(_ || _))
+      case ("name", v) => Right(col("JobName").isin(list(v): _*))
+      case ("state", v) =>
+        val ms = list(v).map(stateMatch)
+        ms.collectFirst { case Left(e) => Left(e) }
+          .getOrElse(Right(ms.map(_.toOption.get).reduce(_ || _)))
+      case ("starttime", v) =>
+        graft.tools.Cli.parseTime(v)
+          .left.map(_ => s"starttime: cannot parse '$v'")
+          .map(t => col("End").isNull || col("End") >= t)
+      case ("endtime", v) =>
+        graft.tools.Cli.parseTime(v)
+          .left.map(_ => s"endtime: cannot parse '$v'")
+          .map(t => col("Start").isNull || col("Start") <= t)
+      case (k, _) => Left(s"unsupported sacct filter key '$k'")
+    }
+    preds.collectFirst { case Left(e) => Left(e) }
+      .getOrElse(Right(preds.map(_.toOption.get)
+        .foldLeft(lit(true))(_ && _)))
+  }
+
+  /** Apply the tokens to a slurm table (no-op on an empty list). */
+  def apply(slurm: DataFrame, tokens: Seq[(String, String)]): Either[String, DataFrame] =
+    if (tokens.isEmpty) Right(slurm)
+    else predicate(tokens).map(slurm.filter)
+}

@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.slurm.{HistoryCollector, Reports, SacctSource, SlurmStates, SlurmTable, SlurmViews, SlurmWarehouse}
+import graft.slurm.{HistoryCollector, Reports, SacctFilter, SacctSource, SlurmStates, SlurmTable, SlurmViews, SlurmWarehouse}
 
 /** The reference's installed console scripts (`slurm2sql-sacct` /
   * `slurm2sql-seff`, slurm2sql.py:1160-1371 + the `__main__` dispatch
@@ -65,7 +65,8 @@ object Cli {
       long: Boolean = false,
       write: Option[String] = None,
       limit: Option[Int] = None,
-      jobId: Option[String] = None)
+      jobId: Option[String] = None,
+      sacctFilter: Seq[(String, String)] = Nil)
 
   /** SACCT_DEFAULT_FIELDS (slurm2sql.py:1154) minus the '┃' spacer
     * pseudo-columns (pure presentation) — Start/End render as UTC
@@ -85,7 +86,7 @@ object Cli {
     "GpuUtil", "TotDiskRead", "TotDiskWrite", "ReqTRES", "AllocTRES",
     "TRESUsageInTot", "TRESUsageOutTot")
 
-  private val JOBID_RE = "[0-9][0-9+_]*(\\.[0-9a-z]+)?".r
+  private[tools] val JOBID_RE = "[0-9][0-9+_]*(\\.[0-9a-z]+)?".r
 
   /** argparse twin. Left = error/usage message (caller prints + exits
     * 2, the argparse failure code). Accepts `--flag value` and
@@ -143,12 +144,30 @@ object Cli {
           v.toIntOption.toRight(s"--limit: not a number: '$v'")
             .map(n => a = a.copy(limit = Some(n))))
         case "--quiet" | "-q" | "--verbose" | "-v" => Right(())
+        // sacct_filter passthrough (slurm2sql.py:738 parse_known_args +
+        // args_to_sacct_filter :1040-1048): extra sacct selectors are
+        // applied as row filters — `--jobs=ID`, `--state=CD`,
+        // `--account=x`, bare `key=value`, `-j/-S/-E` shorts
+        case "--jobs" | "-j" => value(flag, inline).map(v =>
+          a = a.copy(sacctFilter = a.sacctFilter :+ ("jobs", v)))
+        case "--starttime" | "-S" => value(flag, inline).map(v =>
+          a = a.copy(sacctFilter = a.sacctFilter :+ ("starttime", v)))
+        case "--endtime" | "-E" => value(flag, inline).map(v =>
+          a = a.copy(sacctFilter = a.sacctFilter :+ ("endtime", v)))
+        case f if f.startsWith("--") &&
+            SacctFilter.KEYS.contains(f.drop(2).toLowerCase) =>
+          value(flag, inline).map(v => a = a.copy(sacctFilter =
+            a.sacctFilter :+ (f.drop(2).toLowerCase, v)))
         case p if !p.startsWith("-") && JOBID_RE.pattern.matcher(p).matches() &&
             a.jobId.isEmpty =>
           Right { a = a.copy(jobId = Some(p)) }
+        case p if !p.startsWith("-") && SacctFilter.parseToken(p).isDefined =>
+          Right { a = a.copy(sacctFilter = a.sacctFilter :+
+            SacctFilter.parseToken(p).get) }
         case other => Left(s"unknown argument '$other' (graft reads stored " +
-          "data — sacct pass-through flags are not supported; use " +
-          "--db/--csv-input/--sacct-input plus the documented selectors)")
+          "data — supported sacct passthrough selectors: " +
+          SacctFilter.KEYS.toSeq.sorted.map(k => s"--$k=").mkString(", ") +
+          "; use --db/--csv-input/--sacct-input plus the documented selectors)")
       }
       res match { case Left(e) => return Left(e); case Right(_) => () }
     }
@@ -207,10 +226,14 @@ object Cli {
     * filters via [[Reports.sacct]], then the field projection. */
   def sacctFrame(spark: SparkSession, a: Args): Either[String, DataFrame] = {
     val slurm0 = loadSlurm(spark, a)
-    val slurm = a.jobId match {
+    val slurm1 = a.jobId match {
       case Some(id) => slurm0.filter(col("JobIDonly") ===
         graft.functions.SlurmFunctions.jobIdOnly(lit(id)))
       case None => slurm0
+    }
+    val slurm = SacctFilter(slurm1, a.sacctFilter) match {
+      case Left(e) => return Left(e)
+      case Right(df) => df
     }
     val filtered = Reports.sacct(slurm, a.user, a.partition, a.states,
       a.runningAtTime)
@@ -246,10 +269,14 @@ object Cli {
     * applied on eff (the reference's WHERE rides the eff select). */
   def seffFrame(spark: SparkSession, a: Args): Either[String, DataFrame] = {
     val slurm0 = loadSlurm(spark, a)
-    val slurm = a.jobId match {
+    val slurm1 = a.jobId match {
       case Some(id) => slurm0.filter(col("JobIDonly") ===
         graft.functions.SlurmFunctions.jobIdOnly(lit(id)))
       case None => slurm0
+    }
+    val slurm = SacctFilter(slurm1, a.sacctFilter) match {
+      case Left(e) => return Left(e)
+      case Right(df) => df
     }
     // state/running-at selectors act on allocation rows pre-rollup
     // (the reference applies them at sacct fetch = raw rows)
@@ -397,6 +424,21 @@ object SeffCli {
   *   --jobs-only            allocations only, no steps (`sacct -X`)
   *   --now TS               pin "now" (epoch/ISO) for deterministic
   *                          tests; defaults to wall clock
+  *   --ended/-e --completed --cancelled --failed --running-at-time T
+  *                          ingest-time state-category selectors
+  *                          (slurm2sql.py:726-732; mutually
+  *                          exclusive): the reference expands them
+  *                          into sacct fetch args, graft filters the
+  *                          csv/sacct input rows — a completed-only
+  *                          warehouse at collection time
+  *   SACCT_FILTER           extra selectors ride through as row
+  *                          filters (parse_known_args,
+  *                          slurm2sql.py:738 + args_to_sacct_filter
+  *                          :1040-1048): `--jobs=ID`, `--user=U`,
+  *                          `--account=A`, `--state=CD`, bare
+  *                          `key=value` positionals, and one bare
+  *                          JobID positional (the `--jobs=ID`
+  *                          shorthand)
   *
   * Each day batch REPLACE-merges and advances the bookmark before the
   * next starts, so a crash resumes from the last committed day. Exit
@@ -414,7 +456,10 @@ object IngestCli {
       historyStart: Option[String] = None,
       historyEnd: Option[String] = None,
       jobsOnly: Boolean = false,
-      now: Option[Long] = None)
+      now: Option[Long] = None,
+      states: Option[Seq[String]] = None,
+      runningAtTime: Option[Long] = None,
+      sacctFilter: Seq[(String, String)] = Nil)
 
   private def slurmtime(flag: String, v: String): Either[String, Long] = {
     val s = graft.functions.SlurmTimeUtil.parseOrNaN(
@@ -428,6 +473,14 @@ object IngestCli {
   def parse(args: Seq[String]): Either[String, IngestArgs] = {
     var a = IngestArgs()
     var rest = args.toList
+    var stateFlag: Option[String] = None
+    def setStates(flag: String, codes: Seq[String]): Either[String, Unit] =
+      stateFlag match {
+        case Some(prev) => Left(s"$flag: not allowed with $prev " +
+          "(state selectors are mutually exclusive)")
+        case None => stateFlag = Some(flag)
+          a = a.copy(states = Some(codes)); Right(())
+      }
     def value(flag: String, inline: Option[String]): Either[String, String] =
       inline.orElse {
         rest match { case v :: t if !v.startsWith("--") => rest = t; Some(v)
@@ -458,9 +511,40 @@ object IngestCli {
           Cli.parseTime(v).left.map(_ => s"--now: cannot parse '$v'")
             .map(t => a = a.copy(now = Some(t))))
         case "--quiet" | "-q" | "--verbose" | "-v" => Right(())
+        // ingest-time state selectors (slurm2sql.py:726-732)
+        case "--ended" | "-e" => setStates(flag, SlurmStates.ENDED)
+        case "--completed" => setStates(flag, SlurmStates.COMPLETED)
+        case "--cancelled" => setStates(flag, SlurmStates.CANCELLED)
+        case "--failed" => setStates(flag, SlurmStates.FAILED)
+        case "--running-at-time" => value(flag, inline).flatMap { v =>
+          stateFlag match {
+            case Some(prev) => Left(s"--running-at-time: not allowed with $prev")
+            case None =>
+              stateFlag = Some(flag)
+              Cli.parseTime(v).map(t => a = a.copy(runningAtTime = Some(t)))
+          }
+        }
+        // sacct_filter passthrough (parse_known_args, slurm2sql.py:738)
+        case "--jobs" | "-j" => value(flag, inline).map(v =>
+          a = a.copy(sacctFilter = a.sacctFilter :+ ("jobs", v)))
+        case f if f.startsWith("--") &&
+            SacctFilter.KEYS.contains(f.drop(2).toLowerCase) =>
+          value(flag, inline).map(v => a = a.copy(sacctFilter =
+            a.sacctFilter :+ (f.drop(2).toLowerCase, v)))
         case f if !f.startsWith("-") && a.warehouse.isEmpty =>
           Right { a = a.copy(warehouse = f) }
-        case f => Left(s"unrecognized flag $f")
+        // post-warehouse positionals: a bare JobID is the `--jobs=ID`
+        // shorthand (args_to_sacct_filter :1046); `key=value` is a
+        // filter token
+        case p if !p.startsWith("-") &&
+            Cli.JOBID_RE.pattern.matcher(p).matches() =>
+          Right { a = a.copy(sacctFilter = a.sacctFilter :+ ("jobs", p)) }
+        case p if !p.startsWith("-") && SacctFilter.parseToken(p).isDefined =>
+          Right { a = a.copy(sacctFilter = a.sacctFilter :+
+            SacctFilter.parseToken(p).get) }
+        case f => Left(s"unrecognized flag $f (supported sacct " +
+          "passthrough selectors: " +
+          SacctFilter.KEYS.toSeq.sorted.map(k => s"--$k=").mkString(", ") + ")")
       }
       res match { case Left(e) => return Left(e); case _ => }
     }
@@ -482,7 +566,15 @@ object IngestCli {
     val raw0 = a.csvInput.map(SacctSource.loadSlurmTable(spark, _))
       .orElse(a.sacctInput.map(p => SlurmTable.build(SacctSource.readSacct(spark, p))))
       .get
-    val raw = if (a.jobsOnly) raw0.filter(col("JobStep").isNull) else raw0
+    val raw1 = if (a.jobsOnly) raw0.filter(col("JobStep").isNull) else raw0
+    // ingest-time selection (the reference can only do this at sacct
+    // fetch time; graft filters whatever input carries the rows):
+    // state category / --running-at-time, then the sacct_filter tokens
+    val raw2 = Reports.sacct(raw1, None, None, a.states, a.runningAtTime)
+    val raw = SacctFilter(raw2, a.sacctFilter) match {
+      case Left(e) => return Left(e)
+      case Right(df) => df
+    }
     val historyMode = a.history.isDefined || a.historyResume ||
       a.historyResumeOrStart.isDefined || a.historyDays.isDefined ||
       a.historyStart.isDefined

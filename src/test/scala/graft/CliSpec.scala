@@ -120,6 +120,34 @@ class CliSpec extends AnyFunSuite {
     assert(df.select(col("JobIDonly")).distinct().count() == 1)
   }
 
+  test("sacct_filter passthrough: --jobs/--state/--account and key=value positionals") {
+    // --jobs= comma list selects exactly those jobs' rows
+    val ids = slurm.select("JobIDonly").distinct().limit(2)
+      .collect().map(_.getLong(0))
+    assert(sacct(s"--jobs=${ids.mkString(",")}").count() ==
+      slurm.filter(col("JobIDonly").isin(ids.map(Long.box): _*)).count())
+    // --state accepts the two-letter sacct code and the full name
+    assert(sacct("--state=CD").count() ==
+      slurm.filter(col("State") === "COMPLETED").count())
+    assert(sacct("--state=COMPLETED").count() == sacct("--state=CD").count())
+    // bare key=value positional (args_to_sacct_filter shape) — the sim
+    // carries one account per user group; filter on whatever exists
+    val acct = slurm.select("Account")
+      .filter(col("Account").isNotNull && col("Account") =!= "")
+      .head.getString(0)
+    assert(sacct(s"account=$acct").count() ==
+      slurm.filter(col("Account") === acct).count())
+    // tokens AND together: state + user
+    val u = slurm.filter(col("User").isNotNull).select("User").head.getString(0)
+    assert(sacct("--state=CD", s"user=$u").count() ==
+      slurm.filter(col("State") === "COMPLETED" && col("User") === u).count())
+    // unknown keys still rejected, never silently dropped
+    assert(Cli.parse(Seq("--db", wh, "--nodelist=n1")).isLeft)
+    assert(Cli.parse(Seq("--db", wh, "nodelist=n1")).isLeft)
+    // seff path applies the same filters pre-rollup
+    assert(seff(s"--jobs=${ids.head}").count() <= seff().count())
+  }
+
   test("seff: per-job equals Reports.seffPerJob; --long adds Start/End") {
     val eff = SlurmViews.eff(slurm)
     assert(seff().count() == Reports.seffPerJob(eff).count())

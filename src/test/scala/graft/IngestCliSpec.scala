@@ -37,6 +37,12 @@ class IngestCliSpec extends AnyFunSuite {
     (wh, errors)
   }
 
+  /** Row count of a warehouse, 0 when nothing was ever written (an
+    * all-filtered ingest is a mergeInto no-op). */
+  private def whCount(wh: String): Long =
+    try SlurmWarehouse.read(spark, wh).count()
+    catch { case _: Exception => 0L }
+
   test("parse: warehouse and an input source are required; bad values rejected") {
     assert(IngestCli.parse(Seq("--csv-input", csvDir)).isLeft) // no warehouse
     assert(IngestCli.parse(Seq("/tmp/wh")).isLeft)             // no input
@@ -120,5 +126,86 @@ class IngestCliSpec extends AnyFunSuite {
     val got = SlurmWarehouse.read(spark, wh)
     assert(got.count() == direct.filter(col("JobStep").isNull).count())
     assert(got.filter(col("JobStep").isNotNull).count() == 0)
+  }
+
+  test("parse: state selectors are mutually exclusive; passthrough tokens collected") {
+    assert(IngestCli.parse(Seq("/tmp/wh", "--csv-input", csvDir,
+      "--completed", "--failed")).isLeft)
+    assert(IngestCli.parse(Seq("/tmp/wh", "--csv-input", csvDir,
+      "--ended", "--running-at-time", "1000")).isLeft)
+    // --completed + account= positional + --jobs= + bare-jobID shorthand
+    val a = IngestCli.parse(Seq("/tmp/wh", "--csv-input", csvDir,
+      "--completed", "account=cs", "--jobs=123", "456")).toOption.get
+    assert(a.states.contains(graft.slurm.SlurmStates.COMPLETED))
+    assert(a.sacctFilter ==
+      Seq("account" -> "cs", "jobs" -> "123", "jobs" -> "456"))
+    // unknown keys stay an error — a dropped filter would silently
+    // return rows as if they matched
+    assert(IngestCli.parse(Seq("/tmp/wh", "--csv-input", csvDir,
+      "--nodelist=n1")).isLeft)
+  }
+
+  test("--completed builds a completed-only warehouse at ingest (slurm2sql.py:726-732)") {
+    import graft.slurm.{Reports, SlurmStates}
+    val (wh, errors) = run("--csv-input", csvDir, "--completed",
+      "--now", nowPin.toString)
+    assert(errors == 0)
+    val got = SlurmWarehouse.read(spark, wh)
+    val want = Reports.sacct(direct, states = Some(SlurmStates.COMPLETED))
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.filter(!col("State").startsWith("COMPLETED")).count() == 0)
+    // --failed selects a disjoint, smaller warehouse from the same input
+    val (whF, _) = run("--csv-input", csvDir, "--failed",
+      "--now", nowPin.toString)
+    assert(whCount(whF) ==
+      Reports.sacct(direct, states = Some(SlurmStates.FAILED)).count())
+  }
+
+  test("state selector composes with --history day batches") {
+    import graft.slurm.{Reports, SlurmStates}
+    val days = 4L
+    val start = (nowPin / 86400L) * 86400L - days * 86400L
+    val (wh, errors) = run("--csv-input", csvDir, "--completed",
+      "--history-days", days.toString, "--now", nowPin.toString)
+    assert(errors == 0)
+    val want = Reports.sacct(direct, states = Some(SlurmStates.COMPLETED))
+      .filter(ts >= start && ts < nowPin + 86400L).count()
+    assert(want > 0 && SlurmWarehouse.read(spark, wh).count() == want)
+    assert(SlurmWarehouse.lastTimestamp(spark, wh).contains(nowPin))
+  }
+
+  /** The reference's pipe-separated fixture rewritten as the raw
+    * `sacct -P --delimiter=';|;'` dump --sacct-input reads (the
+    * fixture's own separator is the bare '|' its Python tests feed
+    * through csv.reader; no field in it contains '|'). */
+  lazy val fixtureSacct: String = {
+    val src = scala.io.Source.fromFile("/root/reference/tests/test-data1.csv")
+    val txt = try src.getLines().map(_.replace("|", ";|;")).mkString("\n")
+              finally src.close()
+    val out = Files.createTempDirectory("graft_fixture").resolve("data1.sacct")
+    Files.write(out, txt.getBytes("UTF-8"))
+    out.toString
+  }
+
+  test("sacct_filter passthrough filters the reference fixture rows (account=, --jobs=)") {
+    val fixture = fixtureSacct
+    // account=cs matches every fixture row; account=other matches none
+    val (whA, _) = run("--sacct-input", fixture, "--account=cs")
+    assert(SlurmWarehouse.read(spark, whA).count() == 5)
+    val (whN, errN) = run("--sacct-input", fixture, "account=other")
+    // an all-filtered ingest succeeds and lands zero rows (an
+    // empty batch is a mergeInto no-op, so the dir may not exist)
+    assert(errN == 0 && whCount(whN) == 0)
+    // --jobs=43974388 keeps the job and both its steps, not 43977780
+    val (whJ, _) = run("--sacct-input", fixture, "--jobs=43974388")
+    val gotJ = SlurmWarehouse.read(spark, whJ)
+    assert(gotJ.count() == 3)
+    assert(gotJ.filter(col("JobIDonly") =!= 43974388L).count() == 0)
+    // bare-jobID positional shorthand = the same filter
+    val (whP, _) = run("--sacct-input", fixture, "43977780")
+    assert(SlurmWarehouse.read(spark, whP).count() == 2)
+    // --user composes with state categories: user1 + CANCELLED set
+    val (whU, _) = run("--sacct-input", fixture, "--user=user1", "--cancelled")
+    assert(SlurmWarehouse.read(spark, whU).count() == 2)
   }
 }

@@ -213,8 +213,23 @@ class WarehouseSpec extends AnyFunSuite {
       val users = fileRows.map(_.getString(1)).distinct
       val coverCounts = users.map(u =>
         userSpans.count { case (lo, hi) => lo <= u && u <= hi })
-      assert(coverCounts.max <= 2,
-        s"${st.partition}: some user forces opening >2 of ${st.filesAfter} files")
+      // bound DERIVED from the layout, not hardcoded: a user's rows are
+      // one contiguous run of the (User, Start) sort, so a run of r
+      // rows can straddle at most 2 boundary files plus any file fully
+      // inside the run — each of which holds ≥ minFileRows rows:
+      //   k ≤ 2 + floor((r − 2) / minFileRows)
+      val rowsPerFile = fileRows.groupBy(_.getString(0)).map(_._2.length)
+      val minFileRows = rowsPerFile.min.max(1)
+      val rowsPerUser = fileRows.groupBy(_.getString(1)).map { case (u, rs) =>
+        u -> rs.length
+      }
+      users.zip(coverCounts).foreach { case (u, k) =>
+        val r = rowsPerUser(u)
+        val bound = if (r <= 1) 1 else 2 + (r - 2) / minFileRows
+        assert(k <= bound,
+          s"${st.partition}: user $u ($r rows) covered by $k of " +
+            s"${st.filesAfter} files, layout bound $bound (minFileRows $minFileRows)")
+      }
       assert(coverCounts.count(_ == 1) * 2 >= users.length,
         s"${st.partition}: fewer than half the users prune to one file")
     }
