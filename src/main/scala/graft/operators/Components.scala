@@ -66,19 +66,79 @@ object Components {
     * default; without this the dir grows one full labels snapshot per
     * round). Setting checkpointDir configures the SparkContext
     * checkpoint dir ONLY when none is set yet — a caller-configured
-    * dir is never hijacked. */
+    * dir is never hijacked.
+    *
+    * `edgesPerPartition` tunes the data-sized partitioner (and with it
+    * the single-partition union-find fast path below); the default
+    * keeps partitions a few MB. Tests force the distributed loop on
+    * small graphs by lowering it. */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
                           maxIter: Int = 20,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None,
+                          edgesPerPartition: Long = 65536L): DataFrame = {
     val spark = vertices.sparkSession
     import spark.implicits._
     val sc = spark.sparkContext
     checkpointDir.foreach(d =>
       if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d))
     val reliable = checkpointDir.isDefined
-    val nPart = spark.sessionState.conf.numShufflePartitions
-    val part = new org.apache.spark.HashPartitioner(nPart)
     val MAD = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // directed adjacency copies, cached once: the edge COUNT sizes the
+    // loop's partitioner below, and the cache stops partitionBy from
+    // recomputing the (possibly expensive) edge lineage a second time
+    val undRaw = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].rdd
+      .flatMap { case (s, d) =>
+        if (s == d) Iterator.empty else Iterator((s, d), (d, s)) }
+      .persist(MAD)
+    // partitioner sized to the DATA, AQE-style, not blindly to
+    // spark.sql.shuffle.partitions: every round runs 2 shuffles over
+    // this partitioner, so a 1449-edge dedup graph on a 32-partition
+    // config would pay ~8 rounds × 3 stages × 32 near-empty tasks of
+    // pure scheduling latency (measured: ~0.5 s/round at gate SF —
+    // the whole d95 budget). ~64k edge-endpoints per partition keeps
+    // partitions comfortably in memory at any scale; the config value
+    // CAPS the count so a 10¹²-edge graph still respects the
+    // cluster's chosen parallelism.
+    val nConf = spark.sessionState.conf.numShufflePartitions
+    val nPart = math.min(nConf.toLong,
+      undRaw.count() / math.max(1L, edgesPerPartition) + 1L).toInt
+    if (nPart == 1) {
+      // The data-sized partitioner collapsed to ONE partition: the
+      // whole candidate graph is ≤ ~64k directed copies (a couple MB),
+      // so the distributed loop would be pure scheduling overhead
+      // (measured ~0.1 s/round × ~18 rounds at gate SF — the entire
+      // d95 latency budget). Collect the BOUNDED edge list and
+      // union-find it on the driver — the same bounded-small-state
+      // exception as the k-means centroid updates — then label
+      // vertices map-side against the broadcast result: the vertex
+      // set (which may be huge even when the edge set is tiny) never
+      // shuffles at all, and isolates label themselves. Union always
+      // hangs the LARGER root under the smaller, so a component's
+      // final root IS its min id — the same label the loop computes.
+      val es = undRaw.collect()
+      undRaw.unpersist(blocking = false)
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (c != r) { val n = parent.getOrElse(c, c); parent.update(c, r); c = n }
+        r
+      }
+      es.foreach { case (s, d) =>
+        val rs = find(s); val rd = find(d)
+        if (rs < rd) parent.update(rd, rs)
+        else if (rd < rs) parent.update(rs, rd)
+      }
+      val lbl = scala.collection.mutable.LongMap.empty[Long]
+      es.foreach { case (s, _) => lbl.update(s, find(s)) }
+      val bc = sc.broadcast(lbl)
+      return vertices.select(col("id").cast("long")).as[Long].rdd
+        .map(v => (v, bc.value.getOrElse(v, v)))
+        .toDF("id", "label")
+    }
+    val part = new org.apache.spark.HashPartitioner(nPart)
     // adjacency keyed by vertex: ONE shuffle (partitionBy), with
     // partition-local exact dedup — every copy of (s, d) hashes to
     // s's partition, so a per-partition set sees them all. (Replaces
@@ -86,10 +146,7 @@ object Components {
     // by the whole pair, so its output partitioning was useless and
     // partitionBy re-shuffled everything by src.) Self-loops dropped:
     // they can never change a min.
-    val und = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .as[(Long, Long)].rdd
-      .flatMap { case (s, d) =>
-        if (s == d) Iterator.empty else Iterator((s, d), (d, s)) }
+    val und = undRaw
       .partitionBy(part)
       .mapPartitions({ it =>
         val seen = new java.util.HashSet[(Long, Long)]()
@@ -142,6 +199,10 @@ object Components {
       // truncated next's lineage): free its cache and reliable file
       val prev = labels
       labels = next
+      // round 0's action materialized und's cache; the raw directed
+      // copies are dead from here (keeping them would double the edge
+      // cache footprint for the rest of the loop)
+      if (i == 0) undRaw.unpersist(blocking = false)
       if (i > 0) {
         val prevFile = prev.getCheckpointFile
         prev.unpersist(blocking = false)
@@ -151,6 +212,9 @@ object Components {
         }
       }
       converged = changedAcc.value == 0L
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round $i changed=${changedAcc.value} " +
+          s"nPart=${part.numPartitions}")
       i += 1
     }
     // degenerate inputs converge trivially: maxIter = 0 (or a vertex

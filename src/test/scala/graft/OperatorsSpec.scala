@@ -493,10 +493,17 @@ class OperatorsSpec extends AnyFunSuite {
     // path a-b-c-d (diameter 3 → needs >1 round), pair e-f, isolate g
     val verts = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id")
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("src", "dst")
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L)
     val got = Components.connectedComponents(verts, edges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      5L -> 5L, 6L -> 5L, 7L -> 7L))
+    assert(got == want)
+    // the distributed loop (forced via a 1-edge partition budget) must
+    // agree with the default union-find fast path on the same chain
+    val loop = Components.connectedComponents(verts, edges,
+      edgesPerPartition = 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(loop == want)
   }
 
   test("cc cluster representative fixes pairwise over-keep on chains") {
@@ -517,13 +524,23 @@ class OperatorsSpec extends AnyFunSuite {
     val pairs = Similarity.cosinePairs(e, threshold = 0.3)
       .select(col("vec_a").as("src"), col("vec_b").as("dst"))
     val verts = e.select(col("vec_id").as("id"))
-    val local = Components.connectedComponents(verts, pairs)
+    // default path on the gate graph is the single-partition
+    // union-find; edgesPerPartition=64 forces the DISTRIBUTED loop on
+    // the same graph — both must label identically
+    val fast = Components.connectedComponents(verts, pairs)
+    val local = Components.connectedComponents(verts, pairs,
+      edgesPerPartition = 64L)
+    assert(fast.except(local).count() == 0 &&
+      local.except(fast).count() == 0,
+      "union-find fast path and distributed loop disagree")
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val reliable = Components.connectedComponents(verts, pairs,
-      checkpointDir = Some(ckpt))
+      checkpointDir = Some(ckpt), edgesPerPartition = 64L)
     assert(local.except(reliable).count() == 0 &&
       reliable.except(local).count() == 0)
     // the reliable mode wrote actual snapshot files into the directory
+    // (only the final round's snapshot survives — earlier rounds are
+    // deleted as soon as the next round materializes)
     val wrote = new java.io.File(ckpt).listFiles()
     assert(wrote != null && wrote.nonEmpty, "no reliable checkpoint written")
     import spark.implicits._
