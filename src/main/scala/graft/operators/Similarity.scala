@@ -220,7 +220,10 @@ object Similarity {
   def hyperplaneBucket(v: Column, dim: Int, numPlanes: Int = 12): Column = {
     val planes = hyperplanes(dim, numPlanes)
     val bits = planes.zipWithIndex.map { case (p, j) =>
-      val proj = aggregate(zip_with(v, typedLit(p), (x, w) => x * w), lit(0.0), (a, x) => a + x)
+      // native fused dot (DotProductExpr) — same left-to-right float
+      // sum as the composed zip_with+aggregate form (spec-pinned), no
+      // per-row intermediate array, codegen'd instead of interpreted
+      val proj = dot(v, typedLit(p))
       when(proj > 0, lit(1L << j)).otherwise(0L)
     }
     bits.reduce(_ bitwiseOR _)
@@ -318,8 +321,26 @@ object Similarity {
     * assignments. */
   private[operators] def kmeansCentroids(emb: DataFrame, nCells: Int,
                                          iters: Int,
-                                         euclidean: Boolean = false): Array[Array[Double]] = {
-    val vecs = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+                                         euclidean: Boolean = false,
+                                         maxTrain: Long = 8192L): Array[Array[Double]] = {
+    val all = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    // train on a DETERMINISTIC hash sample once the corpus outgrows
+    // maxTrain (the FAISS practice: codebook/centroid quality saturates
+    // at a few thousand training vectors, while training cost is
+    // iters × corpus scans of a nCells-way argmax expression — on a
+    // 10⁹-vector corpus full-corpus training would be the entire job).
+    // Below the cap nothing is sampled, so small-corpus results are
+    // bit-identical; the hash filter is partition-count-invariant.
+    // ASSIGNMENT always scans the full corpus.
+    val vecs0 =
+      if (maxTrain == Long.MaxValue) all // caller pre-sampled
+      else {
+        val n = all.count()
+        val rate = (n + maxTrain - 1) / math.max(1L, maxTrain)
+        if (rate <= 1L) all
+        else all.filter(pmod(xxhash64(col("vec_id")), lit(rate)) === 0)
+      }
+    val vecs = vecs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents: Array[Array[Double]] = kmeansPlusPlusSeeds(vecs, nCells, euclidean)
     for (_ <- 0 until iters) {
       val assign = if (euclidean) pqAssign(col("v"), cents)
@@ -339,6 +360,7 @@ object Similarity {
       }
       cents = next
     }
+    vecs.unpersist(blocking = false)
     cents
   }
 
@@ -347,8 +369,7 @@ object Similarity {
     val n = norm(v)
     array(cents.map { c =>
       val cn = math.sqrt(c.map(x => x * x).sum)
-      aggregate(zip_with(v, typedLit(c.toSeq), (x, w) => x * w),
-        lit(0.0), (a, x) => a + x) / (n * cn)
+      dot(v, typedLit(c.toSeq)) / (n * cn)
     }: _*)
   }
 
@@ -418,13 +439,26 @@ object Similarity {
     val sub = dim / m
     // EUCLIDEAN k-means for the codebooks: reconstruction error is what
     // ADC accuracy depends on, and cosine assignment would discard the
-    // sub-vector magnitudes the reconstruction needs
-    (0 until m).map { s =>
+    // sub-vector magnitudes the reconstruction needs. The training
+    // sample is drawn ONCE here (not once per subspace — that would
+    // count and scan the corpus m times) and every subspace trains on
+    // a slice of the same cached sample.
+    val base = emb.select(col("vec_id"), toDouble(col("embedding")).as("embedding"))
+    val n = base.count()
+    val maxTrain = 8192L
+    val rate = (n + maxTrain - 1) / maxTrain
+    val sampled =
+      (if (rate <= 1L) base
+       else base.filter(pmod(xxhash64(col("vec_id")), lit(rate)) === 0))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val books = (0 until m).map { s =>
       kmeansCentroids(
-        emb.select(col("vec_id"),
-          slice(toDouble(col("embedding")), s * sub + 1, sub).as("embedding")),
-        codes, iters, euclidean = true)
+        sampled.select(col("vec_id"),
+          slice(col("embedding"), s * sub + 1, sub).as("embedding")),
+        codes, iters, euclidean = true, maxTrain = Long.MaxValue)
     }.toArray
+    sampled.unpersist(blocking = false)
+    books
   }
 
   /** Euclidean-nearest codebook entry for a sub-vector: argmax of
@@ -432,8 +466,7 @@ object Similarity {
   private def pqAssign(v: Column, book: Array[Array[Double]]): Column = {
     val scores = array(book.map { c =>
       val half = c.map(x => x * x).sum / 2.0
-      aggregate(zip_with(v, typedLit(c.toSeq), (x, w) => x * w),
-        lit(0.0), (a, x) => a + x) - half
+      dot(v, typedLit(c.toSeq)) - half
     }: _*)
     (array_position(scores, array_max(scores)) - 1).cast("int")
   }
@@ -475,8 +508,7 @@ object Similarity {
         toDouble(col("embedding")).as("qv"))
         .withColumn("qn", norm(col("qv")))) { (df, s) =>
       df.withColumn(s"qt$s", array(books(s).map { c =>
-        aggregate(zip_with(subv(col("qv"), s), typedLit(c.toSeq),
-          (x, w) => x * w), lit(0.0), (a, x) => a + x)
+        dot(subv(col("qv"), s), typedLit(c.toSeq))
       }: _*))
     }.drop("qv")
 

@@ -62,12 +62,30 @@ object AnnRehearsal {
     val kth = bf.groupBy("q_id").agg(min(col("cos")).as("kth_cos"))
     val bfIds = bf.select(col("q_id"), col("neighbor_id"))
     val nTruth = bf.count()
+    // exact re-scorer: the PQ/int8 variants return APPROXIMATE scores
+    // in their cos column, so recall must re-score the returned
+    // neighbors with the true cosine before comparing to the brute
+    // force threshold (otherwise quantization error, not retrieval
+    // quality, drives the number)
+    val corpusV = big.select(col("vec_id").as("neighbor_id"),
+      Similarity.toDouble(col("embedding")).as("cv"))
+      .withColumn("cn", Similarity.norm(col("cv"))).persist()
+    val queryV = queries.select(col("vec_id").as("q_id"),
+      Similarity.toDouble(col("embedding")).as("qv"))
+      .withColumn("qn", Similarity.norm(col("qv")))
 
     def recall(name: String, ann: => DataFrame): Unit = {
       val got = ann.persist()
       val n = timed(s"$name ${factor}x")(got.count())
-      val scoreHits = got.join(kth, Seq("q_id"))
-        .filter(col("cos") >= col("kth_cos") - 1e-9).count()
+      val exact = got.select(col("q_id"), col("neighbor_id"))
+        .join(corpusV, Seq("neighbor_id"))
+        .join(broadcast(queryV), Seq("q_id"))
+        .withColumn("true_cos",
+          Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      // 1e-5 tolerance: the topK scores are rounded to 6 decimals, so
+      // an exact tie can sit up to 5e-7 below the rounded threshold
+      val scoreHits = exact.join(kth, Seq("q_id"))
+        .filter(col("true_cos") >= col("kth_cos") - 1e-5).count()
       val idHits = got.select(col("q_id"), col("neighbor_id"))
         .join(bfIds, Seq("q_id", "neighbor_id"), "left_semi").count()
       println(f"  -> $name: score-recall ${scoreHits * 100.0 / nTruth}%5.1f%% " +
