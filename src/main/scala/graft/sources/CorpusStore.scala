@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Warehouse layout for a curated document corpus — the sink side of
   * the training-data pipeline (the slurm twin is
@@ -30,6 +31,79 @@ object CorpusStore {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Append a batch into an existing bucketed corpus table — the
+    * incremental-curation sink path. The spec must match the table's
+    * (Spark refuses a mismatched bucketBy, so a drifted caller fails
+    * loudly instead of silently corrupting the layout). Each appended
+    * batch adds ≥1 file per touched bucket, which is why this pairs
+    * with [[compactBucketed]]. */
+  def appendBucketed(docs: DataFrame, table: String,
+                     partitionCol: String = "lang",
+                     bucketCol: String = "doc_id",
+                     nBuckets: Int = 32): Unit =
+    docs.write
+      .mode(SaveMode.Append)
+      .partitionBy(partitionCol)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Bucket-PRESERVING compaction: incremental loads fragment a
+    * bucketed table (one file per bucket per appended batch — a year
+    * of daily batches is 365 files per bucket, and the bucketed scan's
+    * per-bucket sorted-merge pays for every one), and a naive
+    * read-and-rewrite compactor would DROP the bucket metadata,
+    * silently re-introducing an exchange into every downstream
+    * doc-keyed join. This one rewrites through the SAME bucket spec,
+    * read from the catalog (never from caller arguments — a re-spec
+    * can't sneak in): one `repartition(nBuckets, bucketCol)` pass
+    * aligns write tasks with buckets (Spark's bucket id and
+    * HashPartitioning use the same murmur3-pmod mapping, which is also
+    * why bucketed joins skip the exchange), so each (partition,
+    * bucket) lands in exactly one file, re-sorted per the table's
+    * sortBy. The rewrite stages into a temp table, then drop+rename —
+    * the metastore swap is the atomicity boundary (at cluster scale,
+    * run off-peak like [[graft.slurm.SlurmWarehouse.compact]]).
+    * Returns (filesBefore, filesAfter). */
+  def compactBucketed(spark: SparkSession, table: String): (Long, Long) = {
+    val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val md = spark.sessionState.catalog.getTableMetadata(id)
+    val bs = md.bucketSpec.getOrElse(
+      sys.error(s"compactBucketed: $table has no bucket spec"))
+    val parts = md.partitionColumnNames
+    def fileCount(t: String): Long =
+      spark.table(t).select(
+        org.apache.spark.sql.functions.input_file_name().as("f"))
+        .distinct().count()
+    val before = fileCount(table)
+    val tmp = table + "_compacting"
+    // co-locate each whole bucket in one write task: range-partition on
+    // the EXPLICIT bucket id (pmod(murmur3, n) — the same mapping the
+    // bucketed scan/join uses), so every (partition dir, bucket) pair
+    // opens exactly one output file
+    val bucketId = org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.hash(bs.bucketColumnNames.map(col): _*),
+      org.apache.spark.sql.functions.lit(bs.numBuckets))
+    val w0 = spark.table(table)
+      .repartitionByRange(bs.numBuckets, bucketId)
+      .write.mode(SaveMode.Overwrite)
+    val w1 = if (parts.nonEmpty) w0.partitionBy(parts: _*) else w0
+    val w2 = w1.bucketBy(bs.numBuckets,
+      bs.bucketColumnNames.head, bs.bucketColumnNames.tail: _*)
+    val w3 =
+      if (bs.sortColumnNames.isEmpty) w2
+      else w2.sortBy(bs.sortColumnNames.head, bs.sortColumnNames.tail: _*)
+    w3.format("parquet").saveAsTable(tmp)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    // rename moves the managed location but the catalog's PARTITION
+    // entries still reference the old paths — without the repair a
+    // partitioned table reads back EMPTY after the swap
+    if (parts.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $table")
+    (before, fileCount(table))
+  }
 
   /** Z-clustered path write — the third layout lever, for TWO-key
     * RANGE scans (partitioning prunes a slice column, bucketing

@@ -284,6 +284,50 @@ class WarehouseSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS corpus_bucketed_spec")
   }
 
+  test("bucket-preserving compaction: appends fragment, compaction packs, joins stay exchange-free") {
+    import graft.sources.CorpusStore
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val tbl = "corpus_compact_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    // initial load + 3 incremental batches: each append adds ≥1 file
+    // per touched bucket — the fragmentation compaction must repair
+    CorpusStore.writeBucketed(docs.filter(col("doc_id") % 4 === 0), tbl, nBuckets = 8)
+    for (m <- 1 to 3)
+      CorpusStore.appendBucketed(docs.filter(col("doc_id") % 4 === m), tbl, nBuckets = 8)
+    try {
+      val preRows = spark.table(tbl).count()
+      val preAgg = spark.table(tbl)
+        .agg(org.apache.spark.sql.functions.sum(col("n_chars")),
+          org.apache.spark.sql.functions.sum(col("doc_id"))).collect()(0)
+      val (before, after) = CorpusStore.compactBucketed(spark, tbl)
+      // fragmentation really happened, and compaction collapsed it to
+      // ≤ one file per (lang partition, bucket)
+      assert(before > after, s"no compaction: $before -> $after")
+      val t = spark.table(tbl)
+      val langs = docs.select("lang").distinct().count()
+      assert(after <= langs * 8, s"$after files for $langs langs x 8 buckets")
+      // nothing lost, nothing duplicated
+      assert(t.count() == preRows)
+      assert(t.agg(org.apache.spark.sql.functions.sum(col("n_chars")),
+        org.apache.spark.sql.functions.sum(col("doc_id"))).collect()(0) == preAgg)
+      // the layout contract survived the rewrite: doc-keyed join plans
+      // with NO exchange on the corpus side (bucket metadata intact)
+      val scored = t.select(col("doc_id"), col("n_chars"))
+      val joined = t.join(scored.withColumnRenamed("n_chars", "s"), "doc_id")
+      val jp = joined.queryExecution.executedPlan.toString
+      assert(!jp.contains("Exchange hashpartitioning"), jp.linesIterator
+        .filter(_.contains("Exchange")).mkString("\n"))
+      assert(joined.count() == t.count())
+      // a second pass is ~idempotent (already ≤1 file per (lang,bucket))
+      val (b2, a2) = CorpusStore.compactBucketed(spark, tbl)
+      assert(b2 == after && a2 <= b2)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_compacting")
+    }
+  }
+
   test("z-clustered write: files cover disjoint z-runs and bounded key rectangles") {
     import graft.sources.CorpusStore
     import graft.operators.Layout
