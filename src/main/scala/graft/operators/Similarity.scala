@@ -343,8 +343,10 @@ object Similarity {
     val vecs = vecs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents: Array[Array[Double]] = kmeansPlusPlusSeeds(vecs, nCells, euclidean)
     for (_ <- 0 until iters) {
-      val assign = if (euclidean) pqAssign(col("v"), cents)
-                   else assignCell(col("v"), cents)
+      val assign = if (euclidean)
+        element_at(graft.functions.PqAssignAllExpr.column(col("v"),
+          Array(cents)), 1)
+      else assignCell(col("v"), cents)
       val updated = vecs
         .withColumn("cell", assign)
         .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
@@ -461,16 +463,6 @@ object Similarity {
     books
   }
 
-  /** Euclidean-nearest codebook entry for a sub-vector: argmax of
-    * (x·c − |c|²/2), ties → lowest code (map-only, literal codebook). */
-  private def pqAssign(v: Column, book: Array[Array[Double]]): Column = {
-    val scores = array(book.map { c =>
-      val half = c.map(x => x * x).sum / 2.0
-      dot(v, typedLit(c.toSeq)) - half
-    }: _*)
-    (array_position(scores, array_max(scores)) - 1).cast("int")
-  }
-
   /** PQ ANN with asymmetric distance computation (ADC): the corpus is
     * stored as m small codes per vector (m·log₂(codes) bits — 64×
     * smaller than float32 at m=4, codes=16 on 64 dims; at 100 TB the
@@ -493,13 +485,17 @@ object Similarity {
     val norm2 = books.map(_.map(c => c.map(x => x * x).sum).toSeq)
 
     def subv(v: Column, s: Int) = slice(v, s * sub + 1, sub)
+    // all m code assignments in ONE fused native pass (bit-identical
+    // scores + first-max tie break vs the composed per-subspace form,
+    // PqAssignSpec) — no per-row slice arrays, no m×codes Column fanout
     val corpus = (0 until m).foldLeft(
-      emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))) {
-      (df, s) => df.withColumn(s"c$s", pqAssign(subv(col("v"), s), books(s)))
+      emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        .withColumn("cs", graft.functions.PqAssignAllExpr.column(col("v"), books))) {
+      (df, s) => df.withColumn(s"c$s", element_at(col("cs"), s + 1))
     }.withColumn("rn2",
       (0 until m).map(s =>
         element_at(typedLit(norm2(s)), col(s"c$s") + 1)).reduce(_ + _))
-      .drop("v")
+      .drop("v", "cs")
 
     // per-query dot tables: qt_s[j] = q_s · book_s[j], computed once per
     // query (m·codes dots), broadcast with the query row
