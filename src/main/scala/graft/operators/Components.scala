@@ -84,13 +84,20 @@ object Components {
     val reliable = checkpointDir.isDefined
     val MAD = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // directed adjacency copies, cached once: the edge COUNT sizes the
-    // loop's partitioner below, and the cache stops partitionBy from
-    // recomputing the (possibly expensive) edge lineage a second time
+    // loop's partitioner below, and the cache stops partitionBy (and
+    // the fast-path collect) from recomputing the edge lineage — for
+    // a near-dup graph that lineage is the full candidate-pair join,
+    // the most expensive input this operator ever receives (a DF-side
+    // count(*) is no cheaper: the similarity filter defeats column
+    // pruning, so it would re-run the join — measured ~2× the whole
+    // CC stage at the 50× rehearsal). Serialized storage halves the
+    // boxed-tuple heap footprint during round 0, when this and the
+    // deduped adjacency briefly coexist.
     val undRaw = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .as[(Long, Long)].rdd
       .flatMap { case (s, d) =>
         if (s == d) Iterator.empty else Iterator((s, d), (d, s)) }
-      .persist(MAD)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // partitioner sized to the DATA, AQE-style, not blindly to
     // spark.sql.shuffle.partitions: every round runs 2 shuffles over
     // this partitioner, so a 1449-edge dedup graph on a 32-partition
