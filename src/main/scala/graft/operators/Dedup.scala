@@ -444,7 +444,13 @@ object Dedup {
         when(coalesce(col("n_kept"), lit(0L)) > 0, md5(col("_clean"))).as("clean_hash"))
   }
 
-  /** n-gram Jaccard verification over candidate pairs only. */
+  /** n-gram Jaccard verification over candidate pairs only. The
+    * similarity is the fused [[graft.functions.JaccardSimExpr]] —
+    * identical distinct-set semantics to the old
+    * `size(array_intersect)/size(array_union)` form (spec-pinned) but
+    * one two-set pass with no materialized result arrays, which at
+    * millions of verified pairs is the difference between a scan and
+    * a GC storm. */
   def jaccardVerify(candidates: DataFrame, docs: DataFrame,
                     text: Column, id: Column, minJaccard: Double): DataFrame = {
     val sh = docs.select(id.as("jid"), shingles(text).as("sh"))
@@ -452,8 +458,7 @@ object Dedup {
       .join(sh.withColumnRenamed("jid", "doc_a").withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
       .join(sh.withColumnRenamed("jid", "doc_b").withColumnRenamed("sh", "sh_b"), Seq("doc_b"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        graft.functions.JaccardSimExpr.column(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), rd(col("jaccard"), 6).as("jaccard"))
   }
