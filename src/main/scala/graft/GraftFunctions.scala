@@ -50,6 +50,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "nfkc_normalize",
       exprs => graft.functions.NfkcNormalizeExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "jaccard_sim",
+      exprs => graft.functions.JaccardSimExpr(exprs(0), exprs(1)), "built-in")
     // PhraseCountsExpr / WordPieceEncodeExpr carry compiled automaton /
     // vocab objects and stay Column-API-only (TextOps.phraseCounts,
     // TextOps.wordpieceEncode) — a SQL surface would need a literal

@@ -75,4 +75,12 @@ class JaccardSimSpec extends AnyFunSuite {
         size(array_union(col("a"), col("b")))))
       .head.getDouble(0) == 1.0)
   }
+
+  test("jaccard_sim is callable from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT jaccard_sim(array('a','b','c'), array('b','c','d')) AS j")
+      .head.getDouble(0)
+    assert(r == 0.5)
+  }
 }
