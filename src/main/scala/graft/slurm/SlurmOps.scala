@@ -239,6 +239,14 @@ object SacctFilter {
   private def list(v: String): Seq[String] =
     v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
+  /** Empty value lists must be an ERROR, not an empty reduce crash or
+    * (worse) a silently-dropped filter: `--jobs=` / `--state=,` carry
+    * no selectable value. */
+  private def nonEmptyList(key: String, v: String): Either[String, Seq[String]] = {
+    val l = list(v)
+    if (l.isEmpty) Left(s"--$key: empty value") else Right(l)
+  }
+
   /** One state value → full-name predicate: two-letter sacct codes via
     * [[SlurmStates.CODE_TO_NAME]], else the (upper-cased) full name;
     * `CANCELLED by <uid>` counts as CANCELLED. */
@@ -256,19 +264,28 @@ object SacctFilter {
     * in-window, sacct's eligible-time behavior). */
   def predicate(tokens: Seq[(String, String)]): Either[String, Column] = {
     val preds = tokens.map {
-      case ("jobs", v) =>
-        Right(list(v).map(id => col("JobIDonly") ===
-          graft.functions.SlurmFunctions.jobIdOnly(lit(id))).reduce(_ || _))
-      case ("user", v) => Right(col("User").isin(list(v): _*))
-      case ("account" | "accounts", v) => Right(col("Account").isin(list(v): _*))
-      case ("partition", v) =>
-        Right(list(v).map(p => col("Partition").like(Reports.globToLike(p)))
-          .reduce(_ || _))
-      case ("name", v) => Right(col("JobName").isin(list(v): _*))
-      case ("state", v) =>
-        val ms = list(v).map(stateMatch)
+      case ("jobs", v) => nonEmptyList("jobs", v).flatMap { ids =>
+        // a non-numeric id would otherwise compare against NULL and
+        // silently match nothing — reject it like sacct does
+        ids.find(id => !id.headOption.exists(_.isDigit)) match {
+          case Some(bad) => Left(s"--jobs: not a job id '$bad'")
+          case None => Right(ids.map(id => col("JobIDonly") ===
+            graft.functions.SlurmFunctions.jobIdOnly(lit(id))).reduce(_ || _))
+        }
+      }
+      case ("user", v) =>
+        nonEmptyList("user", v).map(vs => col("User").isin(vs: _*))
+      case ("account" | "accounts", v) =>
+        nonEmptyList("account", v).map(vs => col("Account").isin(vs: _*))
+      case ("partition", v) => nonEmptyList("partition", v).map(ps =>
+        ps.map(p => col("Partition").like(Reports.globToLike(p))).reduce(_ || _))
+      case ("name", v) =>
+        nonEmptyList("name", v).map(vs => col("JobName").isin(vs: _*))
+      case ("state", v) => nonEmptyList("state", v).flatMap { ss =>
+        val ms = ss.map(stateMatch)
         ms.collectFirst { case Left(e) => Left(e) }
           .getOrElse(Right(ms.map(_.toOption.get).reduce(_ || _)))
+      }
       case ("starttime", v) =>
         graft.tools.Cli.parseTime(v)
           .left.map(_ => s"starttime: cannot parse '$v'")

@@ -143,6 +143,14 @@ class IngestCliSpec extends AnyFunSuite {
     // return rows as if they matched
     assert(IngestCli.parse(Seq("/tmp/wh", "--csv-input", csvDir,
       "--nodelist=n1")).isLeft)
+    // empty values and non-numeric job ids error at APPLY time, never
+    // crash or silently match nothing
+    import graft.slurm.SacctFilter
+    assert(SacctFilter.predicate(Seq("jobs" -> "")).isLeft)
+    assert(SacctFilter.predicate(Seq("state" -> ",")).isLeft)
+    assert(SacctFilter.predicate(Seq("jobs" -> "abc")).isLeft)
+    assert(SacctFilter.predicate(Seq("state" -> "NOT_A_STATE")).isLeft)
+    assert(SacctFilter.predicate(Seq("jobs" -> "123,456.batch")).isRight)
   }
 
   test("--completed builds a completed-only warehouse at ingest (slurm2sql.py:726-732)") {
