@@ -104,7 +104,9 @@ object Cli {
     def value(flag: String, inline: Option[String]): Either[String, String] =
       inline match {
         case Some(v) => Right(v)
-        case None if it.hasNext => Right(it.next())
+        // a following flag is NOT this flag's value (argparse errors
+        // on `--user --format csv` instead of binding user="--format")
+        case None if it.hasNext && !it.head.startsWith("--") => Right(it.next())
         case None => Left(s"$flag: expected a value")
       }
     while (it.hasNext) {
