@@ -529,6 +529,10 @@ object IngestCli {
         // sacct_filter passthrough (parse_known_args, slurm2sql.py:738)
         case "--jobs" | "-j" => value(flag, inline).map(v =>
           a = a.copy(sacctFilter = a.sacctFilter :+ ("jobs", v)))
+        case "-S" => value(flag, inline).map(v =>
+          a = a.copy(sacctFilter = a.sacctFilter :+ ("starttime", v)))
+        case "-E" => value(flag, inline).map(v =>
+          a = a.copy(sacctFilter = a.sacctFilter :+ ("endtime", v)))
         case f if f.startsWith("--") &&
             SacctFilter.KEYS.contains(f.drop(2).toLowerCase) =>
           value(flag, inline).map(v => a = a.copy(sacctFilter =

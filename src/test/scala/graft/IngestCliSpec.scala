@@ -134,11 +134,14 @@ class IngestCliSpec extends AnyFunSuite {
     assert(IngestCli.parse(Seq("/tmp/wh", "--csv-input", csvDir,
       "--ended", "--running-at-time", "1000")).isLeft)
     // --completed + account= positional + --jobs= + bare-jobID shorthand
+    // + the sacct -S/-E shorts
     val a = IngestCli.parse(Seq("/tmp/wh", "--csv-input", csvDir,
-      "--completed", "account=cs", "--jobs=123", "456")).toOption.get
+      "--completed", "account=cs", "--jobs=123", "456",
+      "-S", "2024-01-01", "-E", "2024-02-01")).toOption.get
     assert(a.states.contains(graft.slurm.SlurmStates.COMPLETED))
     assert(a.sacctFilter ==
-      Seq("account" -> "cs", "jobs" -> "123", "jobs" -> "456"))
+      Seq("account" -> "cs", "jobs" -> "123", "jobs" -> "456",
+        "starttime" -> "2024-01-01", "endtime" -> "2024-02-01"))
     // unknown keys stay an error — a dropped filter would silently
     // return rows as if they matched
     assert(IngestCli.parse(Seq("/tmp/wh", "--csv-input", csvDir,
