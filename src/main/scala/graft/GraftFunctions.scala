@@ -16,8 +16,10 @@ import graft.functions.{DotProductExpr, SlurmTimeParse, TopKByScore, TresExtract
   */
 object GraftFunctions {
 
-  /** Register `slurm_time`, `tres_extract`, `topk_by_score`,
-    * `dot_product` for SQL. */
+  /** Register the SQL-callable custom expressions: `slurm_time`,
+    * `tres_extract`, `topk_by_score`, `dot_product`, `bloom_agg`,
+    * `bloom_contains`, `poly_token_hashes`, `poly_minhash_bands`,
+    * `deflate_len`, `nfkc_normalize`, `jaccard_sim`. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
