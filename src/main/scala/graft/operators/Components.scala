@@ -68,10 +68,14 @@ object Components {
     * checkpoint dir ONLY when none is set yet — a caller-configured
     * dir is never hijacked.
     *
-    * `edgesPerPartition` tunes the data-sized partitioner (and with it
-    * the single-partition union-find fast path below); the default
-    * keeps partitions a few MB. Tests force the distributed loop on
-    * small graphs by lowering it. */
+    * `edgesPerPartition` tunes the data-sized partitioner, the
+    * driver union-find fast-path gate (taken only when the directed
+    * edge count itself is ≤ this bound — never inferred from the
+    * partition count, which the session shuffle-partition config can
+    * collapse on arbitrarily large inputs), and the per-partition
+    * dedup-set cap (4×); the default keeps partitions a few MB.
+    * Tests force the distributed loop on small graphs by lowering
+    * it. */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
                           maxIter: Int = 20,
                           checkpointDir: Option[String] = None,
@@ -108,14 +112,18 @@ object Components {
     // CAPS the count so a 10¹²-edge graph still respects the
     // cluster's chosen parallelism.
     val nConf = spark.sessionState.conf.numShufflePartitions
+    val eCount = undRaw.count()
     val nPart = math.min(nConf.toLong,
-      undRaw.count() / math.max(1L, edgesPerPartition) + 1L).toInt
-    if (nPart == 1) {
-      // The data-sized partitioner collapsed to ONE partition: the
-      // whole candidate graph is ≤ ~64k directed copies (a couple MB),
-      // so the distributed loop would be pure scheduling overhead
+      eCount / math.max(1L, edgesPerPartition) + 1L).toInt
+    if (eCount <= edgesPerPartition) {
+      // The whole candidate graph is ≤ ~64k directed copies (a couple
+      // MB), so the distributed loop would be pure scheduling overhead
       // (measured ~0.1 s/round × ~18 rounds at gate SF — the entire
-      // d95 latency budget). Collect the BOUNDED edge list and
+      // d95 latency budget). The gate is the edge COUNT itself, not
+      // the partitioner collapsing to 1 — spark.sql.shuffle.partitions
+      // = 1 also collapses nPart, and gating on that would turn an
+      // arbitrarily large edge set into an unbounded driver collect.
+      // Collect the BOUNDED edge list and
       // union-find it on the driver — the same bounded-small-state
       // exception as the k-means centroid updates — then label
       // vertices map-side against the broadcast result: the vertex
@@ -123,6 +131,12 @@ object Components {
       // shuffles at all, and isolates label themselves. Union always
       // hangs the LARGER root under the smaller, so a component's
       // final root IS its min id — the same label the loop computes.
+      // Degenerate-input contract matches the loop path: maxIter = 0
+      // is only satisfiable on an empty edge set (identity labeling);
+      // with edges present both paths fail loudly rather than return
+      // labels a 0-round budget could not have produced.
+      require(maxIter > 0 || eCount == 0L,
+        s"connectedComponents: not converged after $maxIter rounds")
       val es = undRaw.collect()
       undRaw.unpersist(blocking = false)
       val parent = scala.collection.mutable.LongMap.empty[Long]
@@ -147,17 +161,34 @@ object Components {
     }
     val part = new org.apache.spark.HashPartitioner(nPart)
     // adjacency keyed by vertex: ONE shuffle (partitionBy), with
-    // partition-local exact dedup — every copy of (s, d) hashes to
+    // partition-local BOUNDED dedup — every copy of (s, d) hashes to
     // s's partition, so a per-partition set sees them all. (Replaces
     // the r9 distinct(n) + partitionBy DOUBLE shuffle: distinct keys
     // by the whole pair, so its output partitioning was useless and
     // partitionBy re-shuffled everything by src.) Self-loops dropped:
     // they can never change a min.
+    //
+    // The set is CAPPED, not spillable: duplicate adjacency entries
+    // are semantically harmless here (each round's reduceByKey-min
+    // collapses them — a duplicate edge just re-suggests the same
+    // label), so dedup is purely a shuffle/join-width optimization
+    // and a lossy-on-the-tail dedup stays EXACT. When the config cap
+    // (nConf) wins over the data-sized partitioner a partition holds
+    // edges/nConf entries — unbounded at the 10¹²-edge scale this
+    // operator advertises — and an uncapped in-heap HashSet would OOM
+    // where Spark's own spilling aggregates would not. Once the set
+    // reaches ~4× edgesPerPartition (~25 MB at the default) the
+    // remaining stream passes through deduped only against what the
+    // set already holds; escaped duplicates cost shuffle bytes in the
+    // contribution round, never correctness.
+    val dedupCap = (4L * math.max(1L, edgesPerPartition))
+      .min(Int.MaxValue.toLong).toInt
     val und = undRaw
       .partitionBy(part)
       .mapPartitions({ it =>
         val seen = new java.util.HashSet[(Long, Long)]()
-        it.filter(seen.add)
+        it.filter(e =>
+          if (seen.size < dedupCap) seen.add(e) else !seen.contains(e))
       }, preservesPartitioning = true)
       .persist(MAD)
     var labels = vertices.select(col("id").cast("long")).as[Long].rdd

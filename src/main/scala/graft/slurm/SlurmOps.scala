@@ -265,12 +265,20 @@ object SacctFilter {
   def predicate(tokens: Seq[(String, String)]): Either[String, Column] = {
     val preds = tokens.map {
       case ("jobs", v) => nonEmptyList("jobs", v).flatMap { ids =>
-        // a non-numeric id would otherwise compare against NULL and
-        // silently match nothing — reject it like sacct does
-        ids.find(id => !id.headOption.exists(_.isDigit)) match {
+        // validate the FULL id shape (sacct's `jobid[.step]` grammar,
+        // the same regex the CLIs use for bare positionals) — a
+        // first-char-only check let '1abc' through, which then
+        // compared against NULL and silently matched nothing
+        ids.find(id => !graft.tools.Cli.JOBID_RE.pattern.matcher(id).matches()) match {
           case Some(bad) => Left(s"--jobs: not a job id '$bad'")
-          case None => Right(ids.map(id => col("JobIDonly") ===
-            graft.functions.SlurmFunctions.jobIdOnly(lit(id))).reduce(_ || _))
+          case None => Right(ids.map { id =>
+            // a step-qualified id (456.batch / 456.0) selects that
+            // STEP's rows, sacct's step-level selection — not the
+            // whole job the step belongs to
+            if (id.contains(".")) col("JobID") === id
+            else col("JobIDonly") ===
+              graft.functions.SlurmFunctions.jobIdOnly(lit(id))
+          }.reduce(_ || _))
         }
       }
       case ("user", v) =>

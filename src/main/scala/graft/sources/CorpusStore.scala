@@ -63,9 +63,13 @@ object CorpusStore {
     * HashPartitioning use the same murmur3-pmod mapping, which is also
     * why bucketed joins skip the exchange), so each (partition,
     * bucket) lands in exactly one file, re-sorted per the table's
-    * sortBy. The rewrite stages into a temp table, then drop+rename —
-    * the metastore swap is the atomicity boundary (at cluster scale,
-    * run off-peak like [[graft.slurm.SlurmWarehouse.compact]]).
+    * sortBy. The rewrite stages into a temp table, then swaps by
+    * renaming the live table aside (live → `_precompact`, staged →
+    * live, drop `_precompact`) so every crash point leaves a
+    * recoverable named table — a metastore can't make two operations
+    * one atomic step, so the order is chosen so no window destroys
+    * data before the replacement is live (at cluster scale, run
+    * off-peak like [[graft.slurm.SlurmWarehouse.compact]]).
     * Returns (filesBefore, filesAfter). */
   def compactBucketed(spark: SparkSession, table: String): (Long, Long) = {
     val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
@@ -96,8 +100,35 @@ object CorpusStore {
       if (bs.sortColumnNames.isEmpty) w2
       else w2.sortBy(bs.sortColumnNames.head, bs.sortColumnNames.tail: _*)
     w3.format("parquet").saveAsTable(tmp)
-    spark.sql(s"DROP TABLE $table")
+    // swap via rename-ASIDE, not drop-then-rename: two metastore ops
+    // can never be one atomic step, so order them so every failure
+    // point leaves a recoverable NAMED table. live → _precompact
+    // first (a crash here: recover with ALTER TABLE x_precompact
+    // RENAME TO x), then tmp → live (a crash here: same recovery, or
+    // finish by renaming _compacting), and only then drop the old
+    // data. A reader racing the swap can still observe a brief
+    // no-table-at-name window — the operation is documented as
+    // off-peak — but no window any longer DESTROYS data before the
+    // new table is live.
+    val old = table + "_precompact"
+    spark.sql(s"ALTER TABLE $table RENAME TO $old")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    // RENAME moves the table directory but leaves PARTITION metadata
+    // pointing at the ORIGINAL paths — which the second rename just
+    // repopulated with the new data. A plain DROP of the old table
+    // would chase those stale locations and delete the fresh files
+    // out from under the live name, so drop the old partitions
+    // METADATA-ONLY (retainData) first; the table drop then removes
+    // only its own (moved) directory — the old data, as intended.
+    if (parts.nonEmpty) {
+      val cat = spark.sessionState.catalog
+      val oldId = spark.sessionState.sqlParser.parseTableIdentifier(old)
+      val specs = cat.listPartitions(oldId).map(_.spec)
+      if (specs.nonEmpty)
+        cat.dropPartitions(oldId, specs, ignoreIfNotExists = true,
+          purge = false, retainData = true)
+    }
+    spark.sql(s"DROP TABLE $old")
     // rename moves the managed location but the catalog's PARTITION
     // entries still reference the old paths — without the repair a
     // partitioned table reads back EMPTY after the swap

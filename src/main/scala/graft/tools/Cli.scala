@@ -86,7 +86,7 @@ object Cli {
     "GpuUtil", "TotDiskRead", "TotDiskWrite", "ReqTRES", "AllocTRES",
     "TRESUsageInTot", "TRESUsageOutTot")
 
-  private[tools] val JOBID_RE = "[0-9][0-9+_]*(\\.[0-9a-z]+)?".r
+  private[graft] val JOBID_RE = "[0-9][0-9+_]*(\\.[0-9a-z]+)?".r
 
   /** argparse twin. Left = error/usage message (caller prints + exits
     * 2, the argparse failure code). Accepts `--flag value` and

@@ -152,6 +152,10 @@ class IngestCliSpec extends AnyFunSuite {
     assert(SacctFilter.predicate(Seq("jobs" -> "")).isLeft)
     assert(SacctFilter.predicate(Seq("state" -> ",")).isLeft)
     assert(SacctFilter.predicate(Seq("jobs" -> "abc")).isLeft)
+    // a digit-led but malformed id must be rejected too, not let
+    // through to silently match nothing (first-char checks miss it)
+    assert(SacctFilter.predicate(Seq("jobs" -> "1abc")).isLeft)
+    assert(SacctFilter.predicate(Seq("jobs" -> "123,9xy")).isLeft)
     assert(SacctFilter.predicate(Seq("state" -> "NOT_A_STATE")).isLeft)
     assert(SacctFilter.predicate(Seq("jobs" -> "123,456.batch")).isRight)
   }
@@ -212,6 +216,12 @@ class IngestCliSpec extends AnyFunSuite {
     val gotJ = SlurmWarehouse.read(spark, whJ)
     assert(gotJ.count() == 3)
     assert(gotJ.filter(col("JobIDonly") =!= 43974388L).count() == 0)
+    // a step-qualified id selects that STEP's rows only — sacct's
+    // step-level selection, not the whole job the step belongs to
+    val (whS, _) = run("--sacct-input", fixture, "--jobs=43974388.batch")
+    val gotS = SlurmWarehouse.read(spark, whS)
+    assert(gotS.count() == 1)
+    assert(gotS.filter(col("JobID") === "43974388.batch").count() == 1)
     // bare-jobID positional shorthand = the same filter
     val (whP, _) = run("--sacct-input", fixture, "43977780")
     assert(SlurmWarehouse.read(spark, whP).count() == 2)

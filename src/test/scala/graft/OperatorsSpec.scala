@@ -506,6 +506,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(loop == want)
   }
 
+  test("cc maxIter=0: identity on an empty edge set, loud failure with edges — on BOTH paths") {
+    import spark.implicits._
+    val verts = Seq(1L, 2L, 3L).toDF("id")
+    val none = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val some = Seq((1L, 2L)).toDF("src", "dst")
+    // a 0-round budget on a graph with no edges is trivially converged:
+    // the identity labeling, identical on the fast path and the loop
+    for (epp <- Seq(65536L, 1L)) {
+      val got = Components.connectedComponents(verts, none,
+        maxIter = 0, edgesPerPartition = epp)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L), s"epp=$epp")
+    }
+    // with edges present, 0 rounds cannot have produced component
+    // labels: both paths must fail loudly rather than return anything
+    for (epp <- Seq(65536L, 1L))
+      intercept[IllegalArgumentException] {
+        Components.connectedComponents(verts, some,
+          maxIter = 0, edgesPerPartition = epp).collect()
+      }
+  }
+
+  test("cc fast-path gate is the edge count, not the partition count") {
+    import spark.implicits._
+    // shuffle.partitions = 1 collapses the data-sized partitioner to
+    // one partition on ANY input; the union-find fast path must still
+    // only fire when the edge set itself is bounded. With a 1-edge
+    // budget the 3-edge chain exceeds the bound, so this runs the
+    // distributed loop even at nPart = 1 — and must still be correct.
+    val before = spark.sessionState.conf.numShufflePartitions
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try {
+      val verts = Seq(1L, 2L, 3L, 4L).toDF("id")
+      val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+      val got = Components.connectedComponents(verts, edges,
+        edgesPerPartition = 1L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before.toString)
+  }
+
   test("cc cluster representative fixes pairwise over-keep on chains") {
     import spark.implicits._
     // pairwise keep-min on a-b, b-c keeps {a, c}; transitive keeps {a}

@@ -322,9 +322,14 @@ class WarehouseSpec extends AnyFunSuite {
       // a second pass is ~idempotent (already ≤1 file per (lang,bucket))
       val (b2, a2) = CorpusStore.compactBucketed(spark, tbl)
       assert(b2 == after && a2 <= b2)
+      // the rename-aside swap cleaned up both staging names — neither
+      // the staged table nor the renamed-aside original survives
+      assert(!spark.catalog.tableExists(s"${tbl}_compacting"))
+      assert(!spark.catalog.tableExists(s"${tbl}_precompact"))
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       spark.sql(s"DROP TABLE IF EXISTS ${tbl}_compacting")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_precompact")
     }
   }
 
