@@ -1066,6 +1066,19 @@ object PipelineQueries {
       Multimodal.decodeStats(s, ImageSim.payloads(docs(s, dir)))
         .orderBy("doc_id")),
 
+    // REAL compressed-image decode — the codec seam d89 left open:
+    // every doc becomes a conformant zlib-compressed PNG (PngSim:
+    // Deflater + CRC-32, scanline filters cycling (doc_id+y)%5 so
+    // Sub/Up/Average/Paeth all run corpus-wide), doc_id%7∈{0,3,5}
+    // damaged (truncated / magic stomped / one IHDR CRC bit flipped —
+    // the integrity path only a checksummed container can exercise);
+    // the strict chunk-walk + inflate + un-filter decode quarantines
+    // all three, and the oracle replays dims + exact channel sums
+    // over the closed-form pixel gradients with integer arithmetic
+    "d98_png_decode" -> ((s, dir) =>
+      PngCodec.pngStats(s, PngSim.payloads(docs(s, dir)))
+        .orderBy("doc_id")),
+
     // hybrid retrieval: BM25 top-10 (lexical) + brute-force cosine
     // top-10 (dense) fused in RANK space via reciprocal-rank fusion —
     // score calibration never happens, so any candidate generator
@@ -2445,6 +2458,29 @@ object PipelineQueries {
         |  (CASE WHEN doc_id % 7 IN (0, 3) THEN NULL ELSE sb END)::BIGINT AS sum_b,
         |  (CASE WHEN doc_id % 7 = 0 THEN full_bytes // 2 ELSE full_bytes END)::BIGINT AS n_bytes
         | FROM r ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // the PNG gate replays the closed-form pixel gradients over a
+    // bounded coordinate grid (w ≤ 12, h ≤ 9) — the DEFLATE byte
+    // stream itself is not SQL-replayable (the d75 boundary), so the
+    // hash carries dims + exact channel sums + the quarantine slice
+    "d98_png_decode" ->
+      """WITH xs AS (SELECT range AS x FROM range(12)),
+        | ys AS (SELECT range AS y FROM range(9)),
+        | p AS (SELECT doc_id, (4 + doc_id % 9)::INT AS w,
+        |   (3 + (doc_id * 5) % 7)::INT AS h FROM documents),
+        | px AS (SELECT p.doc_id, p.w, p.h,
+        |   sum((p.doc_id + 3 * x + 7 * y) % 256)::BIGINT AS sr,
+        |   sum((p.doc_id * 7 + 11 + 5 * x + 2 * y) % 256)::BIGINT AS sg,
+        |   sum((p.doc_id * 13 + 5 + x + 4 * y) % 256)::BIGINT AS sb
+        |  FROM p JOIN xs ON xs.x < p.w JOIN ys ON ys.y < p.h GROUP BY 1, 2, 3)
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 7 IN (0, 3, 5) THEN 'quarantined' ELSE 'ok' END AS status,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE w END)::INT AS width,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE h END)::INT AS height,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE sr END)::BIGINT AS sum_r,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE sg END)::BIGINT AS sum_g,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE sb END)::BIGINT AS sum_b
+        | FROM px ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     // BM25 ranks (shared CTE chain) + d06-style dense cosine ranks,
     // fused with integer reciprocal-rank contributions: DuckDB's `//`

@@ -150,4 +150,102 @@ object MediaDecodePropertySpec extends Properties("MediaDecode") {
     Prop.forAll(dimGen, framesGen, Gen.choose(1, 5)) { case ((w, h), frames, cut) =>
       Multimodal.decodeAvi(aviBytes(w, h, frames).dropRight(cut)).isEmpty
     }
+
+  // ---- PNG ---------------------------------------------------------
+
+  import graft.operators.{PngCodec, PngSim}
+
+  private val pngDimGen = for {
+    w <- Gen.choose(1, 16); h <- Gen.choose(1, 12)
+  } yield (w, h)
+  private def rasterGen(w: Int, h: Int): Gen[Array[Byte]] =
+    Gen.listOfN(3 * w * h, Gen.choose(0, 255)).map(_.map(_.toByte).toArray)
+
+  /** Per-FIXED-filter round trip: every scanline uses the same filter
+    * type, so a broken Sub/Up/Average/Paeth path can't hide behind
+    * the rows that used another one. Byte-exact raster equality, not
+    * just sums. */
+  property("png: encode∘decode = identity per filter type, arbitrary rasters") =
+    Prop.forAll(pngDimGen, Gen.choose(0, 4)) { case ((w, h), f) =>
+      Prop.forAll(rasterGen(w, h)) { rgb =>
+        val png = PngCodec.encode(w, h, rgb, _ => f)
+        PngCodec.decodeRaster(png) match {
+          case Some((gw, gh, got)) =>
+            gw == w && gh == h && java.util.Arrays.equals(got, rgb)
+          case None => false
+        }
+      }
+    }
+
+  /** Independent-decoder cross-check: javax.imageio's PNG reader (a
+    * codebase sharing zero lines with PngCodec) must reconstruct the
+    * same pixels from our encoder's output — kills any compensating
+    * encode/decode bug the round trip alone cannot see. */
+  property("png: javax.imageio reads our encoder's output pixel-exactly") =
+    Prop.forAll(pngDimGen, Gen.choose(0L, 1L << 40)) { case ((w, h), seed) =>
+      val rgb = PngSim.raster(seed, w, h)
+      val png = PngCodec.encode(w, h, rgb, y => ((seed + y) % 5).toInt)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      img != null && img.getWidth == w && img.getHeight == h &&
+        (0 until h).forall(y => (0 until w).forall { x =>
+          val p = img.getRGB(x, y)
+          ((p >> 16) & 0xFF) == (rgb(3 * (y * w + x)) & 0xFF) &&
+            ((p >> 8) & 0xFF) == (rgb(3 * (y * w + x) + 1) & 0xFF) &&
+            (p & 0xFF) == (rgb(3 * (y * w + x) + 2) & 0xFF)
+        })
+    }
+
+  property("png: any truncation quarantines") =
+    Prop.forAll(Gen.choose(0L, 1L << 40), Gen.choose(1, 40)) { (seed, cut) =>
+      val png = PngSim.cleanPng(seed)
+      PngCodec.decodeSums(png.take(png.length - cut)).isEmpty
+    }
+
+  property("png: flipping any single byte before IEND quarantines") =
+    Prop.forAll(Gen.choose(0L, 1L << 40)) { seed =>
+      val png = PngSim.cleanPng(seed)
+      Prop.forAll(Gen.choose(0, png.length - 13)) { at =>
+        // every byte of magic/framing/data/CRC up to IEND is covered
+        // by magic compare, CRC-32, or the exact-length inflate; a
+        // flip may land in IDAT data whose damage only shows as a
+        // raster mismatch, so accept either quarantine or ≠ raster
+        val d = png.clone(); d(at) = (d(at) ^ 0x40).toByte
+        PngCodec.decodeRaster(d) match {
+          case None => true
+          case Some((w, h, got)) =>
+            val (ew, eh) = PngSim.dims(seed)
+            !(w == ew && h == eh &&
+              java.util.Arrays.equals(got, PngSim.raster(seed, w, h)))
+        }
+      }
+    }
+
+  property("png: multi-IDAT split decodes identically") =
+    Prop.forAll(pngDimGen, Gen.choose(1, 7)) { case ((w, h), limit) =>
+      Prop.forAll(rasterGen(w, h)) { rgb =>
+        val whole = PngCodec.decodeRaster(
+          PngCodec.encode(w, h, rgb, y => y % 5))
+        val split = PngCodec.decodeRaster(
+          PngCodec.encode(w, h, rgb, y => y % 5, idatChunkLimit = limit))
+        (whole, split) match {
+          case (Some((_, _, a)), Some((_, _, b))) => java.util.Arrays.equals(a, b)
+          case _ => false
+        }
+      }
+    }
+
+  property("png: trailing garbage after IEND quarantines") =
+    Prop.forAll(Gen.choose(0L, 1L << 40), Gen.choose(1, 8)) { (seed, n) =>
+      PngCodec.decodeSums(PngSim.cleanPng(seed) ++ Array.fill(n)(0x00.toByte)).isEmpty
+    }
+
+  property("png: the three d98 damage modes quarantine, clean ids decode") =
+    Prop.forAll(Gen.choose(0L, 4000L)) { id =>
+      val got = PngCodec.decodeSums(PngSim.payloadFor(id))
+      if (id % 7 == 0 || id % 7 == 3 || id % 7 == 5) got.isEmpty
+      else got.exists { f =>
+        val (w, h) = PngSim.dims(id)
+        f(0) == w && f(1) == h
+      }
+    }
 }
