@@ -40,7 +40,8 @@ object Bench {
     "d89_image_decode",
     "d90_rrf_fusion", "d91_mojibake_fix", "d92_curriculum_order",
     "d93_audio_trim", "d94_nfkc_normalize", "d95_soft_dedup",
-    "d96_pack_manifest", "d97_video_decode", "d98_png_decode")
+    "d96_pack_manifest", "d97_video_decode", "d98_png_decode",
+    "d99_unigram_lm")
 
   /** Fixed CPU-bound calibration microbench ("DotBench"): scalar dot
     * products over pinned-size float arrays with deterministic

@@ -1079,6 +1079,17 @@ object PipelineQueries {
       PngCodec.pngStats(s, PngSim.payloads(docs(s, dir)))
         .orderBy("doc_id")),
 
+    // unigram-LM tokenizer training (SentencePiece family) — the
+    // third trainer next to BPE (d82) and WordPiece (d78): substring
+    // seed vocab, then hard-EM rounds of Viterbi segmentation +
+    // recount + prune under quantized integer log-probs (engine-exact
+    // by construction); the oracle replays the WHOLE loop — seed
+    // statistics, the position-DP forward pass, the backtrack, and
+    // the retention rule — as chained CTEs, the d82 rigor
+    "d99_unigram_lm" -> ((s, dir) =>
+      UnigramLm.train(docs(s, dir), col("text"), rounds = 2)
+        .orderBy("round", "piece")),
+
     // hybrid retrieval: BM25 top-10 (lexical) + brute-force cosine
     // top-10 (dense) fused in RANK space via reciprocal-rank fusion —
     // score calibration never happens, so any candidate generator
@@ -2481,6 +2492,58 @@ object PipelineQueries {
         |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE sg END)::BIGINT AS sum_g,
         |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE sb END)::BIGINT AS sum_b
         | FROM px ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // d99's gate: the full unigram-LM training loop as chained CTEs —
+    // substring seed statistics + top-M selection, then per EM round
+    // a 12-position Viterbi forward DP (each position's best state
+    // via row_number over (val DESC, pieces ASC, last-len DESC) — the
+    // exact UnigramModel comparator), a 12-step backtrack emitting
+    // the chosen pieces, the freq-weighted recount, and the retention
+    // rule (char floor 1, zero-mass multi pruned). Quantized
+    // log-probs replay as integer bit lengths of HUGEINT cubes:
+    // length(bin(c³))−1 = ⌊3·log₂c⌋, exact in both engines.
+    "d99_unigram_lm" -> {
+      val rounds = 2; val lmax = 12; val plen = 4; val topM = 24
+      def scores(src: String): String =
+        s"(SELECT piece, cnt, (length(bin((cnt::HUGEINT)*cnt*cnt)) - 1 - " +
+          s"(SELECT length(bin((sum(cnt)::HUGEINT)*sum(cnt)*sum(cnt))) - 1 FROM $src))::BIGINT AS sc FROM $src)"
+      val sb = new StringBuilder
+      sb ++= """WITH v AS MATERIALIZED (SELECT w, count(*)::BIGINT AS freq FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents) g WHERE w <> '' AND length(w) <= """ + lmax + " GROUP BY w)"
+      sb ++= s", iz AS MATERIALIZED (SELECT range + 1 AS i FROM range($lmax))"
+      sb ++= s", lz AS MATERIALIZED (SELECT range + 1 AS l FROM range($plen))"
+      sb ++= ", sub AS MATERIALIZED (SELECT substr(v.w, i::INT, l::INT) AS piece, sum(v.freq)::BIGINT AS cnt" +
+        " FROM v JOIN iz ON iz.i <= length(v.w) JOIN lz ON iz.i + lz.l - 1 <= length(v.w) GROUP BY 1)"
+      sb ++= ", p0 AS MATERIALIZED (SELECT piece, cnt FROM sub WHERE length(piece) = 1" +
+        s" UNION ALL SELECT piece, cnt FROM (SELECT piece, cnt FROM sub WHERE length(piece) > 1 ORDER BY cnt DESC, piece LIMIT $topM))"
+      sb ++= s", s0 AS MATERIALIZED ${scores("p0")}"
+      for (r <- 1 to rounds) {
+        val ps = s"s${r - 1}"
+        sb ++= s", d${r}_0 AS MATERIALIZED (SELECT w, freq, 0::BIGINT AS val, 0::BIGINT AS np, 0::BIGINT AS ll FROM v)"
+        for (j <- 1 to lmax) {
+          val cands = (1 to math.min(plen, j)).map { l =>
+            s"SELECT d.w, d.freq, d.val + s.sc AS val, d.np + 1 AS np, ${l}::BIGINT AS ll" +
+              s" FROM d${r}_${j - l} d JOIN $ps s ON s.piece = substr(d.w, ${j - l + 1}, $l) WHERE length(d.w) >= $j"
+          }.mkString(" UNION ALL ")
+          sb ++= s", d${r}_$j AS MATERIALIZED (SELECT w, freq, val, np, ll FROM (SELECT c.*, " +
+            s"row_number() OVER (PARTITION BY c.w ORDER BY c.val DESC, c.np ASC, c.ll DESC) AS rn FROM ($cands) c) z WHERE rn = 1)"
+        }
+        sb ++= s", a$r AS MATERIALIZED (" + (1 to lmax).map(j =>
+          s"SELECT w, ${j}::BIGINT AS j, ll FROM d${r}_$j").mkString(" UNION ALL ") + ")"
+        sb ++= s", b${r}_0 AS MATERIALIZED (SELECT w, freq, length(w)::BIGINT AS j FROM v)"
+        for (k <- 1 to lmax)
+          sb ++= s", b${r}_$k AS MATERIALIZED (SELECT b.w, b.freq, b.j - a.ll AS j, substr(b.w, (b.j - a.ll + 1)::INT, a.ll::INT) AS piece" +
+            s" FROM b${r}_${k - 1} b JOIN a$r a ON a.w = b.w AND a.j = b.j WHERE b.j > 0)"
+        sb ++= s", pc$r AS MATERIALIZED (SELECT piece, sum(freq)::BIGINT AS cnt FROM (" + (1 to lmax).map(k =>
+          s"SELECT freq, piece FROM b${r}_$k").mkString(" UNION ALL ") + ") GROUP BY piece)"
+        sb ++= s", p$r AS MATERIALIZED (SELECT s.piece, (CASE WHEN length(s.piece) = 1 THEN greatest(coalesce(pc.cnt, 0), 1) ELSE coalesce(pc.cnt, 0) END)::BIGINT AS cnt" +
+          s" FROM $ps s LEFT JOIN pc$r pc USING (piece) WHERE length(s.piece) = 1 OR coalesce(pc.cnt, 0) > 0)"
+        if (r < rounds) sb ++= s", s$r AS MATERIALIZED ${scores(s"p$r")}"
+      }
+      sb ++= (0 to rounds).map(r =>
+        s" SELECT ${r}::BIGINT AS round, piece, cnt FROM p$r").mkString(" UNION ALL")
+      sb ++= " ORDER BY round, piece"
+      sb.toString
+    },
 
     // BM25 ranks (shared CTE chain) + d06-style dense cosine ranks,
     // fused with integer reciprocal-rank contributions: DuckDB's `//`
