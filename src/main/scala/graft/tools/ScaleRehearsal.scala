@@ -14,36 +14,60 @@ import graft.operators._
   * buckets everywhere (the star-expansion cap is what keeps this
   * linear). Usage: graft.tools.ScaleRehearsal [sfDir] [factor]. */
 object ScaleRehearsal {
+
+  /** Stage registry: every rehearsal row belongs to a FAMILY, and
+    * tools/run_rehearsal.sh runs each family in a FRESH JVM — twice
+    * (r10 capstone d84 54.9×, general-sweep html 362×) tail stages of
+    * the 40-stage single-JVM sweep read as plan walls purely from
+    * accumulated heap pressure and cost a re-chase; per-family
+    * isolation makes recorded rows trustworthy as committed. Shared
+    * inputs are lazy so a family JVM only builds (and caches) the
+    * frames its own stages touch. */
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
-    val spark = Tables.session("scale-rehearsal",
+    val mode = args.lift(2)
+    // lazy: the --list path exits without ever starting Spark (the
+    // per-family wrapper calls it once to enumerate the registry)
+    lazy val spark = Tables.session("scale-rehearsal",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-    if (args.lift(2).contains("capstones")) {
+    if (mode.contains("capstones")) {
       Capstones.run(spark, dir, factor, args.lift(3))
       spark.stop()
       return
     }
-    val base = Tables.load(spark, dir, "documents")
+    val stages = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.Buffer[() => Unit]]
+    def st(family: String)(body: => Unit): Unit =
+      stages.getOrElseUpdate(family,
+        scala.collection.mutable.Buffer.empty) += (() => body)
+
+    lazy val base = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
     // replica shift derived from the real id range (one scalar collect
     // each) — a hardcoded shift silently collides with ids >= shift,
     // corrupting the replicated corpus and every dedup ratio
-    val docShift = base.agg(max("doc_id")).head.getLong(0) + 1
-    val big = (0 until factor).map(i =>
-      base.select((col("doc_id") + i * docShift).as("doc_id"),
-        col("text"), col("lang"), col("source")))
-      .reduce(_ unionByName _)
-      .repartition(32).persist()
-    val embBase = Tables.load(spark, dir, "embeddings")
-    val embShift = embBase.agg(max("vec_id")).head.getLong(0) + 1
-    val embBig = (0 until factor).map(i =>
-      embBase.select((col("vec_id") + i * embShift).as("vec_id"),
-        col("embedding"), col("label")))
-      .reduce(_ unionByName _)
-      .repartition(32).persist()
-    println(s"corpus 1x=${base.count()} ${factor}x=${big.count()} docs; " +
-      s"emb ${factor}x=${embBig.count()}")
+    lazy val big = {
+      val docShift = base.agg(max("doc_id")).head.getLong(0) + 1
+      val b = (0 until factor).map(i =>
+        base.select((col("doc_id") + i * docShift).as("doc_id"),
+          col("text"), col("lang"), col("source")))
+        .reduce(_ unionByName _)
+        .repartition(32).persist()
+      println(s"corpus 1x=${base.count()} ${factor}x=${b.count()} docs")
+      b
+    }
+    lazy val embBase = Tables.load(spark, dir, "embeddings")
+    lazy val embBig = {
+      val embShift = embBase.agg(max("vec_id")).head.getLong(0) + 1
+      val b = (0 until factor).map(i =>
+        embBase.select((col("vec_id") + i * embShift).as("vec_id"),
+          col("embedding"), col("label")))
+        .reduce(_ unionByName _)
+        .repartition(32).persist()
+      println(s"emb ${factor}x=${b.count()}")
+      b
+    }
 
     def time(n: String)(f: => Long): Double = {
       val t0 = System.nanoTime; val c = f
@@ -57,41 +81,63 @@ object ScaleRehearsal {
       println(f"  -> scale ratio ${tN / t1}%.1f (linear = $factor.0)")
     }
 
-    ratio("exact dedup",
-      Dedup.exact(base, col("text"), col("doc_id")).count(),
-      Dedup.exact(big, col("text"), col("doc_id")).count())
-    ratio("minhash LSH candidates",
-      Dedup.minhashCandidates(base, col("text"), col("doc_id")).count(),
-      Dedup.minhashCandidates(big, col("text"), col("doc_id")).count())
-    ratio("simhash pairs",
-      Dedup.simhashPairs(base, col("text"), col("doc_id")).count(),
-      Dedup.simhashPairs(big, col("text"), col("doc_id")).count())
-    ratio("quality metrics",
-      TextOps.qualityMetrics(base, col("text")).count(),
-      TextOps.qualityMetrics(big, col("text")).count())
-    ratio("token freq score",
-      TextOps.tokenFrequencyScore(base, col("text"), col("doc_id")).count(),
-      TextOps.tokenFrequencyScore(big, col("text"), col("doc_id")).count())
-    ratio("ngram repetition (2)",
-      TextOps.ngramRepetition(base, col("text"), col("doc_id"), 2).count(),
-      TextOps.ngramRepetition(big, col("text"), col("doc_id"), 2).count())
-    ratio("tfidf top terms",
-      TextOps.tfidfTopTerms(base, col("text"), col("doc_id"), 3).count(),
-      TextOps.tfidfTopTerms(big, col("text"), col("doc_id"), 3).count())
-    ratio("line cleanup",
-      TextOps.cleanLines(base.withColumnRenamed("text", "t"), col("t"),
-        3, Seq("the", "a", "key", "table"), Seq("slow")).count(),
-      TextOps.cleanLines(big.withColumnRenamed("text", "t"), col("t"),
-        3, Seq("the", "a", "key", "table"), Seq("slow")).count())
-    ratio("sketch distinct report",
-      Sketches.distinctReport(base, col("text"), col("lang")).count(),
-      Sketches.distinctReport(big, col("text"), col("lang")).count())
-    ratio("substring dup spans",
-      Dedup.dupSpans(base, col("text"), col("doc_id")).count(),
-      Dedup.dupSpans(big, col("text"), col("doc_id")).count())
-    ratio("global line dedup",
-      TextOps.dedupLinesGlobal(base, col("doc_id"), col("text")).count(),
-      TextOps.dedupLinesGlobal(big, col("doc_id"), col("text")).count())
+    st("dedup") {
+      ratio("exact dedup",
+        Dedup.exact(base, col("text"), col("doc_id")).count(),
+        Dedup.exact(big, col("text"), col("doc_id")).count())
+    }
+    st("dedup") {
+      ratio("minhash LSH candidates",
+        Dedup.minhashCandidates(base, col("text"), col("doc_id")).count(),
+        Dedup.minhashCandidates(big, col("text"), col("doc_id")).count())
+    }
+    st("dedup") {
+      ratio("simhash pairs",
+        Dedup.simhashPairs(base, col("text"), col("doc_id")).count(),
+        Dedup.simhashPairs(big, col("text"), col("doc_id")).count())
+    }
+    st("text") {
+      ratio("quality metrics",
+        TextOps.qualityMetrics(base, col("text")).count(),
+        TextOps.qualityMetrics(big, col("text")).count())
+    }
+    st("text") {
+      ratio("token freq score",
+        TextOps.tokenFrequencyScore(base, col("text"), col("doc_id")).count(),
+        TextOps.tokenFrequencyScore(big, col("text"), col("doc_id")).count())
+    }
+    st("text") {
+      ratio("ngram repetition (2)",
+        TextOps.ngramRepetition(base, col("text"), col("doc_id"), 2).count(),
+        TextOps.ngramRepetition(big, col("text"), col("doc_id"), 2).count())
+    }
+    st("text") {
+      ratio("tfidf top terms",
+        TextOps.tfidfTopTerms(base, col("text"), col("doc_id"), 3).count(),
+        TextOps.tfidfTopTerms(big, col("text"), col("doc_id"), 3).count())
+    }
+    st("text") {
+      ratio("line cleanup",
+        TextOps.cleanLines(base.withColumnRenamed("text", "t"), col("t"),
+          3, Seq("the", "a", "key", "table"), Seq("slow")).count(),
+        TextOps.cleanLines(big.withColumnRenamed("text", "t"), col("t"),
+          3, Seq("the", "a", "key", "table"), Seq("slow")).count())
+    }
+    st("sketch") {
+      ratio("sketch distinct report",
+        Sketches.distinctReport(base, col("text"), col("lang")).count(),
+        Sketches.distinctReport(big, col("text"), col("lang")).count())
+    }
+    st("dedup") {
+      ratio("substring dup spans",
+        Dedup.dupSpans(base, col("text"), col("doc_id")).count(),
+        Dedup.dupSpans(big, col("text"), col("doc_id")).count())
+    }
+    st("dedup") {
+      ratio("global line dedup",
+        TextOps.dedupLinesGlobal(base, col("doc_id"), col("text")).count(),
+        TextOps.dedupLinesGlobal(big, col("doc_id"), col("text")).count())
+    }
     // planted HOT line: one boilerplate line in 50% of docs — the
     // adversarial case for corpus-wide first-occurrence dedup. The
     // pre-r5 row_number window sorted every occurrence of the hot line
@@ -102,71 +148,99 @@ object ScaleRehearsal {
       when(col("doc_id") % 2 === 0,
         concat(lit("please accept our cookie policy\n"), col("text")))
         .otherwise(col("text")))
-    ratio("global line dedup (hot line)",
-      TextOps.dedupLinesGlobal(plantHot(base), col("doc_id"), col("text")).count(),
-      TextOps.dedupLinesGlobal(plantHot(big), col("doc_id"), col("text")).count())
+    st("dedup") {
+      ratio("global line dedup (hot line)",
+        TextOps.dedupLinesGlobal(plantHot(base), col("doc_id"), col("text")).count(),
+        TextOps.dedupLinesGlobal(plantHot(big), col("doc_id"), col("text")).count())
+    }
     // bloom probe: history = base, batch = the replicated corpus (the
     // adversarial direction — every replica bloom-hits, so the whole
     // batch pays the verification join)
-    ratio("bloom incremental dedup",
-      Dedup.bloomIncremental(base, base, col("text"), col("doc_id")).count(),
-      Dedup.bloomIncremental(base, big, col("text"), col("doc_id")).count())
-    ratio("CMS heavy hitters",
-      { Sketches.heavyHitters(base, col("text"), 20).count() },
-      { Sketches.heavyHitters(big, col("text"), 20).count() })
+    st("dedup") {
+      ratio("bloom incremental dedup",
+        Dedup.bloomIncremental(base, base, col("text"), col("doc_id")).count(),
+        Dedup.bloomIncremental(base, big, col("text"), col("doc_id")).count())
+    }
+    st("sketch") {
+      ratio("CMS heavy hitters",
+        { Sketches.heavyHitters(base, col("text"), 20).count() },
+        { Sketches.heavyHitters(big, col("text"), 20).count() })
+    }
     val nTok = size(TextOps.tokens(col("text")))
-    ratio("DSIR importance weights",
-      TextOps.importanceWeights(base, base.filter(col("lang") === "en"),
-        col("text"), col("doc_id")).count(),
-      TextOps.importanceWeights(big, big.filter(col("lang") === "en"),
-        col("text"), col("doc_id")).count())
+    st("sample") {
+      ratio("DSIR importance weights",
+        TextOps.importanceWeights(base, base.filter(col("lang") === "en"),
+          col("text"), col("doc_id")).count(),
+        TextOps.importanceWeights(big, big.filter(col("lang") === "en"),
+          col("text"), col("doc_id")).count())
+    }
     val mixW = Map("en" -> 3L, "zh" -> 1L, "es" -> 1L, "de" -> 1L, "fr" -> 1L)
-    ratio("domain mix sampling",
-      Sampling.domainMix(base, col("lang"), col("doc_id"), nTok, mixW, 10000L).count(),
-      Sampling.domainMix(big, col("lang"), col("doc_id"), nTok, mixW, 10000L).count())
-    ratio("shard assignment",
-      TextOps.assignShards(base, col("doc_id"), nTok, 4096L).count(),
-      TextOps.assignShards(big, col("doc_id"), nTok, 4096L).count())
+    st("sample") {
+      ratio("domain mix sampling",
+        Sampling.domainMix(base, col("lang"), col("doc_id"), nTok, mixW, 10000L).count(),
+        Sampling.domainMix(big, col("lang"), col("doc_id"), nTok, mixW, 10000L).count())
+    }
+    st("sample") {
+      ratio("shard assignment",
+        TextOps.assignShards(base, col("doc_id"), nTok, 4096L).count(),
+        TextOps.assignShards(big, col("doc_id"), nTok, 4096L).count())
+    }
     // fixed bench set vs a growing corpus; under replication every
     // replica of a bench doc band-collides, so the matched subset
     // grows linearly — the join stays broadcast either way
-    val bench = base.filter(col("doc_id") % 97 === 0)
+    lazy val bench = base.filter(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("bench_id"), col("text").as("snippet"))
-    ratio("fuzzy decontamination",
-      Dedup.crossNearDup(base, bench, col("text"), col("doc_id"),
-        col("snippet"), col("bench_id")).count(),
-      Dedup.crossNearDup(big, bench, col("text"), col("doc_id"),
-        col("snippet"), col("bench_id")).count())
-    ratio("normalize + report card",
-      TextOps.corpusReport(base.select(col("doc_id"), col("lang"),
-        TextOps.normalizeText(col("text")).as("text")), col("text"), col("lang")).count(),
-      TextOps.corpusReport(big.select(col("doc_id"), col("lang"),
-        TextOps.normalizeText(col("text")).as("text")), col("text"), col("lang")).count())
-    ratio("percentile length filter",
-      TextOps.lengthFilter(base, col("text"), col("lang"), col("doc_id")).count(),
-      TextOps.lengthFilter(big, col("text"), col("lang"), col("doc_id")).count())
-    ratio("hash reservoir sample",
-      Sampling.hashReservoir(base, col("lang"), col("doc_id"), 100).count(),
-      Sampling.hashReservoir(big, col("lang"), col("doc_id"), 100).count())
-    ratio("token chunking",
-      TextOps.chunkTokens(base, col("text"), col("doc_id"), 64, 48).count(),
-      TextOps.chunkTokens(big, col("text"), col("doc_id"), 64, 48).count())
+    st("dedup") {
+      ratio("fuzzy decontamination",
+        Dedup.crossNearDup(base, bench, col("text"), col("doc_id"),
+          col("snippet"), col("bench_id")).count(),
+        Dedup.crossNearDup(big, bench, col("text"), col("doc_id"),
+          col("snippet"), col("bench_id")).count())
+    }
+    st("text") {
+      ratio("normalize + report card",
+        TextOps.corpusReport(base.select(col("doc_id"), col("lang"),
+          TextOps.normalizeText(col("text")).as("text")), col("text"), col("lang")).count(),
+        TextOps.corpusReport(big.select(col("doc_id"), col("lang"),
+          TextOps.normalizeText(col("text")).as("text")), col("text"), col("lang")).count())
+    }
+    st("text") {
+      ratio("percentile length filter",
+        TextOps.lengthFilter(base, col("text"), col("lang"), col("doc_id")).count(),
+        TextOps.lengthFilter(big, col("text"), col("lang"), col("doc_id")).count())
+    }
+    st("sample") {
+      ratio("hash reservoir sample",
+        Sampling.hashReservoir(base, col("lang"), col("doc_id"), 100).count(),
+        Sampling.hashReservoir(big, col("lang"), col("doc_id"), 100).count())
+    }
+    st("text") {
+      ratio("token chunking",
+        TextOps.chunkTokens(base, col("text"), col("doc_id"), 64, 48).count(),
+        TextOps.chunkTokens(big, col("text"), col("doc_id"), 64, 48).count())
+    }
     // adversarial direction: the new snapshot is N× the old — almost
     // everything lands in the full-outer join as added/recount rows
-    ratio("snapshot diff (old=1x)",
-      Dedup.snapshotDiff(base, base, col("text")).count(),
-      Dedup.snapshotDiff(base, big, col("text")).count())
-    ratio("corpus overlap sketches",
-      Dedup.corpusOverlap(base, col("text"), col("source")).count(),
-      Dedup.corpusOverlap(big, col("text"), col("source")).count())
+    st("dedup") {
+      ratio("snapshot diff (old=1x)",
+        Dedup.snapshotDiff(base, base, col("text")).count(),
+        Dedup.snapshotDiff(base, big, col("text")).count())
+    }
+    st("dedup") {
+      ratio("corpus overlap sketches",
+        Dedup.corpusOverlap(base, col("text"), col("source")).count(),
+        Dedup.corpusOverlap(big, col("text"), col("source")).count())
+    }
     // replication = exact-duplicate fingerprints: every simhash band
     // bucket is factor× deep, so the capped star expansion is what
     // keeps per-bucket pair work O(b) instead of O(b²)
-    ratio("poly simhash pairs (capped)",
-      Dedup.polySimhashPairs(base, col("text"), col("doc_id"),
-        maxBucket = Dedup.MAX_FULL_BUCKET).count(),
-      Dedup.polySimhashPairs(big, col("text"), col("doc_id"),
-        maxBucket = Dedup.MAX_FULL_BUCKET).count())
+    st("dedup") {
+      ratio("poly simhash pairs (capped)",
+        Dedup.polySimhashPairs(base, col("text"), col("doc_id"),
+          maxBucket = Dedup.MAX_FULL_BUCKET).count(),
+        Dedup.polySimhashPairs(big, col("text"), col("doc_id"),
+          maxBucket = Dedup.MAX_FULL_BUCKET).count())
+    }
     // planted HOT span: one shared 8-gram leads 50% of docs — the
     // first-occurrence rule must pre-combine per mapper (the d40 hot-
     // line rule applied to spans); the token regroup is keyed by
@@ -176,26 +250,30 @@ object ScaleRehearsal {
       when(col("doc_id") % 2 === 0,
         concat(lit("one two three four five six seven eight "), col("text")))
         .otherwise(col("text")))
-    ratio("span cut (hot span)",
-      Dedup.cutDupSpans(plantHotSpan(base), col("text"), col("doc_id")).count(),
-      Dedup.cutDupSpans(plantHotSpan(big), col("text"), col("doc_id")).count())
+    st("dedup") {
+      ratio("span cut (hot span)",
+        Dedup.cutDupSpans(plantHotSpan(base), col("text"), col("doc_id")).count(),
+        Dedup.cutDupSpans(plantHotSpan(big), col("text"), col("doc_id")).count())
+    }
 
     // long-DOCUMENT stress: n-gram/shingle ops are linear in doc length
     // only because zipNgrams avoids per-element re-evaluation inside
     // HOF lambdas; the element_at(transform(...)) form measured O(n²)
     // (e.g. the pre-fix composed band signature: 119 s on SHORT docs).
     // 100 concatenated ~2.5k-token docs would take minutes that way.
-    val longDocs = base.withColumn("_grp", pmod(col("doc_id"), lit(100L)))
+    lazy val longDocs = base.withColumn("_grp", pmod(col("doc_id"), lit(100L)))
       .groupBy("_grp").agg(concat_ws(" ", collect_list(col("text"))).as("text"),
         min(col("doc_id")).as("doc_id")).persist()
-    time("long-doc minhash candidates")(
-      Dedup.minhashCandidates(longDocs, col("text"), col("doc_id")).count())
-    time("long-doc substring spans")(
-      Dedup.dupSpans(longDocs, col("text"), col("doc_id")).count())
-    time("long-doc fused bands")(
-      longDocs.select(posexplode(Dedup.polyRowBands(col("text")))).count())
-    time("long-doc ngram repetition")(
-      TextOps.ngramRepetition(longDocs, col("text"), col("doc_id"), 3).count())
+    st("longdoc") {
+      time("long-doc minhash candidates")(
+        Dedup.minhashCandidates(longDocs, col("text"), col("doc_id")).count())
+      time("long-doc substring spans")(
+        Dedup.dupSpans(longDocs, col("text"), col("doc_id")).count())
+      time("long-doc fused bands")(
+        longDocs.select(posexplode(Dedup.polyRowBands(col("text")))).count())
+      time("long-doc ngram repetition")(
+        TextOps.ngramRepetition(longDocs, col("text"), col("doc_id"), 3).count())
+    }
 
     // slurm eff rollup under a PATHOLOGICAL ARRAY JOB: every replica's
     // rows re-keyed to ONE JobIDnostep, so the hottest reducer key
@@ -204,47 +282,59 @@ object ScaleRehearsal {
     // partial row per map task — the curve stays ~linear; a blowup
     // here means a non-combinable aggregate crept into the view
     // (escape hatch: the SkewJoin salting shape, see SlurmViews.eff).
-    val slurmBase = graft.slurm.SlurmTable.build(
+    lazy val slurmBase = graft.slurm.SlurmTable.build(
       graft.slurm.SlurmSim.raw(spark, dir), lit(1750000000L))
       .repartition(32).persist()
-    val slurmHot = (0 until factor).map(_ =>
+    lazy val slurmHot = (0 until factor).map(_ =>
       slurmBase.withColumn("JobIDnostep", lit("hotjob")))
       .reduce(_ unionByName _).unionByName(slurmBase)
       .repartition(32).persist()
-    ratio("slurm eff rollup (hot job)",
-      graft.slurm.SlurmViews.eff(slurmBase).count(),
-      graft.slurm.SlurmViews.eff(slurmHot).count())
+    st("slurm") {
+      ratio("slurm eff rollup (hot job)",
+        graft.slurm.SlurmViews.eff(slurmBase).count(),
+        graft.slurm.SlurmViews.eff(slurmHot).count())
+    }
 
-    val q1 = embBase.filter(col("vec_id") < 50)
-    ratio("brute-force ANN topk",
-      Similarity.bruteForceTopK(embBase, q1, 5).count(),
-      Similarity.bruteForceTopK(embBig, q1, 5).count())
-    ratio("LSH ANN topk",
-      Similarity.lshTopK(embBase, q1, 5).count(),
-      Similarity.lshTopK(embBig, q1, 5).count())
-    ratio("quantized ANN topk",
-      Similarity.quantizedTopK(embBase, q1, 5).count(),
-      Similarity.quantizedTopK(embBig, q1, 5).count())
+    lazy val q1 = embBase.filter(col("vec_id") < 50)
+    st("ann") {
+      ratio("brute-force ANN topk",
+        Similarity.bruteForceTopK(embBase, q1, 5).count(),
+        Similarity.bruteForceTopK(embBig, q1, 5).count())
+    }
+    st("ann") {
+      ratio("LSH ANN topk",
+        Similarity.lshTopK(embBase, q1, 5).count(),
+        Similarity.lshTopK(embBig, q1, 5).count())
+    }
+    st("ann") {
+      ratio("quantized ANN topk",
+        Similarity.quantizedTopK(embBase, q1, 5).count(),
+        Similarity.quantizedTopK(embBig, q1, 5).count())
+    }
     // replication by id-shift makes every replica an EXACT duplicate —
     // the adversarial case for semantic dedup: without the
     // exact-collapse stage each cell's pair join would grow factor²
     // (10⁶ copies of one boilerplate embedding = 10¹² pairs in one
     // cell); collapsed, the curve stays ~flat (pair work is over
     // DISTINCT vectors, constant across factors)
-    ratio("semantic dedup (all-dup corpus)",
-      Similarity.semanticSurvivors(embBase).count(),
-      Similarity.semanticSurvivors(embBig).count())
+    st("ann") {
+      ratio("semantic dedup (all-dup corpus)",
+        Similarity.semanticSurvivors(embBase).count(),
+        Similarity.semanticSurvivors(embBig).count())
+    }
 
     // BM25 probe: FIXED query set vs a growing corpus — postings and
     // the scored candidate set grow linearly; the query/df/global
     // joins stay broadcast at any corpus size (every replica of a
     // matched doc matches, so output rows grow ~linearly too)
-    val bmQ = base.filter(col("doc_id") % 97 === 0)
-    ratio("BM25 topk probe",
-      Retrieval.bm25TopK(base, col("text"), col("doc_id"),
-        bmQ, col("text"), col("doc_id"), 10).count(),
-      Retrieval.bm25TopK(big, col("text"), col("doc_id"),
-        bmQ, col("text"), col("doc_id"), 10).count())
+    lazy val bmQ = base.filter(col("doc_id") % 97 === 0)
+    st("retrieval") {
+      ratio("BM25 topk probe",
+        Retrieval.bm25TopK(base, col("text"), col("doc_id"),
+          bmQ, col("text"), col("doc_id"), 10).count(),
+        Retrieval.bm25TopK(big, col("text"), col("doc_id"),
+          bmQ, col("text"), col("doc_id"), 10).count())
+    }
     // PageRank with planted HUBS: every doc links to one of 100 hub
     // nodes, so replication deepens each hub's in-edge list factor× —
     // the per-dst contribution sum must pre-aggregate map-side or the
@@ -252,18 +342,22 @@ object ScaleRehearsal {
     def hubEdges(df: org.apache.spark.sql.DataFrame) =
       df.select(col("doc_id").as("src"),
         (lit(2000000000L) + pmod(col("doc_id"), lit(100L))).as("dst"))
-    ratio("pagerank (hub skew)",
-      Components.pageRank(hubEdges(base), iters = 3).count(),
-      Components.pageRank(hubEdges(big), iters = 3).count())
+    st("graph") {
+      ratio("pagerank (hub skew)",
+        Components.pageRank(hubEdges(base), iters = 3).count(),
+        Components.pageRank(hubEdges(big), iters = 3).count())
+    }
     // bigram LM scoring: the model is VOCAB-bounded — replicating the
     // corpus (and with it the en target slice) grows the count tables'
     // values, not their width, so the broadcast stays KB-sized and the
     // corpus side stays map-only + one per-doc agg
-    ratio("bigram LM score",
-      TextOps.bigramLmScore(base, base.filter(col("lang") === "en"),
-        col("text"), col("doc_id")).count(),
-      TextOps.bigramLmScore(big, big.filter(col("lang") === "en"),
-        col("text"), col("doc_id")).count())
+    st("text") {
+      ratio("bigram LM score",
+        TextOps.bigramLmScore(base, base.filter(col("lang") === "en"),
+          col("text"), col("doc_id")).count(),
+        TextOps.bigramLmScore(big, big.filter(col("lang") === "en"),
+          col("text"), col("doc_id")).count())
+    }
     // incremental curation, adversarial direction: history stays 1×,
     // the crawl is N× and almost ALL of it is novel content (shifted
     // ids, same text ⇒ content-hash dups collapse in the partial agg)
@@ -278,45 +372,55 @@ object ScaleRehearsal {
         .agg(min(struct(col("doc_id"), col("n_tokens"))).as("w"))
         .filter(col("w.n_tokens") >= 5).count()
     }
-    ratio("incremental curation (crawl=Nx)",
-      curate(base.filter(col("doc_id") % 7 =!= 0), base),
-      curate(base.filter(col("doc_id") % 7 =!= 0), big))
+    st("dedup") {
+      ratio("incremental curation (crawl=Nx)",
+        curate(base.filter(col("doc_id") % 7 =!= 0), base),
+        curate(base.filter(col("doc_id") % 7 =!= 0), big))
+    }
     // cross-corpus band join, adversarial: the crawl is N× and EVERY
     // replica of a history doc band-hits; per-side heap caps keep hot
     // buckets from materializing |A|·|B| pair rows
-    ratio("cross-corpus near-dup (capped)",
-      Dedup.crossNearDupLarge(base,
-        base.filter(col("doc_id") % 2 === 0)
-          .select((col("doc_id") + 7000000L).as("hist_id"), col("text")),
-        col("text"), col("doc_id"), col("text"), col("hist_id"),
-        maxBucket = Dedup.MAX_FULL_BUCKET).count(),
-      Dedup.crossNearDupLarge(big,
-        base.filter(col("doc_id") % 2 === 0)
-          .select((col("doc_id") + 7000000L).as("hist_id"), col("text")),
-        col("text"), col("doc_id"), col("text"), col("hist_id"),
-        maxBucket = Dedup.MAX_FULL_BUCKET).count())
+    st("dedup") {
+      ratio("cross-corpus near-dup (capped)",
+        Dedup.crossNearDupLarge(base,
+          base.filter(col("doc_id") % 2 === 0)
+            .select((col("doc_id") + 7000000L).as("hist_id"), col("text")),
+          col("text"), col("doc_id"), col("text"), col("hist_id"),
+          maxBucket = Dedup.MAX_FULL_BUCKET).count(),
+        Dedup.crossNearDupLarge(big,
+          base.filter(col("doc_id") % 2 === 0)
+            .select((col("doc_id") + 7000000L).as("hist_id"), col("text")),
+          col("text"), col("doc_id"), col("text"), col("hist_id"),
+          maxBucket = Dedup.MAX_FULL_BUCKET).count())
+    }
     // perceptual blockhash dedup, capped: replicas are byte-identical
     // payloads, so every fingerprint bucket is factor× deep — the
     // star-expansion cap is what keeps pair work O(bucket), not O(b²)
-    ratio("phash near-dup (capped)",
-      Multimodal.phashPairs(base, col("text"), col("doc_id"),
-        maxBucket = graft.operators.Dedup.MAX_FULL_BUCKET).count(),
-      Multimodal.phashPairs(big, col("text"), col("doc_id"),
-        maxBucket = graft.operators.Dedup.MAX_FULL_BUCKET).count())
+    st("multimodal") {
+      ratio("phash near-dup (capped)",
+        Multimodal.phashPairs(base, col("text"), col("doc_id"),
+          maxBucket = graft.operators.Dedup.MAX_FULL_BUCKET).count(),
+        Multimodal.phashPairs(big, col("text"), col("doc_id"),
+          maxBucket = graft.operators.Dedup.MAX_FULL_BUCKET).count())
+    }
     // one-pass profiling: the exact-distinct Expand multiplies agg
     // input by #profiled columns but stays one scan + partial aggs
-    ratio("table profile (2 num cols)",
-      Profile.numeric(base.withColumn("n_chars", length(col("text"))),
-        Seq("doc_id", "n_chars")).count(),
-      Profile.numeric(big.withColumn("n_chars", length(col("text"))),
-        Seq("doc_id", "n_chars")).count())
+    st("sketch") {
+      ratio("table profile (2 num cols)",
+        Profile.numeric(base.withColumn("n_chars", length(col("text"))),
+          Seq("doc_id", "n_chars")).count(),
+        Profile.numeric(big.withColumn("n_chars", length(col("text"))),
+          Seq("doc_id", "n_chars")).count())
+    }
     // temperature mix: replication scales every domain's tokens
     // uniformly (shares unchanged) — the weight table stays #domains
     // rows and the keep decision stays a map-only filter
     def tmix(df: org.apache.spark.sql.DataFrame): Long =
       Sampling.temperatureMix(df, col("lang"), col("doc_id"),
         size(TextOps.tokens(col("text"))), budgetTokens = 30000L).count()
-    ratio("temperature mix", tmix(base), tmix(big))
+    st("sample") {
+      ratio("temperature mix", tmix(base), tmix(big))
+    }
     // hashed classifier: replication deepens every feature's postings
     // but the model stays <= 2^16 rows (the hashing trick) — hot
     // common-token features pre-aggregate map-side, the score join
@@ -326,14 +430,18 @@ object ScaleRehearsal {
       TextOps.classifierQuality(df, col("text"), col("doc_id"),
         size(array_distinct(toks)) * 2 >= size(toks)).count()
     }
-    ratio("hashed classifier", clf(base), clf(big))
+    st("text") {
+      ratio("hashed classifier", clf(base), clf(big))
+    }
     // z-order layout report: the z-prefix key space is FIXED by
     // (bits, blockShift) — replication deepens blocks, never widens
     // the agg state; map-side combine absorbs the depth
     def zrep(df: org.apache.spark.sql.DataFrame): Long =
       Layout.zBlocks(df, col("doc_id"), length(col("text")),
         bits = 11, blockShift = 14).count()
-    ratio("z-order block report", zrep(base), zrep(big))
+    st("sample") {
+      ratio("z-order block report", zrep(base), zrep(big))
+    }
     // semantic decontam: the corpus side grows N×, the bench side is
     // fixed — corpus buckets map-only and never shuffles, so the curve
     // tracks the scan, not a pair explosion (replicas of a flagged
@@ -341,13 +449,17 @@ object ScaleRehearsal {
     def semdec(e: org.apache.spark.sql.DataFrame): Long =
       Similarity.semanticDecontam(e,
         embBase.filter(col("vec_id") % 17 === 0), threshold = 0.3).count()
-    ratio("semantic decontam", semdec(embBase), semdec(embBig))
+    st("ann") {
+      ratio("semantic decontam", semdec(embBase), semdec(embBig))
+    }
     // merge-pair stats: the synthetic corpus's 31-token vocabulary is
     // the pair-skew worst case (every pair is hot) — replication
     // deepens every pair count 5x, all absorbed by map-side partials
-    ratio("bpe merge-pair stats",
-      TextOps.mergePairStats(base, col("text"), topN = 40).count(),
-      TextOps.mergePairStats(big, col("text"), topN = 40).count())
+    st("tokenizer") {
+      ratio("bpe merge-pair stats",
+        TextOps.mergePairStats(base, col("text"), topN = 40).count(),
+        TextOps.mergePairStats(big, col("text"), topN = 40).count())
+    }
     // URL curation: pure map-only string work — the curve IS the scan
     def urls(df: org.apache.spark.sql.DataFrame): Long = {
       val u = concat(lit("https://sub"), pmod(col("doc_id"), lit(50)),
@@ -356,14 +468,18 @@ object ScaleRehearsal {
       Web.curateUrls(df, u, col("doc_id"), Seq("blocked.net"))
         .filter(col("kept")).count()
     }
-    ratio("url curation", urls(base), urls(big))
+    st("text") {
+      ratio("url curation", urls(base), urls(big))
+    }
     // epoch repeat at mean 1.87x: output rows grow with input × factor
     // but stay write-bound — no shuffle to amplify
     def erep(df: org.apache.spark.sql.DataFrame): Long =
       Sampling.epochRepeat(df, col("lang"), col("doc_id"),
         Map("en" -> 800000L, "zh" -> 2500000L, "es" -> 1000000L,
           "de" -> 3250000L, "fr" -> 1750000L)).count()
-    ratio("epoch repeat", erep(base), erep(big))
+    st("sample") {
+      ratio("epoch repeat", erep(base), erep(big))
+    }
     // subword encode: O(len · maxPiece) per row, vocab a reference
     // object — replication must scale like the scan, no per-row setup
     val wpv = new graft.functions.WordPieceVocab(
@@ -372,12 +488,16 @@ object ScaleRehearsal {
     def wp(df: org.apache.spark.sql.DataFrame): Long =
       df.select(sum(size(TextOps.subwordTokens(col("text"), wpv))))
         .head.getLong(0)
-    ratio("subword encode", wp(base), wp(big))
+    st("tokenizer") {
+      ratio("subword encode", wp(base), wp(big))
+    }
     // phrase gate: automaton is per-JVM setup, the curve is the scan
     def pg(df: org.apache.spark.sql.DataFrame): Long =
       TextOps.phraseFilter(df, col("text"), col("doc_id"),
         Seq("batch batch", "slow join", "the fast")).filter(col("kept")).count()
-    ratio("phrase gate", pg(base), pg(big))
+    st("text") {
+      ratio("phrase gate", pg(base), pg(big))
+    }
     // html extraction: regex chain is map-only; replication must scale
     // like the scan (no per-row regex recompilation)
     def hx(df: org.apache.spark.sql.DataFrame): Long = {
@@ -385,20 +505,26 @@ object ScaleRehearsal {
         col("text"), lit("</p><!-- c --></body></html>"))
       Web.extractHtml(df, h, col("doc_id")).filter(col("kept")).count()
     }
-    ratio("html extraction", hx(base), hx(big))
+    st("text") {
+      ratio("html extraction", hx(base), hx(big))
+    }
     // BPE training: vocab is REPLICATION-INVARIANT (same words, freq
     // ×N), so per-round work must NOT grow with the corpus — only the
     // one-time vocab build scans it. Sub-linear is the design claim.
     def bpe(df: org.apache.spark.sql.DataFrame): Long =
       TextOps.bpeTrain(df, col("text"), rounds = 3).count()
-    ratio("bpe train (3 rounds)", bpe(base), bpe(big))
+    st("tokenizer") {
+      ratio("bpe train (3 rounds)", bpe(base), bpe(big))
+    }
     // keyframes: doc-keyed lag window — partitions bounded by
     // frames-per-doc, so replication must scale like the scan
     def kf(df: org.apache.spark.sql.DataFrame): Long =
       Multimodal.keyFrames(df.select(col("doc_id"),
         col("text").cast("binary").as("payload")))
         .filter(col("keyframe")).count()
-    ratio("keyframe selection", kf(base), kf(big))
+    st("multimodal") {
+      ratio("keyframe selection", kf(base), kf(big))
+    }
     // curation capstone: extraction map-only, dedup partial-agg (the
     // replicas are EXACT dups — adversarial for the keeper agg), shard
     // prefix sum slice-partitioned; the whole chain must stay linear
@@ -415,7 +541,72 @@ object ScaleRehearsal {
           size(TextOps.tokens(col("clean_text"))).cast("long").as("n_tokens"))
       TextOps.assignShards(uniq, col("doc_id"), col("n_tokens"), 4096L).count()
     }
-    ratio("curation v4 chain", v4(base), v4(big))
+    st("capstone") {
+      ratio("curation v4 chain", v4(base), v4(big))
+    }
+
+    st("tokenizer") {
+      // unigram-LM training (d99): like BPE, the vocabulary is
+      // replication-invariant (same words, freq ×N) — per-round EM
+      // work must NOT grow with the corpus; only the one-time vocab
+      // build scans it. Sub-linear is the design claim.
+      ratio("unigram train (2 rounds)",
+        UnigramLm.train(base, col("text"), rounds = 2).count(),
+        UnigramLm.train(big, col("text"), rounds = 2).count())
+    }
+
+    st("streaming") {
+      // §2.6 perf row: micro-batch THROUGHPUT of the streaming
+      // near-dup gate (stream-static band join against the 1× corpus;
+      // map-only signature + broadcast-able static side). The corpus
+      // replayed in fixed-size micro-batches through a MemoryStream —
+      // the recorded number is docs/s end-to-end including trigger
+      // overhead, the figure a deployment sizes ingest against.
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val corpus = base.select(col("doc_id"), col("text")).cache()
+      corpus.count()
+      val rows = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+      val batchSize = 500
+      val stream = MemoryStream[(Long, String)]
+      val sdf = stream.toDF().toDF("doc_id", "text")
+      val q = graft.streaming.EventStream.nearDupAgainst(
+        sdf, corpus, col("text"), col("doc_id"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("rehearsal_neardup").start()
+      // untimed warmup batch (plan + codegen + state init)
+      stream.addData(rows.take(batchSize).toSeq)
+      q.processAllAvailable()
+      val t0 = System.nanoTime()
+      rows.drop(batchSize).grouped(batchSize).foreach { b =>
+        stream.addData(b.toSeq); q.processAllAvailable()
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      val n = rows.length - batchSize
+      q.stop()
+      println(f"streaming near-dup throughput: $n docs in $dt%.2f s = ${n / dt}%.0f docs/s ($batchSize/batch)")
+      corpus.unpersist()
+    }
+
+    // family selection: no arg → all families IN-PROCESS (the legacy
+    // single-JVM sweep; use run_rehearsal.sh for isolated recording),
+    // "--list" prints the registry, otherwise a comma list of names
+    mode match {
+      case Some("--list") => stages.keys.foreach(println); return
+      case Some(sel) =>
+        val want = sel.split(",").map(_.trim).filter(_.nonEmpty)
+        val unknown = want.filterNot(stages.contains)
+        require(unknown.isEmpty,
+          s"unknown families: ${unknown.mkString(",")}; have ${stages.keys.mkString(",")}")
+        want.foreach { f =>
+          println(s"== family: $f ==")
+          stages(f).foreach(_.apply())
+        }
+      case None =>
+        stages.foreach { case (f, ss) =>
+          println(s"== family: $f =="); ss.foreach(_.apply()) }
+    }
     spark.stop()
   }
 }
