@@ -659,16 +659,121 @@ object IngestCli {
   }
 }
 
-/** `graft.tools.GraftCli ingest|sacct|seff ...` — the `python -m
-  * slurm2sql` dispatch (slurm2sql.py:1373-1378; bare `slurm2sql` is
-  * the ingest command). */
+/** `graft-deidentify` — the deidentify.py surface (script-shaped in
+  * the reference, not a console script; its semantics are the s21
+  * gate): rewrite identifier columns of an existing warehouse IN
+  * PLACE, each distinct value → `<col>_<i>` (deidentify.py:7
+  * column list, :27-46 relabel loop — graft's index is the value's
+  * global sort rank, the documented deterministic-under-parallelism
+  * deviation).
+  *
+  *   positional WAREHOUSE   parquet warehouse dir (the `db` argument)
+  *   --columns C1,C2        override the reference column list; an
+  *                          explicitly named column missing from the
+  *                          warehouse schema is an ERROR (the
+  *                          reference's UPDATE would fail too); with
+  *                          the default list, absent columns are
+  *                          skipped
+  *
+  * The rewrite stages into `<warehouse>_deidentifying` and swaps by
+  * rename-aside (live → `slurm_predeid`, staged → live, delete) so
+  * every crash point leaves a recoverable directory — the
+  * compactBucketed ordering lesson applied to bare dirs. Prints the
+  * reference's per-column `colname=X, mapped N distinct values`
+  * summary. Exit 2 on bad args or a missing warehouse. */
+object DeidentifyCli {
+  final case class DeidArgs(warehouse: String = "",
+                            columns: Seq[String] = Nil,
+                            explicit: Boolean = false)
+
+  def parse(args: Seq[String]): Either[String, DeidArgs] = {
+    def loop(rest: Seq[String], a: DeidArgs): Either[String, DeidArgs] = rest match {
+      case Seq() =>
+        if (a.warehouse.isEmpty) Left("missing warehouse argument")
+        else Right(if (a.explicit) a
+          else a.copy(columns = graft.slurm.Deidentify.DEFAULT_COLUMNS))
+      case s if s.head == "--columns" && s.tail.nonEmpty =>
+        loop(s.tail.tail, a.copy(
+          columns = s.tail.head.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          explicit = true))
+      case s if s.head.startsWith("--columns=") =>
+        loop(s.tail, a.copy(
+          columns = s.head.drop(10).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          explicit = true))
+      case s if s.head.startsWith("-") => Left(s"unknown flag ${s.head}")
+      case s if a.warehouse.isEmpty => loop(s.tail, a.copy(warehouse = s.head))
+      case s => Left(s"unexpected argument ${s.head}")
+    }
+    loop(args, DeidArgs()).flatMap(a =>
+      if (a.explicit && a.columns.isEmpty) Left("--columns: empty list") else Right(a))
+  }
+
+  /** Relabel + in-place swap; returns (column, mapped distinct count)
+    * per relabelled column. */
+  def run(spark: SparkSession, a: DeidArgs): Either[String, Seq[(String, Long)]] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val whPath = new org.apache.hadoop.fs.Path(a.warehouse)
+    val fs = whPath.getFileSystem(hconf)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(a.warehouse + "/slurm")))
+      return Left(s"no warehouse at ${a.warehouse}")
+    val df = SlurmWarehouse.read(spark, a.warehouse)
+    val present = a.columns.filter(c => df.columns.exists(_.equalsIgnoreCase(c)))
+    if (a.explicit && present.size != a.columns.size)
+      return Left("unknown columns: " +
+        a.columns.filterNot(c => df.columns.exists(_.equalsIgnoreCase(c)))
+          .mkString(","))
+    // one pass for the reference's per-column mapping sizes
+    val counts =
+      if (present.isEmpty) Seq.empty
+      else {
+        val row = df.agg(countDistinct(col(present.head)).as(present.head),
+          present.tail.map(c => countDistinct(col(c)).as(c)): _*).head()
+        present.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }
+      }
+    val staged = a.warehouse + "_deidentifying"
+    SlurmWarehouse.write(graft.slurm.Deidentify.relabelAll(df, present), staged)
+    // rename-aside swap: no window destroys data before the staged
+    // copy is live, and every crash point leaves a named directory
+    val live = new org.apache.hadoop.fs.Path(a.warehouse + "/slurm")
+    val aside = new org.apache.hadoop.fs.Path(a.warehouse + "/slurm_predeid")
+    val stagedSlurm = new org.apache.hadoop.fs.Path(staged + "/slurm")
+    if (!fs.rename(live, aside)) return Left(s"cannot stage aside $live")
+    if (!fs.rename(stagedSlurm, live)) {
+      fs.rename(aside, live) // roll back
+      return Left(s"cannot move staged data into place")
+    }
+    fs.delete(aside, true)
+    fs.delete(new org.apache.hadoop.fs.Path(staged), true)
+    Right(counts)
+  }
+
+  def main(args: Array[String]): Unit = parse(args.toSeq) match {
+    case Left(err) =>
+      System.err.println(s"error: $err"); sys.exit(2)
+    case Right(a) =>
+      val spark = Cli.session()
+      val r = run(spark, a)
+      spark.stop()
+      r match {
+        case Left(err) => System.err.println(s"error: $err"); sys.exit(2)
+        case Right(counts) => counts.foreach { case (c, n) =>
+          println(s"colname=$c, mapped $n distinct values") }
+      }
+  }
+}
+
+/** `graft.tools.GraftCli ingest|sacct|seff|deidentify ...` — the
+  * `python -m slurm2sql` dispatch (slurm2sql.py:1373-1378; bare
+  * `slurm2sql` is the ingest command; deidentify is the reference's
+  * sibling script surfaced as a subcommand). */
 object GraftCli {
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("sacct") => SacctCli.main(args.tail)
     case Some("seff") => SeffCli.main(args.tail)
     case Some("ingest") => IngestCli.main(args.tail)
+    case Some("deidentify") => DeidentifyCli.main(args.tail)
     case _ =>
-      System.err.println("usage: GraftCli {ingest|sacct|seff} [options]")
+      System.err.println("usage: GraftCli {ingest|sacct|seff|deidentify} [options]")
       sys.exit(2)
   }
 }

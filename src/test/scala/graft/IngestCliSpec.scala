@@ -43,6 +43,55 @@ class IngestCliSpec extends AnyFunSuite {
     try SlurmWarehouse.read(spark, wh).count()
     catch { case _: Exception => 0L }
 
+  test("graft-deidentify round-trips a warehouse in place (deidentify.py surface)") {
+    import graft.tools.DeidentifyCli
+    // parse: positional warehouse, --columns forms, error paths
+    assert(DeidentifyCli.parse(Seq.empty).isLeft)
+    assert(DeidentifyCli.parse(Seq("--columns", "User")).isLeft)
+    assert(DeidentifyCli.parse(Seq("/tmp/wh", "--columns=")).isLeft)
+    assert(DeidentifyCli.parse(Seq("/tmp/wh", "--bogus")).isLeft)
+    assert(DeidentifyCli.parse(Seq("/tmp/wh")).toOption.get.columns ==
+      graft.slurm.Deidentify.DEFAULT_COLUMNS)
+    assert(DeidentifyCli.parse(Seq("/tmp/wh", "--columns", "User,JobName"))
+      .toOption.get.columns == Seq("User", "JobName"))
+    // a warehouse built by the ingest CLI, then deidentified in place
+    val (wh, errs) = run("--csv-input", csvDir, "--now", nowPin.toString)
+    assert(errs == 0)
+    val before = SlurmWarehouse.read(spark, wh)
+    val nRows = before.count()
+    val users = before.select("User").where(col("User").isNotNull)
+      .distinct().collect().map(_.getString(0)).sorted
+    val jobCountByUser = before.groupBy("User").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // explicitly naming a column the schema lacks is an error; a
+    // missing warehouse is an error
+    assert(DeidentifyCli.run(spark,
+      DeidentifyCli.parse(Seq(wh, "--columns", "NoSuchCol")).toOption.get).isLeft)
+    assert(DeidentifyCli.run(spark,
+      DeidentifyCli.parse(Seq(freshDir())).toOption.get).isLeft)
+    val counts = DeidentifyCli.run(spark,
+      DeidentifyCli.parse(Seq(wh)).toOption.get).toOption.get
+    // mapped counts reported for the present identifier columns
+    assert(counts.toMap.get("User").contains(users.length.toLong))
+    val after = SlurmWarehouse.read(spark, wh)
+    assert(after.count() == nRows)
+    // every User value relabelled User_<sort rank>; group sizes
+    // preserved under the relabel (the mapping is a bijection)
+    val gotUsers = after.select("User").where(col("User").isNotNull)
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(gotUsers == users.indices.map(i => s"User_$i").toSet)
+    val afterCounts = after.groupBy("User").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    users.zipWithIndex.foreach { case (u, i) =>
+      assert(afterCounts(s"User_$i") == jobCountByUser(u), u) }
+    // staging + aside dirs cleaned up
+    assert(!new java.io.File(wh + "_deidentifying").exists)
+    assert(!new java.io.File(wh + "/slurm_predeid").exists)
+    // the warehouse stays readable by the report CLIs after the swap
+    val a = graft.tools.Cli.parse(Seq("--db", wh)).toOption.get
+    assert(graft.tools.Cli.sacctFrame(spark, a).toOption.get.count() == nRows)
+  }
+
   test("parse: warehouse and an input source are required; bad values rejected") {
     assert(IngestCli.parse(Seq("--csv-input", csvDir)).isLeft) // no warehouse
     assert(IngestCli.parse(Seq("/tmp/wh")).isLeft)             // no input
