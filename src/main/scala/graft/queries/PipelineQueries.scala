@@ -1090,6 +1090,40 @@ object PipelineQueries {
       UnigramLm.train(docs(s, dir), col("text"), rounds = 2)
         .orderBy("round", "piece")),
 
+    // the unigram family's ENCODE gate (the d85/d78 symmetry): train
+    // to the final model, then the deployment path — the map-only
+    // codegen'd Viterbi expression over every corpus word — rolled
+    // up per doc; the oracle re-derives the per-word piece COUNT
+    // from one extra forward-DP round over the final piece scores
+    // (no backtrack needed: the final position's np IS the count),
+    // so every doc's token count is hash-checked, not just verdicts
+    "d100_unigram_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val trained = UnigramLm.train(d, col("text"), rounds = 2)
+        .filter(col("round") === 2).collect()
+        .map(r => r.getString(1) -> r.getLong(2)).sortBy(_._1).toSeq
+      val model = new graft.functions.UnigramModel(trained)
+      // the same word population the trainer saw (maxWordLen cap —
+      // the documented rare-tail contract)
+      val words = d.select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("w"))
+        .filter(col("w") =!= "" && length(col("w")) <= 12)
+        .withColumn("p",
+          graft.functions.UnigramEncodeExpr.column(col("w"), model))
+      val rolled = words
+        .select(col("doc_id"), size(col("p")).cast("long").as("np"),
+          (array_join(col("p"), "") === col("w")).as("rt"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"),
+          min(col("rt")).as("roundtrip_ok"))
+      d.select(col("doc_id")).join(rolled, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
+          coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+          coalesce(col("roundtrip_ok"), lit(true)).as("roundtrip_ok"))
+        .orderBy("doc_id")
+    }),
+
     // hybrid retrieval: BM25 top-10 (lexical) + brute-force cosine
     // top-10 (dense) fused in RANK space via reciprocal-rank fusion —
     // score calibration never happens, so any candidate generator
@@ -2502,48 +2536,26 @@ object PipelineQueries {
     // rule (char floor 1, zero-mass multi pruned). Quantized
     // log-probs replay as integer bit lengths of HUGEINT cubes:
     // length(bin(c³))−1 = ⌊3·log₂c⌋, exact in both engines.
-    "d99_unigram_lm" -> {
-      val rounds = 2; val lmax = 12; val plen = 4; val topM = 24
-      def scores(src: String): String =
-        s"(SELECT piece, cnt, (length(bin((cnt::HUGEINT)*cnt*cnt)) - 1 - " +
-          s"(SELECT length(bin((sum(cnt)::HUGEINT)*sum(cnt)*sum(cnt))) - 1 FROM $src))::BIGINT AS sc FROM $src)"
-      val sb = new StringBuilder
-      sb ++= """WITH v AS MATERIALIZED (SELECT w, count(*)::BIGINT AS freq FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents) g WHERE w <> '' AND length(w) <= """ + lmax + " GROUP BY w)"
-      sb ++= s", iz AS MATERIALIZED (SELECT range + 1 AS i FROM range($lmax))"
-      sb ++= s", lz AS MATERIALIZED (SELECT range + 1 AS l FROM range($plen))"
-      sb ++= ", sub AS MATERIALIZED (SELECT substr(v.w, i::INT, l::INT) AS piece, sum(v.freq)::BIGINT AS cnt" +
-        " FROM v JOIN iz ON iz.i <= length(v.w) JOIN lz ON iz.i + lz.l - 1 <= length(v.w) GROUP BY 1)"
-      sb ++= ", p0 AS MATERIALIZED (SELECT piece, cnt FROM sub WHERE length(piece) = 1" +
-        s" UNION ALL SELECT piece, cnt FROM (SELECT piece, cnt FROM sub WHERE length(piece) > 1 ORDER BY cnt DESC, piece LIMIT $topM))"
-      sb ++= s", s0 AS MATERIALIZED ${scores("p0")}"
-      for (r <- 1 to rounds) {
-        val ps = s"s${r - 1}"
-        sb ++= s", d${r}_0 AS MATERIALIZED (SELECT w, freq, 0::BIGINT AS val, 0::BIGINT AS np, 0::BIGINT AS ll FROM v)"
-        for (j <- 1 to lmax) {
-          val cands = (1 to math.min(plen, j)).map { l =>
-            s"SELECT d.w, d.freq, d.val + s.sc AS val, d.np + 1 AS np, ${l}::BIGINT AS ll" +
-              s" FROM d${r}_${j - l} d JOIN $ps s ON s.piece = substr(d.w, ${j - l + 1}, $l) WHERE length(d.w) >= $j"
-          }.mkString(" UNION ALL ")
-          sb ++= s", d${r}_$j AS MATERIALIZED (SELECT w, freq, val, np, ll FROM (SELECT c.*, " +
-            s"row_number() OVER (PARTITION BY c.w ORDER BY c.val DESC, c.np ASC, c.ll DESC) AS rn FROM ($cands) c) z WHERE rn = 1)"
-        }
-        sb ++= s", a$r AS MATERIALIZED (" + (1 to lmax).map(j =>
-          s"SELECT w, ${j}::BIGINT AS j, ll FROM d${r}_$j").mkString(" UNION ALL ") + ")"
-        sb ++= s", b${r}_0 AS MATERIALIZED (SELECT w, freq, length(w)::BIGINT AS j FROM v)"
-        for (k <- 1 to lmax)
-          sb ++= s", b${r}_$k AS MATERIALIZED (SELECT b.w, b.freq, b.j - a.ll AS j, substr(b.w, (b.j - a.ll + 1)::INT, a.ll::INT) AS piece" +
-            s" FROM b${r}_${k - 1} b JOIN a$r a ON a.w = b.w AND a.j = b.j WHERE b.j > 0)"
-        sb ++= s", pc$r AS MATERIALIZED (SELECT piece, sum(freq)::BIGINT AS cnt FROM (" + (1 to lmax).map(k =>
-          s"SELECT freq, piece FROM b${r}_$k").mkString(" UNION ALL ") + ") GROUP BY piece)"
-        sb ++= s", p$r AS MATERIALIZED (SELECT s.piece, (CASE WHEN length(s.piece) = 1 THEN greatest(coalesce(pc.cnt, 0), 1) ELSE coalesce(pc.cnt, 0) END)::BIGINT AS cnt" +
-          s" FROM $ps s LEFT JOIN pc$r pc USING (piece) WHERE length(s.piece) = 1 OR coalesce(pc.cnt, 0) > 0)"
-        if (r < rounds) sb ++= s", s$r AS MATERIALIZED ${scores(s"p$r")}"
-      }
-      sb ++= (0 to rounds).map(r =>
-        s" SELECT ${r}::BIGINT AS round, piece, cnt FROM p$r").mkString(" UNION ALL")
-      sb ++= " ORDER BY round, piece"
-      sb.toString
-    },
+    "d99_unigram_lm" ->
+      (s"WITH ${unigramCtes(2)}" +
+        (0 to 2).map(r =>
+          s" SELECT ${r}::BIGINT AS round, piece, cnt FROM p$r").mkString(" UNION ALL") +
+        " ORDER BY round, piece"),
+
+    // d100's gate: the d99 chain to the FINAL model (p2 scores), one
+    // more forward DP round (no backtrack — the per-word piece COUNT
+    // is the final position's np), then the per-doc rollup over the
+    // corpus tokens; roundtrip is the Spark-side in-plan verdict
+    // (literal TRUE here — divergence breaks the hash)
+    "d100_unigram_encode" ->
+      (s"WITH ${unigramCtes(2)}, s2 AS MATERIALIZED ${unigramScoresSql("p2")}" +
+        unigramDpSql("e", "s2") +
+        ", wn AS MATERIALIZED (" + (1 to 12).map(j =>
+          s"SELECT w, np FROM e_$j WHERE length(w) = $j").mkString(" UNION ALL ") + ")" +
+        """, dt AS (SELECT doc_id, w FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents) g WHERE w <> '' AND length(w) <= 12),""" +
+        """ agg AS (SELECT dt.doc_id, count(*)::BIGINT AS n_words, sum(wn.np)::BIGINT AS n_pieces FROM dt JOIN wn USING (w) GROUP BY 1)""" +
+        """ SELECT d.doc_id, coalesce(a.n_words, 0)::BIGINT AS n_words, coalesce(a.n_pieces, 0)::BIGINT AS n_pieces, TRUE AS roundtrip_ok""" +
+        """ FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"""),
 
     // BM25 ranks (shared CTE chain) + d06-style dense cosine ranks,
     // fused with integer reciprocal-rank contributions: DuckDB's `//`
@@ -2762,6 +2774,65 @@ object PipelineQueries {
     * over an alias `t` (the lowered text) — counts OVERLAPPING
     * occurrences, the exact Aho–Corasick rule; generated from the
     * same gatePhrases list the Spark queries use (d80, d84). */
+  /** Engine-exact quantized log-prob scores for a unigram piece
+    * table: ⌊3·log₂cnt⌋ − ⌊3·log₂ΣCnt⌋ as integer bit lengths of
+    * HUGEINT cubes (the UnigramModel.ilog3 twin). */
+  private def unigramScoresSql(src: String): String =
+    s"(SELECT piece, cnt, (length(bin((cnt::HUGEINT)*cnt*cnt)) - 1 - " +
+      s"(SELECT length(bin((sum(cnt)::HUGEINT)*sum(cnt)*sum(cnt))) - 1 FROM $src))::BIGINT AS sc FROM $src)"
+
+  /** One 12-position Viterbi forward DP over the word vocabulary `v`
+    * under piece scores `pieceTable`, as chained MATERIALIZED CTEs
+    * `<tag>_0 .. <tag>_12` — best (val, np, ll) per (word, prefix),
+    * the exact UnigramModel comparator via row_number ordering. */
+  private def unigramDpSql(tag: String, pieceTable: String): String = {
+    val lmax = 12; val plen = 4
+    val sb = new StringBuilder
+    sb ++= s", ${tag}_0 AS MATERIALIZED (SELECT w, freq, 0::BIGINT AS val, 0::BIGINT AS np, 0::BIGINT AS ll FROM v)"
+    for (j <- 1 to lmax) {
+      val cands = (1 to math.min(plen, j)).map { l =>
+        s"SELECT d.w, d.freq, d.val + s.sc AS val, d.np + 1 AS np, ${l}::BIGINT AS ll" +
+          s" FROM ${tag}_${j - l} d JOIN $pieceTable s ON s.piece = substr(d.w, ${j - l + 1}, $l) WHERE length(d.w) >= $j"
+      }.mkString(" UNION ALL ")
+      sb ++= s", ${tag}_$j AS MATERIALIZED (SELECT w, freq, val, np, ll FROM (SELECT c.*, " +
+        s"row_number() OVER (PARTITION BY c.w ORDER BY c.val DESC, c.np ASC, c.ll DESC) AS rn FROM ($cands) c) z WHERE rn = 1)"
+    }
+    sb.toString
+  }
+
+  /** The full d99 training-loop CTE chain (after `WITH `): word vocab,
+    * substring seed + top-M selection, then per EM round the forward
+    * DP (via [[unigramDpSql]]), 12-step backtrack, freq-weighted
+    * recount and retention — ending at `p<rounds>`. */
+  private def unigramCtes(rounds: Int): String = {
+    val lmax = 12; val plen = 4; val topM = 24
+    val sb = new StringBuilder
+    sb ++= """v AS MATERIALIZED (SELECT w, count(*)::BIGINT AS freq FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents) g WHERE w <> '' AND length(w) <= """ + lmax + " GROUP BY w)"
+    sb ++= s", iz AS MATERIALIZED (SELECT range + 1 AS i FROM range($lmax))"
+    sb ++= s", lz AS MATERIALIZED (SELECT range + 1 AS l FROM range($plen))"
+    sb ++= ", sub AS MATERIALIZED (SELECT substr(v.w, i::INT, l::INT) AS piece, sum(v.freq)::BIGINT AS cnt" +
+      " FROM v JOIN iz ON iz.i <= length(v.w) JOIN lz ON iz.i + lz.l - 1 <= length(v.w) GROUP BY 1)"
+    sb ++= ", p0 AS MATERIALIZED (SELECT piece, cnt FROM sub WHERE length(piece) = 1" +
+      s" UNION ALL SELECT piece, cnt FROM (SELECT piece, cnt FROM sub WHERE length(piece) > 1 ORDER BY cnt DESC, piece LIMIT $topM))"
+    sb ++= s", s0 AS MATERIALIZED ${unigramScoresSql("p0")}"
+    for (r <- 1 to rounds) {
+      val ps = s"s${r - 1}"
+      sb ++= unigramDpSql(s"d$r", ps)
+      sb ++= s", a$r AS MATERIALIZED (" + (1 to lmax).map(j =>
+        s"SELECT w, ${j}::BIGINT AS j, ll FROM d${r}_$j").mkString(" UNION ALL ") + ")"
+      sb ++= s", b${r}_0 AS MATERIALIZED (SELECT w, freq, length(w)::BIGINT AS j FROM v)"
+      for (k <- 1 to lmax)
+        sb ++= s", b${r}_$k AS MATERIALIZED (SELECT b.w, b.freq, b.j - a.ll AS j, substr(b.w, (b.j - a.ll + 1)::INT, a.ll::INT) AS piece" +
+          s" FROM b${r}_${k - 1} b JOIN a$r a ON a.w = b.w AND a.j = b.j WHERE b.j > 0)"
+      sb ++= s", pc$r AS MATERIALIZED (SELECT piece, sum(freq)::BIGINT AS cnt FROM (" + (1 to lmax).map(k =>
+        s"SELECT freq, piece FROM b${r}_$k").mkString(" UNION ALL ") + ") GROUP BY piece)"
+      sb ++= s", p$r AS MATERIALIZED (SELECT s.piece, (CASE WHEN length(s.piece) = 1 THEN greatest(coalesce(pc.cnt, 0), 1) ELSE coalesce(pc.cnt, 0) END)::BIGINT AS cnt" +
+        s" FROM $ps s LEFT JOIN pc$r pc USING (piece) WHERE length(s.piece) = 1 OR coalesce(pc.cnt, 0) > 0)"
+      if (r < rounds) sb ++= s", s$r AS MATERIALIZED ${unigramScoresSql(s"p$r")}"
+    }
+    sb.toString
+  }
+
   private def phraseCntsSqlFor(ps: Seq[String]): String =
     ps.map(_.toLowerCase).zipWithIndex.map { case (p, i) =>
       val n = p.length

@@ -76,6 +76,12 @@ object ScaleRehearsal {
       dt
     }
     def ratio(n: String, one: => Long, many: => Long): Unit = {
+      // UNTIMED 1x warmup first: with per-family JVM isolation the
+      // first stage of a family otherwise absorbs session + codegen
+      // warmup into its 1x leg, inflating t1 and UNDER-stating the
+      // ratio (first-row ratios read 0.2-0.4 — overclaiming
+      // sub-linearity). Warm, then measure both legs on hot code.
+      one
       val t1 = time(s"$n 1x")(one)
       val tN = time(s"$n ${factor}x")(many)
       println(f"  -> scale ratio ${tN / t1}%.1f (linear = $factor.0)")
@@ -265,6 +271,15 @@ object ScaleRehearsal {
       .groupBy("_grp").agg(concat_ws(" ", collect_list(col("text"))).as("text"),
         min(col("doc_id")).as("doc_id")).persist()
     st("longdoc") {
+      // materialize the cache and warm each op's codegen on the short
+      // corpus UNTIMED — these rows are one-shot time() measurements,
+      // so without this the first row absorbs the whole JVM warmup
+      // (14.2 s recorded where the warm op costs ~1.5 s)
+      longDocs.count()
+      Dedup.minhashCandidates(base, col("text"), col("doc_id")).count()
+      Dedup.dupSpans(base, col("text"), col("doc_id")).count()
+      base.select(posexplode(Dedup.polyRowBands(col("text")))).count()
+      TextOps.ngramRepetition(base, col("text"), col("doc_id"), 3).count()
       time("long-doc minhash candidates")(
         Dedup.minhashCandidates(longDocs, col("text"), col("doc_id")).count())
       time("long-doc substring spans")(

@@ -21,7 +21,7 @@ class InventorySyncSpec extends AnyFunSuite {
       if (line.matches("""^\|\s*\d+[a-z]?\s*\|.*""")) {
         val cols = line.split("\\|")
         if (cols.length > 2)
-          """`([a-z]\d{2}_\w+)`""".r.findAllMatchIn(cols(2)).map(_.group(1))
+          """`([a-z]\d{2,3}_\w+)`""".r.findAllMatchIn(cols(2)).map(_.group(1))
         else Iterator.empty
       } else Iterator.empty
     }.toSet

@@ -234,6 +234,33 @@ object MediaDecodePropertySpec extends Properties("MediaDecode") {
       }
     }
 
+  property("png: ancillary chunks are skipped (CRC still checked)") =
+    Prop.forAll(Gen.choose(0L, 1L << 40), Gen.choose(0, 16)) { (seed, txtLen) =>
+      val png = PngSim.cleanPng(seed)
+      // splice a valid tEXt chunk right after IHDR (offset 33):
+      // a conformant reader must skip it and decode identically
+      val data = Array.tabulate(txtLen)(i => ('a' + (i % 26)).toByte)
+      val chunk = new Array[Byte](12 + txtLen)
+      def putBe32(b: Array[Byte], i: Int, v: Int): Unit = {
+        b(i) = (v >>> 24).toByte; b(i + 1) = (v >>> 16).toByte
+        b(i + 2) = (v >>> 8).toByte; b(i + 3) = v.toByte
+      }
+      putBe32(chunk, 0, txtLen)
+      "tEXt".zipWithIndex.foreach { case (c, i) => chunk(4 + i) = c.toByte }
+      System.arraycopy(data, 0, chunk, 8, txtLen)
+      val crc = new java.util.zip.CRC32
+      crc.update(chunk, 4, 4 + txtLen)
+      putBe32(chunk, 8 + txtLen, crc.getValue.toInt)
+      val spliced = png.take(33) ++ chunk ++ png.drop(33)
+      val ok = PngCodec.decodeSums(spliced).map(_.toSeq) ==
+        PngCodec.decodeSums(png).map(_.toSeq)
+      // ...but a corrupt ancillary CRC still quarantines (integrity
+      // is per-chunk, not just for the critical ones)
+      val bad = spliced.clone()
+      bad(33 + 8 + txtLen) = (bad(33 + 8 + txtLen) ^ 0x01).toByte
+      ok && PngCodec.decodeSums(bad).isEmpty
+    }
+
   property("png: trailing garbage after IEND quarantines") =
     Prop.forAll(Gen.choose(0L, 1L << 40), Gen.choose(1, 8)) { (seed, n) =>
       PngCodec.decodeSums(PngSim.cleanPng(seed) ++ Array.fill(n)(0x00.toByte)).isEmpty
