@@ -14,8 +14,9 @@ import org.apache.spark.sql.types._
   * one batch per [[Multimodal.BATCH_SIZE]] payloads, quarantine (not
   * crash, not silent drop) on every malformed byte stream.
   *
-  * Scope: 8-bit RGB (color type 2), non-interlaced — the dominant
-  * raster shape; everything else quarantines. The zlib side uses only
+  * Scope: 8-bit grayscale / RGB / RGBA (color types 0, 2, 6),
+  * non-interlaced — the shapes real corpora carry; everything else
+  * (palette, 16-bit, interlace) quarantines. The zlib side uses only
   * public JDK parts (java.util.zip Deflater/Inflater/CRC32), so the
   * encoder emits byte-exact, spec-conformant PNGs (javax.imageio
   * reads them — pinned in MediaDecodePropertySpec) and the decoder
@@ -71,17 +72,30 @@ object PngCodec {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  /** Encode an 8-bit RGB raster (row-major, 3 bytes/pixel) as a
-    * conformant PNG. `filterOf(y)` picks the scanline filter (0–4) —
-    * the gate varies it per row so every un-filter path is exercised
-    * corpus-wide. `idatChunkLimit` splits the zlib stream across
-    * multiple IDAT chunks (PNG allows any split; decoders must
-    * concatenate) — the spec uses it to pin the multi-IDAT path. */
+  /** Bytes per pixel for the supported 8-bit color types: 0 =
+    * grayscale, 2 = RGB, 6 = RGBA — the three shapes real corpora
+    * carry (palette/16-bit/interlaced quarantine). */
+  private def bppOf(colorType: Int): Int = colorType match {
+    case 0 => 1
+    case 2 => 3
+    case 6 => 4
+    case ct => throw new IllegalArgumentException(s"unsupported color type $ct")
+  }
+
+  /** Encode an 8-bit raster (row-major, bpp bytes/pixel per
+    * `colorType`: 0 gray, 2 RGB, 6 RGBA) as a conformant PNG.
+    * `filterOf(y)` picks the scanline filter (0–4) — the gate varies
+    * it per row so every un-filter path is exercised corpus-wide.
+    * `idatChunkLimit` splits the zlib stream across multiple IDAT
+    * chunks (PNG allows any split; decoders must concatenate) — the
+    * spec uses it to pin the multi-IDAT path. */
   private[graft] def encode(w: Int, h: Int, rgb: Array[Byte],
                             filterOf: Int => Int,
-                            idatChunkLimit: Int = Int.MaxValue): Array[Byte] = {
-    require(rgb.length == 3 * w * h, s"raster ${rgb.length} != 3*$w*$h")
-    val bpr = 3 * w
+                            idatChunkLimit: Int = Int.MaxValue,
+                            colorType: Int = 2): Array[Byte] = {
+    val bpp = bppOf(colorType)
+    require(rgb.length == bpp * w * h, s"raster ${rgb.length} != $bpp*$w*$h")
+    val bpr = bpp * w
     val raw = new Array[Byte](h * (1 + bpr))
     var y = 0
     while (y < h) {
@@ -90,9 +104,9 @@ object PngCodec {
       var i = 0
       while (i < bpr) {
         val cur = rgb(y * bpr + i) & 0xFF
-        val a = if (i >= 3) rgb(y * bpr + i - 3) & 0xFF else 0
+        val a = if (i >= bpp) rgb(y * bpr + i - bpp) & 0xFF else 0
         val b = if (y > 0) rgb((y - 1) * bpr + i) & 0xFF else 0
-        val c = if (y > 0 && i >= 3) rgb((y - 1) * bpr + i - 3) & 0xFF else 0
+        val c = if (y > 0 && i >= bpp) rgb((y - 1) * bpr + i - bpp) & 0xFF else 0
         val pred = f match {
           case 0 => 0
           case 1 => a
@@ -114,7 +128,7 @@ object PngCodec {
     val z = zout.toByteArray
     val ihdr = new Array[Byte](13)
     putBe32(ihdr, 0, w); putBe32(ihdr, 4, h)
-    ihdr(8) = 8; ihdr(9) = 2 // bit depth 8, color type 2 (RGB)
+    ihdr(8) = 8; ihdr(9) = colorType.toByte // bit depth 8
     // ihdr(10..12): compression 0, filter 0, interlace 0
     val out = new java.io.ByteArrayOutputStream(z.length + 128)
     out.write(MAGIC)
@@ -129,33 +143,44 @@ object PngCodec {
     out.toByteArray
   }
 
-  /** STRICT decode of an 8-bit RGB non-interlaced PNG →
+  /** STRICT decode of an 8-bit gray/RGB/RGBA non-interlaced PNG →
     * (w, h, sumR, sumG, sumB), or None for anything malformed: bad
     * magic, chunk framing past the buffer, any chunk CRC mismatch,
-    * non-RGB8 IHDR, bomb-sized dims, zlib errors, inflated length ≠
-    * h·(1+3w), an unknown filter byte, a missing IEND, or trailing
-    * bytes after it. Ancillary chunks between IHDR and IEND are
+    * an unsupported IHDR, bomb-sized dims, zlib errors, inflated
+    * length ≠ h·(1+bpp·w), an unknown filter byte, a missing IEND,
+    * or trailing bytes after it. Ancillary chunks between IHDR and IEND are
     * skipped (their CRCs still checked) — a conformant reader must
     * tolerate tEXt/gAMA/etc. */
   private[graft] def decodeSums(b: Array[Byte]): Option[Array[Long]] =
-    decodeRaster(b).map { case (w, h, rgb) =>
+    decodeNative(b).map { case (w, h, ct, px) =>
+      val bpp = bppOf(ct)
       var sr = 0L; var sg = 0L; var sb = 0L
       var i = 0
-      val n = 3 * w * h
-      while (i < n) {
-        sr += rgb(i) & 0xFF; sg += rgb(i + 1) & 0xFF; sb += rgb(i + 2) & 0xFF
-        i += 3
+      while (i < px.length) {
+        // grayscale contributes its value to all three channels;
+        // RGBA's alpha is metadata, not color — excluded from sums
+        val r = px(i) & 0xFF
+        val g = if (bpp >= 3) px(i + 1) & 0xFF else r
+        val bl = if (bpp >= 3) px(i + 2) & 0xFF else r
+        sr += r; sg += g; sb += bl
+        i += bpp
       }
       Array(w.toLong, h.toLong, sr, sg, sb)
     }
 
-  /** Full raster decode (w, h, row-major RGB) — the spec's byte-exact
-    * round-trip surface; [[decodeSums]] is the gate's projection. */
-  private[graft] def decodeRaster(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+  /** RGB projection of [[decodeNative]] — the spec's byte-exact
+    * round-trip surface for the RGB family. */
+  private[graft] def decodeRaster(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    decodeNative(b).collect { case (w, h, 2, px) => (w, h, px) }
+
+  /** Full native-layout raster decode: (w, h, colorType, row-major
+    * pixels at the type's bpp); [[decodeSums]] is the gate's
+    * projection. */
+  private[graft] def decodeNative(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
     if (b == null || b.length < 8) return None
     var i = 0
     while (i < 8) { if (b(i) != MAGIC(i)) return None; i += 1 }
-    var w = -1; var h = -1
+    var w = -1; var h = -1; var colorType = -1
     var seenIhdr = false; var seenIend = false
     val idat = new java.io.ByteArrayOutputStream
     while (!seenIend) {
@@ -168,10 +193,13 @@ object PngCodec {
         case "IHDR" =>
           if (seenIhdr || len != 13) return None
           w = be32(b, i + 8); h = be32(b, i + 12)
-          // RGB8 non-interlaced only; dims bounded against bombs
+          // 8-bit gray/RGB/RGBA, non-interlaced only; dims bounded
+          // against bombs
           if (w <= 0 || h <= 0 || w.toLong * h > MAX_PIXELS) return None
-          if (b(i + 16) != 8 || b(i + 17) != 2 || b(i + 18) != 0 ||
-            b(i + 19) != 0 || b(i + 20) != 0) return None
+          colorType = b(i + 17) & 0xFF
+          if (b(i + 16) != 8 ||
+            (colorType != 0 && colorType != 2 && colorType != 6) ||
+            b(i + 18) != 0 || b(i + 19) != 0 || b(i + 20) != 0) return None
           seenIhdr = true
         case "IDAT" =>
           if (!seenIhdr) return None
@@ -185,7 +213,8 @@ object PngCodec {
       i += 12 + len
     }
     if (i != b.length) return None // trailing garbage after IEND
-    val bpr = 3 * w
+    val bpp = bppOf(colorType)
+    val bpr = bpp * w
     val expLen = h.toLong * (1 + bpr)
     if (expLen > Int.MaxValue) return None
     val raw = new Array[Byte](expLen.toInt)
@@ -214,9 +243,9 @@ object PngCodec {
       var x = 0
       while (x < bpr) {
         val cur = raw(y * (1 + bpr) + 1 + x) & 0xFF
-        val a = if (x >= 3) rgb(y * bpr + x - 3) & 0xFF else 0
+        val a = if (x >= bpp) rgb(y * bpr + x - bpp) & 0xFF else 0
         val bb = if (y > 0) rgb((y - 1) * bpr + x) & 0xFF else 0
-        val c = if (y > 0 && x >= 3) rgb((y - 1) * bpr + x - 3) & 0xFF else 0
+        val c = if (y > 0 && x >= bpp) rgb((y - 1) * bpr + x - bpp) & 0xFF else 0
         val pred = f match {
           case 0 => 0
           case 1 => a
@@ -229,7 +258,7 @@ object PngCodec {
       }
       y += 1
     }
-    Some((w, h, rgb))
+    Some((w, h, colorType, rgb))
   }
 
   val pngStatsSchema: StructType = StructType(Seq(

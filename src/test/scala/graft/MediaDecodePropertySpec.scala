@@ -195,6 +195,33 @@ object MediaDecodePropertySpec extends Properties("MediaDecode") {
         })
     }
 
+  /** Grayscale and RGBA variants decode both in PngCodec and in
+    * javax.imageio to the same pixels — the other two shapes real
+    * corpora carry (alpha excluded from channel sums by contract). */
+  property("png: gray and RGBA encode/decode agree with javax.imageio") =
+    Prop.forAll(pngDimGen, Gen.oneOf(0, 6), Gen.choose(0, 4)) { case ((w, h), ct, f) =>
+      val bpp = if (ct == 0) 1 else 4
+      Prop.forAll(Gen.listOfN(bpp * w * h, Gen.choose(0, 255))) { pix0 =>
+        val pix = pix0.map(_.toByte).toArray
+        val png = PngCodec.encode(w, h, pix, _ => f, colorType = ct)
+        val native = PngCodec.decodeNative(png)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+        native.exists { case (gw, gh, gct, got) =>
+          gw == w && gh == h && gct == ct &&
+            java.util.Arrays.equals(got, pix)
+        } && img != null && {
+          // raw raster samples, NOT getRGB: for TYPE_BYTE_GRAY
+          // getRGB routes through a gray→sRGB ColorSpace transform
+          // that is deliberately non-identity
+          val r = img.getRaster
+          (0 until h).forall(y => (0 until w).forall { x =>
+            (0 until bpp).forall(band =>
+              r.getSample(x, y, band) == (pix(bpp * (y * w + x) + band) & 0xFF))
+          })
+        }
+      }
+    }
+
   property("png: any truncation quarantines") =
     Prop.forAll(Gen.choose(0L, 1L << 40), Gen.choose(1, 40)) { (seed, cut) =>
       val png = PngSim.cleanPng(seed)

@@ -663,6 +663,27 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("MapPartitions"), s"batched decode pass missing\n$p")
   }
 
+  test("d98: png synth+decode is map-only — two mapPartitions passes, no shuffle") {
+    val p = plan("d98_png_decode")
+    assert(!p.contains("Arguments: hashpartitioning"),
+      s"payload synthesis + decode must not shuffle\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"))
+    assert(p.contains("MapPartitions"), s"batched decode pass missing\n$p")
+  }
+
+  test("d100: unigram encode is one codegen'd scan + one agg + one id join — model never joins") {
+    val p = plan("d100_unigram_encode")
+    // the model rides the plan as a reference object: no join against
+    // a piece table, no window; the only joins are the per-doc id
+    // left join back to documents
+    assert(!p.contains("Window"), p)
+    assert(p.contains("unigram_encode"), "native expression missing from plan")
+    val joins = "(?m)\\([0-9]+\\) [A-Za-z]*Join".r.findAllIn(p).length
+    assert(joins <= 1, s"expected only the doc_id rollup join, got $joins\n" +
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
+  }
+
   test("salted join distributes a hot key across n buckets, same result") {
     import spark.implicits._
     val big = (1 to 1000).map(i => ("hot", i.toLong)).toDF("key", "payload")
