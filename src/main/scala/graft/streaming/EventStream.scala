@@ -480,6 +480,28 @@ object EventStream {
                    stream: DataFrame): DataFrame =
     graft.operators.Multimodal.videoStats(spark, stream)
 
+  /** Streaming PNG decode — d98's streaming twin: the strict
+    * chunk/CRC/inflate/un-filter walker runs per micro-batch through
+    * the same batched mapPartitions contract (stateless, map-only),
+    * quarantining malformed compressed streams at the ingest edge.
+    * Bit-identical to the batch stats (spec-pinned). */
+  def pngDecoded(spark: org.apache.spark.sql.SparkSession,
+                 stream: DataFrame): DataFrame =
+    graft.operators.PngCodec.pngStats(spark, stream)
+
+  /** Streaming unigram-LM encode — d100's streaming twin: the
+    * trained model rides the plan as a reference object and the
+    * Viterbi expression is stateless column arithmetic, so the
+    * deployment-side tokenizer runs on a stream unchanged (the
+    * train-batch-side / encode-anywhere split the tokenizer family
+    * is designed around). */
+  def unigramEncoded(stream: DataFrame,
+                     text: org.apache.spark.sql.Column,
+                     id: org.apache.spark.sql.Column,
+                     model: graft.functions.UnigramModel): DataFrame =
+    stream.select(id.as("doc_id"),
+      graft.functions.UnigramEncodeExpr.column(text, model).as("pieces"))
+
   case class FrameFp(doc_id: Long, frame_idx: Long, fp: Long)
   case class KfState(lastIdx: Long, lastFp: Long)
   case class KfOut(doc_id: Long, frame_idx: Long, fp: Long,

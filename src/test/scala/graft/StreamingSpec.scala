@@ -789,6 +789,52 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("status") === "quarantined").count() == 5)
   }
 
+  test("streaming png decode matches batch bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val payloadRows = graft.operators.PngSim
+      .payloads((0L until 21L).toDF("doc_id"))
+      .select("doc_id", "payload").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val ps = MemoryStream[(Long, Array[Byte])]
+    val q = graft.streaming.EventStream.pngDecoded(spark,
+        ps.toDF().toDF("doc_id", "payload"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("png_out").start()
+    ps.addData(payloadRows.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("png_out").orderBy("doc_id").collect().map(_.toString)
+    val want = graft.operators.PngCodec.pngStats(spark,
+        payloadRows.toSeq.toDF("doc_id", "payload"))
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(got.toSeq == want.toSeq && got.length == 21)
+    // all three damage classes (%7 in {0,3,5}) quarantined on the stream
+    assert(spark.table("png_out")
+      .filter(col("status") === "quarantined").count() == 9)
+  }
+
+  test("streaming unigram encode matches the batch expression") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val model = new graft.functions.UnigramModel(
+      Seq("a" -> 1L, "b" -> 1L, "c" -> 2L, "ab" -> 8L))
+    val docs = Seq((1L, "ab ba"), (2L, "abab c"), (3L, "axb"))
+    val ps = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStream.unigramEncoded(
+        ps.toDF().toDF("doc_id", "text"), col("text"), col("doc_id"), model)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("uni_out").start()
+    ps.addData(docs)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("uni_out").orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq("ab", "b", "a"))
+    assert(got(2L) == Seq("ab", "ab", "c"))
+    assert(got(3L) == Seq("<unk>"))
+  }
+
   test("streaming video decode matches batch bit-for-bit") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
