@@ -307,9 +307,12 @@ object PngCodec {
   * per-coordinate gradients (so a SQL oracle replays the channel sums
   * arithmetically over a bounded coordinate grid), with the scanline
   * filter cycling (doc_id + y) % 5 so all five PNG filter paths are
-  * exercised corpus-wide. Column expressions can't speak DEFLATE or
-  * CRC-32, so unlike ImageSim's hex/unhex build this constructor runs
-  * in the same map-only mapPartitions shape as the decoder.
+  * exercised corpus-wide, and the COLOR TYPE cycling doc_id % 3 →
+  * grayscale / RGB / RGBA so all three supported layouts (and their
+  * bpp-dependent filter offsets) run corpus-wide too. Column
+  * expressions can't speak DEFLATE or CRC-32, so unlike ImageSim's
+  * hex/unhex build this constructor runs in the same map-only
+  * mapPartitions shape as the decoder.
   *
   * Damage slice (deterministic, id-keyed): doc_id % 7 == 0 → payload
   * truncated to half (chunk framing falls off the buffer);
@@ -321,29 +324,46 @@ object PngSim {
   private[graft] def dims(docId: Long): (Int, Int) =
     ((4 + docId % 9).toInt, (3 + (docId * 5) % 7).toInt)
 
+  /** doc_id % 3 → 0 grayscale, 1 RGB, 2 RGBA. */
+  private[graft] def colorType(docId: Long): Int =
+    (docId % 3) match { case 0 => 0; case 1 => 2; case _ => 6 }
+
   /** Closed-form pixel gradients — each channel a distinct linear
     * form mod 256, so neighboring pixels differ and every filter
-    * genuinely predicts. */
-  private[graft] def raster(docId: Long, w: Int, h: Int): Array[Byte] = {
-    val rgb = new Array[Byte](3 * w * h)
+    * genuinely predicts. Grayscale carries the r-gradient alone;
+    * RGBA adds a fourth (alpha) gradient the channel sums exclude
+    * by contract. */
+  private[graft] def raster(docId: Long, w: Int, h: Int): Array[Byte] =
+    rasterOf(docId, w, h, 2)
+
+  private[graft] def rasterOf(docId: Long, w: Int, h: Int,
+                              ct: Int): Array[Byte] = {
+    val bpp = ct match { case 0 => 1; case 2 => 3; case _ => 4 }
+    val px = new Array[Byte](bpp * w * h)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val i = 3 * (y * w + x)
-        rgb(i) = ((docId + 3 * x + 7 * y) % 256).toByte
-        rgb(i + 1) = ((docId * 7 + 11 + 5 * x + 2 * y) % 256).toByte
-        rgb(i + 2) = ((docId * 13 + 5 + x + 4 * y) % 256).toByte
+        val i = bpp * (y * w + x)
+        px(i) = ((docId + 3 * x + 7 * y) % 256).toByte
+        if (bpp >= 3) {
+          px(i + 1) = ((docId * 7 + 11 + 5 * x + 2 * y) % 256).toByte
+          px(i + 2) = ((docId * 13 + 5 + x + 4 * y) % 256).toByte
+        }
+        if (bpp == 4)
+          px(i + 3) = ((docId * 11 + 7 + 2 * x + 3 * y) % 256).toByte
         x += 1
       }
       y += 1
     }
-    rgb
+    px
   }
 
   private[graft] def cleanPng(docId: Long): Array[Byte] = {
     val (w, h) = dims(docId)
-    PngCodec.encode(w, h, raster(docId, w, h), y => ((docId + y) % 5).toInt)
+    val ct = colorType(docId)
+    PngCodec.encode(w, h, rasterOf(docId, w, h, ct),
+      y => ((docId + y) % 5).toInt, colorType = ct)
   }
 
   private[graft] def payloadFor(docId: Long): Array[Byte] = {

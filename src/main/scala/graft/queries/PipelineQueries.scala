@@ -2507,7 +2507,9 @@ object PipelineQueries {
     // the PNG gate replays the closed-form pixel gradients over a
     // bounded coordinate grid (w ≤ 12, h ≤ 9) — the DEFLATE byte
     // stream itself is not SQL-replayable (the d75 boundary), so the
-    // hash carries dims + exact channel sums + the quarantine slice
+    // hash carries dims + exact channel sums + the quarantine slice;
+    // doc_id%3 cycles grayscale/RGB/RGBA — a gray doc's three sums
+    // all equal the r-gradient sum, RGBA's alpha is sum-excluded
     "d98_png_decode" ->
       """WITH xs AS (SELECT range AS x FROM range(12)),
         | ys AS (SELECT range AS y FROM range(9)),
@@ -2518,13 +2520,16 @@ object PipelineQueries {
         |   sum((p.doc_id * 7 + 11 + 5 * x + 2 * y) % 256)::BIGINT AS sg,
         |   sum((p.doc_id * 13 + 5 + x + 4 * y) % 256)::BIGINT AS sb
         |  FROM p JOIN xs ON xs.x < p.w JOIN ys ON ys.y < p.h GROUP BY 1, 2, 3)
+
         | SELECT doc_id,
         |  CASE WHEN doc_id % 7 IN (0, 3, 5) THEN 'quarantined' ELSE 'ok' END AS status,
         |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE w END)::INT AS width,
         |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE h END)::INT AS height,
         |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE sr END)::BIGINT AS sum_r,
-        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE sg END)::BIGINT AS sum_g,
-        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE sb END)::BIGINT AS sum_b
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL
+        |        WHEN doc_id % 3 = 0 THEN sr ELSE sg END)::BIGINT AS sum_g,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL
+        |        WHEN doc_id % 3 = 0 THEN sr ELSE sb END)::BIGINT AS sum_b
         | FROM px ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     // d99's gate: the full unigram-LM training loop as chained CTEs —

@@ -237,12 +237,12 @@ object MediaDecodePropertySpec extends Properties("MediaDecode") {
         // flip may land in IDAT data whose damage only shows as a
         // raster mismatch, so accept either quarantine or ≠ raster
         val d = png.clone(); d(at) = (d(at) ^ 0x40).toByte
-        PngCodec.decodeRaster(d) match {
+        PngCodec.decodeNative(d) match {
           case None => true
-          case Some((w, h, got)) =>
+          case Some((w, h, ct, got)) =>
             val (ew, eh) = PngSim.dims(seed)
-            !(w == ew && h == eh &&
-              java.util.Arrays.equals(got, PngSim.raster(seed, w, h)))
+            !(w == ew && h == eh && ct == PngSim.colorType(seed) &&
+              java.util.Arrays.equals(got, PngSim.rasterOf(seed, w, h, ct)))
         }
       }
     }
