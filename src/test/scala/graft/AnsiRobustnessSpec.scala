@@ -164,6 +164,20 @@ class AnsiRobustnessSpec extends AnyFunSuite {
     val wav = Multimodal.audioStats(spark,
       AudioSim.payloads(docs.select(col("doc_id")).limit(40)))
     assert(wav.filter(col("status") === "ok").count() > 0)
+    // r11 additions under ANSI: the PNG decode chain (CRC/inflate/
+    // filter arithmetic) and the unigram trainer + native encode
+    // expression (quantized log-prob integer math, substring DP)
+    val png = graft.operators.PngCodec.pngStats(spark,
+      graft.operators.PngSim.payloads(docs.select(col("doc_id")).limit(42)))
+    assert(png.filter(col("status") === "ok").count() > 0)
+    assert(png.filter(col("status") === "quarantined").count() > 0)
+    val traj = graft.operators.UnigramLm.train(docs, col("text"), rounds = 1)
+    assert(traj.filter(col("round") === 1).count() > 0)
+    val model = new graft.functions.UnigramModel(
+      traj.filter(col("round") === 1).collect()
+        .map(r => r.getString(1) -> r.getLong(2)).sortBy(_._1).toSeq)
+    assert(docs.select(graft.functions.UnigramEncodeExpr
+      .column(col("text"), model)).count() > 0)
   }
 
   test("quality metrics on an empty/whitespace doc stay null, not an ANSI error") {
