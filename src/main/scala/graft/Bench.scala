@@ -41,7 +41,8 @@ object Bench {
     "d90_rrf_fusion", "d91_mojibake_fix", "d92_curriculum_order",
     "d93_audio_trim", "d94_nfkc_normalize", "d95_soft_dedup",
     "d96_pack_manifest", "d97_video_decode", "d98_png_decode",
-    "d99_unigram_lm", "d100_unigram_encode")
+    "d99_unigram_lm", "d100_unigram_encode", "d101_jpeg_decode",
+    "d102_gif_decode")
 
   /** Fixed CPU-bound calibration microbench ("DotBench"): scalar dot
     * products over pinned-size float arrays with deterministic

@@ -1079,6 +1079,36 @@ object PipelineQueries {
       PngCodec.pngStats(s, PngSim.payloads(docs(s, dir)))
         .orderBy("doc_id")),
 
+    // REAL entropy-coded decode — the format that dominates real
+    // image corpora: every doc becomes a conformant baseline JFIF
+    // JPEG (JpegSim: Annex K tables, Huffman + FDCT + quantization,
+    // doc_id%5==2 with DRI/RSTn resync), doc_id%7∈{0,3,5} damaged
+    // (truncated / SOI stomped / SOF precision set to 12 — conformant
+    // framing that ONLY the scope check catches); the strict marker
+    // walk + canonical-Huffman + IDCT decode quarantines all three.
+    // Solid 8×8 tiles quantize to pure-DC blocks, so the oracle
+    // replays exact channel sums through the LOSSY codec via the
+    // closed form "c rounded up to even" (kinds 0/1); the smooth
+    // gradient kind has no closed form through quantization → NULL
+    // sums + the in-plan `close` round-trip verdict (≤16/pixel)
+    "d101_jpeg_decode" -> ((s, dir) =>
+      JpegSim.stats(s, JpegSim.payloads(docs(s, dir)))
+        .orderBy("doc_id")),
+
+    // REAL LZW decode — the third compressed format, with the entropy
+    // layer entirely ours (PNG's came from the JDK, JPEG's tables from
+    // Annex K): every doc becomes a conformant 16-color GIF87a
+    // (GifSim: closed-form palette + pixel-index recurrences,
+    // doc_id%5==2 with a comment-extension skip block), doc_id%7∈
+    // {0,3,5} damaged (truncated / magic stomped / LZW root size 12 —
+    // conformant framing only the entropy range check catches); the
+    // strict block walk + variable-width LZW (width bumps, clear
+    // resets, KwKwK, interlace row reorder) quarantines all three.
+    // GIF is LOSSLESS, so the oracle hash-checks exact channel sums
+    "d102_gif_decode" -> ((s, dir) =>
+      GifSim.stats(s, GifSim.payloads(docs(s, dir)))
+        .orderBy("doc_id")),
+
     // unigram-LM tokenizer training (SentencePiece family) — the
     // third trainer next to BPE (d82) and WordPiece (d78): substring
     // seed vocab, then hard-EM rounds of Viterbi segmentation +
@@ -2530,6 +2560,61 @@ object PipelineQueries {
         |        WHEN doc_id % 3 = 0 THEN sr ELSE sg END)::BIGINT AS sum_g,
         |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL
         |        WHEN doc_id % 3 = 0 THEN sr ELSE sb END)::BIGINT AS sum_b
+        | FROM px ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // the JPEG gate replays channel sums through a genuinely LOSSY
+    // codec: block-aligned solid tiles quantize to pure-DC blocks
+    // whose decoded value is the closed form "c rounded up to even,
+    // clamped" (c = the tile-color recurrence), summed 64 px per tile
+    // over a bounded (≤4×5) tile grid — exact in integer arithmetic
+    // for grayscale (kind 0) AND gray-valued RGB (kind 1, where
+    // Cb=Cr=128 makes the chroma blocks all-zero); the smooth kind 2
+    // has no closed form through quantization → NULL sums and the
+    // in-plan `close` verdict (literal TRUE here, the d13/d41
+    // pattern); doc_id%7∈{0,3,5} is the damage slice
+    "d101_jpeg_decode" ->
+      """WITH txs AS (SELECT range AS tx FROM range(4)),
+        | tys AS (SELECT range AS ty FROM range(5)),
+        | p AS (SELECT doc_id, (8 * (1 + doc_id % 4))::INT AS w,
+        |   (8 * (1 + (doc_id * 3) % 5))::INT AS h FROM documents),
+        | tc AS (SELECT p.doc_id, p.w, p.h,
+        |   (p.doc_id * 9 + 5 * tx + 11 * ty) % 256 AS c
+        |  FROM p JOIN txs ON tx < p.w // 8 JOIN tys ON ty < p.h // 8),
+        | ts AS (SELECT doc_id, w, h,
+        |   (64 * sum(CASE WHEN c % 2 = 0 THEN c ELSE least(c + 1, 255) END))::BIGINT AS s
+        |  FROM tc GROUP BY 1, 2, 3)
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 7 IN (0, 3, 5) THEN 'quarantined' ELSE 'ok' END AS status,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE w END)::INT AS width,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE h END)::INT AS height,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) OR doc_id % 3 = 2 THEN NULL ELSE s END)::BIGINT AS sum_r,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) OR doc_id % 3 = 2 THEN NULL ELSE s END)::BIGINT AS sum_g,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) OR doc_id % 3 = 2 THEN NULL ELSE s END)::BIGINT AS sum_b,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE TRUE END)::BOOLEAN AS close
+        | FROM ts ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // the GIF gate is hash-exact (lossless codec): channel sums
+    // replay as the palette recurrence composed with the pixel-index
+    // recurrence over a bounded (≤15×12) grid — pure integer
+    // arithmetic both engines agree on; doc_id%7∈{0,3,5} is the
+    // damage slice (truncation / magic / interlace-scope)
+    "d102_gif_decode" ->
+      """WITH xs AS (SELECT range AS x FROM range(15)),
+        | ys AS (SELECT range AS y FROM range(12)),
+        | p AS (SELECT doc_id, (5 + doc_id % 11)::INT AS w,
+        |   (4 + (doc_id * 3) % 9)::INT AS h FROM documents),
+        | px AS (SELECT p.doc_id, p.w, p.h,
+        |   sum((((p.doc_id + 3 * x + 7 * y) % 16) * 37 + 11) % 256)::BIGINT AS sr,
+        |   sum((((p.doc_id + 3 * x + 7 * y) % 16) * 59 + 17) % 256)::BIGINT AS sg,
+        |   sum((((p.doc_id + 3 * x + 7 * y) % 16) * 83 + 5) % 256)::BIGINT AS sb
+        |  FROM p JOIN xs ON x < p.w JOIN ys ON y < p.h GROUP BY 1, 2, 3)
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 7 IN (0, 3, 5) THEN 'quarantined' ELSE 'ok' END AS status,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE w END)::INT AS width,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE h END)::INT AS height,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE sr END)::BIGINT AS sum_r,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE sg END)::BIGINT AS sum_g,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE sb END)::BIGINT AS sum_b
         | FROM px ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     // d99's gate: the full unigram-LM training loop as chained CTEs —

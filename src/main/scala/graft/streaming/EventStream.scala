@@ -489,6 +489,24 @@ object EventStream {
                  stream: DataFrame): DataFrame =
     graft.operators.PngCodec.pngStats(spark, stream)
 
+  /** Streaming JPEG decode — d101's streaming twin: the strict
+    * marker-walk/Huffman/IDCT decoder runs per micro-batch through
+    * the same batched mapPartitions contract (stateless, map-only),
+    * quarantining malformed or out-of-scope streams at the ingest
+    * edge. Bit-identical to the batch stats (spec-pinned). */
+  def jpegDecoded(spark: org.apache.spark.sql.SparkSession,
+                  stream: DataFrame): DataFrame =
+    graft.operators.JpegSim.stats(spark, stream)
+
+  /** Streaming GIF decode — d102's streaming twin: the strict
+    * block-walk/LZW decoder runs per micro-batch through the same
+    * batched mapPartitions contract (stateless, map-only),
+    * quarantining malformed and out-of-scope streams at the ingest
+    * edge. Bit-identical to the batch stats (spec-pinned). */
+  def gifDecoded(spark: org.apache.spark.sql.SparkSession,
+                 stream: DataFrame): DataFrame =
+    graft.operators.GifSim.stats(spark, stream)
+
   /** Streaming unigram-LM encode — d100's streaming twin: the
     * trained model rides the plan as a reference object and the
     * Viterbi expression is stateless column arithmetic, so the

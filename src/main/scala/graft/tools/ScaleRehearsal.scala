@@ -540,6 +540,28 @@ object ScaleRehearsal {
     st("multimodal") {
       ratio("keyframe selection", kf(base), kf(big))
     }
+    // compressed-codec decode (d98/d101): payload synthesis + strict
+    // decode are both MAP-ONLY mapPartitions stages — no shuffle at
+    // any corpus size, so the curve must track the scan exactly; the
+    // JPEG row additionally covers the Huffman/IDCT arithmetic that
+    // dominates per-byte decode cost on a real image corpus
+    def pngDec(df: org.apache.spark.sql.DataFrame): Long =
+      graft.operators.PngCodec.pngStats(spark,
+        graft.operators.PngSim.payloads(df.select(col("doc_id"))))
+        .filter(col("status") === "ok").count()
+    def jpegDec(df: org.apache.spark.sql.DataFrame): Long =
+      graft.operators.JpegSim.stats(spark,
+        graft.operators.JpegSim.payloads(df.select(col("doc_id"))))
+        .filter(col("status") === "ok").count()
+    def gifDec(df: org.apache.spark.sql.DataFrame): Long =
+      graft.operators.GifSim.stats(spark,
+        graft.operators.GifSim.payloads(df.select(col("doc_id"))))
+        .filter(col("status") === "ok").count()
+    st("multimodal") {
+      ratio("png decode (d98)", pngDec(base), pngDec(big))
+      ratio("jpeg decode (d101)", jpegDec(base), jpegDec(big))
+      ratio("gif decode (d102)", gifDec(base), gifDec(big))
+    }
     // curation capstone: extraction map-only, dedup partial-agg (the
     // replicas are EXACT dups — adversarial for the keeper agg), shard
     // prefix sum slice-partitioned; the whole chain must stay linear

@@ -171,6 +171,16 @@ class AnsiRobustnessSpec extends AnyFunSuite {
       graft.operators.PngSim.payloads(docs.select(col("doc_id")).limit(42)))
     assert(png.filter(col("status") === "ok").count() > 0)
     assert(png.filter(col("status") === "quarantined").count() > 0)
+    // and the JPEG chain (Huffman/IDCT/color-convert arithmetic)
+    val jpg = graft.operators.JpegSim.stats(spark,
+      graft.operators.JpegSim.payloads(docs.select(col("doc_id")).limit(42)))
+    assert(jpg.filter(col("status") === "ok").count() > 0)
+    assert(jpg.filter(col("status") === "quarantined").count() > 0)
+    // and the GIF chain (LZW width/dictionary arithmetic)
+    val gif = graft.operators.GifSim.stats(spark,
+      graft.operators.GifSim.payloads(docs.select(col("doc_id")).limit(42)))
+    assert(gif.filter(col("status") === "ok").count() > 0)
+    assert(gif.filter(col("status") === "quarantined").count() > 0)
     val traj = graft.operators.UnigramLm.train(docs, col("text"), rounds = 1)
     assert(traj.filter(col("round") === 1).count() > 0)
     val model = new graft.functions.UnigramModel(

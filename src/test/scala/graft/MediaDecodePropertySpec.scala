@@ -302,4 +302,249 @@ object MediaDecodePropertySpec extends Properties("MediaDecode") {
         f(0) == w && f(1) == h
       }
     }
+
+  // ---- JPEG --------------------------------------------------------
+
+  import graft.operators.{JpegCodec, JpegSim}
+
+  /** The d101 closed form: a block-aligned solid tile quantizes to a
+    * pure-DC block and decodes to "c rounded up to even, clamped" —
+    * pinned per PIXEL through the full codec, grayscale (kind 0) and
+    * gray-valued RGB (kind 1, three interleaved components with the
+    * chroma tables in play), with and without restart markers. */
+  property("jpeg: solid tiles decode to the DC closed form, per pixel") =
+    Prop.forAll(Gen.choose(0L, 4000L)) { id0 =>
+      val id = id0 - id0 % 3 + (id0 % 2) // land on kind 0 or 1
+      val (w, h) = JpegSim.dims(id)
+      JpegCodec.decodeNative(JpegSim.cleanJpeg(id)).exists { case (gw, gh, nc, px) =>
+        gw == w && gh == h &&
+          (0 until h).forall(y => (0 until w).forall { x =>
+            val want = JpegSim.decodedTile(JpegSim.tileColor(id, x / 8, y / 8))
+            (0 until nc).forall(ch => (px(nc * (y * w + x) + ch) & 0xFF) == want)
+          })
+      }
+    }
+
+  private val jpegDimGen = for {
+    w <- Gen.choose(1, 24); h <- Gen.choose(1, 20)
+  } yield (w, h)
+
+  /** Independent-decoder cross-check, both directions on arbitrary
+    * rasters: javax.imageio (zero shared lines) must read our
+    * encoder's output within IDCT/color-convert rounding (±2 gray,
+    * ±3 after RGB→YCbCr→RGB), which kills compensating encode/decode
+    * bugs the round trip cannot see — exactly the transposed-block
+    * bug this property caught during the build. */
+  property("jpeg: javax.imageio reads our encoder's output within rounding") =
+    Prop.forAll(jpegDimGen, Gen.choose(0, 2), Gen.oneOf(0, 3)) { case ((w, h), kind, rst) =>
+      Prop.forAll(Gen.listOfN(w * h, Gen.choose(0, 255))) { gray0 =>
+        val gray = gray0.toArray
+        // gray via 1-comp, and an RGB expansion exercising all three
+        // component pipelines (kind 1 = gray-valued, kind 2 = colored)
+        val (comps, pix) = kind match {
+          case 0 => (1, gray.map(_.toByte))
+          case 1 => (3, gray.flatMap(c => Array(c.toByte, c.toByte, c.toByte)))
+          case _ => (3, gray.flatMap(c =>
+            Array(c.toByte, ((c * 3 + 40) % 256).toByte, (255 - c).toByte)))
+        }
+        val jpg = JpegCodec.encode(w, h, pix, comps, restartInterval = rst)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+        val tol = if (comps == 1) 2 else 3
+        JpegCodec.decodeNative(jpg) match {
+          case Some((gw, gh, nc, px)) =>
+            gw == w && gh == h && nc == comps && img != null &&
+              (0 until h).forall(y => (0 until w).forall { x =>
+                if (nc == 1)
+                  math.abs((px(y * w + x) & 0xFF) -
+                    img.getRaster.getSample(x, y, 0)) <= tol
+                else {
+                  val p = img.getRGB(x, y)
+                  (0 until 3).forall { ch =>
+                    val iv = ch match {
+                      case 0 => (p >> 16) & 0xFF
+                      case 1 => (p >> 8) & 0xFF
+                      case _ => p & 0xFF
+                    }
+                    math.abs((px(3 * (y * w + x) + ch) & 0xFF) - iv) <= tol
+                  }
+                }
+              })
+          case None => false
+        }
+      }
+    }
+
+  /** And the reverse direction: a javax.imageio-WRITTEN grayscale
+    * baseline JPEG (its own tables, its own quality) decodes in our
+    * walker within ±2 of ImageIO's own decode of the same bytes. */
+  property("jpeg: our decoder reads javax.imageio-written grayscale") =
+    Prop.forAll(Gen.choose(2, 24), Gen.choose(2, 20), Gen.choose(0L, 1L << 40)) { (w, h, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val bi = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        bi.getRaster.setSample(x, y, 0, rnd.nextInt(256))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "jpg", bos)
+      val b = bos.toByteArray
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      JpegCodec.decodeNative(b).exists { case (gw, gh, nc, px) =>
+        gw == w && gh == h && nc == 1 &&
+          (0 until h).forall(y => (0 until w).forall { x =>
+            math.abs((px(y * w + x) & 0xFF) -
+              ref.getRaster.getSample(x, y, 0)) <= 2
+          })
+      }
+    }
+
+  property("jpeg: any truncation quarantines") =
+    Prop.forAll(Gen.choose(0L, 1L << 40), Gen.choose(1, 60)) { (seed, cut) =>
+      val jpg = JpegSim.cleanJpeg(seed)
+      JpegCodec.decodeNative(jpg.take(jpg.length - cut)).isEmpty
+    }
+
+  property("jpeg: the three d101 damage modes quarantine, clean ids decode") =
+    Prop.forAll(Gen.choose(0L, 4000L)) { id =>
+      val got = JpegCodec.decodeSums(JpegSim.payloadFor(id))
+      if (id % 7 == 0 || id % 7 == 3 || id % 7 == 5) got.isEmpty
+      else got.exists { f =>
+        val (w, h) = JpegSim.dims(id)
+        f(0) == w && f(1) == h
+      }
+    }
+
+  /** Restart markers are framing, not content: the RSTn-coded stream
+    * decodes to the SAME pixels as the plain one. */
+  property("jpeg: restart-interval stream decodes identically") =
+    Prop.forAll(jpegDimGen, Gen.choose(1, 4)) { case ((w, h), rst) =>
+      Prop.forAll(Gen.listOfN(w * h, Gen.choose(0, 255))) { gray0 =>
+        val pix = gray0.map(_.toByte).toArray
+        val plain = JpegCodec.decodeNative(JpegCodec.encode(w, h, pix, 1))
+        val marked = JpegCodec.decodeNative(
+          JpegCodec.encode(w, h, pix, 1, restartInterval = rst))
+        plain.isDefined && marked.isDefined &&
+          java.util.Arrays.equals(plain.get._4, marked.get._4)
+      }
+    }
+
+  // ---- GIF ---------------------------------------------------------
+
+  import graft.operators.{GifCodec, GifSim}
+
+  private val gifDimGen = for {
+    w <- Gen.choose(1, 24); h <- Gen.choose(1, 20)
+  } yield (w, h)
+  /** Power-of-two palette sizes the encoder accepts. */
+  private val palSizeGen = Gen.oneOf(2, 4, 8, 16, 32, 64, 128, 256)
+
+  /** LZW is lossless: arbitrary index rasters over arbitrary palettes
+    * round-trip byte-exactly through OUR encoder and decoder —
+    * including the KwKwK self-reference (uniform rasters), code-width
+    * growth, and multi-sub-block streams. */
+  property("gif: encode∘decode = identity, arbitrary palettes/rasters") =
+    Prop.forAll(gifDimGen, palSizeGen, Gen.choose(0L, 1L << 40)) { case ((w, h), nPal, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val pal = Array.fill(3 * nPal)(rnd.nextInt(256).toByte)
+      val idx = Array.fill(w * h)(rnd.nextInt(nPal).toByte)
+      val gif = GifCodec.encode(w, h, pal, idx)
+      GifCodec.decodeNative(gif).exists { case (gw, gh, rgb) =>
+        gw == w && gh == h &&
+          (0 until w * h).forall { i =>
+            val p = idx(i) & 0xFF
+            rgb(3 * i) == pal(3 * p) && rgb(3 * i + 1) == pal(3 * p + 1) &&
+              rgb(3 * i + 2) == pal(3 * p + 2)
+          }
+      }
+    }
+
+  /** A uniform raster maximizes KwKwK chains — worth its own pin. */
+  property("gif: uniform raster (pure KwKwK stream) round-trips") =
+    Prop.forAll(gifDimGen, Gen.choose(0, 15)) { case ((w, h), c) =>
+      val gif = GifCodec.encode(w, h, GifSim.palette(),
+        Array.fill(w * h)(c.toByte))
+      GifCodec.decodeNative(gif).exists { case (_, _, rgb) =>
+        (0 until w * h).forall(i => (rgb(3 * i) & 0xFF) == GifSim.palR(c))
+      }
+    }
+
+  /** Independent-decoder cross-check: javax.imageio's GIF reader must
+    * reconstruct our encoder's pixels exactly (lossless codec — no
+    * tolerance), killing compensating LZW bugs the round trip can't
+    * see (width-bump pairing, clear-reset timing, bit packing). */
+  property("gif: javax.imageio reads our encoder's output pixel-exactly") =
+    Prop.forAll(gifDimGen, Gen.choose(0L, 1L << 40), Gen.oneOf(true, false)) { case ((w, h), seed, comment) =>
+      val rnd = new scala.util.Random(seed)
+      val idx = Array.fill(w * h)(rnd.nextInt(GifSim.N_COLORS).toByte)
+      val gif = GifCodec.encode(w, h, GifSim.palette(), idx,
+        comment = if (comment) Some("x" * (rnd.nextInt(300) + 1)) else None)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gif))
+      img != null && img.getWidth == w && img.getHeight == h &&
+        (0 until h).forall(y => (0 until w).forall { x =>
+          val p = img.getRGB(x, y)
+          val c = idx(y * w + x) & 0xFF
+          ((p >> 16) & 0xFF) == GifSim.palR(c) &&
+            ((p >> 8) & 0xFF) == GifSim.palG(c) && (p & 0xFF) == GifSim.palB(c)
+        })
+    }
+
+  /** And the reverse: a javax.imageio-WRITTEN indexed GIF (its own
+    * palette order, its own LZW, GIF89a with a GCE extension,
+    * INTERLACED — ImageIO's writer interlaces by default) decodes in
+    * our walker to exactly the SOURCE pixels (indexed write is
+    * lossless). Pinned against the source, not ImageIO's read-back:
+    * its own reader mis-deinterlaces tiny images (h=2 comes back with
+    * a black second row), which this property exposed. */
+  property("gif: our decoder reads javax.imageio-written GIFs") =
+    Prop.forAll(Gen.choose(2, 24), Gen.choose(2, 20), Gen.choose(0L, 1L << 40)) { (w, h, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val bi = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+      for (y <- 0 until h; x <- 0 until w)
+        bi.setRGB(x, y, rnd.nextInt(1 << 24))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "gif", bos)
+      val b = bos.toByteArray
+      GifCodec.decodeNative(b).exists { case (gw, gh, rgb) =>
+        gw == w && gh == h &&
+          (0 until h).forall(y => (0 until w).forall { x =>
+            val p = bi.getRGB(x, y)
+            (rgb(3 * (y * w + x)) & 0xFF) == ((p >> 16) & 0xFF) &&
+              (rgb(3 * (y * w + x) + 1) & 0xFF) == ((p >> 8) & 0xFF) &&
+              (rgb(3 * (y * w + x) + 2) & 0xFF) == (p & 0xFF)
+          })
+      }
+    }
+
+  property("gif: any truncation quarantines") =
+    Prop.forAll(Gen.choose(0L, 1L << 40), Gen.choose(1, 40)) { (seed, cut) =>
+      val gif = GifSim.cleanGif(seed)
+      GifCodec.decodeSums(gif.take(gif.length - cut)).isEmpty
+    }
+
+  property("gif: the three d102 damage modes quarantine, clean ids decode") =
+    Prop.forAll(Gen.choose(0L, 4000L)) { id =>
+      val got = GifCodec.decodeSums(GifSim.payloadFor(id))
+      if (id % 7 == 0 || id % 7 == 3 || id % 7 == 5) got.isEmpty
+      else got.exists { f =>
+        val (w, h) = GifSim.dims(id)
+        f(0) == w && f(1) == h
+      }
+    }
+
+  /** The d102 closed form end to end: decoded channel sums equal the
+    * palette/index recurrences summed over the pixel grid. */
+  property("gif: clean payload sums match the closed form") =
+    Prop.forAll(Gen.choose(0L, 4000L)) { id0 =>
+      val id = id0 + (if (Seq(0L, 3L, 5L).contains(id0 % 7)) 1L else 0L)
+      (id % 7 == 0 || id % 7 == 3 || id % 7 == 5) || {
+        val (w, h) = GifSim.dims(id)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        for (y <- 0 until h; x <- 0 until w) {
+          val c = GifSim.pixelIndex(id, x, y)
+          sr += GifSim.palR(c); sg += GifSim.palG(c); sb += GifSim.palB(c)
+        }
+        GifCodec.decodeSums(GifSim.payloadFor(id))
+          .exists(f => f(2) == sr && f(3) == sg && f(4) == sb)
+      }
+    }
 }

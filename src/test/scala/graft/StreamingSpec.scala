@@ -814,6 +814,56 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("status") === "quarantined").count() == 9)
   }
 
+  test("streaming jpeg decode matches batch bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val payloadRows = graft.operators.JpegSim
+      .payloads((0L until 21L).toDF("doc_id"))
+      .select("doc_id", "payload").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val ps = MemoryStream[(Long, Array[Byte])]
+    val q = graft.streaming.EventStream.jpegDecoded(spark,
+        ps.toDF().toDF("doc_id", "payload"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("jpeg_out").start()
+    ps.addData(payloadRows.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("jpeg_out").orderBy("doc_id").collect().map(_.toString)
+    val want = graft.operators.JpegSim.stats(spark,
+        payloadRows.toSeq.toDF("doc_id", "payload"))
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(got.toSeq == want.toSeq && got.length == 21)
+    // all three damage classes (%7 in {0,3,5}) quarantined on the stream
+    assert(spark.table("jpeg_out")
+      .filter(col("status") === "quarantined").count() == 9)
+  }
+
+  test("streaming gif decode matches batch bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val payloadRows = graft.operators.GifSim
+      .payloads((0L until 21L).toDF("doc_id"))
+      .select("doc_id", "payload").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val ps = MemoryStream[(Long, Array[Byte])]
+    val q = graft.streaming.EventStream.gifDecoded(spark,
+        ps.toDF().toDF("doc_id", "payload"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gif_out").start()
+    ps.addData(payloadRows.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("gif_out").orderBy("doc_id").collect().map(_.toString)
+    val want = graft.operators.GifSim.stats(spark,
+        payloadRows.toSeq.toDF("doc_id", "payload"))
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(got.toSeq == want.toSeq && got.length == 21)
+    // all three damage classes (%7 in {0,3,5}) quarantined on the stream
+    assert(spark.table("gif_out")
+      .filter(col("status") === "quarantined").count() == 9)
+  }
+
   test("streaming unigram encode matches the batch expression") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
