@@ -1109,6 +1109,20 @@ object PipelineQueries {
       GifSim.stats(s, GifSim.payloads(docs(s, dir)))
         .orderBy("doc_id")),
 
+    // REAL companded-audio decode — the compressed-audio sibling of
+    // the image codecs (d93's WAV is uncompressed PCM; telephony
+    // corpora ship 8-bit G.711 μ-law, WAVE fmt tag 7): every doc
+    // becomes a conformant μ-law WAV with closed-form code bytes;
+    // doc_id%7∈{0,3,5} damaged (truncated / magic stomped / fmt tag
+    // stomped to ADPCM — a real codec we don't implement: the
+    // scope-quarantine path). μ-law is LOSSY but each sample expands
+    // by a pure integer closed form, so the oracle replays the FULL
+    // decode arithmetic per sample — exact sums with no content
+    // restrictions (the d101 DC closed form needed solid tiles)
+    "d103_mulaw_decode" -> ((s, dir) =>
+      MulawSim.stats(s, MulawSim.payloads(docs(s, dir)))
+        .orderBy("doc_id")),
+
     // unigram-LM tokenizer training (SentencePiece family) — the
     // third trainer next to BPE (d82) and WordPiece (d78): substring
     // seed vocab, then hard-EM rounds of Viterbi segmentation +
@@ -2616,6 +2630,32 @@ object PipelineQueries {
         |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE sg END)::BIGINT AS sum_g,
         |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE sb END)::BIGINT AS sum_b
         | FROM px ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // the μ-law gate replays the G.711 expand closed form per sample
+    // — complement, 3-bit exponent, 4-bit mantissa,
+    // mag = (mant·8+132)·2^exp − 132 — over the code-byte recurrence:
+    // pure integer arithmetic both engines agree on, exact through a
+    // lossy codec; doc_id%7∈{0,3,5} is the damage slice
+    "d103_mulaw_decode" ->
+      """WITH js AS (SELECT range AS j FROM range(117)),
+        | p AS (SELECT doc_id, (40 + doc_id % 77)::BIGINT AS n FROM documents),
+        | s AS (SELECT p.doc_id, p.n,
+        |   (255 - (p.doc_id * 31 + j * 7) % 256) AS c
+        |  FROM p JOIN js ON j < p.n),
+        | d AS (SELECT doc_id, n,
+        |   (CASE WHEN c >= 128 THEN -1 ELSE 1 END) *
+        |     (((c % 16) * 8 + 132) * (1 << ((c // 16) % 8)) - 132) AS v
+        |  FROM s),
+        | agg AS (SELECT doc_id, n, sum(v)::BIGINT AS sum_pcm,
+        |   sum(abs(v))::BIGINT AS sum_abs, max(abs(v))::BIGINT AS peak
+        |  FROM d GROUP BY 1, 2)
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 7 IN (0, 3, 5) THEN 'quarantined' ELSE 'ok' END AS status,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE n END)::BIGINT AS n_samples,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE sum_pcm END)::BIGINT AS sum_pcm,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE sum_abs END)::BIGINT AS sum_abs,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE peak END)::BIGINT AS peak
+        | FROM agg ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     // d99's gate: the full unigram-LM training loop as chained CTEs —
     // substring seed statistics + top-M selection, then per EM round

@@ -507,6 +507,15 @@ object EventStream {
                  stream: DataFrame): DataFrame =
     graft.operators.GifSim.stats(spark, stream)
 
+  /** Streaming μ-law decode — d103's streaming twin: the strict
+    * fmt-7 walker + G.711 expand runs per micro-batch through the
+    * same batched mapPartitions contract (stateless, map-only),
+    * quarantining malformed and out-of-scope codecs at the ingest
+    * edge. Bit-identical to the batch stats (spec-pinned). */
+  def mulawDecoded(spark: org.apache.spark.sql.SparkSession,
+                   stream: DataFrame): DataFrame =
+    graft.operators.MulawSim.stats(spark, stream)
+
   /** Streaming unigram-LM encode — d100's streaming twin: the
     * trained model rides the plan as a reference object and the
     * Viterbi expression is stateless column arithmetic, so the

@@ -181,6 +181,11 @@ class AnsiRobustnessSpec extends AnyFunSuite {
       graft.operators.GifSim.payloads(docs.select(col("doc_id")).limit(42)))
     assert(gif.filter(col("status") === "ok").count() > 0)
     assert(gif.filter(col("status") === "quarantined").count() > 0)
+    // and the μ-law chain (G.711 expand shift/complement arithmetic)
+    val mul = graft.operators.MulawSim.stats(spark,
+      graft.operators.MulawSim.payloads(docs.select(col("doc_id")).limit(42)))
+    assert(mul.filter(col("status") === "ok").count() > 0)
+    assert(mul.filter(col("status") === "quarantined").count() > 0)
     val traj = graft.operators.UnigramLm.train(docs, col("text"), rounds = 1)
     assert(traj.filter(col("round") === 1).count() > 0)
     val model = new graft.functions.UnigramModel(

@@ -547,4 +547,84 @@ object MediaDecodePropertySpec extends Properties("MediaDecode") {
           .exists(f => f(2) == sr && f(3) == sg && f(4) == sb)
       }
     }
+
+  // ---- μ-law -------------------------------------------------------
+
+  import graft.operators.{MulawCodec, MulawSim}
+
+  /** All 256 code bytes expand to exactly what the JDK's own
+    * javax.sound ULAW converter produces (zero shared lines) — the
+    * full decode table cross-checked, not sampled. */
+  property("mulaw: decode of every code matches javax.sound") = Prop.protect {
+    val codes = Array.tabulate(256)(_.toByte)
+    val src = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(codes),
+      new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1, 8000f, false),
+      256)
+    val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false), src)
+    val out = pcm.readAllBytes()
+    Prop(out.length == 512 && (0 until 256).forall { c =>
+      val jdk = (((out(2 * c + 1) & 0xFF) << 8) | (out(2 * c) & 0xFF)).toShort.toInt
+      jdk == MulawCodec.decodeSample(c)
+    })
+  }
+
+  /** Compress∘expand is the identity on code space (the G.711
+    * contract), except the −0 alias 0x7F which re-encodes as +0's
+    * 0xFF; expand∘compress is within one quantization step. */
+  property("mulaw: encode(decode(code)) == code for all codes but 0x7F") =
+    Prop.protect(Prop((0 until 256).forall { c =>
+      val re = MulawCodec.encodeSample(MulawCodec.decodeSample(c))
+      if (c == 0x7F) re == 0xFF else re == c
+    }))
+
+  property("mulaw: decode(encode(pcm)) within the segment step") =
+    Prop.forAll(Gen.choose(-32635, 32635)) { pcm =>
+      val dec = MulawCodec.decodeSample(MulawCodec.encodeSample(pcm))
+      // segment step = 8 << exp, exp ≤ 7 → max step 1024; half-step
+      // rounding means the error is bounded by the step
+      math.abs(dec - pcm) <= 1024 && (pcm >= 0) == (dec >= 0 || dec == 0)
+    }
+
+  /** Independent-CONTAINER cross-check: a javax.sound-written ULAW
+    * WAVE (its own fmt-7 header layout) parses in our strict walker
+    * to the same sample sums. */
+  property("mulaw: our decoder reads javax.sound-written ULAW WAVs") =
+    Prop.forAll(Gen.choose(1, 200), Gen.choose(0L, 1L << 40)) { (n, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val codes = Array.fill(n)(rnd.nextInt(256).toByte)
+      val src = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(codes),
+        new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1, 8000f, false),
+        n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(src,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      val want = codes.map(c => MulawCodec.decodeSample(c & 0xFF))
+      MulawCodec.decodeSums(bos.toByteArray).exists { f =>
+        f(0) == n && f(1) == want.map(_.toLong).sum &&
+          f(2) == want.map(v => math.abs(v).toLong).sum
+      }
+    }
+
+  property("mulaw: any truncation into the data chunk quarantines") =
+    Prop.forAll(Gen.choose(0L, 1L << 40), Gen.choose(1, 30)) { (seed, cut) =>
+      val wav = MulawSim.cleanWav(seed)
+      // odd sample counts carry a word-alignment pad byte after the
+      // data chunk; removing ONLY the pad leaves a conformant file
+      val pad = MulawSim.nSamples(seed) % 2
+      val got = MulawCodec.decodeSums(wav.take(wav.length - cut))
+      if (cut <= pad) got.exists(_(0) == MulawSim.nSamples(seed))
+      else got.isEmpty
+    }
+
+  property("mulaw: the three d103 damage modes quarantine, clean ids decode") =
+    Prop.forAll(Gen.choose(0L, 4000L)) { id =>
+      val got = MulawCodec.decodeSums(MulawSim.payloadFor(id))
+      if (id % 7 == 0 || id % 7 == 3 || id % 7 == 5) got.isEmpty
+      else got.exists(_(0) == MulawSim.nSamples(id))
+    }
 }
