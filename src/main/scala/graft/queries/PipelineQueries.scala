@@ -1123,6 +1123,20 @@ object PipelineQueries {
       MulawSim.stats(s, MulawSim.payloads(docs(s, dir)))
         .orderBy("doc_id")),
 
+    // CORPUS-CONTAINER ingest — the WebDataset shape 100 TB training
+    // corpora actually ship in: every doc becomes a USTAR tar shard
+    // of K samples ({key}.txt + {key}.cls member pairs, closed-form
+    // contents); the strict walk verifies per-header checksums, octal
+    // grammar, block padding, and the zero-block terminator, then
+    // groups members into samples by basename (the WebDataset
+    // completeness rule). doc_id%7∈{0,3,5} damaged (truncated /
+    // USTAR magic stomped / one checksum digit bumped — the header
+    // integrity field tar exists to check); oracle replays member
+    // counts, total data bytes, and the exact content byte sum
+    "d104_tar_shards" -> ((s, dir) =>
+      TarSim.stats(s, TarSim.payloads(docs(s, dir)))
+        .orderBy("doc_id")),
+
     // unigram-LM tokenizer training (SentencePiece family) — the
     // third trainer next to BPE (d82) and WordPiece (d78): substring
     // seed vocab, then hard-EM rounds of Viterbi segmentation +
@@ -2655,6 +2669,32 @@ object PipelineQueries {
         |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE sum_pcm END)::BIGINT AS sum_pcm,
         |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE sum_abs END)::BIGINT AS sum_abs,
         |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE peak END)::BIGINT AS peak
+        | FROM agg ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // the tar gate replays the shard's member layout arithmetically:
+    // K = 2 + doc_id%5 samples, each a .txt of closed-form bytes plus
+    // a 1-byte .cls label — counts, total data bytes, and the exact
+    // content byte sum over bounded (≤7×33) grids; doc_id%7∈{0,3,5}
+    // is the damage slice
+    "d104_tar_shards" ->
+      """WITH si AS (SELECT range AS i FROM range(7)),
+        | js AS (SELECT range AS j FROM range(33)),
+        | p AS (SELECT doc_id, (2 + doc_id % 5)::BIGINT AS k FROM documents),
+        | m AS (SELECT p.doc_id, p.k, i, (10 + (p.doc_id + i) % 23) AS len,
+        |   (48 + (p.doc_id * 7 + i) % 10) AS cls
+        |  FROM p JOIN si ON i < p.k),
+        | t AS (SELECT m.doc_id, m.i, sum((m.doc_id + m.i * 13 + j) % 256) AS ts
+        |  FROM m JOIN js ON j < m.len GROUP BY 1, 2),
+        | agg AS (SELECT m.doc_id, max(m.k) AS k,
+        |   (sum(m.len) + max(m.k))::BIGINT AS data_bytes,
+        |   sum(t.ts + m.cls)::BIGINT AS byte_sum
+        |  FROM m JOIN t ON m.doc_id = t.doc_id AND m.i = t.i GROUP BY 1)
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 7 IN (0, 3, 5) THEN 'quarantined' ELSE 'ok' END AS status,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE 2 * k END)::BIGINT AS n_members,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE k END)::BIGINT AS n_samples,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE data_bytes END)::BIGINT AS data_bytes,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE byte_sum END)::BIGINT AS byte_sum
         | FROM agg ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     // d99's gate: the full unigram-LM training loop as chained CTEs —

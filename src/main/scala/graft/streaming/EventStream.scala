@@ -516,6 +516,15 @@ object EventStream {
                    stream: DataFrame): DataFrame =
     graft.operators.MulawSim.stats(spark, stream)
 
+  /** Streaming tar-shard ingest — d104's streaming twin: shards
+    * arrive on the stream (the WebDataset ingest shape) and the
+    * strict walk + sample grouping runs per micro-batch through the
+    * same batched mapPartitions contract (stateless, map-only).
+    * Bit-identical to the batch stats (spec-pinned). */
+  def tarShards(spark: org.apache.spark.sql.SparkSession,
+                stream: DataFrame): DataFrame =
+    graft.operators.TarSim.stats(spark, stream)
+
   /** Streaming unigram-LM encode — d100's streaming twin: the
     * trained model rides the plan as a reference object and the
     * Viterbi expression is stateless column arithmetic, so the

@@ -186,6 +186,11 @@ class AnsiRobustnessSpec extends AnyFunSuite {
       graft.operators.MulawSim.payloads(docs.select(col("doc_id")).limit(42)))
     assert(mul.filter(col("status") === "ok").count() > 0)
     assert(mul.filter(col("status") === "quarantined").count() > 0)
+    // and the tar-shard walk (octal parse, checksum arithmetic)
+    val tar = graft.operators.TarSim.stats(spark,
+      graft.operators.TarSim.payloads(docs.select(col("doc_id")).limit(42)))
+    assert(tar.filter(col("status") === "ok").count() > 0)
+    assert(tar.filter(col("status") === "quarantined").count() > 0)
     val traj = graft.operators.UnigramLm.train(docs, col("text"), rounds = 1)
     assert(traj.filter(col("round") === 1).count() > 0)
     val model = new graft.functions.UnigramModel(

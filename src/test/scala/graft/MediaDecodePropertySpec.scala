@@ -627,4 +627,108 @@ object MediaDecodePropertySpec extends Properties("MediaDecode") {
       if (id % 7 == 0 || id % 7 == 3 || id % 7 == 5) got.isEmpty
       else got.exists(_(0) == MulawSim.nSamples(id))
     }
+
+  // ---- tar shards --------------------------------------------------
+
+  import graft.operators.{TarCodec, TarSim}
+
+  private val memberGen: Gen[(String, Array[Byte])] = for {
+    name <- Gen.choose(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+    ext <- Gen.oneOf("txt", "cls", "json", "bin")
+    len <- Gen.choose(0, 1400) // crosses the 512-block boundary
+    content <- Gen.listOfN(len, Gen.choose(0, 255))
+  } yield (s"$name.$ext", content.map(_.toByte).toArray)
+
+  property("tar: encode∘decode = identity, arbitrary member lists") =
+    Prop.forAll(Gen.choose(0, 8).flatMap(Gen.listOfN(_, memberGen))) { ms =>
+      TarCodec.decode(TarCodec.encode(ms)).exists { got =>
+        got.length == ms.length && got.zip(ms).forall { case ((gn, gc), (n, c)) =>
+          gn == n && java.util.Arrays.equals(gc, c)
+        }
+      }
+    }
+
+  /** Independent-implementation cross-check, direction 1: GNU tar
+    * (`--format=ustar`, zero shared lines) must list and extract our
+    * encoder's shards byte-exactly. */
+  property("tar: GNU tar extracts our encoder's output byte-exactly") =
+    Prop.forAll(Gen.choose(0L, 4000L).suchThat(id =>
+      id % 7 != 0 && id % 7 != 3 && id % 7 != 5)) { id =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_tar").toFile
+      try {
+        val shard = new java.io.File(dir, "shard.tar")
+        java.nio.file.Files.write(shard.toPath, TarSim.cleanTar(id))
+        val rc = new ProcessBuilder("tar", "-xf", shard.getAbsolutePath,
+          "-C", dir.getAbsolutePath).start().waitFor()
+        rc == 0 && TarSim.members(id).forall { case (name, content) =>
+          val f = new java.io.File(dir, name)
+          f.exists() && java.util.Arrays.equals(
+            java.nio.file.Files.readAllBytes(f.toPath), content)
+        }
+      } finally {
+        dir.listFiles().foreach(_.delete()); dir.delete()
+      }
+    }
+
+  /** Direction 2: a GNU-tar-WRITTEN ustar archive (its own header
+    * field conventions, its blocking-factor padding) decodes in our
+    * strict walker to the same member contents. */
+  property("tar: our decoder reads GNU-tar-written archives") =
+    Prop.forAll(Gen.choose(1, 6), Gen.choose(0L, 1L << 40)) { (n, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val dir = java.nio.file.Files.createTempDirectory("graft_tar2").toFile
+      try {
+        val names = (0 until n).map(i => f"m$i%02d_${rnd.nextInt(1000)}%03d.txt")
+        val contents = names.map(_ =>
+          Array.fill(rnd.nextInt(1200))(rnd.nextInt(256).toByte))
+        names.zip(contents).foreach { case (nm, c) =>
+          java.nio.file.Files.write(new java.io.File(dir, nm).toPath, c)
+        }
+        val shard = new java.io.File(dir, "out.tar")
+        val rc = new ProcessBuilder(
+          (Seq("tar", "--format=ustar", "-cf", shard.getAbsolutePath,
+            "-C", dir.getAbsolutePath) ++ names): _*).start().waitFor()
+        rc == 0 && TarCodec.decode(
+          java.nio.file.Files.readAllBytes(shard.toPath)).exists { got =>
+          got.length == n && names.zip(contents).forall { case (nm, c) =>
+            got.exists { case (gn, gc) =>
+              gn == nm && java.util.Arrays.equals(gc, c)
+            }
+          }
+        }
+      } finally {
+        dir.listFiles().foreach(_.delete()); dir.delete()
+      }
+    }
+
+  property("tar: any truncation quarantines") =
+    Prop.forAll(Gen.choose(0L, 1L << 40), Gen.choose(1, 600)) { (seed, cut) =>
+      val tar = TarSim.cleanTar(seed)
+      TarCodec.decode(tar.take(tar.length - cut)).isEmpty
+    }
+
+  property("tar: flipping any single content byte fails the walk or changes the bytes") =
+    Prop.forAll(Gen.choose(0L, 1L << 40), Gen.choose(0, 1 << 20)) { (seed, at0) =>
+      val tar = TarSim.cleanTar(seed)
+      val at = at0 % tar.length
+      val bad = tar.clone()
+      bad(at) = (bad(at) ^ 0x01).toByte
+      TarCodec.decode(bad) match {
+        case None => true // header/checksum/padding damage caught
+        case Some(got) => // content flips land in some member's bytes
+          val want = TarSim.members(seed)
+          got.length == want.length &&
+            got.zip(want).count { case ((_, gc), (_, c)) =>
+              !java.util.Arrays.equals(gc, c)
+            } == 1
+      }
+    }
+
+  property("tar: the three d104 damage modes quarantine, clean ids decode") =
+    Prop.forAll(Gen.choose(0L, 4000L)) { id =>
+      val got = TarCodec.decode(TarSim.payloadFor(id))
+      if (id % 7 == 0 || id % 7 == 3 || id % 7 == 5) got.isEmpty
+      else got.exists(_.length == 2 * TarSim.nSamples(id))
+    }
 }
