@@ -244,6 +244,60 @@ object TarSim {
     StructField("data_bytes", LongType),
     StructField("byte_sum", LongType)))
 
+  val sampleSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sample_key", StringType),
+    StructField("txt_len", LongType),
+    StructField("txt_sum", LongType),
+    StructField("label", IntegerType)))
+
+  /** Shard → per-SAMPLE rows — the d105 gate and the actual ingest
+    * operator a training pipeline runs: each COMPLETE basename group
+    * (.txt AND .cls present) becomes one row carrying the extracted
+    * text stats and the parsed label, ready for downstream dedup/
+    * filter/pack stages. Damaged shards contribute nothing here (the
+    * d104 stats gate is where quarantine is audited); map-only
+    * flatMap, so ingest parallelism is scan parallelism at any
+    * corpus size. */
+  def samples(spark: SparkSession, withPayloads: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(sampleSchema)
+    withPayloads.select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.grouped(Multimodal.BATCH_SIZE).flatMap { batch =>
+          batch.iterator.flatMap { r =>
+            val id = r.getLong(0)
+            TarCodec.decode(r.getAs[Array[Byte]](1)) match {
+              case Some(ms) =>
+                val txts = new java.util.HashMap[String, Array[Byte]]()
+                val clss = new java.util.HashMap[String, Array[Byte]]()
+                ms.foreach { case (name, content) =>
+                  val dot = name.lastIndexOf('.')
+                  if (dot > 0) name.substring(dot + 1) match {
+                    case "txt" => txts.put(name.substring(0, dot), content)
+                    case "cls" => clss.put(name.substring(0, dot), content)
+                    case _ =>
+                  }
+                }
+                val out = Seq.newBuilder[Row]
+                txts.forEach { (key, txt) =>
+                  val cls = clss.get(key)
+                  if (cls != null && cls.length == 1) {
+                    var sum = 0L
+                    var j = 0
+                    while (j < txt.length) { sum += txt(j) & 0xFF; j += 1 }
+                    out += Row(id, key, txt.length.toLong, sum,
+                      (cls(0) & 0xFF) - '0')
+                  }
+                }
+                out.result()
+              case None => Nil
+            }
+          }
+        }
+      }(enc)
+  }
+
   /** Batched strict shard walk → per-shard stats with quarantine —
     * the d104 gate, same mapPartitions batch contract as the media
     * gates. `n_samples` counts basename groups carrying BOTH a .txt

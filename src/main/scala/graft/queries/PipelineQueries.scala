@@ -1137,6 +1137,16 @@ object PipelineQueries {
       TarSim.stats(s, TarSim.payloads(docs(s, dir)))
         .orderBy("doc_id")),
 
+    // the shard walk as a row source — what a training pipeline
+    // actually runs: complete basename groups become per-SAMPLE rows
+    // (extracted text stats + parsed label) ready for downstream
+    // dedup/filter/pack; damaged shards contribute nothing (their
+    // audit lives in d104's quarantine column). Map-only flatMap:
+    // ingest parallelism IS scan parallelism at any corpus size
+    "d105_webdataset_samples" -> ((s, dir) =>
+      TarSim.samples(s, TarSim.payloads(docs(s, dir)))
+        .orderBy("doc_id", "sample_key")),
+
     // unigram-LM tokenizer training (SentencePiece family) — the
     // third trainer next to BPE (d82) and WordPiece (d78): substring
     // seed vocab, then hard-EM rounds of Viterbi segmentation +
@@ -2696,6 +2706,24 @@ object PipelineQueries {
         |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE data_bytes END)::BIGINT AS data_bytes,
         |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE byte_sum END)::BIGINT AS byte_sum
         | FROM agg ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // the sample-row gate replays every clean shard's member layout
+    // as per-sample rows — key format, text length/byte-sum
+    // recurrences, parsed label; damaged doc_ids contribute no rows
+    "d105_webdataset_samples" ->
+      """WITH si AS (SELECT range AS i FROM range(7)),
+        | js AS (SELECT range AS j FROM range(33)),
+        | p AS (SELECT doc_id, (2 + doc_id % 5) AS k FROM documents
+        |   WHERE doc_id % 7 NOT IN (0, 3, 5)),
+        | m AS (SELECT p.doc_id, i, (10 + (p.doc_id + i) % 23)::BIGINT AS txt_len,
+        |   ((p.doc_id * 7 + i) % 10)::INT AS label
+        |  FROM p JOIN si ON i < p.k),
+        | t AS (SELECT m.doc_id, m.i, sum((m.doc_id + m.i * 13 + j) % 256)::BIGINT AS txt_sum
+        |  FROM m JOIN js ON j < m.txt_len GROUP BY 1, 2)
+        | SELECT m.doc_id, printf('%08d_%02d', m.doc_id, m.i) AS sample_key,
+        |  m.txt_len, t.txt_sum, m.label
+        | FROM m JOIN t ON m.doc_id = t.doc_id AND m.i = t.i
+        | ORDER BY m.doc_id, sample_key""".stripMargin.replaceAll("\n", " "),
 
     // d99's gate: the full unigram-LM training loop as chained CTEs —
     // substring seed statistics + top-M selection, then per EM round

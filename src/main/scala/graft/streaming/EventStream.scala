@@ -525,6 +525,14 @@ object EventStream {
                 stream: DataFrame): DataFrame =
     graft.operators.TarSim.stats(spark, stream)
 
+  /** Streaming per-sample shard ingest — d105's streaming twin: the
+    * map-only flatMap from shards to sample rows runs per
+    * micro-batch unchanged, so a live shard feed yields the same
+    * training-ready rows the batch ingest produces (spec-pinned). */
+  def tarSamples(spark: org.apache.spark.sql.SparkSession,
+                 stream: DataFrame): DataFrame =
+    graft.operators.TarSim.samples(spark, stream)
+
   /** Streaming unigram-LM encode — d100's streaming twin: the
     * trained model rides the plan as a reference object and the
     * Viterbi expression is stateless column arithmetic, so the

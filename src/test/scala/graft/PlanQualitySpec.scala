@@ -684,6 +684,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
   }
 
+  test("codec gates (d98, d101-d105) are map-only — no shuffle join, no window") {
+    for (q <- Seq("d98_png_decode", "d101_jpeg_decode", "d102_gif_decode",
+      "d103_mulaw_decode", "d104_tar_shards", "d105_webdataset_samples")) {
+      val p = plan(q)
+      // synthesis + decode are chained mapPartitions over the scan;
+      // the only exchange allowed is the presentation orderBy's
+      // range partitioning — a hash shuffle or join would mean the
+      // decode stopped scaling with the scan
+      assert(!p.contains("Arguments: hashpartitioning"),
+        s"$q must not hash-shuffle\n$p")
+      assert(!p.contains("Window") && !p.contains("Join"),
+        s"$q must stay map-only\n$p")
+      assert(p.contains("MapPartitions"), s"$q missing the batch decode stage\n$p")
+    }
+  }
+
   test("salted join distributes a hot key across n buckets, same result") {
     import spark.implicits._
     val big = (1 to 1000).map(i => ("hot", i.toLong)).toDF("key", "payload")

@@ -912,6 +912,32 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("status") === "quarantined").count() == 9)
   }
 
+  test("streaming webdataset sample ingest matches batch bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val payloadRows = graft.operators.TarSim
+      .payloads((0L until 21L).toDF("doc_id"))
+      .select("doc_id", "payload").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val ps = MemoryStream[(Long, Array[Byte])]
+    val q = graft.streaming.EventStream.tarSamples(spark,
+        ps.toDF().toDF("doc_id", "payload"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tars_out").start()
+    ps.addData(payloadRows.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("tars_out").orderBy("doc_id", "sample_key")
+      .collect().map(_.toString)
+    val want = graft.operators.TarSim.samples(spark,
+        payloadRows.toSeq.toDF("doc_id", "payload"))
+      .orderBy("doc_id", "sample_key").collect().map(_.toString)
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
+    // damaged shards (%7 in {0,3,5}) contribute NO sample rows
+    assert(spark.table("tars_out")
+      .filter(col("doc_id") % 7 === 0).count() == 0)
+  }
+
   test("streaming unigram encode matches the batch expression") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
