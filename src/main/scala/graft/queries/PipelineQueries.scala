@@ -1147,6 +1147,18 @@ object PipelineQueries {
       TarSim.samples(s, TarSim.payloads(docs(s, dir)))
         .orderBy("doc_id", "sample_key")),
 
+    // gzip member decode over the corpus's REAL text — the .jsonl.gz
+    // shipping format: each doc's text gzipped in-plan (doc_id%5==2
+    // as TWO concatenated members, the append-writer stream shape),
+    // strictly decoded with our own RFC 1952 framing (FEXTRA/FNAME/
+    // FCOMMENT walk, FHCRC verified, CRC-32 + ISIZE trailer checked
+    // per member); doc_id%7∈{0,3,5} damaged (mid-trailer truncation /
+    // magic stomped / one CRC bit flipped). The oracle replays
+    // byte/line counts straight off documents.text — pinned against
+    // genuine data, not a synthetic recurrence
+    "d106_jsonl_gz" -> ((s, dir) =>
+      GzipSim.stats(s, docs(s, dir)).orderBy("doc_id")),
+
     // unigram-LM tokenizer training (SentencePiece family) — the
     // third trainer next to BPE (d82) and WordPiece (d78): substring
     // seed vocab, then hard-EM rounds of Viterbi segmentation +
@@ -2724,6 +2736,25 @@ object PipelineQueries {
         |  m.txt_len, t.txt_sum, m.label
         | FROM m JOIN t ON m.doc_id = t.doc_id AND m.i = t.i
         | ORDER BY m.doc_id, sample_key""".stripMargin.replaceAll("\n", " "),
+
+    // the gzip gate replays off the REAL text column: member count
+    // (the codepoint-guarded split rule), exact UTF-8 byte total
+    // (octet_length over the encoded blob — both engines count UTF-8
+    // bytes), newline count + one line per member; roundtrip is the
+    // in-plan verdict (literal TRUE here, the d13/d41 pattern)
+    "d106_jsonl_gz" ->
+      """WITH m AS (SELECT doc_id, text,
+        |  (CASE WHEN doc_id % 5 = 2 AND length(text) >= 2 THEN 2 ELSE 1 END)::BIGINT AS nm
+        | FROM documents)
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 7 IN (0, 3, 5) THEN 'quarantined' ELSE 'ok' END AS status,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE nm END)::BIGINT AS n_members,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL
+        |        ELSE octet_length(encode(text)) END)::BIGINT AS n_bytes,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL
+        |        ELSE length(text) - length(replace(text, chr(10), '')) + nm END)::BIGINT AS n_lines,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE TRUE END)::BOOLEAN AS roundtrip_ok
+        | FROM m ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     // d99's gate: the full unigram-LM training loop as chained CTEs —
     // substring seed statistics + top-M selection, then per EM round

@@ -533,6 +533,14 @@ object EventStream {
                  stream: DataFrame): DataFrame =
     graft.operators.TarSim.samples(spark, stream)
 
+  /** Streaming gzip text decode — d106's streaming twin: the strict
+    * RFC 1952 member walk + trailer verify runs per micro-batch
+    * through the same batched mapPartitions contract (stateless,
+    * map-only). Bit-identical to the batch stats (spec-pinned). */
+  def gzipDecoded(spark: org.apache.spark.sql.SparkSession,
+                  stream: DataFrame): DataFrame =
+    graft.operators.GzipSim.stats(spark, stream)
+
   /** Streaming unigram-LM encode — d100's streaming twin: the
     * trained model rides the plan as a reference object and the
     * Viterbi expression is stateless column arithmetic, so the

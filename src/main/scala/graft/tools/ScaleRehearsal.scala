@@ -565,12 +565,17 @@ object ScaleRehearsal {
       graft.operators.TarSim.stats(spark,
         graft.operators.TarSim.payloads(df.select(col("doc_id"))))
         .filter(col("status") === "ok").count()
+    def gzDec(df: org.apache.spark.sql.DataFrame): Long =
+      graft.operators.GzipSim.stats(spark,
+        df.select(col("doc_id"), col("text")))
+        .filter(col("status") === "ok").count()
     st("multimodal") {
       ratio("png decode (d98)", pngDec(base), pngDec(big))
       ratio("jpeg decode (d101)", jpegDec(base), jpegDec(big))
       ratio("gif decode (d102)", gifDec(base), gifDec(big))
       ratio("mulaw decode (d103)", mulawDec(base), mulawDec(big))
       ratio("tar shard walk (d104)", tarDec(base), tarDec(big))
+      ratio("gzip text decode (d106)", gzDec(base), gzDec(big))
     }
     // curation capstone: extraction map-only, dedup partial-agg (the
     // replicas are EXACT dups — adversarial for the keeper agg), shard

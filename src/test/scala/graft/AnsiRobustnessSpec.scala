@@ -191,6 +191,11 @@ class AnsiRobustnessSpec extends AnyFunSuite {
       graft.operators.TarSim.payloads(docs.select(col("doc_id")).limit(42)))
     assert(tar.filter(col("status") === "ok").count() > 0)
     assert(tar.filter(col("status") === "quarantined").count() > 0)
+    // and the gzip member walk (CRC-32/ISIZE trailer arithmetic)
+    val gz = graft.operators.GzipSim.stats(spark,
+      docs.select(col("doc_id"), col("text")).limit(42))
+    assert(gz.filter(col("status") === "ok").count() > 0)
+    assert(gz.filter(col("status") === "quarantined").count() > 0)
     val traj = graft.operators.UnigramLm.train(docs, col("text"), rounds = 1)
     assert(traj.filter(col("round") === 1).count() > 0)
     val model = new graft.functions.UnigramModel(

@@ -731,4 +731,98 @@ object MediaDecodePropertySpec extends Properties("MediaDecode") {
       if (id % 7 == 0 || id % 7 == 3 || id % 7 == 5) got.isEmpty
       else got.exists(_.length == 2 * TarSim.nSamples(id))
     }
+
+  // ---- gzip --------------------------------------------------------
+
+  import graft.operators.{GzipCodec, GzipSim}
+
+  private val bytesGen: Gen[Array[Byte]] =
+    Gen.choose(0, 2000).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 255)).map(_.map(_.toByte).toArray))
+
+  property("gzip: encode∘decode = identity, arbitrary multi-member content") =
+    Prop.forAll(Gen.choose(1, 4).flatMap(Gen.listOfN(_, bytesGen))) { ms =>
+      GzipCodec.decode(GzipCodec.encode(ms)).exists { got =>
+        got.length == ms.length &&
+          got.zip(ms).forall { case (g, m) => java.util.Arrays.equals(g, m) }
+      }
+    }
+
+  /** The JDK's GZIPInputStream (zero shared framing lines) must read
+    * our concatenated members back as one byte stream. */
+  property("gzip: JDK GZIPInputStream reads our encoder's output") =
+    Prop.forAll(Gen.choose(1, 4).flatMap(Gen.listOfN(_, bytesGen))) { ms =>
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(GzipCodec.encode(ms)))
+      val got = in.readAllBytes()
+      java.util.Arrays.equals(got, ms.toArray.flatten)
+    }
+
+  /** `gzip` itself, both directions: gzip -dc decompresses our
+    * members; our decoder reads gzip-written files (FNAME flag set)
+    * and concatenations of them (the multi-member spec path). */
+  property("gzip: the gzip CLI interops both directions") =
+    Prop.forAll(Gen.choose(1, 3).flatMap(Gen.listOfN(_, bytesGen)),
+      Gen.choose(0L, 1L << 40)) { (ms, seed) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_gz").toFile
+      try {
+        // direction 1: gzip -dc reads ours
+        val ours = new java.io.File(dir, "ours.gz")
+        java.nio.file.Files.write(ours.toPath, GzipCodec.encode(ms))
+        val p1 = new ProcessBuilder("gzip", "-dc", ours.getAbsolutePath).start()
+        val out1 = p1.getInputStream.readAllBytes()
+        val rc1 = p1.waitFor()
+        // direction 2: ours reads gzip-written members, concatenated
+        val files = ms.zipWithIndex.map { case (m, i) =>
+          val f = new java.io.File(dir, s"m$i.bin")
+          java.nio.file.Files.write(f.toPath, m)
+          val rc = new ProcessBuilder("gzip", "-f", f.getAbsolutePath)
+            .start().waitFor()
+          assert(rc == 0)
+          new java.io.File(dir, s"m$i.bin.gz")
+        }
+        val cat = files.flatMap(f => java.nio.file.Files.readAllBytes(f.toPath))
+        val got = GzipCodec.decode(cat.toArray)
+        rc1 == 0 && java.util.Arrays.equals(out1, ms.toArray.flatten) &&
+          got.exists { g =>
+            g.length == ms.length &&
+              g.zip(ms).forall { case (a, b) => java.util.Arrays.equals(a, b) }
+          }
+      } finally {
+        dir.listFiles().foreach(_.delete()); dir.delete()
+      }
+    }
+
+  property("gzip: any truncation quarantines") =
+    Prop.forAll(Gen.choose(0L, 4000L), Gen.choose(1, 12),
+      Gen.alphaNumStr) { (id, cut, text) =>
+      val clean = GzipCodec.encode(
+        GzipSim.memberTexts(id, text).map(_.getBytes("UTF-8")))
+      GzipCodec.decode(clean.take(clean.length - cut)).isEmpty
+    }
+
+  /** Flipping ANY single payload bit is caught: either the framing
+    * fails or the CRC-32/ISIZE trailer verify does — the property
+    * that justifies trusting gzip shards without a re-read. */
+  property("gzip: any single-bit flip quarantines or changes nothing") =
+    Prop.forAll(Gen.choose(0L, 4000L), Gen.choose(0, 1 << 20),
+      Gen.choose(0, 7), Gen.alphaNumStr.suchThat(_.nonEmpty)) { (id, at0, bit, text) =>
+      val clean = GzipCodec.encode(
+        GzipSim.memberTexts(id, text).map(_.getBytes("UTF-8")))
+      val at = at0 % clean.length
+      val bad = clean.clone()
+      bad(at) = (bad(at) ^ (1 << bit)).toByte
+      GzipCodec.decode(bad) match {
+        case None => true
+        case Some(got) => // e.g. an XFL/OS/mtime header byte: cosmetic
+          got.map(new String(_, "UTF-8")).mkString == text
+      }
+    }
+
+  property("gzip: the three d106 damage modes quarantine, clean ids decode") =
+    Prop.forAll(Gen.choose(0L, 4000L), Gen.alphaNumStr) { (id, text) =>
+      val got = GzipCodec.decode(GzipSim.payloadFor(id, text))
+      if (id % 7 == 0 || id % 7 == 3 || id % 7 == 5) got.isEmpty
+      else got.exists(_.map(new String(_, "UTF-8")).mkString == text)
+    }
 }
