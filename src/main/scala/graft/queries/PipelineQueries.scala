@@ -1159,6 +1159,18 @@ object PipelineQueries {
     "d106_jsonl_gz" -> ((s, dir) =>
       GzipSim.stats(s, docs(s, dir)).orderBy("doc_id")),
 
+    // the OTHER canonical training container next to WebDataset tar
+    // (d104): TFRecord framing — u64le length + masked CRC-32C of the
+    // length + data + masked CRC-32C of the data, both verified per
+    // record (TensorFlow's published rotation mask over Castagnoli).
+    // doc_id%7∈{0,3,5} damaged (mid-trailer truncation / length-CRC
+    // bit flip / data-CRC bit flip — the two integrity fields
+    // exercised independently); oracle replays record counts, data
+    // bytes, and the exact content byte sum from the closed forms
+    "d107_tfrecord" -> ((s, dir) =>
+      TfRecordSim.stats(s, TfRecordSim.payloads(docs(s, dir)))
+        .orderBy("doc_id")),
+
     // unigram-LM tokenizer training (SentencePiece family) — the
     // third trainer next to BPE (d82) and WordPiece (d78): substring
     // seed vocab, then hard-EM rounds of Viterbi segmentation +
@@ -2755,6 +2767,27 @@ object PipelineQueries {
         |        ELSE length(text) - length(replace(text, chr(10), '')) + nm END)::BIGINT AS n_lines,
         |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE TRUE END)::BOOLEAN AS roundtrip_ok
         | FROM m ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // the TFRecord gate replays the shard layout arithmetically:
+    // K = 3 + doc_id%6 records, lengths and content bytes from the
+    // closed-form recurrences over bounded (≤9×37) grids
+    "d107_tfrecord" ->
+      """WITH si AS (SELECT range AS i FROM range(9)),
+        | js AS (SELECT range AS j FROM range(37)),
+        | p AS (SELECT doc_id, (3 + doc_id % 6)::BIGINT AS k FROM documents),
+        | m AS (SELECT p.doc_id, p.k, i, (8 + (p.doc_id * 5 + i * 3) % 29) AS len
+        |  FROM p JOIN si ON i < p.k),
+        | t AS (SELECT m.doc_id, m.i, sum((m.doc_id * 11 + m.i * 17 + j) % 256) AS ts
+        |  FROM m JOIN js ON j < m.len GROUP BY 1, 2),
+        | agg AS (SELECT m.doc_id, max(m.k) AS k, sum(m.len)::BIGINT AS data_bytes,
+        |   sum(t.ts)::BIGINT AS byte_sum
+        |  FROM m JOIN t ON m.doc_id = t.doc_id AND m.i = t.i GROUP BY 1)
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 7 IN (0, 3, 5) THEN 'quarantined' ELSE 'ok' END AS status,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE k END)::BIGINT AS n_records,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE data_bytes END)::BIGINT AS data_bytes,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE byte_sum END)::BIGINT AS byte_sum
+        | FROM agg ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     // d99's gate: the full unigram-LM training loop as chained CTEs —
     // substring seed statistics + top-M selection, then per EM round

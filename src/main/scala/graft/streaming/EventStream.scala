@@ -541,6 +541,14 @@ object EventStream {
                   stream: DataFrame): DataFrame =
     graft.operators.GzipSim.stats(spark, stream)
 
+  /** Streaming TFRecord ingest — d107's streaming twin: the strict
+    * double-masked-CRC record walk per micro-batch through the same
+    * batched mapPartitions contract (stateless, map-only).
+    * Bit-identical to the batch stats (spec-pinned). */
+  def tfRecords(spark: org.apache.spark.sql.SparkSession,
+                stream: DataFrame): DataFrame =
+    graft.operators.TfRecordSim.stats(spark, stream)
+
   /** Streaming unigram-LM encode — d100's streaming twin: the
     * trained model rides the plan as a reference object and the
     * Viterbi expression is stateless column arithmetic, so the

@@ -576,6 +576,13 @@ object ScaleRehearsal {
       ratio("mulaw decode (d103)", mulawDec(base), mulawDec(big))
       ratio("tar shard walk (d104)", tarDec(base), tarDec(big))
       ratio("gzip text decode (d106)", gzDec(base), gzDec(big))
+      ratio("tfrecord walk (d107)",
+        graft.operators.TfRecordSim.stats(spark,
+          graft.operators.TfRecordSim.payloads(base.select(col("doc_id"))))
+          .filter(col("status") === "ok").count(),
+        graft.operators.TfRecordSim.stats(spark,
+          graft.operators.TfRecordSim.payloads(big.select(col("doc_id"))))
+          .filter(col("status") === "ok").count())
     }
     // curation capstone: extraction map-only, dedup partial-agg (the
     // replicas are EXACT dups — adversarial for the keeper agg), shard

@@ -196,6 +196,11 @@ class AnsiRobustnessSpec extends AnyFunSuite {
       docs.select(col("doc_id"), col("text")).limit(42))
     assert(gz.filter(col("status") === "ok").count() > 0)
     assert(gz.filter(col("status") === "quarantined").count() > 0)
+    // and the TFRecord walk (masked CRC-32C rotation arithmetic)
+    val tfr = graft.operators.TfRecordSim.stats(spark,
+      graft.operators.TfRecordSim.payloads(docs.select(col("doc_id")).limit(42)))
+    assert(tfr.filter(col("status") === "ok").count() > 0)
+    assert(tfr.filter(col("status") === "quarantined").count() > 0)
     val traj = graft.operators.UnigramLm.train(docs, col("text"), rounds = 1)
     assert(traj.filter(col("round") === 1).count() > 0)
     val model = new graft.functions.UnigramModel(

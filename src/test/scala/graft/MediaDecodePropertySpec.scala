@@ -825,4 +825,43 @@ object MediaDecodePropertySpec extends Properties("MediaDecode") {
       if (id % 7 == 0 || id % 7 == 3 || id % 7 == 5) got.isEmpty
       else got.exists(_.map(new String(_, "UTF-8")).mkString == text)
     }
+
+  // ---- TFRecord ----------------------------------------------------
+
+  import graft.operators.{TfRecordCodec, TfRecordSim}
+
+  property("tfrecord: encode∘decode = identity, arbitrary records") =
+    Prop.forAll(Gen.choose(0, 6).flatMap(Gen.listOfN(_, bytesGen))) { rs =>
+      TfRecordCodec.decode(TfRecordCodec.encode(rs)).exists { got =>
+        got.length == rs.length &&
+          got.zip(rs).forall { case (g, r) => java.util.Arrays.equals(g, r) }
+      }
+    }
+
+  /** The masked-CRC frame: flipping ANY bit anywhere in the stream is
+    * caught — length fields, either CRC, or data all land inside one
+    * of the two checksums' coverage. The property the format's
+    * double-checksum design promises. */
+  property("tfrecord: any single-bit flip anywhere quarantines") =
+    Prop.forAll(Gen.choose(0L, 4000L), Gen.choose(0, 1 << 20), Gen.choose(0, 7)) { (id, at0, bit) =>
+      val shard = TfRecordSim.cleanShard(id)
+      val at = at0 % shard.length
+      val bad = shard.clone()
+      bad(at) = (bad(at) ^ (1 << bit)).toByte
+      TfRecordCodec.decode(bad).isEmpty
+    }
+
+  property("tfrecord: any truncation quarantines; empty stream is a valid shard") =
+    Prop.forAll(Gen.choose(0L, 1L << 40), Gen.choose(1, 15)) { (seed, cut) =>
+      val shard = TfRecordSim.cleanShard(seed)
+      TfRecordCodec.decode(shard.take(shard.length - cut)).isEmpty &&
+        TfRecordCodec.decode(Array.emptyByteArray).exists(_.isEmpty)
+    }
+
+  property("tfrecord: the three d107 damage modes quarantine, clean ids decode") =
+    Prop.forAll(Gen.choose(0L, 4000L)) { id =>
+      val got = TfRecordCodec.decode(TfRecordSim.payloadFor(id))
+      if (id % 7 == 0 || id % 7 == 3 || id % 7 == 5) got.isEmpty
+      else got.exists(_.length == TfRecordSim.nRecords(id))
+    }
 }

@@ -959,6 +959,30 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("status") === "quarantined").count() == 9)
   }
 
+  test("streaming tfrecord ingest matches batch bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val payloadRows = graft.operators.TfRecordSim
+      .payloads((0L until 21L).toDF("doc_id"))
+      .select("doc_id", "payload").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val ps = MemoryStream[(Long, Array[Byte])]
+    val q = graft.streaming.EventStream.tfRecords(spark,
+        ps.toDF().toDF("doc_id", "payload"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tfr_out").start()
+    ps.addData(payloadRows.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("tfr_out").orderBy("doc_id").collect().map(_.toString)
+    val want = graft.operators.TfRecordSim.stats(spark,
+        payloadRows.toSeq.toDF("doc_id", "payload"))
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(got.toSeq == want.toSeq && got.length == 21)
+    assert(spark.table("tfr_out")
+      .filter(col("status") === "quarantined").count() == 9)
+  }
+
   test("streaming unigram encode matches the batch expression") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
