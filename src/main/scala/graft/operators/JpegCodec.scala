@@ -16,11 +16,14 @@ import org.apache.spark.sql.types._
   * Annex K examples).
   *
   * Scope (the d98 discipline): baseline sequential SOF0, 8-bit,
-  * 1-component grayscale or 3-component YCbCr at 4:4:4 — everything
-  * else (progressive, 12-bit, subsampled, arithmetic-coded)
-  * QUARANTINES rather than crashes. The decoder reads any conformant
-  * stream in scope (javax.imageio-written grayscale JPEGs are pinned
-  * in MediaDecodePropertySpec), not just its own encoder's output.
+  * 1-component grayscale or 3-component YCbCr at 4:4:4, 4:2:2 or
+  * 4:2:0 (sampling factors 1-2 — what real camera/libjpeg output
+  * uses; chroma upsampled by replication at the color convert) —
+  * everything else (progressive, 12-bit, 3-4x factors,
+  * arithmetic-coded) QUARANTINES rather than crashes. The decoder
+  * reads any conformant stream in scope (javax.imageio-written
+  * grayscale AND 4:2:0 color JPEGs are pinned in
+  * MediaDecodePropertySpec), not just its own encoder's output.
   *
   * Determinism: the DCT runs in doubles, so coefficients that are
   * integers in exact arithmetic land within ~1e-13 of them; [[snap]]
@@ -525,12 +528,13 @@ object JpegCodec {
   /** STRICT baseline decode → (w, h, comps, pixels) where pixels is
     * row-major at 1 (gray) or 3 (RGB) bytes/px, or None for anything
     * malformed or out of scope: bad SOI, segment framing past the
-    * buffer, progressive/extended/12-bit/subsampled/arithmetic
-    * streams, undefined table references, invalid Huffman codes,
-    * coefficient overrun, out-of-sequence restarts, a truncated
-    * entropy stream, a missing EOI, or trailing bytes after it.
-    * APPn/COM segments are skipped (a conformant reader must
-    * tolerate metadata). */
+    * buffer, progressive/extended/12-bit/arithmetic streams,
+    * sampling factors above 2, undefined table references, invalid
+    * Huffman codes, coefficient overrun, out-of-sequence restarts, a
+    * truncated entropy stream, a missing EOI, or trailing bytes
+    * after it. 4:2:2/4:2:0 subsampled color IS in scope (real camera
+    * output). APPn/COM segments are skipped (a conformant reader
+    * must tolerate metadata). */
   private[graft] def decodeNative(b: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
     if (b == null || b.length < 4) return None
     if ((b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return None
@@ -541,6 +545,8 @@ object JpegCodec {
       val acTabs = new Array[HuffDec](4)
       var w = -1; var h = -1; var ncomp = 0
       var compQt: Array[Int] = null
+      var sampH: Array[Int] = null
+      var sampV: Array[Int] = null
       var restartInterval = 0
       var sofSeen = false
 
@@ -605,14 +611,28 @@ object JpegCodec {
             if (ncomp != 1 && ncomp != 3) throw Malformed
             if (end - pos != 3 * ncomp) throw Malformed
             compQt = new Array[Int](ncomp)
+            sampH = new Array[Int](ncomp)
+            sampV = new Array[Int](ncomp)
             var c = 0
             while (c < ncomp) {
               val hv = b(pos + 3 * c + 1) & 0xFF
-              if (hv != 0x11) throw Malformed // subsampling out of scope
+              sampH(c) = hv >> 4; sampV(c) = hv & 0x0F
+              // factors 1..2 cover 4:4:4, 4:2:2 and 4:2:0 — what real
+              // camera/libjpeg output uses; 3-4x factors are exotic
+              if (sampH(c) < 1 || sampH(c) > 2 ||
+                sampV(c) < 1 || sampV(c) > 2) throw Malformed
               compQt(c) = b(pos + 3 * c + 2) & 0xFF
               if (compQt(c) > 3) throw Malformed
               c += 1
             }
+            // a single-component scan is non-interleaved: its MCU is
+            // one data unit regardless of declared factors (T.81
+            // A.2.2), so factors are irrelevant — normalize
+            if (ncomp == 1) { sampH(0) = 1; sampV(0) = 1 }
+            // luma must carry the max factors (chroma-supersampled
+            // streams are out of scope)
+            if (ncomp == 3 && (sampH.max != sampH(0) || sampV.max != sampV(0)))
+              throw Malformed
             pos = end
             sofSeen = true
           case 0xC1 | 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB | 0xCD | 0xCE | 0xCF =>
@@ -647,7 +667,8 @@ object JpegCodec {
               c += 1
             }
             val pixels = decodeScan(b, pos, w, h, ncomp, compQt, qts,
-              dcSel.map(dcTabs), acSel.map(acTabs), restartInterval) match {
+              dcSel.map(dcTabs), acSel.map(acTabs), restartInterval,
+              sampH, sampV) match {
               case (px, endPos) => pos = endPos; px
             }
             // EOI then nothing: trailing garbage quarantines (the d98
@@ -669,14 +690,32 @@ object JpegCodec {
   }
 
   /** Interleaved single-scan entropy decode + dequant + IDCT + color
-    * convert. Returns (pixels, position after the last entropy byte). */
+    * convert, with per-component sampling factors (4:4:4, 4:2:2,
+    * 4:2:0): each MCU carries Hc×Vc blocks per component, the
+    * component planes live at their natural (subsampled) resolution,
+    * and chroma upsamples by replication at the color convert —
+    * box/nearest, the T.81-neutral choice (libjpeg's optional
+    * triangle filter differs by ≤ the inter-sample chroma delta,
+    * which the interop property bounds on smooth content). Returns
+    * (pixels, position after the last entropy byte). */
   private def decodeScan(b: Array[Byte], start: Int, w: Int, h: Int, ncomp: Int,
                          compQt: Array[Int], qts: Array[Array[Int]],
                          dcTab: Array[HuffDec], acTab: Array[HuffDec],
-                         restartInterval: Int): (Array[Byte], Int) = {
+                         restartInterval: Int,
+                         sampH: Array[Int], sampV: Array[Int]): (Array[Byte], Int) = {
     val br = new BitReader(b, start)
-    val mcusX = (w + 7) / 8; val mcusY = (h + 7) / 8
-    val planes = Array.fill(ncomp)(new Array[Int](w * h))
+    val hMax = sampH.max; val vMax = sampV.max
+    val mcuW = 8 * hMax; val mcuH = 8 * vMax
+    val mcusX = (w + mcuW - 1) / mcuW; val mcusY = (h + mcuH - 1) / mcuH
+    val planeW = new Array[Int](ncomp); val planeH = new Array[Int](ncomp)
+    val planes = new Array[Array[Int]](ncomp)
+    var c0 = 0
+    while (c0 < ncomp) {
+      planeW(c0) = mcusX * sampH(c0) * 8
+      planeH(c0) = mcusY * sampV(c0) * 8
+      planes(c0) = new Array[Int](planeW(c0) * planeH(c0))
+      c0 += 1
+    }
     val dcPred = new Array[Int](ncomp)
     val coef = new Array[Double](64)
     var rstMark = 0
@@ -696,49 +735,56 @@ object JpegCodec {
         }
         var c = 0
         while (c < ncomp) {
-          java.util.Arrays.fill(coef, 0.0)
-          val qt = qts(compQt(c))
-          // DC
-          val s = decodeHuff(br, dcTab(c))
-          if (s > 11) throw Malformed
-          val diff = extend(br.bits(s), s)
-          dcPred(c) += diff
-          coef(0) = dcPred(c).toDouble * qt(0)
-          // AC
-          var z = 1
-          var eob = false
-          while (z < 64 && !eob) {
-            val rs = decodeHuff(br, acTab(c))
-            val run = rs >> 4; val sz = rs & 0x0F
-            if (sz == 0) {
-              if (run == 15) z += 16 // ZRL
-              else eob = true // EOB (run must be 0 in-scope; others are undefined symbols)
-            } else {
-              z += run
-              if (z > 63 || sz > 10) throw Malformed
-              val n = ZIGZAG(z)
-              coef(n) = extend(br.bits(sz), sz).toDouble * qt(n)
-              z += 1
-            }
-          }
-          if (z > 64) throw Malformed
-          val spatial = idct(coef)
-          // write with edge crop; spatial is row-major (by*8+bx),
-          // the same T.81 layout the encoder builds
-          var by = 0
-          while (by < 8) {
-            val sy = my * 8 + by
-            if (sy < h) {
-              var bx = 0
-              while (bx < 8) {
-                val sx = mx * 8 + bx
-                if (sx < w)
-                  planes(c)(sy * w + sx) =
-                    clamp255(math.round(snap(spatial(by * 8 + bx) + 128.0)))
-                bx += 1
+          var v = 0
+          while (v < sampV(c)) {
+            var u = 0
+            while (u < sampH(c)) {
+              java.util.Arrays.fill(coef, 0.0)
+              val qt = qts(compQt(c))
+              // DC
+              val s = decodeHuff(br, dcTab(c))
+              if (s > 11) throw Malformed
+              val diff = extend(br.bits(s), s)
+              dcPred(c) += diff
+              coef(0) = dcPred(c).toDouble * qt(0)
+              // AC
+              var z = 1
+              var eob = false
+              while (z < 64 && !eob) {
+                val rs = decodeHuff(br, acTab(c))
+                val run = rs >> 4; val sz = rs & 0x0F
+                if (sz == 0) {
+                  if (run == 15) z += 16 // ZRL
+                  else eob = true // EOB (run must be 0 in-scope)
+                } else {
+                  z += run
+                  if (z > 63 || sz > 10) throw Malformed
+                  val n = ZIGZAG(z)
+                  coef(n) = extend(br.bits(sz), sz).toDouble * qt(n)
+                  z += 1
+                }
               }
+              if (z > 64) throw Malformed
+              val spatial = idct(coef)
+              // place into the component plane (natural resolution);
+              // spatial is row-major (by*8+bx), the T.81 layout
+              val pw = planeW(c)
+              val ox = (mx * sampH(c) + u) * 8
+              val oy = (my * sampV(c) + v) * 8
+              var by = 0
+              while (by < 8) {
+                val row = (oy + by) * pw + ox
+                var bx = 0
+                while (bx < 8) {
+                  planes(c)(row + bx) =
+                    clamp255(math.round(snap(spatial(by * 8 + bx) + 128.0)))
+                  bx += 1
+                }
+                by += 1
+              }
+              u += 1
             }
-            by += 1
+            v += 1
           }
           c += 1
         }
@@ -750,20 +796,33 @@ object JpegCodec {
     br.align()
     val pixels = if (ncomp == 1) {
       val out = new Array[Byte](w * h)
-      var i = 0
-      while (i < w * h) { out(i) = planes(0)(i).toByte; i += 1 }
+      val pw = planeW(0)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { out(y * w + x) = planes(0)(y * pw + x).toByte; x += 1 }
+        y += 1
+      }
       out
     } else {
       val out = new Array[Byte](3 * w * h)
-      var i = 0
-      while (i < w * h) {
-        val y = planes(0)(i).toDouble
-        val cb = planes(1)(i) - 128.0
-        val cr = planes(2)(i) - 128.0
-        out(3 * i) = clamp255(math.round(snap(y + 1.402 * cr))).toByte
-        out(3 * i + 1) = clamp255(math.round(snap(y - 0.344136 * cb - 0.714136 * cr))).toByte
-        out(3 * i + 2) = clamp255(math.round(snap(y + 1.772 * cb))).toByte
-        i += 1
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val yy = planes(0)((y * sampV(0) / vMax) * planeW(0) +
+            (x * sampH(0) / hMax)).toDouble
+          val cb = planes(1)((y * sampV(1) / vMax) * planeW(1) +
+            (x * sampH(1) / hMax)) - 128.0
+          val cr = planes(2)((y * sampV(2) / vMax) * planeW(2) +
+            (x * sampH(2) / hMax)) - 128.0
+          val i = y * w + x
+          out(3 * i) = clamp255(math.round(snap(yy + 1.402 * cr))).toByte
+          out(3 * i + 1) = clamp255(math.round(snap(yy - 0.344136 * cb - 0.714136 * cr))).toByte
+          out(3 * i + 2) = clamp255(math.round(snap(yy + 1.772 * cb))).toByte
+          x += 1
+        }
+        y += 1
       }
       out
     }

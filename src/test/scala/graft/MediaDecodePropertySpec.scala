@@ -403,6 +403,41 @@ object MediaDecodePropertySpec extends Properties("MediaDecode") {
       JpegCodec.decodeNative(jpg.take(jpg.length - cut)).isEmpty
     }
 
+  /** Real camera shape: javax.imageio's COLOR writer emits 4:2:0
+    * (h2v2) — our decoder must read it. Pinned on smooth gradients
+    * against ImageIO's own decode: the only systematic difference is
+    * chroma upsampling (our replication vs its triangle filter),
+    * bounded by the inter-sample chroma delta, which a ≤3/px
+    * gradient keeps ≤ ~8; dims and structure must be exact. */
+  property("jpeg: our decoder reads javax.imageio-written 4:2:0 color") =
+    Prop.forAll(Gen.choose(2, 24), Gen.choose(2, 20),
+      Gen.choose(0, 60), Gen.choose(0, 60)) { (w, h, bx, by) =>
+      val bi = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w) {
+        val r = bx + 2 * x + y; val g = by + x + 2 * y; val bl = 40 + x + y
+        bi.setRGB(x, y, (r << 16) | (g << 8) | bl)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "jpg", bos)
+      val b = bos.toByteArray
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      JpegCodec.decodeNative(b).exists { case (gw, gh, nc, px) =>
+        gw == w && gh == h && nc == 3 &&
+          (0 until h).forall(y => (0 until w).forall { x =>
+            val p = ref.getRGB(x, y)
+            (0 until 3).forall { ch =>
+              val iv = ch match {
+                case 0 => (p >> 16) & 0xFF
+                case 1 => (p >> 8) & 0xFF
+                case _ => p & 0xFF
+              }
+              math.abs((px(3 * (y * w + x) + ch) & 0xFF) - iv) <= 8
+            }
+          })
+      }
+    }
+
   property("jpeg: the three d101 damage modes quarantine, clean ids decode") =
     Prop.forAll(Gen.choose(0L, 4000L)) { id =>
       val got = JpegCodec.decodeSums(JpegSim.payloadFor(id))
