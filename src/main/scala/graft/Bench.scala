@@ -43,7 +43,8 @@ object Bench {
     "d96_pack_manifest", "d97_video_decode", "d98_png_decode",
     "d99_unigram_lm", "d100_unigram_encode", "d101_jpeg_decode",
     "d102_gif_decode", "d103_mulaw_decode", "d104_tar_shards",
-    "d105_webdataset_samples", "d106_jsonl_gz", "d107_tfrecord")
+    "d105_webdataset_samples", "d106_jsonl_gz", "d107_tfrecord",
+    "d108_warc_records")
 
   /** Fixed CPU-bound calibration microbench ("DotBench"): scalar dot
     * products over pinned-size float arrays with deterministic

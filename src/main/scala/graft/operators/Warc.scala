@@ -1,0 +1,317 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** WARC/1.0 (ISO 28500) reader for the d108 gate — the container web
+  * crawls actually ship in: a `.warc.gz` file is a sequence of gzip
+  * MEMBERS, one WARC record per member (the layout crawl archives use
+  * so a reader can seek to a record and inflate just it). The gzip
+  * layer is [[GzipCodec]] (d106 — framing, FHCRC, CRC-32 + ISIZE all
+  * verified per member); this file owns the WARC grammar on top:
+  *
+  *   WARC/1.0 CRLF · named-field lines CRLF · CRLF · block · CRLF CRLF
+  *
+  * with `Content-Length` giving the exact block size in octets and
+  * field NAMES case-insensitive (the spec's grammar; values are not).
+  * Response records carry an HTTP/1.1 message as their block — status
+  * line, headers, CRLF CRLF, body — and when the HTTP headers declare
+  * their own Content-Length it must match the body exactly (a crawl
+  * writer that disagrees with itself is corrupt, not sloppy).
+  *
+  * Scope (the d98 discipline): WARC/1.0, one record per member,
+  * blocks under 1 GiB, no header-line folding (legal in the grammar,
+  * absent from crawl writers) — anything else QUARANTINES rather than
+  * crashes. Unknown WARC-Types pass through as opaque records; the
+  * gate's shard shape (warcinfo + request + response) only constrains
+  * what [[WarcSim.stats]] reports, not what the parser accepts.
+  *
+  * Reference anchor: same constructor∘decoder discipline as the
+  * d89-d107 gates (SURVEY §2.5). The gzip layer is pinned against
+  * `gzip` and the JDK independently (d106); the WARC text grammar is
+  * pinned against a HAND-WRITTEN raw fixture in
+  * MediaDecodePropertySpec (a literal byte string, not this file's
+  * encoder) so encoder∘decoder compensating bugs can't hide.
+  */
+object WarcCodec {
+
+  private val MAX_BLOCK = 1L << 30
+
+  private object Malformed extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  /** One parsed record: type, the (lowercased-name → value) header
+    * map, and the raw block bytes. */
+  private[graft] final case class WarcRec(
+      warcType: String,
+      headers: Map[String, String],
+      block: Array[Byte])
+
+  private val CRLF = "\r\n".getBytes("US-ASCII")
+
+  /** Render one record (version line, fields in the given order,
+    * block, record trailer) — UNCOMPRESSED. `lenDelta` skews the
+    * declared Content-Length (the d108 damage-5 constructor); 0 for
+    * conformant output. */
+  private[graft] def renderRecord(fields: Seq[(String, String)],
+                                  block: Array[Byte],
+                                  lenDelta: Int = 0): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(block.length + 256)
+    out.write("WARC/1.0\r\n".getBytes("US-ASCII"))
+    fields.foreach { case (k, v) =>
+      out.write(s"$k: $v\r\n".getBytes("US-ASCII"))
+    }
+    out.write(s"Content-Length: ${block.length + lenDelta}\r\n".getBytes("US-ASCII"))
+    out.write(CRLF)
+    out.write(block, 0, block.length)
+    out.write(CRLF); out.write(CRLF)
+    out.toByteArray
+  }
+
+  /** Encode records as the crawl layout: one gzip member each,
+    * concatenated. */
+  private[graft] def encode(records: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    records.foreach { r =>
+      val g = GzipCodec.gzipMember(r)
+      out.write(g, 0, g.length)
+    }
+    out.toByteArray
+  }
+
+  /** Find the next CRLF at/after `from`; Malformed if the line runs
+    * past the buffer or contains a bare CR/LF (strict grammar). */
+  private def lineEnd(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i < b.length) {
+      if (b(i) == '\r') {
+        if (i + 1 >= b.length || b(i + 1) != '\n') throw Malformed
+        return i
+      }
+      if (b(i) == '\n') throw Malformed // LF without CR
+      i += 1
+    }
+    throw Malformed // no terminator
+  }
+
+  /** Parse one named-field block starting at `pos`: lines until the
+    * empty CRLF line. Returns (lowercased-name → value, posAfterBlank).
+    * Duplicate names and folded continuation lines quarantine (out of
+    * scope — crawl writers emit neither). */
+  private def parseFields(b: Array[Byte], pos0: Int): (Map[String, String], Int) = {
+    var pos = pos0
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var done = false
+    while (!done) {
+      val e = lineEnd(b, pos)
+      if (e == pos) { done = true; pos += 2 }
+      else {
+        val line = new String(b, pos, e - pos, "US-ASCII")
+        if (line(0) == ' ' || line(0) == '\t') throw Malformed // folding: out of scope
+        val c = line.indexOf(':')
+        if (c <= 0) throw Malformed
+        val name = line.substring(0, c)
+        if (name.exists(ch => ch <= ' ' || ch >= 127)) throw Malformed
+        val key = name.toLowerCase(java.util.Locale.ROOT)
+        if (m.contains(key)) throw Malformed
+        m(key) = line.substring(c + 1).trim
+        pos = e + 2
+      }
+    }
+    (m.toMap, pos)
+  }
+
+  private def parseLen(s: String): Long = {
+    if (s.isEmpty || s.length > 12 || !s.forall(c => c >= '0' && c <= '9'))
+      throw Malformed
+    s.toLong
+  }
+
+  /** Parse one member as exactly one WARC/1.0 record; trailing bytes
+    * after the record trailer quarantine (one record per member IS
+    * the crawl layout this gate reads). */
+  private def parseRecord(b: Array[Byte]): WarcRec = {
+    val e0 = lineEnd(b, 0)
+    if (new String(b, 0, e0, "US-ASCII") != "WARC/1.0") throw Malformed
+    val (hdrs, blockStart) = parseFields(b, e0 + 2)
+    val wtype = hdrs.getOrElse("warc-type", throw Malformed)
+    if (!hdrs.contains("warc-record-id") || !hdrs.contains("warc-date"))
+      throw Malformed
+    val len = parseLen(hdrs.getOrElse("content-length", throw Malformed))
+    if (len > MAX_BLOCK || blockStart + len + 4 != b.length) throw Malformed
+    val bs = blockStart.toLong
+    // record trailer: exactly CRLF CRLF then member end
+    val t = (bs + len).toInt
+    if (b(t) != '\r' || b(t + 1) != '\n' || b(t + 2) != '\r' || b(t + 3) != '\n')
+      throw Malformed
+    if (wtype.isEmpty || !wtype.forall(c => c > ' ' && c < 127)) throw Malformed
+    WarcRec(wtype, hdrs, java.util.Arrays.copyOfRange(b, blockStart, t))
+  }
+
+  /** STRICT decode of a `.warc.gz` stream → records, or None for
+    * anything malformed at either layer (gzip framing/integrity, WARC
+    * grammar, block length vs member size, missing mandatory fields,
+    * HTTP self-disagreement is caught later in [[parseHttpResponse]]). */
+  private[graft] def decode(b: Array[Byte]): Option[Seq[WarcRec]] =
+    try {
+      GzipCodec.decode(b) match {
+        case None => None
+        case Some(members) =>
+          if (members.isEmpty) None
+          else Some(members.map(parseRecord))
+      }
+    } catch {
+      case Malformed => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+
+  /** Parse a response record's HTTP/1.1 message block → (status code,
+    * body bytes). Strict: `HTTP/1.1 SP 3-digits SP reason`, named
+    * headers, CRLF CRLF, body = the rest; an HTTP Content-Length that
+    * disagrees with the actual body quarantines; chunked transfer is
+    * out of scope. */
+  private[graft] def parseHttpResponse(block: Array[Byte]): Option[(Int, Array[Byte])] =
+    try {
+      val e0 = lineEnd(block, 0)
+      val sl = new String(block, 0, e0, "US-ASCII")
+      if (!sl.startsWith("HTTP/1.1 ") || sl.length < 12) throw Malformed
+      val code = sl.substring(9, 12)
+      if (!code.forall(c => c >= '0' && c <= '9')) throw Malformed
+      if (sl.length > 12 && sl(12) != ' ') throw Malformed
+      val (hdrs, bodyStart) = parseFields(block, e0 + 2)
+      val body = java.util.Arrays.copyOfRange(block, bodyStart, block.length)
+      hdrs.get("content-length").foreach { cl =>
+        if (parseLen(cl) != body.length.toLong) throw Malformed
+      }
+      if (hdrs.get("transfer-encoding").exists(_.nonEmpty)) throw Malformed
+      Some((code.toInt, body))
+    } catch {
+      case Malformed => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+}
+
+/** d108 gate — the corpus's REAL text through the `.warc.gz` crawl
+  * container: every doc becomes a three-record shard (warcinfo +
+  * request + response, the capture shape crawl writers emit per
+  * fetched page), each record its own gzip member; the strict
+  * two-layer decode (gzip integrity, WARC grammar, HTTP framing)
+  * extracts the response body and reduces to stats the oracle replays
+  * straight off `documents`: record count, HTTP status (closed form
+  * 404 on doc_id%11==0, else 200), exact body byte count
+  * (= octet_length(text)), the target URI (closed-form synthetic
+  * example host), plus the in-plan body round-trip verdict.
+  *
+  * Damage slice on doc_id%7: 0 → truncated mid gzip trailer (the
+  * interrupted-write shape; a member-boundary cut would be a VALID
+  * shorter shard — the d106 lesson), 3 → version stomped to WARC/9.9
+  * pre-compression (gzip layer stays intact: only the WARC grammar
+  * catches it), 5 → the response record's Content-Length off by one
+  * (the block-framing field the format exists for — the record
+  * trailer lands shifted and the parse quarantines). */
+object WarcSim {
+
+  private def uri(docId: Long) = s"http://corpus.example/doc/$docId"
+
+  private[graft] def httpStatus(docId: Long): Int =
+    if (docId % 11 == 0) 404 else 200
+
+  /** The three raw (uncompressed) records of one shard, pre-damage.
+    * `respLenDelta` skews the response record's declared
+    * Content-Length (damage mode 5); 0 for a conformant shard. */
+  private[graft] def records(docId: Long, text: String,
+                             respLenDelta: Int = 0): Seq[Array[Byte]] = {
+    val date = "2026-01-01T00:00:00Z"
+    val rid = f"<urn:uuid:00000000-0000-4000-8000-${docId}%012d>"
+    val info = WarcCodec.renderRecord(
+      Seq("WARC-Type" -> "warcinfo", "WARC-Record-ID" -> rid,
+        "WARC-Date" -> date, "Content-Type" -> "application/warc-fields"),
+      "software: graft-warc/1.0\r\nformat: WARC File Format 1.0\r\n"
+        .getBytes("US-ASCII"))
+    val req = WarcCodec.renderRecord(
+      Seq("WARC-Type" -> "request", "WARC-Record-ID" -> rid,
+        "WARC-Date" -> date, "WARC-Target-URI" -> uri(docId),
+        "Content-Type" -> "application/http; msgtype=request"),
+      s"GET /doc/$docId HTTP/1.1\r\nHost: corpus.example\r\n\r\n"
+        .getBytes("US-ASCII"))
+    val body = text.getBytes("UTF-8")
+    val httpHead =
+      (s"HTTP/1.1 ${httpStatus(docId)} ${if (httpStatus(docId) == 404) "Not Found" else "OK"}\r\n" +
+        "Content-Type: text/plain; charset=utf-8\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII")
+    val httpMsg = new Array[Byte](httpHead.length + body.length)
+    System.arraycopy(httpHead, 0, httpMsg, 0, httpHead.length)
+    System.arraycopy(body, 0, httpMsg, httpHead.length, body.length)
+    val resp = WarcCodec.renderRecord(
+      Seq("WARC-Type" -> "response", "WARC-Record-ID" -> rid,
+        "WARC-Date" -> date, "WARC-Target-URI" -> uri(docId),
+        "Content-Type" -> "application/http; msgtype=response"),
+      httpMsg, respLenDelta)
+    Seq(info, req, resp)
+  }
+
+  private[graft] def payloadFor(docId: Long, text: String): Array[Byte] = {
+    lazy val raw = records(docId, text)
+    (docId % 7) match {
+      case 0 =>
+        val clean = WarcCodec.encode(raw)
+        java.util.Arrays.copyOf(clean, clean.length - 5)
+      case 3 =>
+        val d = raw.head.clone()
+        d(5) = '9'; d(7) = '9' // WARC/1.0 → WARC/9.9, pre-compression
+        WarcCodec.encode(d +: raw.tail)
+      case 5 =>
+        // the response record's WARC Content-Length off by one: the
+        // block-framing field the format exists for — the record
+        // trailer lands shifted and the parse quarantines
+        WarcCodec.encode(records(docId, text, respLenDelta = 1))
+      case _ => WarcCodec.encode(raw)
+    }
+  }
+
+  val statsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("status", StringType),
+    StructField("n_records", LongType),
+    StructField("http_status", LongType),
+    StructField("body_bytes", LongType),
+    StructField("target_uri", StringType),
+    StructField("body_roundtrip", BooleanType)))
+
+  /** Batched strict decode → per-doc stats with quarantine — the d108
+    * gate. Map-only: the payload is synthesized per row from the real
+    * text column (no join), decoded through both layers, and the
+    * response body compared byte-for-byte against the source text. */
+  def stats(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(statsSchema)
+    docs.select(col("doc_id"), col("text"))
+      .mapPartitions { rows =>
+        rows.grouped(Multimodal.BATCH_SIZE).flatMap { batch =>
+          batch.iterator.map { r =>
+            val id = r.getLong(0)
+            val text = r.getString(1)
+            val parsed = WarcCodec.decode(payloadFor(id, text)).flatMap { recs =>
+              val resp = recs.filter(_.warcType == "response")
+              if (resp.length != 1) None
+              else WarcCodec.parseHttpResponse(resp.head.block).map {
+                case (code, body) =>
+                  (recs.length.toLong, code.toLong, body,
+                    resp.head.headers.getOrElse("warc-target-uri", ""))
+              }
+            }
+            parsed match {
+              case Some((n, code, body, target)) =>
+                Row(id, "ok", n, code, body.length.toLong, target,
+                  java.lang.Boolean.valueOf(
+                    java.util.Arrays.equals(body, text.getBytes("UTF-8"))))
+              case None =>
+                Row(id, "quarantined", null, null, null, null, null)
+            }
+          }
+        }
+      }(enc)
+  }
+}

@@ -1171,6 +1171,21 @@ object PipelineQueries {
       TfRecordSim.stats(s, TfRecordSim.payloads(docs(s, dir)))
         .orderBy("doc_id")),
 
+    // the crawl container itself — WARC/1.0 over per-record gzip
+    // members (the .warc.gz layout web archives ship): every doc
+    // becomes a warcinfo+request+response shard carrying the REAL
+    // text as the HTTP response body; the strict two-layer decode
+    // (d106's gzip integrity underneath, WARC grammar + HTTP framing
+    // on top, HTTP Content-Length self-agreement verified) extracts
+    // the body back out. doc_id%7∈{0,3,5} damaged (mid-trailer
+    // truncation / version stomped pre-compression so only the WARC
+    // grammar catches it / response Content-Length off by one — the
+    // block-framing field the format exists for); oracle replays
+    // record counts, closed-form status/URI, and exact body bytes
+    // straight off documents.text
+    "d108_warc_records" -> ((s, dir) =>
+      WarcSim.stats(s, docs(s, dir)).orderBy("doc_id")),
+
     // unigram-LM tokenizer training (SentencePiece family) — the
     // third trainer next to BPE (d82) and WordPiece (d78): substring
     // seed vocab, then hard-EM rounds of Viterbi segmentation +
@@ -2771,6 +2786,24 @@ object PipelineQueries {
     // the TFRecord gate replays the shard layout arithmetically:
     // K = 3 + doc_id%6 records, lengths and content bytes from the
     // closed-form recurrences over bounded (≤9×37) grids
+    // the WARC gate replays off the REAL text column (the d106
+    // discipline): record count is the fixed shard shape, status/URI
+    // are closed forms, body bytes are octet_length of the UTF-8
+    // encoding, roundtrip is the in-plan verdict (literal TRUE — the
+    // d13/d41 pattern; divergence breaks the hash)
+    "d108_warc_records" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 IN (0, 3, 5) THEN 'quarantined' ELSE 'ok' END AS status,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE 3 END)::BIGINT AS n_records,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL
+        |        WHEN doc_id % 11 = 0 THEN 404 ELSE 200 END)::BIGINT AS http_status,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL
+        |        ELSE octet_length(encode(text)) END)::BIGINT AS body_bytes,
+        |  CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL
+        |       ELSE printf('http://corpus.example/doc/%d', doc_id) END AS target_uri,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE TRUE END)::BOOLEAN AS body_roundtrip
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
     "d107_tfrecord" ->
       """WITH si AS (SELECT range AS i FROM range(9)),
         | js AS (SELECT range AS j FROM range(37)),

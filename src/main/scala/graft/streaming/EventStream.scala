@@ -549,6 +549,16 @@ object EventStream {
                 stream: DataFrame): DataFrame =
     graft.operators.TfRecordSim.stats(spark, stream)
 
+  /** Streaming WARC ingest — d108's streaming twin: the strict
+    * two-layer decode (gzip member integrity, WARC grammar + HTTP
+    * framing) runs per micro-batch through the same batched
+    * mapPartitions contract (stateless, map-only), so a live crawl
+    * feed quarantines at the ingest edge exactly like the batch
+    * walk. Bit-identical to the batch stats (spec-pinned). */
+  def warcRecords(spark: org.apache.spark.sql.SparkSession,
+                  stream: DataFrame): DataFrame =
+    graft.operators.WarcSim.stats(spark, stream)
+
   /** Streaming unigram-LM encode — d100's streaming twin: the
     * trained model rides the plan as a reference object and the
     * Viterbi expression is stateless column arithmetic, so the

@@ -576,6 +576,13 @@ object ScaleRehearsal {
       ratio("mulaw decode (d103)", mulawDec(base), mulawDec(big))
       ratio("tar shard walk (d104)", tarDec(base), tarDec(big))
       ratio("gzip text decode (d106)", gzDec(base), gzDec(big))
+      ratio("warc two-layer walk (d108)",
+        graft.operators.WarcSim.stats(spark,
+          base.select(col("doc_id"), col("text")))
+          .filter(col("status") === "ok").count(),
+        graft.operators.WarcSim.stats(spark,
+          big.select(col("doc_id"), col("text")))
+          .filter(col("status") === "ok").count())
       ratio("tfrecord walk (d107)",
         graft.operators.TfRecordSim.stats(spark,
           graft.operators.TfRecordSim.payloads(base.select(col("doc_id"))))

@@ -196,6 +196,11 @@ class AnsiRobustnessSpec extends AnyFunSuite {
       docs.select(col("doc_id"), col("text")).limit(42))
     assert(gz.filter(col("status") === "ok").count() > 0)
     assert(gz.filter(col("status") === "quarantined").count() > 0)
+    // and the WARC two-layer walk (gzip trailer + length framing)
+    val warc = graft.operators.WarcSim.stats(spark,
+      docs.select(col("doc_id"), col("text")).limit(42))
+    assert(warc.filter(col("status") === "ok").count() > 0)
+    assert(warc.filter(col("status") === "quarantined").count() > 0)
     // and the TFRecord walk (masked CRC-32C rotation arithmetic)
     val tfr = graft.operators.TfRecordSim.stats(spark,
       graft.operators.TfRecordSim.payloads(docs.select(col("doc_id")).limit(42)))

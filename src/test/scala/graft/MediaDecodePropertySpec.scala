@@ -899,4 +899,81 @@ object MediaDecodePropertySpec extends Properties("MediaDecode") {
       if (id % 7 == 0 || id % 7 == 3 || id % 7 == 5) got.isEmpty
       else got.exists(_.length == TfRecordSim.nRecords(id))
     }
+
+  // ---- WARC --------------------------------------------------------
+
+  import graft.operators.{WarcCodec, WarcSim}
+
+  private val warcTextGen: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', '\n', '\r'),
+      1 -> Gen.oneOf('é', 'ß', '試', ' '))).map(_.mkString)
+
+  property("warc: encode∘decode = identity through both layers") =
+    Prop.forAll(Gen.choose(0L, 1L << 40), warcTextGen) { (id, text) =>
+      val cleanId = id - id % 7 + 1 // steer off the damage slice
+      WarcCodec.decode(WarcSim.payloadFor(cleanId, text)).exists { recs =>
+        recs.length == 3 &&
+          recs.map(_.warcType) == Seq("warcinfo", "request", "response") &&
+          WarcCodec.parseHttpResponse(recs.last.block).exists { case (code, body) =>
+            code == WarcSim.httpStatus(cleanId) &&
+              java.util.Arrays.equals(body, text.getBytes("UTF-8"))
+          }
+      }
+    }
+
+  /** INDEPENDENT constructor: a hand-written raw record (literal
+    * bytes, not renderRecord) with lowercase field names, permuted
+    * field order (Content-Length mid-block), and an extension field —
+    * all legal per the ISO 28500 grammar. Catches encoder∘decoder
+    * compensating bugs the round trip can't see. */
+  property("warc: a hand-written fixture with permuted lowercase fields decodes") =
+    Prop.forAll(Gen.alphaNumStr) { s =>
+      val body = s.getBytes("US-ASCII")
+      val http = s"HTTP/1.1 200 OK\r\ncontent-length: ${body.length}\r\n\r\n"
+        .getBytes("US-ASCII") ++ body
+      val raw = (s"WARC/1.0\r\n" +
+        s"content-length: ${http.length}\r\n" +
+        "warc-type: response\r\n" +
+        "X-Graft-Extension: tolerated\r\n" +
+        "warc-record-id: <urn:uuid:0>\r\n" +
+        "warc-date: 2026-01-01T00:00:00Z\r\n" +
+        "WARC-Target-URI: http://corpus.example/fixture\r\n" +
+        "\r\n").getBytes("US-ASCII") ++ http ++ "\r\n\r\n".getBytes("US-ASCII")
+      WarcCodec.decode(WarcCodec.encode(Seq(raw))).exists { recs =>
+        recs.length == 1 && recs.head.warcType == "response" &&
+          WarcCodec.parseHttpResponse(recs.head.block).exists { case (code, b) =>
+            code == 200 && java.util.Arrays.equals(b, body)
+          }
+      }
+    }
+
+  property("warc: any truncation quarantines or is a strict record prefix") =
+    Prop.forAll(Gen.choose(0L, 4000L), warcTextGen, Gen.choose(1, 1 << 16)) {
+      (id, text, cut0) =>
+        val cleanId = id - id % 7 + 1
+        val shard = WarcSim.payloadFor(cleanId, text)
+        val cut = 1 + cut0 % shard.length
+        val full = WarcCodec.decode(shard).get.map(_.warcType)
+        WarcCodec.decode(shard.take(shard.length - cut)) match {
+          case None => true
+          case Some(recs) => recs.length < 3 &&
+            recs.map(_.warcType) == full.take(recs.length)
+        }
+    }
+
+  property("warc: an HTTP Content-Length that disagrees with the body quarantines") =
+    Prop.forAll(Gen.alphaNumStr, Gen.oneOf(-1, 1, 7)) { (s, delta) =>
+      val body = s.getBytes("US-ASCII")
+      val http = s"HTTP/1.1 200 OK\r\nContent-Length: ${body.length + delta}\r\n\r\n"
+        .getBytes("US-ASCII") ++ body
+      WarcCodec.parseHttpResponse(http).isEmpty
+    }
+
+  property("warc: the three d108 damage modes quarantine, clean ids decode") =
+    Prop.forAll(Gen.choose(0L, 4000L), warcTextGen) { (id, text) =>
+      val got = WarcCodec.decode(WarcSim.payloadFor(id, text))
+      if (id % 7 == 0 || id % 7 == 3 || id % 7 == 5) got.isEmpty
+      else got.exists(_.length == 3)
+    }
 }

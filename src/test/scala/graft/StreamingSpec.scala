@@ -983,6 +983,27 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("status") === "quarantined").count() == 9)
   }
 
+  test("streaming warc ingest matches batch bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docRows = (0L until 23L).map(i => (i, s"page body $i\nsecond line"))
+    val ps = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStream.warcRecords(spark,
+        ps.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("warc_out").start()
+    ps.addData(docRows)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("warc_out").orderBy("doc_id").collect().map(_.toString)
+    val want = graft.operators.WarcSim.stats(spark,
+        docRows.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(got.toSeq == want.toSeq && got.length == 23)
+    assert(spark.table("warc_out")
+      .filter(col("status") === "quarantined").count() == 10)
+  }
+
   test("streaming unigram encode matches the batch expression") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
