@@ -1186,6 +1186,19 @@ object PipelineQueries {
     "d108_warc_records" -> ((s, dir) =>
       WarcSim.stats(s, docs(s, dir)).orderBy("doc_id")),
 
+    // the first COMPRESSED video path (d97's AVI carries raw DIB):
+    // Motion-JPEG — the RIFF container walk composed with the real
+    // d101 JPEG decoder, which is what MJPEG is (each 00dc chunk a
+    // complete JFIF stream). Frames are solid grays, so every decoded
+    // pixel is the d101 DC closed form and the oracle replays full
+    // clip sums over a ≤4-frame grid. doc_id%7∈{0,3,5} damaged
+    // (truncated mid-frame / biCompression stomped to MPEG, the
+    // scope-quarantine path / one frame's SOI stomped — corruption
+    // only the per-frame JPEG decode catches)
+    "d109_mjpeg_frames" -> ((s, dir) =>
+      MjpegSim.stats(s, MjpegSim.payloads(docs(s, dir)))
+        .orderBy("doc_id")),
+
     // unigram-LM tokenizer training (SentencePiece family) — the
     // third trainer next to BPE (d82) and WordPiece (d78): substring
     // seed vocab, then hard-EM rounds of Viterbi segmentation +
@@ -2803,6 +2816,32 @@ object PipelineQueries {
         |       ELSE printf('http://corpus.example/doc/%d', doc_id) END AS target_uri,
         |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE TRUE END)::BOOLEAN AS body_roundtrip
         | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // the MJPEG gate replays the clip layout over a bounded ≤4-frame
+    // grid: per-frame solid gray through the d101 DC closed form
+    // (c rounded up to even, clamped), summed across frames and
+    // multiplied out by the frame area — equal channels by the BT.601
+    // gray fixed point (r=g=b=c → Y=c, Cb=Cr=128, exactly)
+    "d109_mjpeg_frames" ->
+      """WITH fi AS (SELECT range AS f FROM range(4)),
+        | p AS (SELECT doc_id, (1 + doc_id % 4)::BIGINT AS k,
+        |   (8 * (1 + doc_id % 4))::INT AS w,
+        |   (8 * (1 + (doc_id * 3) % 5))::INT AS h FROM documents),
+        | m AS (SELECT p.doc_id, p.k, p.w, p.h,
+        |   ((p.doc_id * 9 + 13 * f) % 256) AS c
+        |  FROM p JOIN fi ON f < p.k),
+        | d AS (SELECT doc_id, max(k) AS k, max(w) AS w, max(h) AS h,
+        |   sum(CASE WHEN c % 2 = 0 THEN c ELSE least(c + 1, 255) END)::BIGINT AS sdec
+        |  FROM m GROUP BY 1)
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 7 IN (0, 3, 5) THEN 'quarantined' ELSE 'ok' END AS status,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE k END)::BIGINT AS n_frames,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE w END)::INT AS width,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE h END)::INT AS height,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE w * h * sdec END)::BIGINT AS sum_r,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE w * h * sdec END)::BIGINT AS sum_g,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE w * h * sdec END)::BIGINT AS sum_b
+        | FROM d ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     "d107_tfrecord" ->
       """WITH si AS (SELECT range AS i FROM range(9)),

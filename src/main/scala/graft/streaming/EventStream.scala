@@ -559,6 +559,15 @@ object EventStream {
                   stream: DataFrame): DataFrame =
     graft.operators.WarcSim.stats(spark, stream)
 
+  /** Streaming MJPEG decode — d109's streaming twin: the container
+    * walk + per-frame JPEG decode runs per micro-batch through the
+    * same batched mapPartitions contract (stateless, map-only), so a
+    * live clip feed decodes and quarantines exactly like the batch
+    * path. Bit-identical to the batch stats (spec-pinned). */
+  def mjpegDecoded(spark: org.apache.spark.sql.SparkSession,
+                   stream: DataFrame): DataFrame =
+    graft.operators.MjpegSim.stats(spark, stream)
+
   /** Streaming unigram-LM encode — d100's streaming twin: the
     * trained model rides the plan as a reference object and the
     * Viterbi expression is stateless column arithmetic, so the

@@ -583,6 +583,13 @@ object ScaleRehearsal {
         graft.operators.WarcSim.stats(spark,
           big.select(col("doc_id"), col("text")))
           .filter(col("status") === "ok").count())
+      ratio("mjpeg clip decode (d109)",
+        graft.operators.MjpegSim.stats(spark,
+          graft.operators.MjpegSim.payloads(base.select(col("doc_id"))))
+          .filter(col("status") === "ok").count(),
+        graft.operators.MjpegSim.stats(spark,
+          graft.operators.MjpegSim.payloads(big.select(col("doc_id"))))
+          .filter(col("status") === "ok").count())
       ratio("tfrecord walk (d107)",
         graft.operators.TfRecordSim.stats(spark,
           graft.operators.TfRecordSim.payloads(base.select(col("doc_id"))))

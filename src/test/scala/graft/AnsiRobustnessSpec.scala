@@ -201,6 +201,11 @@ class AnsiRobustnessSpec extends AnyFunSuite {
       docs.select(col("doc_id"), col("text")).limit(42))
     assert(warc.filter(col("status") === "ok").count() > 0)
     assert(warc.filter(col("status") === "quarantined").count() > 0)
+    // and the MJPEG walk (container stride + per-frame JPEG decode)
+    val mj = graft.operators.MjpegSim.stats(spark,
+      graft.operators.MjpegSim.payloads(docs.select(col("doc_id")).limit(42)))
+    assert(mj.filter(col("status") === "ok").count() > 0)
+    assert(mj.filter(col("status") === "quarantined").count() > 0)
     // and the TFRecord walk (masked CRC-32C rotation arithmetic)
     val tfr = graft.operators.TfRecordSim.stats(spark,
       graft.operators.TfRecordSim.payloads(docs.select(col("doc_id")).limit(42)))

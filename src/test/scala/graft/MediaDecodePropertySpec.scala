@@ -900,6 +900,58 @@ object MediaDecodePropertySpec extends Properties("MediaDecode") {
       else got.exists(_.length == TfRecordSim.nRecords(id))
     }
 
+  // ---- MJPEG -------------------------------------------------------
+
+  import graft.operators.{MjpegCodec, MjpegSim}
+
+  property("mjpeg: clean clips decode to the closed-form clip sums") =
+    Prop.forAll(Gen.choose(0L, 4000L)) { id0 =>
+      val id = id0 - id0 % 7 + 1 // steer off the damage slice
+      val (w, h) = MjpegSim.dims(id)
+      val k = MjpegSim.nFrames(id)
+      def dec(c: Int) = if (c % 2 == 0) c else math.min(c + 1, 255)
+      val want = (0 until k).map(f => dec(MjpegSim.frameColor(id, f)).toLong).sum *
+        w * h
+      MjpegCodec.decode(MjpegSim.cleanAvi(id)).exists { st =>
+        st(0) == k.toLong && st(1) == w.toLong && st(2) == h.toLong &&
+          st(3) == want && st(4) == want && st(5) == want
+      }
+    }
+
+  /** Frame-layer independence: each embedded frame is a conformant
+    * JPEG an INDEPENDENT decoder (javax.imageio) reads to the same
+    * solid value (±1 IDCT rounding) — pins that the container carries
+    * real JPEGs, not bytes only our own codec accepts. */
+  property("mjpeg: every frame is a conformant JPEG javax.imageio reads") =
+    Prop.forAll(Gen.choose(0L, 4000L), Gen.choose(0, 3)) { (id, f0) =>
+      val f = f0 % MjpegSim.nFrames(id)
+      val (w, h) = MjpegSim.dims(id)
+      def dec(c: Int) = if (c % 2 == 0) c else math.min(c + 1, 255)
+      val want = dec(MjpegSim.frameColor(id, f))
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(MjpegSim.frameJpeg(id, f)))
+      img != null && img.getWidth == w && img.getHeight == h && {
+        val p = img.getRGB(w / 2, h / 2)
+        Seq((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF)
+          .forall(v => math.abs(v - want) <= 1)
+      }
+    }
+
+  property("mjpeg: any truncation quarantines") =
+    Prop.forAll(Gen.choose(0L, 4000L), Gen.choose(1, 1 << 12)) { (id0, cut0) =>
+      val id = id0 - id0 % 7 + 1
+      val clip = MjpegSim.cleanAvi(id)
+      val cut = 1 + cut0 % (clip.length - 1)
+      MjpegCodec.decode(clip.take(clip.length - cut)).isEmpty
+    }
+
+  property("mjpeg: the three d109 damage modes quarantine, clean ids decode") =
+    Prop.forAll(Gen.choose(0L, 4000L)) { id =>
+      val got = MjpegCodec.decode(MjpegSim.payloadFor(id))
+      if (id % 7 == 0 || id % 7 == 3 || id % 7 == 5) got.isEmpty
+      else got.exists(_(0) == MjpegSim.nFrames(id).toLong)
+    }
+
   // ---- WARC --------------------------------------------------------
 
   import graft.operators.{WarcCodec, WarcSim}

@@ -1004,6 +1004,28 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("status") === "quarantined").count() == 10)
   }
 
+  test("streaming mjpeg decode matches batch bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val payloadRows = (0L until 21L)
+      .map(i => (i, graft.operators.MjpegSim.payloadFor(i)))
+    val ps = MemoryStream[(Long, Array[Byte])]
+    val q = graft.streaming.EventStream.mjpegDecoded(spark,
+        ps.toDF().toDF("doc_id", "payload"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("mjpeg_out").start()
+    ps.addData(payloadRows)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("mjpeg_out").orderBy("doc_id").collect().map(_.toString)
+    val want = graft.operators.MjpegSim.stats(spark,
+        payloadRows.toDF("doc_id", "payload"))
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(got.toSeq == want.toSeq && got.length == 21)
+    assert(spark.table("mjpeg_out")
+      .filter(col("status") === "quarantined").count() == 9)
+  }
+
   test("streaming unigram encode matches the batch expression") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
