@@ -44,7 +44,7 @@ object Bench {
     "d99_unigram_lm", "d100_unigram_encode", "d101_jpeg_decode",
     "d102_gif_decode", "d103_mulaw_decode", "d104_tar_shards",
     "d105_webdataset_samples", "d106_jsonl_gz", "d107_tfrecord",
-    "d108_warc_records", "d109_mjpeg_frames")
+    "d108_warc_records", "d109_mjpeg_frames", "d110_adpcm_decode")
 
   /** Fixed CPU-bound calibration microbench ("DotBench"): scalar dot
     * products over pinned-size float arrays with deterministic

@@ -14,6 +14,11 @@ import graft.functions.Round.rd
 object PipelineQueries {
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents", spread = true)
+
+  /** The IMA step table for the d110 oracle, sourced from the decoder
+    * itself so the SQL replay can never drift from the Scala walk. */
+  private val AdpcmOracleSteps: String =
+    graft.operators.AdpcmCodec.STEP.mkString(",")
   private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings", spread = true)
 
   /** d66's materialized postings index — written once per sf dir (the
@@ -1114,7 +1119,8 @@ object PipelineQueries {
     // corpora ship 8-bit G.711 μ-law, WAVE fmt tag 7): every doc
     // becomes a conformant μ-law WAV with closed-form code bytes;
     // doc_id%7∈{0,3,5} damaged (truncated / magic stomped / fmt tag
-    // stomped to ADPCM — a real codec we don't implement: the
+    // stomped to ADPCM — a real codec THIS decoder does not own
+    // (d110's AdpcmCodec does; each scope stays strict): the
     // scope-quarantine path). μ-law is LOSSY but each sample expands
     // by a pure integer closed form, so the oracle replays the FULL
     // decode arithmetic per sample — exact sums with no content
@@ -1197,6 +1203,20 @@ object PipelineQueries {
     // only the per-frame JPEG decode catches)
     "d109_mjpeg_frames" -> ((s, dir) =>
       MjpegSim.stats(s, MjpegSim.payloads(docs(s, dir)))
+        .orderBy("doc_id")),
+
+    // the first STATEFUL audio codec — IMA ADPCM (WAV fmt 0x11):
+    // μ-law (d103) expands bytes independently; here a (predictor,
+    // step-index) state walks the published 89-entry table across
+    // samples, multi-block with running-state headers (each block
+    // independently seekable, the recurrence seamless). The oracle
+    // replays the ENTIRE state machine as a recursive CTE — every
+    // clamp and table step engine-exact. doc_id%7∈{0,3,5} damaged
+    // (truncated mid-data / fmt stomped to PCM, the mirror of d103's
+    // stomp toward 0x11 / step index 255 > 88 — the range check the
+    // state machine needs)
+    "d110_adpcm_decode" -> ((s, dir) =>
+      AdpcmSim.stats(s, AdpcmSim.payloads(docs(s, dir)))
         .orderBy("doc_id")),
 
     // unigram-LM tokenizer training (SentencePiece family) — the
@@ -2842,6 +2862,54 @@ object PipelineQueries {
         |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE w * h * sdec END)::BIGINT AS sum_g,
         |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE w * h * sdec END)::BIGINT AS sum_b
         | FROM d ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // the ADPCM gate replays the published IMA state machine — the
+    // whole stateful walk, not summary closed forms — as a recursive
+    // CTE: one step per output sample, header samples repeat the
+    // running predictor (state unchanged, no code consumed), others
+    // consume closed-form code nibbles through the step-table/clamp
+    // arithmetic. Pure integer: both engines agree to the last sample
+    "d110_adpcm_decode" ->
+      ("""WITH RECURSIVE p AS (
+        | SELECT doc_id, (20 + doc_id % 31)::INT AS n,
+        |   (9 + (doc_id % 8) * 4)::INT AS spb,
+        |   (((doc_id * 131) % 65536) - 32768)::INT AS pred0,
+        |   (doc_id % 89)::INT AS idx0
+        | FROM documents),
+        | st AS (
+        | SELECT doc_id, n, spb, 0 AS t, pred0 AS pred, idx0 AS idx,
+        |   0 AS nib, pred0::BIGINT AS ssum FROM p
+        | UNION ALL
+        | SELECT doc_id, n, spb, t + 1,
+        |   CASE WHEN (t + 1) % spb = 0 THEN pred ELSE npred END,
+        |   CASE WHEN (t + 1) % spb = 0 THEN idx ELSE nidx END,
+        |   CASE WHEN (t + 1) % spb = 0 THEN nib ELSE nib + 1 END,
+        |   ssum + CASE WHEN (t + 1) % spb = 0 THEN pred ELSE npred END
+        | FROM (
+        |  SELECT doc_id, n, spb, t, pred, idx, nib, ssum,
+        |   (greatest(-32768, least(32767,
+        |     pred + CASE WHEN code >= 8 THEN -diff ELSE diff END)))::INT AS npred,
+        |   (greatest(0, least(88,
+        |     idx + ([-1,-1,-1,-1,2,4,6,8])[(code % 8) + 1])))::INT AS nidx
+        |  FROM (
+        |   SELECT *, ((stp // 8)
+        |     + CASE WHEN code % 2 = 1 THEN stp // 4 ELSE 0 END
+        |     + CASE WHEN (code // 2) % 2 = 1 THEN stp // 2 ELSE 0 END
+        |     + CASE WHEN (code // 4) % 2 = 1 THEN stp ELSE 0 END)::INT AS diff
+        |   FROM (
+        |    SELECT *, ((doc_id * 7 + nib * 5) % 16)::INT AS code,
+        |     ([""".stripMargin +
+        AdpcmOracleSteps + """])[idx + 1] AS stp
+        |    FROM st WHERE t < n - 1) a) b) c),
+        | fin AS (SELECT doc_id, ssum, pred FROM st WHERE t = n - 1)
+        | SELECT d.doc_id,
+        |  CASE WHEN d.doc_id % 7 IN (0, 3, 5) THEN 'quarantined' ELSE 'ok' END AS status,
+        |  (CASE WHEN d.doc_id % 7 IN (0, 3, 5) THEN NULL
+        |        ELSE (20 + d.doc_id % 31) END)::BIGINT AS n_samples,
+        |  (CASE WHEN d.doc_id % 7 IN (0, 3, 5) THEN NULL ELSE f.ssum END)::BIGINT AS sample_sum,
+        |  (CASE WHEN d.doc_id % 7 IN (0, 3, 5) THEN NULL ELSE f.pred END)::BIGINT AS last_sample
+        | FROM documents d JOIN fin f ON d.doc_id = f.doc_id
+        | ORDER BY d.doc_id""".stripMargin).replaceAll("\n", " "),
 
     "d107_tfrecord" ->
       """WITH si AS (SELECT range AS i FROM range(9)),

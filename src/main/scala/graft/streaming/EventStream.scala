@@ -568,6 +568,15 @@ object EventStream {
                    stream: DataFrame): DataFrame =
     graft.operators.MjpegSim.stats(spark, stream)
 
+  /** Streaming ADPCM decode — d110's streaming twin: the stateful
+    * per-clip IMA walk is stateless ACROSS rows (each payload carries
+    * its own block headers), so it runs per micro-batch through the
+    * same batched mapPartitions contract (map-only). Bit-identical to
+    * the batch stats (spec-pinned). */
+  def adpcmDecoded(spark: org.apache.spark.sql.SparkSession,
+                   stream: DataFrame): DataFrame =
+    graft.operators.AdpcmSim.stats(spark, stream)
+
   /** Streaming unigram-LM encode — d100's streaming twin: the
     * trained model rides the plan as a reference object and the
     * Viterbi expression is stateless column arithmetic, so the

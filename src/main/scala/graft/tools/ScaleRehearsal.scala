@@ -590,6 +590,13 @@ object ScaleRehearsal {
         graft.operators.MjpegSim.stats(spark,
           graft.operators.MjpegSim.payloads(big.select(col("doc_id"))))
           .filter(col("status") === "ok").count())
+      ratio("adpcm state walk (d110)",
+        graft.operators.AdpcmSim.stats(spark,
+          graft.operators.AdpcmSim.payloads(base.select(col("doc_id"))))
+          .filter(col("status") === "ok").count(),
+        graft.operators.AdpcmSim.stats(spark,
+          graft.operators.AdpcmSim.payloads(big.select(col("doc_id"))))
+          .filter(col("status") === "ok").count())
       ratio("tfrecord walk (d107)",
         graft.operators.TfRecordSim.stats(spark,
           graft.operators.TfRecordSim.payloads(base.select(col("doc_id"))))

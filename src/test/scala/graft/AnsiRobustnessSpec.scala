@@ -206,6 +206,11 @@ class AnsiRobustnessSpec extends AnyFunSuite {
       graft.operators.MjpegSim.payloads(docs.select(col("doc_id")).limit(42)))
     assert(mj.filter(col("status") === "ok").count() > 0)
     assert(mj.filter(col("status") === "quarantined").count() > 0)
+    // and the ADPCM walk (stateful step-table/clamp arithmetic)
+    val ad = graft.operators.AdpcmSim.stats(spark,
+      graft.operators.AdpcmSim.payloads(docs.select(col("doc_id")).limit(42)))
+    assert(ad.filter(col("status") === "ok").count() > 0)
+    assert(ad.filter(col("status") === "quarantined").count() > 0)
     // and the TFRecord walk (masked CRC-32C rotation arithmetic)
     val tfr = graft.operators.TfRecordSim.stats(spark,
       graft.operators.TfRecordSim.payloads(docs.select(col("doc_id")).limit(42)))

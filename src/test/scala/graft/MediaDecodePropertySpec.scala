@@ -952,6 +952,81 @@ object MediaDecodePropertySpec extends Properties("MediaDecode") {
       else got.exists(_(0) == MjpegSim.nFrames(id).toLong)
     }
 
+  // ---- IMA ADPCM ---------------------------------------------------
+
+  import graft.operators.{AdpcmCodec, AdpcmSim}
+
+  /** INDEPENDENT reference: the published IMA recurrence written
+    * directly from the spec (bit-serial diff, signed index walk,
+    * int16 clamp), structured differently from the codec's inner
+    * loop. Replays the sim's closed-form codes over the block layout
+    * and must match the decoder sample-for-sample. */
+  private def imaReference(id: Long): Array[Int] = {
+    val n = AdpcmSim.nSamples(id)
+    val spb = AdpcmSim.samplesPerBlock(id)
+    val out = new Array[Int](n)
+    var pred = AdpcmSim.predSeed(id)
+    var idx = AdpcmSim.idxSeed(id)
+    var k = 0
+    for (t <- 0 until n) {
+      if (t % spb != 0) {
+        val code = AdpcmSim.code(id, k); k += 1
+        val st = AdpcmCodec.STEP(idx)
+        val diff = (0 to 2).map(b => if ((code & (1 << b)) != 0) st >> (2 - b) else 0)
+          .sum + (st >> 3)
+        pred = math.min(32767, math.max(-32768,
+          if ((code & 8) != 0) pred - diff else pred + diff))
+        idx = math.min(88, math.max(0, idx + AdpcmCodec.INDEX_ADJ(code & 7)))
+      }
+      out(t) = pred
+    }
+    out
+  }
+
+  property("adpcm: decode matches an independent IMA reference sample-for-sample") =
+    Prop.forAll(Gen.choose(0L, 4000L)) { id0 =>
+      val id = id0 - id0 % 7 + 1 // steer off the damage slice
+      AdpcmCodec.decode(AdpcmSim.cleanWav(id))
+        .exists(got => got.sameElements(imaReference(id)))
+    }
+
+  property("adpcm: any truncation quarantines") =
+    Prop.forAll(Gen.choose(0L, 4000L), Gen.choose(1, 1 << 10)) { (id0, cut0) =>
+      val id = id0 - id0 % 7 + 1
+      val wav = AdpcmSim.cleanWav(id)
+      val cut = 1 + cut0 % (wav.length - 1)
+      AdpcmCodec.decode(wav.take(wav.length - cut)).isEmpty
+    }
+
+  property("adpcm: garbage in pad nibbles or the reserved byte quarantines") =
+    Prop.forAll(Gen.choose(0L, 4000L)) { id0 =>
+      val id = id0 - id0 % 7 + 1
+      val wav = AdpcmSim.cleanWav(id)
+      // reserved byte of the FIRST block header: data starts after
+      // RIFF(12) + fmt(28) + fact(12) + data hdr(8) = 60; +3 reserved
+      val r = wav.clone(); r(60 + 3) = 1
+      AdpcmCodec.decode(r).isEmpty &&
+        // a pad nibble (when the last block is partial): the top
+        // nibble of the last data byte pads whenever spb-1 exceeds
+        // the last block's code count — stomp the whole last byte
+        // only when it IS padding, else skip the clause
+        {
+          val n = AdpcmSim.nSamples(id); val spb = AdpcmSim.samplesPerBlock(id)
+          val lastCodes = n - ((n + spb - 1) / spb - 1) * spb - 1
+          if (lastCodes < spb - 1 && lastCodes % 2 == 0) {
+            val p = wav.clone(); p(p.length - 1) = 0x77
+            AdpcmCodec.decode(p).isEmpty
+          } else true
+        }
+    }
+
+  property("adpcm: the three d110 damage modes quarantine, clean ids decode") =
+    Prop.forAll(Gen.choose(0L, 4000L)) { id =>
+      val got = AdpcmCodec.decode(AdpcmSim.payloadFor(id))
+      if (id % 7 == 0 || id % 7 == 3 || id % 7 == 5) got.isEmpty
+      else got.exists(_.length == AdpcmSim.nSamples(id))
+    }
+
   // ---- WARC --------------------------------------------------------
 
   import graft.operators.{WarcCodec, WarcSim}
