@@ -131,7 +131,14 @@ object TarCodec {
           val hdr = java.util.Arrays.copyOfRange(b, pos, pos + 512)
           if (!(hdr(257) == 'u' && hdr(258) == 's' && hdr(259) == 't' &&
             hdr(260) == 'a' && hdr(261) == 'r')) throw Malformed
-          val stored = parseOctal(hdr, 148, 7) // 6 digits + NUL; pos 155 is ' '
+          val stored = parseOctal(hdr, 148, 7) // 6 digits + NUL
+          // byte 155 (the checksum field's filler) is the ONE header
+          // byte excluded from the checksum computation AND not read
+          // by the octal parse — left unvalidated, a bit flip there
+          // would be invisible (the property caught exactly that).
+          // Both our encoder and GNU tar write "%06o NUL SPACE";
+          // historical writers use NUL — accept only those two.
+          if (hdr(155) != ' ' && hdr(155) != 0) throw Malformed
           java.util.Arrays.fill(hdr, 148, 156, ' '.toByte)
           var sum = 0
           var i = 0
