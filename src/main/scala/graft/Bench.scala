@@ -44,7 +44,8 @@ object Bench {
     "d99_unigram_lm", "d100_unigram_encode", "d101_jpeg_decode",
     "d102_gif_decode", "d103_mulaw_decode", "d104_tar_shards",
     "d105_webdataset_samples", "d106_jsonl_gz", "d107_tfrecord",
-    "d108_warc_records", "d109_mjpeg_frames", "d110_adpcm_decode")
+    "d108_warc_records", "d109_mjpeg_frames", "d110_adpcm_decode",
+    "d111_wet_extract")
 
   /** Fixed CPU-bound calibration microbench ("DotBench"): scalar dot
     * products over pinned-size float arrays with deterministic
@@ -208,13 +209,38 @@ object Bench {
     // inflates it (32+K)/32, so the r10-class 26% uniform load lands
     // ≈1.4, past the bound, while the floor keeps ~20% margin).
     val contended = maxSpread > 3.0 || drift > 0.10 || parRatio > 1.35
+    // the baseline is PINNED while coverage GROWS: new headliners make
+    // the raw total incomparable to BASELINE_BENCH.json (the r11
+    // lesson — 13 new codec gates would read as a "regression" on
+    // totals). The artifact therefore also carries the total
+    // RESTRICTED to the baseline's own query set: regression checks
+    // compare shared_total_sec against baseline_shared_sec (both
+    // normalized by their calib_sec), never raw totals across
+    // different query sets.
+    val baselineQueries: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(sys.env.getOrElse(
+          "SPARK_GRAFT_BASELINE", "BASELINE_BENCH.json"))), "UTF-8")
+      val qkey = txt.indexOf("\"queries\"")
+      val open = if (qkey < 0) -1 else txt.indexOf('{', qkey)
+      val close = if (open < 0) -1 else txt.indexOf('}', open)
+      if (close < 0) Map.empty
+      else {
+        """"([A-Za-z0-9_]+)"\s*:\s*(-?[0-9.]+)""".r
+          .findAllMatchIn(txt.substring(open + 1, close))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+    val shared = results.filter { case (k, v, _) => v >= 0 && baselineQueries.contains(k) }
+    val sharedTotal = shared.map(_._2).sum
+    val baselineShared = shared.map { case (k, _, _) => baselineQueries(k) }.sum
     // stdout line must stay compact: the driver tail-captures stdout and
     // a too-long line truncates from the front, parsing as nothing (the
     // r5 failure). Per-query spreads are a diagnostic — stderr only
     // (printed per-query above); the contract line carries max_spread
     // plus WHICH query produced it (one field, not the whole map), so
     // a >1.5 spread is attributable from the artifact alone.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"max_spread":$maxSpread%.2f,"max_spread_query":"$spreadQuery","calib_sec":$calib%.3f,"calib_post_sec":$calibPost%.3f,"calib_par_sec":$calibPar%.3f,"host_contended":$contended,"failed":$failed,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"max_spread":$maxSpread%.2f,"max_spread_query":"$spreadQuery","calib_sec":$calib%.3f,"calib_post_sec":$calibPost%.3f,"calib_par_sec":$calibPar%.3f,"host_contended":$contended,"shared_total_sec":$sharedTotal%.3f,"baseline_shared_sec":$baselineShared%.3f,"shared_n":${shared.size},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

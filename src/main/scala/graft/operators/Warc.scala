@@ -271,6 +271,136 @@ object WarcSim {
     }
   }
 
+  // ---- WET extraction (d111): the shard as a ROW SOURCE -----------
+
+  /** Page slice boundaries for the multi-capture shard: text split
+    * into K codepoint slices (never inside a surrogate pair — the
+    * d106 rule; DuckDB's substring counts codepoints too, so the
+    * oracle replays the same boundaries). */
+  private[graft] def nPages(docId: Long): Int = (1 + docId % 3).toInt
+
+  private[graft] def pageTexts(docId: Long, text: String): Seq[String] = {
+    val k = nPages(docId)
+    val cps = text.codePointCount(0, text.length)
+    (0 until k).map { i =>
+      val a = text.offsetByCodePoints(0, (i.toLong * cps / k).toInt)
+      val b = text.offsetByCodePoints(0, ((i + 1).toLong * cps / k).toInt)
+      text.substring(a, b)
+    }
+  }
+
+  private[graft] def pageStatus(docId: Long, page: Int): Int =
+    if ((docId + page) % 11 == 0) 404 else 200
+
+  private def pageUri(docId: Long, page: Int) =
+    s"http://corpus.example/doc/$docId/p$page"
+
+  /** The multi-capture shard: warcinfo + K × (request, response) —
+    * the shape a real crawl segment has (MANY fetches per file).
+    * Same damage slice as the single-capture gate (truncation /
+    * version stomp / Content-Length off by one on the LAST
+    * response). */
+  private[graft] def wetPayloadFor(docId: Long, text: String): Array[Byte] = {
+    val date = "2026-01-01T00:00:00Z"
+    def capture(page: Int, body: Array[Byte], lenDelta: Int): Seq[Array[Byte]] = {
+      val rid = f"<urn:uuid:00000000-0000-4000-9000-${docId * 8 + page}%012d>"
+      val st = pageStatus(docId, page)
+      val req = WarcCodec.renderRecord(
+        Seq("WARC-Type" -> "request", "WARC-Record-ID" -> rid,
+          "WARC-Date" -> date, "WARC-Target-URI" -> pageUri(docId, page),
+          "Content-Type" -> "application/http; msgtype=request"),
+        s"GET /doc/$docId/p$page HTTP/1.1\r\nHost: corpus.example\r\n\r\n"
+          .getBytes("US-ASCII"))
+      val head = (s"HTTP/1.1 $st ${if (st == 404) "Not Found" else "OK"}\r\n" +
+        "Content-Type: text/plain; charset=utf-8\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII")
+      val msg = new Array[Byte](head.length + body.length)
+      System.arraycopy(head, 0, msg, 0, head.length)
+      System.arraycopy(body, 0, msg, head.length, body.length)
+      val resp = WarcCodec.renderRecord(
+        Seq("WARC-Type" -> "response", "WARC-Record-ID" -> rid,
+          "WARC-Date" -> date, "WARC-Target-URI" -> pageUri(docId, page),
+          "Content-Type" -> "application/http; msgtype=response"),
+        msg, lenDelta)
+      Seq(req, resp)
+    }
+    val k = nPages(docId)
+    val slices = pageTexts(docId, text)
+    def shard(stompVersion: Boolean, lenDelta: Int): Array[Byte] = {
+      val rid = f"<urn:uuid:00000000-0000-4000-9000-${docId * 8 + 7}%012d>"
+      val info0 = WarcCodec.renderRecord(
+        Seq("WARC-Type" -> "warcinfo", "WARC-Record-ID" -> rid,
+          "WARC-Date" -> date, "Content-Type" -> "application/warc-fields"),
+        "software: graft-warc/1.0\r\nformat: WARC File Format 1.0\r\n"
+          .getBytes("US-ASCII"))
+      val info = if (stompVersion) {
+        val d = info0.clone(); d(5) = '9'; d(7) = '9'; d
+      } else info0
+      val caps = (0 until k).flatMap { i =>
+        capture(i, slices(i).getBytes("UTF-8"),
+          if (i == k - 1) lenDelta else 0)
+      }
+      WarcCodec.encode(info +: caps)
+    }
+    (docId % 7) match {
+      case 0 =>
+        val clean = shard(stompVersion = false, lenDelta = 0)
+        java.util.Arrays.copyOf(clean, clean.length - 5)
+      case 3 => shard(stompVersion = true, lenDelta = 0)
+      case 5 => shard(stompVersion = false, lenDelta = 1)
+      case _ => shard(stompVersion = false, lenDelta = 0)
+    }
+  }
+
+  val pagesSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("page", IntegerType),
+    StructField("target_uri", StringType),
+    StructField("n_bytes", LongType),
+    StructField("n_lines", LongType),
+    StructField("extract_ok", BooleanType)))
+
+  /** The WET conversion — d111's row source: clean multi-capture
+    * shards flat-map to one row per 200-status response carrying the
+    * EXTRACTED text's stats (the CCNet/RefinedWeb ingest step: crawl
+    * container in, per-page text out); 404 captures are dropped like
+    * a WET writer drops failed fetches, and damaged shards contribute
+    * nothing (their audit is the d108-style quarantine). Map-only
+    * flatMap: ingest parallelism IS scan parallelism. */
+  def pages(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(pagesSchema)
+    docs.select(col("doc_id"), col("text"))
+      .mapPartitions { rows =>
+        rows.grouped(Multimodal.BATCH_SIZE).flatMap { batch =>
+          batch.iterator.flatMap { r =>
+            val id = r.getLong(0)
+            val text = r.getString(1)
+            val slices = pageTexts(id, text)
+            WarcCodec.decode(wetPayloadFor(id, text)).toSeq.flatMap { recs =>
+              recs.filter(_.warcType == "response").zipWithIndex.flatMap {
+                case (rec, page) =>
+                  WarcCodec.parseHttpResponse(rec.block).collect {
+                    case (200, body) =>
+                      var nLines = 1L
+                      var j = 0
+                      while (j < body.length) {
+                        if (body(j) == '\n') nLines += 1
+                        j += 1
+                      }
+                      Row(id, page,
+                        rec.headers.getOrElse("warc-target-uri", ""),
+                        body.length.toLong, nLines,
+                        java.lang.Boolean.valueOf(java.util.Arrays.equals(
+                          body, slices(page).getBytes("UTF-8"))))
+                  }
+              }
+            }
+          }
+        }
+      }(enc)
+  }
+
   val statsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("status", StringType),

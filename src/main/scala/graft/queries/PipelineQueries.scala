@@ -1219,6 +1219,17 @@ object PipelineQueries {
       AdpcmSim.stats(s, AdpcmSim.payloads(docs(s, dir)))
         .orderBy("doc_id")),
 
+    // the WET conversion — the crawl shard as a ROW SOURCE (the d105
+    // symmetry for WARC): multi-capture shards (warcinfo + K request/
+    // response pairs, the real segment shape) flat-map to one row per
+    // 200-status response carrying the EXTRACTED text's stats — the
+    // CCNet/RefinedWeb ingest step; 404 fetches drop like a WET
+    // writer drops them, damaged shards contribute nothing (their
+    // audit is d108's quarantine column). Map-only flatMap: ingest
+    // parallelism IS scan parallelism at any corpus size
+    "d111_wet_extract" -> ((s, dir) =>
+      WarcSim.pages(s, docs(s, dir)).orderBy("doc_id", "page")),
+
     // unigram-LM tokenizer training (SentencePiece family) — the
     // third trainer next to BPE (d82) and WordPiece (d78): substring
     // seed vocab, then hard-EM rounds of Viterbi segmentation +
@@ -2862,6 +2873,26 @@ object PipelineQueries {
         |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE w * h * sdec END)::BIGINT AS sum_g,
         |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE w * h * sdec END)::BIGINT AS sum_b
         | FROM d ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // the WET gate replays page slicing straight off documents.text:
+    // codepoint slice boundaries (DuckDB substring counts codepoints,
+    // as does offsetByCodePoints), byte/line counts per slice, the
+    // 200-only keep rule; extract_ok is the in-plan verdict
+    "d111_wet_extract" ->
+      """WITH pi AS (SELECT range AS i FROM range(3)),
+        | p AS (SELECT doc_id, text, (1 + doc_id % 3)::BIGINT AS k,
+        |   length(text)::BIGINT AS cps
+        |  FROM documents WHERE doc_id % 7 NOT IN (0, 3, 5)),
+        | m AS (SELECT p.doc_id, i, substring(p.text,
+        |    ((i * p.cps) // p.k)::INT + 1,
+        |    (((i + 1) * p.cps) // p.k - (i * p.cps) // p.k)::INT) AS sl
+        |  FROM p JOIN pi ON i < p.k WHERE (p.doc_id + i) % 11 <> 0)
+        | SELECT doc_id, i::INT AS page,
+        |  printf('http://corpus.example/doc/%d/p%d', doc_id, i) AS target_uri,
+        |  octet_length(encode(sl))::BIGINT AS n_bytes,
+        |  (length(sl) - length(replace(sl, chr(10), '')) + 1)::BIGINT AS n_lines,
+        |  TRUE AS extract_ok
+        | FROM m ORDER BY doc_id, page""".stripMargin.replaceAll("\n", " "),
 
     // the ADPCM gate replays the published IMA state machine — the
     // whole stateful walk, not summary closed forms — as a recursive

@@ -577,6 +577,16 @@ object EventStream {
                    stream: DataFrame): DataFrame =
     graft.operators.AdpcmSim.stats(spark, stream)
 
+  /** Streaming WET extraction — d111's streaming twin: the
+    * multi-capture shard walk + per-page HTTP extraction flat-maps
+    * per micro-batch through the same batched mapPartitions contract
+    * (stateless, map-only), so a live crawl segment feed yields the
+    * same training-ready page rows the batch ingest produces
+    * (spec-pinned). */
+  def wetPages(spark: org.apache.spark.sql.SparkSession,
+               stream: DataFrame): DataFrame =
+    graft.operators.WarcSim.pages(spark, stream)
+
   /** Streaming unigram-LM encode — d100's streaming twin: the
     * trained model rides the plan as a reference object and the
     * Viterbi expression is stateless column arithmetic, so the

@@ -597,6 +597,11 @@ object ScaleRehearsal {
         graft.operators.AdpcmSim.stats(spark,
           graft.operators.AdpcmSim.payloads(big.select(col("doc_id"))))
           .filter(col("status") === "ok").count())
+      ratio("wet page extraction (d111)",
+        graft.operators.WarcSim.pages(spark,
+          base.select(col("doc_id"), col("text"))).count(),
+        graft.operators.WarcSim.pages(spark,
+          big.select(col("doc_id"), col("text"))).count())
       ratio("tfrecord walk (d107)",
         graft.operators.TfRecordSim.stats(spark,
           graft.operators.TfRecordSim.payloads(base.select(col("doc_id"))))

@@ -211,6 +211,10 @@ class AnsiRobustnessSpec extends AnyFunSuite {
       graft.operators.AdpcmSim.payloads(docs.select(col("doc_id")).limit(42)))
     assert(ad.filter(col("status") === "ok").count() > 0)
     assert(ad.filter(col("status") === "quarantined").count() > 0)
+    // and the WET page extraction (codepoint slice arithmetic)
+    val wet = graft.operators.WarcSim.pages(spark,
+      docs.select(col("doc_id"), col("text")).limit(42))
+    assert(wet.count() > 0)
     // and the TFRecord walk (masked CRC-32C rotation arithmetic)
     val tfr = graft.operators.TfRecordSim.stats(spark,
       graft.operators.TfRecordSim.payloads(docs.select(col("doc_id")).limit(42)))

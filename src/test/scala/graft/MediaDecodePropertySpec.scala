@@ -760,6 +760,19 @@ object MediaDecodePropertySpec extends Properties("MediaDecode") {
       }
     }
 
+  /** Regression pin: header byte 155 (the checksum field's filler) is
+    * the ONE byte excluded from the checksum computation and not read
+    * by the octal parse — before the explicit grammar check, a flip
+    * there decoded silently (caught by the flip property above as a
+    * rare falsification). */
+  property("tar: the checksum filler byte (155) is validated, not invisible") =
+    Prop.forAll(Gen.choose(0L, 1L << 40)) { seed =>
+      val tar = TarSim.cleanTar(seed)
+      val bad = tar.clone()
+      bad(155) = (bad(155) ^ 0x01).toByte
+      TarCodec.decode(bad).isEmpty
+    }
+
   property("tar: the three d104 damage modes quarantine, clean ids decode") =
     Prop.forAll(Gen.choose(0L, 4000L)) { id =>
       val got = TarCodec.decode(TarSim.payloadFor(id))
@@ -1102,5 +1115,43 @@ object MediaDecodePropertySpec extends Properties("MediaDecode") {
       val got = WarcCodec.decode(WarcSim.payloadFor(id, text))
       if (id % 7 == 0 || id % 7 == 3 || id % 7 == 5) got.isEmpty
       else got.exists(_.length == 3)
+    }
+
+  /** Unicode-heavy text with astral codepoints: the page slicer must
+    * cut at codepoint boundaries, never inside a surrogate pair. */
+  private val astralTextGen: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar.map(_.toString), 2 -> Gen.const("\n"),
+      1 -> Gen.const("é"), 1 -> Gen.const("😀") // 😀 (astral)
+    )).map(_.mkString)
+
+  property("warc-wet: page slices partition the text at codepoint boundaries") =
+    Prop.forAll(Gen.choose(0L, 4000L), astralTextGen) { (id, text) =>
+      val slices = WarcSim.pageTexts(id, text)
+      slices.length == WarcSim.nPages(id) &&
+        slices.mkString == text &&
+        slices.forall(s => s.isEmpty ||
+          (!Character.isLowSurrogate(s.head) && !Character.isHighSurrogate(s.last)))
+    }
+
+  property("warc-wet: the multi-capture shard decodes to 1+2K records; damage quarantines") =
+    Prop.forAll(Gen.choose(0L, 4000L), astralTextGen) { (id, text) =>
+      val got = WarcCodec.decode(WarcSim.wetPayloadFor(id, text))
+      if (id % 7 == 0 || id % 7 == 3 || id % 7 == 5) got.isEmpty
+      else got.exists { recs =>
+        val k = WarcSim.nPages(id)
+        recs.length == 1 + 2 * k &&
+          recs.count(_.warcType == "response") == k &&
+          // every response's body round-trips to its slice, and the
+          // status closed form holds
+          recs.filter(_.warcType == "response").zipWithIndex.forall {
+            case (rec, i) =>
+              WarcCodec.parseHttpResponse(rec.block).exists { case (code, body) =>
+                code == WarcSim.pageStatus(id, i) &&
+                  java.util.Arrays.equals(body,
+                    WarcSim.pageTexts(id, text)(i).getBytes("UTF-8"))
+              }
+          }
+      }
     }
 }

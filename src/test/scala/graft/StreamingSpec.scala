@@ -1048,6 +1048,29 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("status") === "quarantined").count() == 9)
   }
 
+  test("streaming wet extraction matches batch bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docRows = (0L until 23L).map(i => (i, s"alpha $i\nbeta gamma\ndelta"))
+    val ps = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStream.wetPages(spark,
+        ps.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wet_out").start()
+    ps.addData(docRows)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("wet_out").orderBy("doc_id", "page")
+      .collect().map(_.toString)
+    val want = graft.operators.WarcSim.pages(spark,
+        docRows.toDF("doc_id", "text"))
+      .orderBy("doc_id", "page").collect().map(_.toString)
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
+    // damaged shards (%7 in {0,3,5}) contribute NO page rows
+    assert(spark.table("wet_out")
+      .filter(col("doc_id") % 7 === 0).count() == 0)
+  }
+
   test("streaming unigram encode matches the batch expression") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
