@@ -38,6 +38,9 @@ object GraftFunctions {
       "bloom_contains",
       exprs => graft.functions.BloomContainsExpr(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
+      "kmv_agg",
+      exprs => graft.functions.KmvSketchAgg(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
       "poly_token_hashes",
       exprs => graft.functions.PolyTokenHashExpr(exprs.head), "built-in")
     // fused minhash banding with the standard 4×4 configuration —

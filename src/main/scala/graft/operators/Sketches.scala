@@ -115,4 +115,55 @@ object Sketches {
       .head.getLong(0)
     (direct, merged)
   }
+
+  /** KMV/theta corpus-overlap estimation (the d112 gate) — estimate
+    * |A ∩ B| between two corpora WITHOUT joining them: each side
+    * aggregates to a bottom-k distinct sketch of the oracle-replayable
+    * polynomial fingerprint ([[graft.functions.KmvSketchAgg]] — state
+    * ≤ k longs per partition, partial-merge lossless, so the plan is
+    * one two-phase aggregation per side and a 1×1 broadcast combine;
+    * NOTHING shuffles with the corpus). From the union sketch S_U with
+    * k-th minimum m over hash space M: est_union = (k−1)·M/m (exact-
+    * count mode when the sketch is undersized), and the intersection
+    * estimate follows the retained-minima rule
+    * est_inter = |S_U ∩ S_A ∩ S_B| · est_union / k. The k=BIG sketch
+    * CONTAINS every smaller-k sketch as a prefix (minima are nested),
+    * so one aggregation pass serves every k: the gate emits one row
+    * per requested k, slicing the master sketch — integer arithmetic
+    * end to end, replayed exactly by the oracle. */
+  def kmvOverlap(docs: DataFrame, text: Column, id: Column,
+                 ks: Seq[Int] = Seq(64, 4096)): DataFrame = {
+    val kMax = ks.max
+    val withH = docs.select(id.as("doc_id"),
+      TextOps.fingerprint(text).as("h"))
+    val sa = withH.filter(col("doc_id") % 2 === 0)
+      .agg(graft.functions.KmvSketchAgg.column(col("h"), lit(kMax)).as("sa"))
+    val sb = withH.filter(col("doc_id") % 3 === 0)
+      .agg(graft.functions.KmvSketchAgg.column(col("h"), lit(kMax)).as("sb"))
+    val both = sa.crossJoin(broadcast(sb)) // 1×1: the combine is free
+    val M = 2147483647L // the fingerprint modulus (31-bit prime)
+    val perK = ks.sorted.map { k =>
+      both.select(
+        lit(k.toLong).as("k"),
+        slice(col("sa"), 1, k).as("a"),
+        slice(col("sb"), 1, k).as("b"))
+        .withColumn("su", slice(array_sort(array_union(col("a"), col("b"))), 1, k))
+        .withColumn("n_sketch", size(col("su")).cast("long"))
+        .withColumn("kth_min", element_at(col("su"), size(col("su"))).cast("long"))
+        .withColumn("inter_in_sketch",
+          size(array_intersect(array_intersect(col("su"), col("a")), col("b")))
+            .cast("long"))
+        .withColumn("est_union",
+          when(col("n_sketch") < k, col("n_sketch"))
+            .otherwise(expr(s"${(k - 1).toLong * M}L div kth_min")))
+        .withColumn("est_inter",
+          // undersized sketch = every distinct value retained: the
+          // intersection count IS exact, no theta scaling
+          when(col("n_sketch") < k, col("inter_in_sketch"))
+            .otherwise(expr(s"(inter_in_sketch * est_union) div ${k}L")))
+        .select("k", "n_sketch", "kth_min", "inter_in_sketch",
+          "est_union", "est_inter")
+    }
+    perK.reduce(_.unionByName(_)).orderBy("k")
+  }
 }

@@ -1230,6 +1230,19 @@ object PipelineQueries {
     "d111_wet_extract" -> ((s, dir) =>
       WarcSim.pages(s, docs(s, dir)).orderBy("doc_id", "page")),
 
+    // KMV/theta sketch corpus-overlap estimation — |A ∩ B| between
+    // two corpora with NO join: bottom-k distinct sketches of the
+    // oracle-replayable polynomial fingerprint (custom mergeable
+    // TypedImperativeAggregate, ≤k longs of state per partition),
+    // union-sketch theta + retained-minima intersection rule; the
+    // k=64 row exercises estimate mode, k=4096 the undersized exact
+    // mode (minima nest, so ONE aggregation pass serves every k).
+    // HLL (d35) can only union — inclusion-exclusion amplifies error
+    // on small overlaps; KMV intersects directly. Integer arithmetic
+    // end to end: the oracle replays the sketches AND the estimates
+    "d112_sketch_overlap" -> ((s, dir) =>
+      Sketches.kmvOverlap(docs(s, dir), col("text"), col("doc_id"))),
+
     // unigram-LM tokenizer training (SentencePiece family) — the
     // third trainer next to BPE (d82) and WordPiece (d78): substring
     // seed vocab, then hard-EM rounds of Viterbi segmentation +
@@ -2873,6 +2886,33 @@ object PipelineQueries {
         |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE w * h * sdec END)::BIGINT AS sum_g,
         |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE w * h * sdec END)::BIGINT AS sum_b
         | FROM d ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // the KMV gate replays the sketches themselves: distinct
+    // fingerprints per corpus, ORDER BY + LIMIT for the bottom-k,
+    // list ops for the union/intersection, `//` for the integer
+    // estimator — the d23 fingerprint is the shared hash, so every
+    // retained value and both estimates are engine-exact
+    "d112_sketch_overlap" ->
+      ("""WITH h AS (SELECT doc_id, list_reduce(list_prepend('0', string_split(text, '')),
+        |  (acc, c) -> ((acc::BIGINT * 31 + ascii(c)) % 2147483647)::VARCHAR)::BIGINT AS h
+        | FROM documents),
+        | sa AS (SELECT list(h ORDER BY h) AS a FROM
+        |  (SELECT DISTINCT h FROM h WHERE doc_id % 2 = 0 ORDER BY h LIMIT 4096)),
+        | sb AS (SELECT list(h ORDER BY h) AS b FROM
+        |  (SELECT DISTINCT h FROM h WHERE doc_id % 3 = 0 ORDER BY h LIMIT 4096)),
+        | ks AS (SELECT unnest([64, 4096]) AS k),
+        | rows_ AS (SELECT k, a[1:k] AS ak, b[1:k] AS bk,
+        |   list_sort(list_distinct(a[1:k] || b[1:k]))[1:k] AS su
+        |  FROM ks, sa, sb)
+        | SELECT k::BIGINT AS k, len(su)::BIGINT AS n_sketch,
+        |  su[len(su)]::BIGINT AS kth_min,
+        |  len(list_intersect(list_intersect(su, ak), bk))::BIGINT AS inter_in_sketch,
+        |  (CASE WHEN len(su) < k THEN len(su)
+        |        ELSE ((k - 1)::BIGINT * 2147483647) // su[len(su)] END)::BIGINT AS est_union,
+        |  (CASE WHEN len(su) < k THEN len(list_intersect(list_intersect(su, ak), bk))
+        |        ELSE (len(list_intersect(list_intersect(su, ak), bk))::BIGINT *
+        |          (((k - 1)::BIGINT * 2147483647) // su[len(su)])) // k END)::BIGINT AS est_inter
+        | FROM rows_ ORDER BY k""").stripMargin.replaceAll("\n", " "),
 
     // the WET gate replays page slicing straight off documents.text:
     // codepoint slice boundaries (DuckDB substring counts codepoints,

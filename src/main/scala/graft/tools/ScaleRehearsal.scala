@@ -130,6 +130,11 @@ object ScaleRehearsal {
           3, Seq("the", "a", "key", "table"), Seq("slow")).count())
     }
     st("sketch") {
+      ratio("kmv overlap sketch (d112)",
+        Sketches.kmvOverlap(base, col("text"), col("doc_id")).count(),
+        Sketches.kmvOverlap(big, col("text"), col("doc_id")).count())
+    }
+    st("sketch") {
       ratio("sketch distinct report",
         Sketches.distinctReport(base, col("text"), col("lang")).count(),
         Sketches.distinctReport(big, col("text"), col("lang")).count())

@@ -215,6 +215,9 @@ class AnsiRobustnessSpec extends AnyFunSuite {
     val wet = graft.operators.WarcSim.pages(spark,
       docs.select(col("doc_id"), col("text")).limit(42))
     assert(wet.count() > 0)
+    // and the KMV sketch overlap (bottom-k agg + integer estimator)
+    assert(Sketches.kmvOverlap(docs, col("text"), col("doc_id"))
+      .count() == 2)
     // and the TFRecord walk (masked CRC-32C rotation arithmetic)
     val tfr = graft.operators.TfRecordSim.stats(spark,
       graft.operators.TfRecordSim.payloads(docs.select(col("doc_id")).limit(42)))

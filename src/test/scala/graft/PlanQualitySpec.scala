@@ -702,6 +702,19 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("d112: kmv overlap is two-phase partial agg — nothing corpus-sized shuffles") {
+    val p = plan("d112_sketch_overlap")
+    // each side must sketch map-side first (partial_kmv_agg per
+    // partition, ≤k longs of state), merge on a single tiny
+    // partition, and combine 1×1 via broadcast — a hash shuffle of
+    // the corpus would mean the sketch stopped being the aggregation
+    assert(p.contains("partial_kmv_agg"), s"map-side sketch missing\n$p")
+    assert(!p.contains("Arguments: hashpartitioning"),
+      s"d112 must not hash-shuffle the corpus\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1x1 combine should broadcast\n$p")
+  }
+
   test("salted join distributes a hot key across n buckets, same result") {
     import spark.implicits._
     val big = (1 to 1000).map(i => ("hot", i.toLong)).toDF("key", "payload")
