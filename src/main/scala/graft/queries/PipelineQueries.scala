@@ -1243,6 +1243,21 @@ object PipelineQueries {
     "d112_sketch_overlap" -> ((s, dir) =>
       Sketches.kmvOverlap(docs(s, dir), col("text"), col("doc_id"))),
 
+    // the zip container — the remaining everyday shipping format next
+    // to tar/gzip: random-access BY DESIGN, so the strict walk is the
+    // real reader's EOCD → central directory → local headers (not the
+    // local-header stream shortcut), with CRC-32, both sizes, AND
+    // local/central self-agreement verified per entry; entries carry
+    // the REAL text as d111-style codepoint slices, alternating
+    // STORED and DEFLATED bodies in one archive. doc_id%7∈{0,3,5}
+    // damaged (EOCD torn — the interrupted write for an end-anchored
+    // format / one LOCAL header sig stomped while the directory stays
+    // intact — only the cross-structure check catches it / one bit of
+    // entry 0's central CRC). Oracle replays slice arithmetic off
+    // documents.text
+    "d113_zip_entries" -> ((s, dir) =>
+      ZipSim.stats(s, docs(s, dir)).orderBy("doc_id")),
+
     // unigram-LM tokenizer training (SentencePiece family) — the
     // third trainer next to BPE (d82) and WordPiece (d78): substring
     // seed vocab, then hard-EM rounds of Viterbi segmentation +
@@ -2886,6 +2901,19 @@ object PipelineQueries {
         |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE w * h * sdec END)::BIGINT AS sum_g,
         |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE w * h * sdec END)::BIGINT AS sum_b
         | FROM d ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // the zip gate replays off documents.text: entry count, deflated
+    // count (odd slice indices), byte totals; roundtrip is the
+    // in-plan verdict (slices concatenate back to the text)
+    "d113_zip_entries" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 IN (0, 3, 5) THEN 'quarantined' ELSE 'ok' END AS status,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE 2 + doc_id % 3 END)::BIGINT AS n_entries,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE (2 + doc_id % 3) // 2 END)::BIGINT AS n_deflated,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL
+        |        ELSE octet_length(encode(text)) END)::BIGINT AS data_bytes,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE TRUE END)::BOOLEAN AS roundtrip_ok
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     // the KMV gate replays the sketches themselves: distinct
     // fingerprints per corpus, ORDER BY + LIMIT for the bottom-k,

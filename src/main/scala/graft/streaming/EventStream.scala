@@ -587,6 +587,14 @@ object EventStream {
                stream: DataFrame): DataFrame =
     graft.operators.WarcSim.pages(spark, stream)
 
+  /** Streaming zip ingest — d113's streaming twin: the EOCD →
+    * central-directory → local-header walk runs per micro-batch
+    * through the same batched mapPartitions contract (stateless,
+    * map-only). Bit-identical to the batch stats (spec-pinned). */
+  def zipDecoded(spark: org.apache.spark.sql.SparkSession,
+                 stream: DataFrame): DataFrame =
+    graft.operators.ZipSim.stats(spark, stream)
+
   /** Streaming unigram-LM encode — d100's streaming twin: the
     * trained model rides the plan as a reference object and the
     * Viterbi expression is stateless column arithmetic, so the

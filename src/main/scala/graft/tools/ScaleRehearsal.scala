@@ -607,6 +607,13 @@ object ScaleRehearsal {
           base.select(col("doc_id"), col("text"))).count(),
         graft.operators.WarcSim.pages(spark,
           big.select(col("doc_id"), col("text"))).count())
+      ratio("zip directory walk (d113)",
+        graft.operators.ZipSim.stats(spark,
+          base.select(col("doc_id"), col("text")))
+          .filter(col("status") === "ok").count(),
+        graft.operators.ZipSim.stats(spark,
+          big.select(col("doc_id"), col("text")))
+          .filter(col("status") === "ok").count())
       ratio("tfrecord walk (d107)",
         graft.operators.TfRecordSim.stats(spark,
           graft.operators.TfRecordSim.payloads(base.select(col("doc_id"))))

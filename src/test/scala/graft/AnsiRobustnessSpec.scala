@@ -218,6 +218,11 @@ class AnsiRobustnessSpec extends AnyFunSuite {
     // and the KMV sketch overlap (bottom-k agg + integer estimator)
     assert(Sketches.kmvOverlap(docs, col("text"), col("doc_id"))
       .count() == 2)
+    // and the zip walk (directory offsets, CRC, inflate arithmetic)
+    val zip = graft.operators.ZipSim.stats(spark,
+      docs.select(col("doc_id"), col("text")).limit(42))
+    assert(zip.filter(col("status") === "ok").count() > 0)
+    assert(zip.filter(col("status") === "quarantined").count() > 0)
     // and the TFRecord walk (masked CRC-32C rotation arithmetic)
     val tfr = graft.operators.TfRecordSim.stats(spark,
       graft.operators.TfRecordSim.payloads(docs.select(col("doc_id")).limit(42)))

@@ -965,6 +965,97 @@ object MediaDecodePropertySpec extends Properties("MediaDecode") {
       else got.exists(_(0) == MjpegSim.nFrames(id).toLong)
     }
 
+  // ---- ZIP ---------------------------------------------------------
+
+  import graft.operators.{ZipCodec, ZipSim}
+
+  private val zipTextGen: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', '\n'),
+      1 -> Gen.oneOf('é', '試'))).map(_.mkString)
+
+  private val zipEntriesGen: Gen[Seq[ZipCodec.Entry]] =
+    Gen.choose(1, 6).flatMap(n => Gen.listOfN(n,
+      for { body <- bytesGen; m <- Gen.oneOf(0, 8) } yield (body, m)))
+      .map(_.zipWithIndex.map { case ((b, m), i) =>
+        ZipCodec.Entry(f"e$i%02d.bin", m, b) })
+
+  property("zip: encode∘decode = identity, arbitrary stored+deflated entries") =
+    Prop.forAll(zipEntriesGen) { es =>
+      ZipCodec.decode(ZipCodec.encode(es)).exists { got =>
+        got.length == es.length && got.zip(es).forall { case (g, e) =>
+          g.name == e.name && g.method == e.method &&
+            java.util.Arrays.equals(g.content, e.content)
+        }
+      }
+    }
+
+  property("zip: java.util.zip reads our encoder's output byte-exactly") =
+    Prop.forAll(zipEntriesGen) { es =>
+      val zin = new java.util.zip.ZipInputStream(
+        new java.io.ByteArrayInputStream(ZipCodec.encode(es)))
+      val got = Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
+        .map { ze =>
+          val bos = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](4096)
+          var n = zin.read(buf)
+          while (n >= 0) { bos.write(buf, 0, n); n = zin.read(buf) }
+          (ze.getName, bos.toByteArray)
+        }.toSeq
+      got.length == es.length && got.zip(es).forall { case ((n, c), e) =>
+        n == e.name && java.util.Arrays.equals(c, e.content)
+      }
+    }
+
+  property("zip: our decoder reads java.util.zip-written archives") =
+    Prop.forAll(zipEntriesGen) { es =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val zout = new java.util.zip.ZipOutputStream(bos)
+      es.foreach { e =>
+        val ze = new java.util.zip.ZipEntry(e.name)
+        ze.setTime(1738406460000L) // deterministic
+        if (e.method == 0) {
+          ze.setMethod(java.util.zip.ZipEntry.STORED)
+          ze.setSize(e.content.length)
+          val crc = new java.util.zip.CRC32; crc.update(e.content)
+          ze.setCrc(crc.getValue)
+        }
+        zout.putNextEntry(ze)
+        zout.write(e.content)
+        zout.closeEntry()
+      }
+      zout.close()
+      // ZipOutputStream emits data descriptors for DEFLATED entries
+      // (flag bit 3) — out of our strict scope — so interop-pin the
+      // all-STORED case and require quarantine (not crash) otherwise
+      val got = ZipCodec.decode(bos.toByteArray)
+      if (es.forall(_.method == 0))
+        got.exists(g => g.length == es.length && g.zip(es).forall {
+          case (a, e) => a.name == e.name &&
+            java.util.Arrays.equals(a.content, e.content)
+        })
+      else got.isEmpty || got.exists(_.length == es.length)
+    }
+
+  property("zip: any truncation quarantines") =
+    Prop.forAll(Gen.choose(0L, 4000L), Gen.alphaNumStr, Gen.choose(1, 1 << 10)) {
+      (id0, text, cut0) =>
+        val id = id0 - id0 % 7 + 1
+        val z = ZipSim.payloadFor(id, text)
+        val cut = 1 + cut0 % (z.length - 1)
+        ZipCodec.decode(z.take(z.length - cut)).isEmpty
+    }
+
+  property("zip: the three d113 damage modes quarantine, clean ids decode") =
+    Prop.forAll(Gen.choose(0L, 4000L), zipTextGen) { (id, text) =>
+      val got = ZipCodec.decode(ZipSim.payloadFor(id, text))
+      if (id % 7 == 0 || id % 7 == 3 || id % 7 == 5) got.isEmpty
+      else got.exists { es =>
+        es.length == ZipSim.nEntries(id) &&
+          es.map(e => new String(e.content, "UTF-8")).mkString == text
+      }
+    }
+
   // ---- IMA ADPCM ---------------------------------------------------
 
   import graft.operators.{AdpcmCodec, AdpcmSim}

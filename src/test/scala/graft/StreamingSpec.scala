@@ -1071,6 +1071,27 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("doc_id") % 7 === 0).count() == 0)
   }
 
+  test("streaming zip ingest matches batch bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docRows = (0L until 21L).map(i => (i, s"entry body $i\nmore text"))
+    val ps = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStream.zipDecoded(spark,
+        ps.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("zip_out").start()
+    ps.addData(docRows)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("zip_out").orderBy("doc_id").collect().map(_.toString)
+    val want = graft.operators.ZipSim.stats(spark,
+        docRows.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(got.toSeq == want.toSeq && got.length == 21)
+    assert(spark.table("zip_out")
+      .filter(col("status") === "quarantined").count() == 9)
+  }
+
   test("streaming unigram encode matches the batch expression") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
