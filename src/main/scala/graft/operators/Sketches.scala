@@ -136,34 +136,42 @@ object Sketches {
     val kMax = ks.max
     val withH = docs.select(id.as("doc_id"),
       TextOps.fingerprint(text).as("h"))
-    val sa = withH.filter(col("doc_id") % 2 === 0)
-      .agg(graft.functions.KmvSketchAgg.column(col("h"), lit(kMax)).as("sa"))
-    val sb = withH.filter(col("doc_id") % 3 === 0)
-      .agg(graft.functions.KmvSketchAgg.column(col("h"), lit(kMax)).as("sb"))
-    val both = sa.crossJoin(broadcast(sb)) // 1×1: the combine is free
+    // BOTH sketches in ONE aggregation pass: the corpus (and the
+    // per-char fingerprint fold) is scanned once, not once per side —
+    // the agg skips nulls, so a conditional input IS the side filter
+    val both = withH.agg(
+      graft.functions.KmvSketchAgg.column(
+        when(col("doc_id") % 2 === 0, col("h")), lit(kMax)).as("sa"),
+      graft.functions.KmvSketchAgg.column(
+        when(col("doc_id") % 3 === 0, col("h")), lit(kMax)).as("sb"))
     val M = 2147483647L // the fingerprint modulus (31-bit prime)
-    val perK = ks.sorted.map { k =>
-      both.select(
-        lit(k.toLong).as("k"),
+    // one row per k, EXPLODED from the single aggregation row — a
+    // union of per-k branches would re-evaluate the scan+agg subtree
+    // once per k
+    val kRows = ks.sorted.map { k =>
+      struct(lit(k.toLong).as("k"),
         slice(col("sa"), 1, k).as("a"),
         slice(col("sb"), 1, k).as("b"))
-        .withColumn("su", slice(array_sort(array_union(col("a"), col("b"))), 1, k))
-        .withColumn("n_sketch", size(col("su")).cast("long"))
-        .withColumn("kth_min", element_at(col("su"), size(col("su"))).cast("long"))
-        .withColumn("inter_in_sketch",
-          size(array_intersect(array_intersect(col("su"), col("a")), col("b")))
-            .cast("long"))
-        .withColumn("est_union",
-          when(col("n_sketch") < k, col("n_sketch"))
-            .otherwise(expr(s"${(k - 1).toLong * M}L div kth_min")))
-        .withColumn("est_inter",
-          // undersized sketch = every distinct value retained: the
-          // intersection count IS exact, no theta scaling
-          when(col("n_sketch") < k, col("inter_in_sketch"))
-            .otherwise(expr(s"(inter_in_sketch * est_union) div ${k}L")))
-        .select("k", "n_sketch", "kth_min", "inter_in_sketch",
-          "est_union", "est_inter")
     }
-    perK.reduce(_.unionByName(_)).orderBy("k")
+    both.select(explode(array(kRows: _*)).as("r"))
+      .select(col("r.k").as("k"), col("r.a").as("a"), col("r.b").as("b"))
+      .withColumn("su", slice(array_sort(array_union(col("a"), col("b"))),
+        lit(1), col("k").cast("int")))
+      .withColumn("n_sketch", size(col("su")).cast("long"))
+      .withColumn("kth_min", element_at(col("su"), size(col("su"))).cast("long"))
+      .withColumn("inter_in_sketch",
+        size(array_intersect(array_intersect(col("su"), col("a")), col("b")))
+          .cast("long"))
+      .withColumn("est_union",
+        when(col("n_sketch") < col("k"), col("n_sketch"))
+          .otherwise(expr(s"(k - 1L) * ${M}L div kth_min")))
+      .withColumn("est_inter",
+        // undersized sketch = every distinct value retained: the
+        // intersection count IS exact, no theta scaling
+        when(col("n_sketch") < col("k"), col("inter_in_sketch"))
+          .otherwise(expr("(inter_in_sketch * est_union) div k")))
+      .select("k", "n_sketch", "kth_min", "inter_in_sketch",
+        "est_union", "est_inter")
+      .orderBy("k")
   }
 }

@@ -712,8 +712,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("partial_kmv_agg"), s"map-side sketch missing\n$p")
     assert(!p.contains("Arguments: hashpartitioning"),
       s"d112 must not hash-shuffle the corpus\n$p")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
-      s"the 1x1 combine should broadcast\n$p")
+    // both sides sketch in ONE aggregation over ONE scan (conditional
+    // inputs) — a join or second FileScan would mean the corpus and
+    // the per-char fingerprint fold get paid twice
+    assert(!p.contains("Join"), s"the combine must be join-free\n$p")
+    // FormattedMode prints each node in the tree AND the details
+    // section — count the numbered detail headers, one per real scan
+    val scans = "(?m)^\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans <= 1, s"corpus must scan ONCE for all k rows, got $scans\n$p")
   }
 
   test("salted join distributes a hot key across n buckets, same result") {
