@@ -45,7 +45,8 @@ object Bench {
     "d102_gif_decode", "d103_mulaw_decode", "d104_tar_shards",
     "d105_webdataset_samples", "d106_jsonl_gz", "d107_tfrecord",
     "d108_warc_records", "d109_mjpeg_frames", "d110_adpcm_decode",
-    "d111_wet_extract", "d112_sketch_overlap", "d113_zip_entries")
+    "d111_wet_extract", "d112_sketch_overlap", "d113_zip_entries",
+    "d114_crawl_pipeline")
 
   /** Fixed CPU-bound calibration microbench ("DotBench"): scalar dot
     * products over pinned-size float arrays with deterministic

@@ -401,6 +401,39 @@ object WarcSim {
       }(enc)
   }
 
+  private val pageRowsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("page", IntegerType),
+    StructField("text", StringType)))
+
+  /** The WET row source with the extracted TEXT itself (not just
+    * stats) — what a downstream curation chain consumes: one row per
+    * 200-status response of each clean multi-capture shard, carrying
+    * the page body decoded back to a string. Same keep/drop rules as
+    * [[pages]]; map-only flatMap. */
+  def pageRows(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(pageRowsSchema)
+    docs.select(col("doc_id"), col("text"))
+      .mapPartitions { rows =>
+        rows.grouped(Multimodal.BATCH_SIZE).flatMap { batch =>
+          batch.iterator.flatMap { r =>
+            val id = r.getLong(0)
+            WarcCodec.decode(wetPayloadFor(id, r.getString(1))).toSeq.flatMap {
+              recs =>
+                recs.filter(_.warcType == "response").zipWithIndex.flatMap {
+                  case (rec, page) =>
+                    WarcCodec.parseHttpResponse(rec.block).collect {
+                      case (200, body) =>
+                        Row(id, page, new String(body, "UTF-8"))
+                    }
+                }
+            }
+          }
+        }
+      }(enc)
+  }
+
   val statsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("status", StringType),

@@ -1258,6 +1258,31 @@ object PipelineQueries {
     "d113_zip_entries" -> ((s, dir) =>
       ZipSim.stats(s, docs(s, dir)).orderBy("doc_id")),
 
+    // the crawl-to-training-shards capstone — the full Common-Crawl
+    // ingest story in ONE plan: .warc.gz shards → per-page extracted
+    // text (d111's row source, map-only) → token-count quality gate →
+    // exact content dedup (min-pid keeper per md5, partial-agg shape:
+    // a 10⁹-copy boilerplate page shrinks map-side) → budget packing
+    // via the two-phase distributed prefix sum (packBudgetScalable —
+    // no one-task-per-stream window wall). Every stage's arithmetic
+    // is an already-proven oracle piece (d111 slices, d19 packing,
+    // d21 md5 dedup), chained
+    "d114_crawl_pipeline" -> ((s, dir) => {
+      val pages = WarcSim.pageRows(s, docs(s, dir))
+      val toks = pages
+        .withColumn("n_tokens", size(TextOps.tokens(col("text"))).cast("long"))
+        .filter(col("n_tokens") >= 4)
+        .withColumn("pid", col("doc_id") * 8 + col("page"))
+      val keepers = toks.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("pid")).as("pid"))
+      val uniq = toks.join(keepers.select("pid"), Seq("pid"), "left_semi")
+      TextOps.packBudgetScalable(uniq, col("doc_id") % 4, col("pid"),
+          col("n_tokens"), budget = 512)
+        .select(col("doc_id"), col("page"), col("n_tokens"),
+          col("pack_id").cast("long").as("shard_id"))
+        .orderBy("doc_id", "page")
+    }),
+
     // unigram-LM tokenizer training (SentencePiece family) — the
     // third trainer next to BPE (d82) and WordPiece (d78): substring
     // seed vocab, then hard-EM rounds of Viterbi segmentation +
@@ -2901,6 +2926,31 @@ object PipelineQueries {
         |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE w * h * sdec END)::BIGINT AS sum_g,
         |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE w * h * sdec END)::BIGINT AS sum_b
         | FROM d ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // the capstone chains ALREADY-PROVEN oracle pieces: d111's page
+    // slices, the token-split quality gate, d21's md5 min-keeper
+    // dedup (pid = doc_id*8+page is monotone in (doc_id, page), so
+    // min pid IS the min composite), and d19's windowed prefix-sum
+    // packing with `//` integer division
+    "d114_crawl_pipeline" ->
+      """WITH pi AS (SELECT range AS i FROM range(3)),
+        | p AS (SELECT doc_id, text, (1 + doc_id % 3)::BIGINT AS k,
+        |   length(text)::BIGINT AS cps
+        |  FROM documents WHERE doc_id % 7 NOT IN (0, 3, 5)),
+        | m AS (SELECT p.doc_id, i, substring(p.text,
+        |    ((i * p.cps) // p.k)::INT + 1,
+        |    (((i + 1) * p.cps) // p.k - (i * p.cps) // p.k)::INT) AS sl
+        |  FROM p JOIN pi ON i < p.k WHERE (p.doc_id + i) % 11 <> 0),
+        | t AS (SELECT doc_id, i AS page, sl,
+        |   len(string_split_regex(lower(sl), '\s+'))::BIGINT AS n_tokens,
+        |   (doc_id * 8 + i)::BIGINT AS pid FROM m),
+        | q AS (SELECT * FROM t WHERE n_tokens >= 4),
+        | kp AS (SELECT min(pid) AS pid FROM q GROUP BY md5(sl)),
+        | u AS (SELECT q.* FROM q JOIN kp USING (pid))
+        | SELECT doc_id, page::INT AS page, n_tokens,
+        |  (COALESCE(sum(n_tokens) OVER (PARTITION BY doc_id % 4 ORDER BY pid
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512)::BIGINT AS shard_id
+        | FROM u ORDER BY doc_id, page""".stripMargin.replaceAll("\n", " "),
 
     // the zip gate replays off documents.text: entry count, deflated
     // count (odd slice indices), byte totals; roundtrip is the

@@ -614,6 +614,20 @@ object ScaleRehearsal {
         graft.operators.ZipSim.stats(spark,
           big.select(col("doc_id"), col("text")))
           .filter(col("status") === "ok").count())
+      def crawlPipe(df: org.apache.spark.sql.DataFrame): Long = {
+        val pages = graft.operators.WarcSim.pageRows(spark,
+          df.select(col("doc_id"), col("text")))
+        val toks = pages
+          .withColumn("n_tokens", size(TextOps.tokens(col("text"))).cast("long"))
+          .filter(col("n_tokens") >= 4)
+          .withColumn("pid", col("doc_id") * 8 + col("page"))
+        val keepers = toks.groupBy(md5(col("text")).as("h"))
+          .agg(min(col("pid")).as("pid"))
+        val uniq = toks.join(keepers.select("pid"), Seq("pid"), "left_semi")
+        TextOps.packBudgetScalable(uniq, col("doc_id") % 4, col("pid"),
+          col("n_tokens"), budget = 512).count()
+      }
+      ratio("crawl pipeline capstone (d114)", crawlPipe(base), crawlPipe(big))
       ratio("tfrecord walk (d107)",
         graft.operators.TfRecordSim.stats(spark,
           graft.operators.TfRecordSim.payloads(base.select(col("doc_id"))))

@@ -223,6 +223,9 @@ class AnsiRobustnessSpec extends AnyFunSuite {
       docs.select(col("doc_id"), col("text")).limit(42))
     assert(zip.filter(col("status") === "ok").count() > 0)
     assert(zip.filter(col("status") === "quarantined").count() > 0)
+    // and the crawl capstone (WET extraction + dedup + packing)
+    assert(graft.queries.PipelineQueries.queries("d114_crawl_pipeline")(
+      spark, dir).count() > 0)
     // and the TFRecord walk (masked CRC-32C rotation arithmetic)
     val tfr = graft.operators.TfRecordSim.stats(spark,
       graft.operators.TfRecordSim.payloads(docs.select(col("doc_id")).limit(42)))

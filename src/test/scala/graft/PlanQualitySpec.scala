@@ -722,6 +722,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(scans <= 1, s"corpus must scan ONCE for all k rows, got $scans\n$p")
   }
 
+  test("d114: crawl capstone — WET source map-only, dedup keeper partial-agg, no cartesian") {
+    val p = plan("d114_crawl_pipeline")
+    assert(p.contains("MapPartitions"), s"WET row source missing\n$p")
+    assert(!p.contains("CartesianProduct"), s"capstone must not cross-join\n$p")
+    // the md5 keeper must be a partial-aggregable min (a window here
+    // would put every copy of a boilerplate page through one task)
+    assert(p.contains("partial_min") || p.contains("HashAggregate"),
+      s"keeper dedup must be a partial min aggregate\n$p")
+  }
+
   test("salted join distributes a hot key across n buckets, same result") {
     import spark.implicits._
     val big = (1 to 1000).map(i => ("hot", i.toLong)).toDF("key", "payload")
