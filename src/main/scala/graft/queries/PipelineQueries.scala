@@ -1267,6 +1267,19 @@ object PipelineQueries {
     // no one-task-per-stream window wall). Every stage's arithmetic
     // is an already-proven oracle piece (d111 slices, d19 packing,
     // d21 md5 dedup), chained
+    // LZ4 frames over the REAL text — the compression format big-data
+    // storage uses (Hadoop/Spark shuffle, .lz4 shards): our own block
+    // codec (token/literal/match/overlap-copy, greedy hash-table
+    // encoder honoring the spec's end rules) inside the real frame
+    // format (magic, FLG/BD + xxHash32 header checksum, length-
+    // prefixed blocks with closed-form cuts, EndMark, whole-content
+    // xxHash32). doc_id%7∈{0,3,5} damaged (truncated mid content
+    // checksum / magic stomped / one content-checksum bit — the
+    // integrity field the frame exists for); interop pinned both
+    // directions against lz4-java's frame streams
+    "d115_lz4_frames" -> ((s, dir) =>
+      Lz4Sim.stats(s, docs(s, dir)).orderBy("doc_id")),
+
     "d114_crawl_pipeline" -> ((s, dir) => {
       val pages = WarcSim.pageRows(s, docs(s, dir))
       val toks = pages
@@ -2926,6 +2939,22 @@ object PipelineQueries {
         |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE w * h * sdec END)::BIGINT AS sum_g,
         |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE w * h * sdec END)::BIGINT AS sum_b
         | FROM d ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // the LZ4 gate replays off documents.text (the d106 discipline):
+    // block count from the closed-form cut, exact UTF-8 byte total,
+    // newline count; roundtrip is the in-plan verdict
+    "d115_lz4_frames" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 IN (0, 3, 5) THEN 'quarantined' ELSE 'ok' END AS status,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL
+        |        ELSE greatest(1, (octet_length(encode(text)) + 699 + doc_id % 500)
+        |          // (700 + doc_id % 500)) END)::BIGINT AS n_blocks,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL
+        |        ELSE octet_length(encode(text)) END)::BIGINT AS n_bytes,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL
+        |        ELSE length(text) - length(replace(text, chr(10), '')) + 1 END)::BIGINT AS n_lines,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE TRUE END)::BOOLEAN AS roundtrip_ok
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     // the capstone chains ALREADY-PROVEN oracle pieces: d111's page
     // slices, the token-split quality gate, d21's md5 min-keeper

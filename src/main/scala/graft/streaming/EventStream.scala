@@ -595,6 +595,14 @@ object EventStream {
                  stream: DataFrame): DataFrame =
     graft.operators.ZipSim.stats(spark, stream)
 
+  /** Streaming LZ4 decode — d115's streaming twin: the frame walk +
+    * block decode runs per micro-batch through the same batched
+    * mapPartitions contract (stateless, map-only). Bit-identical to
+    * the batch stats (spec-pinned). */
+  def lz4Decoded(spark: org.apache.spark.sql.SparkSession,
+                 stream: DataFrame): DataFrame =
+    graft.operators.Lz4Sim.stats(spark, stream)
+
   /** Streaming unigram-LM encode — d100's streaming twin: the
     * trained model rides the plan as a reference object and the
     * Viterbi expression is stateless column arithmetic, so the

@@ -628,6 +628,13 @@ object ScaleRehearsal {
           col("n_tokens"), budget = 512).count()
       }
       ratio("crawl pipeline capstone (d114)", crawlPipe(base), crawlPipe(big))
+      ratio("lz4 frame decode (d115)",
+        graft.operators.Lz4Sim.stats(spark,
+          base.select(col("doc_id"), col("text")))
+          .filter(col("status") === "ok").count(),
+        graft.operators.Lz4Sim.stats(spark,
+          big.select(col("doc_id"), col("text")))
+          .filter(col("status") === "ok").count())
       ratio("tfrecord walk (d107)",
         graft.operators.TfRecordSim.stats(spark,
           graft.operators.TfRecordSim.payloads(base.select(col("doc_id"))))

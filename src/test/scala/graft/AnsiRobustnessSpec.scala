@@ -226,6 +226,11 @@ class AnsiRobustnessSpec extends AnyFunSuite {
     // and the crawl capstone (WET extraction + dedup + packing)
     assert(graft.queries.PipelineQueries.queries("d114_crawl_pipeline")(
       spark, dir).count() > 0)
+    // and the LZ4 walk (frame offsets, xxh32, match-copy arithmetic)
+    val lz = graft.operators.Lz4Sim.stats(spark,
+      docs.select(col("doc_id"), col("text")).limit(42))
+    assert(lz.filter(col("status") === "ok").count() > 0)
+    assert(lz.filter(col("status") === "quarantined").count() > 0)
     // and the TFRecord walk (masked CRC-32C rotation arithmetic)
     val tfr = graft.operators.TfRecordSim.stats(spark,
       graft.operators.TfRecordSim.payloads(docs.select(col("doc_id")).limit(42)))

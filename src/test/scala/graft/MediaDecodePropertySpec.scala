@@ -1056,6 +1056,64 @@ object MediaDecodePropertySpec extends Properties("MediaDecode") {
       }
     }
 
+  // ---- LZ4 ---------------------------------------------------------
+
+  import graft.operators.{Lz4Codec, Lz4Sim}
+
+  /** Content gen biased toward repetition (so matches actually fire)
+    * plus raw random bytes (incompressible → stored-block path). */
+  private val lz4ContentGen: Gen[Array[Byte]] = Gen.frequency(
+    3 -> Gen.choose(0, 4000).flatMap(n => Gen.listOfN(n, Gen.oneOf(
+      'a'.toByte, 'b'.toByte, ' '.toByte, '\n'.toByte)).map(_.toArray)),
+    2 -> Gen.alphaStr.map(s => (s * 7).getBytes("US-ASCII")),
+    2 -> bytesGen)
+
+  property("lz4: encode∘decode = identity through frame and block layers") =
+    Prop.forAll(lz4ContentGen, Gen.choose(1, 2000)) { (content, cut) =>
+      Lz4Codec.decode(Lz4Codec.encodeFrame(content, cut))
+        .exists(java.util.Arrays.equals(_, content))
+    }
+
+  property("lz4: lz4-java's frame reader reads our encoder's output byte-exactly") =
+    Prop.forAll(lz4ContentGen, Gen.choose(1, 2000)) { (content, cut) =>
+      val in = new net.jpountz.lz4.LZ4FrameInputStream(
+        new java.io.ByteArrayInputStream(Lz4Codec.encodeFrame(content, cut)))
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      java.util.Arrays.equals(bos.toByteArray, content)
+    }
+
+  property("lz4: our decoder reads lz4-java-written frames") =
+    Prop.forAll(lz4ContentGen) { content =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new net.jpountz.lz4.LZ4FrameOutputStream(bos,
+        net.jpountz.lz4.LZ4FrameOutputStream.BLOCKSIZE.SIZE_64KB, -1L,
+        net.jpountz.lz4.LZ4FrameOutputStream.FLG.Bits.BLOCK_INDEPENDENCE,
+        net.jpountz.lz4.LZ4FrameOutputStream.FLG.Bits.CONTENT_CHECKSUM)
+      out.write(content); out.close()
+      Lz4Codec.decode(bos.toByteArray)
+        .exists(java.util.Arrays.equals(_, content))
+    }
+
+  property("lz4: any truncation quarantines") =
+    Prop.forAll(Gen.choose(0L, 4000L), Gen.alphaNumStr, Gen.choose(1, 1 << 10)) {
+      (id0, text, cut0) =>
+        val id = id0 - id0 % 7 + 1
+        val z = Lz4Sim.payloadFor(id, text)
+        val cut = 1 + cut0 % (z.length - 1)
+        Lz4Codec.decode(z.take(z.length - cut)).isEmpty
+    }
+
+  property("lz4: the three d115 damage modes quarantine, clean ids decode") =
+    Prop.forAll(Gen.choose(0L, 4000L), zipTextGen) { (id, text) =>
+      val got = Lz4Codec.decode(Lz4Sim.payloadFor(id, text))
+      if (id % 7 == 0 || id % 7 == 3 || id % 7 == 5) got.isEmpty
+      else got.exists(c => new String(c, "UTF-8") == text)
+    }
+
   // ---- IMA ADPCM ---------------------------------------------------
 
   import graft.operators.{AdpcmCodec, AdpcmSim}

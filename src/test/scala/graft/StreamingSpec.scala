@@ -1092,6 +1092,27 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("status") === "quarantined").count() == 9)
   }
 
+  test("streaming lz4 decode matches batch bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docRows = (0L until 21L).map(i => (i, s"block body $i\n" * 3))
+    val ps = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStream.lz4Decoded(spark,
+        ps.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("lz4_out").start()
+    ps.addData(docRows)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("lz4_out").orderBy("doc_id").collect().map(_.toString)
+    val want = graft.operators.Lz4Sim.stats(spark,
+        docRows.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(got.toSeq == want.toSeq && got.length == 21)
+    assert(spark.table("lz4_out")
+      .filter(col("status") === "quarantined").count() == 9)
+  }
+
   test("streaming unigram encode matches the batch expression") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
