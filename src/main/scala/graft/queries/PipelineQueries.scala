@@ -1267,6 +1267,18 @@ object PipelineQueries {
     // no one-task-per-stream window wall). Every stage's arithmetic
     // is an already-proven oracle piece (d111 slices, d19 packing,
     // d21 md5 dedup), chained
+    // the OTHER G.711 half — A-law (WAV fmt 6, European telephony;
+    // μ-law is d103): memoryless lossy expand with a pure integer
+    // closed form over the 0x55-XORed code, sign bit SET = positive
+    // (the inverted convention μ-law's complement doesn't have). The
+    // oracle replays the full expand per sample. Damage: truncation /
+    // magic / fmt tag stomped to 7 — μ-LAW: each G.711 half must
+    // reject the other (the scope check is what stands between a
+    // reader and silently wrong audio)
+    "d116_alaw_decode" -> ((s, dir) =>
+      AlawSim.stats(s, AlawSim.payloads(docs(s, dir)))
+        .orderBy("doc_id")),
+
     // LZ4 frames over the REAL text — the compression format big-data
     // storage uses (Hadoop/Spark shuffle, .lz4 shards): our own block
     // codec (token/literal/match/overlap-copy, greedy hash-table
@@ -2939,6 +2951,31 @@ object PipelineQueries {
         |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE w * h * sdec END)::BIGINT AS sum_g,
         |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE w * h * sdec END)::BIGINT AS sum_b
         | FROM d ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // the A-law gate replays the expand closed form per sample:
+    // c = code XOR 0x55; t = (mant*16 + seg==0?8:264) << max(0,seg-1);
+    // sign bit set = positive — pure integer, engine-exact
+    "d116_alaw_decode" ->
+      """WITH js AS (SELECT range AS j FROM range(123)),
+        | p AS (SELECT doc_id, (40 + doc_id % 83)::BIGINT AS n FROM documents),
+        | s AS (SELECT p.doc_id, p.n,
+        |   xor((p.doc_id * 37 + j * 11) % 256, 85) AS c
+        |  FROM p JOIN js ON j < p.n),
+        | d AS (SELECT doc_id, n,
+        |   (CASE WHEN c >= 128 THEN 1 ELSE -1 END) *
+        |     (((c % 16) * 16 + CASE WHEN (c // 16) % 8 = 0 THEN 8 ELSE 264 END)
+        |       * (1 << greatest(0, (c // 16) % 8 - 1))) AS v
+        |  FROM s),
+        | agg AS (SELECT doc_id, n, sum(v)::BIGINT AS sum_pcm,
+        |   sum(abs(v))::BIGINT AS sum_abs, max(abs(v))::BIGINT AS peak
+        |  FROM d GROUP BY 1, 2)
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 7 IN (0, 3, 5) THEN 'quarantined' ELSE 'ok' END AS status,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE n END)::BIGINT AS n_samples,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE sum_pcm END)::BIGINT AS sum_pcm,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE sum_abs END)::BIGINT AS sum_abs,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE peak END)::BIGINT AS peak
+        | FROM agg ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     // the LZ4 gate replays off documents.text (the d106 discipline):
     // block count from the closed-form cut, exact UTF-8 byte total,

@@ -603,6 +603,14 @@ object EventStream {
                  stream: DataFrame): DataFrame =
     graft.operators.Lz4Sim.stats(spark, stream)
 
+  /** Streaming A-law decode — d116's streaming twin: the strict
+    * fmt-6 walker + G.711 expand per micro-batch through the same
+    * batched mapPartitions contract (stateless, map-only).
+    * Bit-identical to the batch stats (spec-pinned). */
+  def alawDecoded(spark: org.apache.spark.sql.SparkSession,
+                  stream: DataFrame): DataFrame =
+    graft.operators.AlawSim.stats(spark, stream)
+
   /** Streaming unigram-LM encode — d100's streaming twin: the
     * trained model rides the plan as a reference object and the
     * Viterbi expression is stateless column arithmetic, so the

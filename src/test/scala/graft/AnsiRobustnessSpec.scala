@@ -231,6 +231,11 @@ class AnsiRobustnessSpec extends AnyFunSuite {
       docs.select(col("doc_id"), col("text")).limit(42))
     assert(lz.filter(col("status") === "ok").count() > 0)
     assert(lz.filter(col("status") === "quarantined").count() > 0)
+    // and the A-law chain (G.711 XOR/segment-shift arithmetic)
+    val al = graft.operators.AlawSim.stats(spark,
+      graft.operators.AlawSim.payloads(docs.select(col("doc_id")).limit(42)))
+    assert(al.filter(col("status") === "ok").count() > 0)
+    assert(al.filter(col("status") === "quarantined").count() > 0)
     // and the TFRecord walk (masked CRC-32C rotation arithmetic)
     val tfr = graft.operators.TfRecordSim.stats(spark,
       graft.operators.TfRecordSim.payloads(docs.select(col("doc_id")).limit(42)))

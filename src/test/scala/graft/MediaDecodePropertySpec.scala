@@ -1056,6 +1056,73 @@ object MediaDecodePropertySpec extends Properties("MediaDecode") {
       }
     }
 
+  // ---- G.711 A-law -------------------------------------------------
+
+  import graft.operators.{AlawCodec, AlawSim}
+
+  property("alaw: decode of every code matches javax.sound") = Prop.protect {
+    val codes = Array.tabulate(256)(_.toByte)
+    val src = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(codes),
+      new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.ALAW, 8000f, 8, 1, 1, 8000f, false),
+      256)
+    val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false), src)
+    val out = pcm.readAllBytes()
+    Prop(out.length == 512 && (0 until 256).forall { c =>
+      val jdk = (((out(2 * c + 1) & 0xFF) << 8) | (out(2 * c) & 0xFF)).toShort.toInt
+      jdk == AlawCodec.decodeSample(c)
+    })
+  }
+
+  property("alaw: encode(decode(code)) == code for all 256 codes") =
+    Prop.protect(Prop((0 until 256).forall { c =>
+      AlawCodec.encodeSample(AlawCodec.decodeSample(c)) == c
+    }))
+
+  property("alaw: decode(encode(pcm)) within the segment step, sign kept") =
+    Prop.forAll(Gen.choose(-32256, 32256)) { pcm =>
+      val dec = AlawCodec.decodeSample(AlawCodec.encodeSample(pcm))
+      math.abs(dec - pcm) <= 1024 && (pcm >= 0) == (dec >= 0)
+    }
+
+  property("alaw: our decoder reads javax.sound-written ALAW WAVs") =
+    Prop.forAll(Gen.choose(1, 200), Gen.choose(0L, 1L << 40)) { (n, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val codes = Array.fill(n)(rnd.nextInt(256).toByte)
+      val src = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(codes),
+        new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.ALAW, 8000f, 8, 1, 1, 8000f, false),
+        n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(src,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      val want = codes.map(c => AlawCodec.decodeSample(c & 0xFF))
+      AlawCodec.decodeSums(bos.toByteArray).exists { f =>
+        f(0) == n && f(1) == want.map(_.toLong).sum &&
+          f(2) == want.map(v => math.abs(v).toLong).sum
+      }
+    }
+
+  /** The G.711 halves must REJECT each other: an A-law WAV (tag 6)
+    * quarantines in the μ-law decoder and vice versa — the scope
+    * check that stands between a reader and silently wrong audio. */
+  property("alaw: the two G.711 decoders reject each other's containers") =
+    Prop.forAll(Gen.choose(0L, 1L << 40)) { seed =>
+      val id = seed - seed % 7 + 1
+      graft.operators.MulawCodec.decodeSums(AlawSim.cleanWav(id)).isEmpty &&
+        AlawCodec.decodeSums(graft.operators.MulawSim.cleanWav(id)).isEmpty
+    }
+
+  property("alaw: the three d116 damage modes quarantine, clean ids decode") =
+    Prop.forAll(Gen.choose(0L, 4000L)) { id =>
+      val got = AlawCodec.decodeSums(AlawSim.payloadFor(id))
+      if (id % 7 == 0 || id % 7 == 3 || id % 7 == 5) got.isEmpty
+      else got.exists(_(0) == AlawSim.nSamples(id))
+    }
+
   // ---- LZ4 ---------------------------------------------------------
 
   import graft.operators.{Lz4Codec, Lz4Sim}

@@ -684,12 +684,12 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
   }
 
-  test("codec gates (d98, d101-d115) are map-only — no shuffle join, no window") {
+  test("codec gates (d98, d101-d116) are map-only — no shuffle join, no window") {
     for (q <- Seq("d98_png_decode", "d101_jpeg_decode", "d102_gif_decode",
       "d103_mulaw_decode", "d104_tar_shards", "d105_webdataset_samples",
       "d106_jsonl_gz", "d107_tfrecord", "d108_warc_records",
       "d109_mjpeg_frames", "d110_adpcm_decode", "d111_wet_extract",
-      "d113_zip_entries", "d115_lz4_frames")) {
+      "d113_zip_entries", "d115_lz4_frames", "d116_alaw_decode")) {
       val p = plan(q)
       // synthesis + decode are chained mapPartitions over the scan;
       // the only exchange allowed is the presentation orderBy's

@@ -1113,6 +1113,28 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("status") === "quarantined").count() == 9)
   }
 
+  test("streaming alaw decode matches batch bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val payloadRows = (0L until 21L)
+      .map(i => (i, graft.operators.AlawSim.payloadFor(i)))
+    val ps = MemoryStream[(Long, Array[Byte])]
+    val q = graft.streaming.EventStream.alawDecoded(spark,
+        ps.toDF().toDF("doc_id", "payload"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("alaw_out").start()
+    ps.addData(payloadRows)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("alaw_out").orderBy("doc_id").collect().map(_.toString)
+    val want = graft.operators.AlawSim.stats(spark,
+        payloadRows.toDF("doc_id", "payload"))
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(got.toSeq == want.toSeq && got.length == 21)
+    assert(spark.table("alaw_out")
+      .filter(col("status") === "quarantined").count() == 9)
+  }
+
   test("streaming unigram encode matches the batch expression") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
