@@ -152,8 +152,16 @@ object Bench {
     Tables.load(spark, sfDir, "lineitem").count()
     Tables.load(spark, sfDir, "orders").count()
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    val calib = calibrate()
+    // parallel calibration FIRST: its full-width burn warms the
+    // package, so the single-thread pre-calib measures the same
+    // thermal state the queries (and the post-calib) run in. Measured
+    // the other way round, a cold package turbo-boosts the lone
+    // pre-calib thread ~20% above the hot steady state and the drift
+    // flag fires on thermal decay instead of real load (two final-r11
+    // runs flagged exactly this way while their raw walls agreed
+    // within 2%).
     val calibPar = calibratePar(cpus.toInt)
+    val calib = calibrate()
     val results = HEADLINERS.map { name =>
       // one UNTIMED warmup rep first: queries that build one-time state
       // (the warehouse materializations) pay it here, so the timed
