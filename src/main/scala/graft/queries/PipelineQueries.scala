@@ -1292,6 +1292,18 @@ object PipelineQueries {
     "d115_lz4_frames" -> ((s, dir) =>
       Lz4Sim.stats(s, docs(s, dir)).orderBy("doc_id")),
 
+    // zstd frames over the REAL text — the format modern LLM corpora
+    // actually ship in (.jsonl.zst): our own RFC 8878 codec — FSE/tANS
+    // sequence streams + huff0 literals, the one entropy family the
+    // sweep hadn't built — inside the real frame format (magic,
+    // descriptor, FCS verified, blocks with closed-form cuts,
+    // whole-content xxHash64). doc_id%7∈{0,3,5} damaged (truncated mid
+    // content checksum / magic stomped / one content-checksum bit —
+    // the integrity field the frame exists for); interop pinned both
+    // directions against zstd-jni at levels 1/3/9/19
+    "d117_zstd_frames" -> ((s, dir) =>
+      ZstdSim.stats(s, docs(s, dir)).orderBy("doc_id")),
+
     "d114_crawl_pipeline" -> ((s, dir) => {
       val pages = WarcSim.pageRows(s, docs(s, dir))
       val toks = pages
@@ -2986,6 +2998,22 @@ object PipelineQueries {
         |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL
         |        ELSE greatest(1, (octet_length(encode(text)) + 699 + doc_id % 500)
         |          // (700 + doc_id % 500)) END)::BIGINT AS n_blocks,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL
+        |        ELSE octet_length(encode(text)) END)::BIGINT AS n_bytes,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL
+        |        ELSE length(text) - length(replace(text, chr(10), '')) + 1 END)::BIGINT AS n_lines,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE TRUE END)::BOOLEAN AS roundtrip_ok
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // the zstd gate replays off documents.text (the d115 discipline):
+    // block count from the closed-form cut, exact UTF-8 byte total,
+    // newline count; roundtrip is the in-plan verdict
+    "d117_zstd_frames" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 IN (0, 3, 5) THEN 'quarantined' ELSE 'ok' END AS status,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL
+        |        ELSE greatest(1, (octet_length(encode(text)) + 599 + doc_id % 400)
+        |          // (600 + doc_id % 400)) END)::BIGINT AS n_blocks,
         |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL
         |        ELSE octet_length(encode(text)) END)::BIGINT AS n_bytes,
         |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL

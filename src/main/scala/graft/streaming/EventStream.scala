@@ -603,6 +603,14 @@ object EventStream {
                  stream: DataFrame): DataFrame =
     graft.operators.Lz4Sim.stats(spark, stream)
 
+  /** Streaming zstd decode — d117's streaming twin: the frame walk +
+    * FSE/huff0 block decode runs per micro-batch through the same
+    * batched mapPartitions contract (stateless, map-only).
+    * Bit-identical to the batch stats (spec-pinned). */
+  def zstdDecoded(spark: org.apache.spark.sql.SparkSession,
+                  stream: DataFrame): DataFrame =
+    graft.operators.ZstdSim.stats(spark, stream)
+
   /** Streaming A-law decode — d116's streaming twin: the strict
     * fmt-6 walker + G.711 expand per micro-batch through the same
     * batched mapPartitions contract (stateless, map-only).

@@ -635,6 +635,13 @@ object ScaleRehearsal {
         graft.operators.Lz4Sim.stats(spark,
           big.select(col("doc_id"), col("text")))
           .filter(col("status") === "ok").count())
+      ratio("zstd frame decode (d117)",
+        graft.operators.ZstdSim.stats(spark,
+          base.select(col("doc_id"), col("text")))
+          .filter(col("status") === "ok").count(),
+        graft.operators.ZstdSim.stats(spark,
+          big.select(col("doc_id"), col("text")))
+          .filter(col("status") === "ok").count())
       ratio("alaw decode (d116)",
         graft.operators.AlawSim.stats(spark,
           graft.operators.AlawSim.payloads(base.select(col("doc_id"))))

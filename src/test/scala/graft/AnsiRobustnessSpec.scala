@@ -231,6 +231,11 @@ class AnsiRobustnessSpec extends AnyFunSuite {
       docs.select(col("doc_id"), col("text")).limit(42))
     assert(lz.filter(col("status") === "ok").count() > 0)
     assert(lz.filter(col("status") === "quarantined").count() > 0)
+    // and the zstd walk (FSE states, huff0 codes, xxh64 arithmetic)
+    val zs = graft.operators.ZstdSim.stats(spark,
+      docs.select(col("doc_id"), col("text")).limit(42))
+    assert(zs.filter(col("status") === "ok").count() > 0)
+    assert(zs.filter(col("status") === "quarantined").count() > 0)
     // and the A-law chain (G.711 XOR/segment-shift arithmetic)
     val al = graft.operators.AlawSim.stats(spark,
       graft.operators.AlawSim.payloads(docs.select(col("doc_id")).limit(42)))

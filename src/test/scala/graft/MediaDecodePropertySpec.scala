@@ -1181,6 +1181,85 @@ object MediaDecodePropertySpec extends Properties("MediaDecode") {
       else got.exists(c => new String(c, "UTF-8") == text)
     }
 
+  // ---- zstd ---------------------------------------------------------
+
+  import graft.operators.{ZstdCodec, ZstdSim}
+
+  /** Repetitive text (sequences + huff0 fire), stretched alpha runs,
+    * and raw random bytes (incompressible → raw-block path). */
+  private val zstdContentGen: Gen[Array[Byte]] = Gen.frequency(
+    3 -> Gen.choose(0, 4000).flatMap(n => Gen.listOfN(n, Gen.oneOf(
+      'a'.toByte, 'b'.toByte, ' '.toByte, '\n'.toByte)).map(_.toArray)),
+    2 -> Gen.alphaStr.map(s => (s * 7).getBytes("US-ASCII")),
+    2 -> bytesGen)
+
+  property("zstd: encode∘decode = identity through frame, tANS and huff0 layers") =
+    Prop.forAll(zstdContentGen, Gen.choose(1, 1023)) { (content, cut) =>
+      ZstdCodec.decode(ZstdCodec.encodeFrame(content, cut))
+        .exists(java.util.Arrays.equals(_, content))
+    }
+
+  property("zstd: zstd-jni decompresses our tANS-encoded frames byte-exactly") =
+    Prop.forAll(zstdContentGen, Gen.choose(1, 1023)) { (content, cut) =>
+      val got = com.github.luben.zstd.Zstd.decompress(
+        ZstdCodec.encodeFrame(content, cut), math.max(content.length, 1))
+      java.util.Arrays.equals(got, content)
+    }
+
+  property("zstd: our decoder reads zstd-jni frames (levels 1/3/9/19 — FSE tables, 4-stream huff0, repeats)") =
+    Prop.forAll(zstdContentGen, Gen.oneOf(1, 3, 9, 19)) { (content, lvl) =>
+      val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+      try {
+        ctx.setLevel(lvl); ctx.setChecksum(true)
+        ZstdCodec.decode(ctx.compress(content))
+          .exists(java.util.Arrays.equals(_, content))
+      } finally ctx.close()
+    }
+
+  property("zstd: window-descriptor frames (jni streaming writer) decode too") =
+    Prop.forAll(zstdContentGen) { content =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val zos = new com.github.luben.zstd.ZstdOutputStream(bos)
+      zos.setChecksum(true)
+      zos.write(content); zos.close()
+      ZstdCodec.decode(bos.toByteArray)
+        .exists(java.util.Arrays.equals(_, content))
+    }
+
+  property("zstd: any truncation quarantines") =
+    Prop.forAll(Gen.choose(0L, 4000L), Gen.alphaNumStr, Gen.choose(1, 1 << 10)) {
+      (id0, text, cut0) =>
+        val id = id0 - id0 % 7 + 1
+        val z = ZstdSim.payloadFor(id, text)
+        val cut = 1 + cut0 % (z.length - 1)
+        ZstdCodec.decode(z.take(z.length - cut)).isEmpty
+    }
+
+  /** The integrity statement the strict scope buys (unused/reserved
+    * descriptor bits rejected — the tar-byte-155 class): a single bit
+    * flip anywhere in one of our single-segment frames either
+    * quarantines or decodes to IDENTICAL content (FSE init-state slack
+    * can re-encode the same bytes) — never to silently different
+    * output. */
+  property("zstd: single bit flips never change decoded content") =
+    Prop.forAll(Gen.choose(0L, 4000L), zipTextGen, Gen.choose(0, 1 << 20)) {
+      (id0, text, bitSeed) =>
+        val id = id0 - id0 % 7 + 1 // clean slice
+        val content = text.getBytes("UTF-8")
+        val clean = ZstdCodec.encodeFrame(content, ZstdSim.blockCut(id))
+        val bit = bitSeed % (clean.length * 8)
+        val d = clean.clone()
+        d(bit / 8) = (d(bit / 8) ^ (1 << (bit % 8))).toByte
+        ZstdCodec.decode(d).forall(java.util.Arrays.equals(_, content))
+    }
+
+  property("zstd: the three d117 damage modes quarantine, clean ids decode") =
+    Prop.forAll(Gen.choose(0L, 4000L), zipTextGen) { (id, text) =>
+      val got = ZstdCodec.decode(ZstdSim.payloadFor(id, text))
+      if (id % 7 == 0 || id % 7 == 3 || id % 7 == 5) got.isEmpty
+      else got.exists(c => new String(c, "UTF-8") == text)
+    }
+
   // ---- IMA ADPCM ---------------------------------------------------
 
   import graft.operators.{AdpcmCodec, AdpcmSim}

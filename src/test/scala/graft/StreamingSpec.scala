@@ -1113,6 +1113,27 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("status") === "quarantined").count() == 9)
   }
 
+  test("streaming zstd decode matches batch bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docRows = (0L until 21L).map(i => (i, s"zstd body word $i\n" * 4))
+    val ps = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStream.zstdDecoded(spark,
+        ps.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("zstd_out").start()
+    ps.addData(docRows)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("zstd_out").orderBy("doc_id").collect().map(_.toString)
+    val want = graft.operators.ZstdSim.stats(spark,
+        docRows.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(got.toSeq == want.toSeq && got.length == 21)
+    assert(spark.table("zstd_out")
+      .filter(col("status") === "quarantined").count() == 9)
+  }
+
   test("streaming alaw decode matches batch bit-for-bit") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
