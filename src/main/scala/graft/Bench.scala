@@ -244,13 +244,27 @@ object Bench {
     val shared = results.filter { case (k, v, _) => v >= 0 && baselineQueries.contains(k) }
     val sharedTotal = shared.map(_._2).sum
     val baselineShared = shared.map { case (k, _, _) => baselineQueries(k) }.sum
-    // stdout line must stay compact: the driver tail-captures stdout and
-    // a too-long line truncates from the front, parsing as nothing (the
-    // r5 failure). Per-query spreads are a diagnostic — stderr only
-    // (printed per-query above); the contract line carries max_spread
-    // plus WHICH query produced it (one field, not the whole map), so
-    // a >1.5 spread is attributable from the artifact alone.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"max_spread":$maxSpread%.2f,"max_spread_query":"$spreadQuery","calib_sec":$calib%.3f,"calib_post_sec":$calibPost%.3f,"calib_par_sec":$calibPar%.3f,"host_contended":$contended,"shared_total_sec":$sharedTotal%.3f,"baseline_shared_sec":$baselineShared%.3f,"shared_n":${shared.size},"failed":$failed,"sf":"$sfDir"}""")
+    // Artifact contract (r12, after the r11 parsed:null): the FULL
+    // JSON (with the per-query map) goes to a FILE — the map outgrew
+    // the driver's stdout tail window at 87 queries, so the committed
+    // stdout artifact lost its head and parsed as nothing. stdout now
+    // carries the full line FIRST (harmless if truncated) and a
+    // COMPACT line LAST — no query map, bounded size, so whatever
+    // tail window captures stdout always ends with one parseable
+    // contract line pointing at the file.
+    val tail = f""""max_spread":$maxSpread%.2f,"max_spread_query":"$spreadQuery","calib_sec":$calib%.3f,"calib_post_sec":$calibPost%.3f,"calib_par_sec":$calibPar%.3f,"host_contended":$contended,"shared_total_sec":$sharedTotal%.3f,"baseline_shared_sec":$baselineShared%.3f,"shared_n":${shared.size},"failed":$failed,"sf":"$sfDir""""
+    val fullLine =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$tail}"""
+    val compactLine =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},$tail,"queries_file":"BENCH_LAST.json"}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_LAST.json: $e") }
+    println(fullLine)
+    println(compactLine)
     spark.stop()
   }
 }

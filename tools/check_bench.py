@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Bench regression check — the official rule (r12 policy).
+
+SURVEY §8.12's cross-day data shows the single-thread calib carries
+±25% error on this host (turbo/thermal regimes), wider than the 10%
+drift threshold it was built to guard. So the regression rule is RAW
+and gated, not calib-normalized:
+
+  1. the artifact must have host_contended == false — a flagged run is
+     not evidence of anything; rerun on a quiet host instead,
+  2. regression iff shared_total_sec / baseline_shared_sec > 1.10
+     (raw seconds over the baseline's own query set),
+  3. any single shared query > 1.5x its baseline entry -> investigate
+     the plan (or rerun: agreement across two clean runs is the
+     tie-breaker).
+
+Calib-normalized ratios remain a DIAGNOSTIC within one run's thermal
+regime (pre/post drift, par ratio); they are never the cross-day rule.
+
+Usage: check_bench.py [BENCH_LAST.json [BASELINE_BENCH.json]]
+Exit: 0 ok, 1 regression, 2 contended (rerun).
+"""
+import json
+import sys
+
+
+def main():
+    bench_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_LAST.json"
+    base_path = sys.argv[2] if len(sys.argv) > 2 else "BASELINE_BENCH.json"
+    b = json.load(open(bench_path))
+    base = json.load(open(base_path))
+    if b.get("host_contended"):
+        print("HOST CONTENDED (max_spread %.2f, calib %.3f->%.3f, par %.3f): "
+              "rerun on a quiet host before comparing" % (
+                  b.get("max_spread", -1), b.get("calib_sec", -1),
+                  b.get("calib_post_sec", -1), b.get("calib_par_sec", -1)))
+        sys.exit(2)
+    shared = {k: v for k, v in b["queries"].items()
+              if k in base["queries"] and v >= 0}
+    st = sum(shared.values())
+    bt = sum(base["queries"][k] for k in shared)
+    ratio = st / bt
+    print("raw shared ratio: %.2f / %.2f = %.3f over %d queries"
+          % (st, bt, ratio, len(shared)))
+    bad = [(k, v, base["queries"][k]) for k, v in shared.items()
+           if base["queries"][k] > 0.05 and v / base["queries"][k] > 1.5]
+    for k, v, bv in sorted(bad, key=lambda x: -x[1] / x[2]):
+        print("  elevated: %-24s %.2fs vs baseline %.2fs (%.2fx)"
+              % (k, v, bv, v / bv))
+    if ratio > 1.10:
+        print("REGRESSION: raw shared total > 1.10x baseline")
+        sys.exit(1)
+    print("OK" + (" (%d elevated single queries - check plans or rerun)"
+                  % len(bad) if bad else ""))
+
+
+if __name__ == "__main__":
+    main()
