@@ -18,9 +18,18 @@ import org.apache.spark.sql.types._
   * sizes) — a zip that disagrees with itself is corrupt.
   *
   * Scope (the d98 discipline): single-disk, no zip64, no encryption,
-  * no data descriptors (flag bit 3), empty archive comment, methods
-  * {0, 8} — anything else QUARANTINES rather than crashes. All
-  * declared offsets/sizes are bounds-checked before use.
+  * empty archive comment, methods {0, 8} — anything else QUARANTINES
+  * rather than crashes. Data descriptors (flag bit 3 — how
+  * java.util.zip's ZipOutputStream writes every DEFLATED entry: local
+  * crc/sizes zeroed, real values streamed AFTER the data) are IN
+  * scope since r12: the local header must carry zeros, the descriptor
+  * (with or without the PK\x07\x08 signature) is located via the
+  * central directory's compressed size and verified field-for-field
+  * against the central entry — the post-hoc cross-structure check an
+  * end-anchored reader can always make. Descriptors on STORED entries
+  * stay out of scope (no real writer emits them; the data end would
+  * be self-referential for a corrupt central size). All declared
+  * offsets/sizes are bounds-checked before use.
   *
   * Reference anchor: same constructor∘decoder discipline as the
   * d89-d112 gates (SURVEY §2.5); interop pinned BOTH directions
@@ -55,8 +64,13 @@ object ZipCodec {
   }
 
   /** Encode entries as a conformant archive: local headers + data,
-    * central directory, EOCD. Fixed DOS timestamp (deterministic). */
-  private[graft] def encode(entries: Seq[Entry]): Array[Byte] = {
+    * central directory, EOCD. Fixed DOS timestamp (deterministic).
+    * With `streamedDeflate` set, DEFLATED entries use data-descriptor
+    * framing (flag bit 3, zeroed local fields, signed descriptor after
+    * the data) — byte-for-byte the shape java.util.zip's
+    * ZipOutputStream writes. */
+  private[graft] def encode(entries: Seq[Entry],
+                            streamedDeflate: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
     def w32(v: Long): Unit = { w16((v & 0xFFFF).toInt); w16(((v >> 16) & 0xFFFF).toInt) }
@@ -64,19 +78,27 @@ object ZipCodec {
       val off = out.size()
       val nameB = e.name.getBytes("US-ASCII")
       val data = if (e.method == 8) deflateRaw(e.content) else e.content
+      val streamed = streamedDeflate && e.method == 8
       out.write(Array[Byte]('P', 'K', 3, 4))
-      w16(20); w16(0); w16(e.method)
+      w16(20); w16(if (streamed) 0x08 else 0); w16(e.method)
       w16(0x6020); w16(0x5A41) // fixed DOS time/date: 2025-02-01 12:01:00
-      w32(crc32(e.content)); w32(data.length.toLong); w32(e.content.length.toLong)
+      if (streamed) { w32(0L); w32(0L); w32(0L) } // real values follow the data
+      else {
+        w32(crc32(e.content)); w32(data.length.toLong); w32(e.content.length.toLong)
+      }
       w16(nameB.length); w16(0)
       out.write(nameB, 0, nameB.length)
       out.write(data, 0, data.length)
-      (e, off, data.length, nameB)
+      if (streamed) {
+        out.write(Array[Byte]('P', 'K', 7, 8))
+        w32(crc32(e.content)); w32(data.length.toLong); w32(e.content.length.toLong)
+      }
+      (e, off, data.length, nameB, streamed)
     }
     val cdOff = out.size()
-    locals.foreach { case (e, off, csize, nameB) =>
+    locals.foreach { case (e, off, csize, nameB, streamed) =>
       out.write(Array[Byte]('P', 'K', 1, 2))
-      w16(20); w16(20); w16(0); w16(e.method)
+      w16(20); w16(20); w16(if (streamed) 0x08 else 0); w16(e.method)
       w16(0x6020); w16(0x5A41)
       w32(crc32(e.content)); w32(csize.toLong); w32(e.content.length.toLong)
       w16(nameB.length); w16(0); w16(0)
@@ -117,8 +139,10 @@ object ZipCodec {
         if (p + 46 > eo || !sig(p, 1, 2)) throw Malformed
         val flags = u16(p + 8)
         val method = u16(p + 10)
-        if ((flags & 0x09) != 0) throw Malformed // encryption / data descriptor
+        if ((flags & 0x01) != 0) throw Malformed // encryption
         if (method != 0 && method != 8) throw Malformed
+        val streamed = (flags & 0x08) != 0
+        if (streamed && method != 0x08) throw Malformed // descriptor needs a self-terminating body
         val crc = u32(p + 16)
         val csize = u32(p + 20); val usize = u32(p + 24)
         val nameLen = u16(p + 28); val extraLen = u16(p + 30)
@@ -130,13 +154,34 @@ object ZipCodec {
         // local header must AGREE with the central entry
         val lh = lOff.toInt
         if (lOff + 30 + nameLen > cdOff || !sig(lh, 3, 4)) throw Malformed
-        if ((u16(lh + 6) & 0x09) != 0 || u16(lh + 8) != method) throw Malformed
-        if (u32(lh + 14) != crc || u32(lh + 18) != csize ||
+        if ((u16(lh + 6) & 0x01) != 0 || u16(lh + 8) != method) throw Malformed
+        if (((u16(lh + 6) & 0x08) != 0) != streamed) throw Malformed
+        if (streamed) {
+          // streamed shape: the local fields are ZEROS by definition —
+          // the truth arrives in the descriptor after the data, which
+          // we verify below against the central directory
+          if (u32(lh + 14) != 0 || u32(lh + 18) != 0 || u32(lh + 22) != 0)
+            throw Malformed
+        } else if (u32(lh + 14) != crc || u32(lh + 18) != csize ||
           u32(lh + 22) != usize) throw Malformed
         if (u16(lh + 26) != nameLen) throw Malformed
         if (new String(b, lh + 30, nameLen, "US-ASCII") != name) throw Malformed
         val dataAt = lh + 30 + nameLen + u16(lh + 28)
         if (dataAt.toLong + csize > cdOff) throw Malformed
+        if (streamed) {
+          // data descriptor (with or without the PK\x07\x08 signature):
+          // crc + csize + usize, each verified against the central
+          // entry. The signature is OPTIONAL in the spec, so a bare
+          // descriptor whose crc equals the signature value is
+          // ambiguous — verify BOTH framings and accept either that
+          // agrees with the central directory in full.
+          val de = dataAt + csize.toInt
+          def descOk(dd: Int): Boolean =
+            dd.toLong + 12 <= cdOff && u32(dd) == crc &&
+              u32(dd + 4) == csize && u32(dd + 8) == usize
+          val signedOk = de + 4 <= cdOff && sig(de, 7, 8) && descOk(de + 4)
+          if (!signedOk && !descOk(de)) throw Malformed
+        }
         val raw = java.util.Arrays.copyOfRange(b, dataAt, dataAt + csize.toInt)
         val content = if (method == 0) {
           if (csize != usize) throw Malformed
@@ -211,7 +256,10 @@ object ZipSim {
     }
 
   private[graft] def payloadFor(docId: Long, text: String): Array[Byte] = {
-    val clean = ZipCodec.encode(entriesFor(docId, text))
+    // DEFLATED entries use data-descriptor framing since r12 — the
+    // exact shape java.util.zip writes — so the gate exercises the
+    // post-hoc descriptor-vs-central verification on every archive
+    val clean = ZipCodec.encode(entriesFor(docId, text), streamedDeflate = true)
     (docId % 7) match {
       case 0 => java.util.Arrays.copyOf(clean, clean.length - 9)
       case 3 =>

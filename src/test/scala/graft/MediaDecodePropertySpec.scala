@@ -1026,15 +1026,55 @@ object MediaDecodePropertySpec extends Properties("MediaDecode") {
       }
       zout.close()
       // ZipOutputStream emits data descriptors for DEFLATED entries
-      // (flag bit 3) — out of our strict scope — so interop-pin the
-      // all-STORED case and require quarantine (not crash) otherwise
-      val got = ZipCodec.decode(bos.toByteArray)
-      if (es.forall(_.method == 0))
-        got.exists(g => g.length == es.length && g.zip(es).forall {
+      // (flag bit 3) — IN scope since r12: the descriptor is verified
+      // post-hoc against the central directory, so java.util.zip's
+      // DEFAULT output now decodes byte-exactly (the former
+      // quarantines-cleanly carve-out is gone)
+      ZipCodec.decode(bos.toByteArray)
+        .exists(g => g.length == es.length && g.zip(es).forall {
           case (a, e) => a.name == e.name &&
             java.util.Arrays.equals(a.content, e.content)
         })
-      else got.isEmpty || got.exists(_.length == es.length)
+    }
+
+  property("zip: descriptor-framed encode∘decode = identity; java.util.zip reads it") =
+    Prop.forAll(zipEntriesGen) { es =>
+      val enc = ZipCodec.encode(es, streamedDeflate = true)
+      val ours = ZipCodec.decode(enc).exists { got =>
+        got.length == es.length && got.zip(es).forall { case (g, e) =>
+          g.name == e.name && java.util.Arrays.equals(g.content, e.content)
+        }
+      }
+      val zin = new java.util.zip.ZipInputStream(
+        new java.io.ByteArrayInputStream(enc))
+      val theirs = Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
+        .map { ze =>
+          val bos = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](4096)
+          var n = zin.read(buf)
+          while (n >= 0) { bos.write(buf, 0, n); n = zin.read(buf) }
+          (ze.getName, bos.toByteArray)
+        }.toSeq
+      ours && theirs.length == es.length &&
+        theirs.zip(es).forall { case ((n, c), e) =>
+          n == e.name && java.util.Arrays.equals(c, e.content)
+        }
+    }
+
+  property("zip: a descriptor disagreeing with the central directory quarantines") =
+    Prop.forAll(zipTextGen, Gen.choose(0, 11)) { (text0, dByte) =>
+      val text = if (text0.isEmpty) "x" else text0
+      val enc = ZipCodec.encode(
+        Seq(ZipCodec.Entry("a.txt", 8, text.getBytes("UTF-8"))),
+        streamedDeflate = true)
+      // the descriptor sits just before the central directory: EOCD's
+      // cdOff points at it + 16 (sig+crc+csize+usize precede the CD)
+      val eo = enc.length - 22
+      val cdOff = ((enc(eo + 16) & 0xFF) | ((enc(eo + 17) & 0xFF) << 8) |
+        ((enc(eo + 18) & 0xFF) << 16) | ((enc(eo + 19) & 0xFF) << 24))
+      val d = enc.clone()
+      d(cdOff - 12 + dByte) = (d(cdOff - 12 + dByte) ^ 0x04).toByte
+      ZipCodec.decode(d).isEmpty
     }
 
   property("zip: any truncation quarantines") =
