@@ -1304,6 +1304,17 @@ object PipelineQueries {
     "d117_zstd_frames" -> ((s, dir) =>
       ZstdSim.stats(s, docs(s, dir)).orderBy("doc_id")),
 
+    // the multimodal WebDataset capstone — d114 for IMAGES: tar
+    // shards of REAL JPEG/PNG members → strict d104 walk → real
+    // d101/d98 decodes (damaged members quarantine inside the shard)
+    // → decoded-PIXEL identity dedup (byte-different re-encodings of
+    // the same image — restart-marker JPEGs, shifted-filter PNGs —
+    // must collapse, which byte-level dedup cannot do) → min-pid
+    // keeper (partial-agg) → pixel-budget packing via the two-phase
+    // prefix sum. Every stage arithmetic is a proven oracle piece
+    "d118_webdataset_multimodal" -> ((s, dir) =>
+      WdsSim.pipeline(s, docs(s, dir)).orderBy("doc_id", "member")),
+
     "d114_crawl_pipeline" -> ((s, dir) => {
       val pages = WarcSim.pageRows(s, docs(s, dir))
       val toks = pages
@@ -3020,6 +3031,46 @@ object PipelineQueries {
         |        ELSE length(text) - length(replace(text, chr(10), '')) + 1 END)::BIGINT AS n_lines,
         |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE TRUE END)::BOOLEAN AS roundtrip_ok
         | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // the multimodal capstone oracle replays the whole chain off the
+    // closed forms: member grid minus the damage slice, the JPEG
+    // solid-tile DC closed form (64·evenRoundUp per tile), the PNG
+    // gradient sum, dedup keyed by (fmt, iid) — provably the same
+    // grouping as the plan's decoded-pixel md5 (distinct iids under
+    // the chosen moduli decode to distinct pixels; byte-variants of
+    // one iid decode identically) — min-pid keeper, prefix-sum packing
+    "d118_webdataset_multimodal" ->
+      """WITH mi AS (SELECT range AS i FROM range(6)),
+        | m AS (SELECT d.doc_id, i,
+        |    CASE WHEN (d.doc_id + i) % 2 = 0 THEN 'jpg' ELSE 'png' END AS fmt,
+        |    (d.doc_id * 8 + i)::BIGINT AS pid,
+        |    CASE WHEN (d.doc_id + i) % 2 = 0
+        |         THEN 3 * ((d.doc_id * 5 + i * 11) % 80) + (d.doc_id + i) % 2
+        |         ELSE (d.doc_id * 7 + i * 13) % 120 END AS iid
+        |   FROM documents d JOIN mi ON i < 2 + d.doc_id % 4
+        |   WHERE (d.doc_id + i) % 11 <> 0),
+        | dm AS (SELECT *,
+        |    (CASE WHEN fmt = 'jpg' THEN 8 * (1 + iid % 4) ELSE 4 + iid % 9 END)::INT AS w,
+        |    (CASE WHEN fmt = 'jpg' THEN 8 * (1 + (iid * 3) % 5) ELSE 3 + (iid * 5) % 7 END)::INT AS h
+        |   FROM m),
+        | cg AS (SELECT range AS c FROM range(128)),
+        | js AS (SELECT pid, sum(64 * (CASE WHEN t % 2 = 0 THEN t ELSE least(t + 1, 255) END))::BIGINT AS sum_r
+        |   FROM (SELECT dm.pid, ((iid * 9 + 5 * (c % (w // 8)) + 11 * (c // (w // 8))) % 256) AS t
+        |         FROM dm JOIN cg ON fmt = 'jpg' AND c < (w // 8) * (h // 8))
+        |   GROUP BY pid),
+        | ps AS (SELECT pid, sum((iid + 3 * (c % w) + 7 * (c // w)) % 256)::BIGINT AS sum_r
+        |   FROM dm JOIN cg ON fmt = 'png' AND c < w * h
+        |   GROUP BY pid),
+        | su AS (SELECT dm.*, COALESCE(js.sum_r, ps.sum_r) AS sum_r
+        |   FROM dm LEFT JOIN js USING (pid) LEFT JOIN ps USING (pid)),
+        | kp AS (SELECT fmt, iid, min(pid) AS pid, count(*)::BIGINT AS n_copies
+        |   FROM su GROUP BY 1, 2),
+        | u AS (SELECT su.*, kp.n_copies FROM su JOIN kp USING (pid))
+        | SELECT doc_id, i::INT AS member, fmt, w AS img_w, h AS img_h, sum_r,
+        |  n_copies,
+        |  (COALESCE(sum(w * h) OVER (PARTITION BY fmt ORDER BY pid
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096)::BIGINT AS shard_id
+        | FROM u ORDER BY doc_id, member""".stripMargin.replaceAll("\n", " "),
 
     // the capstone chains ALREADY-PROVEN oracle pieces: d111's page
     // slices, the token-split quality gate, d21's md5 min-keeper

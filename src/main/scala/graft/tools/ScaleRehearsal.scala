@@ -642,6 +642,11 @@ object ScaleRehearsal {
         graft.operators.ZstdSim.stats(spark,
           big.select(col("doc_id"), col("text")))
           .filter(col("status") === "ok").count())
+      ratio("wds multimodal capstone (d118)",
+        graft.operators.WdsSim.pipeline(spark,
+          base.select(col("doc_id"))).count(),
+        graft.operators.WdsSim.pipeline(spark,
+          big.select(col("doc_id"))).count())
       ratio("alaw decode (d116)",
         graft.operators.AlawSim.stats(spark,
           graft.operators.AlawSim.payloads(base.select(col("doc_id"))))

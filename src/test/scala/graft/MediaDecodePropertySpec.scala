@@ -1300,6 +1300,51 @@ object MediaDecodePropertySpec extends Properties("MediaDecode") {
       else got.exists(c => new String(c, "UTF-8") == text)
     }
 
+  // ---- WebDataset multimodal capstone (d118) -------------------------
+
+  import graft.operators.WdsSim
+
+  /** The dedup-through-the-codec-layer invariant the capstone exists
+    * for: byte-DIFFERENT re-encodings of the same image (restart-
+    * marker JPEG / shifted-filter PNG) decode to IDENTICAL pixels, so
+    * the decoded-pixel fingerprint merges what byte identity cannot. */
+  property("wds: byte-different variants of one image decode pixel-identically") =
+    Prop.forAll(Gen.choose(0L, 4000L), Gen.choose(0, 5)) { (docId, i0) =>
+      // find two member slots (possibly across docs) sharing the image
+      // id but differing in the variant flag; the sim guarantees the
+      // ids repeat corpus-wide, so construct directly:
+      val jid = WdsSim.jpgId(docId, i0 % WdsSim.nMembers(docId))
+      val (w, h) = graft.operators.JpegSim.dims(jid)
+      val comps = if (graft.operators.JpegSim.kind(jid) == 0) 1 else 3
+      val raster = graft.operators.JpegSim.raster(jid, w, h)
+      val plain = graft.operators.JpegCodec.encode(w, h, raster, comps,
+        restartInterval = 0)
+      val restarted = graft.operators.JpegCodec.encode(w, h, raster, comps,
+        restartInterval = 3)
+      val a = graft.operators.JpegCodec.decodeNative(plain)
+      val b = graft.operators.JpegCodec.decodeNative(restarted)
+      !java.util.Arrays.equals(plain, restarted) &&
+        (a.zip(b) match {
+          case Some(((w1, h1, n1, p1), (w2, h2, n2, p2))) =>
+            w1 == w2 && h1 == h2 && n1 == n2 && java.util.Arrays.equals(p1, p2)
+          case _ => false
+        })
+    }
+
+  property("wds: shards walk clean; damaged members quarantine inside the shard") =
+    Prop.forAll(Gen.choose(0L, 4000L)) { docId =>
+      graft.operators.TarCodec.decode(WdsSim.shardFor(docId)).exists { ms =>
+        ms.length == WdsSim.nMembers(docId) && ms.forall { case (name, bytes) =>
+          val i = name.substring(name.lastIndexOf('.') - 2,
+            name.lastIndexOf('.')).toInt
+          val dec =
+            if (name.endsWith(".jpg")) graft.operators.JpegCodec.decodeNative(bytes).isDefined
+            else graft.operators.PngCodec.decodeNative(bytes).isDefined
+          dec == !WdsSim.isDamaged(docId, i) // truncated members must NOT decode
+        }
+      }
+    }
+
   // ---- IMA ADPCM ---------------------------------------------------
 
   import graft.operators.{AdpcmCodec, AdpcmSim}

@@ -704,6 +704,24 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("d118: decode stage map-only; dedup is one partial agg, no window on the corpus") {
+    val p = plan("d118_webdataset_multimodal")
+    // the shard build + walk + decode + fingerprint is ONE flatMap
+    // over the scan (no exchange below it); the dedup keeper is a
+    // partial aggregation (map-side combine — a billion copies of one
+    // image collapse before the shuffle); packing is the two-phase
+    // prefix sum whose windows run on SLICE keys, never one
+    // partition per stream
+    assert(p.contains("MapPartitions"), s"decode stage missing\n$p")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      s"keeper agg missing\n$p")
+    assert(!p.contains("CartesianProduct"), s"capstone must not cross-join\n$p")
+    assert(p.contains("partial_min") || p.contains("Functions: partial"),
+      s"keeper dedup must be a partial (map-side) min aggregate\n$p")
+    assert(p.contains("_pid"),
+      s"pack prefix sum must run on the slice machinery\n$p")
+  }
+
   test("d112: kmv overlap is two-phase partial agg — nothing corpus-sized shuffles") {
     val p = plan("d112_sketch_overlap")
     // each side must sketch map-side first (partial_kmv_agg per
