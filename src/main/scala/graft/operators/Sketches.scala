@@ -174,4 +174,40 @@ object Sketches {
         "est_union", "est_inter")
       .orderBy("k")
   }
+
+  /** Scalar finisher over two PERSISTED kmv sketches — the arrays
+    * [[graft.functions.KmvSketchAgg]] emits (bottom-k fingerprints,
+    * ascending). Two warehoused sketches compare WITHOUT touching
+    * either corpus again: sketch once per corpus snapshot, estimate
+    * any pairwise overlap later from k longs a side. Same estimator
+    * arithmetic as [[kmvOverlap]] (spec-pinned equal), pure column
+    * composition (codegen'd, no UDF). Returns a struct (n_sketch,
+    * kth_min, inter_in_sketch, est_union, est_inter, jaccard_ppm) at
+    * sketch size `k` (inputs larger than k are sliced — sketches
+    * persisted at kMax serve any smaller k). */
+  def kmvCompare(sketchA: Column, sketchB: Column, k: Column): Column = {
+    val M = 2147483647L // the fingerprint modulus (31-bit prime)
+    val a = slice(sketchA, lit(1), k.cast("int"))
+    val b = slice(sketchB, lit(1), k.cast("int"))
+    val su = slice(array_sort(array_union(a, b)), lit(1), k.cast("int"))
+    val nSketch = size(su).cast("long")
+    val kthMin = element_at(su, size(su)).cast("long")
+    val interInSketch =
+      size(array_intersect(array_intersect(su, a), b)).cast("long")
+    // exact INTEGRAL division (SQL `div` — products reach 2^55, past
+    // double-exactness, so float divide-and-floor would drift)
+    def idiv(x: Column, y: Column): Column = call_function("div", x, y)
+    val estUnion = when(nSketch < k.cast("long"), nSketch)
+      .otherwise(idiv((k.cast("long") - 1L) * lit(M), kthMin))
+    val estInter = when(nSketch < k.cast("long"), interInSketch)
+      .otherwise(idiv(interInSketch * estUnion, k.cast("long")))
+    struct(
+      nSketch.as("n_sketch"),
+      kthMin.as("kth_min"),
+      interInSketch.as("inter_in_sketch"),
+      estUnion.as("est_union"),
+      estInter.as("est_inter"),
+      when(estUnion > 0L, idiv(estInter * 1000000L, estUnion))
+        .otherwise(lit(0L)).as("jaccard_ppm"))
+  }
 }

@@ -587,6 +587,32 @@ object EventStream {
                stream: DataFrame): DataFrame =
     graft.operators.WarcSim.pages(spark, stream)
 
+  /** Streaming crawl ingest — d114's capstone shape at the LIVE edge,
+    * the deployment story: live crawl to training-ready rows. Warc
+    * shard docs → WET page-text rows ([[graft.operators.WarcSim
+    * .pageRows]] — stateless map-only flatMap, stream-safe unchanged;
+    * damaged shards contribute nothing, the batch keep/drop rules) →
+    * the d114 token-count quality gate → bloom-gated exact dedup
+    * against the HISTORY corpus ([[dedupAgainstHistory]]: broadcast
+    * bloom probe; only bloom hits join the history hashes). Output:
+    * one row per quality-passing page — composite pid, content hash,
+    * is_dup — what an incremental ingest appends to the warehouse.
+    * Spec pins stream output equal to the batch chain on the same
+    * shards. */
+  def crawlIngest(spark: SparkSession, stream: DataFrame,
+                  filterBytes: Array[Byte],
+                  historyHashes: DataFrame): DataFrame = {
+    val pages = graft.operators.WarcSim.pageRows(spark, stream)
+    val gated = pages
+      .withColumn("n_tokens",
+        size(graft.operators.TextOps.tokens(col("text"))).cast("long"))
+      .filter(col("n_tokens") >= 4)
+      .withColumn("pid", col("doc_id") * 8 + col("page"))
+    dedupAgainstHistory(gated, col("text"), col("pid"),
+        filterBytes, historyHashes)
+      .withColumnRenamed("doc_id", "pid")
+  }
+
   /** Streaming zip ingest — d113's streaming twin: the EOCD →
     * central-directory → local-header walk runs per micro-batch
     * through the same batched mapPartitions contract (stateless,

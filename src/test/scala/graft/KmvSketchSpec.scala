@@ -80,4 +80,34 @@ class KmvSketchSpec extends AnyFunSuite {
     assert(math.abs(row.getAs[Long]("est_union") - union) / union < 0.5)
     assert(math.abs(row.getAs[Long]("est_inter") - inter) / math.max(inter, 1.0) < 0.75)
   }
+
+  test("kmvCompare finisher on PERSISTED sketches equals kmvOverlap, every field") {
+    // sketch once per corpus side, persist the arrays, estimate later
+    // WITHOUT re-aggregating — the warehoused-sketch deployment shape
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val withH = docs.select(col("doc_id"),
+      graft.operators.TextOps.fingerprint(col("text")).as("h"))
+    val persisted = withH.agg(
+      graft.functions.KmvSketchAgg.column(
+        when(col("doc_id") % 2 === 0, col("h")), lit(4096)).as("sa"),
+      graft.functions.KmvSketchAgg.column(
+        when(col("doc_id") % 3 === 0, col("h")), lit(4096)).as("sb"))
+      .head
+    import spark.implicits._
+    val sketchRow = Seq((persisted.getAs[Seq[Long]]("sa").toArray,
+      persisted.getAs[Seq[Long]]("sb").toArray)).toDF("sa", "sb")
+    for (k <- Seq(64, 4096)) {
+      val got = sketchRow.select(
+        Sketches.kmvCompare(col("sa"), col("sb"), lit(k)).as("r"))
+        .select(col("r.*")).head
+      val want = Sketches.kmvOverlap(docs, col("text"), col("doc_id"))
+        .filter(col("k") === k).head
+      for (f <- Seq("n_sketch", "kth_min", "inter_in_sketch",
+        "est_union", "est_inter"))
+        assert(got.getAs[Long](f) == want.getAs[Long](f),
+          s"k=$k field $f: ${got.getAs[Long](f)} != ${want.getAs[Long](f)}")
+      assert(got.getAs[Long]("jaccard_ppm") ==
+        want.getAs[Long]("est_inter") * 1000000L / want.getAs[Long]("est_union"))
+    }
+  }
 }

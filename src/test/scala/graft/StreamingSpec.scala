@@ -1113,6 +1113,53 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("status") === "quarantined").count() == 9)
   }
 
+  test("streaming crawl ingest (d114's live edge) matches the batch chain") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // shard docs: %7∈{0,3,5} damaged (contribute nothing, batch rule)
+    val docRows = (0L until 21L)
+      .map(i => (i, s"page body word$i alpha beta gamma delta\nsecond line $i\n"))
+    val docsDf = docRows.toDF("doc_id", "text")
+    // history = the already-ingested warehouse: the batch WET rows of
+    // the FIRST seven docs — their pages are exact dups when re-crawled
+    val history = graft.operators.WarcSim.pageRows(spark,
+      docsDf.filter(col("doc_id") < 7)).select(col("text"))
+    val bf = history.agg(graft.functions.BloomFilterAgg.column(
+        xxhash64(col("text")), lit(32L), lit(0.01)).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val histHashes = history.select(md5(col("text")).as("content_hash")).distinct()
+    val ps = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStream.crawlIngest(spark,
+        ps.toDF().toDF("doc_id", "text"), bf, histHashes)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("crawl_out").start()
+    ps.addData(docRows)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("crawl_out").collect()
+      .map(r => r.getAs[Long]("pid") ->
+        (r.getAs[String]("content_hash"), r.getAs[Boolean]("is_dup")))
+      .toMap
+    // batch chain on the same shards: WET rows → quality gate → md5 +
+    // exact history membership
+    val want = graft.operators.WarcSim.pageRows(spark, docsDf)
+      .withColumn("n_tokens",
+        size(graft.operators.TextOps.tokens(col("text"))).cast("long"))
+      .filter(col("n_tokens") >= 4)
+      .withColumn("pid", col("doc_id") * 8 + col("page"))
+      .withColumn("content_hash", md5(col("text")))
+      .join(histHashes.withColumn("_dup", lit(true)), Seq("content_hash"), "left")
+      .select(col("pid"), col("content_hash"),
+        coalesce(col("_dup"), lit(false)).as("is_dup"))
+      .collect()
+      .map(r => r.getAs[Long]("pid") ->
+        (r.getAs[String]("content_hash"), r.getAs[Boolean]("is_dup")))
+      .toMap
+    assert(got == want && got.nonEmpty)
+    // the re-crawled pages of the history docs flag as dups; new pages don't
+    assert(got.exists(_._2._2) && got.exists(!_._2._2))
+  }
+
   test("streaming zstd decode matches batch bit-for-bit") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
