@@ -104,6 +104,28 @@ object AlawCodec {
     }
     Some(Array(n.toLong, sum, sumAbs, peak))
   }
+
+  /** RAW (headerless) G.711 A-law ingest — the capture-pipeline
+    * shape: telephony taps ship BARE sample streams, with law and
+    * rate known only out-of-band. Every byte is one sample; there is
+    * no container to scope-check, so this path is exactly as safe as
+    * its out-of-band parameters — which is why the WAV walkers above
+    * must reject the sibling tag: once framing is gone, nothing in
+    * the data itself distinguishes the two laws. Returns
+    * (n, sumPcm, sumAbs, peak), same contract as [[decodeSums]]. */
+  private[graft] def decodeRawSums(b: Array[Byte]): Array[Long] = {
+    var sum = 0L; var sumAbs = 0L; var peak = 0L
+    var j = 0
+    while (j < b.length) {
+      val s = decodeSample(b(j) & 0xFF)
+      sum += s
+      val a = math.abs(s).toLong
+      sumAbs += a
+      if (a > peak) peak = a
+      j += 1
+    }
+    Array(b.length.toLong, sum, sumAbs, peak)
+  }
 }
 
 /** Deterministic in-plan A-law WAV synthesizer + gate for d116 — the
@@ -164,11 +186,27 @@ object AlawSim {
     StructField("n_samples", LongType),
     StructField("sum_pcm", LongType),
     StructField("sum_abs", LongType),
-    StructField("peak", LongType)))
+    StructField("peak", LongType),
+    StructField("raw_match", BooleanType)))
+
+  /** The BARE code stream for a doc — the headerless capture shape
+    * ([[AlawCodec.decodeRawSums]]'s input): same closed-form codes,
+    * no RIFF container. */
+  private[graft] def rawPayloadFor(docId: Long): Array[Byte] = {
+    val n = nSamples(docId)
+    val codes = new Array[Byte](n)
+    var j = 0
+    while (j < n) { codes(j) = codeAt(docId, j).toByte; j += 1 }
+    codes
+  }
 
   /** Batched strict A-law decode → per-clip stats with quarantine —
     * the d116 gate, same mapPartitions batch contract as the other
-    * codec gates. */
+    * codec gates. `raw_match` (r12) exercises the HEADERLESS ingest
+    * path: the doc's bare code stream through
+    * [[AlawCodec.decodeRawSums]] must reproduce the container walk's
+    * sums field-for-field — the capture-pipeline shape where law and
+    * rate are out-of-band parameters. */
   def stats(spark: SparkSession, withPayloads: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(statsSchema)
@@ -178,8 +216,11 @@ object AlawSim {
           batch.iterator.map { r =>
             val id = r.getLong(0)
             AlawCodec.decodeSums(r.getAs[Array[Byte]](1)) match {
-              case Some(f) => Row(id, "ok", f(0), f(1), f(2), f(3))
-              case None => Row(id, "quarantined", null, null, null, null)
+              case Some(f) =>
+                val raw = AlawCodec.decodeRawSums(rawPayloadFor(id))
+                Row(id, "ok", f(0), f(1), f(2), f(3),
+                  java.lang.Boolean.valueOf(java.util.Arrays.equals(raw, f)))
+              case None => Row(id, "quarantined", null, null, null, null, null)
             }
           }
         }

@@ -106,6 +106,24 @@ object MulawCodec {
     }
     Some(Array(n.toLong, sum, sumAbs, peak))
   }
+
+  /** RAW (headerless) G.711 μ-law ingest — the capture-pipeline
+    * shape (see [[AlawCodec.decodeRawSums]]): every byte one sample,
+    * law/rate known only out-of-band, no container to scope-check.
+    * Returns (n, sumPcm, sumAbs, peak). */
+  private[graft] def decodeRawSums(b: Array[Byte]): Array[Long] = {
+    var sum = 0L; var sumAbs = 0L; var peak = 0L
+    var j = 0
+    while (j < b.length) {
+      val s = decodeSample(b(j) & 0xFF)
+      sum += s
+      val a = math.abs(s).toLong
+      sumAbs += a
+      if (a > peak) peak = a
+      j += 1
+    }
+    Array(b.length.toLong, sum, sumAbs, peak)
+  }
 }
 
 /** Deterministic in-plan μ-law WAV synthesizer + gate for d103.
@@ -125,11 +143,17 @@ object MulawSim {
     ((docId * 31 + j.toLong * 7) % 256).toInt
 
   private[graft] def cleanWav(docId: Long): Array[Byte] = {
+    MulawCodec.encodeWav(rawPayloadFor(docId))
+  }
+
+  /** The BARE code stream — the headerless capture shape
+    * ([[MulawCodec.decodeRawSums]]'s input). */
+  private[graft] def rawPayloadFor(docId: Long): Array[Byte] = {
     val n = nSamples(docId)
     val codes = new Array[Byte](n)
     var j = 0
     while (j < n) { codes(j) = codeAt(docId, j).toByte; j += 1 }
-    MulawCodec.encodeWav(codes)
+    codes
   }
 
   private[graft] def payloadFor(docId: Long): Array[Byte] = {

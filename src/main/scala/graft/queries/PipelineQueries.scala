@@ -2997,7 +2997,8 @@ object PipelineQueries {
         |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE n END)::BIGINT AS n_samples,
         |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE sum_pcm END)::BIGINT AS sum_pcm,
         |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE sum_abs END)::BIGINT AS sum_abs,
-        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE peak END)::BIGINT AS peak
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE peak END)::BIGINT AS peak,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE TRUE END)::BOOLEAN AS raw_match
         | FROM agg ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     // the LZ4 gate replays off documents.text (the d106 discipline):

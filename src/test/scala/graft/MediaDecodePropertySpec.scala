@@ -1156,6 +1156,35 @@ object MediaDecodePropertySpec extends Properties("MediaDecode") {
         AlawCodec.decodeSums(graft.operators.MulawSim.cleanWav(id)).isEmpty
     }
 
+  /** RAW (headerless) G.711 — the capture-pipeline shape: the bare
+    * code stream through the parameterized raw path must reproduce
+    * the container walk exactly, for BOTH laws. */
+  property("g711 raw: headerless ingest equals the container walk, both laws") =
+    Prop.forAll(Gen.choose(0L, 4000L)) { id0 =>
+      val id = id0 - id0 % 7 + 1 // clean slice
+      val aCodes = AlawSim.rawPayloadFor(id)
+      val aOk = AlawCodec.decodeSums(AlawSim.cleanWav(id))
+        .exists(f => java.util.Arrays.equals(AlawCodec.decodeRawSums(aCodes), f))
+      val mCodes = graft.operators.MulawSim.rawPayloadFor(id)
+      val mOk = graft.operators.MulawCodec
+        .decodeSums(graft.operators.MulawSim.cleanWav(id))
+        .exists(f => java.util.Arrays.equals(
+          graft.operators.MulawCodec.decodeRawSums(mCodes), f))
+      aOk && mOk
+    }
+
+  /** Raw ingest has NO scope check by construction — the same bare
+    * bytes expand to DIFFERENT audio under the wrong law (silently:
+    * nothing errors). This property documents the danger the
+    * container walkers' sibling-tag rejection exists to prevent. */
+  property("g711 raw: the wrong law decodes silently DIFFERENT — the raw-mode hazard") =
+    Prop.forAll(Gen.choose(0L, 4000L)) { id =>
+      val codes = AlawSim.rawPayloadFor(id)
+      val a = AlawCodec.decodeRawSums(codes)
+      val m = graft.operators.MulawCodec.decodeRawSums(codes)
+      a(0) == m(0) && (a(1) != m(1) || a(2) != m(2) || a(3) != m(3))
+    }
+
   property("alaw: the three d116 damage modes quarantine, clean ids decode") =
     Prop.forAll(Gen.choose(0L, 4000L)) { id =>
       val got = AlawCodec.decodeSums(AlawSim.payloadFor(id))
