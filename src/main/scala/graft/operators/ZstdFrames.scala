@@ -597,22 +597,22 @@ object ZstdCodec {
   private val MAX_CONTENT = 1 << 26 // 64 MB guard for the local gates
   private val BLOCK_CEIL = 128 * 1024
 
-  /** STRICT single-frame decode → content, or None for anything
-    * malformed or out of scope (see object doc). */
-  def decode(b: Array[Byte]): Option[Array[Byte]] = {
+  /** One frame starting at `start` → (content, positionAfterFrame);
+    * throws Malformed on anything malformed or out of scope. */
+  private def frameAt(b: Array[Byte], start: Int): (Array[Byte], Int) = {
     def u32(i: Int): Long =
       (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
         ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
-    try {
-      if (b.length < 9 || u32(0) != MAGIC) return None
-      val fhd = b(4) & 0xFF
+    locally {
+      if (b.length < start + 9 || u32(start) != MAGIC) throw Malformed
+      val fhd = b(start + 4) & 0xFF
       val fcsFlag = fhd >> 6
       val single = (fhd & 0x20) != 0
       if ((fhd & 0x10) != 0) throw Malformed // unused bit: rejected (see doc)
       if ((fhd & 0x08) != 0) throw Malformed // reserved bit
       if ((fhd & 0x04) == 0) throw Malformed // content checksum REQUIRED
       if ((fhd & 0x03) != 0) throw Malformed // dictionaries out of scope
-      var p = 5
+      var p = start + 5
       var windowSize = 0L
       if (!single) {
         val wd = b(p) & 0xFF; p += 1
@@ -680,15 +680,49 @@ object ZstdCodec {
       if (fcs >= 0 && content.length != fcs) throw Malformed
       if (p + 4 > b.length) throw Malformed
       if (u32(p) != xxh64low32(content, content.length)) throw Malformed
-      p += 4
-      if (p != b.length) throw Malformed // trailing bytes / extra frames
-      Some(content)
+      (content, p + 4)
+    }
+  }
+
+  /** STRICT single-frame decode → content, or None for anything
+    * malformed or out of scope (see object doc). Trailing bytes —
+    * including further frames — quarantine; [[decodeConcat]] is the
+    * multi-frame surface. */
+  def decode(b: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val (content, end) = frameAt(b, 0)
+      if (end != b.length) None else Some(content)
     } catch {
       case Malformed => None
       case _: ArrayIndexOutOfBoundsException => None
       case _: NegativeArraySizeException => None
     }
-  }
+
+  /** STRICT concatenated-frames decode — the append-writer shape a
+    * real `.jsonl.zst` accumulates (`zstd` output concatenates; so do
+    * log rotations): every frame must verify under the [[decode]]
+    * scope, the byte stream must be EXACTLY a frame sequence (no
+    * gaps, no trailer), and at least one frame must be present.
+    * Returns the per-frame contents in order, or None. */
+  def decodeConcat(b: Array[Byte]): Option[Seq[Array[Byte]]] =
+    try {
+      if (b.length == 0) return None
+      val out = Seq.newBuilder[Array[Byte]]
+      var p = 0
+      var total = 0L
+      while (p < b.length) {
+        val (content, next) = frameAt(b, p)
+        total += content.length
+        if (total > MAX_CONTENT) throw Malformed
+        out += content
+        p = next
+      }
+      Some(out.result())
+    } catch {
+      case Malformed => None
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
 
   // ---- encoder --------------------------------------------------------
 
@@ -985,6 +1019,96 @@ object ZstdCodec {
     }
     w32(xxh64low32(content, content.length))
     out.toByteArray
+  }
+}
+
+/** d119 — the `.jsonl.zst` reading path itself, the reason d117
+  * exists: modern corpus releases ship newline-delimited JSON records
+  * inside (often CONCATENATED) zstd frames. The sim builds the real
+  * thing from the corpus text — one JSON record per text line
+  * (`{"id":doc_id*1000+k,"text":"<line>"}`, strings JSON-escaped),
+  * framed as ONE frame or (doc_id%5==2) TWO concatenated frames cut
+  * mid-blob (the append-writer shape; frame boundaries are transparent
+  * to the record stream). The row source strictly [[ZstdCodec
+  * .decodeConcat]]s, splits records, and hands LINES to the plan —
+  * JSON parsing is Catalyst's own `from_json`, aggregation is a
+  * partial-agg groupBy: the Spark-first split between byte-format
+  * decoding (ours) and relational work (the engine's). Damaged docs
+  * (doc_id%7∈{0,3,5}: truncation / magic / checksum-bit) contribute
+  * nothing — the d105/d111 row-source rule; d117 is where zstd
+  * quarantine is audited. */
+object ZstdJsonlSim {
+
+  private[graft] def escape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private[graft] def jsonlBytes(docId: Long, text: String): Array[Byte] =
+    text.split("\n", -1).zipWithIndex.map { case (l, k) =>
+      s"""{"id":${docId * 1000 + k},"text":"${escape(l)}"}"""
+    }.mkString("\n").getBytes("UTF-8")
+
+  private[graft] def nFrames(docId: Long): Int = if (docId % 5 == 2) 2 else 1
+
+  private[graft] def payloadFor(docId: Long, text: String): Array[Byte] = {
+    val blob = jsonlBytes(docId, text)
+    val cut = ZstdSim.blockCut(docId)
+    val clean =
+      if (nFrames(docId) == 2) {
+        val mid = blob.length / 2
+        ZstdCodec.encodeFrame(java.util.Arrays.copyOfRange(blob, 0, mid), cut) ++
+          ZstdCodec.encodeFrame(
+            java.util.Arrays.copyOfRange(blob, mid, blob.length), cut)
+      } else ZstdCodec.encodeFrame(blob, cut)
+    (docId % 7) match {
+      case 0 => java.util.Arrays.copyOf(clean, clean.length - 3)
+      case 3 => val d = clean.clone(); d(0) = 'X'; d
+      case 5 =>
+        val d = clean.clone()
+        d(d.length - 2) = (d(d.length - 2) ^ 0x10).toByte
+        d
+      case _ => clean
+    }
+  }
+
+  val lineSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_frames", LongType),
+    StructField("line", StringType)))
+
+  /** The row source: strict multi-frame decode → one row per JSONL
+    * record line. Map-only flatMap (ingest parallelism IS scan
+    * parallelism); damaged payloads yield nothing. */
+  def lines(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(lineSchema)
+    docs.select(col("doc_id"), col("text"))
+      .mapPartitions { rows =>
+        rows.grouped(Multimodal.BATCH_SIZE).flatMap { batch =>
+          batch.iterator.flatMap { r =>
+            val id = r.getLong(0)
+            ZstdCodec.decodeConcat(payloadFor(id, r.getString(1))) match {
+              case Some(frames) =>
+                val total = frames.map(_.length).sum
+                val blob = new Array[Byte](total)
+                var o = 0
+                frames.foreach { f =>
+                  System.arraycopy(f, 0, blob, o, f.length); o += f.length
+                }
+                new String(blob, "UTF-8").split("\n", -1).toSeq
+                  .map(l => Row(id, frames.length.toLong, l))
+              case None => Nil
+            }
+          }
+        }
+      }(enc)
   }
 }
 

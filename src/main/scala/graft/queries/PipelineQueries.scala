@@ -1315,6 +1315,27 @@ object PipelineQueries {
     "d118_webdataset_multimodal" -> ((s, dir) =>
       WdsSim.pipeline(s, docs(s, dir)).orderBy("doc_id", "member")),
 
+    // the .jsonl.zst reading path itself (the reason d117 exists):
+    // JSONL records inside CONCATENATED zstd frames (doc_id%5==2 →
+    // two frames cut mid-blob, the append-writer shape), strictly
+    // decoded by our walker, then parsed by Catalyst's own from_json
+    // and reduced by a partial-agg groupBy — the Spark-first split
+    // between byte-format decoding and relational work. Damaged docs
+    // contribute nothing (the d105/d111 row-source rule; d117 audits
+    // zstd quarantine). Oracle replays record ids and byte totals as
+    // pure arithmetic off documents.text
+    "d119_jsonl_zst" -> ((s, dir) =>
+      ZstdJsonlSim.lines(s, docs(s, dir))
+        .select(col("doc_id"), col("n_frames"),
+          from_json(col("line"), "id BIGINT, text STRING",
+            Map.empty[String, String]).as("j"))
+        .groupBy("doc_id")
+        .agg(max(col("n_frames")).as("n_frames"),
+          count(lit(1)).as("n_records"),
+          sum(col("j.id")).as("sum_ids"),
+          sum(octet_length(col("j.text")).cast("long")).as("n_bytes"))
+        .orderBy("doc_id")),
+
     "d114_crawl_pipeline" -> ((s, dir) => {
       val pages = WarcSim.pageRows(s, docs(s, dir))
       val toks = pages
@@ -3072,6 +3093,20 @@ object PipelineQueries {
         |  (COALESCE(sum(w * h) OVER (PARTITION BY fmt ORDER BY pid
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096)::BIGINT AS shard_id
         | FROM u ORDER BY doc_id, member""".stripMargin.replaceAll("\n", " "),
+
+    // the .jsonl.zst oracle is pure arithmetic off documents.text:
+    // records = text lines, id_k = doc_id*1000+k so the id sum is a
+    // closed form, record-text bytes = total bytes minus newlines
+    "d119_jsonl_zst" ->
+      """SELECT doc_id,
+        |  (CASE WHEN doc_id % 5 = 2 THEN 2 ELSE 1 END)::BIGINT AS n_frames,
+        |  nl AS n_records,
+        |  (nl * doc_id * 1000 + nl * (nl - 1) // 2)::BIGINT AS sum_ids,
+        |  (octet_length(encode(text)) - (nl - 1))::BIGINT AS n_bytes
+        | FROM (SELECT doc_id, text,
+        |    (length(text) - length(replace(text, chr(10), '')) + 1)::BIGINT AS nl
+        |   FROM documents WHERE doc_id % 7 NOT IN (0, 3, 5))
+        | ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     // the capstone chains ALREADY-PROVEN oracle pieces: d111's page
     // slices, the token-split quality gate, d21's md5 min-keeper

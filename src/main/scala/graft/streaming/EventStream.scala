@@ -637,6 +637,15 @@ object EventStream {
                   stream: DataFrame): DataFrame =
     graft.operators.ZstdSim.stats(spark, stream)
 
+  /** Streaming .jsonl.zst ingest — d119's streaming twin: the
+    * concatenated-frame walk + record split runs per micro-batch
+    * through the same batched mapPartitions contract (stateless,
+    * map-only), handing LINES to the stream plan — `from_json` and
+    * any windowed aggregation compose downstream unchanged. */
+  def jsonlZstLines(spark: org.apache.spark.sql.SparkSession,
+                    stream: DataFrame): DataFrame =
+    graft.operators.ZstdJsonlSim.lines(spark, stream)
+
   /** Streaming A-law decode — d116's streaming twin: the strict
     * fmt-6 walker + G.711 expand per micro-batch through the same
     * batched mapPartitions contract (stateless, map-only).

@@ -642,6 +642,16 @@ object ScaleRehearsal {
         graft.operators.ZstdSim.stats(spark,
           big.select(col("doc_id"), col("text")))
           .filter(col("status") === "ok").count())
+      def jsonlZst(df: org.apache.spark.sql.DataFrame): Long =
+        graft.operators.ZstdJsonlSim.lines(spark,
+            df.select(col("doc_id"), col("text")))
+          .select(col("doc_id"),
+            from_json(col("line"), "id BIGINT, text STRING",
+              Map.empty[String, String]).as("j"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_records"), sum(col("j.id")).as("s"))
+          .count()
+      ratio("jsonl.zst reader (d119)", jsonlZst(base), jsonlZst(big))
       ratio("wds multimodal capstone (d118)",
         graft.operators.WdsSim.pipeline(spark,
           base.select(col("doc_id"))).count(),

@@ -231,6 +231,9 @@ class AnsiRobustnessSpec extends AnyFunSuite {
       docs.select(col("doc_id"), col("text")).limit(42))
     assert(lz.filter(col("status") === "ok").count() > 0)
     assert(lz.filter(col("status") === "quarantined").count() > 0)
+    // and the .jsonl.zst reader (concat frames + from_json under ANSI)
+    assert(graft.queries.PipelineQueries.queries("d119_jsonl_zst")(
+      spark, dir).count() > 0)
     // and the zstd walk (FSE states, huff0 codes, xxh64 arithmetic)
     val zs = graft.operators.ZstdSim.stats(spark,
       docs.select(col("doc_id"), col("text")).limit(42))

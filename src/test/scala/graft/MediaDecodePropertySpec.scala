@@ -1322,6 +1322,41 @@ object MediaDecodePropertySpec extends Properties("MediaDecode") {
         ZstdCodec.decode(d).forall(java.util.Arrays.equals(_, content))
     }
 
+  property("zstd: concatenated frames decode per-frame; jni concat reads too") =
+    Prop.forAll(Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, zstdContentGen)),
+      Gen.choose(1, 1023)) { (parts, cut) =>
+      val ours = parts.map(p => ZstdCodec.encodeFrame(p, cut))
+        .foldLeft(Array.emptyByteArray)(_ ++ _)
+      val oursOk = ZstdCodec.decodeConcat(ours).exists { got =>
+        got.length == parts.length &&
+          got.zip(parts).forall { case (g, p) => java.util.Arrays.equals(g, p) }
+      }
+      // and the jni encoder's frames concatenate the same way
+      val jni = parts.map { p =>
+        val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+        try { ctx.setChecksum(true); ctx.compress(p) } finally ctx.close()
+      }.foldLeft(Array.emptyByteArray)(_ ++ _)
+      val jniOk = ZstdCodec.decodeConcat(jni).exists { got =>
+        got.length == parts.length &&
+          got.zip(parts).forall { case (g, p) => java.util.Arrays.equals(g, p) }
+      }
+      oursOk && jniOk
+    }
+
+  property("jsonl.zst: the d119 row source round-trips records; damage yields nothing") =
+    Prop.forAll(Gen.choose(0L, 4000L), zipTextGen) { (id, text) =>
+      import graft.operators.ZstdJsonlSim
+      val payload = ZstdJsonlSim.payloadFor(id, text)
+      val frames = ZstdCodec.decodeConcat(payload)
+      if (id % 7 == 0 || id % 7 == 3 || id % 7 == 5) frames.isEmpty
+      else frames.exists { fs =>
+        fs.length == ZstdJsonlSim.nFrames(id) &&
+          java.util.Arrays.equals(
+            fs.foldLeft(Array.emptyByteArray)(_ ++ _),
+            ZstdJsonlSim.jsonlBytes(id, text))
+      }
+    }
+
   property("zstd: the three d117 damage modes quarantine, clean ids decode") =
     Prop.forAll(Gen.choose(0L, 4000L), zipTextGen) { (id, text) =>
       val got = ZstdCodec.decode(ZstdSim.payloadFor(id, text))

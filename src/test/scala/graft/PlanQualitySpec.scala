@@ -722,6 +722,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"pack prefix sum must run on the slice machinery\n$p")
   }
 
+  test("d119: jsonl.zst reader — map-only source, codegen'd from_json, one partial agg") {
+    val p = plan("d119_jsonl_zst")
+    assert(p.contains("MapPartitions"), s"frame-walk row source missing\n$p")
+    assert(p.contains("from_json"), s"JSON parse must be Catalyst's own\n$p")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      s"record rollup missing\n$p")
+    assert(p.contains("partial_count") || p.contains("Functions: partial"),
+      s"rollup must combine map-side\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"the reader is source+agg only\n$p")
+  }
+
   test("d112: kmv overlap is two-phase partial agg — nothing corpus-sized shuffles") {
     val p = plan("d112_sketch_overlap")
     // each side must sketch map-side first (partial_kmv_agg per

@@ -1181,6 +1181,28 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("status") === "quarantined").count() == 9)
   }
 
+  test("streaming jsonl.zst lines match batch bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docRows = (0L until 21L).map(i => (i, s"rec a $i\nrec b $i"))
+    val ps = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStream.jsonlZstLines(spark,
+        ps.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("jzst_out").start()
+    ps.addData(docRows)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("jzst_out").orderBy("doc_id", "line")
+      .collect().map(_.toString)
+    val want = graft.operators.ZstdJsonlSim.lines(spark,
+        docRows.toDF("doc_id", "text"))
+      .orderBy("doc_id", "line").collect().map(_.toString)
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
+    // the damage slice contributes nothing: 12 of 21 docs, 2 lines each
+    assert(got.length == 24)
+  }
+
   test("streaming alaw decode matches batch bit-for-bit") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
