@@ -1,5 +1,8 @@
-// scratch harness for the d117 codec — run via tools/zstd_smoke.sh;
-// deleted before the round closes (not part of the library)
+// Dev harness for the d117 codec (the ScaleRehearsal pattern): the
+// EXHAUSTIVE checks too slow for the property suite — every-bit flip
+// sweeps over whole frames (the property spec samples) and a
+// single-thread throughput figure. Run:
+//   java -cp target/scala-2.13/classes:/opt/spark/jars/\* graft.tools.ZstdSmoke
 package graft.tools
 
 object ZstdSmoke {
