@@ -1324,6 +1324,17 @@ object PipelineQueries {
     // contribute nothing (the d105/d111 row-source rule; d117 audits
     // zstd quarantine). Oracle replays record ids and byte totals as
     // pure arithmetic off documents.text
+    // the tf.Example layer over the REAL text inside d107's TFRecord
+    // framing — the payload a TF training pipeline actually reads:
+    // our own protobuf wire-format walk (varints, tags, nesting,
+    // packed floats/int64s), features id/text/emb per record. Frames
+    // stay CLEAN; the damage slice corrupts the PROTO GRAMMAR inside
+    // a valid frame (group wiretype / unknown field / nested length
+    // overrun) — the quarantine only a schema-aware walker can make
+    // (the CRCs pass: the frame is fine, the MESSAGE is not)
+    "d120_tfexample" -> ((s, dir) =>
+      TfExampleSim.stats(s, docs(s, dir)).orderBy("doc_id")),
+
     "d119_jsonl_zst" -> ((s, dir) =>
       ZstdJsonlSim.lines(s, docs(s, dir))
         .select(col("doc_id"), col("n_frames"),
@@ -3093,6 +3104,30 @@ object PipelineQueries {
         |  (COALESCE(sum(w * h) OVER (PARTITION BY fmt ORDER BY pid
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096)::BIGINT AS shard_id
         | FROM u ORDER BY doc_id, member""".stripMargin.replaceAll("\n", " "),
+
+    // the tf.Example oracle replays the feature arithmetic off
+    // documents.text: record count and the id sum are closed forms,
+    // text bytes = the codepoint slices concatenate back to the doc,
+    // the emb sum replays the integer-valued float recurrence over a
+    // bounded (≤6×9) grid; roundtrip is the in-plan verdict
+    "d120_tfexample" ->
+      """WITH base AS (SELECT doc_id, text, (2 + doc_id % 4)::BIGINT AS k FROM documents),
+        | ri AS (SELECT range AS i FROM range(6)),
+        | rk AS (SELECT range AS kk FROM range(9)),
+        | recs AS (SELECT b.doc_id, i, (4 + (b.doc_id + i) % 5)::BIGINT AS el
+        |   FROM base b JOIN ri ON i < b.k),
+        | emb AS (SELECT doc_id, sum((doc_id * 5 + i * 11 + kk * 3) % 256)::BIGINT AS es
+        |   FROM recs JOIN rk ON kk < el GROUP BY doc_id)
+        | SELECT b.doc_id,
+        |  CASE WHEN b.doc_id % 7 IN (0, 3, 5) THEN 'quarantined' ELSE 'ok' END AS status,
+        |  (CASE WHEN b.doc_id % 7 IN (0, 3, 5) THEN NULL ELSE b.k END)::BIGINT AS n_records,
+        |  (CASE WHEN b.doc_id % 7 IN (0, 3, 5) THEN NULL
+        |        ELSE b.k * b.doc_id * 1000 + b.k * (b.k - 1) // 2 END)::BIGINT AS sum_ids,
+        |  (CASE WHEN b.doc_id % 7 IN (0, 3, 5) THEN NULL
+        |        ELSE octet_length(encode(b.text)) END)::BIGINT AS text_bytes,
+        |  (CASE WHEN b.doc_id % 7 IN (0, 3, 5) THEN NULL ELSE emb.es END)::BIGINT AS emb_sum,
+        |  (CASE WHEN b.doc_id % 7 IN (0, 3, 5) THEN NULL ELSE TRUE END)::BOOLEAN AS roundtrip_ok
+        | FROM base b JOIN emb USING (doc_id) ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     // the .jsonl.zst oracle is pure arithmetic off documents.text:
     // records = text lines, id_k = doc_id*1000+k so the id sum is a

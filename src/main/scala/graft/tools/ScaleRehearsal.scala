@@ -664,6 +664,13 @@ object ScaleRehearsal {
         graft.operators.AlawSim.stats(spark,
           graft.operators.AlawSim.payloads(big.select(col("doc_id"))))
           .filter(col("status") === "ok").count())
+      ratio("tfexample proto parse (d120)",
+        graft.operators.TfExampleSim.stats(spark,
+          base.select(col("doc_id"), col("text")))
+          .filter(col("status") === "ok").count(),
+        graft.operators.TfExampleSim.stats(spark,
+          big.select(col("doc_id"), col("text")))
+          .filter(col("status") === "ok").count())
       ratio("tfrecord walk (d107)",
         graft.operators.TfRecordSim.stats(spark,
           graft.operators.TfRecordSim.payloads(base.select(col("doc_id"))))

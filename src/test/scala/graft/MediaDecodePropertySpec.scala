@@ -1364,6 +1364,183 @@ object MediaDecodePropertySpec extends Properties("MediaDecode") {
       else got.exists(c => new String(c, "UTF-8") == text)
     }
 
+  // ---- tf.Example protobuf (d120) ------------------------------------
+
+  import graft.operators.{TfExampleCodec, TfExampleSim}
+
+  private val featureGen: Gen[TfExampleCodec.Feature] = Gen.oneOf(
+    Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, bytesGen))
+      .map(bs => TfExampleCodec.Feature(bs, Nil, Nil, 1)),
+    Gen.choose(1, 8).flatMap(n => Gen.listOfN(n,
+        Gen.choose(-1000, 1000).map(_.toFloat)))
+      .map(fs => TfExampleCodec.Feature(Nil, fs, Nil, 2)),
+    Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, Gen.choose(Long.MinValue, Long.MaxValue)))
+      .map(ls => TfExampleCodec.Feature(Nil, Nil, ls, 3)))
+
+  private val exampleGen: Gen[Seq[(String, TfExampleCodec.Feature)]] =
+    Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, featureGen))
+      .map(_.zipWithIndex.map { case (f, i) => (s"f$i", f) })
+
+  property("tfexample: encode∘decode = identity over the full feature space") =
+    Prop.forAll(exampleGen) { fs =>
+      TfExampleCodec.decode(TfExampleCodec.encode(fs)).exists { got =>
+        got.length == fs.length && got.zip(fs).forall { case ((gk, gf), (k, f)) =>
+          gk == k && gf.kind == f.kind &&
+            gf.int64s == f.int64s && gf.floats == f.floats &&
+            gf.bytes.length == f.bytes.length &&
+            gf.bytes.zip(f.bytes).forall(p => java.util.Arrays.equals(p._1, p._2))
+        }
+      }
+    }
+
+  /** Direction 1: the REAL protobuf runtime (relocated on the public
+    * Spark classpath inside orc-core-shaded-protobuf) re-parses our
+    * encoder's wire bytes tag-for-tag. */
+  property("tfexample: protobuf's CodedInputStream re-parses our wire bytes") =
+    Prop.forAll(exampleGen) { fs =>
+      import org.apache.orc.protobuf.CodedInputStream
+      def sub(cis: CodedInputStream): CodedInputStream =
+        CodedInputStream.newInstance(cis.readBytes().toByteArray)
+      val top = CodedInputStream.newInstance(TfExampleCodec.encode(fs))
+      val t0 = top.readTag()
+      if (t0 != 0x0A) false
+      else {
+        val fm = sub(top)
+        val got = Seq.newBuilder[(String, Int, Seq[Any])]
+        while (!fm.isAtEnd) {
+          if (fm.readTag() != 0x0A) throw new AssertionError("map entry tag")
+          val entry = sub(fm)
+          if (entry.readTag() != 0x0A) throw new AssertionError("key tag")
+          val key = entry.readBytes().toStringUtf8
+          if (entry.readTag() != 0x12) throw new AssertionError("feature tag")
+          val feat = sub(entry)
+          val ftag = feat.readTag()
+          val kind = ftag >>> 3
+          val list = sub(feat)
+          val values: Seq[Any] = kind match {
+            case 1 =>
+              val b = Seq.newBuilder[Array[Byte]]
+              while (!list.isAtEnd) {
+                if (list.readTag() != 0x0A) throw new AssertionError("bytes tag")
+                b += list.readBytes().toByteArray
+              }
+              b.result()
+            case 2 =>
+              if (list.readTag() != 0x0A) throw new AssertionError("packed tag")
+              val run = sub(list)
+              val b = Seq.newBuilder[Float]
+              while (!run.isAtEnd) b += run.readFloat()
+              b.result()
+            case _ =>
+              if (list.readTag() != 0x0A) throw new AssertionError("packed tag")
+              val run = sub(list)
+              val b = Seq.newBuilder[Long]
+              while (!run.isAtEnd) b += run.readInt64()
+              b.result()
+          }
+          got += ((key, kind, values))
+        }
+        top.isAtEnd && got.result().zip(fs).forall { case ((k, kd, vs), (ek, ef)) =>
+          k == ek && kd == ef.kind && (kd match {
+            case 1 => vs.map(_.asInstanceOf[Array[Byte]].toSeq) == ef.bytes.map(_.toSeq)
+            case 2 => vs == ef.floats
+            case _ => vs == ef.int64s
+          })
+        }
+      }
+    }
+
+  /** Direction 2: a message built with the runtime's own
+    * CodedOutputStream primitives decodes in our walker. */
+  property("tfexample: our decoder reads CodedOutputStream-built messages") =
+    Prop.forAll(exampleGen) { fs =>
+      import org.apache.orc.protobuf.CodedOutputStream
+      def msg(build: CodedOutputStream => Unit): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val cos = CodedOutputStream.newInstance(bos)
+        build(cos); cos.flush()
+        bos.toByteArray
+      }
+      val fmBytes = msg { fm =>
+        fs.foreach { case (k, f) =>
+          val featBytes = msg { fe =>
+            f.kind match {
+              case 1 =>
+                fe.writeTag(1, 2)
+                fe.writeByteArrayNoTag(msg { bl =>
+                  f.bytes.foreach { v => bl.writeTag(1, 2); bl.writeByteArrayNoTag(v) }
+                })
+              case 2 =>
+                fe.writeTag(2, 2)
+                fe.writeByteArrayNoTag(msg { fl =>
+                  fl.writeTag(1, 2)
+                  fl.writeByteArrayNoTag(msg { run =>
+                    f.floats.foreach(run.writeFloatNoTag)
+                  })
+                })
+              case _ =>
+                fe.writeTag(3, 2)
+                fe.writeByteArrayNoTag(msg { il =>
+                  il.writeTag(1, 2)
+                  il.writeByteArrayNoTag(msg { run =>
+                    f.int64s.foreach(run.writeInt64NoTag)
+                  })
+                })
+            }
+          }
+          fm.writeTag(1, 2)
+          fm.writeByteArrayNoTag(msg { e =>
+            e.writeTag(1, 2); e.writeByteArrayNoTag(k.getBytes("UTF-8"))
+            e.writeTag(2, 2); e.writeByteArrayNoTag(featBytes)
+          })
+        }
+      }
+      val wire = msg { ex => ex.writeTag(1, 2); ex.writeByteArrayNoTag(fmBytes) }
+      TfExampleCodec.decode(wire).exists { got =>
+        got.length == fs.length && got.zip(fs).forall { case ((gk, gf), (k, f)) =>
+          gk == k && gf.kind == f.kind && gf.floats == f.floats &&
+            gf.int64s == f.int64s &&
+            gf.bytes.map(_.toSeq) == f.bytes.map(_.toSeq)
+        }
+      }
+    }
+
+  property("tfexample: unpacked primitives decode too (the other legal encoding)") =
+    Prop.forAll(Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-100000L, 100000L)))) { ls =>
+      import org.apache.orc.protobuf.CodedOutputStream
+      def msg(build: CodedOutputStream => Unit): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val cos = CodedOutputStream.newInstance(bos)
+        build(cos); cos.flush()
+        bos.toByteArray
+      }
+      // Int64List with UNPACKED varints: repeated (tag, varint) pairs
+      val il = msg { c => ls.foreach { v => c.writeTag(1, 0); c.writeInt64NoTag(v) } }
+      val feat = msg { c => c.writeTag(3, 2); c.writeByteArrayNoTag(il) }
+      val entry = msg { c =>
+        c.writeTag(1, 2); c.writeByteArrayNoTag("x".getBytes("UTF-8"))
+        c.writeTag(2, 2); c.writeByteArrayNoTag(feat)
+      }
+      val fm = msg { c => c.writeTag(1, 2); c.writeByteArrayNoTag(entry) }
+      val wire = msg { c => c.writeTag(1, 2); c.writeByteArrayNoTag(fm) }
+      TfExampleCodec.decode(wire)
+        .exists(got => got.length == 1 && got.head._2.int64s == ls)
+    }
+
+  property("tfexample: the three d120 proto-grammar damage modes quarantine inside VALID frames") =
+    Prop.forAll(Gen.choose(0L, 4000L), zipTextGen) { (id, text) =>
+      import graft.operators.{TfRecordCodec, TfExampleSim}
+      val shard = TfExampleSim.payloadFor(id, text)
+      // the FRAME layer must stay clean — damage is proto-only
+      TfRecordCodec.decode(shard).exists { recs =>
+        val parses = recs.map(r => TfExampleCodec.decode(r).isDefined)
+        if (id % 7 == 0 || id % 7 == 3 || id % 7 == 5)
+          !parses.head && parses.tail.forall(identity)
+        else parses.forall(identity)
+      }
+    }
+
   // ---- WebDataset multimodal capstone (d118) -------------------------
 
   import graft.operators.WdsSim
