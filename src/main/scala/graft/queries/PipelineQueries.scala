@@ -1335,6 +1335,16 @@ object PipelineQueries {
     "d120_tfexample" -> ((s, dir) =>
       TfExampleSim.stats(s, docs(s, dir)).orderBy("doc_id")),
 
+    // the Avro Object Container File — the Hadoop-era corpus format
+    // still everywhere in data lakes: self-describing header (schema
+    // JSON + codec in the Avro-map encoding), 16-byte sync markers
+    // between blocks (the split-resynchronization feature; a
+    // mismatched marker is structural corruption and quarantines),
+    // zigzag-varint record encoding, null AND deflate block codecs.
+    // Interop pinned both directions against org.apache.avro 1.12
+    "d121_avro_ocf" -> ((s, dir) =>
+      AvroOcfSim.stats(s, docs(s, dir)).orderBy("doc_id")),
+
     "d119_jsonl_zst" -> ((s, dir) =>
       ZstdJsonlSim.lines(s, docs(s, dir))
         .select(col("doc_id"), col("n_frames"),
@@ -3104,6 +3114,22 @@ object PipelineQueries {
         |  (COALESCE(sum(w * h) OVER (PARTITION BY fmt ORDER BY pid
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096)::BIGINT AS shard_id
         | FROM u ORDER BY doc_id, member""".stripMargin.replaceAll("\n", " "),
+
+    // the Avro OCF oracle replays the container layout off
+    // documents.text: K records (ids a closed form), 2 per block,
+    // text bytes = the slices concatenate back to the doc
+    "d121_avro_ocf" ->
+      """WITH base AS (SELECT doc_id, text, (2 + doc_id % 5)::BIGINT AS k FROM documents)
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 7 IN (0, 3, 5) THEN 'quarantined' ELSE 'ok' END AS status,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE (k + 1) // 2 END)::BIGINT AS n_blocks,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE k END)::BIGINT AS n_records,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL
+        |        ELSE k * doc_id * 1000 + k * (k - 1) // 2 END)::BIGINT AS sum_ids,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL
+        |        ELSE octet_length(encode(text)) END)::BIGINT AS text_bytes,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE TRUE END)::BOOLEAN AS roundtrip_ok
+        | FROM base ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     // the tf.Example oracle replays the feature arithmetic off
     // documents.text: record count and the id sum are closed forms,

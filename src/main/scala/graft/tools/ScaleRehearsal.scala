@@ -664,6 +664,13 @@ object ScaleRehearsal {
         graft.operators.AlawSim.stats(spark,
           graft.operators.AlawSim.payloads(big.select(col("doc_id"))))
           .filter(col("status") === "ok").count())
+      ratio("avro ocf walk (d121)",
+        graft.operators.AvroOcfSim.stats(spark,
+          base.select(col("doc_id"), col("text")))
+          .filter(col("status") === "ok").count(),
+        graft.operators.AvroOcfSim.stats(spark,
+          big.select(col("doc_id"), col("text")))
+          .filter(col("status") === "ok").count())
       ratio("tfexample proto parse (d120)",
         graft.operators.TfExampleSim.stats(spark,
           base.select(col("doc_id"), col("text")))

@@ -1364,6 +1364,93 @@ object MediaDecodePropertySpec extends Properties("MediaDecode") {
       else got.exists(c => new String(c, "UTF-8") == text)
     }
 
+  // ---- Avro OCF (d121) -------------------------------------------------
+
+  import graft.operators.{AvroOcfCodec, AvroOcfSim}
+
+  private val avroRecsGen: Gen[Seq[(Long, String)]] =
+    Gen.choose(1, 9).flatMap(n => Gen.listOfN(n,
+      for { id <- Gen.choose(Long.MinValue / 2, Long.MaxValue / 2)
+            t <- zipTextGen } yield (id, t)))
+
+  property("avro: encode∘decode = identity, both codecs, any block cut") =
+    Prop.forAll(avroRecsGen, Gen.oneOf(false, true), Gen.choose(1, 5),
+      Gen.choose(0L, 1L << 40)) { (recs, deflate, perBlock, seed) =>
+      val sync = AvroOcfSim.syncFor(seed)
+      AvroOcfCodec.decode(
+          AvroOcfCodec.encode(recs, sync, deflate, perBlock))
+        .exists { case (got, blocks) =>
+          got == recs && blocks == (recs.length + perBlock - 1) / perBlock
+        }
+    }
+
+  property("avro: org.apache.avro reads our encoder's output record-for-record") =
+    Prop.forAll(avroRecsGen, Gen.oneOf(false, true)) { (recs, deflate) =>
+      val bytes = AvroOcfCodec.encode(recs, AvroOcfSim.syncFor(7L), deflate, 2)
+      val schema = new org.apache.avro.Schema.Parser()
+        .parse(AvroOcfCodec.SCHEMA_JSON)
+      val reader = new org.apache.avro.file.DataFileStream(
+        new java.io.ByteArrayInputStream(bytes),
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord](schema))
+      val got = Seq.newBuilder[(Long, String)]
+      while (reader.hasNext) {
+        val r = reader.next()
+        got += ((r.get("id").asInstanceOf[Long], r.get("text").toString))
+      }
+      reader.close()
+      got.result() == recs
+    }
+
+  property("avro: our decoder reads org.apache.avro-written files, both codecs") =
+    Prop.forAll(avroRecsGen, Gen.oneOf(false, true)) { (recs, deflate) =>
+      val schema = new org.apache.avro.Schema.Parser()
+        .parse(AvroOcfCodec.SCHEMA_JSON)
+      val bos = new java.io.ByteArrayOutputStream()
+      val w = new org.apache.avro.file.DataFileWriter(
+        new org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord](schema))
+      if (deflate)
+        w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+      w.create(schema, bos)
+      recs.foreach { case (id, t) =>
+        val r = new org.apache.avro.generic.GenericData.Record(schema)
+        r.put("id", java.lang.Long.valueOf(id)); r.put("text", t)
+        w.append(r)
+      }
+      w.close()
+      AvroOcfCodec.decode(bos.toByteArray).exists(_._1 == recs)
+    }
+
+  /** OCF has NO file-level trailer: a cut landing EXACTLY on a block
+    * boundary is a valid shorter file (that's what makes the format
+    * appendable — and why the d114-class pipelines must track record
+    * counts out of band). Any OTHER cut quarantines; a boundary cut
+    * must decode to a strict PREFIX of the records, never garbage. */
+  property("avro: truncation quarantines or yields a strict record prefix") =
+    Prop.forAll(Gen.choose(0L, 4000L), Gen.alphaNumStr, Gen.choose(1, 1 << 10)) {
+      (id0, text, cut0) =>
+        val id = id0 - id0 % 7 + 1
+        val z = AvroOcfSim.payloadFor(id, text)
+        val cut = 1 + cut0 % (z.length - 1)
+        val want = AvroOcfSim.recordsFor(id, text)
+        AvroOcfCodec.decode(z.take(z.length - cut)) match {
+          case None => true
+          case Some((recs, blocks)) =>
+            blocks < (want.length + 1) / 2 && recs == want.take(recs.length)
+        }
+    }
+
+  property("avro: the three d121 damage modes quarantine, clean ids decode") =
+    Prop.forAll(Gen.choose(0L, 4000L), zipTextGen) { (id, text) =>
+      val got = AvroOcfCodec.decode(AvroOcfSim.payloadFor(id, text))
+      if (id % 7 == 0 || id % 7 == 3 || id % 7 == 5) got.isEmpty
+      else got.exists { case (recs, _) =>
+        recs.length == AvroOcfSim.nRecords(id) &&
+          recs.map(_._2).mkString == text
+      }
+    }
+
   // ---- tf.Example protobuf (d120) ------------------------------------
 
   import graft.operators.{TfExampleCodec, TfExampleSim}
