@@ -1345,6 +1345,16 @@ object PipelineQueries {
     "d121_avro_ocf" -> ((s, dir) =>
       AvroOcfSim.stats(s, docs(s, dir)).orderBy("doc_id")),
 
+    // snappy framing + blocks over the REAL text — the codec Spark
+    // itself runs on (shuffle/broadcast default): stream identifier,
+    // per-chunk masked CRC-32C of the UNCOMPRESSED bytes (the same
+    // masking TFRecord borrowed from snappy), padding chunks skipped
+    // (doc_id%5==2 docs carry one), reserved-unskippable rejected;
+    // block layer tag-coded literals/copies with a greedy encoder.
+    // Interop pinned against snappy-java AND commons-compress
+    "d122_snappy_framed" -> ((s, dir) =>
+      SnappySim.stats(s, docs(s, dir)).orderBy("doc_id")),
+
     "d119_jsonl_zst" -> ((s, dir) =>
       ZstdJsonlSim.lines(s, docs(s, dir))
         .select(col("doc_id"), col("n_frames"),
@@ -3114,6 +3124,22 @@ object PipelineQueries {
         |  (COALESCE(sum(w * h) OVER (PARTITION BY fmt ORDER BY pid
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096)::BIGINT AS shard_id
         | FROM u ORDER BY doc_id, member""".stripMargin.replaceAll("\n", " "),
+
+    // the snappy gate replays off documents.text (the d115/d117
+    // discipline): chunk count from the closed-form cut, exact byte
+    // and line totals; roundtrip is the in-plan verdict
+    "d122_snappy_framed" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 IN (0, 3, 5) THEN 'quarantined' ELSE 'ok' END AS status,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL
+        |        ELSE greatest(1, (octet_length(encode(text)) + 699 + doc_id % 400)
+        |          // (700 + doc_id % 400)) END)::BIGINT AS n_chunks,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL
+        |        ELSE octet_length(encode(text)) END)::BIGINT AS n_bytes,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL
+        |        ELSE length(text) - length(replace(text, chr(10), '')) + 1 END)::BIGINT AS n_lines,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE TRUE END)::BOOLEAN AS roundtrip_ok
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     // the Avro OCF oracle replays the container layout off
     // documents.text: K records (ids a closed form), 2 per block,

@@ -637,6 +637,14 @@ object EventStream {
                   stream: DataFrame): DataFrame =
     graft.operators.ZstdSim.stats(spark, stream)
 
+  /** Streaming snappy decode — d122's streaming twin: the framed
+    * walk + block decode runs per micro-batch through the same
+    * batched mapPartitions contract (stateless, map-only).
+    * Bit-identical to the batch stats (spec-pinned). */
+  def snappyDecoded(spark: org.apache.spark.sql.SparkSession,
+                    stream: DataFrame): DataFrame =
+    graft.operators.SnappySim.stats(spark, stream)
+
   /** Streaming Avro OCF ingest — d121's streaming twin: the
     * header/sync/block walk + record decode runs per micro-batch
     * through the same batched mapPartitions contract (stateless,

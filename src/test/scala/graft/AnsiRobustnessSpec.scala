@@ -244,6 +244,11 @@ class AnsiRobustnessSpec extends AnyFunSuite {
       graft.operators.AlawSim.payloads(docs.select(col("doc_id")).limit(42)))
     assert(al.filter(col("status") === "ok").count() > 0)
     assert(al.filter(col("status") === "quarantined").count() > 0)
+    // and the snappy walk (tag/copy/masked-CRC arithmetic)
+    val sn = graft.operators.SnappySim.stats(spark,
+      docs.select(col("doc_id"), col("text")).limit(42))
+    assert(sn.filter(col("status") === "ok").count() > 0)
+    assert(sn.filter(col("status") === "quarantined").count() > 0)
     // and the Avro container walk (zigzag/sync/map-block arithmetic)
     val av = graft.operators.AvroOcfSim.stats(spark,
       docs.select(col("doc_id"), col("text")).limit(42))

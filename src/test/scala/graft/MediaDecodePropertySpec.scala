@@ -1364,6 +1364,108 @@ object MediaDecodePropertySpec extends Properties("MediaDecode") {
       else got.exists(c => new String(c, "UTF-8") == text)
     }
 
+  // ---- snappy framing (d122) --------------------------------------------
+
+  import graft.operators.{SnappyCodec, SnappySim}
+
+  private val snappyContentGen: Gen[Array[Byte]] = Gen.frequency(
+    3 -> Gen.choose(0, 4000).flatMap(n => Gen.listOfN(n, Gen.oneOf(
+      'a'.toByte, 'b'.toByte, ' '.toByte, '\n'.toByte)).map(_.toArray)),
+    2 -> Gen.alphaStr.map(s => (s * 7).getBytes("US-ASCII")),
+    2 -> bytesGen)
+
+  property("snappy: encode∘decode = identity through framing and block layers") =
+    Prop.forAll(snappyContentGen, Gen.choose(1, 65536), Gen.oneOf(false, true)) {
+      (content, cut, pad) =>
+        SnappyCodec.decodeFramed(SnappyCodec.encodeFramed(content, cut, pad))
+          .exists { case (got, chunks) =>
+            java.util.Arrays.equals(got, content) &&
+              chunks == math.max(1, (content.length + cut - 1) / cut)
+          }
+    }
+
+  property("snappy: snappy-java's block codec interops both ways") =
+    Prop.forAll(snappyContentGen) { content0 =>
+      val content = content0.take(65536)
+      // their encoder → our block decoder (preamble + tags)
+      val jni = org.xerial.snappy.Snappy.compress(content)
+      val oursRead = java.util.Arrays.equals(
+        SnappyCodec.decompressBlock(jni, 0, jni.length), content)
+      // our encoder → their block decoder
+      val ours = SnappyCodec.compressBlock(content)
+      val theirsRead = java.util.Arrays.equals(
+        org.xerial.snappy.Snappy.uncompress(ours), content)
+      oursRead && theirsRead
+    }
+
+  /** snappy-java's reader rejects an EMPTY data chunk ("invalid
+    * length: 4") — stricter than the framing spec, which doesn't
+    * forbid it (commons-compress accepts ours, pinned in the next
+    * property) — so this direction pins nonempty content; the
+    * empty-stream shapes are covered by the commons-compress twin. */
+  property("snappy: snappy-java's FRAMED streams interop both ways") =
+    Prop.forAll(snappyContentGen, Gen.choose(1, 65536)) { (content0, cut) =>
+      val content = if (content0.isEmpty) Array[Byte]('x') else content0
+      // their framed writer → our framed decoder
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new org.xerial.snappy.SnappyFramedOutputStream(bos)
+      out.write(content); out.close()
+      val oursRead = SnappyCodec.decodeFramed(bos.toByteArray)
+        .exists(g => java.util.Arrays.equals(g._1, content))
+      // our framed writer → their framed reader
+      val in = new org.xerial.snappy.SnappyFramedInputStream(
+        new java.io.ByteArrayInputStream(
+          SnappyCodec.encodeFramed(content, cut, padAfterFirst = false)))
+      val acc = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { acc.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      oursRead && java.util.Arrays.equals(acc.toByteArray, content)
+    }
+
+  property("snappy: commons-compress (the THIRD implementation) reads our frames") =
+    Prop.forAll(snappyContentGen, Gen.choose(1, 65536), Gen.oneOf(false, true)) {
+      (content, cut, pad) =>
+        val in = new org.apache.commons.compress.compressors.snappy
+          .FramedSnappyCompressorInputStream(new java.io.ByteArrayInputStream(
+            SnappyCodec.encodeFramed(content, cut, pad)))
+        val acc = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { acc.write(buf, 0, n); n = in.read(buf) }
+        in.close()
+        java.util.Arrays.equals(acc.toByteArray, content)
+    }
+
+  /** Snappy framing has NO stream trailer (like Avro OCF): a cut
+    * exactly at a chunk boundary is a valid shorter stream. Any other
+    * cut quarantines; a boundary cut yields a strict content PREFIX
+    * at a chunk-cut multiple, never garbage. */
+  property("snappy: truncation quarantines or yields a strict chunk-aligned prefix") =
+    Prop.forAll(Gen.choose(0L, 4000L), Gen.alphaNumStr, Gen.choose(1, 1 << 10)) {
+      (id0, text, cut0) =>
+        val id = id0 - id0 % 7 + 1
+        val z = SnappySim.payloadFor(id, text)
+        val cut = 1 + cut0 % (z.length - 1)
+        val want = text.getBytes("UTF-8")
+        SnappyCodec.decodeFramed(z.take(z.length - cut)) match {
+          case None => true
+          case Some((content, _)) =>
+            content.length <= want.length &&
+              content.length % SnappySim.chunkCut(id) == 0 &&
+              java.util.Arrays.equals(content,
+                java.util.Arrays.copyOf(want, content.length))
+        }
+    }
+
+  property("snappy: the three d122 damage modes quarantine, clean ids decode") =
+    Prop.forAll(Gen.choose(0L, 4000L), zipTextGen) { (id, text) =>
+      val got = SnappyCodec.decodeFramed(SnappySim.payloadFor(id, text))
+      if (id % 7 == 0 || id % 7 == 3 || id % 7 == 5) got.isEmpty
+      else got.exists(c => new String(c._1, "UTF-8") == text)
+    }
+
   // ---- Avro OCF (d121) -------------------------------------------------
 
   import graft.operators.{AvroOcfCodec, AvroOcfSim}
