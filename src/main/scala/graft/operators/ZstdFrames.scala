@@ -702,22 +702,37 @@ object ZstdCodec {
     * real `.jsonl.zst` accumulates (`zstd` output concatenates; so do
     * log rotations): every frame must verify under the [[decode]]
     * scope, the byte stream must be EXACTLY a frame sequence (no
-    * gaps, no trailer), and at least one frame must be present.
-    * Returns the per-frame contents in order, or None. */
+    * gaps, no trailer), and at least one DATA frame must be present.
+    * SKIPPABLE frames (RFC 8878 §3.1.2 — magic 0x184D2A50..5F +
+    * 32-bit size + opaque user data; what seekable-zstd seek tables
+    * and padding tools insert between data frames) are skipped after
+    * a bounds check. Returns the per-data-frame contents in order,
+    * or None. */
   def decodeConcat(b: Array[Byte]): Option[Seq[Array[Byte]]] =
     try {
       if (b.length == 0) return None
+      def u32(i: Int): Long =
+        (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
+          ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
       val out = Seq.newBuilder[Array[Byte]]
       var p = 0
       var total = 0L
       while (p < b.length) {
-        val (content, next) = frameAt(b, p)
-        total += content.length
-        if (total > MAX_CONTENT) throw Malformed
-        out += content
-        p = next
+        if (p + 8 <= b.length && (u32(p) & 0xFFFFFFF0L) == 0x184D2A50L) {
+          val skip = u32(p + 4)
+          if (p + 8 + skip > b.length) throw Malformed
+          p += 8 + skip.toInt
+        } else {
+          val (content, next) = frameAt(b, p)
+          total += content.length
+          if (total > MAX_CONTENT) throw Malformed
+          out += content
+          p = next
+        }
       }
-      Some(out.result())
+      val frames = out.result()
+      if (frames.isEmpty) throw Malformed // skippables alone carry no data
+      Some(frames)
     } catch {
       case Malformed => None
       case _: ArrayIndexOutOfBoundsException => None

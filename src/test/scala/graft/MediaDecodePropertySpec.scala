@@ -1343,6 +1343,29 @@ object MediaDecodePropertySpec extends Properties("MediaDecode") {
       oursOk && jniOk
     }
 
+  property("zstd: skippable frames between data frames are skipped; alone they carry no data") =
+    Prop.forAll(Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, zstdContentGen)),
+      Gen.choose(0, 200), Gen.choose(0, 15)) { (parts, skipLen, magicLow) =>
+      def skippable(): Array[Byte] = {
+        val out = new java.io.ByteArrayOutputStream()
+        val magic = 0x184D2A50 + magicLow
+        out.write(magic & 0xFF); out.write((magic >> 8) & 0xFF)
+        out.write((magic >> 16) & 0xFF); out.write((magic >>> 24) & 0xFF)
+        out.write(skipLen & 0xFF); out.write((skipLen >> 8) & 0xFF)
+        out.write(0); out.write(0)
+        out.write(new Array[Byte](skipLen), 0, skipLen)
+        out.toByteArray
+      }
+      val stream = parts.map(p => ZstdCodec.encodeFrame(p, 512))
+        .foldLeft(skippable())((acc, f) => acc ++ f ++ skippable())
+      val ok = ZstdCodec.decodeConcat(stream).exists { got =>
+        got.length == parts.length &&
+          got.zip(parts).forall { case (g, p) => java.util.Arrays.equals(g, p) }
+      }
+      ok && ZstdCodec.decodeConcat(skippable()).isEmpty &&
+        ZstdCodec.decodeConcat(stream.dropRight(1)).isEmpty // torn tail
+    }
+
   property("jsonl.zst: the d119 row source round-trips records; damage yields nothing") =
     Prop.forAll(Gen.choose(0L, 4000L), zipTextGen) { (id, text) =>
       import graft.operators.ZstdJsonlSim
@@ -1447,13 +1470,17 @@ object MediaDecodePropertySpec extends Properties("MediaDecode") {
       (id0, text, cut0) =>
         val id = id0 - id0 % 7 + 1
         val z = SnappySim.payloadFor(id, text)
-        val cut = 1 + cut0 % (z.length - 1)
+        val cut = 1 + math.floorMod(cut0, z.length - 1)
         val want = text.getBytes("UTF-8")
         SnappyCodec.decodeFramed(z.take(z.length - cut)) match {
           case None => true
           case Some((content, _)) =>
-            content.length <= want.length &&
-              content.length % SnappySim.chunkCut(id) == 0 &&
+            // a boundary cut keeps whole chunks: a cut-multiple prefix,
+            // or the COMPLETE content when only trailing padding (or
+            // the final partial chunk's boundary) was removed
+            (content.length % SnappySim.chunkCut(id) == 0 ||
+              content.length == want.length) &&
+              content.length <= want.length &&
               java.util.Arrays.equals(content,
                 java.util.Arrays.copyOf(want, content.length))
         }
