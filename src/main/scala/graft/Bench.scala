@@ -48,7 +48,8 @@ object Bench {
     "d111_wet_extract", "d112_sketch_overlap", "d113_zip_entries",
     "d114_crawl_pipeline", "d115_lz4_frames", "d116_alaw_decode",
     "d117_zstd_frames", "d118_webdataset_multimodal", "d119_jsonl_zst",
-    "d120_tfexample", "d121_avro_ocf", "d122_snappy_framed")
+    "d120_tfexample", "d121_avro_ocf", "d122_snappy_framed",
+    "d123_zstd_seekable")
 
   /** Fixed CPU-bound calibration microbench ("DotBench"): scalar dot
     * products over pinned-size float arrays with deterministic

@@ -1037,6 +1037,135 @@ object ZstdCodec {
   }
 }
 
+/** Seekable zstd (the published zstd-contrib seekable format) for the
+  * d123 gate — the RANDOM-ACCESS story compressed shards need at
+  * 100 TB: content split into INDEPENDENT zstd frames plus a SEEK
+  * TABLE carried in a trailing skippable frame (magic 0x184D2A5E;
+  * entries of 4-byte LE compressed/decompressed sizes; a 9-byte
+  * footer `num_frames | descriptor | 0x8F92EAB1`), so a reader
+  * serves byte range [a,b) by decoding ONLY the covering frames —
+  * never the shard. The table is VERIFIED, not trusted: entry count
+  * and footer magic checked, the compressed sizes must tile the data
+  * region exactly, and every decoded frame must match its declared
+  * decompressed size — a lying table quarantines instead of serving
+  * wrong bytes. Data frames carry the full d117 scope (checksums
+  * required), so zstd-jni remains the independent twin for every
+  * member frame; the seek-table grammar is from the public spec.
+  * Scope: descriptor 0 (no per-frame seek-table checksums — the
+  * frames' own xxHash64 content checksums are the integrity layer). */
+object ZstdSeekable {
+
+  private object Malformed extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  private val SKIP_MAGIC = 0x184D2A5EL
+  private val FOOTER_MAGIC = 0x8F92EAB1L
+
+  private def u32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
+      ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+
+  /** Encode content as a seekable shard: independent frames of
+    * `frameCut` bytes each + the seek table. */
+  private[graft] def encode(content: Array[Byte], frameCut: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(content.length + 128)
+    val sizes = Seq.newBuilder[(Int, Int)]
+    var p = 0
+    var emitted = false
+    while (p < content.length || !emitted) {
+      val len = math.min(frameCut, content.length - p)
+      val f = ZstdCodec.encodeFrame(
+        java.util.Arrays.copyOfRange(content, p, p + len), math.max(1, math.min(len, 1023)))
+      out.write(f, 0, f.length)
+      sizes += ((f.length, len))
+      p += len
+      emitted = true
+    }
+    val entries = sizes.result()
+    def w32(v: Long): Unit = {
+      out.write((v & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
+      out.write(((v >> 16) & 0xFF).toInt); out.write(((v >> 24) & 0xFF).toInt)
+    }
+    w32(SKIP_MAGIC)
+    w32(entries.length * 8L + 9L) // skippable content size
+    entries.foreach { case (c, d) => w32(c.toLong); w32(d.toLong) }
+    w32(entries.length.toLong)
+    out.write(0) // descriptor: no per-entry checksums
+    w32(FOOTER_MAGIC)
+    out.toByteArray
+  }
+
+  /** Parse and VERIFY the seek table → (compressedSize,
+    * decompressedSize) per frame, in order. */
+  private[graft] def seekTable(b: Array[Byte]): Option[Seq[(Int, Int)]] =
+    try {
+      if (b.length < 17 || u32(b, b.length - 4) != FOOTER_MAGIC) return None
+      val desc = b(b.length - 5) & 0xFF
+      if (desc != 0) throw Malformed // per-entry checksums out of scope
+      val n = u32(b, b.length - 9)
+      if (n <= 0 || n > (1 << 20)) throw Malformed
+      val tableBytes = n * 8 + 9
+      val skipStart = b.length - 8 - tableBytes
+      if (skipStart < 0) throw Malformed
+      if (u32(b, skipStart.toInt) != SKIP_MAGIC) throw Malformed
+      if (u32(b, skipStart.toInt + 4) != tableBytes) throw Malformed
+      val entries = Seq.newBuilder[(Int, Int)]
+      var p = skipStart.toInt + 8
+      var compTotal = 0L
+      var i = 0L
+      while (i < n) {
+        val c = u32(b, p); val d = u32(b, p + 4)
+        if (c <= 0 || d < 0 || d > (1 << 26)) throw Malformed
+        entries += ((c.toInt, d.toInt))
+        compTotal += c
+        p += 8
+        i += 1
+      }
+      // the declared frames must TILE the data region exactly
+      if (compTotal != skipStart) throw Malformed
+      Some(entries.result())
+    } catch {
+      case Malformed => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+
+  /** Random access: decode ONLY the frames covering byte range
+    * [from, from+len) of the decompressed content; every touched
+    * frame is verified against its declared size and its own content
+    * checksum. Returns None on a lying table or malformed frame. */
+  private[graft] def readRange(b: Array[Byte], from: Long, len: Long): Option[Array[Byte]] =
+    try {
+      val table = seekTable(b).getOrElse(throw Malformed)
+      val total = table.map(_._2.toLong).sum
+      if (from < 0 || len < 0 || from + len > total) throw Malformed
+      val out = new Array[Byte](len.toInt)
+      var comp = 0L // compressed offset of the current frame
+      var dec = 0L // decompressed offset
+      var written = 0
+      table.foreach { case (c, d) =>
+        val fEnd = dec + d
+        if (fEnd > from && dec < from + len && len > 0) {
+          val frame = ZstdCodec.decode(
+            java.util.Arrays.copyOfRange(b, comp.toInt, (comp + c).toInt))
+            .getOrElse(throw Malformed)
+          if (frame.length != d) throw Malformed // table lies about the size
+          val a = math.max(from, dec)
+          val z = math.min(from + len, fEnd)
+          System.arraycopy(frame, (a - dec).toInt, out, written, (z - a).toInt)
+          written += (z - a).toInt
+        }
+        comp += c
+        dec = fEnd
+      }
+      Some(out)
+    } catch {
+      case Malformed => None
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+}
+
 /** d119 — the `.jsonl.zst` reading path itself, the reason d117
   * exists: modern corpus releases ship newline-delimited JSON records
   * inside (often CONCATENATED) zstd frames. The sim builds the real
@@ -1120,6 +1249,91 @@ object ZstdJsonlSim {
                 new String(blob, "UTF-8").split("\n", -1).toSeq
                   .map(l => Row(id, frames.length.toLong, l))
               case None => Nil
+            }
+          }
+        }
+      }(enc)
+  }
+}
+
+/** d123 gate — RANDOM ACCESS into compressed shards: each doc's text
+  * becomes a seekable-zstd shard (independent frames of 500+doc_id%300
+  * bytes + the verified seek table), and the gate serves ONE
+  * closed-form byte range per doc through [[ZstdSeekable.readRange]]
+  * — decoding only the covering frames, the way a 100 TB range read
+  * works. Damage slice on doc_id%7: 0 → truncated mid footer magic,
+  * 3 → footer magic stomped, 5 → one table entry's DECOMPRESSED size
+  * bumped — every frame stays intact and every checksum passes; only
+  * the decode-vs-declared-size verify catches a lying table (the
+  * trust boundary random access lives on). */
+object ZstdSeekSim {
+
+  private[graft] def frameCut(docId: Long): Int = (500 + docId % 300).toInt
+
+  private[graft] def rangeOf(docId: Long, nBytes: Int): (Long, Long) = {
+    val off = (docId * 37) % math.max(1, nBytes)
+    val rlen = math.min(nBytes - off, 200 + docId % 100)
+    (off, rlen)
+  }
+
+  private[graft] def payloadFor(docId: Long, text: String): Array[Byte] = {
+    val clean = ZstdSeekable.encode(text.getBytes("UTF-8"), frameCut(docId))
+    (docId % 7) match {
+      case 0 => java.util.Arrays.copyOf(clean, clean.length - 3)
+      case 3 => val d = clean.clone(); d(d.length - 2) = 'X'; d
+      case 5 =>
+        val nBytes = text.getBytes("UTF-8").length
+        if (nBytes == 0) java.util.Arrays.copyOf(clean, clean.length - 3)
+        else {
+          // bump the DECOMPRESSED size of the frame the doc's own
+          // range READS (fi = off/cut) — the lie sits on the read
+          // path, so the decode-vs-declared verify must catch it
+          val d = clean.clone()
+          val n = ((d(d.length - 9) & 0xFFL) | ((d(d.length - 8) & 0xFFL) << 8) |
+            ((d(d.length - 7) & 0xFFL) << 16) | ((d(d.length - 6) & 0xFFL) << 24)).toInt
+          val fi = (rangeOf(docId, nBytes)._1 / frameCut(docId)).toInt
+          val entry = d.length - 8 - (n * 8 + 9) + 8 + fi * 8
+          d(entry + 4) = (d(entry + 4) + 1).toByte
+          d
+        }
+      case _ => clean
+    }
+  }
+
+  val statsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("status", StringType),
+    StructField("n_frames", LongType),
+    StructField("total_bytes", LongType),
+    StructField("range_off", LongType),
+    StructField("range_len", LongType),
+    StructField("range_ok", BooleanType)))
+
+  /** Batched seek-table walk + range read → per-doc stats with
+    * quarantine — the d123 gate (map-only). `range_ok` is the in-plan
+    * byte-exact verdict against the original text slice. */
+  def stats(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(statsSchema)
+    docs.select(col("doc_id"), col("text"))
+      .mapPartitions { rows =>
+        rows.grouped(Multimodal.BATCH_SIZE).flatMap { batch =>
+          batch.iterator.map { r =>
+            val id = r.getLong(0)
+            val bytes = r.getString(1).getBytes("UTF-8")
+            val shard = payloadFor(id, r.getString(1))
+            val (off, rlen) = rangeOf(id, bytes.length)
+            ZstdSeekable.seekTable(shard)
+              .flatMap(t => ZstdSeekable.readRange(shard, off, rlen)
+                .map(rg => (t, rg))) match {
+              case Some((table, range)) =>
+                Row(id, "ok", table.length.toLong,
+                  table.map(_._2.toLong).sum, off, rlen,
+                  java.lang.Boolean.valueOf(java.util.Arrays.equals(range,
+                    java.util.Arrays.copyOfRange(bytes, off.toInt,
+                      (off + rlen).toInt))))
+              case None =>
+                Row(id, "quarantined", null, null, null, null, null)
             }
           }
         }

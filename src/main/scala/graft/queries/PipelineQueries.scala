@@ -1355,6 +1355,16 @@ object PipelineQueries {
     "d122_snappy_framed" -> ((s, dir) =>
       SnappySim.stats(s, docs(s, dir)).orderBy("doc_id")),
 
+    // RANDOM ACCESS into compressed shards — the seekable-zstd format
+    // (public zstd-contrib spec): independent frames + a VERIFIED
+    // seek table in a trailing skippable frame; the gate serves one
+    // closed-form byte range per doc by decoding ONLY the covering
+    // frames (the 100 TB range-read path). The %7==5 damage is a
+    // LYING TABLE on the read path — every frame and checksum intact,
+    // only the decode-vs-declared-size verify catches it
+    "d123_zstd_seekable" -> ((s, dir) =>
+      ZstdSeekSim.stats(s, docs(s, dir)).orderBy("doc_id")),
+
     "d119_jsonl_zst" -> ((s, dir) =>
       ZstdJsonlSim.lines(s, docs(s, dir))
         .select(col("doc_id"), col("n_frames"),
@@ -3124,6 +3134,25 @@ object PipelineQueries {
         |  (COALESCE(sum(w * h) OVER (PARTITION BY fmt ORDER BY pid
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096)::BIGINT AS shard_id
         | FROM u ORDER BY doc_id, member""".stripMargin.replaceAll("\n", " "),
+
+    // the seekable gate replays the shard geometry off documents.text:
+    // frame count from the closed-form cut, byte total, the range's
+    // closed-form offset/length; range_ok is the in-plan byte-exact
+    // verdict against the original slice
+    "d123_zstd_seekable" ->
+      """WITH base AS (SELECT doc_id, text, octet_length(encode(text))::BIGINT AS n,
+        |   (500 + doc_id % 300)::BIGINT AS cut FROM documents),
+        | r AS (SELECT *, (doc_id * 37) % greatest(1, n) AS off FROM base)
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 7 IN (0, 3, 5) THEN 'quarantined' ELSE 'ok' END AS status,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL
+        |        ELSE greatest(1, (n + cut - 1) // cut) END)::BIGINT AS n_frames,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE n END)::BIGINT AS total_bytes,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE off END)::BIGINT AS range_off,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL
+        |        ELSE least(n - off, 200 + doc_id % 100) END)::BIGINT AS range_len,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE TRUE END)::BOOLEAN AS range_ok
+        | FROM r ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     // the snappy gate replays off documents.text (the d115/d117
     // discipline): chunk count from the closed-form cut, exact byte

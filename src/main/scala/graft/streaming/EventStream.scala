@@ -637,6 +637,14 @@ object EventStream {
                   stream: DataFrame): DataFrame =
     graft.operators.ZstdSim.stats(spark, stream)
 
+  /** Streaming seekable-zstd range reads — d123's streaming twin: the
+    * seek-table walk + covering-frame decode runs per micro-batch
+    * through the same batched mapPartitions contract (stateless,
+    * map-only). Bit-identical to the batch stats (spec-pinned). */
+  def zstdRangeRead(spark: org.apache.spark.sql.SparkSession,
+                    stream: DataFrame): DataFrame =
+    graft.operators.ZstdSeekSim.stats(spark, stream)
+
   /** Streaming snappy decode — d122's streaming twin: the framed
     * walk + block decode runs per micro-batch through the same
     * batched mapPartitions contract (stateless, map-only).

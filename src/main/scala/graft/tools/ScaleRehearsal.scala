@@ -664,6 +664,13 @@ object ScaleRehearsal {
         graft.operators.AlawSim.stats(spark,
           graft.operators.AlawSim.payloads(big.select(col("doc_id"))))
           .filter(col("status") === "ok").count())
+      ratio("seekable-zstd range read (d123)",
+        graft.operators.ZstdSeekSim.stats(spark,
+          base.select(col("doc_id"), col("text")))
+          .filter(col("status") === "ok").count(),
+        graft.operators.ZstdSeekSim.stats(spark,
+          big.select(col("doc_id"), col("text")))
+          .filter(col("status") === "ok").count())
       ratio("snappy framed decode (d122)",
         graft.operators.SnappySim.stats(spark,
           base.select(col("doc_id"), col("text")))

@@ -244,6 +244,11 @@ class AnsiRobustnessSpec extends AnyFunSuite {
       graft.operators.AlawSim.payloads(docs.select(col("doc_id")).limit(42)))
     assert(al.filter(col("status") === "ok").count() > 0)
     assert(al.filter(col("status") === "quarantined").count() > 0)
+    // and the seekable range read (seek-table/frame-tiling arithmetic)
+    val sk = graft.operators.ZstdSeekSim.stats(spark,
+      docs.select(col("doc_id"), col("text")).limit(42))
+    assert(sk.filter(col("status") === "ok").count() > 0)
+    assert(sk.filter(col("status") === "quarantined").count() > 0)
     // and the snappy walk (tag/copy/masked-CRC arithmetic)
     val sn = graft.operators.SnappySim.stats(spark,
       docs.select(col("doc_id"), col("text")).limit(42))

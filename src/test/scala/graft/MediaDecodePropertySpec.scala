@@ -1366,6 +1366,65 @@ object MediaDecodePropertySpec extends Properties("MediaDecode") {
         ZstdCodec.decodeConcat(stream.dropRight(1)).isEmpty // torn tail
     }
 
+  // ---- seekable zstd (d123) -------------------------------------------
+
+  import graft.operators.{ZstdSeekable, ZstdSeekSim}
+
+  property("seekable: readRange == full-decode slice for arbitrary ranges") =
+    Prop.forAll(zstdContentGen, Gen.choose(1, 2000), Gen.choose(0L, 1L << 40),
+      Gen.choose(0L, 1L << 40)) { (content, cut, a0, l0) =>
+      val shard = ZstdSeekable.encode(content, cut)
+      val from = if (content.isEmpty) 0L else a0 % content.length
+      val len = if (content.isEmpty) 0L else l0 % (content.length - from + 1)
+      ZstdSeekable.readRange(shard, from, len).exists(got =>
+        java.util.Arrays.equals(got, java.util.Arrays.copyOfRange(
+          content, from.toInt, (from + len).toInt)))
+    }
+
+  property("seekable: out-of-bounds ranges and lying tables quarantine") =
+    Prop.forAll(zstdContentGen, Gen.choose(1, 2000)) { (content0, cut) =>
+      val content = if (content0.isEmpty) Array[Byte]('x') else content0
+      val shard = ZstdSeekable.encode(content, cut)
+      val oob = ZstdSeekable.readRange(shard, content.length.toLong, 1L).isEmpty
+      // bump the first entry's decompressed size and read THROUGH it
+      val d = shard.clone()
+      val n = ((d(d.length - 9) & 0xFFL) | ((d(d.length - 8) & 0xFFL) << 8) |
+        ((d(d.length - 7) & 0xFFL) << 16) | ((d(d.length - 6) & 0xFFL) << 24)).toInt
+      val entry = d.length - 8 - (n * 8 + 9) + 8
+      d(entry + 4) = (d(entry + 4) + 1).toByte
+      val lied = ZstdSeekable.readRange(d, 0L, 1L).isEmpty
+      oob && lied
+    }
+
+  property("seekable: member frames are plain zstd — zstd-jni reads each one") =
+    Prop.forAll(zstdContentGen, Gen.choose(1, 2000)) { (content, cut) =>
+      val shard = ZstdSeekable.encode(content, cut)
+      ZstdSeekable.seekTable(shard).exists { table =>
+        var p = 0 // compressed offset
+        var q = 0 // decompressed offset
+        table.forall { case (c, dsz) =>
+          val frame = java.util.Arrays.copyOfRange(shard, p, p + c)
+          val got = com.github.luben.zstd.Zstd.decompress(frame, math.max(dsz, 1))
+          val ok = got.length == dsz && java.util.Arrays.equals(got,
+            java.util.Arrays.copyOfRange(content, q, q + dsz))
+          p += c; q += dsz
+          ok
+        }
+      }
+    }
+
+  property("seekable: the three d123 damage modes quarantine, clean ids decode") =
+    Prop.forAll(Gen.choose(0L, 4000L), zipTextGen) { (id, text) =>
+      val shard = ZstdSeekSim.payloadFor(id, text)
+      val bytes = text.getBytes("UTF-8")
+      val (off, rlen) = ZstdSeekSim.rangeOf(id, bytes.length)
+      val got = ZstdSeekable.seekTable(shard)
+        .flatMap(_ => ZstdSeekable.readRange(shard, off, rlen))
+      if (id % 7 == 0 || id % 7 == 3 || id % 7 == 5) got.isEmpty
+      else got.exists(rg => java.util.Arrays.equals(rg,
+        java.util.Arrays.copyOfRange(bytes, off.toInt, (off + rlen).toInt)))
+    }
+
   property("jsonl.zst: the d119 row source round-trips records; damage yields nothing") =
     Prop.forAll(Gen.choose(0L, 4000L), zipTextGen) { (id, text) =>
       import graft.operators.ZstdJsonlSim

@@ -1181,6 +1181,27 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("status") === "quarantined").count() == 9)
   }
 
+  test("streaming seekable-zstd range reads match batch bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docRows = (0L until 21L).map(i => (i, s"seekable shard body $i\n" * 40))
+    val ps = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStream.zstdRangeRead(spark,
+        ps.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("seek_out").start()
+    ps.addData(docRows)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("seek_out").orderBy("doc_id").collect().map(_.toString)
+    val want = graft.operators.ZstdSeekSim.stats(spark,
+        docRows.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(got.toSeq == want.toSeq && got.length == 21)
+    assert(spark.table("seek_out")
+      .filter(col("status") === "quarantined").count() == 9)
+  }
+
   test("streaming snappy decode matches batch bit-for-bit") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
