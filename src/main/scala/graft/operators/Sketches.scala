@@ -191,7 +191,11 @@ object Sketches {
     val b = slice(sketchB, lit(1), k.cast("int"))
     val su = slice(array_sort(array_union(a, b)), lit(1), k.cast("int"))
     val nSketch = size(su).cast("long")
-    val kthMin = element_at(su, size(su)).cast("long")
+    // both sketches empty (e.g. built over a zero-row filter) → size 0;
+    // element_at with index 0 raises — guard to null (estUnion takes the
+    // nSketch < k branch there, so a null kth_min never reaches idiv)
+    val kthMin =
+      when(size(su) > 0, element_at(su, size(su))).otherwise(lit(null)).cast("long")
     val interInSketch =
       size(array_intersect(array_intersect(su, a), b)).cast("long")
     // exact INTEGRAL division (SQL `div` — products reach 2^55, past

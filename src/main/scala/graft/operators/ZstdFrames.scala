@@ -550,12 +550,17 @@ object ZstdCodec {
       // repeat-offset resolution (RFC 8878 §3.1.1.5)
       val offset: Int =
         if (ofValue > 3) {
-          val off = (ofValue - 3).toInt
+          // Bound BEFORE narrowing: with an FSE-coded offset table ofCode can
+          // reach 31, so ofValue-3 can exceed Int.MaxValue; a naive .toInt
+          // would wrap negative and slip past the window check below.
+          val offL = ofValue - 3L
+          if (offL > winLen.toLong + maxRegen.toLong) throw Malformed
+          val off = offL.toInt
           rep(2) = rep(1); rep(1) = rep(0); rep(0) = off
           off
         } else {
           val idx = ofValue.toInt - 1 + (if (litLen == 0) 1 else 0)
-          if (idx == 0) rep(0)
+          if (idx == 0) { if (rep(0) <= 0) throw Malformed; rep(0) }
           else {
             val off = if (idx == 3) rep(0) - 1 else rep(idx)
             if (off <= 0) throw Malformed
@@ -1293,7 +1298,15 @@ object ZstdSeekSim {
             ((d(d.length - 7) & 0xFFL) << 16) | ((d(d.length - 6) & 0xFFL) << 24)).toInt
           val fi = (rangeOf(docId, nBytes)._1 / frameCut(docId)).toInt
           val entry = d.length - 8 - (n * 8 + 9) + 8 + fi * 8
-          d(entry + 4) = (d(entry + 4) + 1).toByte
+          // Carry-propagating +1 on the full 32-bit declared size: a
+          // low-byte-only bump self-cancels when the size ≡ 255 mod 256
+          // (0xFF→0x00 shrinks the lie by 255 and may miss the read).
+          val sz = ((d(entry + 4) & 0xFFL) | ((d(entry + 5) & 0xFFL) << 8) |
+            ((d(entry + 6) & 0xFFL) << 16) | ((d(entry + 7) & 0xFFL) << 24)) + 1L
+          d(entry + 4) = (sz & 0xFF).toByte
+          d(entry + 5) = ((sz >> 8) & 0xFF).toByte
+          d(entry + 6) = ((sz >> 16) & 0xFF).toByte
+          d(entry + 7) = ((sz >> 24) & 0xFF).toByte
           d
         }
       case _ => clean

@@ -35,10 +35,17 @@ def main():
                   b.get("max_spread", -1), b.get("calib_sec", -1),
                   b.get("calib_post_sec", -1), b.get("calib_par_sec", -1)))
         sys.exit(2)
+    if "queries" not in b or "queries" not in base:
+        print("no 'queries' key in artifact or baseline - "
+              "check artifact format (compact line lacks per-query times)")
+        sys.exit(3)
     shared = {k: v for k, v in b["queries"].items()
               if k in base["queries"] and v >= 0}
     st = sum(shared.values())
     bt = sum(base["queries"][k] for k in shared)
+    if not shared or bt <= 0:
+        print("no comparable shared queries - check artifact format")
+        sys.exit(3)
     ratio = st / bt
     print("raw shared ratio: %.2f / %.2f = %.3f over %d queries"
           % (st, bt, ratio, len(shared)))
