@@ -1365,6 +1365,20 @@ object PipelineQueries {
     "d123_zstd_seekable" -> ((s, dir) =>
       ZstdSeekSim.stats(s, docs(s, dir)).orderBy("doc_id")),
 
+    // DEFLATE itself (RFC 1951) + the zlib wrapper (RFC 1950) over the
+    // REAL text — the one entropy layer the repo still rode a library
+    // for (gzip/PNG/zip/Avro all decode through java.util.zip): fixed
+    // + dynamic Huffman blocks, the code-length code, stored blocks,
+    // the 32 KiB LZ77 window, and a from-scratch Adler-32 — no
+    // borrowed primitive at all. doc_id%7∈{0,3,5} damaged (truncated
+    // trailer / an OVER-SUBSCRIBED code-length code — the corruption
+    // only the entropy layer itself can catch / one Adler-32 bit).
+    // Interop pinned BOTH directions against the JDK (zlib itself) at
+    // every level and strategy; d106 gzip bodies and d98 PNG IDAT
+    // streams decode identically through our inflater (spec-pinned)
+    "d124_deflate" -> ((s, dir) =>
+      DeflateSim.stats(s, docs(s, dir)).orderBy("doc_id")),
+
     "d119_jsonl_zst" -> ((s, dir) =>
       ZstdJsonlSim.lines(s, docs(s, dir))
         .select(col("doc_id"), col("n_frames"),
@@ -3082,6 +3096,24 @@ object PipelineQueries {
     // the zstd gate replays off documents.text (the d115 discipline):
     // block count from the closed-form cut, exact UTF-8 byte total,
     // newline count; roundtrip is the in-plan verdict
+    // the deflate gate replays off documents.text (the d115/d117
+    // discipline): block count from the closed-form cut, exact byte
+    // and line totals; roundtrip is the in-plan verdict (the WALKED
+    // block count is compared, pinning the encoder's cut arithmetic
+    // through the decoder)
+    "d124_deflate" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 IN (0, 3, 5) THEN 'quarantined' ELSE 'ok' END AS status,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL
+        |        ELSE greatest(1, (octet_length(encode(text)) + 549 + doc_id % 450)
+        |          // (550 + doc_id % 450)) END)::BIGINT AS n_blocks,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL
+        |        ELSE octet_length(encode(text)) END)::BIGINT AS n_bytes,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL
+        |        ELSE length(text) - length(replace(text, chr(10), '')) + 1 END)::BIGINT AS n_lines,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE TRUE END)::BOOLEAN AS roundtrip_ok
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
     "d117_zstd_frames" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 7 IN (0, 3, 5) THEN 'quarantined' ELSE 'ok' END AS status,

@@ -653,6 +653,15 @@ object EventStream {
                     stream: DataFrame): DataFrame =
     graft.operators.SnappySim.stats(spark, stream)
 
+  /** Streaming DEFLATE/zlib decode — d124's streaming twin: the
+    * from-scratch RFC 1950/1951 inflate (dynamic Huffman, code-length
+    * code, Adler-32) runs per micro-batch through the same batched
+    * mapPartitions contract (stateless, map-only). Bit-identical to
+    * the batch stats (spec-pinned). */
+  def deflateDecoded(spark: org.apache.spark.sql.SparkSession,
+                     stream: DataFrame): DataFrame =
+    graft.operators.DeflateSim.stats(spark, stream)
+
   /** Streaming Avro OCF ingest — d121's streaming twin: the
     * header/sync/block walk + record decode runs per micro-batch
     * through the same batched mapPartitions contract (stateless,

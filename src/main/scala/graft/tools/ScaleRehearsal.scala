@@ -671,6 +671,13 @@ object ScaleRehearsal {
         graft.operators.ZstdSeekSim.stats(spark,
           big.select(col("doc_id"), col("text")))
           .filter(col("status") === "ok").count())
+      ratio("deflate/zlib decode (d124)",
+        graft.operators.DeflateSim.stats(spark,
+          base.select(col("doc_id"), col("text")))
+          .filter(col("status") === "ok").count(),
+        graft.operators.DeflateSim.stats(spark,
+          big.select(col("doc_id"), col("text")))
+          .filter(col("status") === "ok").count())
       ratio("snappy framed decode (d122)",
         graft.operators.SnappySim.stats(spark,
           base.select(col("doc_id"), col("text")))

@@ -254,6 +254,11 @@ class AnsiRobustnessSpec extends AnyFunSuite {
       docs.select(col("doc_id"), col("text")).limit(42))
     assert(sn.filter(col("status") === "ok").count() > 0)
     assert(sn.filter(col("status") === "quarantined").count() > 0)
+    // and the deflate walk (Huffman/code-length/Adler arithmetic)
+    val df124 = graft.operators.DeflateSim.stats(spark,
+      docs.select(col("doc_id"), col("text")).limit(42))
+    assert(df124.filter(col("status") === "ok").count() > 0)
+    assert(df124.filter(col("status") === "quarantined").count() > 0)
     // and the Avro container walk (zigzag/sync/map-block arithmetic)
     val av = graft.operators.AvroOcfSim.stats(spark,
       docs.select(col("doc_id"), col("text")).limit(42))

@@ -1552,6 +1552,140 @@ object MediaDecodePropertySpec extends Properties("MediaDecode") {
       else got.exists(c => new String(c._1, "UTF-8") == text)
     }
 
+  // ---- DEFLATE/zlib (d124) ----------------------------------------------
+
+  import graft.operators.{DeflateCodec, DeflateSim}
+
+  property("deflate: encode∘decode = identity with the walked block count") =
+    Prop.forAll(snappyContentGen, Gen.choose(1, 65536)) { (content, cut) =>
+      DeflateCodec.zlibDecodeCounted(DeflateCodec.zlibEncode(content, cut))
+        .exists { case (got, blocks) =>
+          java.util.Arrays.equals(got, content) &&
+            blocks == math.max(1, (content.length + cut - 1) / cut)
+        }
+    }
+
+  property("deflate: the JDK (zlib itself) decodes our streams byte-exact") =
+    Prop.forAll(snappyContentGen, Gen.choose(1, 65536)) { (content, cut) =>
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(DeflateCodec.zlibEncode(content, cut))
+      val acc = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      try {
+        var ok = true
+        while (ok && !inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n == 0 && !inf.finished()) ok = false else acc.write(buf, 0, n)
+        }
+        ok && java.util.Arrays.equals(acc.toByteArray, content)
+      } catch { case _: java.util.zip.DataFormatException => false
+      } finally inf.end()
+    }
+
+  property("deflate: we decode every JDK level/strategy byte-exact") =
+    Prop.forAll(snappyContentGen, Gen.oneOf(0, 1, 6, 9),
+      Gen.oneOf(java.util.zip.Deflater.DEFAULT_STRATEGY,
+        java.util.zip.Deflater.FILTERED,
+        java.util.zip.Deflater.HUFFMAN_ONLY)) { (content, lvl, strat) =>
+      // level 0 = stored blocks, low levels lean fixed-Huffman, high
+      // levels dynamic — all three decoder paths get exercised
+      val d = new java.util.zip.Deflater(lvl)
+      d.setStrategy(strat)
+      d.setInput(content); d.finish()
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+      d.end()
+      DeflateCodec.zlibDecode(bos.toByteArray)
+        .exists(java.util.Arrays.equals(_, content))
+    }
+
+  /** zlib HAS a trailer (unlike Avro OCF / snappy framing): every
+    * proper prefix quarantines — there is no valid cut at all. */
+  property("deflate: EVERY truncation quarantines") =
+    Prop.forAll(Gen.choose(0L, 4000L), zipTextGen, Gen.choose(1, 1 << 10)) {
+      (id0, text, cut0) =>
+        val id = id0 - id0 % 7 + 1
+        val z = DeflateSim.payloadFor(id, text)
+        val cut = 1 + math.floorMod(cut0, z.length)
+        DeflateCodec.zlibDecode(java.util.Arrays.copyOf(z, z.length - cut)).isEmpty
+    }
+
+  property("deflate: bit flips quarantine or decode identically (Adler-32 covers content)") =
+    Prop.forAll(zipTextGen, Gen.choose(0, 1 << 20)) { (text0, pos0) =>
+      val text = if (text0.isEmpty) "x" else text0
+      val content = text.getBytes("UTF-8")
+      val z = DeflateCodec.zlibEncode(content, 64)
+      val bit = math.floorMod(pos0, z.length * 8)
+      val d = z.clone()
+      d(bit / 8) = (d(bit / 8) ^ (1 << (bit % 8))).toByte
+      DeflateCodec.zlibDecode(d) match {
+        case None => true
+        case Some(got) => java.util.Arrays.equals(got, content)
+      }
+    }
+
+  property("deflate: the three d124 damage modes quarantine, clean ids decode") =
+    Prop.forAll(Gen.choose(0L, 4000L), zipTextGen) { (id, text) =>
+      val got = DeflateCodec.zlibDecode(DeflateSim.payloadFor(id, text))
+      if (id % 7 == 0 || id % 7 == 3 || id % 7 == 5) got.isEmpty
+      else got.exists(c => new String(c, "UTF-8") == text)
+    }
+
+  /** The cross-check the verdict asked for: existing gates' deflate
+    * bodies decode IDENTICALLY through our inflater and the JDK's.
+    * d106 gzip members carry raw-deflate bodies (header stripped by
+    * the d106 walker, CRC-32/ISIZE after); our inflateRaw must agree
+    * with Inflater(nowrap) on content AND end position. */
+  property("deflate: d106 gzip member bodies decode identically through our inflater") =
+    Prop.forAll(zipTextGen) { text =>
+      val member = graft.operators.GzipCodec.gzipMember(text.getBytes("UTF-8"))
+      // fixed 10-byte header in gzipMember (no FLG extras)
+      val (ours, end, _) = DeflateCodec.inflateRaw(member, 10, member.length)
+      val inf = new java.util.zip.Inflater(true)
+      inf.setInput(member, 10, member.length - 10)
+      val acc = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        acc.write(buf, 0, n)
+      }
+      val jdkEnd = member.length - inf.getRemaining
+      inf.end()
+      java.util.Arrays.equals(ours, acc.toByteArray) && end == jdkEnd &&
+        java.util.Arrays.equals(ours, text.getBytes("UTF-8"))
+    }
+
+  /** d98's PNG IDAT payload is a zlib stream (written by the JDK
+    * Deflater): our from-scratch zlib decoder reads the REAL gate
+    * artifact and reproduces the filtered scanline stream exactly. */
+  property("deflate: d98 PNG IDAT zlib streams decode through our inflater") =
+    Prop.forAll(Gen.choose(0L, 4000L)) { id0 =>
+      val id = id0 - id0 % 7 + 1 // clean slice
+      val png = graft.operators.PngSim.cleanPng(id)
+      // walk chunks: 8-byte signature, then len/type/data/crc
+      val idat = new java.io.ByteArrayOutputStream()
+      var p = 8
+      def u32(i: Int): Int =
+        ((png(i) & 0xFF) << 24) | ((png(i + 1) & 0xFF) << 16) |
+          ((png(i + 2) & 0xFF) << 8) | (png(i + 3) & 0xFF)
+      while (p + 8 <= png.length) {
+        val len = u32(p)
+        val typ = new String(png, p + 4, 4, "US-ASCII")
+        if (typ == "IDAT") idat.write(png, p + 8, len)
+        p += 12 + len
+      }
+      val z = idat.toByteArray
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(z)
+      val acc = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) acc.write(buf, 0, inf.inflate(buf))
+      inf.end()
+      DeflateCodec.zlibDecode(z)
+        .exists(java.util.Arrays.equals(_, acc.toByteArray))
+    }
+
   // ---- Avro OCF (d121) -------------------------------------------------
 
   import graft.operators.{AvroOcfCodec, AvroOcfSim}

@@ -1223,6 +1223,27 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("status") === "quarantined").count() == 9)
   }
 
+  test("streaming deflate decode matches batch bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docRows = (0L until 21L).map(i => (i, s"deflate block body $i\n" * 3))
+    val ps = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStream.deflateDecoded(spark,
+        ps.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("deflate_out").start()
+    ps.addData(docRows)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("deflate_out").orderBy("doc_id").collect().map(_.toString)
+    val want = graft.operators.DeflateSim.stats(spark,
+        docRows.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(got.toSeq == want.toSeq && got.length == 21)
+    assert(spark.table("deflate_out")
+      .filter(col("status") === "quarantined").count() == 9)
+  }
+
   test("streaming avro ocf decode matches batch bit-for-bit") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
