@@ -1379,6 +1379,20 @@ object PipelineQueries {
     "d124_deflate" -> ((s, dir) =>
       DeflateSim.stats(s, docs(s, dir)).orderBy("doc_id")),
 
+    // bzip2 over the REAL text — the Wikipedia-dump container
+    // (.xml.bz2), from the published format in BOTH directions with no
+    // borrowed primitive: RLE1, the Burrows-Wheeler transform
+    // (prefix-doubling rotation sort), MTF, bijective-base-2 zero runs
+    // (RUNA/RUNB), multi-table Huffman with per-50-symbol selectors,
+    // the two-level CRC scheme (MSB-first poly 0x04C11DB7), MSB-first
+    // bit packing. doc_id%7∈{0,3,5} damaged (truncated footer / the
+    // deprecated RANDOMIZED legacy flag set — a strict modern decoder
+    // must reject it / one combined-CRC bit — the stream's final
+    // integrity field). Interop pinned both directions against
+    // commons-compress at levels 1/5/9 (spec-pinned)
+    "d125_bzip2" -> ((s, dir) =>
+      Bzip2Sim.stats(s, docs(s, dir)).orderBy("doc_id")),
+
     "d119_jsonl_zst" -> ((s, dir) =>
       ZstdJsonlSim.lines(s, docs(s, dir))
         .select(col("doc_id"), col("n_frames"),
@@ -3107,6 +3121,23 @@ object PipelineQueries {
         |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL
         |        ELSE greatest(1, (octet_length(encode(text)) + 549 + doc_id % 450)
         |          // (550 + doc_id % 450)) END)::BIGINT AS n_blocks,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL
+        |        ELSE octet_length(encode(text)) END)::BIGINT AS n_bytes,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL
+        |        ELSE length(text) - length(replace(text, chr(10), '')) + 1 END)::BIGINT AS n_lines,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE TRUE END)::BOOLEAN AS roundtrip_ok
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // the bzip2 gate replays off documents.text (the d124 discipline):
+    // block count from the closed-form cut (the WALKED count is
+    // compared), exact byte and line totals; roundtrip is the in-plan
+    // verdict
+    "d125_bzip2" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 IN (0, 3, 5) THEN 'quarantined' ELSE 'ok' END AS status,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL
+        |        ELSE greatest(1, (octet_length(encode(text)) + 499 + doc_id % 400)
+        |          // (500 + doc_id % 400)) END)::BIGINT AS n_blocks,
         |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL
         |        ELSE octet_length(encode(text)) END)::BIGINT AS n_bytes,
         |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL

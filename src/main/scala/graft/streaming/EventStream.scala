@@ -662,6 +662,14 @@ object EventStream {
                      stream: DataFrame): DataFrame =
     graft.operators.DeflateSim.stats(spark, stream)
 
+  /** Streaming bzip2 decode — d125's streaming twin: the from-scratch
+    * BWT/MTF/RLE/multi-table-Huffman inflate runs per micro-batch
+    * through the same batched mapPartitions contract (stateless,
+    * map-only). Bit-identical to the batch stats (spec-pinned). */
+  def bzip2Decoded(spark: org.apache.spark.sql.SparkSession,
+                   stream: DataFrame): DataFrame =
+    graft.operators.Bzip2Sim.stats(spark, stream)
+
   /** Streaming Avro OCF ingest — d121's streaming twin: the
     * header/sync/block walk + record decode runs per micro-batch
     * through the same batched mapPartitions contract (stateless,

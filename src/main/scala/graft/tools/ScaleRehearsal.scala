@@ -678,6 +678,13 @@ object ScaleRehearsal {
         graft.operators.DeflateSim.stats(spark,
           big.select(col("doc_id"), col("text")))
           .filter(col("status") === "ok").count())
+      ratio("bzip2 decode (d125)",
+        graft.operators.Bzip2Sim.stats(spark,
+          base.select(col("doc_id"), col("text")))
+          .filter(col("status") === "ok").count(),
+        graft.operators.Bzip2Sim.stats(spark,
+          big.select(col("doc_id"), col("text")))
+          .filter(col("status") === "ok").count())
       ratio("snappy framed decode (d122)",
         graft.operators.SnappySim.stats(spark,
           base.select(col("doc_id"), col("text")))

@@ -259,6 +259,11 @@ class AnsiRobustnessSpec extends AnyFunSuite {
       docs.select(col("doc_id"), col("text")).limit(42))
     assert(df124.filter(col("status") === "ok").count() > 0)
     assert(df124.filter(col("status") === "quarantined").count() > 0)
+    // and the bzip2 walk (BWT/MTF/CRC arithmetic)
+    val bz = graft.operators.Bzip2Sim.stats(spark,
+      docs.select(col("doc_id"), col("text")).limit(42))
+    assert(bz.filter(col("status") === "ok").count() > 0)
+    assert(bz.filter(col("status") === "quarantined").count() > 0)
     // and the Avro container walk (zigzag/sync/map-block arithmetic)
     val av = graft.operators.AvroOcfSim.stats(spark,
       docs.select(col("doc_id"), col("text")).limit(42))

@@ -1686,6 +1686,93 @@ object MediaDecodePropertySpec extends Properties("MediaDecode") {
         .exists(java.util.Arrays.equals(_, acc.toByteArray))
     }
 
+  // ---- bzip2 (d125) -------------------------------------------------------
+
+  import graft.operators.{Bzip2Codec, Bzip2Sim}
+
+  property("bzip2: encode∘decode = identity with the walked block count") =
+    Prop.forAll(snappyContentGen, Gen.choose(1, 65536)) { (content, cut) =>
+      Bzip2Codec.decode(Bzip2Codec.encode(content, cut))
+        .exists { case (got, blocks) =>
+          java.util.Arrays.equals(got, content) &&
+            blocks == (content.length + cut - 1) / cut
+        }
+    }
+
+  property("bzip2: commons-compress reads our streams byte-exact") =
+    Prop.forAll(snappyContentGen, Gen.choose(1, 65536)) { (content, cut) =>
+      val in = new org.apache.commons.compress.compressors.bzip2
+        .BZip2CompressorInputStream(new java.io.ByteArrayInputStream(
+          Bzip2Codec.encode(content, cut)), true)
+      val acc = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { acc.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      java.util.Arrays.equals(acc.toByteArray, content)
+    }
+
+  property("bzip2: we read commons-compress at every level byte-exact") =
+    Prop.forAll(snappyContentGen, Gen.oneOf(1, 5, 9)) { (content, lvl) =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new org.apache.commons.compress.compressors.bzip2
+        .BZip2CompressorOutputStream(bos, lvl)
+      out.write(content); out.close()
+      Bzip2Codec.decode(bos.toByteArray)
+        .exists(g => java.util.Arrays.equals(g._1, content))
+    }
+
+  /** The BWT is the algorithmic heart: pin it directly against a
+    * brute-force rotation sort on small inputs. */
+  property("bzip2: prefix-doubling BWT matches the brute-force rotation sort") =
+    Prop.forAll(Gen.choose(1, 64), Gen.choose(0L, Long.MaxValue)) { (n, seed) =>
+      val rnd = new java.util.Random(seed)
+      val s = new Array[Byte](n)
+      // small alphabet → many ties, periodic runs → the hard case
+      var i = 0
+      while (i < n) { s(i) = ('a' + rnd.nextInt(3)).toByte; i += 1 }
+      val (last, orig) = Bzip2Codec.bwt(s)
+      val rots = (0 until n).map(r => new String(
+        Array.tabulate(n)(k => s((r + k) % n).toChar))).sorted
+      val bruteLast = rots.map(_.last.toByte).toArray
+      // equal rotations make origPtr ambiguous but the BWT string and
+      // the round-trip are not: compare last columns + invertibility
+      java.util.Arrays.equals(last, bruteLast) &&
+        Bzip2Codec.decode(Bzip2Codec.encode(s, 1 << 16))
+          .exists(g => java.util.Arrays.equals(g._1, s))
+    }
+
+  property("bzip2: EVERY truncation quarantines (combined CRC is a trailer)") =
+    Prop.forAll(Gen.choose(0L, 4000L), zipTextGen, Gen.choose(1, 1 << 10)) {
+      (id0, text, cut0) =>
+        val id = id0 - id0 % 7 + 1
+        val z = Bzip2Sim.payloadFor(id, text)
+        val cut = 1 + math.floorMod(cut0, z.length)
+        Bzip2Codec.decode(java.util.Arrays.copyOf(z, z.length - cut)).isEmpty
+    }
+
+  property("bzip2: bit flips quarantine or decode identically (two-level CRC)") =
+    Prop.forAll(zipTextGen, Gen.choose(0, 1 << 20)) { (text0, pos0) =>
+      val text = if (text0.isEmpty) "x" else text0
+      val content = text.getBytes("UTF-8")
+      val z = Bzip2Codec.encode(content, 64)
+      val bit = math.floorMod(pos0, z.length * 8)
+      val d = z.clone()
+      d(bit / 8) = (d(bit / 8) ^ (1 << (bit % 8))).toByte
+      Bzip2Codec.decode(d) match {
+        case None => true
+        case Some((got, _)) => java.util.Arrays.equals(got, content)
+      }
+    }
+
+  property("bzip2: the three d125 damage modes quarantine, clean ids decode") =
+    Prop.forAll(Gen.choose(0L, 4000L), zipTextGen) { (id, text0) =>
+      val text = if (text0.isEmpty) "x" else text0
+      val got = Bzip2Codec.decode(Bzip2Sim.payloadFor(id, text))
+      if (id % 7 == 0 || id % 7 == 3 || id % 7 == 5) got.isEmpty
+      else got.exists(c => new String(c._1, "UTF-8") == text)
+    }
+
   // ---- Avro OCF (d121) -------------------------------------------------
 
   import graft.operators.{AvroOcfCodec, AvroOcfSim}
