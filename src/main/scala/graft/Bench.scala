@@ -49,7 +49,8 @@ object Bench {
     "d114_crawl_pipeline", "d115_lz4_frames", "d116_alaw_decode",
     "d117_zstd_frames", "d118_webdataset_multimodal", "d119_jsonl_zst",
     "d120_tfexample", "d121_avro_ocf", "d122_snappy_framed",
-    "d123_zstd_seekable", "d124_deflate", "d125_bzip2")
+    "d123_zstd_seekable", "d124_deflate", "d125_bzip2",
+    "d127_http_chunked")
 
   /** Fixed CPU-bound calibration microbench ("DotBench"): scalar dot
     * products over pinned-size float arrays with deterministic

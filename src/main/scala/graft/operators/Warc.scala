@@ -173,6 +173,21 @@ object WarcCodec {
     * disagrees with the actual body quarantines; chunked transfer is
     * out of scope. */
   private[graft] def parseHttpResponse(block: Array[Byte]): Option[(Int, Array[Byte])] =
+    parseHttpMessage(block).map(m => (m._1, m._2))
+
+  /** Full HTTP/1.1 response parse for d127 — real Common-Crawl bodies
+    * ship `Transfer-Encoding: chunked` and `Content-Encoding: gzip`.
+    * Returns (status, DECODED body, wire chunk count — -1 when the
+    * framing was identity, gzip flag). Strict grammar: the chunk-size
+    * hex line (optional `;ext`), per-chunk CRLFs, the 0-size
+    * terminator, trailer headers, the final CRLF; a LYING chunk size
+    * (overrunning the block) quarantines — the framing field the
+    * grammar exists for; Content-Length ALONGSIDE chunked quarantines
+    * (the request-smuggling classic a strict parser must reject);
+    * unknown transfer/content codings quarantine; a gzip body must be
+    * exactly one valid member (d106's walker verifies its CRC/ISIZE). */
+  private[graft] def parseHttpMessage(
+      block: Array[Byte]): Option[(Int, Array[Byte], Int, Boolean)] =
     try {
       val e0 = lineEnd(block, 0)
       val sl = new String(block, 0, e0, "US-ASCII")
@@ -181,16 +196,90 @@ object WarcCodec {
       if (!code.forall(c => c >= '0' && c <= '9')) throw Malformed
       if (sl.length > 12 && sl(12) != ' ') throw Malformed
       val (hdrs, bodyStart) = parseFields(block, e0 + 2)
-      val body = java.util.Arrays.copyOfRange(block, bodyStart, block.length)
-      hdrs.get("content-length").foreach { cl =>
-        if (parseLen(cl) != body.length.toLong) throw Malformed
+      val te = hdrs.get("transfer-encoding")
+      val (wire, nChunks) = te match {
+        case Some(v) =>
+          if (v.trim.toLowerCase != "chunked") throw Malformed
+          if (hdrs.contains("content-length")) throw Malformed // CL+TE
+          deChunk(block, bodyStart)
+        case None =>
+          val body = java.util.Arrays.copyOfRange(block, bodyStart, block.length)
+          hdrs.get("content-length").foreach { cl =>
+            if (parseLen(cl) != body.length.toLong) throw Malformed
+          }
+          (body, -1)
       }
-      if (hdrs.get("transfer-encoding").exists(_.nonEmpty)) throw Malformed
-      Some((code.toInt, body))
+      val (decoded, gz) = hdrs.get("content-encoding") match {
+        case None => (wire, false)
+        case Some(ce) if ce.trim.toLowerCase == "identity" => (wire, false)
+        case Some(ce) if ce.trim.toLowerCase == "gzip" =>
+          GzipCodec.decode(wire) match {
+            case Some(members) if members.length == 1 => (members.head, true)
+            case _ => throw Malformed
+          }
+        case _ => throw Malformed
+      }
+      Some((code.toInt, decoded, nChunks, gz))
     } catch {
       case Malformed => None
       case _: ArrayIndexOutOfBoundsException => None
     }
+
+  /** Strict chunked-transfer decode from `pos` to the block's end:
+    * returns (de-chunked bytes, data chunk count). The block must be
+    * consumed EXACTLY (trailing garbage after the final CRLF is
+    * corruption). */
+  private def deChunk(block: Array[Byte], pos0: Int): (Array[Byte], Int) = {
+    val out = new java.io.ByteArrayOutputStream(block.length - pos0)
+    var pos = pos0
+    var n = 0
+    var done = false
+    while (!done) {
+      val e = lineEnd(block, pos)
+      val line = new String(block, pos, e - pos, "US-ASCII")
+      val semi = line.indexOf(';')
+      val hexs = if (semi >= 0) line.substring(0, semi) else line
+      if (hexs.isEmpty || !hexs.forall(c =>
+        (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
+          (c >= 'A' && c <= 'F'))) throw Malformed
+      if (hexs.length > 8) throw Malformed // > 4 GiB chunk: a lie
+      val size = java.lang.Long.parseLong(hexs, 16)
+      pos = e + 2
+      if (size == 0) done = true
+      else {
+        if (pos + size + 2 > block.length) throw Malformed // lying size
+        out.write(block, pos, size.toInt)
+        pos += size.toInt
+        if (block(pos) != '\r' || block(pos + 1) != '\n') throw Malformed
+        pos += 2
+        n += 1
+      }
+    }
+    // trailer section: header lines until the empty line
+    val (_, after) = parseFields(block, pos)
+    if (after != block.length) throw Malformed // trailing garbage
+    (out.toByteArray, n)
+  }
+
+  /** Chunked-transfer encode: cut `body` every `cut` bytes; optional
+    * trailer header after the 0 chunk (the grammar's rarest corner). */
+  private[graft] def chunkBody(body: Array[Byte], cut: Int,
+                               trailer: Option[(String, String)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(body.length + 64)
+    def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"), 0, s.length)
+    var p = 0
+    while (p < body.length) {
+      val len = math.min(cut, body.length - p)
+      ascii(java.lang.Long.toHexString(len.toLong) + "\r\n")
+      out.write(body, p, len)
+      ascii("\r\n")
+      p += len
+    }
+    ascii("0\r\n")
+    trailer.foreach { case (k, v) => ascii(s"$k: $v\r\n") }
+    ascii("\r\n")
+    out.toByteArray
+  }
 }
 
 /** d108 gate — the corpus's REAL text through the `.warc.gz` crawl
@@ -468,6 +557,156 @@ object WarcSim {
             parsed match {
               case Some((n, code, body, target)) =>
                 Row(id, "ok", n, code, body.length.toLong, target,
+                  java.lang.Boolean.valueOf(
+                    java.util.Arrays.equals(body, text.getBytes("UTF-8"))))
+              case None =>
+                Row(id, "quarantined", null, null, null, null, null)
+            }
+          }
+        }
+      }(enc)
+  }
+}
+
+/** d127 gate — REAL Common-Crawl response bodies: d108's WARC/HTTP
+  * walk extended with `Transfer-Encoding: chunked` and
+  * `Content-Encoding: gzip`, the two encodings live crawl payloads
+  * actually carry (d108 parses identity bodies only). Every doc's
+  * response is chunked at a closed-form cut; doc_id%3==0 docs are
+  * ALSO gzip-coded inside the chunking (the de-chunk → gzip-decode
+  * order RFC 9112 mandates); doc_id%5==2 docs carry a TRAILER header
+  * after the 0 chunk (the grammar's rarest corner, exercised
+  * corpus-wide). roundtrip_ok pins decoded bytes == the original
+  * text, which makes every downstream d114 pipeline stage identical
+  * by construction — the capstone flow over chunked+gzipped pages.
+  *
+  * Damage slice on doc_id%7: 0 → truncated mid gzip trailer (the
+  * container layer catches it); 3 → a LYING CHUNK SIZE — the first
+  * chunk's hex size inflated by 0x100000 so the declared chunk
+  * overruns the record block (the framing field the grammar exists
+  * for); 5 → Content-Length ALONGSIDE Transfer-Encoding: chunked —
+  * the request-smuggling classic a strict parser must reject even
+  * though every byte of the message is intact. */
+object ChunkedSim {
+
+  private[graft] def chunkCut(docId: Long): Int = (200 + docId % 150).toInt
+  private[graft] def isGzip(docId: Long): Boolean = docId % 3 == 0
+
+  /** The response record's HTTP message, pre-damage. */
+  private[graft] def httpMessage(docId: Long, text: String,
+                                 lieFirstChunk: Boolean = false,
+                                 clAlongside: Boolean = false): Array[Byte] = {
+    val body = text.getBytes("UTF-8")
+    val wire = if (isGzip(docId)) GzipCodec.gzipMember(body) else body
+    val trailer = if (docId % 5 == 2) Some("X-Corpus-Doc" -> docId.toString)
+      else None
+    val chunked0 = WarcCodec.chunkBody(wire, chunkCut(docId), trailer)
+    val chunked = if (!lieFirstChunk) chunked0 else {
+      // inflate the first chunk's declared hex size by 0x100000: the
+      // declared chunk overruns the record block — deterministically
+      val e = chunked0.indexOf('\r'.toByte)
+      val size = java.lang.Long.parseLong(
+        new String(chunked0, 0, e, "US-ASCII"), 16)
+      val lie = java.lang.Long.toHexString(size + 0x100000L).getBytes("US-ASCII")
+      val out = new Array[Byte](chunked0.length - e + lie.length)
+      System.arraycopy(lie, 0, out, 0, lie.length)
+      System.arraycopy(chunked0, e, out, lie.length, chunked0.length - e)
+      out
+    }
+    val st = WarcSim.httpStatus(docId)
+    val head = new StringBuilder()
+    head.append(s"HTTP/1.1 $st ${if (st == 404) "Not Found" else "OK"}\r\n")
+    head.append("Content-Type: text/plain; charset=utf-8\r\n")
+    if (isGzip(docId)) head.append("Content-Encoding: gzip\r\n")
+    head.append("Transfer-Encoding: chunked\r\n")
+    if (clAlongside) head.append(s"Content-Length: ${chunked.length}\r\n")
+    head.append("\r\n")
+    val hb = head.toString.getBytes("US-ASCII")
+    val msg = new Array[Byte](hb.length + chunked.length)
+    System.arraycopy(hb, 0, msg, 0, hb.length)
+    System.arraycopy(chunked, 0, msg, hb.length, chunked.length)
+    msg
+  }
+
+  /** The three-record shard (warcinfo + request + response), the d108
+    * capture shape, with the chunked response. */
+  private[graft] def records(docId: Long, text: String,
+                             lieFirstChunk: Boolean = false,
+                             clAlongside: Boolean = false): Seq[Array[Byte]] = {
+    val date = "2026-01-01T00:00:00Z"
+    val rid = f"<urn:uuid:00000000-0000-4000-a000-${docId}%012d>"
+    val uri = s"http://corpus.example/doc/$docId"
+    val info = WarcCodec.renderRecord(
+      Seq("WARC-Type" -> "warcinfo", "WARC-Record-ID" -> rid,
+        "WARC-Date" -> date, "Content-Type" -> "application/warc-fields"),
+      "software: graft-warc/1.0\r\nformat: WARC File Format 1.0\r\n"
+        .getBytes("US-ASCII"))
+    val req = WarcCodec.renderRecord(
+      Seq("WARC-Type" -> "request", "WARC-Record-ID" -> rid,
+        "WARC-Date" -> date, "WARC-Target-URI" -> uri,
+        "Content-Type" -> "application/http; msgtype=request"),
+      s"GET /doc/$docId HTTP/1.1\r\nHost: corpus.example\r\n\r\n"
+        .getBytes("US-ASCII"))
+    val resp = WarcCodec.renderRecord(
+      Seq("WARC-Type" -> "response", "WARC-Record-ID" -> rid,
+        "WARC-Date" -> date, "WARC-Target-URI" -> uri,
+        "Content-Type" -> "application/http; msgtype=response"),
+      httpMessage(docId, text, lieFirstChunk, clAlongside))
+    Seq(info, req, resp)
+  }
+
+  private[graft] def payloadFor(docId: Long, text: String): Array[Byte] = {
+    (docId % 7) match {
+      case 0 =>
+        val clean = WarcCodec.encode(records(docId, text))
+        java.util.Arrays.copyOf(clean, clean.length - 5)
+      case 3 => WarcCodec.encode(records(docId, text, lieFirstChunk = true))
+      case 5 => WarcCodec.encode(records(docId, text, clAlongside = true))
+      case _ => WarcCodec.encode(records(docId, text))
+    }
+  }
+
+  val statsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("status", StringType),
+    StructField("encoding", StringType),
+    StructField("n_chunks", LongType),
+    StructField("body_bytes", LongType),
+    StructField("n_lines", LongType),
+    StructField("roundtrip_ok", BooleanType)))
+
+  /** Batched strict two-layer decode (gzip members → WARC grammar →
+    * chunked HTTP framing → optional gzip content coding) → per-doc
+    * stats with quarantine. n_chunks is the WALKED wire chunk count —
+    * oracle-replayable for identity docs (NULL for gzip docs: the
+    * member length is not a closed form; their chunk walk is pinned
+    * by the spec suite instead). */
+  def stats(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(statsSchema)
+    docs.select(col("doc_id"), col("text"))
+      .mapPartitions { rows =>
+        rows.grouped(Multimodal.BATCH_SIZE).flatMap { batch =>
+          batch.iterator.map { r =>
+            val id = r.getLong(0)
+            val text = r.getString(1)
+            val parsed = WarcCodec.decode(payloadFor(id, text)).flatMap {
+              recs =>
+                val resp = recs.filter(_.warcType == "response")
+                if (resp.length != 1) None
+                else WarcCodec.parseHttpMessage(resp.head.block)
+            }
+            parsed match {
+              case Some((_, body, nChunks, gz)) =>
+                var nLines = 1L
+                var j = 0
+                while (j < body.length) {
+                  if (body(j) == '\n') nLines += 1
+                  j += 1
+                }
+                Row(id, "ok", if (gz) "gzip" else "identity",
+                  if (gz) null else java.lang.Long.valueOf(nChunks.toLong),
+                  body.length.toLong, nLines,
                   java.lang.Boolean.valueOf(
                     java.util.Arrays.equals(body, text.getBytes("UTF-8"))))
               case None =>

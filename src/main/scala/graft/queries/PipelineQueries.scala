@@ -1393,6 +1393,20 @@ object PipelineQueries {
     "d125_bzip2" -> ((s, dir) =>
       Bzip2Sim.stats(s, docs(s, dir)).orderBy("doc_id")),
 
+    // REAL crawl response bodies — d108's WARC/HTTP walk extended with
+    // Transfer-Encoding: chunked and Content-Encoding: gzip (the
+    // encodings live Common-Crawl payloads carry): strict chunk-size
+    // hex grammar, per-chunk CRLFs, trailer headers (doc_id%5==2 docs
+    // carry one), de-chunk THEN gzip-decode (the RFC 9112 order),
+    // %3==0 docs gzip-coded. Damage: truncation / a LYING chunk size
+    // overrunning the record block — the framing field the grammar
+    // exists for / Content-Length ALONGSIDE chunked (the smuggling
+    // classic; every byte intact, only the header discipline catches
+    // it). roundtrip_ok pins decoded == text, so every downstream
+    // d114 stage is identical by construction
+    "d127_http_chunked" -> ((s, dir) =>
+      ChunkedSim.stats(s, docs(s, dir)).orderBy("doc_id")),
+
     "d119_jsonl_zst" -> ((s, dir) =>
       ZstdJsonlSim.lines(s, docs(s, dir))
         .select(col("doc_id"), col("n_frames"),
@@ -3140,6 +3154,25 @@ object PipelineQueries {
         |          // (500 + doc_id % 400)) END)::BIGINT AS n_blocks,
         |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL
         |        ELSE octet_length(encode(text)) END)::BIGINT AS n_bytes,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL
+        |        ELSE length(text) - length(replace(text, chr(10), '')) + 1 END)::BIGINT AS n_lines,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE TRUE END)::BOOLEAN AS roundtrip_ok
+        | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // the chunked-HTTP gate replays off documents.text: encoding from
+    // the %3 closed form, chunk count from the closed-form cut for
+    // identity docs (gzip docs' wire length is not a closed form →
+    // NULL, their walk is spec-pinned), decoded byte/line totals
+    "d127_http_chunked" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 IN (0, 3, 5) THEN 'quarantined' ELSE 'ok' END AS status,
+        |  CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL
+        |       WHEN doc_id % 3 = 0 THEN 'gzip' ELSE 'identity' END AS encoding,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) OR doc_id % 3 = 0 THEN NULL
+        |        ELSE (octet_length(encode(text)) + 199 + doc_id % 150)
+        |          // (200 + doc_id % 150) END)::BIGINT AS n_chunks,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL
+        |        ELSE octet_length(encode(text)) END)::BIGINT AS body_bytes,
         |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL
         |        ELSE length(text) - length(replace(text, chr(10), '')) + 1 END)::BIGINT AS n_lines,
         |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE TRUE END)::BOOLEAN AS roundtrip_ok

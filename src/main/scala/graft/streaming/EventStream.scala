@@ -670,6 +670,15 @@ object EventStream {
                    stream: DataFrame): DataFrame =
     graft.operators.Bzip2Sim.stats(spark, stream)
 
+  /** Streaming chunked-HTTP crawl decode — d127's streaming twin: the
+    * WARC walk + chunked de-framing + gzip content decode runs per
+    * micro-batch through the same batched mapPartitions contract
+    * (stateless, map-only). Bit-identical to the batch stats
+    * (spec-pinned). */
+  def chunkedHttpDecoded(spark: org.apache.spark.sql.SparkSession,
+                         stream: DataFrame): DataFrame =
+    graft.operators.ChunkedSim.stats(spark, stream)
+
   /** Streaming Avro OCF ingest — d121's streaming twin: the
     * header/sync/block walk + record decode runs per micro-batch
     * through the same batched mapPartitions contract (stateless,

@@ -685,6 +685,13 @@ object ScaleRehearsal {
         graft.operators.Bzip2Sim.stats(spark,
           big.select(col("doc_id"), col("text")))
           .filter(col("status") === "ok").count())
+      ratio("chunked-http decode (d127)",
+        graft.operators.ChunkedSim.stats(spark,
+          base.select(col("doc_id"), col("text")))
+          .filter(col("status") === "ok").count(),
+        graft.operators.ChunkedSim.stats(spark,
+          big.select(col("doc_id"), col("text")))
+          .filter(col("status") === "ok").count())
       ratio("snappy framed decode (d122)",
         graft.operators.SnappySim.stats(spark,
           base.select(col("doc_id"), col("text")))

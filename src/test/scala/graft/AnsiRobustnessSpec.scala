@@ -264,6 +264,11 @@ class AnsiRobustnessSpec extends AnyFunSuite {
       docs.select(col("doc_id"), col("text")).limit(42))
     assert(bz.filter(col("status") === "ok").count() > 0)
     assert(bz.filter(col("status") === "quarantined").count() > 0)
+    // and the chunked-HTTP walk (hex framing + content-coding chain)
+    val ch = graft.operators.ChunkedSim.stats(spark,
+      docs.select(col("doc_id"), col("text")).limit(42))
+    assert(ch.filter(col("status") === "ok").count() > 0)
+    assert(ch.filter(col("status") === "quarantined").count() > 0)
     // and the Avro container walk (zigzag/sync/map-block arithmetic)
     val av = graft.operators.AvroOcfSim.stats(spark,
       docs.select(col("doc_id"), col("text")).limit(42))

@@ -1265,6 +1265,27 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("status") === "quarantined").count() == 9)
   }
 
+  test("streaming chunked-http decode matches batch bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docRows = (0L until 21L).map(i => (i, s"chunked page body $i\n" * 3))
+    val ps = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStream.chunkedHttpDecoded(spark,
+        ps.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("chunked_out").start()
+    ps.addData(docRows)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("chunked_out").orderBy("doc_id").collect().map(_.toString)
+    val want = graft.operators.ChunkedSim.stats(spark,
+        docRows.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(got.toSeq == want.toSeq && got.length == 21)
+    assert(spark.table("chunked_out")
+      .filter(col("status") === "quarantined").count() == 9)
+  }
+
   test("streaming avro ocf decode matches batch bit-for-bit") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
