@@ -1407,6 +1407,19 @@ object PipelineQueries {
     "d127_http_chunked" -> ((s, dir) =>
       ChunkedSim.stats(s, docs(s, dir)).orderBy("doc_id")),
 
+    // the pre-d91 ingest stage: charset sniff + STRICT transcode to
+    // UTF-8 — BOM → <meta charset> → transport header → strict UTF-8
+    // validation, all five decoders implemented from the published
+    // tables (incl. windows-1252's five holes, which the JDK's
+    // lenient decoder papers over). Five ingest shapes by doc_id%5;
+    // the planted character DISTINGUISHES charsets ('€' is 0x80 in
+    // cp1252, unmapped in latin-1), so the oracle's hash pins the
+    // right table ran. doc_id%7∈{0,3,5} damaged with per-variant
+    // undecodable-byte classes (truncated multibyte / lone
+    // surrogates / cp1252 holes / lying re-declarations)
+    "d128_charset_sniff" -> ((s, dir) =>
+      CharsetSim.stats(s, docs(s, dir)).orderBy("doc_id")),
+
     "d119_jsonl_zst" -> ((s, dir) =>
       ZstdJsonlSim.lines(s, docs(s, dir))
         .select(col("doc_id"), col("n_frames"),
@@ -3177,6 +3190,33 @@ object PipelineQueries {
         |        ELSE length(text) - length(replace(text, chr(10), '')) + 1 END)::BIGINT AS n_lines,
         |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE TRUE END)::BOOLEAN AS roundtrip_ok
         | FROM documents ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // the charset oracle replays the whole sniff+transcode as literal
+    // replaces off the ASCII-sanitized base (the d91/d94 pattern):
+    // charset/detection from the %5 closed form, the FULL decoded
+    // text hash-pinned (π=chr(960), €=chr(8364), é=chr(233)), planted
+    // count as a length delta
+    "d128_charset_sniff" ->
+      """WITH b AS (SELECT doc_id,
+        |   replace(regexp_replace(text, '[^ -~]', '', 'g'), '<', ' ') AS base
+        |  FROM documents),
+        | v AS (SELECT doc_id, base, (doc_id % 5)::INT AS v,
+        |   (length(base) - length(replace(base, 'e', '')))::BIGINT AS np FROM b)
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 7 IN (0, 3, 5) THEN 'quarantined' ELSE 'ok' END AS status,
+        |  CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL
+        |       WHEN v = 0 THEN 'utf-8' WHEN v = 1 THEN 'utf-16le'
+        |       WHEN v = 2 THEN 'windows-1252' WHEN v = 3 THEN 'iso-8859-1'
+        |       ELSE 'utf-8' END AS charset,
+        |  CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL
+        |       WHEN v IN (0, 1) THEN 'bom' WHEN v = 2 THEN 'meta'
+        |       WHEN v = 3 THEN 'header' ELSE 'sniff' END AS detection,
+        |  CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL
+        |       WHEN v = 2 THEN '<meta charset="windows-1252">' || chr(10) || replace(base, 'e', chr(8364))
+        |       WHEN v = 3 THEN replace(base, 'e', chr(233))
+        |       ELSE replace(base, 'e', chr(960)) END AS text_out,
+        |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE np END)::BIGINT AS n_planted
+        | FROM v ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     "d117_zstd_frames" ->
       """SELECT doc_id,

@@ -679,6 +679,15 @@ object EventStream {
                          stream: DataFrame): DataFrame =
     graft.operators.ChunkedSim.stats(spark, stream)
 
+  /** Streaming charset sniff + strict transcode — d128's streaming
+    * twin: the BOM/meta/header/validation chain and the from-scratch
+    * byte tables run per micro-batch through the same batched
+    * mapPartitions contract (stateless, map-only). Bit-identical to
+    * the batch stats (spec-pinned). */
+  def charsetSniffed(spark: org.apache.spark.sql.SparkSession,
+                     stream: DataFrame): DataFrame =
+    graft.operators.CharsetSim.stats(spark, stream)
+
   /** Streaming Avro OCF ingest — d121's streaming twin: the
     * header/sync/block walk + record decode runs per micro-batch
     * through the same batched mapPartitions contract (stateless,

@@ -692,6 +692,13 @@ object ScaleRehearsal {
         graft.operators.ChunkedSim.stats(spark,
           big.select(col("doc_id"), col("text")))
           .filter(col("status") === "ok").count())
+      ratio("charset sniff (d128)",
+        graft.operators.CharsetSim.stats(spark,
+          base.select(col("doc_id"), col("text")))
+          .filter(col("status") === "ok").count(),
+        graft.operators.CharsetSim.stats(spark,
+          big.select(col("doc_id"), col("text")))
+          .filter(col("status") === "ok").count())
       ratio("snappy framed decode (d122)",
         graft.operators.SnappySim.stats(spark,
           base.select(col("doc_id"), col("text")))

@@ -269,6 +269,11 @@ class AnsiRobustnessSpec extends AnyFunSuite {
       docs.select(col("doc_id"), col("text")).limit(42))
     assert(ch.filter(col("status") === "ok").count() > 0)
     assert(ch.filter(col("status") === "quarantined").count() > 0)
+    // and the charset sniff (byte-table + validation arithmetic)
+    val cs = graft.operators.CharsetSim.stats(spark,
+      docs.select(col("doc_id"), col("text")).limit(42))
+    assert(cs.filter(col("status") === "ok").count() > 0)
+    assert(cs.filter(col("status") === "quarantined").count() > 0)
     // and the Avro container walk (zigzag/sync/map-block arithmetic)
     val av = graft.operators.AvroOcfSim.stats(spark,
       docs.select(col("doc_id"), col("text")).limit(42))

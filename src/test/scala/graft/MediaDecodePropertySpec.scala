@@ -1862,6 +1862,99 @@ object MediaDecodePropertySpec extends Properties("MediaDecode") {
       }
     }
 
+  // ---- charset sniff (d128) -----------------------------------------------
+
+  import graft.operators.{CharsetSniff, CharsetSim}
+
+  private val uniTextGen: Gen[String] = Gen.frequency(
+    4 -> Gen.alphaNumStr,
+    2 -> Gen.listOf(Gen.oneOf("a", "e", " ", "\n", "π", "é", "€", "中",
+      "𝄞" /* 𝄞 U+1D11E: astral, exercises 4-byte UTF-8 */))
+      .map(_.mkString),
+    1 -> org.scalacheck.Arbitrary.arbitrary[String].map(_.filterNot(c =>
+      Character.isSurrogate(c))))
+
+  property("charset: our UTF-8 encoder∘decoder = identity, and both match the JDK") =
+    Prop.forAll(uniTextGen) { s =>
+      val ours = CharsetSim.utf8Encode(s)
+      val jdk = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      java.util.Arrays.equals(ours, jdk) &&
+        CharsetSniff.decodeUtf8(ours, 0, ours.length) == s
+    }
+
+  property("charset: strict UTF-8 rejects overlongs, surrogates, bad leads, truncations") =
+    Prop.forAll(Gen.oneOf(
+      Array(0xC0, 0xAF), // overlong '/'
+      Array(0xE0, 0x80, 0xAF), // overlong, 3-byte
+      Array(0xED, 0xA0, 0x80), // surrogate D800
+      Array(0xF4, 0x90, 0x80, 0x80), // > U+10FFFF
+      Array(0xFF), Array(0xFE), // never-valid leads
+      Array(0x80), // bare continuation
+      Array(0xC3), Array(0xE2, 0x82) // truncated tails
+    )) { raw =>
+      val b = raw.map(_.toByte)
+      !CharsetSniff.isUtf8(b, 0, b.length)
+    }
+
+  property("charset: UTF-16 pairing is strict and matches the JDK on valid input") =
+    Prop.forAll(uniTextGen, Gen.oneOf(true, false)) { (s, le) =>
+      val cs = if (le) java.nio.charset.StandardCharsets.UTF_16LE
+        else java.nio.charset.StandardCharsets.UTF_16BE
+      val b = s.getBytes(cs)
+      CharsetSniff.decodeUtf16(b, 0, b.length, le) == s && {
+        // a lone high surrogate must be rejected
+        val lone = if (le) b ++ Array(0x00.toByte, 0xD8.toByte)
+          else b ++ Array(0xD8.toByte, 0x00.toByte)
+        try { CharsetSniff.decodeUtf16(lone, 0, lone.length, le); false }
+        catch { case _: Throwable => true }
+      }
+    }
+
+  property("charset: the cp1252 table round-trips the gate characters and rejects the five holes") =
+    Prop.forAll(Gen.alphaNumStr, Gen.oneOf(0x81, 0x8D, 0x8F, 0x90, 0x9D)) {
+      (s0, hole) =>
+        val s = s0 + "€'’“q”" // planted high-table chars
+        val enc = CharsetSim.cp1252Encode(s)
+        val ok = CharsetSniff.decodeCp1252(enc, 0, enc.length) == s
+        val bad = enc :+ hole.toByte
+        ok && (try { CharsetSniff.decodeCp1252(bad, 0, bad.length); false }
+          catch { case _: Throwable => true })
+    }
+
+  property("charset: detection precedence is BOM > meta > header > sniff") =
+    Prop.forAll(Gen.alphaNumStr) { s0 =>
+      val s = "plain text " + s0
+      val utf8 = CharsetSim.utf8Encode(s)
+      val bom = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ utf8
+      val meta = CharsetSim.cp1252Encode("<meta charset=\"windows-1252\">" + s)
+      // BOM wins even when a header is supplied; meta beats header;
+      // header beats sniff; bare valid UTF-8 sniffs
+      CharsetSniff.sniffTranscode(bom, Some("ISO-8859-1"))
+        .exists(r => r._1 == "utf-8" && r._2 == "bom") &&
+      CharsetSniff.sniffTranscode(meta, Some("ISO-8859-1"))
+        .exists(r => r._1 == "windows-1252" && r._2 == "meta") &&
+      CharsetSniff.sniffTranscode(CharsetSim.latin1Encode(s), Some("ISO-8859-1"))
+        .exists(r => r._1 == "iso-8859-1" && r._2 == "header") &&
+      CharsetSniff.sniffTranscode(utf8, None)
+        .exists(r => r._1 == "utf-8" && r._2 == "sniff")
+    }
+
+  property("charset: the d128 damage classes quarantine, clean ids transcode exactly") =
+    Prop.forAll(Gen.choose(0L, 4000L), zipTextGen) { (id, text) =>
+      val (bytes, hdr) = CharsetSim.payloadFor(id, text)
+      val got = CharsetSniff.sniffTranscode(bytes, hdr)
+      if (id % 7 == 0 || id % 7 == 3 || id % 7 == 5) got.isEmpty
+      else {
+        val base = CharsetSim.sanitize(text)
+        val want = (id % 5) match {
+          case 2 => "<meta charset=\"windows-1252\">\n" + base.replace('e', '€')
+          case 3 => base.replace('e', 'é')
+          case _ => base.replace('e', 'π')
+        }
+        got.exists(_._3 == want)
+      }
+    }
+
   // ---- Avro OCF (d121) -------------------------------------------------
 
   import graft.operators.{AvroOcfCodec, AvroOcfSim}

@@ -1286,6 +1286,27 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("status") === "quarantined").count() == 9)
   }
 
+  test("streaming charset sniff matches batch bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docRows = (0L until 21L).map(i => (i, s"the charset text $i\n" * 3))
+    val ps = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStream.charsetSniffed(spark,
+        ps.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("charset_out").start()
+    ps.addData(docRows)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("charset_out").orderBy("doc_id").collect().map(_.toString)
+    val want = graft.operators.CharsetSim.stats(spark,
+        docRows.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(got.toSeq == want.toSeq && got.length == 21)
+    assert(spark.table("charset_out")
+      .filter(col("status") === "quarantined").count() == 9)
+  }
+
   test("streaming avro ocf decode matches batch bit-for-bit") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
