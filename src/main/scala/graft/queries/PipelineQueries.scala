@@ -1420,6 +1420,21 @@ object PipelineQueries {
     "d128_charset_sniff" -> ((s, dir) =>
       CharsetSim.stats(s, docs(s, dir)).orderBy("doc_id")),
 
+    // the MediaWiki dump as a ROW SOURCE (.xml.bz2 — the classic
+    // public corpus): K-page shards compressed through OUR d125 bzip2
+    // codec, strict XML-subset parse (exact nesting, balanced
+    // unknown-element skip, one-pass entity decode with the d81
+    // double-escape rule), one row per page; the NAMESPACE FILTER
+    // runs in the plan (Catalyst prunes, the parser just emits).
+    // Damage: bzip2 truncation / TAG-NESTING truncation inside the
+    // last revision (container pristine — only the grammar catches
+    // it) / mismatched close ORDER (</page> before </revision>).
+    // Damaged shards contribute nothing (the d105/d111 rule)
+    "d129_xml_rows" -> ((s, dir) =>
+      XmlRowsSim.rows(s, docs(s, dir))
+        .filter(col("ns") === 0)
+        .orderBy("doc_id", "page")),
+
     "d119_jsonl_zst" -> ((s, dir) =>
       ZstdJsonlSim.lines(s, docs(s, dir))
         .select(col("doc_id"), col("n_frames"),
@@ -3217,6 +3232,26 @@ object PipelineQueries {
         |       ELSE replace(base, 'e', chr(960)) END AS text_out,
         |  (CASE WHEN doc_id % 7 IN (0, 3, 5) THEN NULL ELSE np END)::BIGINT AS n_planted
         | FROM v ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // the XML-rows oracle replays the page grid off documents.text
+    // (the d111/d114 slice arithmetic): closed-form ids/titles, the
+    // planted '<&> ' escape-exercising prefix, the %3 namespace rule
+    // applied as the WHERE the plan's filter mirrors
+    "d129_xml_rows" ->
+      """WITH pi AS (SELECT range AS i FROM range(3)),
+        | p AS (SELECT doc_id, text, (1 + doc_id % 3)::BIGINT AS k,
+        |   length(text)::BIGINT AS cps
+        |  FROM documents WHERE doc_id % 7 NOT IN (0, 3, 5)),
+        | m AS (SELECT p.doc_id, i, substring(p.text,
+        |    ((i * p.cps) // p.k)::INT + 1,
+        |    (((i + 1) * p.cps) // p.k - (i * p.cps) // p.k)::INT) AS sl
+        |  FROM p JOIN pi ON i < p.k)
+        | SELECT doc_id, i::INT AS page, ((doc_id + i) % 3)::BIGINT AS ns,
+        |  (doc_id * 8 + i)::BIGINT AS page_id,
+        |  'Doc ' || doc_id || ' Page ' || i AS title,
+        |  ((doc_id * 8 + i) * 10 + 1)::BIGINT AS rev_id,
+        |  '<&> ' || sl AS text_out
+        | FROM m WHERE (doc_id + i) % 3 = 0 ORDER BY doc_id, page""".stripMargin.replaceAll("\n", " "),
 
     "d117_zstd_frames" ->
       """SELECT doc_id,

@@ -688,6 +688,15 @@ object EventStream {
                      stream: DataFrame): DataFrame =
     graft.operators.CharsetSim.stats(spark, stream)
 
+  /** Streaming MediaWiki-dump ingest — d129's streaming twin: the
+    * bzip2 + strict-XML row source runs per micro-batch through the
+    * same batched mapPartitions contract (stateless, map-only),
+    * handing page ROWS to the stream plan — the namespace filter and
+    * any windowed aggregation compose downstream unchanged. */
+  def xmlPageRows(spark: org.apache.spark.sql.SparkSession,
+                  stream: DataFrame): DataFrame =
+    graft.operators.XmlRowsSim.rows(spark, stream)
+
   /** Streaming Avro OCF ingest — d121's streaming twin: the
     * header/sync/block walk + record decode runs per micro-batch
     * through the same batched mapPartitions contract (stateless,

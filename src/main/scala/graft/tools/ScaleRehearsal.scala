@@ -699,6 +699,13 @@ object ScaleRehearsal {
         graft.operators.CharsetSim.stats(spark,
           big.select(col("doc_id"), col("text")))
           .filter(col("status") === "ok").count())
+      ratio("xml dump rows (d129)",
+        graft.operators.XmlRowsSim.rows(spark,
+          base.select(col("doc_id"), col("text")))
+          .filter(col("ns") === 0).count(),
+        graft.operators.XmlRowsSim.rows(spark,
+          big.select(col("doc_id"), col("text")))
+          .filter(col("ns") === 0).count())
       ratio("snappy framed decode (d122)",
         graft.operators.SnappySim.stats(spark,
           base.select(col("doc_id"), col("text")))

@@ -274,6 +274,10 @@ class AnsiRobustnessSpec extends AnyFunSuite {
       docs.select(col("doc_id"), col("text")).limit(42))
     assert(cs.filter(col("status") === "ok").count() > 0)
     assert(cs.filter(col("status") === "quarantined").count() > 0)
+    // and the XML dump rows (bzip2 + nesting/entity arithmetic)
+    val xr = graft.operators.XmlRowsSim.rows(spark,
+      docs.select(col("doc_id"), col("text")).limit(42))
+    assert(xr.count() > 0)
     // and the Avro container walk (zigzag/sync/map-block arithmetic)
     val av = graft.operators.AvroOcfSim.stats(spark,
       docs.select(col("doc_id"), col("text")).limit(42))

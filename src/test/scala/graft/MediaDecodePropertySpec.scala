@@ -1955,6 +1955,58 @@ object MediaDecodePropertySpec extends Properties("MediaDecode") {
       }
     }
 
+  // ---- XML dump rows (d129) -----------------------------------------------
+
+  import graft.operators.{XmlRowsCodec, XmlRowsSim}
+
+  property("xml: render∘parse = identity over arbitrary page content") =
+    Prop.forAll(Gen.choose(1L, 1L << 40), Gen.choose(1, 4), uniTextGen) {
+      (seed, k, text) =>
+        val pages = (0 until k).map { i =>
+          XmlRowsCodec.WikiPage(s"T $seed/$i <&> \"q\"", (seed + i) % 5,
+            seed * 8 + i, seed * 80 + i, "2026-01-01T00:00:00Z",
+            text + s" <tag> & &amp; page $i")
+        }
+        XmlRowsCodec.parsePages(XmlRowsCodec.render(pages))
+          .contains(pages)
+    }
+
+  property("xml: one-pass entity decode keeps double escapes single-decoded") =
+    Prop.forAll(Gen.alphaNumStr) { s =>
+      XmlRowsCodec.xmlUnescape("&amp;lt;" + s) == "&lt;" + s &&
+        XmlRowsCodec.xmlUnescape("&#65;&#x42;") == "AB" &&
+        XmlRowsCodec.xmlUnescape(XmlRowsCodec.xmlEscape(s + "<&>\"")) == s + "<&>\"" &&
+        (try { XmlRowsCodec.xmlUnescape("&bogus;"); false }
+          catch { case _: Throwable => true })
+    }
+
+  property("xml: nesting violations quarantine (truncation, close order, trailing text)") =
+    Prop.forAll(uniTextGen) { text =>
+      val xml = XmlRowsSim.dumpXml(1L, if (text.isEmpty) "x" else text)
+      XmlRowsCodec.parsePages(xml).nonEmpty &&
+        XmlRowsCodec.parsePages(xml.substring(0, xml.length - 30)).isEmpty &&
+        XmlRowsCodec.parsePages(xml.replace(
+          "    </revision>\n  </page>\n</mediawiki>",
+          "  </page>\n    </revision>\n</mediawiki>")).isEmpty &&
+        XmlRowsCodec.parsePages(xml + "extra").isEmpty
+    }
+
+  property("xml: the d129 damage slice contributes nothing, clean shards roundtrip") =
+    Prop.forAll(Gen.choose(0L, 4000L), zipTextGen) { (id, text0) =>
+      val text = if (text0.isEmpty) "x" else text0
+      val pages = graft.operators.Bzip2Codec
+        .decode(XmlRowsSim.payloadFor(id, text)).flatMap { case (b, _) =>
+          XmlRowsCodec.parsePages(
+            graft.operators.CharsetSniff.decodeUtf8(b, 0, b.length))
+        }
+      if (id % 7 == 0 || id % 7 == 3 || id % 7 == 5) pages.isEmpty
+      else pages.exists { ps =>
+        val want = graft.operators.WarcSim.pageTexts(id, text)
+        ps.length == want.length &&
+          ps.zip(want).forall { case (pg, sl) => pg.text == "<&> " + sl }
+      }
+    }
+
   // ---- Avro OCF (d121) -------------------------------------------------
 
   import graft.operators.{AvroOcfCodec, AvroOcfSim}

@@ -1307,6 +1307,28 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("status") === "quarantined").count() == 9)
   }
 
+  test("streaming xml page rows match batch bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docRows = (0L until 21L).map(i => (i, s"wiki page text $i body\n" * 3))
+    val ps = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStream.xmlPageRows(spark,
+        ps.toDF().toDF("doc_id", "text"))
+      .filter(col("ns") === 0)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("xml_out").start()
+    ps.addData(docRows)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("xml_out").orderBy("doc_id", "page")
+      .collect().map(_.toString)
+    val want = graft.operators.XmlRowsSim.rows(spark,
+        docRows.toDF("doc_id", "text"))
+      .filter(col("ns") === 0)
+      .orderBy("doc_id", "page").collect().map(_.toString)
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
+  }
+
   test("streaming avro ocf decode matches batch bit-for-bit") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
