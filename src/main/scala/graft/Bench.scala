@@ -50,7 +50,8 @@ object Bench {
     "d117_zstd_frames", "d118_webdataset_multimodal", "d119_jsonl_zst",
     "d120_tfexample", "d121_avro_ocf", "d122_snappy_framed",
     "d123_zstd_seekable", "d124_deflate", "d125_bzip2",
-    "d127_http_chunked", "d128_charset_sniff", "d129_xml_rows")
+    "d126_parquet_pages", "d127_http_chunked", "d128_charset_sniff",
+    "d129_xml_rows")
 
   /** Fixed CPU-bound calibration microbench ("DotBench"): scalar dot
     * products over pinned-size float arrays with deterministic

@@ -1,0 +1,818 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Parquet file walk for the d126 gate — the warehouse's OWN format,
+  * the one every 100 TB scan depends on, implemented from the
+  * published format spec (parquet-format: thrift compact protocol,
+  * page layout, RLE/bit-packed hybrid) in BOTH directions:
+  *
+  *  - a from-scratch THRIFT COMPACT reader (generic struct walk —
+  *    unknown fields skip structurally, so future footer fields can't
+  *    break the parse) and writer (field deltas, zigzag varints,
+  *    list/struct headers);
+  *  - the FILE grammar: PAR1 magic both ends, footer length, the
+  *    FileMetaData → RowGroup → ColumnChunk → ColumnMetaData chain;
+  *  - the PAGE walk: PageHeader per page, dictionary pages (PLAIN) +
+  *    data pages v1 (definition levels as the length-prefixed
+  *    RLE/bit-packed hybrid, PLAIN or RLE_DICTIONARY values);
+  *  - page decompression through OUR OWN codecs — UNCOMPRESSED,
+  *    SNAPPY (d122's block codec), GZIP (d106's member walk), ZSTD
+  *    (d117's frame decoder) — the gate rotates all four, so every
+  *    entropy layer in the repo runs inside the warehouse format;
+  *  - the STATS AUDIT (the d123 lying-table discipline): declared
+  *    per-chunk min_value/max_value/null_count are VERIFIED against
+  *    values recomputed from the pages themselves — a footer that
+  *    lies about its statistics would silently un-prune or mis-prune
+  *    a 100 TB scan, so a lie QUARANTINES the file. Declared
+  *    num_values must match the walked count exactly; page sizes,
+  *    level runs and value byte counts must tile each page exactly.
+  *
+  * Interop pinned BOTH directions against Spark's own parquet
+  * (parquet-mr): Spark-written files (dictionary encoding, real page
+  * splits, all four codecs) walk through our reader with the audit
+  * passing, and our writer's files read back row-identical through
+  * spark.read.parquet (spec suite).
+  */
+object ParquetCodec {
+
+  private[operators] object Malformed extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  // ------------------------------------------------------ thrift compact
+
+  private[graft] sealed trait TVal
+  private[graft] final case class TBool(v: Boolean) extends TVal
+  private[graft] final case class TI(v: Long) extends TVal
+  private[graft] final case class TDouble(v: Double) extends TVal
+  private[graft] final case class TBin(v: Array[Byte]) extends TVal
+  private[graft] final case class TList(v: Seq[TVal]) extends TVal
+  private[graft] final case class TStruct(f: Map[Int, TVal]) extends TVal
+
+  private[graft] final class TReader(b: Array[Byte], var pos: Int, end: Int) {
+    private def u8(): Int = {
+      if (pos >= end) throw Malformed
+      val v = b(pos) & 0xFF
+      pos += 1
+      v
+    }
+    private def varint(): Long = {
+      var v = 0L
+      var shift = 0
+      var more = true
+      while (more) {
+        val x = u8()
+        v |= (x & 0x7FL) << shift
+        shift += 7
+        if (shift > 70) throw Malformed
+        more = (x & 0x80) != 0
+      }
+      v
+    }
+    private def zigzag(): Long = { val v = varint(); (v >>> 1) ^ -(v & 1) }
+    private def bin(): Array[Byte] = {
+      val n = varint().toInt
+      if (n < 0 || pos + n > end) throw Malformed
+      val out = java.util.Arrays.copyOfRange(b, pos, pos + n)
+      pos += n
+      out
+    }
+    private def value(tpe: Int): TVal = tpe match {
+      case 1 => TBool(true)
+      case 2 => TBool(false)
+      case 3 => TI(u8().toByte.toLong) // i8: single raw byte
+      case 4 | 5 | 6 => TI(zigzag())
+      case 7 => // double: 8 bytes LE
+        var v = 0L
+        var i = 0
+        while (i < 8) { v |= (u8().toLong << (8 * i)); i += 1 }
+        TDouble(java.lang.Double.longBitsToDouble(v))
+      case 8 => TBin(bin())
+      case 9 | 10 => // list / set
+        val h = u8()
+        val et = h & 0xF
+        val n = if ((h >>> 4) == 15) varint().toInt else h >>> 4
+        if (n < 0 || n > (1 << 24)) throw Malformed
+        TList((0 until n).map(_ => value(et)))
+      case 11 => // map: varint size, then (if >0) key/value type byte + pairs
+        val n = varint().toInt
+        if (n < 0 || n > (1 << 22)) throw Malformed
+        if (n == 0) TList(Nil)
+        else {
+          val kv = u8()
+          TList((0 until n).flatMap(_ =>
+            Seq(value((kv >>> 4) & 0xF), value(kv & 0xF))))
+        }
+      case 12 => struct()
+      case _ => throw Malformed
+    }
+    def struct(): TStruct = {
+      var last = 0
+      val m = Map.newBuilder[Int, TVal]
+      var stop = false
+      while (!stop) {
+        val h = u8()
+        if (h == 0) stop = true
+        else {
+          val tpe = h & 0xF
+          val delta = (h >>> 4) & 0xF
+          val id = if (delta == 0) zigzag().toInt else last + delta
+          last = id
+          m += id -> value(tpe)
+        }
+      }
+      TStruct(m.result())
+    }
+  }
+
+  private[graft] final class TWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    def bytes: Array[Byte] = out.toByteArray
+    private def u8(v: Int): Unit = out.write(v & 0xFF)
+    private def varint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7FL) != 0) { u8(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
+      u8(v.toInt)
+    }
+    private def zigzag(v: Long): Unit = varint((v << 1) ^ (v >> 63))
+    /** One struct scope: emit fields in ascending id order. */
+    final class S {
+      private var last = 0
+      private def header(id: Int, tpe: Int): Unit = {
+        val delta = id - last
+        if (delta >= 1 && delta <= 15) u8((delta << 4) | tpe)
+        else { u8(tpe); zigzag(id.toLong) }
+        last = id
+      }
+      def i32(id: Int, v: Long): Unit = { header(id, 5); zigzag(v) }
+      def i64(id: Int, v: Long): Unit = { header(id, 6); zigzag(v) }
+      def bool(id: Int, v: Boolean): Unit = header(id, if (v) 1 else 2)
+      def bin(id: Int, v: Array[Byte]): Unit = {
+        header(id, 8); varint(v.length.toLong); out.write(v, 0, v.length)
+      }
+      def str(id: Int, v: String): Unit = bin(id, v.getBytes("UTF-8"))
+      def list(id: Int, elemType: Int, n: Int)(body: => Unit): Unit = {
+        header(id, 9)
+        if (n < 15) u8((n << 4) | elemType)
+        else { u8(0xF0 | elemType); varint(n.toLong) }
+        body
+      }
+      def structField(id: Int)(body: S => Unit): Unit = {
+        header(id, 12); struct(body)
+      }
+      def stop(): Unit = u8(0)
+    }
+    def struct(body: S => Unit): Unit = {
+      val s = new S
+      body(s)
+      s.stop()
+    }
+    /** A bare list ELEMENT that is itself a struct. */
+    def structElem(body: S => Unit): Unit = struct(body)
+    def i32Elem(v: Long): Unit = zigzag(v)
+    def binElem(v: Array[Byte]): Unit = {
+      varint(v.length.toLong); out.write(v, 0, v.length)
+    }
+  }
+
+  // ------------------------------------------------- RLE/bit-packed hybrid
+
+  /** Decode `count` values of `bitWidth` bits from the hybrid
+    * encoding in b[pos, end). Returns (values, endPos). */
+  private[graft] def rleHybrid(b: Array[Byte], pos0: Int, end: Int,
+                               bitWidth: Int, count: Int): (Array[Int], Int) = {
+    val out = new Array[Int](count)
+    var n = 0
+    var pos = pos0
+    def u8(): Int = {
+      if (pos >= end) throw Malformed
+      val v = b(pos) & 0xFF
+      pos += 1
+      v
+    }
+    def varint(): Long = {
+      var v = 0L
+      var shift = 0
+      var more = true
+      while (more) {
+        val x = u8()
+        v |= (x & 0x7FL) << shift
+        shift += 7
+        if (shift > 42) throw Malformed
+        more = (x & 0x80) != 0
+      }
+      v
+    }
+    val byteW = (bitWidth + 7) / 8
+    while (n < count) {
+      val header = varint()
+      if ((header & 1) == 0) { // RLE run
+        val run = (header >>> 1).toInt
+        if (run < 0 || n + run > count) throw Malformed
+        var v = 0
+        var i = 0
+        while (i < byteW) { v |= u8() << (8 * i); i += 1 }
+        if (bitWidth < 32 && (v >>> bitWidth) != 0) throw Malformed
+        java.util.Arrays.fill(out, n, n + run, v)
+        n += run
+      } else { // bit-packed: groups of 8, LSB-first
+        val groups = (header >>> 1).toInt
+        if (groups <= 0 || groups > (count - n + 7) / 8) throw Malformed
+        var acc = 0L
+        var accBits = 0
+        var produced = 0
+        val total = groups * 8
+        while (produced < total) {
+          while (accBits < bitWidth) {
+            acc |= u8().toLong << accBits
+            accBits += 8
+          }
+          val v = (acc & ((1L << bitWidth) - 1)).toInt
+          acc >>>= bitWidth
+          accBits -= bitWidth
+          if (n < count) { out(n) = v; n += 1 } // else: padding, undefined
+          produced += 1
+        }
+      }
+    }
+    (out, pos)
+  }
+
+  /** Encode values (all of `bitWidth` bits) as ONE RLE run per
+    * value-run (our writer's shape — levels are runs of 1s). */
+  private[graft] def rleHybridEncode(values: Array[Int], bitWidth: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def varint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7FL) != 0) { out.write(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+    }
+    val byteW = (bitWidth + 7) / 8
+    var i = 0
+    while (i < values.length) {
+      val v = values(i)
+      var run = 1
+      while (i + run < values.length && values(i + run) == v) run += 1
+      varint((run.toLong << 1))
+      var k = 0
+      while (k < byteW) { out.write((v >> (8 * k)) & 0xFF); k += 1 }
+      i += run
+    }
+    out.toByteArray
+  }
+}
+
+/** The file-level writer/reader over the thrift plumbing. Bounded
+  * schema (the gate's): `doc_id INT64, val INT64, text BYTE_ARRAY
+  * (UTF8)`, all OPTIONAL (Spark's nullable default), data pages v1,
+  * PLAIN values from our writer; PLAIN + PLAIN_/RLE_DICTIONARY read. */
+object ParquetFile {
+
+  import ParquetCodec._
+
+  private[operators] val MAGIC = "PAR1".getBytes("US-ASCII")
+
+  // parquet enums (parquet-format)
+  private val T_INT64 = 2
+  private val T_BYTE_ARRAY = 6
+  private val ENC_PLAIN = 0
+  private val ENC_PLAIN_DICT = 2
+  private val ENC_RLE = 3
+  private val ENC_RLE_DICT = 8
+
+  private def le32(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+    out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF)
+  }
+  private def le64(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    le32(out, (v & 0xFFFFFFFFL).toInt); le32(out, (v >>> 32).toInt)
+  }
+  private def le64bytes(v: Long): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream(8); le64(o, v); o.toByteArray
+  }
+
+  private def compress(codec: Int, raw: Array[Byte]): Array[Byte] = codec match {
+    case 0 => raw
+    case 1 => SnappyCodec.compressBlock(raw)
+    case 2 => GzipCodec.gzipMember(raw)
+    case 6 => ZstdCodec.encodeFrame(raw, math.max(1, raw.length))
+    case _ => throw Malformed
+  }
+
+  private def decompress(codec: Int, b: Array[Byte], from: Int, to: Int,
+                         expect: Int): Array[Byte] = {
+    if (from < 0 || to > b.length || from > to) throw Malformed
+    val part = java.util.Arrays.copyOfRange(b, from, to)
+    val out = codec match {
+      case 0 => part
+      case 1 => try SnappyCodec.decompressBlock(part, 0, part.length)
+        catch { case _: Exception => throw Malformed }
+      case 2 => GzipCodec.decode(part) match {
+        case Some(ms) if ms.length == 1 => ms.head
+        case _ => throw Malformed
+      }
+      case 6 => ZstdCodec.decodeLoose(part).getOrElse(throw Malformed)
+      case _ => throw Malformed
+    }
+    if (out.length != expect) throw Malformed
+    out
+  }
+
+  /** Render one v1 data page: header (thrift) + body ([4-byte len]
+    * [def-level hybrid][PLAIN values]), compressed through `codec`.
+    * `declared` lets the %7==5 damage lie about num_values. Returns
+    * (page bytes, uncompressed size incl. header — the spec's
+    * total_uncompressed_size convention). */
+  private def dataPage(codec: Int, actual: Int, declared: Int,
+                       values: Array[Byte]): (Array[Byte], Long) = {
+    val levels = rleHybridEncode(Array.fill(actual)(1), 1)
+    val body = new java.io.ByteArrayOutputStream(values.length + 16)
+    le32(body, levels.length)
+    body.write(levels, 0, levels.length)
+    body.write(values, 0, values.length)
+    val raw = body.toByteArray
+    val comp = compress(codec, raw)
+    val w = new TWriter
+    w.struct { s =>
+      s.i32(1, 0) // type: DATA_PAGE
+      s.i32(2, raw.length.toLong)
+      s.i32(3, comp.length.toLong)
+      s.structField(5) { d =>
+        d.i32(1, declared.toLong)
+        d.i32(2, ENC_PLAIN.toLong)
+        d.i32(3, ENC_RLE.toLong)
+        d.i32(4, ENC_RLE.toLong)
+      }
+    }
+    val hdr = w.bytes
+    val out = new java.io.ByteArrayOutputStream(comp.length + hdr.length)
+    out.write(hdr, 0, hdr.length)
+    out.write(comp, 0, comp.length)
+    (out.toByteArray, (raw.length + hdr.length).toLong)
+  }
+
+  private final case class Chunk(bytes: Array[Byte], uncompressed: Long,
+                                 tpe: Int, name: String, numValues: Long,
+                                 stats: Option[(Long, Long)])
+
+  /** Write a parquet file over (doc_id, val, text) rows, `rowGroupCut`
+    * rows per group, pages compressed through `codec` (0/1/2/4 =
+    * none/snappy/gzip/zstd — OUR codecs). `lieStats` fakes the first
+    * row group's `val` max_value one too low (the %7==3 damage — the
+    * d123 lying-table class aimed at scan pruning); `lieNumValues`
+    * inflates the first doc_id page's declared num_values (the %7==5
+    * damage — the page no longer tiles). */
+  private[graft] def write(rows: Seq[(Long, Long, String)], rowGroupCut: Int,
+                           codec: Int, lieStats: Boolean = false,
+                           lieNumValues: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(4096)
+    out.write(MAGIC, 0, 4)
+    val groups = rows.grouped(rowGroupCut).toSeq
+    val rgMeta = groups.zipWithIndex.map { case (g, gi) =>
+      val cols = Seq(("doc_id", T_INT64), ("val", T_INT64),
+        ("text", T_BYTE_ARRAY)).map { case (name, tpe) =>
+        val values = new java.io.ByteArrayOutputStream()
+        var sMin = Long.MaxValue
+        var sMax = Long.MinValue
+        g.foreach { case (id, v, t) =>
+          if (tpe == T_INT64) {
+            val x = if (name == "doc_id") id else v
+            le64(values, x)
+            if (x < sMin) sMin = x
+            if (x > sMax) sMax = x
+          } else {
+            val tb = t.getBytes("UTF-8")
+            le32(values, tb.length)
+            values.write(tb, 0, tb.length)
+          }
+        }
+        val declared = if (lieNumValues && gi == 0 && name == "doc_id")
+          g.length + 1 else g.length
+        val (page, uncomp) = dataPage(codec, g.length, declared,
+          values.toByteArray)
+        val declMax = if (lieStats && gi == 0 && name == "val") sMax - 1
+          else sMax
+        Chunk(page, uncomp, tpe, name, g.length.toLong,
+          if (tpe == T_INT64 && g.nonEmpty) Some((sMin, declMax)) else None)
+      }
+      val offs = cols.map { c =>
+        val o = out.size().toLong
+        out.write(c.bytes, 0, c.bytes.length)
+        o
+      }
+      (g.length.toLong, cols.zip(offs))
+    }
+    // footer
+    val w = new TWriter
+    w.struct { f =>
+      f.i32(1, 1) // version
+      f.list(2, 12, 4) { // schema: root + 3 children
+        w.structElem { s =>
+          s.str(4, "graft_schema")
+          s.i32(5, 3)
+        }
+        Seq(("doc_id", T_INT64), ("val", T_INT64), ("text", T_BYTE_ARRAY))
+          .foreach { case (name, tpe) =>
+            w.structElem { s =>
+              s.i32(1, tpe.toLong)
+              s.i32(3, 1) // OPTIONAL
+              s.str(4, name)
+              if (tpe == T_BYTE_ARRAY) s.i32(6, 0) // ConvertedType UTF8
+            }
+          }
+      }
+      f.i64(3, rows.length.toLong)
+      f.list(4, 12, rgMeta.length) {
+        rgMeta.foreach { case (nRows, cols) =>
+          w.structElem { rg =>
+            rg.list(1, 12, cols.length) {
+              cols.foreach { case (c, off) =>
+                w.structElem { cc =>
+                  cc.i64(2, off)
+                  cc.structField(3) { md =>
+                    md.i32(1, c.tpe.toLong)
+                    md.list(2, 5, 2) {
+                      w.i32Elem(ENC_PLAIN.toLong)
+                      w.i32Elem(ENC_RLE.toLong)
+                    }
+                    md.list(3, 8, 1) { w.binElem(c.name.getBytes("UTF-8")) }
+                    md.i32(4, codec.toLong)
+                    md.i64(5, c.numValues)
+                    md.i64(6, c.uncompressed)
+                    md.i64(7, c.bytes.length.toLong)
+                    md.i64(9, off)
+                    md.structField(12) { st =>
+                      st.i64(3, 0L) // null_count
+                      c.stats.foreach { case (mn, mx) =>
+                        st.bin(5, le64bytes(mx)) // max_value
+                        st.bin(6, le64bytes(mn)) // min_value
+                      }
+                    }
+                  }
+                }
+              }
+            }
+            rg.i64(2, cols.map(_._1.uncompressed).sum)
+            rg.i64(3, nRows)
+          }
+        }
+      }
+      f.str(6, "graft-d126")
+    }
+    val footer = w.bytes
+    out.write(footer, 0, footer.length)
+    le32(out, footer.length)
+    out.write(MAGIC, 0, 4)
+    out.toByteArray
+  }
+
+  // ---------------------------------------------------------------- reader
+
+  private def fld(s: TStruct, id: Int): Option[TVal] = s.f.get(id)
+  private def fi(s: TStruct, id: Int): Long = s.f.get(id) match {
+    case Some(TI(v)) => v
+    case _ => throw Malformed
+  }
+  private def fiOpt(s: TStruct, id: Int): Option[Long] = s.f.get(id) match {
+    case Some(TI(v)) => Some(v)
+    case None => None
+    case _ => throw Malformed
+  }
+  private def flist(s: TStruct, id: Int): Seq[TVal] = s.f.get(id) match {
+    case Some(TList(v)) => v
+    case _ => throw Malformed
+  }
+  private def fbin(s: TStruct, id: Int): Array[Byte] = s.f.get(id) match {
+    case Some(TBin(v)) => v
+    case _ => throw Malformed
+  }
+
+  private def le64of(b: Array[Byte]): Long = {
+    if (b.length != 8) throw Malformed
+    var v = 0L
+    var i = 0
+    while (i < 8) { v |= (b(i) & 0xFFL) << (8 * i); i += 1 }
+    v
+  }
+
+  private[graft] final case class ColResult(
+      path: String, tpe: Int, numValues: Long, nulls: Long,
+      sumInt: Long, minInt: Long, maxInt: Long, byteLen: Long)
+  private[graft] final case class PqInfo(
+      numRows: Long, nRowGroups: Int, nPages: Int, cols: Seq[ColResult])
+
+  /** Walk the whole file: footer grammar, every page of every chunk,
+    * values decoded and AUDITED against the declared statistics and
+    * num_values. None on any structural violation, size/count
+    * mismatch, undecodable page, or a LYING statistic. */
+  private[graft] def read(b: Array[Byte]): Option[PqInfo] =
+    try {
+      if (b.length < 12) throw Malformed
+      if (!java.util.Arrays.equals(java.util.Arrays.copyOfRange(b, 0, 4), MAGIC) ||
+          !java.util.Arrays.equals(
+            java.util.Arrays.copyOfRange(b, b.length - 4, b.length), MAGIC))
+        throw Malformed
+      val flen = ((b(b.length - 8) & 0xFF) | ((b(b.length - 7) & 0xFF) << 8) |
+        ((b(b.length - 6) & 0xFF) << 16) | ((b(b.length - 5) & 0xFF) << 24))
+      val fStart = b.length - 8 - flen
+      if (flen <= 0 || fStart < 4) throw Malformed
+      val footer = new TReader(b, fStart, b.length - 8).struct()
+      val numRows = fi(footer, 3)
+      // schema: root first, then flat children (bounded scope: depth 1)
+      val schema = flist(footer, 2).map {
+        case s: TStruct => s
+        case _ => throw Malformed
+      }
+      if (schema.isEmpty) throw Malformed
+      // (type, optional) per column: REQUIRED columns (max_def 0) have
+      // NO definition-level section in their v1 pages
+      val colTypes = schema.tail.map { s =>
+        val name = new String(fbin(s, 4), "UTF-8")
+        val tpe = fi(s, 1).toInt
+        if (fiOpt(s, 5).exists(_ > 0)) throw Malformed // nesting: out of scope
+        val rep = fiOpt(s, 3).getOrElse(0L)
+        if (rep > 1) throw Malformed // REPEATED: out of scope
+        name -> ((tpe, rep == 1L))
+      }.toMap
+      val rowGroups = flist(footer, 4).map {
+        case s: TStruct => s
+        case _ => throw Malformed
+      }
+      var nPages = 0
+      val acc = scala.collection.mutable.LinkedHashMap
+        .empty[String, ColResult]
+      var rowsSeen = 0L
+      rowGroups.foreach { rg =>
+        val rgRows = fi(rg, 3)
+        rowsSeen += rgRows
+        flist(rg, 1).foreach {
+          case cc: TStruct =>
+            val md = fld(cc, 3) match {
+              case Some(s: TStruct) => s
+              case _ => throw Malformed
+            }
+            val tpe = fi(md, 1).toInt
+            val codec = fi(md, 4).toInt
+            val numValues = fi(md, 5)
+            val path = flist(md, 3).map {
+              case TBin(v) => new String(v, "UTF-8")
+              case _ => throw Malformed
+            }.mkString(".")
+            val (schemaTpe, optional) =
+              colTypes.getOrElse(path, throw Malformed)
+            if (schemaTpe != tpe) throw Malformed
+            val dataOff = fi(md, 9)
+            val dictOff = fiOpt(md, 11)
+            var pos = math.min(dataOff, dictOff.getOrElse(dataOff)).toInt
+            if (pos < 4 || pos >= fStart) throw Malformed
+            var dict: Array[Long] = null // int64 dict
+            var dictBin: Array[Array[Byte]] = null
+            var seen = 0L
+            var nulls = 0L
+            var sum = 0L
+            var mn = Long.MaxValue
+            var mx = Long.MinValue
+            var blen = 0L
+            while (seen < numValues) {
+              val tr = new TReader(b, pos, fStart)
+              val ph = tr.struct()
+              val pType = fi(ph, 1).toInt
+              val uSize = fi(ph, 2).toInt
+              val cSize = fi(ph, 3).toInt
+              if (uSize < 0 || cSize < 0) throw Malformed
+              val page = decompress(codec, b, tr.pos, tr.pos + cSize, uSize)
+              pos = tr.pos + cSize
+              nPages += 1
+              pType match {
+                case 2 => // dictionary page
+                  val dh = fld(ph, 7) match {
+                    case Some(s: TStruct) => s
+                    case _ => throw Malformed
+                  }
+                  val dn = fi(dh, 1).toInt
+                  if (dn < 0) throw Malformed
+                  if (tpe == T_INT64) {
+                    if (page.length != 8 * dn) throw Malformed
+                    dict = Array.tabulate(dn)(i =>
+                      le64of(java.util.Arrays.copyOfRange(page, 8 * i, 8 * i + 8)))
+                  } else {
+                    val db = Array.newBuilder[Array[Byte]]
+                    var p = 0
+                    var k = 0
+                    while (k < dn) {
+                      if (p + 4 > page.length) throw Malformed
+                      val l = (page(p) & 0xFF) | ((page(p + 1) & 0xFF) << 8) |
+                        ((page(p + 2) & 0xFF) << 16) | ((page(p + 3) & 0xFF) << 24)
+                      if (l < 0 || p + 4 + l > page.length) throw Malformed
+                      db += java.util.Arrays.copyOfRange(page, p + 4, p + 4 + l)
+                      p += 4 + l
+                      k += 1
+                    }
+                    if (p != page.length) throw Malformed
+                    dictBin = db.result()
+                  }
+                case 0 => // data page v1
+                  val dh = fld(ph, 5) match {
+                    case Some(s: TStruct) => s
+                    case _ => throw Malformed
+                  }
+                  val pn = fi(dh, 1).toInt
+                  val enc = fi(dh, 2).toInt
+                  if (pn <= 0 || seen + pn > numValues) throw Malformed
+                  // def levels (OPTIONAL columns only — REQUIRED means
+                  // max_def 0 and the section is omitted entirely):
+                  // 4-byte length prefix, bit width 1
+                  var nn = pn
+                  var p = 0
+                  if (optional) {
+                    if (page.length < 4) throw Malformed
+                    val ll = (page(0) & 0xFF) | ((page(1) & 0xFF) << 8) |
+                      ((page(2) & 0xFF) << 16) | ((page(3) & 0xFF) << 24)
+                    if (ll < 0 || 4 + ll > page.length) throw Malformed
+                    val (levels, lEnd) = rleHybrid(page, 4, 4 + ll, 1, pn)
+                    if (lEnd != 4 + ll) throw Malformed
+                    nn = 0
+                    levels.foreach(l => if (l == 1) nn += 1 else nulls += 1)
+                    p = 4 + ll
+                  }
+                  enc match {
+                    case ENC_PLAIN =>
+                      if (tpe == T_INT64) {
+                        if (page.length - p != 8 * nn) throw Malformed
+                        var k = 0
+                        while (k < nn) {
+                          val v = le64of(java.util.Arrays.copyOfRange(
+                            page, p, p + 8))
+                          sum += v
+                          if (v < mn) mn = v
+                          if (v > mx) mx = v
+                          p += 8
+                          k += 1
+                        }
+                      } else {
+                        var k = 0
+                        while (k < nn) {
+                          if (p + 4 > page.length) throw Malformed
+                          val l = (page(p) & 0xFF) | ((page(p + 1) & 0xFF) << 8) |
+                            ((page(p + 2) & 0xFF) << 16) | ((page(p + 3) & 0xFF) << 24)
+                          if (l < 0 || p + 4 + l > page.length) throw Malformed
+                          blen += l
+                          p += 4 + l
+                          k += 1
+                        }
+                        if (p != page.length) throw Malformed
+                      }
+                    case ENC_PLAIN_DICT | ENC_RLE_DICT =>
+                      if (p >= page.length) throw Malformed
+                      val bw = page(p) & 0xFF
+                      if (bw > 32) throw Malformed
+                      val (idx, _) =
+                        rleHybrid(page, p + 1, page.length, bw, nn)
+                      idx.foreach { i =>
+                        if (tpe == T_INT64) {
+                          if (dict == null || i >= dict.length) throw Malformed
+                          val v = dict(i)
+                          sum += v
+                          if (v < mn) mn = v
+                          if (v > mx) mx = v
+                        } else {
+                          if (dictBin == null || i >= dictBin.length)
+                            throw Malformed
+                          blen += dictBin(i).length
+                        }
+                      }
+                    case _ => throw Malformed
+                  }
+                  seen += pn
+                case _ => throw Malformed // v2 pages: out of scope
+              }
+            }
+            if (seen != numValues) throw Malformed
+            // the stats AUDIT: declared vs recomputed
+            fld(md, 12).foreach {
+              case st: TStruct =>
+                fiOpt(st, 3).foreach(nc => if (nc != nulls) throw Malformed)
+                if (tpe == T_INT64 && seen > nulls) {
+                  st.f.get(5).foreach {
+                    case TBin(v) => if (le64of(v) != mx) throw Malformed
+                    case _ => throw Malformed
+                  }
+                  st.f.get(6).foreach {
+                    case TBin(v) => if (le64of(v) != mn) throw Malformed
+                    case _ => throw Malformed
+                  }
+                }
+              case _ => throw Malformed
+            }
+            val prev = acc.getOrElse(path,
+              ColResult(path, tpe, 0L, 0L, 0L, Long.MaxValue, Long.MinValue, 0L))
+            acc(path) = prev.copy(
+              numValues = prev.numValues + numValues,
+              nulls = prev.nulls + nulls,
+              sumInt = prev.sumInt + sum,
+              minInt = math.min(prev.minInt, mn),
+              maxInt = math.max(prev.maxInt, mx),
+              byteLen = prev.byteLen + blen)
+          case _ => throw Malformed
+        }
+      }
+      if (rowsSeen != numRows) throw Malformed
+      Some(PqInfo(numRows, rowGroups.length, nPages, acc.values.toSeq))
+    } catch {
+      case Malformed => None
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+      case _: MatchError => None
+    }
+}
+
+/** In-plan synthesizer + gate for d126 — the d123 discipline aimed at
+  * the warehouse format itself: each doc becomes a parquet file of
+  * K = 3 + doc_id%5 rows (ids/vals closed forms, text = the d111
+  * codepoint slices so the bytes are REAL corpus text), two rows per
+  * row group, pages compressed through the codec ROTATION doc_id%4 →
+  * uncompressed/snappy/gzip/zstd — every entropy layer in the repo
+  * running inside the format every 100 TB scan depends on. The walk
+  * recomputes row counts, column sums and statistics from the pages
+  * and AUDITS the footer's claims.
+  *
+  * Damage slice on doc_id%7: 0 → truncation (footer length/magic
+  * gone); 3 → a LYING max_value on the `val` column's first row
+  * group — every page intact, every size right, only the
+  * stats-vs-recomputed audit catches it (the lie that silently
+  * mis-prunes a production scan); 5 → a LYING page num_values —
+  * the page no longer tiles exactly. */
+object ParquetSim {
+
+  private[graft] def nRows(docId: Long): Int = (3 + docId % 5).toInt
+
+  private[graft] def codecFor(docId: Long): Int = (docId % 4) match {
+    case 0 => 0 // uncompressed
+    case 1 => 1 // snappy (ours)
+    case 2 => 2 // gzip (ours)
+    case _ => 6 // zstd (ours)
+  }
+
+  private[graft] def rowsFor(docId: Long, text: String): Seq[(Long, Long, String)] = {
+    val k = nRows(docId)
+    val cps = text.codePointCount(0, text.length)
+    (0 until k).map { j =>
+      val a = text.offsetByCodePoints(0, (j.toLong * cps / k).toInt)
+      val b = text.offsetByCodePoints(0, ((j + 1).toLong * cps / k).toInt)
+      (docId * 1000 + j, (docId * 7 + j * 13) % 1000, text.substring(a, b))
+    }
+  }
+
+  private[graft] def payloadFor(docId: Long, text: String): Array[Byte] = {
+    val rows = rowsFor(docId, text)
+    val codec = codecFor(docId)
+    (docId % 7) match {
+      case 0 =>
+        val clean = ParquetFile.write(rows, 2, codec)
+        java.util.Arrays.copyOf(clean, clean.length - 5)
+      case 3 => ParquetFile.write(rows, 2, codec, lieStats = true)
+      case 5 => ParquetFile.write(rows, 2, codec, lieNumValues = true)
+      case _ => ParquetFile.write(rows, 2, codec)
+    }
+  }
+
+  val statsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("status", StringType),
+    StructField("n_rowgroups", LongType),
+    StructField("n_rows", LongType),
+    StructField("sum_ids", LongType),
+    StructField("sum_vals", LongType),
+    StructField("text_bytes", LongType)))
+
+  /** Batched strict walk + audit → per-doc stats with quarantine. */
+  def stats(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(statsSchema)
+    docs.select(col("doc_id"), col("text"))
+      .mapPartitions { rows =>
+        rows.grouped(Multimodal.BATCH_SIZE).flatMap { batch =>
+          batch.iterator.map { r =>
+            val id = r.getLong(0)
+            val text = r.getString(1)
+            ParquetFile.read(payloadFor(id, text)) match {
+              case Some(info) =>
+                val ids = info.cols.find(_.path == "doc_id")
+                val vs = info.cols.find(_.path == "val")
+                val tx = info.cols.find(_.path == "text")
+                if (ids.isEmpty || vs.isEmpty || tx.isEmpty)
+                  Row(id, "quarantined", null, null, null, null, null)
+                else
+                  Row(id, "ok", info.nRowGroups.toLong, info.numRows,
+                    ids.get.sumInt, vs.get.sumInt, tx.get.byteLen)
+              case None =>
+                Row(id, "quarantined", null, null, null, null, null)
+            }
+          }
+        }
+      }(enc)
+  }
+}

@@ -604,7 +604,8 @@ object ZstdCodec {
 
   /** One frame starting at `start` → (content, positionAfterFrame);
     * throws Malformed on anything malformed or out of scope. */
-  private def frameAt(b: Array[Byte], start: Int): (Array[Byte], Int) = {
+  private def frameAt(b: Array[Byte], start: Int,
+                      requireChecksum: Boolean = true): (Array[Byte], Int) = {
     def u32(i: Int): Long =
       (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
         ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
@@ -615,7 +616,12 @@ object ZstdCodec {
       val single = (fhd & 0x20) != 0
       if ((fhd & 0x10) != 0) throw Malformed // unused bit: rejected (see doc)
       if ((fhd & 0x08) != 0) throw Malformed // reserved bit
-      if ((fhd & 0x04) == 0) throw Malformed // content checksum REQUIRED
+      // the gate surface REQUIRES the content checksum (d117 scope);
+      // the loose surface (d126 parquet pages — parquet-mr writes
+      // checksum-less frames) accepts its absence, spec-legal per
+      // RFC 8878 §3.1.1
+      val hasChecksum = (fhd & 0x04) != 0
+      if (requireChecksum && !hasChecksum) throw Malformed
       if ((fhd & 0x03) != 0) throw Malformed // dictionaries out of scope
       var p = start + 5
       var windowSize = 0L
@@ -683,11 +689,28 @@ object ZstdCodec {
       }
       val content = java.util.Arrays.copyOf(window, winLen)
       if (fcs >= 0 && content.length != fcs) throw Malformed
-      if (p + 4 > b.length) throw Malformed
-      if (u32(p) != xxh64low32(content, content.length)) throw Malformed
-      (content, p + 4)
+      if (!hasChecksum) (content, p)
+      else {
+        if (p + 4 > b.length) throw Malformed
+        if (u32(p) != xxh64low32(content, content.length)) throw Malformed
+        (content, p + 4)
+      }
     }
   }
+
+  /** Single-frame decode ACCEPTING checksum-less frames (RFC 8878
+    * makes the content checksum optional; parquet-mr's page codec
+    * omits it) — the d126 surface. The d117 gate keeps [[decode]]'s
+    * checksum-required scope. */
+  private[operators] def decodeLoose(b: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val (content, end) = frameAt(b, 0, requireChecksum = false)
+      if (end != b.length) None else Some(content)
+    } catch {
+      case Malformed => None
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
 
   /** STRICT single-frame decode → content, or None for anything
     * malformed or out of scope (see object doc). Trailing bytes —

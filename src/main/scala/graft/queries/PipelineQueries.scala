@@ -1435,6 +1435,20 @@ object PipelineQueries {
         .filter(col("ns") === 0)
         .orderBy("doc_id", "page")),
 
+    // the warehouse's OWN format: a from-scratch parquet walk —
+    // thrift-compact footer parse, page walk (dictionary + data pages
+    // v1, RLE/bit-packed hybrid levels, PLAIN + RLE_DICTIONARY),
+    // pages decompressed through OUR codecs (the doc_id%4 rotation:
+    // uncompressed/snappy/gzip/zstd), and the d123 lying-table
+    // discipline pointed at scan pruning: declared min/max/null_count
+    // are AUDITED against values recomputed from the pages. Damage:
+    // truncation / a lying max_value (every page intact — only the
+    // audit catches the stat that would mis-prune a 100 TB scan) / a
+    // lying page num_values (the page no longer tiles). Interop
+    // pinned both directions against Spark's own parquet-mr
+    "d126_parquet_pages" -> ((s, dir) =>
+      ParquetSim.stats(s, docs(s, dir)).orderBy("doc_id")),
+
     "d119_jsonl_zst" -> ((s, dir) =>
       ZstdJsonlSim.lines(s, docs(s, dir))
         .select(col("doc_id"), col("n_frames"),
@@ -3252,6 +3266,26 @@ object PipelineQueries {
         |  ((doc_id * 8 + i) * 10 + 1)::BIGINT AS rev_id,
         |  '<&> ' || sl AS text_out
         | FROM m WHERE (doc_id + i) % 3 = 0 ORDER BY doc_id, page""".stripMargin.replaceAll("\n", " "),
+
+    // the parquet oracle replays the file geometry off documents.text:
+    // K and the row-group count are closed forms, the id sum is
+    // arithmetic, the val sum replays the bounded (≤8) modular grid,
+    // text bytes = the slices concatenate back to the doc
+    "d126_parquet_pages" ->
+      """WITH base AS (SELECT doc_id, text, (3 + doc_id % 5)::BIGINT AS k FROM documents),
+        | rj AS (SELECT range AS j FROM range(8)),
+        | vs AS (SELECT b.doc_id, sum((b.doc_id * 7 + j * 13) % 1000)::BIGINT AS sv
+        |   FROM base b JOIN rj ON j < b.k GROUP BY b.doc_id)
+        | SELECT b.doc_id,
+        |  CASE WHEN b.doc_id % 7 IN (0, 3, 5) THEN 'quarantined' ELSE 'ok' END AS status,
+        |  (CASE WHEN b.doc_id % 7 IN (0, 3, 5) THEN NULL ELSE (b.k + 1) // 2 END)::BIGINT AS n_rowgroups,
+        |  (CASE WHEN b.doc_id % 7 IN (0, 3, 5) THEN NULL ELSE b.k END)::BIGINT AS n_rows,
+        |  (CASE WHEN b.doc_id % 7 IN (0, 3, 5) THEN NULL
+        |        ELSE b.k * b.doc_id * 1000 + b.k * (b.k - 1) // 2 END)::BIGINT AS sum_ids,
+        |  (CASE WHEN b.doc_id % 7 IN (0, 3, 5) THEN NULL ELSE vs.sv END)::BIGINT AS sum_vals,
+        |  (CASE WHEN b.doc_id % 7 IN (0, 3, 5) THEN NULL
+        |        ELSE octet_length(encode(b.text)) END)::BIGINT AS text_bytes
+        | FROM base b JOIN vs USING (doc_id) ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     "d117_zstd_frames" ->
       """SELECT doc_id,

@@ -697,6 +697,14 @@ object EventStream {
                   stream: DataFrame): DataFrame =
     graft.operators.XmlRowsSim.rows(spark, stream)
 
+  /** Streaming parquet walk — d126's streaming twin: the footer
+    * parse + page walk + stats audit runs per micro-batch through the
+    * same batched mapPartitions contract (stateless, map-only).
+    * Bit-identical to the batch stats (spec-pinned). */
+  def parquetWalked(spark: org.apache.spark.sql.SparkSession,
+                    stream: DataFrame): DataFrame =
+    graft.operators.ParquetSim.stats(spark, stream)
+
   /** Streaming Avro OCF ingest — d121's streaming twin: the
     * header/sync/block walk + record decode runs per micro-batch
     * through the same batched mapPartitions contract (stateless,

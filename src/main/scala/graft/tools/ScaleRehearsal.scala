@@ -706,6 +706,13 @@ object ScaleRehearsal {
         graft.operators.XmlRowsSim.rows(spark,
           big.select(col("doc_id"), col("text")))
           .filter(col("ns") === 0).count())
+      ratio("parquet page walk (d126)",
+        graft.operators.ParquetSim.stats(spark,
+          base.select(col("doc_id"), col("text")))
+          .filter(col("status") === "ok").count(),
+        graft.operators.ParquetSim.stats(spark,
+          big.select(col("doc_id"), col("text")))
+          .filter(col("status") === "ok").count())
       ratio("snappy framed decode (d122)",
         graft.operators.SnappySim.stats(spark,
           base.select(col("doc_id"), col("text")))

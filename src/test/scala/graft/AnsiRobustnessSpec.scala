@@ -278,6 +278,11 @@ class AnsiRobustnessSpec extends AnyFunSuite {
     val xr = graft.operators.XmlRowsSim.rows(spark,
       docs.select(col("doc_id"), col("text")).limit(42))
     assert(xr.count() > 0)
+    // and the parquet walk (thrift/RLE-hybrid/stats-audit arithmetic)
+    val pq = graft.operators.ParquetSim.stats(spark,
+      docs.select(col("doc_id"), col("text")).limit(42))
+    assert(pq.filter(col("status") === "ok").count() > 0)
+    assert(pq.filter(col("status") === "quarantined").count() > 0)
     // and the Avro container walk (zigzag/sync/map-block arithmetic)
     val av = graft.operators.AvroOcfSim.stats(spark,
       docs.select(col("doc_id"), col("text")).limit(42))

@@ -2007,6 +2007,85 @@ object MediaDecodePropertySpec extends Properties("MediaDecode") {
       }
     }
 
+  // ---- parquet pages (d126) -----------------------------------------------
+
+  import graft.operators.{ParquetCodec, ParquetFile, ParquetSim}
+
+  property("parquet: the RLE/bit-packed hybrid round-trips arbitrary level runs") =
+    Prop.forAll(Gen.choose(1, 8), Gen.nonEmptyListOf(Gen.choose(0, 255))) {
+      (bw, vs0) =>
+        val max = (1 << bw) - 1
+        val vs = vs0.map(_ & max).toArray
+        val enc = ParquetCodec.rleHybridEncode(vs, bw)
+        val (got, end) = ParquetCodec.rleHybrid(enc, 0, enc.length, bw, vs.length)
+        end == enc.length && java.util.Arrays.equals(got, vs)
+    }
+
+  property("parquet: thrift compact writer∘reader = identity on nested footers") =
+    Prop.forAll(Gen.choose(0L, Long.MaxValue / 2), Gen.alphaNumStr,
+      Gen.choose(0, 20)) { (n, s, k) =>
+      val w = new ParquetCodec.TWriter
+      w.struct { f =>
+        f.i32(1, k.toLong)
+        f.i64(3, n)
+        f.str(4, s)
+        f.structField(7) { inner =>
+          inner.i64(2, -n) // negative: zigzag sign path
+          inner.bool(5, (k & 1) == 1)
+          inner.i32(200, 9L) // long-form field id (delta > 15)
+        }
+        f.list(9, 6, k) { (0 until k).foreach(i => w.i32Elem(i.toLong)) }
+      }
+      val bytes = w.bytes
+      val r = new ParquetCodec.TReader(bytes, 0, bytes.length)
+      val st = r.struct()
+      r.pos == bytes.length &&
+        st.f(1) == ParquetCodec.TI(k.toLong) &&
+        st.f(3) == ParquetCodec.TI(n) &&
+        new String(st.f(4).asInstanceOf[ParquetCodec.TBin].v, "UTF-8") == s &&
+        st.f(7).asInstanceOf[ParquetCodec.TStruct].f(2) == ParquetCodec.TI(-n) &&
+        st.f(7).asInstanceOf[ParquetCodec.TStruct].f(200) == ParquetCodec.TI(9L) &&
+        st.f(9).asInstanceOf[ParquetCodec.TList].v.length == k
+    }
+
+  property("parquet: write∘read = identity with the audit passing, all codecs") =
+    Prop.forAll(Gen.choose(1, 23), Gen.choose(1, 7), Gen.oneOf(0, 1, 2, 6),
+      Gen.choose(0L, 1L << 40)) { (n, cut, codec, seed) =>
+      val rows = (0 until n).map(j => (seed + j, (seed * 7 + j * 13) % 1000,
+        s"t $seed/$j"))
+      ParquetFile.read(ParquetFile.write(rows, cut, codec)).exists { info =>
+        info.numRows == n && info.nRowGroups == (n + cut - 1) / cut &&
+          info.cols.find(_.path == "doc_id").exists(_.sumInt == rows.map(_._1).sum) &&
+          info.cols.find(_.path == "val").exists(c =>
+            c.minInt == rows.map(_._2).min && c.maxInt == rows.map(_._2).max) &&
+          info.cols.find(_.path == "text").exists(
+            _.byteLen == rows.map(_._3.getBytes("UTF-8").length.toLong).sum)
+      }
+    }
+
+  property("parquet: lying stats and lying num_values quarantine; truncation quarantines") =
+    Prop.forAll(Gen.choose(2, 15), Gen.oneOf(0, 1, 2, 6), Gen.choose(1, 64)) {
+      (n, codec, cut0) =>
+        val rows = (0 until n).map(j => (j.toLong, (j * 13L) % 7, s"tx $j"))
+        val clean = ParquetFile.write(rows, 2, codec)
+        val cut = 1 + math.floorMod(cut0, clean.length - 1)
+        ParquetFile.read(ParquetFile.write(rows, 2, codec, lieStats = true)).isEmpty &&
+          ParquetFile.read(ParquetFile.write(rows, 2, codec, lieNumValues = true)).isEmpty &&
+          ParquetFile.read(java.util.Arrays.copyOf(clean, clean.length - cut)).isEmpty
+    }
+
+  property("parquet: the three d126 damage modes quarantine, clean ids walk") =
+    Prop.forAll(Gen.choose(0L, 4000L), zipTextGen) { (id, text0) =>
+      val text = if (text0.isEmpty) "x" else text0
+      val got = ParquetFile.read(ParquetSim.payloadFor(id, text))
+      if (id % 7 == 0 || id % 7 == 3 || id % 7 == 5) got.isEmpty
+      else got.exists { info =>
+        info.numRows == ParquetSim.nRows(id) &&
+          info.cols.find(_.path == "text").exists(
+            _.byteLen == text.getBytes("UTF-8").length.toLong)
+      }
+    }
+
   // ---- Avro OCF (d121) -------------------------------------------------
 
   import graft.operators.{AvroOcfCodec, AvroOcfSim}

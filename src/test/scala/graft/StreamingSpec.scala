@@ -1329,6 +1329,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq && got.nonEmpty)
   }
 
+  test("streaming parquet walk matches batch bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docRows = (0L until 21L).map(i => (i, s"parquet page text $i\n" * 3))
+    val ps = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStream.parquetWalked(spark,
+        ps.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("parquet_out").start()
+    ps.addData(docRows)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("parquet_out").orderBy("doc_id").collect().map(_.toString)
+    val want = graft.operators.ParquetSim.stats(spark,
+        docRows.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(got.toSeq == want.toSeq && got.length == 21)
+    assert(spark.table("parquet_out")
+      .filter(col("status") === "quarantined").count() == 9)
+  }
+
   test("streaming avro ocf decode matches batch bit-for-bit") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
