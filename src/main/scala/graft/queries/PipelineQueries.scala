@@ -1449,6 +1449,20 @@ object PipelineQueries {
     "d126_parquet_pages" -> ((s, dir) =>
       ParquetSim.stats(s, docs(s, dir)).orderBy("doc_id")),
 
+    // the email-dump corpus shape (.eml, the Enron-class public
+    // corpora) as a ROW SOURCE: RFC 5322 headers with FOLDING and
+    // case-insensitive names, multipart/mixed boundaries, and the two
+    // MIME transfer codings from their RFCs — strict base64 (alphabet,
+    // padding, slack bits) and quoted-printable (uppercase-hex
+    // escapes, soft breaks) — with part bytes transcoded through
+    // d128's charset tables (utf-8 / windows-1252 / us-ascii rotate).
+    // The boundary starts with '=' — a char base64 lacks and QP always
+    // escapes — so content can never collide with the delimiter.
+    // Damage: truncated close delimiter / one bad base64 char / a bad
+    // QP escape. Damaged docs contribute nothing (the d111 rule)
+    "d130_eml_mime" -> ((s, dir) =>
+      EmlSim.rows(s, docs(s, dir)).orderBy("doc_id", "part")),
+
     "d119_jsonl_zst" -> ((s, dir) =>
       ZstdJsonlSim.lines(s, docs(s, dir))
         .select(col("doc_id"), col("n_frames"),
@@ -3286,6 +3300,31 @@ object PipelineQueries {
         |  (CASE WHEN b.doc_id % 7 IN (0, 3, 5) THEN NULL
         |        ELSE octet_length(encode(b.text)) END)::BIGINT AS text_bytes
         | FROM base b JOIN vs USING (doc_id) ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // the eml oracle replays the parts grid off documents.text: the
+    // d111 slice substrings, encodings/charsets from the %3 closed
+    // form, the QP/7bit texts as the d128-style literal replaces
+    // (€=chr(8364)), base64 parts carrying the raw slice
+    "d130_eml_mime" ->
+      """WITH pi AS (SELECT range AS j FROM range(5)),
+        | p AS (SELECT doc_id, text, (2 + doc_id % 3)::BIGINT AS k,
+        |   length(text)::BIGINT AS cps
+        |  FROM documents WHERE doc_id % 7 NOT IN (0, 3, 5)),
+        | m AS (SELECT p.doc_id, j, substring(p.text,
+        |    ((j * p.cps) // p.k)::INT + 1,
+        |    (((j + 1) * p.cps) // p.k - (j * p.cps) // p.k)::INT) AS sl
+        |  FROM p JOIN pi ON j < p.k),
+        | s AS (SELECT doc_id, j, sl,
+        |   replace(regexp_replace(sl, '[^ -~]', '', 'g'), '<', ' ') AS san FROM m)
+        | SELECT doc_id, j::INT AS part,
+        |  CASE (j % 3) WHEN 0 THEN 'base64' WHEN 1 THEN 'quoted-printable'
+        |       ELSE '7bit' END AS encoding,
+        |  CASE (j % 3) WHEN 0 THEN 'utf-8' WHEN 1 THEN 'windows-1252'
+        |       ELSE 'us-ascii' END AS charset,
+        |  CASE (j % 3) WHEN 0 THEN sl
+        |       WHEN 1 THEN replace(san, 'e', chr(8364))
+        |       ELSE replace(san, '=', ' ') END AS text_out
+        | FROM s ORDER BY doc_id, part""".stripMargin.replaceAll("\n", " "),
 
     "d117_zstd_frames" ->
       """SELECT doc_id,

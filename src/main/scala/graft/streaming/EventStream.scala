@@ -705,6 +705,15 @@ object EventStream {
                     stream: DataFrame): DataFrame =
     graft.operators.ParquetSim.stats(spark, stream)
 
+  /** Streaming .eml ingest — d130's streaming twin: the RFC 5322 +
+    * MIME parse (folding, boundaries, base64/QP transfer decode,
+    * d128 charset transcode) runs per micro-batch through the same
+    * batched mapPartitions contract (stateless, map-only), handing
+    * part ROWS to the stream plan. */
+  def emlPartRows(spark: org.apache.spark.sql.SparkSession,
+                  stream: DataFrame): DataFrame =
+    graft.operators.EmlSim.rows(spark, stream)
+
   /** Streaming Avro OCF ingest — d121's streaming twin: the
     * header/sync/block walk + record decode runs per micro-batch
     * through the same batched mapPartitions contract (stateless,

@@ -713,6 +713,11 @@ object ScaleRehearsal {
         graft.operators.ParquetSim.stats(spark,
           big.select(col("doc_id"), col("text")))
           .filter(col("status") === "ok").count())
+      ratio("eml mime rows (d130)",
+        graft.operators.EmlSim.rows(spark,
+          base.select(col("doc_id"), col("text"))).count(),
+        graft.operators.EmlSim.rows(spark,
+          big.select(col("doc_id"), col("text"))).count())
       ratio("snappy framed decode (d122)",
         graft.operators.SnappySim.stats(spark,
           base.select(col("doc_id"), col("text")))

@@ -283,6 +283,10 @@ class AnsiRobustnessSpec extends AnyFunSuite {
       docs.select(col("doc_id"), col("text")).limit(42))
     assert(pq.filter(col("status") === "ok").count() > 0)
     assert(pq.filter(col("status") === "quarantined").count() > 0)
+    // and the eml/MIME rows (base64/QP/folding arithmetic)
+    val em = graft.operators.EmlSim.rows(spark,
+      docs.select(col("doc_id"), col("text")).limit(42))
+    assert(em.count() > 0)
     // and the Avro container walk (zigzag/sync/map-block arithmetic)
     val av = graft.operators.AvroOcfSim.stats(spark,
       docs.select(col("doc_id"), col("text")).limit(42))

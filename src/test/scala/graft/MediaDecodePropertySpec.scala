@@ -2086,6 +2086,76 @@ object MediaDecodePropertySpec extends Properties("MediaDecode") {
       }
     }
 
+  // ---- eml / MIME (d130) ----------------------------------------------
+
+  import graft.operators.{EmlCodec, EmlSim}
+
+  property("eml: base64 encode∘decode = identity and both match the JDK") =
+    Prop.forAll(bytesGen, Gen.choose(4, 76)) { (b, wrap) =>
+      val ours = EmlCodec.base64Encode(b, wrap)
+      val jdkDec = java.util.Base64.getMimeDecoder.decode(ours)
+      val jdkEnc = java.util.Base64.getEncoder.encodeToString(b)
+      java.util.Arrays.equals(EmlCodec.base64Decode(ours), b) &&
+        java.util.Arrays.equals(jdkDec, b) &&
+        java.util.Arrays.equals(EmlCodec.base64Decode(jdkEnc), b)
+    }
+
+  property("eml: strict base64 rejects bad chars, dangling quanta, slack and post-pad data") =
+    Prop.forAll(Gen.alphaNumStr) { _ =>
+      def bad(s: String): Boolean =
+        try { EmlCodec.base64Decode(s); false }
+        catch { case _: Throwable => true }
+      bad("QUJ!") && bad("QQ") && bad("Q===") && bad("QR==") /* slack bits */ &&
+        bad("QUJD QQ==QQ==") && bad("=AAA") &&
+        java.util.Arrays.equals(EmlCodec.base64Decode("QQ=="), Array('A'.toByte))
+    }
+
+  property("eml: quoted-printable encode∘decode = identity over raw bytes") =
+    Prop.forAll(bytesGen) { b =>
+      java.util.Arrays.equals(EmlCodec.qpDecode(EmlCodec.qpEncode(b)), b) && {
+        def bad(s: String): Boolean =
+          try { EmlCodec.qpDecode(s); false }
+          catch { case _: Throwable => true }
+        bad("=G7") && bad("=3d") /* lowercase hex: not canonical */ &&
+          bad("ab=") && !bad("ab=3D")
+      }
+    }
+
+  property("eml: parse recovers every part text, encoding and charset") =
+    Prop.forAll(Gen.choose(0L, 4000L), zipTextGen) { (id0, text) =>
+      val id = id0 - id0 % 7 + 1 // clean slice
+      EmlCodec.parseMessage(EmlSim.payloadFor(id, text)).exists { parts =>
+        val sl = EmlSim.slices(id, text)
+        parts.length == EmlSim.nParts(id) &&
+          parts.zipWithIndex.forall { case ((enc, cs, t), j) =>
+            val wantEnc = Seq("base64", "quoted-printable", "7bit")(j % 3)
+            val wantCs = Seq("utf-8", "windows-1252", "us-ascii")(j % 3)
+            enc == wantEnc && cs == wantCs &&
+              t == EmlSim.partText(id, sl(j), j)
+          }
+      }
+    }
+
+  property("eml: the three d130 damage modes quarantine, clean ids parse") =
+    Prop.forAll(Gen.choose(0L, 4000L), zipTextGen) { (id, text) =>
+      val got = EmlCodec.parseMessage(EmlSim.payloadFor(id, text))
+      if (id % 7 == 0 || id % 7 == 3 || id % 7 == 5) got.isEmpty
+      else got.nonEmpty
+    }
+
+  property("eml: header folding unfolds and names are case-insensitive") =
+    Prop.forAll(zipTextGen) { text =>
+      // the sim itself writes a folded Subject and a case-mangled
+      // conTent-tYpe — a clean parse IS the pin; here add a stray
+      // prologue line and a missing close, both must quarantine
+      val clean = EmlSim.render(5L, if (text.isEmpty) "x" else text)
+      val prologue = clean.replaceFirst("\r\n--=_graft_5\r\n",
+        "\r\nstray preamble\r\n--=_graft_5\r\n")
+      EmlCodec.parseMessage(clean).nonEmpty &&
+        EmlCodec.parseMessage(prologue).isEmpty &&
+        EmlCodec.parseMessage(clean.replace("--=_graft_5--", "--=_other--")).isEmpty
+    }
+
   // ---- Avro OCF (d121) -------------------------------------------------
 
   import graft.operators.{AvroOcfCodec, AvroOcfSim}

@@ -1350,6 +1350,26 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("status") === "quarantined").count() == 9)
   }
 
+  test("streaming eml part rows match batch bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docRows = (0L until 21L).map(i => (i, s"eml part body text $i\n" * 3))
+    val ps = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStream.emlPartRows(spark,
+        ps.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("eml_out").start()
+    ps.addData(docRows)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("eml_out").orderBy("doc_id", "part")
+      .collect().map(_.toString)
+    val want = graft.operators.EmlSim.rows(spark,
+        docRows.toDF("doc_id", "text"))
+      .orderBy("doc_id", "part").collect().map(_.toString)
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
+  }
+
   test("streaming avro ocf decode matches batch bit-for-bit") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
