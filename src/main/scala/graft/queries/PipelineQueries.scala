@@ -1463,6 +1463,20 @@ object PipelineQueries {
     "d130_eml_mime" -> ((s, dir) =>
       EmlSim.rows(s, docs(s, dir)).orderBy("doc_id", "part")),
 
+    // robots.txt (RFC 9309) — the crawl-politeness gate deciding which
+    // URLs may even enter the corpus (the d76 pairing): group
+    // structure with case-insensitive keys and ignored unknown keys,
+    // product-token group selection beating '*' (a decoy group for
+    // another bot must be ignored — the %3==0 docs' '*' group says
+    // Disallow:/ so a selection bug flips every verdict), longest-
+    // match precedence with Allow winning ties, '*' wildcards and
+    // trailing-'$' anchors, empty-Disallow no-ops. Probe grid of 8
+    // closed-form paths per doc exercises every corner. Damage: an
+    // orphan rule before any group / a colon-less line / an empty
+    // product token — strict grammar violations quarantine
+    "d131_robots_rules" -> ((s, dir) =>
+      RobotsSim.rows(s, docs(s, dir)).orderBy("doc_id", "path_id")),
+
     "d119_jsonl_zst" -> ((s, dir) =>
       ZstdJsonlSim.lines(s, docs(s, dir))
         .select(col("doc_id"), col("n_frames"),
@@ -3325,6 +3339,27 @@ object PipelineQueries {
         |       WHEN 1 THEN replace(san, 'e', chr(8364))
         |       ELSE replace(san, '=', ' ') END AS text_out
         | FROM s ORDER BY doc_id, part""".stripMargin.replaceAll("\n", " "),
+
+    // the robots oracle replays the 8-path probe grid as pure CASE
+    // arithmetic: paths from the %10 closed form, verdicts and the
+    // winning-rule lengths fixed by the grid position
+    "d131_robots_rules" ->
+      """WITH pj AS (SELECT range AS j FROM range(8)),
+        | d AS (SELECT doc_id, doc_id % 10 AS k FROM documents
+        |   WHERE doc_id % 7 NOT IN (0, 3, 5))
+        | SELECT doc_id, j::INT AS path_id,
+        |  CASE j WHEN 0 THEN '/private' || k || '/doc'
+        |         WHEN 1 THEN '/private' || k || '/pub/x'
+        |         WHEN 2 THEN '/tmp'
+        |         WHEN 3 THEN '/tmp/file'
+        |         WHEN 4 THEN '/public/doc' || doc_id
+        |         WHEN 5 THEN '/private' || k
+        |         WHEN 6 THEN '/dl/a' || k || '.zip'
+        |         ELSE '/dl/a' || k || '.zipx' END AS path,
+        |  (j IN (1, 3, 4, 5, 7))::BOOLEAN AS allowed,
+        |  (CASE j WHEN 0 THEN 10 WHEN 1 THEN 13 WHEN 2 THEN 5
+        |          WHEN 6 THEN 10 ELSE 0 END)::INT AS rule_len
+        | FROM d CROSS JOIN pj ORDER BY doc_id, path_id""".stripMargin.replaceAll("\n", " "),
 
     "d117_zstd_frames" ->
       """SELECT doc_id,

@@ -714,6 +714,15 @@ object EventStream {
                   stream: DataFrame): DataFrame =
     graft.operators.EmlSim.rows(spark, stream)
 
+  /** Streaming robots verdicts — d131's streaming twin: the RFC 9309
+    * parse + longest-match evaluation runs per micro-batch through
+    * the same batched mapPartitions contract (stateless, map-only),
+    * handing verdict ROWS to the stream plan — a live crawl frontier
+    * filters against them unchanged. */
+  def robotsVerdicts(spark: org.apache.spark.sql.SparkSession,
+                     stream: DataFrame): DataFrame =
+    graft.operators.RobotsSim.rows(spark, stream)
+
   /** Streaming Avro OCF ingest — d121's streaming twin: the
     * header/sync/block walk + record decode runs per micro-batch
     * through the same batched mapPartitions contract (stateless,

@@ -718,6 +718,11 @@ object ScaleRehearsal {
           base.select(col("doc_id"), col("text"))).count(),
         graft.operators.EmlSim.rows(spark,
           big.select(col("doc_id"), col("text"))).count())
+      ratio("robots verdicts (d131)",
+        graft.operators.RobotsSim.rows(spark,
+          base.select(col("doc_id"))).count(),
+        graft.operators.RobotsSim.rows(spark,
+          big.select(col("doc_id"))).count())
       ratio("snappy framed decode (d122)",
         graft.operators.SnappySim.stats(spark,
           base.select(col("doc_id"), col("text")))

@@ -287,6 +287,10 @@ class AnsiRobustnessSpec extends AnyFunSuite {
     val em = graft.operators.EmlSim.rows(spark,
       docs.select(col("doc_id"), col("text")).limit(42))
     assert(em.count() > 0)
+    // and the robots verdicts (wildcard/precedence arithmetic)
+    val rb = graft.operators.RobotsSim.rows(spark,
+      docs.select(col("doc_id")).limit(42))
+    assert(rb.count() > 0)
     // and the Avro container walk (zigzag/sync/map-block arithmetic)
     val av = graft.operators.AvroOcfSim.stats(spark,
       docs.select(col("doc_id"), col("text")).limit(42))

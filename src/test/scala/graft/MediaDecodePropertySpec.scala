@@ -2156,6 +2156,66 @@ object MediaDecodePropertySpec extends Properties("MediaDecode") {
         EmlCodec.parseMessage(clean.replace("--=_graft_5--", "--=_other--")).isEmpty
     }
 
+  // ---- robots.txt (d131) --------------------------------------------------
+
+  import graft.operators.{RobotsCodec, RobotsSim}
+
+  private val robotsPathGen: Gen[String] =
+    Gen.listOf(Gen.frequency(6 -> Gen.oneOf('a', 'b', '/', '.'),
+      1 -> Gen.const('z'))).map(cs => "/" + cs.mkString)
+
+  private val robotsPatGen: Gen[String] =
+    for {
+      body <- Gen.listOf(Gen.frequency(5 -> Gen.oneOf('a', 'b', '/', '.'),
+        1 -> Gen.const('*')))
+      anchor <- Gen.oneOf("", "$")
+    } yield "/" + body.mkString + anchor
+
+  property("robots: the wildcard matcher agrees with a regex reference") =
+    Prop.forAll(robotsPatGen, robotsPathGen) { (pat, path) =>
+      val anchored = pat.endsWith("$")
+      val core = if (anchored) pat.dropRight(1) else pat
+      val rx = core.map {
+        case '*' => ".*"
+        case c if "\\.[]{}()+-^$|?".contains(c) => "\\" + c
+        case c => c.toString
+      }.mkString
+      val ref = if (anchored) path.matches(rx)
+        else path.matches(rx + ".*")
+      RobotsCodec.pathMatches(pat, path) == ref
+    }
+
+  property("robots: longest match wins and Allow takes ties") =
+    Prop.forAll(Gen.alphaLowerStr.suchThat(_.nonEmpty)) { stem =>
+      val g = Some(RobotsCodec.Group(Seq("*"), Seq(
+        (false, s"/$stem/"), (true, s"/$stem/pub"), (true, s"/$stem/"))))
+      // /stem/x: Disallow(len n) ties Allow(len n) → Allow wins
+      RobotsCodec.verdict(g, s"/$stem/x") == ((true, stem.length + 2)) &&
+        // /stem/pubz: the longer Allow wins over the shorter Disallow
+        RobotsCodec.verdict(g, s"/$stem/pubz") == ((true, stem.length + 5)) &&
+        // no match at all → allowed, rule_len 0
+        RobotsCodec.verdict(g, "/other") == ((true, 0))
+    }
+
+  property("robots: group selection prefers the product token over '*'") =
+    Prop.forAll(Gen.const(())) { _ =>
+      val groups = RobotsCodec.parse(RobotsSim.robotsTxt(3L)).get // %3==0 shape
+      val ours = RobotsCodec.selectGroup(groups, "graftbot")
+      val other = RobotsCodec.selectGroup(groups, "somebot")
+      // ours: the GraftBot group (first rule targets /private3/);
+      // an unknown bot falls back to '*' whose only rule is Disallow:/
+      ours.exists(_.rules.exists(_._2.startsWith("/private"))) &&
+        other.exists(g => g.rules == Seq((false, "/"))) &&
+        RobotsCodec.verdict(other, "/anything")._1 == false
+    }
+
+  property("robots: the three d131 damage modes quarantine, clean ids parse") =
+    Prop.forAll(Gen.choose(0L, 4000L)) { id =>
+      val got = RobotsCodec.parse(RobotsSim.payloadFor(id))
+      if (id % 7 == 0 || id % 7 == 3 || id % 7 == 5) got.isEmpty
+      else got.nonEmpty
+    }
+
   // ---- Avro OCF (d121) -------------------------------------------------
 
   import graft.operators.{AvroOcfCodec, AvroOcfSim}

@@ -693,7 +693,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "d117_zstd_frames", "d120_tfexample", "d121_avro_ocf",
       "d122_snappy_framed", "d123_zstd_seekable", "d124_deflate",
       "d125_bzip2", "d126_parquet_pages", "d127_http_chunked",
-      "d128_charset_sniff", "d129_xml_rows", "d130_eml_mime")) {
+      "d128_charset_sniff", "d129_xml_rows", "d130_eml_mime",
+      "d131_robots_rules")) {
       val p = plan(q)
       // synthesis + decode are chained mapPartitions over the scan;
       // the only exchange allowed is the presentation orderBy's

@@ -1370,6 +1370,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq && got.nonEmpty)
   }
 
+  test("streaming robots verdicts match batch bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docRows = (0L until 21L).map(i => (i, s"unused $i"))
+    val ps = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStream.robotsVerdicts(spark,
+        ps.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("robots_out").start()
+    ps.addData(docRows)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("robots_out").orderBy("doc_id", "path_id")
+      .collect().map(_.toString)
+    val want = graft.operators.RobotsSim.rows(spark,
+        docRows.toDF("doc_id", "text"))
+      .orderBy("doc_id", "path_id").collect().map(_.toString)
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
+  }
+
   test("streaming avro ocf decode matches batch bit-for-bit") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
