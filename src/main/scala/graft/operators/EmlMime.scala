@@ -96,7 +96,13 @@ object EmlCodec {
     out.toByteArray
   }
 
-  private[graft] def base64Encode(b: Array[Byte], wrap: Int = 60): String = {
+  private[graft] def base64Encode(b: Array[Byte], wrap0: Int = 60): String = {
+    // wrap only at multiples of 4: splitting a quantum (in particular
+    // the final padding) across lines is RFC-2045-legal but the JDK's
+    // own MIME decoder rejects a lone '=' continuation line ("wrong
+    // 4-byte ending unit") — every real MIME encoder wraps at 4k
+    // columns, so ours does too; the DECODER stays break-tolerant
+    val wrap = math.max(4, wrap0 - (wrap0 % 4))
     val sb = new java.lang.StringBuilder(b.length * 4 / 3 + 8)
     var i = 0
     var col0 = 0
