@@ -1477,6 +1477,61 @@ object PipelineQueries {
     "d131_robots_rules" -> ((s, dir) =>
       RobotsSim.rows(s, docs(s, dir)).orderBy("doc_id", "path_id")),
 
+    // the REFERENCE'S OWN OUTPUT FORMAT as a row source: SQLite
+    // database files walked from the published file format (no JDBC,
+    // no native lib) — header grammar, varints, serial types with the
+    // INTEGER-PRIMARY-KEY rule, interior+leaf table b-trees with
+    // strict rowid ascent, the exact leaf spill formula + overflow
+    // chains, sqlite_schema name resolution past a decoy table.
+    // 512-byte pages so interior pages AND overflow chains run
+    // corpus-wide. Interop BOTH directions vs the sqlite3 CLI (our
+    // files pass PRAGMA integrity_check). Damage: truncation (the
+    // header's page count lies) / a cell pointer into the page header
+    // (only the content-area bound catches it) / the body column's
+    // serial type declared as same-length BLOB (every length tiles —
+    // only the schema type discipline catches it)
+    "d132_sqlite_pages" -> ((s, dir) =>
+      SqliteSim.rows(s, docs(s, dir)).orderBy("doc_id", "row_idx")),
+
+    // ORC — the OTHER warehouse format — from the published spec, both
+    // directions: protobuf footers (our d120-style wire walk), the
+    // 3-byte chunk framing over OUR codecs (ZLIB = d124 raw deflate,
+    // SNAPPY = d122, ZSTD = d117, rotating doc_id%4 with NONE), RLEv2
+    // in all four sub-encodings (ids land on fixed DELTA, the constant
+    // tag on SHORT_REPEAT, the first stripe's 2^40 val outlier on
+    // PATCHED_BASE, body lengths on DIRECT), DIRECT_V2 + DICTIONARY_V2
+    // strings, and the d126 stats AUDIT: declared file-footer
+    // min/max/sum are verified against the decoded stripes. Interop
+    // both directions vs Spark's own orc-core. Damage: truncation / a
+    // LYING footer maximum (every stripe byte intact — only the audit
+    // catches the stat a scan would prune on) / a LYING stream length
+    // (the stripe no longer tiles)
+    "d133_orc_stripes" -> ((s, dir) =>
+      OrcSim.stats(s, docs(s, dir)).orderBy("doc_id")),
+
+    // .jsonl.xz — the OTHER Wikipedia-dump codec (the d119 symmetry):
+    // the XZ container (stream header/footer with CRC-protected flag
+    // copies, block headers, per-block CRC32/CRC64 data checks — the
+    // CRC64 table is ours — and the INDEX cross-checked against the
+    // blocks actually walked) over a FULL from-scratch LZMA decoder
+    // (range coder, 12-state machine, matched literals, all four rep
+    // distances, position-slot/special/align trees) and a real LZMA
+    // encoder (same range coder forward, greedy hash matches). Interop
+    // both directions vs XZ for Java. Damage: truncation / a LYING
+    // index record with its CRC recomputed (only the cross-check
+    // catches it) / a flipped bit in the block's data check
+    "d134_xz_lzma" -> ((s, dir) =>
+      XzJsonlSim.lines(s, docs(s, dir))
+        .select(col("doc_id"), col("n_blocks"),
+          from_json(col("line"), "id BIGINT, text STRING",
+            Map.empty[String, String]).as("j"))
+        .groupBy("doc_id")
+        .agg(max(col("n_blocks")).as("n_blocks"),
+          count(lit(1)).as("n_records"),
+          sum(col("j.id")).as("sum_ids"),
+          sum(octet_length(col("j.text")).cast("long")).as("n_bytes"))
+        .orderBy("doc_id")),
+
     "d119_jsonl_zst" -> ((s, dir) =>
       ZstdJsonlSim.lines(s, docs(s, dir))
         .select(col("doc_id"), col("n_frames"),
@@ -3360,6 +3415,60 @@ object PipelineQueries {
         |  (CASE j WHEN 0 THEN 10 WHEN 1 THEN 13 WHEN 2 THEN 5
         |          WHEN 6 THEN 10 ELSE 0 END)::INT AS rule_len
         | FROM d CROSS JOIN pj ORDER BY doc_id, path_id""".stripMargin.replaceAll("\n", " "),
+
+    // the sqlite oracle replays the docs-table grid off documents.text:
+    // K = 4 + doc_id%5 rows, rowid/val/flag/score closed forms, body =
+    // the codepoint slice + the 600-byte pad every row spills on
+    "d132_sqlite_pages" ->
+      """WITH pj AS (SELECT range AS j FROM range(9)),
+        | p AS (SELECT doc_id, text, (4 + doc_id % 5)::BIGINT AS k,
+        |   length(text)::BIGINT AS cps
+        |  FROM documents WHERE doc_id % 7 NOT IN (0, 3, 5)),
+        | m AS (SELECT p.doc_id, j, substring(p.text,
+        |    ((j * p.cps) // p.k)::INT + 1,
+        |    (((j + 1) * p.cps) // p.k - (j * p.cps) // p.k)::INT) AS sl
+        |  FROM p JOIN pj ON j < p.k)
+        | SELECT doc_id, j::INT AS row_idx, (doc_id * 8 + j)::BIGINT AS id,
+        |  ((doc_id * 7 + j * 13) % 1000)::BIGINT AS val,
+        |  (j % 2)::BIGINT AS flag, (j + 0.5)::DOUBLE AS score,
+        |  sl || repeat('x', 600) AS body
+        | FROM m ORDER BY doc_id, row_idx""".stripMargin.replaceAll("\n", " "),
+
+    // the ORC oracle replays the file geometry and column sums off
+    // documents.text: K and the stripe count are closed forms, sums
+    // replay the bounded (≤8) modular grid plus the 2^40 outlier, text
+    // bytes = the slices concatenate back to the doc
+    "d133_orc_stripes" ->
+      """WITH base AS (SELECT doc_id, text, (4 + doc_id % 5)::BIGINT AS k FROM documents),
+        | rj AS (SELECT range AS j FROM range(8)),
+        | vs AS (SELECT b.doc_id, sum((b.doc_id * 7 + j * 13) % 1000)::BIGINT AS sv
+        |   FROM base b JOIN rj ON j < b.k GROUP BY b.doc_id)
+        | SELECT b.doc_id,
+        |  CASE WHEN b.doc_id % 7 IN (0, 3, 5) THEN 'quarantined' ELSE 'ok' END AS status,
+        |  (CASE WHEN b.doc_id % 7 IN (0, 3, 5) THEN NULL ELSE (b.k + 2) // 3 END)::BIGINT AS n_stripes,
+        |  (CASE WHEN b.doc_id % 7 IN (0, 3, 5) THEN NULL ELSE b.k END)::BIGINT AS n_rows,
+        |  (CASE WHEN b.doc_id % 7 IN (0, 3, 5) THEN NULL
+        |        ELSE b.k * b.doc_id * 8 + b.k * (b.k - 1) // 2 END)::BIGINT AS sum_ids,
+        |  (CASE WHEN b.doc_id % 7 IN (0, 3, 5) THEN NULL
+        |        ELSE vs.sv + 1099511627776 END)::BIGINT AS sum_vals,
+        |  (CASE WHEN b.doc_id % 7 IN (0, 3, 5) THEN NULL
+        |        ELSE b.k * (b.doc_id % 5) END)::BIGINT AS sum_tags,
+        |  (CASE WHEN b.doc_id % 7 IN (0, 3, 5) THEN NULL
+        |        ELSE octet_length(encode(b.text)) END)::BIGINT AS text_bytes
+        | FROM base b JOIN vs USING (doc_id) ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // the xz oracle is the d119 shape: record ids and byte totals are
+    // closed forms off the doc's line structure
+    "d134_xz_lzma" ->
+      """SELECT doc_id,
+        |  (CASE WHEN doc_id % 5 = 2 THEN 2 ELSE 1 END)::BIGINT AS n_blocks,
+        |  nl AS n_records,
+        |  (nl * doc_id * 1000 + nl * (nl - 1) // 2)::BIGINT AS sum_ids,
+        |  (octet_length(encode(text)) - (nl - 1))::BIGINT AS n_bytes
+        | FROM (SELECT doc_id, text,
+        |    (length(text) - length(replace(text, chr(10), '')) + 1)::BIGINT AS nl
+        |   FROM documents WHERE doc_id % 7 NOT IN (0, 3, 5))
+        | ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     "d117_zstd_frames" ->
       """SELECT doc_id,
