@@ -52,7 +52,8 @@ object Bench {
     "d123_zstd_seekable", "d124_deflate", "d125_bzip2",
     "d126_parquet_pages", "d127_http_chunked", "d128_charset_sniff",
     "d129_xml_rows", "d130_eml_mime", "d131_robots_rules",
-    "d132_sqlite_pages", "d133_orc_stripes", "d134_xz_lzma")
+    "d132_sqlite_pages", "d133_orc_stripes", "d134_xz_lzma",
+    "d135_parquet_v2")
 
   /** Fixed CPU-bound calibration microbench ("DotBench"): scalar dot
     * products over pinned-size float arrays with deterministic

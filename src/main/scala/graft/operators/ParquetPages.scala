@@ -263,6 +263,146 @@ object ParquetCodec {
     }
     out.toByteArray
   }
+
+  // -------------------------------------------- DELTA_BINARY_PACKED (v2)
+
+  /** DELTA_BINARY_PACKED (parquet Encodings.md): header (block size /
+    * miniblocks per block / total count / zigzag first value), then
+    * per block a zigzag min-delta, one bit-width byte per miniblock
+    * (unused miniblocks keep their width byte but have NO body), and
+    * LSB-first bit-packed adjusted deltas. Our writer emits the
+    * canonical 128/4 geometry; the reader accepts any spec-legal one. */
+  private[graft] def dbpEncode(vals: Array[Long]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(vals.length + 16)
+    def varint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7FL) != 0) { out.write(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+    }
+    def zigzag(v: Long): Unit = varint((v << 1) ^ (v >> 63))
+    val BLOCK = 128
+    val MINIS = 4
+    val VPM = BLOCK / MINIS // 32: any bit width stays byte-aligned
+    varint(BLOCK.toLong); varint(MINIS.toLong)
+    varint(vals.length.toLong)
+    if (vals.isEmpty) return out.toByteArray
+    zigzag(vals(0))
+    val deltas = Array.tabulate(math.max(0, vals.length - 1))(i =>
+      vals(i + 1) - vals(i))
+    var at = 0
+    while (at < deltas.length) {
+      val n = math.min(BLOCK, deltas.length - at)
+      var minD = Long.MaxValue
+      var i = 0
+      while (i < n) { minD = math.min(minD, deltas(at + i)); i += 1 }
+      zigzag(minD)
+      val widths = Array.tabulate(MINIS) { m =>
+        val from = m * VPM
+        if (from >= n) 0
+        else {
+          var w = 0
+          var k = from
+          while (k < math.min(from + VPM, n)) {
+            val adj = deltas(at + k) - minD
+            w = math.max(w, 64 - java.lang.Long.numberOfLeadingZeros(adj))
+            k += 1
+          }
+          w
+        }
+      }
+      widths.foreach(out.write)
+      var m = 0
+      while (m * VPM < n) {
+        val w = widths(m)
+        if (w > 0) {
+          val body = new Array[Byte](VPM * w / 8)
+          var k = 0
+          while (k < VPM) {
+            val idx = at + m * VPM + k
+            val adj = if (m * VPM + k < n) deltas(idx) - minD else 0L
+            var bit = 0
+            while (bit < w) {
+              if (((adj >>> bit) & 1) != 0) {
+                val bp = k * w + bit
+                body(bp / 8) = (body(bp / 8) | (1 << (bp % 8))).toByte
+              }
+              bit += 1
+            }
+            k += 1
+          }
+          out.write(body, 0, body.length)
+        }
+        m += 1
+      }
+      at += n
+    }
+    out.toByteArray
+  }
+
+  /** Decode exactly `count` DELTA_BINARY_PACKED values starting at
+    * `pos`; returns (values, first byte after the encoding). */
+  private[graft] def dbpDecode(b: Array[Byte], pos0: Int, end: Int,
+      count: Int): (Array[Long], Int) = {
+    var pos = pos0
+    def varint(): Long = {
+      var v = 0L
+      var shift = 0
+      while (true) {
+        if (pos >= end || shift > 63) throw Malformed
+        val x = b(pos); pos += 1
+        v |= (x & 0x7FL) << shift
+        if ((x & 0x80) == 0) return v
+        shift += 7
+      }
+      v
+    }
+    def zigzag(): Long = { val v = varint(); (v >>> 1) ^ -(v & 1) }
+    val block = varint().toInt
+    val minis = varint().toInt
+    if (block <= 0 || minis <= 0 || block % minis != 0) throw Malformed
+    val vpm = block / minis
+    if (block % 128 != 0 || vpm % 32 != 0) throw Malformed // spec multiples
+    val total = varint()
+    if (total != count) throw Malformed // the page header must agree
+    val out = new Array[Long](count)
+    if (count == 0) return (out, pos)
+    out(0) = zigzag()
+    var got = 1
+    while (got < count) {
+      val minD = zigzag()
+      val widths = new Array[Int](minis)
+      var m = 0
+      while (m < minis) {
+        if (pos >= end) throw Malformed
+        widths(m) = b(pos) & 0xFF
+        if (widths(m) > 64) throw Malformed
+        pos += 1
+        m += 1
+      }
+      m = 0
+      while (m < minis && got < count) {
+        val w = widths(m)
+        val bodyLen = vpm * w / 8
+        if (pos + bodyLen > end) throw Malformed
+        var k = 0
+        while (k < vpm && got < count) {
+          var adj = 0L
+          var bit = 0
+          while (bit < w) {
+            val bp = k * w + bit
+            if (((b(pos + bp / 8) >> (bp % 8)) & 1) != 0) adj |= 1L << bit
+            bit += 1
+          }
+          out(got) = out(got - 1) + minD + adj
+          got += 1
+          k += 1
+        }
+        pos += bodyLen
+        m += 1
+      }
+    }
+    (out, pos)
+  }
 }
 
 /** The file-level writer/reader over the thrift plumbing. Bounded
@@ -282,6 +422,9 @@ object ParquetFile {
   private val ENC_PLAIN_DICT = 2
   private val ENC_RLE = 3
   private val ENC_RLE_DICT = 8
+  private val ENC_DELTA_BINARY_PACKED = 5
+  private val ENC_DELTA_LENGTH_BYTE_ARRAY = 6
+  private val ENC_DELTA_BYTE_ARRAY = 7
 
   private def le32(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
     out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
@@ -354,6 +497,107 @@ object ParquetFile {
     (out.toByteArray, (raw.length + hdr.length).toLong)
   }
 
+  /** Render one V2 data page (d135): header field 8 (DataPageHeaderV2),
+    * def levels OUTSIDE the compressed region with NO length prefix
+    * (their byte length lives in the header — the v1/v2 difference the
+    * operator exists to cover), data section DELTA-encoded.
+    * `declaredNulls` lets the %7==5 damage lie about num_nulls — the
+    * v2-specific header field only the level audit catches. */
+  private def dataPageV2(codec: Int, actual: Int, declaredNulls: Int,
+                         enc: Int, data: Array[Byte]): (Array[Byte], Long) = {
+    val levels = ParquetCodec.rleHybridEncode(Array.fill(actual)(1), 1)
+    val comp = compress(codec, data)
+    val w = new TWriter
+    w.struct { s =>
+      s.i32(1, 3) // type: DATA_PAGE_V2
+      s.i32(2, (levels.length + data.length).toLong)
+      s.i32(3, (levels.length + comp.length).toLong)
+      s.structField(8) { d =>
+        d.i32(1, actual.toLong) // num_values
+        d.i32(2, declaredNulls.toLong) // num_nulls
+        d.i32(3, actual.toLong) // num_rows
+        d.i32(4, enc.toLong)
+        d.i32(5, levels.length.toLong) // definition_levels_byte_length
+        d.i32(6, 0L) // repetition_levels_byte_length
+        d.bool(7, codec != 0) // is_compressed
+      }
+    }
+    val hdr = w.bytes
+    val out = new java.io.ByteArrayOutputStream(comp.length + hdr.length)
+    out.write(hdr, 0, hdr.length)
+    out.write(levels, 0, levels.length)
+    out.write(comp, 0, comp.length)
+    (out.toByteArray,
+      (hdr.length + levels.length + data.length).toLong)
+  }
+
+  /** Write the v2 twin of [[write]]: same bounded schema and footer,
+    * data pages v2 with the DELTA encodings — ids/vals
+    * DELTA_BINARY_PACKED, text DELTA_BYTE_ARRAY (prefix lengths +
+    * suffix lengths as inner DBP runs + suffix bytes). */
+  private[graft] def writeV2(rows: Seq[(Long, Long, String)], rowGroupCut: Int,
+                             codec: Int, lieStats: Boolean = false,
+                             lieNumNulls: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(4096)
+    out.write(MAGIC, 0, 4)
+    val groups = rows.grouped(rowGroupCut).toSeq
+    val rgMeta = groups.zipWithIndex.map { case (g, gi) =>
+      val cols = Seq(("doc_id", T_INT64), ("val", T_INT64),
+        ("text", T_BYTE_ARRAY)).map { case (name, tpe) =>
+        var sMin = Long.MaxValue
+        var sMax = Long.MinValue
+        val (enc, data) =
+          if (tpe == T_INT64) {
+            val vs = g.map { case (id, v, _) =>
+              val x = if (name == "doc_id") id else v
+              if (x < sMin) sMin = x
+              if (x > sMax) sMax = x
+              x
+            }.toArray
+            (ENC_DELTA_BINARY_PACKED, ParquetCodec.dbpEncode(vs))
+          } else {
+            val bs = g.map(_._3.getBytes("UTF-8"))
+            val prefixes = bs.zipWithIndex.map { case (cur, i) =>
+              if (i == 0) 0L
+              else {
+                val prev = bs(i - 1)
+                var p = 0
+                val lim = math.min(prev.length, cur.length)
+                while (p < lim && prev(p) == cur(p)) p += 1
+                p.toLong
+              }
+            }.toArray
+            val sufLens = bs.zipWithIndex.map { case (cur, i) =>
+              cur.length - prefixes(i).toInt
+            }
+            val body = new java.io.ByteArrayOutputStream()
+            val pfx = ParquetCodec.dbpEncode(prefixes)
+            val sfl = ParquetCodec.dbpEncode(sufLens.map(_.toLong).toArray)
+            body.write(pfx, 0, pfx.length)
+            body.write(sfl, 0, sfl.length)
+            bs.zipWithIndex.foreach { case (cur, i) =>
+              body.write(cur, prefixes(i).toInt, sufLens(i))
+            }
+            (ENC_DELTA_BYTE_ARRAY, body.toByteArray)
+          }
+        val nullsDecl = if (lieNumNulls && gi == 0 && name == "doc_id") 1 else 0
+        val (page, uncomp) = dataPageV2(codec, g.length, nullsDecl, enc, data)
+        val declMax = if (lieStats && gi == 0 && name == "val") sMax - 1
+          else sMax
+        Chunk(page, uncomp, tpe, name, g.length.toLong,
+          if (tpe == T_INT64 && g.nonEmpty) Some((sMin, declMax)) else None)
+      }
+      val offs = cols.map { c =>
+        val o = out.size().toLong
+        out.write(c.bytes, 0, c.bytes.length)
+        o
+      }
+      (g.length.toLong, cols.zip(offs))
+    }
+    writeFooter(out, rows.length.toLong, rgMeta, codec)
+    out.toByteArray
+  }
+
   private final case class Chunk(bytes: Array[Byte], uncompressed: Long,
                                  tpe: Int, name: String, numValues: Long,
                                  stats: Option[(Long, Long)])
@@ -405,7 +649,14 @@ object ParquetFile {
       }
       (g.length.toLong, cols.zip(offs))
     }
-    // footer
+    writeFooter(out, rows.length.toLong, rgMeta, codec)
+    out.toByteArray
+  }
+
+  /** The shared footer render (v1 and v2 files differ only in their
+    * pages — the footer grammar is identical). */
+  private def writeFooter(out: java.io.ByteArrayOutputStream, nRowsTotal: Long,
+      rgMeta: Seq[(Long, Seq[(Chunk, Long)])], codec: Int): Unit = {
     val w = new TWriter
     w.struct { f =>
       f.i32(1, 1) // version
@@ -424,7 +675,7 @@ object ParquetFile {
             }
           }
       }
-      f.i64(3, rows.length.toLong)
+      f.i64(3, nRowsTotal)
       f.list(4, 12, rgMeta.length) {
         rgMeta.foreach { case (nRows, cols) =>
           w.structElem { rg =>
@@ -466,7 +717,6 @@ object ParquetFile {
     out.write(footer, 0, footer.length)
     le32(out, footer.length)
     out.write(MAGIC, 0, 4)
-    out.toByteArray
   }
 
   // ---------------------------------------------------------------- reader
@@ -583,7 +833,10 @@ object ParquetFile {
               val uSize = fi(ph, 2).toInt
               val cSize = fi(ph, 3).toInt
               if (uSize < 0 || cSize < 0) throw Malformed
-              val page = decompress(codec, b, tr.pos, tr.pos + cSize, uSize)
+              val rawStart = tr.pos
+              // v1 + dictionary pages are compressed WHOLE; v2 pages
+              // keep their level sections raw (handled in their branch)
+              lazy val page = decompress(codec, b, rawStart, rawStart + cSize, uSize)
               pos = tr.pos + cSize
               nPages += 1
               pType match {
@@ -687,7 +940,135 @@ object ParquetFile {
                     case _ => throw Malformed
                   }
                   seen += pn
-                case _ => throw Malformed // v2 pages: out of scope
+                case 3 => // data page V2 (d135): levels OUTSIDE the
+                  // compressed region, no length prefix, DELTA encodings
+                  val dh = fld(ph, 8) match {
+                    case Some(s: TStruct) => s
+                    case _ => throw Malformed
+                  }
+                  val pn = fi(dh, 1).toInt
+                  val declNulls = fi(dh, 2)
+                  val pRows = fi(dh, 3)
+                  val enc = fi(dh, 4).toInt
+                  val defLen = fi(dh, 5).toInt
+                  val repLen = fi(dh, 6).toInt
+                  val isComp = fld(dh, 7) match {
+                    case Some(TBool(v)) => v
+                    case None => true
+                    case _ => throw Malformed
+                  }
+                  if (pn <= 0 || seen + pn > numValues) throw Malformed
+                  if (repLen != 0) throw Malformed // REPEATED out of scope
+                  if (pRows != pn) throw Malformed // unnested: rows == values
+                  if (defLen < 0 || defLen + repLen > cSize ||
+                      defLen + repLen > uSize) throw Malformed
+                  var nn = pn
+                  if (optional) {
+                    val (levels, lEnd) =
+                      rleHybrid(b, rawStart, rawStart + defLen, 1, pn)
+                    if (lEnd != rawStart + defLen) throw Malformed
+                    var nz = 0
+                    levels.foreach(l => if (l == 1) nz += 1)
+                    nn = nz
+                    // the v2-specific AUDIT: the header's num_nulls must
+                    // agree with the definition levels themselves
+                    if (declNulls != (pn - nz).toLong) throw Malformed
+                    nulls += pn - nz
+                  } else if (defLen != 0 || declNulls != 0L) throw Malformed
+                  val dataRaw = uSize - repLen - defLen
+                  val data =
+                    if (isComp)
+                      decompress(codec, b, rawStart + defLen, rawStart + cSize,
+                        dataRaw)
+                    else {
+                      if (cSize - repLen - defLen != dataRaw) throw Malformed
+                      if (rawStart + cSize > fStart) throw Malformed
+                      java.util.Arrays.copyOfRange(
+                        b, rawStart + defLen, rawStart + cSize)
+                    }
+                  enc match {
+                    case ENC_DELTA_BINARY_PACKED =>
+                      if (tpe != T_INT64) throw Malformed
+                      val (vs, endP) =
+                        ParquetCodec.dbpDecode(data, 0, data.length, nn)
+                      if (endP != data.length) throw Malformed
+                      vs.foreach { v =>
+                        sum += v
+                        if (v < mn) mn = v
+                        if (v > mx) mx = v
+                      }
+                    case ENC_DELTA_LENGTH_BYTE_ARRAY =>
+                      if (tpe != T_BYTE_ARRAY) throw Malformed
+                      val (lens, p1) =
+                        ParquetCodec.dbpDecode(data, 0, data.length, nn)
+                      if (lens.exists(_ < 0)) throw Malformed
+                      if (p1 + lens.sum != data.length) throw Malformed
+                      blen += lens.sum
+                    case ENC_DELTA_BYTE_ARRAY =>
+                      if (tpe != T_BYTE_ARRAY) throw Malformed
+                      val (pfx, p1) =
+                        ParquetCodec.dbpDecode(data, 0, data.length, nn)
+                      val (sfl, p2) =
+                        ParquetCodec.dbpDecode(data, p1, data.length, nn)
+                      if (pfx.exists(_ < 0) || sfl.exists(_ < 0)) throw Malformed
+                      if (nn > 0 && pfx(0) != 0) throw Malformed
+                      var prevLen = 0L
+                      var k = 0
+                      while (k < nn) {
+                        if (pfx(k) > prevLen) throw Malformed // prefix overruns
+                        prevLen = pfx(k) + sfl(k)
+                        blen += prevLen
+                        k += 1
+                      }
+                      if (p2 + sfl.sum != data.length) throw Malformed
+                    case ENC_PLAIN =>
+                      if (tpe == T_INT64) {
+                        if (data.length != 8 * nn) throw Malformed
+                        var k = 0
+                        while (k < nn) {
+                          val v = le64of(java.util.Arrays.copyOfRange(
+                            data, 8 * k, 8 * k + 8))
+                          sum += v
+                          if (v < mn) mn = v
+                          if (v > mx) mx = v
+                          k += 1
+                        }
+                      } else {
+                        var p = 0
+                        var k = 0
+                        while (k < nn) {
+                          if (p + 4 > data.length) throw Malformed
+                          val l = (data(p) & 0xFF) | ((data(p + 1) & 0xFF) << 8) |
+                            ((data(p + 2) & 0xFF) << 16) | ((data(p + 3) & 0xFF) << 24)
+                          if (l < 0 || p + 4 + l > data.length) throw Malformed
+                          blen += l
+                          p += 4 + l
+                          k += 1
+                        }
+                        if (p != data.length) throw Malformed
+                      }
+                    case ENC_PLAIN_DICT | ENC_RLE_DICT =>
+                      if (data.length < 1) throw Malformed
+                      val bw = data(0) & 0xFF
+                      if (bw > 32) throw Malformed
+                      val (idx, _) = rleHybrid(data, 1, data.length, bw, nn)
+                      idx.foreach { i =>
+                        if (tpe == T_INT64) {
+                          if (dict == null || i >= dict.length) throw Malformed
+                          val v = dict(i)
+                          sum += v
+                          if (v < mn) mn = v
+                          if (v > mx) mx = v
+                        } else {
+                          if (dictBin == null || i >= dictBin.length)
+                            throw Malformed
+                          blen += dictBin(i).length
+                        }
+                      }
+                    case _ => throw Malformed
+                  }
+                  seen += pn
+                case _ => throw Malformed // unknown page types quarantine
               }
             }
             if (seen != numValues) throw Malformed
@@ -792,6 +1173,59 @@ object ParquetSim {
   def stats(spark: SparkSession, docs: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(statsSchema)
+    docs.select(col("doc_id"), col("text"))
+      .mapPartitions { rows =>
+        rows.grouped(Multimodal.BATCH_SIZE).flatMap { batch =>
+          batch.iterator.map { r =>
+            val id = r.getLong(0)
+            val text = r.getString(1)
+            ParquetFile.read(payloadFor(id, text)) match {
+              case Some(info) =>
+                val ids = info.cols.find(_.path == "doc_id")
+                val vs = info.cols.find(_.path == "val")
+                val tx = info.cols.find(_.path == "text")
+                if (ids.isEmpty || vs.isEmpty || tx.isEmpty)
+                  Row(id, "quarantined", null, null, null, null, null)
+                else
+                  Row(id, "ok", info.nRowGroups.toLong, info.numRows,
+                    ids.get.sumInt, vs.get.sumInt, tx.get.byteLen)
+              case None =>
+                Row(id, "quarantined", null, null, null, null, null)
+            }
+          }
+        }
+      }(enc)
+  }
+}
+
+/** d135 — the V2 twin of [[ParquetSim]]: the same logical table
+  * written through DATA_PAGE_V2 + the DELTA encodings
+  * (DELTA_BINARY_PACKED ints, DELTA_BYTE_ARRAY text), levels outside
+  * the compressed region, the same codec rotation. The oracle is
+  * d126's verbatim — one logical table, two physical writers, both
+  * must replay to the same answer. Damage %7: truncation / the lying
+  * max_value (the audit class, now through v2 pages) / a LYING
+  * num_nulls in the v2 page header — the v2-specific field only the
+  * definition-level audit catches. */
+object ParquetV2Sim {
+
+  private[graft] def payloadFor(docId: Long, text: String): Array[Byte] = {
+    val rows = ParquetSim.rowsFor(docId, text)
+    val codec = ParquetSim.codecFor(docId)
+    (docId % 7) match {
+      case 0 =>
+        val clean = ParquetFile.writeV2(rows, 2, codec)
+        java.util.Arrays.copyOf(clean, clean.length - 5)
+      case 3 => ParquetFile.writeV2(rows, 2, codec, lieStats = true)
+      case 5 => ParquetFile.writeV2(rows, 2, codec, lieNumNulls = true)
+      case _ => ParquetFile.writeV2(rows, 2, codec)
+    }
+  }
+
+  /** Batched strict walk + audit → per-doc stats with quarantine. */
+  def stats(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(ParquetSim.statsSchema)
     docs.select(col("doc_id"), col("text"))
       .mapPartitions { rows =>
         rows.grouped(Multimodal.BATCH_SIZE).flatMap { batch =>

@@ -1520,6 +1520,20 @@ object PipelineQueries {
     // both directions vs XZ for Java. Damage: truncation / a LYING
     // index record with its CRC recomputed (only the cross-check
     // catches it) / a flipped bit in the block's data check
+    // parquet DATA_PAGE_V2 + the DELTA encodings (the d126 extension):
+    // the same logical table written through v2 pages — levels OUTSIDE
+    // the compressed region with no length prefix, DELTA_BINARY_PACKED
+    // ints (block/miniblock geometry, zigzag min-deltas, LSB-first
+    // packing), DELTA_BYTE_ARRAY text (prefix + suffix-length DBP runs)
+    // — same codec rotation, same stats audit. The ORACLE IS d126's
+    // verbatim: one logical table, two physical writers, both must
+    // replay identically. Interop both directions vs Spark with
+    // parquet.writer.version=v2. Damage: truncation / the lying
+    // max_value through v2 pages / a LYING num_nulls in the v2 page
+    // header (the v2-specific field only the level audit catches)
+    "d135_parquet_v2" -> ((s, dir) =>
+      ParquetV2Sim.stats(s, docs(s, dir)).orderBy("doc_id")),
+
     "d134_xz_lzma" -> ((s, dir) =>
       XzJsonlSim.lines(s, docs(s, dir))
         .select(col("doc_id"), col("n_blocks"),
@@ -3355,6 +3369,24 @@ object PipelineQueries {
     // arithmetic, the val sum replays the bounded (≤8) modular grid,
     // text bytes = the slices concatenate back to the doc
     "d126_parquet_pages" ->
+      """WITH base AS (SELECT doc_id, text, (3 + doc_id % 5)::BIGINT AS k FROM documents),
+        | rj AS (SELECT range AS j FROM range(8)),
+        | vs AS (SELECT b.doc_id, sum((b.doc_id * 7 + j * 13) % 1000)::BIGINT AS sv
+        |   FROM base b JOIN rj ON j < b.k GROUP BY b.doc_id)
+        | SELECT b.doc_id,
+        |  CASE WHEN b.doc_id % 7 IN (0, 3, 5) THEN 'quarantined' ELSE 'ok' END AS status,
+        |  (CASE WHEN b.doc_id % 7 IN (0, 3, 5) THEN NULL ELSE (b.k + 1) // 2 END)::BIGINT AS n_rowgroups,
+        |  (CASE WHEN b.doc_id % 7 IN (0, 3, 5) THEN NULL ELSE b.k END)::BIGINT AS n_rows,
+        |  (CASE WHEN b.doc_id % 7 IN (0, 3, 5) THEN NULL
+        |        ELSE b.k * b.doc_id * 1000 + b.k * (b.k - 1) // 2 END)::BIGINT AS sum_ids,
+        |  (CASE WHEN b.doc_id % 7 IN (0, 3, 5) THEN NULL ELSE vs.sv END)::BIGINT AS sum_vals,
+        |  (CASE WHEN b.doc_id % 7 IN (0, 3, 5) THEN NULL
+        |        ELSE octet_length(encode(b.text)) END)::BIGINT AS text_bytes
+        | FROM base b JOIN vs USING (doc_id) ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // d135's oracle IS d126's: same logical table, two physical
+    // writers (v1 PLAIN vs v2 DELTA pages), one truth
+    "d135_parquet_v2" ->
       """WITH base AS (SELECT doc_id, text, (3 + doc_id % 5)::BIGINT AS k FROM documents),
         | rj AS (SELECT range AS j FROM range(8)),
         | vs AS (SELECT b.doc_id, sum((b.doc_id * 7 + j * 13) % 1000)::BIGINT AS sv

@@ -56,4 +56,82 @@ class ParquetInteropSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- d135: DATA_PAGE_V2 + the DELTA encodings ---------------------
+
+  test("d135: DELTA_BINARY_PACKED roundtrips across shapes, strict tiling") {
+    import graft.operators.ParquetCodec
+    val rnd = new java.util.Random(5)
+    for (shape <- Seq(
+        Array(42L), Array.empty[Long], (0 until 500).map(_.toLong * 3).toArray,
+        Array.fill(300)(rnd.nextLong() >> 20),
+        (0 until 129).map(j => j.toLong * j - 500).toArray,
+        Array.fill(7)(-9L))) {
+      val enc = ParquetCodec.dbpEncode(shape)
+      val (dec, endP) = ParquetCodec.dbpDecode(enc, 0, enc.length, shape.length)
+      assert(endP == enc.length, s"spare bytes at len=${shape.length}")
+      assert(dec.sameElements(shape), s"mismatch at len=${shape.length}")
+    }
+    val good = ParquetCodec.dbpEncode(Array(1L, 5L, 2L))
+    assertThrows[Throwable](
+      ParquetCodec.dbpDecode(good, 0, good.length, 4)) // count disagrees
+  }
+
+  test("d135: the v2 sim walks clean and all three damage classes quarantine") {
+    import graft.operators.{ParquetSim, ParquetV2Sim}
+    val text = "The quick brown fox jumps over the lazy dog πéü𝄞 again. " * 4
+    for (docId <- Seq(1L, 2L, 4L, 6L, 8L, 9L, 11L)) {
+      val info = ParquetFile.read(ParquetV2Sim.payloadFor(docId, text))
+      assert(info.nonEmpty, s"doc $docId clean v2 quarantined")
+      val k = ParquetSim.nRows(docId)
+      assert(info.get.numRows == k)
+      assert(info.get.cols.find(_.path == "doc_id").get.sumInt ==
+        (0 until k).map(docId * 1000 + _).sum)
+      assert(info.get.cols.find(_.path == "text").get.byteLen ==
+        text.getBytes("UTF-8").length)
+    }
+    for (docId <- Seq(0L, 7L, 3L, 10L, 5L, 12L))
+      assert(ParquetFile.read(ParquetV2Sim.payloadFor(docId, text)).isEmpty,
+        s"doc $docId class ${docId % 7} must quarantine")
+  }
+
+  test("d135 interop: our reader walks REAL Spark v2 files (DELTA encodings, all codecs), audit ON") {
+    import spark.implicits._
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("parquet.writer.version", "v2")
+    try {
+      val n = 3000
+      val df = (0 until n).map(j => (j.toLong * 3, (j * 13 % 50).toLong,
+        s"body-$j-" + ("x" * (j % 29)))).toDF("doc_id", "val", "text")
+      for (codec <- Seq("uncompressed", "snappy", "gzip", "zstd")) {
+        val dir = java.nio.file.Files.createTempDirectory(s"pq135-$codec").toFile
+        df.coalesce(1).write.option("compression", codec).mode("overwrite")
+          .parquet(dir.toString)
+        val f = dir.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val info = ParquetFile.read(java.nio.file.Files.readAllBytes(f.toPath))
+        assert(info.nonEmpty, s"$codec: quarantined a Spark v2 file")
+        assert(info.get.numRows == n)
+        assert(info.get.cols.find(_.path == "doc_id").get.sumInt ==
+          (0 until n).map(_.toLong * 3).sum, s"$codec: doc_id sum")
+        assert(info.get.cols.find(_.path == "text").get.byteLen ==
+          (0 until n).map(j => s"body-$j-".length.toLong + (j % 29)).sum,
+          s"$codec: text bytes")
+      }
+    } finally hc.unset("parquet.writer.version")
+  }
+
+  test("d135 interop: Spark reads our v2 writer's files row-identical") {
+    val want = rowsFor(50, 3).sortBy(_._1)
+    for (codec <- Seq(0, 1, 2, 6)) {
+      val dir = java.nio.file.Files.createTempDirectory(s"pq135o-$codec")
+      java.nio.file.Files.write(dir.resolve("part-0.parquet"),
+        ParquetFile.writeV2(want, 7, codec))
+      val got = spark.read.parquet(dir.toString).orderBy("doc_id").collect()
+      assert(got.length == 50, s"codec $codec: row count")
+      got.zip(want).foreach { case (r, w) =>
+        assert(r.getLong(0) == w._1 && r.getLong(1) == w._2 &&
+          r.getString(2) == w._3, s"codec $codec: row mismatch")
+      }
+    }
+  }
 }
