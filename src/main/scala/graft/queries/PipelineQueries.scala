@@ -1534,6 +1534,20 @@ object PipelineQueries {
     "d135_parquet_v2" -> ((s, dir) =>
       ParquetV2Sim.stats(s, docs(s, dir)).orderBy("doc_id")),
 
+    // the crawl INDEX: CDX-11 over WARC shards (one gzip member per
+    // record — the layout that makes (offset,length) a random-access
+    // handle), SURT canonicalization (lowercase, www-strip, reversed
+    // host, default-port drop, sorted queries, session params out),
+    // payload digests = our from-scratch SHA-1 + Base32 (spec-pinned
+    // vs the JDK). The gate SERVES every entry: slice at the declared
+    // offset, parse exactly one record, canonicalize-match the urlkey,
+    // recompute the digest. Damage: shard truncation / a LYING OFFSET
+    // (every shard byte intact — the parse at the wrong offset catches
+    // it) / a LYING DIGEST (offset, record, content all fine — only
+    // the recompute catches it)
+    "d136_cdx_index" -> ((s, dir) =>
+      CdxSim.rows(s, docs(s, dir)).orderBy("doc_id", "capture")),
+
     "d134_xz_lzma" -> ((s, dir) =>
       XzJsonlSim.lines(s, docs(s, dir))
         .select(col("doc_id"), col("n_blocks"),
@@ -3488,6 +3502,32 @@ object PipelineQueries {
         |  (CASE WHEN b.doc_id % 7 IN (0, 3, 5) THEN NULL
         |        ELSE octet_length(encode(b.text)) END)::BIGINT AS text_bytes
         | FROM base b JOIN vs USING (doc_id) ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // the cdx oracle replays every column as closed forms: the SURT
+    // CASE on (doc_id+i)%5, the timestamp grid, slice byte lengths;
+    // capture = the rank under the index's (urlkey, ts) sort
+    "d136_cdx_index" ->
+      """WITH pi AS (SELECT range AS i FROM range(6)),
+        | p AS (SELECT doc_id, text, (2 + doc_id % 4)::BIGINT AS k,
+        |   length(text)::BIGINT AS cps
+        |  FROM documents WHERE doc_id % 7 NOT IN (0, 3, 5)),
+        | m AS (SELECT p.doc_id, i,
+        |   octet_length(encode(substring(p.text, ((i * p.cps) // p.k)::INT + 1,
+        |     (((i + 1) * p.cps) // p.k - (i * p.cps) // p.k)::INT)))::BIGINT AS nb,
+        |   (p.doc_id % 10) AS d, ((p.doc_id + i) % 5) AS cls
+        |  FROM p JOIN pi ON i < p.k),
+        | s AS (SELECT doc_id, i, nb,
+        |   CASE cls
+        |     WHEN 1 THEN 'com,example' || d || ')/doc/' || i || '?a=1&b=2'
+        |     WHEN 2 THEN 'com,example' || d || ',sub:8443)/doc/' || i
+        |     WHEN 3 THEN 'com,example' || d || ')/doc/' || i || '?z=9'
+        |     ELSE 'com,example' || d || ')/doc/' || i END AS urlkey,
+        |   '2026010100' || lpad(i::VARCHAR, 2, '0') || '00' AS ts
+        |  FROM m)
+        | SELECT doc_id,
+        |  (row_number() OVER (PARTITION BY doc_id ORDER BY urlkey, ts) - 1)::INT AS capture,
+        |  urlkey, ts, 200::INT AS status, nb AS n_bytes
+        | FROM s ORDER BY doc_id, capture""".stripMargin.replaceAll("\n", " "),
 
     // the xz oracle is the d119 shape: record ids and byte totals are
     // closed forms off the doc's line structure
