@@ -1548,6 +1548,17 @@ object PipelineQueries {
     "d136_cdx_index" -> ((s, dir) =>
       CdxSim.rows(s, docs(s, dir)).orderBy("doc_id", "capture")),
 
+    // crawl DISCOVERY: sitemap.xml (sitemaps.org) — a two-level walk,
+    // the index pointing at .xml.gz children (our d106 gzip), with the
+    // protocol's rules enforced: mandatory absolute <loc> (validated
+    // through d136's SURT grammar), the SAME-HOST anti-hijack rule,
+    // priority range, the changefreq enum, W3C dates, the 50k limit,
+    // balanced skip of extension-namespace elements. Damage: a child's
+    // gzip truncated / a CROSS-HOST loc (every byte well-formed — only
+    // the protocol rule catches the hijack) / priority 1.1
+    "d137_sitemap_xml" -> ((s, dir) =>
+      SitemapSim.rows(s, docs(s, dir)).orderBy("doc_id", "sitemap", "pos")),
+
     "d134_xz_lzma" -> ((s, dir) =>
       XzJsonlSim.lines(s, docs(s, dir))
         .select(col("doc_id"), col("n_blocks"),
@@ -3502,6 +3513,25 @@ object PipelineQueries {
         |  (CASE WHEN b.doc_id % 7 IN (0, 3, 5) THEN NULL
         |        ELSE octet_length(encode(b.text)) END)::BIGINT AS text_bytes
         | FROM base b JOIN vs USING (doc_id) ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // the sitemap oracle replays the discovery grid as pure closed
+    // forms: hosts/locs from doc_id%10, the lastmod/changefreq/priority
+    // grids off (doc_id + j)
+    "d137_sitemap_xml" ->
+      """WITH mm AS (SELECT range AS m FROM range(2)),
+        | jj AS (SELECT range AS j FROM range(6)),
+        | d AS (SELECT doc_id, (1 + doc_id % 2)::BIGINT AS nm,
+        |   (2 + doc_id % 4)::BIGINT AS k, (doc_id % 10) AS h
+        |  FROM documents WHERE doc_id % 7 NOT IN (0, 3, 5))
+        | SELECT doc_id, m::INT AS sitemap, j::INT AS pos,
+        |  'https://example' || h || '.com/s' || m || '/page' || j AS loc,
+        |  '2026-01-' || lpad(((j % 28) + 1)::VARCHAR, 2, '0') AS lastmod,
+        |  CASE (doc_id + j) % 7 WHEN 0 THEN 'always' WHEN 1 THEN 'hourly'
+        |    WHEN 2 THEN 'daily' WHEN 3 THEN 'weekly' WHEN 4 THEN 'monthly'
+        |    WHEN 5 THEN 'yearly' ELSE 'never' END AS changefreq,
+        |  (((doc_id + j) % 11) / 10.0)::DOUBLE AS priority
+        | FROM d JOIN mm ON m < nm JOIN jj ON j < k
+        | ORDER BY doc_id, sitemap, pos""".stripMargin.replaceAll("\n", " "),
 
     // the cdx oracle replays every column as closed forms: the SURT
     // CASE on (doc_id+i)%5, the timestamp grid, slice byte lengths;
