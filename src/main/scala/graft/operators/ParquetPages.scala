@@ -403,6 +403,52 @@ object ParquetCodec {
     }
     (out, pos)
   }
+
+  // --------------------------------------- split-block bloom filter (SBBF)
+
+  /** The parquet bloom filter (BloomFilter.md): 256-bit blocks of
+    * eight 32-bit words, block picked by multiply-shift on the hash's
+    * HIGH 32 bits, one bit per word from the LOW 32 bits times the
+    * eight salt constants (top five bits = the bit index). Values
+    * hash with xxHash64 seed 0 over their PLAIN encoding. */
+  private[graft] object Sbbf {
+    val SALT: Array[Int] = Array(0x47b6137b, 0x44974d91, 0x8824ad5b,
+      0xa2b7289d.toInt, 0x705495c7, 0x2df1424b, 0x9efc4947.toInt, 0x5c6bfb31)
+
+    private val xxf = net.jpountz.xxhash.XXHashFactory.fastestJavaInstance()
+
+    def hashInt64(v: Long): Long = {
+      val b = new Array[Byte](8)
+      var i = 0
+      while (i < 8) { b(i) = ((v >>> (8 * i)) & 0xff).toByte; i += 1 }
+      xxf.hash64().hash(b, 0, 8, 0L)
+    }
+
+    def blockIdx(h: Long, nBlocks: Int): Int =
+      (((h >>> 32) * nBlocks) >>> 32).toInt
+
+    def insert(words: Array[Int], nBlocks: Int, h: Long): Unit = {
+      val base = blockIdx(h, nBlocks) * 8
+      val x = h.toInt
+      var i = 0
+      while (i < 8) {
+        words(base + i) |= 1 << ((x * SALT(i)) >>> 27)
+        i += 1
+      }
+    }
+
+    def check(words: Array[Int], nBlocks: Int, h: Long): Boolean = {
+      val base = blockIdx(h, nBlocks) * 8
+      val x = h.toInt
+      var i = 0
+      var ok = true
+      while (i < 8 && ok) {
+        ok = (words(base + i) & (1 << ((x * SALT(i)) >>> 27))) != 0
+        i += 1
+      }
+      ok
+    }
+  }
 }
 
 /** The file-level writer/reader over the thrift plumbing. Bounded
@@ -590,7 +636,7 @@ object ParquetFile {
       val offs = cols.map { c =>
         val o = out.size().toLong
         out.write(c.bytes, 0, c.bytes.length)
-        o
+        (o, None: Option[(Long, Int)])
       }
       (g.length.toLong, cols.zip(offs))
     }
@@ -600,7 +646,8 @@ object ParquetFile {
 
   private final case class Chunk(bytes: Array[Byte], uncompressed: Long,
                                  tpe: Int, name: String, numValues: Long,
-                                 stats: Option[(Long, Long)])
+                                 stats: Option[(Long, Long)],
+                                 bloom: Option[Array[Byte]] = None)
 
   /** Write a parquet file over (doc_id, val, text) rows, `rowGroupCut`
     * rows per group, pages compressed through `codec` (0/1/2/4 =
@@ -611,7 +658,9 @@ object ParquetFile {
     * damage — the page no longer tiles). */
   private[graft] def write(rows: Seq[(Long, Long, String)], rowGroupCut: Int,
                            codec: Int, lieStats: Boolean = false,
-                           lieNumValues: Boolean = false): Array[Byte] = {
+                           lieNumValues: Boolean = false,
+                           blooms: Boolean = false,
+                           lieBloom: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(4096)
     out.write(MAGIC, 0, 4)
     val groups = rows.grouped(rowGroupCut).toSeq
@@ -639,13 +688,48 @@ object ParquetFile {
           values.toByteArray)
         val declMax = if (lieStats && gi == 0 && name == "val") sMax - 1
           else sMax
+        // d138: the split-block bloom filter over the chunk's values
+        // (INT64 scope — where scan pruning bites); the %7==5 lie
+        // clears one bit the FIRST value needs, turning the filter
+        // into one that wrongly prunes an existing row
+        val bloom =
+          if (blooms && tpe == T_INT64 && g.nonEmpty) {
+            val vs = g.map { case (id, v, _) => if (name == "doc_id") id else v }
+            val nBlocks = 8
+            val words = new Array[Int](nBlocks * 8)
+            vs.foreach(v => ParquetCodec.Sbbf.insert(
+              words, nBlocks, ParquetCodec.Sbbf.hashInt64(v)))
+            if (lieBloom && gi == 0 && name == "doc_id") {
+              val h = ParquetCodec.Sbbf.hashInt64(vs.head)
+              val base = ParquetCodec.Sbbf.blockIdx(h, nBlocks) * 8
+              val bit = (h.toInt * ParquetCodec.Sbbf.SALT(0)) >>> 27
+              words(base) &= ~(1 << bit)
+            }
+            val w = new TWriter
+            w.struct { s =>
+              s.i32(1, (nBlocks * 32).toLong) // numBytes
+              s.structField(2)(a => a.structField(1)(_ => ())) // BLOCK
+              s.structField(3)(a => a.structField(1)(_ => ())) // XXHASH
+              s.structField(4)(a => a.structField(1)(_ => ())) // UNCOMPRESSED
+            }
+            val out2 = new java.io.ByteArrayOutputStream(w.bytes.length + nBlocks * 32)
+            out2.write(w.bytes, 0, w.bytes.length)
+            words.foreach(x => le32(out2, x))
+            Some(out2.toByteArray)
+          } else None
         Chunk(page, uncomp, tpe, name, g.length.toLong,
-          if (tpe == T_INT64 && g.nonEmpty) Some((sMin, declMax)) else None)
+          if (tpe == T_INT64 && g.nonEmpty) Some((sMin, declMax)) else None,
+          bloom)
       }
       val offs = cols.map { c =>
         val o = out.size().toLong
         out.write(c.bytes, 0, c.bytes.length)
-        o
+        val bo = c.bloom.map { bb =>
+          val b0 = out.size().toLong
+          out.write(bb, 0, bb.length)
+          (b0, bb.length)
+        }
+        (o, bo)
       }
       (g.length.toLong, cols.zip(offs))
     }
@@ -656,7 +740,8 @@ object ParquetFile {
   /** The shared footer render (v1 and v2 files differ only in their
     * pages — the footer grammar is identical). */
   private def writeFooter(out: java.io.ByteArrayOutputStream, nRowsTotal: Long,
-      rgMeta: Seq[(Long, Seq[(Chunk, Long)])], codec: Int): Unit = {
+      rgMeta: Seq[(Long, Seq[(Chunk, (Long, Option[(Long, Int)]))])],
+      codec: Int): Unit = {
     val w = new TWriter
     w.struct { f =>
       f.i32(1, 1) // version
@@ -680,7 +765,7 @@ object ParquetFile {
         rgMeta.foreach { case (nRows, cols) =>
           w.structElem { rg =>
             rg.list(1, 12, cols.length) {
-              cols.foreach { case (c, off) =>
+              cols.foreach { case (c, (off, bloomOff)) =>
                 w.structElem { cc =>
                   cc.i64(2, off)
                   cc.structField(3) { md =>
@@ -701,6 +786,10 @@ object ParquetFile {
                         st.bin(5, le64bytes(mx)) // max_value
                         st.bin(6, le64bytes(mn)) // min_value
                       }
+                    }
+                    bloomOff.foreach { case (bo, blen) =>
+                      md.i64(14, bo) // bloom_filter_offset
+                      md.i32(15, blen.toLong) // bloom_filter_length
                     }
                   }
                 }
@@ -818,6 +907,13 @@ object ParquetFile {
             val dictOff = fiOpt(md, 11)
             var pos = math.min(dataOff, dictOff.getOrElse(dataOff)).toInt
             if (pos < 4 || pos >= fStart) throw Malformed
+            val bloomOff = fiOpt(md, 14)
+            // d138: membership audit needs the values themselves;
+            // INT64 scope (where pruning bites), bounded per chunk
+            val collect: scala.collection.mutable.ArrayBuffer[Long] =
+              if (bloomOff.isDefined && tpe == T_INT64)
+                scala.collection.mutable.ArrayBuffer.empty[Long]
+              else null
             var dict: Array[Long] = null // int64 dict
             var dictBin: Array[Array[Byte]] = null
             var seen = 0L
@@ -900,6 +996,7 @@ object ParquetFile {
                           val v = le64of(java.util.Arrays.copyOfRange(
                             page, p, p + 8))
                           sum += v
+                          if (collect != null) collect += v
                           if (v < mn) mn = v
                           if (v > mx) mx = v
                           p += 8
@@ -929,6 +1026,7 @@ object ParquetFile {
                           if (dict == null || i >= dict.length) throw Malformed
                           val v = dict(i)
                           sum += v
+                          if (collect != null) collect += v
                           if (v < mn) mn = v
                           if (v > mx) mx = v
                         } else {
@@ -994,6 +1092,7 @@ object ParquetFile {
                       if (endP != data.length) throw Malformed
                       vs.foreach { v =>
                         sum += v
+                        if (collect != null) collect += v
                         if (v < mn) mn = v
                         if (v > mx) mx = v
                       }
@@ -1029,6 +1128,7 @@ object ParquetFile {
                           val v = le64of(java.util.Arrays.copyOfRange(
                             data, 8 * k, 8 * k + 8))
                           sum += v
+                          if (collect != null) collect += v
                           if (v < mn) mn = v
                           if (v > mx) mx = v
                           k += 1
@@ -1057,6 +1157,7 @@ object ParquetFile {
                           if (dict == null || i >= dict.length) throw Malformed
                           val v = dict(i)
                           sum += v
+                          if (collect != null) collect += v
                           if (v < mn) mn = v
                           if (v > mx) mx = v
                         } else {
@@ -1072,6 +1173,40 @@ object ParquetFile {
               }
             }
             if (seen != numValues) throw Malformed
+            // the BLOOM audit (d138): parse the filter at its declared
+            // offset and require EVERY decoded value present — a false
+            // negative is a filter that wrongly prunes an existing row
+            bloomOff.foreach { bo =>
+              if (bo < 4 || bo >= fStart) throw Malformed
+              val tr2 = new TReader(b, bo.toInt, fStart)
+              val hdr = tr2.struct()
+              val numBytes = fi(hdr, 1)
+              if (numBytes <= 0 || numBytes % 32 != 0 ||
+                  numBytes > (1L << 26)) throw Malformed
+              def u1(id: Int): Boolean = fld(hdr, id) match {
+                case Some(s: TStruct) => s.f.contains(1)
+                case _ => false
+              }
+              // unknown algorithm/hash/compression unions: the spec
+              // says ignore the filter, never guess at its bits
+              val known = u1(2) && u1(3) && u1(4)
+              fiOpt(md, 15).foreach { l =>
+                if (l != (tr2.pos - bo) + numBytes) throw Malformed
+              }
+              if (tr2.pos + numBytes > fStart) throw Malformed
+              if (known && collect != null) {
+                val nBlocks = (numBytes / 32).toInt
+                val words = Array.tabulate(nBlocks * 8) { i =>
+                  val p = tr2.pos + 4 * i
+                  (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8) |
+                    ((b(p + 2) & 0xFF) << 16) | ((b(p + 3) & 0xFF) << 24)
+                }
+                collect.foreach { v =>
+                  if (!ParquetCodec.Sbbf.check(words, nBlocks,
+                    ParquetCodec.Sbbf.hashInt64(v))) throw Malformed
+                }
+              }
+            }
             // the stats AUDIT: declared vs recomputed
             fld(md, 12).foreach {
               case st: TStruct =>
@@ -1223,6 +1358,57 @@ object ParquetV2Sim {
   }
 
   /** Batched strict walk + audit → per-doc stats with quarantine. */
+  def stats(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(ParquetSim.statsSchema)
+    docs.select(col("doc_id"), col("text"))
+      .mapPartitions { rows =>
+        rows.grouped(Multimodal.BATCH_SIZE).flatMap { batch =>
+          batch.iterator.map { r =>
+            val id = r.getLong(0)
+            val text = r.getString(1)
+            ParquetFile.read(payloadFor(id, text)) match {
+              case Some(info) =>
+                val ids = info.cols.find(_.path == "doc_id")
+                val vs = info.cols.find(_.path == "val")
+                val tx = info.cols.find(_.path == "text")
+                if (ids.isEmpty || vs.isEmpty || tx.isEmpty)
+                  Row(id, "quarantined", null, null, null, null, null)
+                else
+                  Row(id, "ok", info.nRowGroups.toLong, info.numRows,
+                    ids.get.sumInt, vs.get.sumInt, tx.get.byteLen)
+              case None =>
+                Row(id, "quarantined", null, null, null, null, null)
+            }
+          }
+        }
+      }(enc)
+  }
+}
+
+/** d138 — the bloom twin: the same logical table with split-block
+  * bloom filters on the INT64 chunks, membership-AUDITED at read (the
+  * third pruning structure after d126's stats and d136's index).
+  * Damage %7: truncation / the lying max stat / a CLEARED BLOOM BIT —
+  * every page, stat and checksum intact; the filter simply answers
+  * "absent" for a row that exists, which is exactly how a corrupted
+  * filter silently drops data from a 100 TB scan. */
+object ParquetBloomSim {
+
+  private[graft] def payloadFor(docId: Long, text: String): Array[Byte] = {
+    val rows = ParquetSim.rowsFor(docId, text)
+    val codec = ParquetSim.codecFor(docId)
+    (docId % 7) match {
+      case 0 =>
+        val clean = ParquetFile.write(rows, 2, codec, blooms = true)
+        java.util.Arrays.copyOf(clean, clean.length - 5)
+      case 3 => ParquetFile.write(rows, 2, codec, lieStats = true, blooms = true)
+      case 5 => ParquetFile.write(rows, 2, codec, blooms = true, lieBloom = true)
+      case _ => ParquetFile.write(rows, 2, codec, blooms = true)
+    }
+  }
+
+  /** Batched strict walk + stats AND bloom audit → per-doc stats. */
   def stats(spark: SparkSession, docs: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(ParquetSim.statsSchema)

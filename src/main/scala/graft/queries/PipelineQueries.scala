@@ -1534,6 +1534,20 @@ object PipelineQueries {
     "d135_parquet_v2" -> ((s, dir) =>
       ParquetV2Sim.stats(s, docs(s, dir)).orderBy("doc_id")),
 
+    // the THIRD pruning structure (after d126's stats and d136's
+    // index): parquet's split-block bloom filters — thrift headers,
+    // 256-bit blocks, the eight salt constants, xxHash64 over PLAIN
+    // encodings — membership-AUDITED at read: every decoded INT64
+    // value must be claimed present; a false negative is a filter
+    // that wrongly prunes an existing row from a 100 TB scan. Interop:
+    // parquet-mr's real filters (parquet.bloom.filter.enabled) pass
+    // our check value-for-value, pinning the hash and block math
+    // exactly. Damage: truncation / the lying max stat / a CLEARED
+    // BLOOM BIT (every page, stat and checksum intact — only the
+    // membership audit catches it)
+    "d138_parquet_bloom" -> ((s, dir) =>
+      ParquetBloomSim.stats(s, docs(s, dir)).orderBy("doc_id")),
+
     // the crawl INDEX: CDX-11 over WARC shards (one gzip member per
     // record — the layout that makes (offset,length) a random-access
     // handle), SURT canonicalization (lowercase, www-strip, reversed
@@ -3412,6 +3426,24 @@ object PipelineQueries {
     // d135's oracle IS d126's: same logical table, two physical
     // writers (v1 PLAIN vs v2 DELTA pages), one truth
     "d135_parquet_v2" ->
+      """WITH base AS (SELECT doc_id, text, (3 + doc_id % 5)::BIGINT AS k FROM documents),
+        | rj AS (SELECT range AS j FROM range(8)),
+        | vs AS (SELECT b.doc_id, sum((b.doc_id * 7 + j * 13) % 1000)::BIGINT AS sv
+        |   FROM base b JOIN rj ON j < b.k GROUP BY b.doc_id)
+        | SELECT b.doc_id,
+        |  CASE WHEN b.doc_id % 7 IN (0, 3, 5) THEN 'quarantined' ELSE 'ok' END AS status,
+        |  (CASE WHEN b.doc_id % 7 IN (0, 3, 5) THEN NULL ELSE (b.k + 1) // 2 END)::BIGINT AS n_rowgroups,
+        |  (CASE WHEN b.doc_id % 7 IN (0, 3, 5) THEN NULL ELSE b.k END)::BIGINT AS n_rows,
+        |  (CASE WHEN b.doc_id % 7 IN (0, 3, 5) THEN NULL
+        |        ELSE b.k * b.doc_id * 1000 + b.k * (b.k - 1) // 2 END)::BIGINT AS sum_ids,
+        |  (CASE WHEN b.doc_id % 7 IN (0, 3, 5) THEN NULL ELSE vs.sv END)::BIGINT AS sum_vals,
+        |  (CASE WHEN b.doc_id % 7 IN (0, 3, 5) THEN NULL
+        |        ELSE octet_length(encode(b.text)) END)::BIGINT AS text_bytes
+        | FROM base b JOIN vs USING (doc_id) ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // d138's oracle IS d126's too: the bloom twin changes only the
+    // pruning sidecar, never the answer
+    "d138_parquet_bloom" ->
       """WITH base AS (SELECT doc_id, text, (3 + doc_id % 5)::BIGINT AS k FROM documents),
         | rj AS (SELECT range AS j FROM range(8)),
         | vs AS (SELECT b.doc_id, sum((b.doc_id * 7 + j * 13) % 1000)::BIGINT AS sv

@@ -120,6 +120,50 @@ class ParquetInteropSpec extends AnyFunSuite {
     } finally hc.unset("parquet.writer.version")
   }
 
+  // ---- d138: split-block bloom filters --------------------------------
+
+  test("d138: the bloom sim walks clean; truncation/stat-lie/cleared-bit all quarantine") {
+    import graft.operators.{ParquetBloomSim, ParquetSim}
+    val text = "Sphinx of black quartz judge my vow πé. " * 5
+    for (docId <- Seq(1L, 2L, 4L, 6L, 8L, 9L, 11L)) {
+      val info = ParquetFile.read(ParquetBloomSim.payloadFor(docId, text))
+      assert(info.nonEmpty, s"doc $docId clean bloom file quarantined")
+      assert(info.get.numRows == ParquetSim.nRows(docId))
+    }
+    for (docId <- Seq(0L, 7L, 3L, 10L, 5L, 12L, 19L))
+      assert(ParquetFile.read(ParquetBloomSim.payloadFor(docId, text)).isEmpty,
+        s"doc $docId class ${docId % 7} must quarantine")
+    // bloomless d126/d135 files are unaffected by the audit's presence
+    assert(ParquetFile.read(ParquetSim.payloadFor(1L, text)).nonEmpty)
+  }
+
+  test("d138 interop: parquet-mr's real bloom filters pass our membership audit value-for-value") {
+    import spark.implicits._
+    val n = 2000
+    val df = (0 until n).map(j => (j.toLong * 7919, (j % 997).toLong, s"t-$j"))
+      .toDF("doc_id", "val", "text")
+    val dir = java.nio.file.Files.createTempDirectory("pq138").toFile
+    df.coalesce(1).write
+      .option("parquet.bloom.filter.enabled#doc_id", "true")
+      .option("parquet.bloom.filter.enabled#val", "true")
+      .option("compression", "snappy")
+      .mode("overwrite").parquet(dir.toString)
+    val f = dir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val info = ParquetFile.read(java.nio.file.Files.readAllBytes(f.toPath))
+    assert(info.nonEmpty, "quarantined a real Spark bloom file")
+    assert(info.get.numRows == n)
+    // and Spark reads our bloom-carrying files back row-identical
+    val want = rowsFor(40, 5).sortBy(_._1)
+    val dir2 = java.nio.file.Files.createTempDirectory("pq138o")
+    java.nio.file.Files.write(dir2.resolve("p.parquet"),
+      ParquetFile.write(want, 7, 0, blooms = true))
+    val got = spark.read.parquet(dir2.toString).orderBy("doc_id").collect()
+    assert(got.length == 40)
+    got.zip(want).foreach { case (r, w) =>
+      assert(r.getLong(0) == w._1 && r.getLong(1) == w._2 && r.getString(2) == w._3)
+    }
+  }
+
   test("d135 interop: Spark reads our v2 writer's files row-identical") {
     val want = rowsFor(50, 3).sortBy(_._1)
     for (codec <- Seq(0, 1, 2, 6)) {
