@@ -1573,6 +1573,29 @@ object PipelineQueries {
     "d137_sitemap_xml" -> ((s, dir) =>
       SitemapSim.rows(s, docs(s, dir)).orderBy("doc_id", "sitemap", "pos")),
 
+    // Arrow IPC — the interchange format Spark itself ships columns
+    // through — from the published spec: a from-scratch flatbuffers
+    // walk (the THIRD serialization framework after thrift-compact and
+    // protobuf), the encapsulated-message framing, validity bitmaps,
+    // utf8 offset arrays, and the AUDITS: null_count recounted from
+    // the bitmap, offsets zero-based/monotone/inside the data buffer.
+    // Damage: truncation (the EOS rule) / a LYING null_count (bitmap
+    // intact — only the recount catches it) / a LYING final utf8
+    // offset (one past the data buffer — only the tiling catches it)
+    "d139_arrow_ipc" -> ((s, dir) =>
+      ArrowIpcSim.rows(s, docs(s, dir)).orderBy("doc_id")),
+
+    // roaring bitmaps — the posting-list format every retrieval index
+    // and pruning layer runs on — from the published portable
+    // serialization: both cookie grammars, all three container types
+    // with canonical-form rules enforced, the popcount/run-total
+    // cardinality AUDITS, and the offset header cross-checked against
+    // the walk. Damage: truncation / a LYING run cardinality (runs
+    // intact — only the recount catches it) / a LYING OFFSET entry
+    // (every container byte intact — only the cross-check catches it)
+    "d140_roaring" -> ((s, dir) =>
+      RoaringSim.rows(s, docs(s, dir)).orderBy("doc_id")),
+
     "d134_xz_lzma" -> ((s, dir) =>
       XzJsonlSim.lines(s, docs(s, dir))
         .select(col("doc_id"), col("n_blocks"),
@@ -3564,6 +3587,57 @@ object PipelineQueries {
         |  (((doc_id + j) % 11) / 10.0)::DOUBLE AS priority
         | FROM d JOIN mm ON m < nm JOIN jj ON j < k
         | ORDER BY doc_id, sitemap, pos""".stripMargin.replaceAll("\n", " "),
+
+    // the arrow oracle replays the per-doc aggregate grid as closed
+    // forms: K = 3 + doc_id%5 rows in batches of 4, ids a +1 run from
+    // doc_id*100, vals exact quarters with the %8 null rule, text the
+    // codepoint slices with the %6 null rule
+    "d139_arrow_ipc" ->
+      """WITH jj AS (SELECT range AS j FROM range(8)),
+        | d AS (SELECT doc_id, text, (3 + doc_id % 5)::BIGINT AS k,
+        |   length(text)::BIGINT AS cps
+        |  FROM documents WHERE doc_id % 7 NOT IN (0, 3, 5)),
+        | r AS (SELECT d.doc_id, d.k, j,
+        |   CASE WHEN (d.doc_id + j) % 6 = 0 THEN NULL
+        |     ELSE octet_length(encode(substring(d.text,
+        |       ((j * d.cps) // d.k)::INT + 1,
+        |       (((j + 1) * d.cps) // d.k - (j * d.cps) // d.k)::INT))) END AS tb,
+        |   CASE WHEN (d.doc_id + j) % 8 = 0 THEN NULL
+        |     ELSE ((d.doc_id + j) % 41) * 0.25 END AS v
+        |  FROM d JOIN jj ON j < d.k)
+        | SELECT doc_id,
+        |  ((max(k) + 3) // 4)::BIGINT AS n_batches,
+        |  max(k)::BIGINT AS n_rows,
+        |  (max(k) * doc_id * 100 + max(k) * (max(k) - 1) // 2)::BIGINT AS sum_ids,
+        |  sum(v)::DOUBLE AS sum_vals,
+        |  sum(CASE WHEN tb IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_text_nulls,
+        |  coalesce(sum(tb), 0)::BIGINT AS text_bytes
+        | FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // the roaring oracle replays the four-container posting grid as
+    // closed forms: the stride arrays, the two runs, the %3 bitmap
+    "d140_roaring" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 7 NOT IN (0, 3, 5)),
+        | c0 AS (SELECT doc_id, (37 * i + doc_id % 100)::BIGINT AS v
+        |   FROM d, range(60) t(i)),
+        | c1a AS (SELECT doc_id, (65536 + 1000 + i)::BIGINT AS v
+        |   FROM d, range(200) t(i) WHERE i <= 150 + doc_id % 50),
+        | c1b AS (SELECT doc_id, (65536 + 40000 + i)::BIGINT AS v
+        |   FROM d, range(100) t(i)),
+        | c2 AS (SELECT doc_id, (131072 + 10 * i + doc_id % 10)::BIGINT AS v
+        |   FROM d, range(5) t(i)),
+        | c3 AS (SELECT doc_id,
+        |   (196608 + CASE WHEN doc_id % 3 = 1 THEN 13 * i + doc_id % 13
+        |     ELSE 101 * i + doc_id % 101 END)::BIGINT AS v
+        |   FROM d, range(4200) t(i) WHERE doc_id % 3 = 1 OR i < 7),
+        | u AS (SELECT * FROM c0 UNION ALL SELECT * FROM c1a
+        |   UNION ALL SELECT * FROM c1b UNION ALL SELECT * FROM c2
+        |   UNION ALL SELECT * FROM c3)
+        | SELECT doc_id, 4::BIGINT AS n_containers,
+        |  count(*)::BIGINT AS cardinality, sum(v)::BIGINT AS sum_vals,
+        |  max(v)::BIGINT AS max_val,
+        |  sum(CASE WHEN v % 7 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_mult7
+        | FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     // the cdx oracle replays every column as closed forms: the SURT
     // CASE on (doc_id+i)%5, the timestamp grid, slice byte lengths;
