@@ -1596,6 +1596,17 @@ object PipelineQueries {
     "d140_roaring" -> ((s, dir) =>
       RoaringSim.rows(s, docs(s, dir)).orderBy("doc_id")),
 
+    // the Delta transaction log — the table-format layer over parquet
+    // — replayed strictly from the published protocol: contiguous
+    // versions, the minReaderVersion must-refuse rule, add/remove
+    // reconciliation (latest add wins), stats nested as JSON inside
+    // JSON, and every live file READ BACK through our d126 parquet
+    // walker with the stats audit ON. Damage: a version GAP / a LYING
+    // numRecords in one add's stats (file intact — only the read-back
+    // audit catches it) / a remove for a path never added
+    "d141_delta_log" -> ((s, dir) =>
+      DeltaLogSim.rows(s, docs(s, dir)).orderBy("doc_id")),
+
     "d134_xz_lzma" -> ((s, dir) =>
       XzJsonlSim.lines(s, docs(s, dir))
         .select(col("doc_id"), col("n_blocks"),
@@ -3638,6 +3649,27 @@ object PipelineQueries {
         |  max(v)::BIGINT AS max_val,
         |  sum(CASE WHEN v % 7 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_mult7
         | FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // the delta oracle replays the live snapshot as closed forms: the
+    // live file set from the %2 rule, per-file row grids, ids/vals/
+    // text bytes as range arithmetic
+    "d141_delta_log" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 7 NOT IN (0, 3, 5)),
+        | f AS (SELECT doc_id, j FROM d, range(4) t(j)
+        |   WHERE j IN (0, 2) OR (j = 3 AND doc_id % 2 = 1)),
+        | r AS (SELECT doc_id, j, i,
+        |   (doc_id * 1000 + j * 10 + i)::BIGINT AS id,
+        |   ((doc_id + j + i) % 97)::BIGINT AS v,
+        |   octet_length(encode('d' || doc_id || 'f' || j || 'r' || i))::BIGINT AS tb
+        |  FROM f, range(5) t(i) WHERE i < 2 + (doc_id + j) % 3)
+        | SELECT doc_id,
+        |  (2 + doc_id % 2)::BIGINT AS n_versions,
+        |  (2 + doc_id % 2)::BIGINT AS n_live,
+        |  count(*)::BIGINT AS total_rows,
+        |  sum(id)::BIGINT AS sum_ids,
+        |  sum(v)::BIGINT AS sum_vals,
+        |  sum(tb)::BIGINT AS text_bytes
+        | FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     // the cdx oracle replays every column as closed forms: the SURT
     // CASE on (doc_id+i)%5, the timestamp grid, slice byte lengths;
