@@ -1607,6 +1607,17 @@ object PipelineQueries {
     "d141_delta_log" -> ((s, dir) =>
       DeltaLogSim.rows(s, docs(s, dir)).orderBy("doc_id")),
 
+    // git packfiles — how every code corpus ships — from the published
+    // pack-v2/idx-v2 format over our own zlib (d124) and SHA-1 (d136):
+    // object ids recomputed (the identity audit), both delta encodings
+    // applied strictly, the pack trailer, idx fanout/crc32 recomputed,
+    // offsets cross-checked against the walk, tree/commit linkage.
+    // Damage: truncation / a LYING IDX OFFSET (pack intact — only the
+    // cross-check catches it) / a delta LYING about its source size
+    // (container-level checks all pass — only strict apply catches it)
+    "d142_git_pack" -> ((s, dir) =>
+      GitPackSim.rows(s, docs(s, dir)).orderBy("doc_id")),
+
     "d134_xz_lzma" -> ((s, dir) =>
       XzJsonlSim.lines(s, docs(s, dir))
         .select(col("doc_id"), col("n_blocks"),
@@ -3670,6 +3681,24 @@ object PipelineQueries {
         |  sum(v)::BIGINT AS sum_vals,
         |  sum(tb)::BIGINT AS text_bytes
         | FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // the git-pack oracle replays the object graph as closed forms:
+    // K blobs (base + rev-suffix deltas), one 34-byte-per-entry tree,
+    // one commit
+    "d142_git_pack" ->
+      """WITH d AS (SELECT doc_id, text, (3 + doc_id % 4)::BIGINT AS k
+        |  FROM documents WHERE doc_id % 7 NOT IN (0, 3, 5)),
+        | s AS (SELECT d.doc_id,
+        |   sum(octet_length(encode(chr(10) || 'rev ' || j || ' of ' || d.doc_id)))::BIGINT AS sb
+        |  FROM d, range(1, 7) t(j) WHERE j < d.k GROUP BY d.doc_id)
+        | SELECT d.doc_id,
+        |  (d.k + 2)::BIGINT AS n_objects,
+        |  d.k AS n_blobs,
+        |  (d.k - 1)::BIGINT AS n_deltas,
+        |  (d.k * octet_length(encode(d.text)) + s.sb)::BIGINT AS blob_bytes,
+        |  (d.k * 34)::BIGINT AS tree_bytes
+        | FROM d JOIN s ON d.doc_id = s.doc_id
+        | ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
 
     // the cdx oracle replays every column as closed forms: the SURT
     // CASE on (doc_id+i)%5, the timestamp grid, slice byte lengths;
