@@ -602,10 +602,63 @@ object ZstdCodec {
   private val MAX_CONTENT = 1 << 26 // 64 MB guard for the local gates
   private val BLOCK_CEIL = 128 * 1024
 
+  /** A zstd dictionary (RFC 8878 §5): either the STRUCTURED format
+    * (magic 0xEC30A437, dictID, entropy tables seeding Treeless/Repeat
+    * modes, three replacement repcodes, then content) or a RAW-CONTENT
+    * dictionary (any other bytes; spec-legal — just a match-history
+    * prefix, id assigned by the registry that distributes it). */
+  private[graft] final case class ZDict(id: Long, content: Array[Byte],
+      huff: HuffTable, ofT: FseTable, mlT: FseTable, llT: FseTable,
+      reps: Array[Int])
+
+  private val DICT_MAGIC = 0xEC30A437L
+
+  /** Raw-content dictionary with a registry-assigned id. */
+  private[graft] def rawDict(content: Array[Byte], id: Long = 0L): ZDict =
+    ZDict(id, content.clone(), null, null, null, null, Array(1, 4, 8))
+
+  /** Strict parse of a STRUCTURED dictionary; bytes without the magic
+    * are a raw-content dictionary (id 0). None quarantines. */
+  private[graft] def parseDictionary(b: Array[Byte]): Option[ZDict] =
+    try {
+      def u32(i: Int): Long = {
+        if (i + 4 > b.length) throw Malformed
+        (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
+          ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
+      }
+      if (b.length < 8 || u32(0) != DICT_MAGIC) Some(rawDict(b))
+      else {
+        val id = u32(4)
+        if (id == 0) throw Malformed // structured dicts carry a real id
+        var p = 8
+        val (huff, hUsed) = readHuffTable(b, p, b.length)
+        p += hUsed
+        // FSE tables in the spec's order: offsets, match lengths,
+        // literals lengths — with the block-decode caps
+        val (of, u1) = readFseTable(b, p, b.length, 8, 31); p += u1
+        val (ml, u2) = readFseTable(b, p, b.length, 9, 52); p += u2
+        val (ll, u3) = readFseTable(b, p, b.length, 9, 35); p += u3
+        if (p + 12 > b.length) throw Malformed
+        val reps = Array(u32(p).toInt, u32(p + 4).toInt, u32(p + 8).toInt)
+        p += 12
+        val content = java.util.Arrays.copyOfRange(b, p, b.length)
+        // each replacement repcode must land inside the content
+        reps.foreach(r => if (r <= 0 || r > content.length) throw Malformed)
+        Some(ZDict(id, content, huff, of, ml, ll, reps))
+      }
+    } catch {
+      case Malformed => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+
   /** One frame starting at `start` → (content, positionAfterFrame);
-    * throws Malformed on anything malformed or out of scope. */
+    * throws Malformed on anything malformed or out of scope. With a
+    * `dict`, the dictionary seeds the entropy context, repcodes and
+    * match window (RFC 8878 §5); a frame-header dictID must then
+    * match the dictionary's. */
   private def frameAt(b: Array[Byte], start: Int,
-                      requireChecksum: Boolean = true): (Array[Byte], Int) = {
+                      requireChecksum: Boolean = true,
+                      dict: ZDict = null): (Array[Byte], Int) = {
     def u32(i: Int): Long =
       (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
         ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
@@ -622,7 +675,9 @@ object ZstdCodec {
       // RFC 8878 §3.1.1
       val hasChecksum = (fhd & 0x04) != 0
       if (requireChecksum && !hasChecksum) throw Malformed
-      if ((fhd & 0x03) != 0) throw Malformed // dictionaries out of scope
+      val didFlag = fhd & 0x03
+      // a frame that names a dictionary we don't hold is undecodable
+      if (didFlag != 0 && dict == null) throw Malformed
       var p = start + 5
       var windowSize = 0L
       if (!single) {
@@ -630,6 +685,17 @@ object ZstdCodec {
         val base = 1L << (10 + (wd >> 3))
         windowSize = base + (base / 8) * (wd & 7)
         if (windowSize > MAX_CONTENT) throw Malformed
+      }
+      if (didFlag != 0) {
+        val nb = didFlag match { case 1 => 1; case 2 => 2; case _ => 4 }
+        if (p + nb > b.length) throw Malformed
+        var did = 0L
+        var i = 0
+        while (i < nb) { did |= (b(p + i) & 0xFFL) << (8 * i); i += 1 }
+        p += nb
+        // the id exists exactly so the wrong dictionary can't decode
+        // plausible garbage: a mismatch quarantines
+        if (did != dict.id) throw Malformed
       }
       val fcs: Long = fcsFlag match {
         case 0 =>
@@ -648,8 +714,20 @@ object ZstdCodec {
       if (fcs > MAX_CONTENT) throw Malformed
       val blockMax = math.min(math.max(windowSize, 1L), BLOCK_CEIL.toLong).toInt
       val ctx = new FrameCtx
-      var window = new Array[Byte](if (fcs > 0) fcs.toInt else 1 << 12)
-      var winLen = 0 // decoded-so-far (the match history IS the content)
+      val dictLen = if (dict == null) 0 else dict.content.length
+      if (dict != null) {
+        // the dictionary seeds the Treeless/Repeat entropy context and
+        // the recent-offset history (RFC 8878 §5)
+        ctx.huff = dict.huff
+        ctx.llT = dict.llT; ctx.ofT = dict.ofT; ctx.mlT = dict.mlT
+        ctx.rep(0) = dict.reps(0); ctx.rep(1) = dict.reps(1)
+        ctx.rep(2) = dict.reps(2)
+      }
+      var window = new Array[Byte](
+        dictLen + (if (fcs > 0) fcs.toInt else 1 << 12))
+      if (dictLen > 0)
+        System.arraycopy(dict.content, 0, window, 0, dictLen)
+      var winLen = dictLen // match history = dict prefix + decoded content
       def append(chunk: Array[Byte], len: Int): Unit = {
         if (winLen + len > window.length)
           window = java.util.Arrays.copyOf(window,
@@ -687,7 +765,7 @@ object ZstdCodec {
           case _ => throw Malformed // reserved block type
         }
       }
-      val content = java.util.Arrays.copyOf(window, winLen)
+      val content = java.util.Arrays.copyOfRange(window, dictLen, winLen)
       if (fcs >= 0 && content.length != fcs) throw Malformed
       if (!hasChecksum) (content, p)
       else {
@@ -705,6 +783,21 @@ object ZstdCodec {
   private[operators] def decodeLoose(b: Array[Byte]): Option[Array[Byte]] =
     try {
       val (content, end) = frameAt(b, 0, requireChecksum = false)
+      if (end != b.length) None else Some(content)
+    } catch {
+      case Malformed => None
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+
+  /** STRICT single-frame decode AGAINST A DICTIONARY (d143): the dict
+    * seeds window/entropy/repcodes; a frame-header dictID must match.
+    * `requireChecksum = false` is the interop surface (libzstd omits
+    * the content checksum by default — the decodeLoose precedent). */
+  private[graft] def decodeWithDict(b: Array[Byte], dict: ZDict,
+      requireChecksum: Boolean = true): Option[Array[Byte]] =
+    try {
+      val (content, end) = frameAt(b, 0, requireChecksum, dict)
       if (end != b.length) None else Some(content)
     } catch {
       case Malformed => None
@@ -1003,7 +1096,18 @@ object ZstdCodec {
     * blocks cut every `blockCut` bytes (≤ 1023 — the encoder's huff0
     * single-stream ceiling). Each block compresses (huff0 literals +
     * predefined-FSE sequences) or stores raw, whichever is smaller. */
-  def encodeFrame(content: Array[Byte], blockCut: Int): Array[Byte] = {
+  def encodeFrame(content: Array[Byte], blockCut: Int): Array[Byte] =
+    encodeFrameImpl(content, blockCut, null)
+
+  /** The d143 surface: the dictionary's content becomes match-history
+    * PREFIX (matches may reach back into it — that's the whole win on
+    * small records), and a nonzero dict id is stamped in the frame
+    * header so the wrong dictionary can't silently decode garbage. */
+  private[graft] def encodeFrameWithDict(content: Array[Byte], dict: ZDict,
+      blockCut: Int): Array[Byte] = encodeFrameImpl(content, blockCut, dict)
+
+  private def encodeFrameImpl(content: Array[Byte], blockCut: Int,
+      dict: ZDict): Array[Byte] = {
     require(blockCut >= 1 && blockCut <= 1023, "blockCut out of range")
     val out = new java.io.ByteArrayOutputStream(content.length + 64)
     def w32(v: Long): Unit = {
@@ -1013,21 +1117,53 @@ object ZstdCodec {
     w32(MAGIC)
     val len = content.length
     val fcsFlag = if (len <= 255) 0 else if (len <= 65535 + 256) 1 else 2
-    out.write((fcsFlag << 6) | 0x20 | 0x04) // single-segment + checksum
+    val didFlag =
+      if (dict == null || dict.id == 0) 0
+      else if (dict.id <= 255) 1
+      else if (dict.id <= 65535) 2
+      else 3
+    out.write((fcsFlag << 6) | 0x20 | 0x04 | didFlag) // single-segment + checksum
+    if (didFlag != 0) {
+      val nb = didFlag match { case 1 => 1; case 2 => 2; case _ => 4 }
+      var i = 0
+      while (i < nb) { out.write(((dict.id >> (8 * i)) & 0xFF).toInt); i += 1 }
+    }
     fcsFlag match {
       case 0 => out.write(len)
       case 1 => out.write((len - 256) & 0xFF); out.write((len - 256) >> 8)
       case _ => w32(len.toLong)
     }
+    // the matcher runs over dict-prefix + content so matches can reach
+    // back into the dictionary; block boundaries stay content-relative
+    val dictLen = if (dict == null) 0 else dict.content.length
+    val full =
+      if (dictLen == 0) content
+      else {
+        val f = new Array[Byte](dictLen + len)
+        System.arraycopy(dict.content, 0, f, 0, dictLen)
+        System.arraycopy(content, 0, f, dictLen, len)
+        f
+      }
     val hashTable = new Array[Int](1 << 13)
     java.util.Arrays.fill(hashTable, -1)
+    if (dictLen >= 4) {
+      def u32at(i: Int): Int =
+        (full(i) & 0xFF) | ((full(i + 1) & 0xFF) << 8) |
+          ((full(i + 2) & 0xFF) << 16) | ((full(i + 3) & 0xFF) << 24)
+      var i = 0
+      while (i + 4 <= dictLen) {
+        hashTable((u32at(i) * -1640531535) >>> (32 - 13)) = i
+        i += 1
+      }
+    }
     var p = 0
     var emitted = false
     while (p < len || !emitted) {
       val blockLen = math.min(blockCut, len - p)
       val lastBit = if (p + blockLen >= len) 1 else 0
       val body = if (blockLen == 0) None else {
-        val (seqs, lits) = findSequences(content, p, p + blockLen, hashTable)
+        val (seqs, lits) = findSequences(full, dictLen + p,
+          dictLen + p + blockLen, hashTable)
         val allSame = lits.nonEmpty && lits.forall(_ == lits(0))
         val litsSec =
           if (seqs.isEmpty && allSame && lits.length == blockLen)

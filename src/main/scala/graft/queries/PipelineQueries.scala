@@ -1618,6 +1618,25 @@ object PipelineQueries {
     "d142_git_pack" -> ((s, dir) =>
       GitPackSim.rows(s, docs(s, dir)).orderBy("doc_id")),
 
+    // dictionary-compressed zstd — how small-record corpora actually
+    // compress at scale: a shared dictionary (raw-content here; the
+    // ZDICT structured format is the spec-pinned read path) prefixes
+    // the match window and is id-checked in the frame header. Damage:
+    // truncation / a LYING dictID (every other byte intact — only the
+    // id check stops the wrong dictionary decoding garbage) / a
+    // one-byte-different DICTIONARY (frame intact — the scaffold match
+    // copies the flipped byte and the content checksum catches it)
+    "d143_zstd_dict" -> ((s, dir) =>
+      ZstdDictSim.lines(s, docs(s, dir))
+        .select(col("doc_id"),
+          from_json(col("line"), "id BIGINT, text STRING",
+            Map.empty[String, String]).as("j"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_records"),
+          sum(col("j.id")).as("sum_ids"),
+          sum(octet_length(col("j.text")).cast("long")).as("n_bytes"))
+        .orderBy("doc_id")),
+
     "d134_xz_lzma" -> ((s, dir) =>
       XzJsonlSim.lines(s, docs(s, dir))
         .select(col("doc_id"), col("n_blocks"),
@@ -3699,6 +3718,17 @@ object PipelineQueries {
         |  (d.k * 34)::BIGINT AS tree_bytes
         | FROM d JOIN s ON d.doc_id = s.doc_id
         | ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // the zstd-dict oracle is the d119/d134 shape: record ids and
+    // byte totals as closed forms off the doc's line structure
+    "d143_zstd_dict" ->
+      """SELECT doc_id, nl AS n_records,
+        |  (nl * doc_id * 1000 + nl * (nl - 1) // 2)::BIGINT AS sum_ids,
+        |  (octet_length(encode(text)) - (nl - 1))::BIGINT AS n_bytes
+        | FROM (SELECT doc_id, text,
+        |    (length(text) - length(replace(text, chr(10), '')) + 1)::BIGINT AS nl
+        |   FROM documents WHERE doc_id % 7 NOT IN (0, 3, 5))
+        | ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     // the cdx oracle replays every column as closed forms: the SURT
     // CASE on (doc_id+i)%5, the timestamp grid, slice byte lengths;
