@@ -1618,6 +1618,16 @@ object PipelineQueries {
     "d142_git_pack" -> ((s, dir) =>
       GitPackSim.rows(s, docs(s, dir)).orderBy("doc_id")),
 
+    // PAX-extended tar — the headers real shards hit past 100-byte
+    // paths: the "%d key=value\n" record grammar enforced exactly,
+    // path/size overrides with the pairing rules, GNU 'L' longlinks,
+    // 'g' global headers. Damage: truncation / a LYING record length
+    // (every other byte intact — only the record grammar catches it)
+    // / a DANGLING x-header (well-formed — only the pairing rule
+    // catches an override with nothing to apply to)
+    "d144_tar_pax" -> ((s, dir) =>
+      TarPaxSim.rows(s, docs(s, dir)).orderBy("doc_id")),
+
     // dictionary-compressed zstd — how small-record corpora actually
     // compress at scale: a shared dictionary (raw-content here; the
     // ZDICT structured format is the spec-pinned read path) prefixes
@@ -3729,6 +3739,23 @@ object PipelineQueries {
         |    (length(text) - length(replace(text, chr(10), '')) + 1)::BIGINT AS nl
         |   FROM documents WHERE doc_id % 7 NOT IN (0, 3, 5))
         | ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // the tar-pax oracle replays the member grid as closed forms: the
+    // 124+(doc_id+i)%20 long-name lengths, the 8-char short names,
+    // repeat() content bytes
+    "d144_tar_pax" ->
+      """WITH d AS (SELECT doc_id, (2 + doc_id % 4)::BIGINT AS k
+        |  FROM documents WHERE doc_id % 7 NOT IN (0, 3, 5)),
+        | m AS (SELECT d.doc_id, i,
+        |   (CASE WHEN i % 2 = 0 THEN 124 + (d.doc_id + i) % 20 ELSE 8 END)::BIGINT AS nl,
+        |   (CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS lng,
+        |   octet_length(encode(repeat('member ' || i || ' of ' || d.doc_id
+        |     || ' payload;', (1 + d.doc_id % 3)::INT)))::BIGINT AS cb
+        |  FROM d, range(6) t(i) WHERE i < d.k)
+        | SELECT doc_id, count(*)::BIGINT AS n_members,
+        |  sum(lng)::BIGINT AS n_long, sum(nl)::BIGINT AS name_chars,
+        |  sum(cb)::BIGINT AS total_bytes
+        | FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     // the cdx oracle replays every column as closed forms: the SURT
     // CASE on (doc_id+i)%5, the timestamp grid, slice byte lengths;
