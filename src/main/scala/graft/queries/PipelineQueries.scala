@@ -1628,6 +1628,17 @@ object PipelineQueries {
     "d144_tar_pax" -> ((s, dir) =>
       TarPaxSim.rows(s, docs(s, dir)).orderBy("doc_id")),
 
+    // LevelDB-format SSTables — the KV layout feature stores and
+    // embedding caches ride: prefix-compressed blocks with restart
+    // points, masked crc32c per block, the index walked AND the
+    // production point-lookup path. Damage: truncation / a LYING
+    // INDEX HANDLE (every block byte intact — only the tiling audit
+    // catches it) / two keys SWAPPED with the crc recomputed
+    // (contents and checksums valid — only the sort invariant the
+    // binary search lives on catches it)
+    "d145_sstable" -> ((s, dir) =>
+      SsTableSim.rows(s, docs(s, dir)).orderBy("doc_id")),
+
     // dictionary-compressed zstd — how small-record corpora actually
     // compress at scale: a shared dictionary (raw-content here; the
     // ZDICT structured format is the spec-pinned read path) prefixes
@@ -3755,6 +3766,23 @@ object PipelineQueries {
         | SELECT doc_id, count(*)::BIGINT AS n_members,
         |  sum(lng)::BIGINT AS n_long, sum(nl)::BIGINT AS name_chars,
         |  sum(cb)::BIGINT AS total_bytes
+        | FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // the sstable oracle replays the entry grid as closed forms: 21-
+    // byte keys, repeat() values, ceil(k/3) blocks, 3 of 4 probes hit
+    "d145_sstable" ->
+      """WITH d AS (SELECT doc_id, (6 + doc_id % 7)::BIGINT AS k
+        |  FROM documents WHERE doc_id % 7 NOT IN (0, 3, 5)),
+        | m AS (SELECT d.doc_id, i,
+        |   octet_length(encode(repeat('v' || i || ':',
+        |     (1 + (d.doc_id + i) % 4)::INT)))::BIGINT AS vb
+        |  FROM d, range(13) t(i) WHERE i < d.k)
+        | SELECT doc_id,
+        |  ((max(i) + 1 + 2) // 3)::BIGINT AS n_blocks,
+        |  count(*)::BIGINT AS n_entries,
+        |  (count(*) * 21)::BIGINT AS key_bytes,
+        |  sum(vb)::BIGINT AS value_bytes,
+        |  3::BIGINT AS n_hits
         | FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     // the cdx oracle replays every column as closed forms: the SURT
