@@ -142,6 +142,122 @@ object AvroOcfCodec {
     w.out.toByteArray
   }
 
+  // ---- generic container surfaces (d146: Iceberg manifests ride OCF
+  // with their own schemas; the container grammar is shared) ------------
+
+  /** Encode pre-serialized record bodies as OCF blocks under an
+    * arbitrary writer schema. */
+  private[graft] def encodeGeneric(schemaJson: String,
+      blocks: Seq[(Int, Array[Byte])], sync: Array[Byte],
+      deflate: Boolean): Array[Byte] = {
+    require(sync.length == 16)
+    val w = new Writer
+    w.out.write(Array[Byte]('O', 'b', 'j', 1), 0, 4)
+    w.zlong(2L)
+    w.str("avro.schema"); w.str(schemaJson)
+    w.str("avro.codec"); w.str(if (deflate) "deflate" else "null")
+    w.zlong(0L)
+    w.out.write(sync, 0, 16)
+    blocks.foreach { case (count, body) =>
+      val payload = if (deflate) deflateRaw(body) else body
+      w.zlong(count.toLong)
+      w.zlong(payload.length.toLong)
+      w.out.write(payload, 0, payload.length)
+      w.out.write(sync, 0, 16)
+    }
+    w.out.toByteArray
+  }
+
+  /** Strict container walk under an arbitrary expected schema →
+    * (count, inflated payload) per block. The CALLER must parse each
+    * payload into exactly `count` records consuming every byte — the
+    * count-lies strictness moves with the schema. */
+  private[graft] def decodeGeneric(b: Array[Byte], schemaJson: String)
+      : Option[Seq[(Long, Array[Byte])]] =
+    try {
+      if (b.length < 20 || b(0) != 'O' || b(1) != 'b' || b(2) != 'j' || b(3) != 1)
+        return None
+      val r = new Reader(b, 4, b.length)
+      var schema: String = null
+      var codec: String = null
+      var mapCount = r.zlong()
+      while (mapCount != 0) {
+        val n = if (mapCount < 0) { r.zlong(); -mapCount } else mapCount
+        var i = 0L
+        while (i < n) {
+          val key = new String(r.bytesOut(), "UTF-8")
+          val value = r.bytesOut()
+          key match {
+            case "avro.schema" =>
+              if (schema != null) throw Malformed
+              schema = new String(value, "UTF-8")
+            case "avro.codec" =>
+              if (codec != null) throw Malformed
+              codec = new String(value, "UTF-8")
+            case _ => throw Malformed
+          }
+          i += 1
+        }
+        mapCount = r.zlong()
+      }
+      if (schema == null || canon(schema) != canon(schemaJson)) throw Malformed
+      val deflate = codec match {
+        case null | "null" => false
+        case "deflate" => true
+        case _ => throw Malformed
+      }
+      val sync = r.raw(16)
+      val out = Seq.newBuilder[(Long, Array[Byte])]
+      var total = 0L
+      while (r.hasMore) {
+        val count = r.zlong()
+        if (count <= 0) throw Malformed
+        val size = r.zlong()
+        if (size < 0 || size > MAX_BYTES) throw Malformed
+        val payload = r.raw(size.toInt)
+        val body = if (deflate) inflateRaw(payload, MAX_BYTES) else payload
+        total += count
+        if (total > (1L << 24)) throw Malformed
+        if (!java.util.Arrays.equals(r.raw(16), sync)) throw Malformed
+        out += ((count, body))
+      }
+      Some(out.result())
+    } catch {
+      case Malformed => None
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+
+  /** Record-body reader for generic schemas (d146). */
+  private[graft] def reader(b: Array[Byte]): AvroReader = new AvroReader(b)
+
+  final class AvroReader(b: Array[Byte]) {
+    private val r = new Reader(b, 0, b.length)
+    def hasMore: Boolean = r.hasMore
+    def long(): Long = r.zlong()
+    def int(): Int = {
+      val v = r.zlong()
+      if (v < Int.MinValue || v > Int.MaxValue) throw Malformed
+      v.toInt
+    }
+    def string(): String = {
+      val v = r.bytesOut()
+      CharsetSniff.decodeUtf8(v, 0, v.length)
+    }
+    def fail(): Nothing = throw Malformed
+  }
+
+  /** Record-body writer for generic schemas (d146). */
+  private[graft] def writer(): AvroWriter = new AvroWriter
+
+  final class AvroWriter {
+    private val w = new Writer
+    def long(v: Long): AvroWriter = { w.zlong(v); this }
+    def int(v: Int): AvroWriter = { w.zlong(v.toLong); this }
+    def string(s: String): AvroWriter = { w.str(s); this }
+    def bytes: Array[Byte] = w.out.toByteArray
+  }
+
   // ---- decode ----------------------------------------------------------
 
   private def canon(s: String): String = s.replaceAll("\\s+", "")

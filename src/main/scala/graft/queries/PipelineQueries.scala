@@ -1639,6 +1639,18 @@ object PipelineQueries {
     "d145_sstable" -> ((s, dir) =>
       SsTableSim.rows(s, docs(s, dir)).orderBy("doc_id")),
 
+    // the Iceberg metadata tree — the OTHER table format (d141 covered
+    // Delta): metadata JSON through the d141 parser, manifest list +
+    // manifests as Avro OCF (the d121 container, generic schemas),
+    // data files read back through the d126 parquet walker. Audits:
+    // manifest_length vs bytes read, added/existing/deleted counts vs
+    // entries, record_count vs the file. Damage: list truncation / a
+    // LYING record_count (file intact — only the read-back catches
+    // it) / a LYING added_files_count (manifest intact — only the
+    // counts audit catches the field pruning trusts)
+    "d146_iceberg" -> ((s, dir) =>
+      IcebergSim.rows(s, docs(s, dir)).orderBy("doc_id")),
+
     // dictionary-compressed zstd — how small-record corpora actually
     // compress at scale: a shared dictionary (raw-content here; the
     // ZDICT structured format is the spec-pinned read path) prefixes
@@ -3784,6 +3796,22 @@ object PipelineQueries {
         |  sum(vb)::BIGINT AS value_bytes,
         |  3::BIGINT AS n_hits
         | FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // the iceberg oracle replays the resolved live set as closed
+    // forms off the %2 rule (f0 and f2 always; f3 on odd docs)
+    "d146_iceberg" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 7 NOT IN (0, 3, 5)),
+        | f AS (SELECT doc_id, j FROM d, range(4) t(j)
+        |   WHERE j IN (0, 2) OR (j = 3 AND doc_id % 2 = 1)),
+        | r AS (SELECT doc_id, j, i,
+        |   (doc_id * 1000 + j * 10 + i)::BIGINT AS id,
+        |   ((doc_id * 3 + j + i) % 89)::BIGINT AS v
+        |  FROM f, range(5) t(i) WHERE i < 2 + (doc_id + j) % 3)
+        | SELECT doc_id, 2::BIGINT AS n_snapshots, 2::BIGINT AS n_manifests,
+        |  (2 + doc_id % 2)::BIGINT AS n_live,
+        |  count(*)::BIGINT AS total_rows,
+        |  sum(id)::BIGINT AS sum_ids, sum(v)::BIGINT AS sum_vals
+        | FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     // the cdx oracle replays every column as closed forms: the SURT
     // CASE on (doc_id+i)%5, the timestamp grid, slice byte lengths;
