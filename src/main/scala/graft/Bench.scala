@@ -170,7 +170,17 @@ object Bench {
     // flag fires on thermal decay instead of real load (two final-r11
     // runs flagged exactly this way while their raw walls agreed
     // within 2%).
-    val calibPar = calibratePar(cpus.toInt)
+    // the parallel IDLE FLOOR is measured, not assumed (r13: the host
+    // profile shifted under the repo — 4.6% hypervisor steal under
+    // full-width load and an idle par/single ratio of 1.5–1.8 where
+    // r11 measured 1.03–1.14, while the single-thread calib stayed at
+    // 0.30 s. An absolute par bound calibrated on the old profile
+    // flags EVERY run on the new one). Two pre-run probes; their min
+    // is this run's floor, recorded in the artifact so the host
+    // profile is visible to any cross-round comparison.
+    val calibParA = calibratePar(cpus.toInt)
+    val calibParB = calibratePar(cpus.toInt)
+    val calibPar = math.min(calibParA, calibParB)
     val calib = calibrate()
     val results = HEADLINERS.map { name =>
       // one UNTIMED warmup rep first: queries that build one-time state
@@ -220,14 +230,28 @@ object Bench {
     val parRatio = calibPar / calib
     // host_contended: the artifact defends itself (the r10 lesson — a
     // loaded host read as a 1.26× "regression" because nothing in the
-    // JSON said the host was busy). Thresholds in the verify skill:
-    // spread > 3 (cross-rep load), drift > 10% (load arrived/left
-    // mid-run), par_ratio > 1.35 (the full-width/single-thread calib
-    // ratio idles at a stable 1.03–1.14 on this 32-core host —
-    // measured 3× via --calib-only; a steady K-thread competitor
-    // inflates it (32+K)/32, so the r10-class 26% uniform load lands
-    // ≈1.4, past the bound, while the floor keeps ~20% margin).
-    val contended = maxSpread > 3.0 || drift > 0.10 || parRatio > 1.35
+    // JSON said the host was busy). r13 refinement, with the host
+    // forensics in SURVEY §8.15:
+    //  - spread: ≥ 2 queries over 3× cross-rep spread. With 117
+    //    sub-second queries a SINGLE spike is a GC pause or a
+    //    hypervisor hiccup (two full r13 runs each flagged on exactly
+    //    one fast query — d129 at 4.4×, d125 at 3.7× — while calib
+    //    drift read 1% and the raw shared total matched to 2%);
+    //    genuine cross-rep load hits many queries at once.
+    //  - drift > 10%: load arrived/left mid-run (unchanged).
+    //  - par ratio above max(1.35, 1.25 × this run's measured idle
+    //    floor): steady competitors still inflate the full-width calib
+    //    beyond any floor; the measured floor keeps the signal
+    //    meaningful across host-profile shifts. The floor itself rides
+    //    in the artifact (par_floor) — a cross-round reader sees the
+    //    profile, and a floor high enough to blunt this signal still
+    //    cannot mask a slow run from the RAW shared-total rule.
+    val nSpreadOver3 = results.count(_._3 > 3.0)
+    val parFloor = parRatio // min of the two pre-run probes, vs calib
+    val parBound = math.max(1.35, parFloor * 1.25)
+    val parLive = calibParB / calib // the later probe: load arriving early
+    val contended = nSpreadOver3 >= 2 || drift > 0.10 ||
+      parLive > parBound
     // the baseline is PINNED while coverage GROWS: new headliners make
     // the raw total incomparable to BASELINE_BENCH.json (the r11
     // lesson — 13 new codec gates would read as a "regression" on
@@ -261,7 +285,7 @@ object Bench {
     // COMPACT line LAST — no query map, bounded size, so whatever
     // tail window captures stdout always ends with one parseable
     // contract line pointing at the file.
-    val tail = f""""max_spread":$maxSpread%.2f,"max_spread_query":"$spreadQuery","calib_sec":$calib%.3f,"calib_post_sec":$calibPost%.3f,"calib_par_sec":$calibPar%.3f,"host_contended":$contended,"shared_total_sec":$sharedTotal%.3f,"baseline_shared_sec":$baselineShared%.3f,"shared_n":${shared.size},"failed":$failed,"sf":"$sfDir""""
+    val tail = f""""max_spread":$maxSpread%.2f,"max_spread_query":"$spreadQuery","n_spread_over3":$nSpreadOver3,"calib_sec":$calib%.3f,"calib_post_sec":$calibPost%.3f,"calib_par_sec":$calibPar%.3f,"par_floor":$parFloor%.2f,"par_live":$parLive%.2f,"host_contended":$contended,"shared_total_sec":$sharedTotal%.3f,"baseline_shared_sec":$baselineShared%.3f,"shared_n":${shared.size},"failed":$failed,"sf":"$sfDir""""
     val fullLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$tail}"""
     val compactLine =
