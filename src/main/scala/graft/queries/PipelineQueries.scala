@@ -1651,6 +1651,15 @@ object PipelineQueries {
     "d146_iceberg" -> ((s, dir) =>
       IcebergSim.rows(s, docs(s, dir)).orderBy("doc_id")),
 
+    // FLAC — the codec speech corpora ship in (LibriSpeech/MLS): rice
+    // residuals, fixed + LPC predictors, CRC-8/16 recomputed, and the
+    // STREAMINFO MD5 recomputed over the decoded samples. Damage:
+    // truncation / a LYING MD5 (every frame and CRC intact — only the
+    // recompute of the field that exists to prove losslessness catches
+    // it) / a LYING total-sample count (the count audit)
+    "d147_flac" -> ((s, dir) =>
+      FlacSim.rows(s, docs(s, dir)).orderBy("doc_id")),
+
     // dictionary-compressed zstd — how small-record corpora actually
     // compress at scale: a shared dictionary (raw-content here; the
     // ZDICT structured format is the spec-pinned read path) prefixes
@@ -3812,6 +3821,22 @@ object PipelineQueries {
         |  count(*)::BIGINT AS total_rows,
         |  sum(id)::BIGINT AS sum_ids, sum(v)::BIGINT AS sum_vals
         | FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // the flac oracle replays the waveform arithmetically: K samples
+    // of ((doc_id*7 + i*i) % 2048) - 1024, ceil(K/576) frames
+    "d147_flac" ->
+      """WITH d AS (SELECT doc_id, (2000 + doc_id % 500)::BIGINT AS k
+        |  FROM documents WHERE doc_id % 7 NOT IN (0, 3, 5)),
+        | s AS (SELECT d.doc_id, d.k,
+        |   ((d.doc_id * 7 + i * i) % 2048 - 1024)::BIGINT AS v
+        |  FROM d, range(2500) t(i) WHERE i < d.k)
+        | SELECT doc_id,
+        |  ((max(k) + 575) // 576)::BIGINT AS n_frames,
+        |  count(*)::BIGINT AS n_samples,
+        |  sum(v)::BIGINT AS sum_samples,
+        |  min(v)::BIGINT AS min_s,
+        |  max(v)::BIGINT AS max_s
+        | FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     // the cdx oracle replays every column as closed forms: the SURT
     // CASE on (doc_id+i)%5, the timestamp grid, slice byte lengths;
