@@ -56,7 +56,8 @@ object Bench {
     "d135_parquet_v2", "d136_cdx_index", "d137_sitemap_xml",
     "d138_parquet_bloom", "d139_arrow_ipc", "d140_roaring",
     "d141_delta_log", "d142_git_pack", "d143_zstd_dict",
-    "d144_tar_pax", "d145_sstable", "d146_iceberg", "d147_flac")
+    "d144_tar_pax", "d145_sstable", "d146_iceberg", "d147_flac",
+    "d148_safetensors")
 
   /** Fixed CPU-bound calibration microbench ("DotBench"): scalar dot
     * products over pinned-size float arrays with deterministic

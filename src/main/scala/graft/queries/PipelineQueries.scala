@@ -1660,6 +1660,16 @@ object PipelineQueries {
     "d147_flac" -> ((s, dir) =>
       FlacSim.rows(s, docs(s, dir)).orderBy("doc_id")),
 
+    // safetensors — the tensor-weights/embedding-shard format — with
+    // the reference implementation's validation enforced: offsets must
+    // tile the buffer (no gaps, no overlaps) and every span must equal
+    // shape x dtype-size. Damage: truncation / a LYING SHAPE (span and
+    // tiling intact — only the shape-vs-bytes audit catches a tensor
+    // claiming more rows than its data) / OVERLAPPING offsets (every
+    // length matches its shape — only the tiling rule catches it)
+    "d148_safetensors" -> ((s, dir) =>
+      SafeTensorsSim.rows(s, docs(s, dir)).orderBy("doc_id")),
+
     // dictionary-compressed zstd — how small-record corpora actually
     // compress at scale: a shared dictionary (raw-content here; the
     // ZDICT structured format is the spec-pinned read path) prefixes
@@ -3837,6 +3847,22 @@ object PipelineQueries {
         |  min(v)::BIGINT AS min_s,
         |  max(v)::BIGINT AS max_s
         | FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // the safetensors oracle replays the exact-quarter F32 grids as
+    // range arithmetic
+    "d148_safetensors" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 7 NOT IN (0, 3, 5)),
+        | t AS (SELECT doc_id, tt FROM d, range(5) x(tt)
+        |   WHERE tt < 2 + doc_id % 3),
+        | g AS (SELECT t.doc_id,
+        |   ((t.doc_id + tt * 31 + r * 8 + c) % 64) * 0.25 AS v
+        |  FROM t, range(7) y(r), range(8) z(c)
+        |  WHERE r < 3 + (t.doc_id + tt) % 4)
+        | SELECT doc_id, (2 + doc_id % 3)::BIGINT AS n_tensors,
+        |  count(*)::BIGINT AS total_elems,
+        |  sum(v)::DOUBLE AS sum_vals, max(v)::DOUBLE AS max_val,
+        |  (count(*) * 4)::BIGINT AS data_bytes
+        | FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     // the cdx oracle replays every column as closed forms: the SURT
     // CASE on (doc_id+i)%5, the timestamp grid, slice byte lengths;
