@@ -156,14 +156,48 @@ object ZipCodec {
         if (lOff + 30 + nameLen > cdOff || !sig(lh, 3, 4)) throw Malformed
         if ((u16(lh + 6) & 0x01) != 0 || u16(lh + 8) != method) throw Malformed
         if (((u16(lh + 6) & 0x08) != 0) != streamed) throw Malformed
+        // ZIP64 (APPNOTE 4.5.3): a local header may carry 0xFFFFFFFF
+        // size sentinels with the truth in the 0x0001 extra block —
+        // numpy's savez writes exactly this shape for every member.
+        // The extra region must TILE in (id, size, data) blocks, and
+        // the local zip64 block must carry BOTH sizes (usize then
+        // csize, the mandated order).
+        def le64(i: Int): Long = u32(i) | (u32(i + 4) << 32)
+        def localZip64(): (Long, Long) = {
+          val exStart = lh + 30 + nameLen
+          val exLen = u16(lh + 28)
+          if (exStart + exLen > cdOff) throw Malformed
+          var q = exStart
+          var found: (Long, Long) = null
+          while (q < exStart + exLen) {
+            if (q + 4 > exStart + exLen) throw Malformed
+            val id = u16(q)
+            val sz = u16(q + 2)
+            if (q + 4 + sz > exStart + exLen) throw Malformed
+            if (id == 0x0001) {
+              if (sz < 16 || found != null) throw Malformed
+              found = (le64(q + 4), le64(q + 12)) // usize, csize
+            }
+            q += 4 + sz
+          }
+          if (found == null) throw Malformed // sentinel with no truth
+          found
+        }
+        val lCrc = u32(lh + 14)
+        val lCsizeRaw = u32(lh + 18)
+        val lUsizeRaw = u32(lh + 22)
+        val (lUsize, lCsize) =
+          if (lCsizeRaw == 0xFFFFFFFFL || lUsizeRaw == 0xFFFFFFFFL)
+            localZip64()
+          else (lUsizeRaw, lCsizeRaw)
         if (streamed) {
           // streamed shape: the local fields are ZEROS by definition —
           // the truth arrives in the descriptor after the data, which
           // we verify below against the central directory
-          if (u32(lh + 14) != 0 || u32(lh + 18) != 0 || u32(lh + 22) != 0)
+          if (lCrc != 0 || lCsize != 0 || lUsize != 0)
             throw Malformed
-        } else if (u32(lh + 14) != crc || u32(lh + 18) != csize ||
-          u32(lh + 22) != usize) throw Malformed
+        } else if (lCrc != crc || lCsize != csize || lUsize != usize)
+          throw Malformed
         if (u16(lh + 26) != nameLen) throw Malformed
         if (new String(b, lh + 30, nameLen, "US-ASCII") != name) throw Malformed
         val dataAt = lh + 30 + nameLen + u16(lh + 28)

@@ -1670,6 +1670,17 @@ object PipelineQueries {
     "d148_safetensors" -> ((s, dir) =>
       SafeTensorsSim.rows(s, docs(s, dir)).orderBy("doc_id")),
 
+    // numpy .npy/.npz — the array interchange format precomputed
+    // features and embedding dumps ship in: the dict-literal header
+    // grammar parsed strictly, the shape-vs-bytes rule, and .npz as a
+    // zip of members through the d113 walker (extended this round
+    // with the ZIP64 local-header shape numpy actually writes).
+    // Damage: truncation / a LYING SHAPE (data and zip CRCs intact —
+    // the format has no data checksum, so shape-vs-bytes is all that
+    // stands before misaligned features) / an UNKNOWN header key
+    "d149_npy_npz" -> ((s, dir) =>
+      NpySim.rows(s, docs(s, dir)).orderBy("doc_id")),
+
     // dictionary-compressed zstd — how small-record corpora actually
     // compress at scale: a shared dictionary (raw-content here; the
     // ZDICT structured format is the spec-pinned read path) prefixes
@@ -3863,6 +3874,21 @@ object PipelineQueries {
         |  sum(v)::DOUBLE AS sum_vals, max(v)::DOUBLE AS max_val,
         |  (count(*) * 4)::BIGINT AS data_bytes
         | FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // the npy oracle replays the three arrays as range arithmetic
+    "d149_npy_npz" ->
+      """WITH d AS (SELECT doc_id, (4 + doc_id % 5)::BIGINT AS k
+        |  FROM documents WHERE doc_id % 7 NOT IN (0, 3, 5)),
+        | f AS (SELECT d.doc_id,
+        |   ((d.doc_id + i * 6 + j) % 48) * 0.25 AS v
+        |  FROM d, range(9) x(i), range(6) y(j) WHERE i < d.k),
+        | l AS (SELECT d.doc_id, ((d.doc_id + i) % 7)::BIGINT AS w
+        |  FROM d, range(9) x(i) WHERE i < d.k)
+        | SELECT d.doc_id, 3::BIGINT AS n_arrays, d.k AS n_rows,
+        |  (d.k * d.doc_id * 100 + d.k * (d.k - 1) // 2)::BIGINT AS sum_ids,
+        |  (SELECT sum(v) FROM f WHERE f.doc_id = d.doc_id)::DOUBLE AS sum_feats,
+        |  (SELECT sum(w) FROM l WHERE l.doc_id = d.doc_id)::BIGINT AS sum_labels
+        | FROM d ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
 
     // the cdx oracle replays every column as closed forms: the SURT
     // CASE on (doc_id+i)%5, the timestamp grid, slice byte lengths;
