@@ -1681,6 +1681,16 @@ object PipelineQueries {
     "d149_npy_npz" -> ((s, dir) =>
       NpySim.rows(s, docs(s, dir)).orderBy("doc_id")),
 
+    // python pickle — legacy dataset metadata — read by a REFUSING
+    // unpickler: the data subset with strict stack/memo/frame
+    // discipline, and every executable opcode (GLOBAL/REDUCE/BUILD/…)
+    // quarantining: the security reason safetensors exists, enforced
+    // at the walker. Damage: truncation / a GLOBAL spliced over the
+    // score float (every other byte intact — only the refusal surface
+    // objects) / a BINGET from a never-filled memo slot
+    "d150_pickle" -> ((s, dir) =>
+      PickleSim.rows(s, docs(s, dir)).orderBy("doc_id")),
+
     // dictionary-compressed zstd — how small-record corpora actually
     // compress at scale: a shared dictionary (raw-content here; the
     // ZDICT structured format is the spec-pinned read path) prefixes
@@ -3888,6 +3898,19 @@ object PipelineQueries {
         |  (d.k * d.doc_id * 100 + d.k * (d.k - 1) // 2)::BIGINT AS sum_ids,
         |  (SELECT sum(v) FROM f WHERE f.doc_id = d.doc_id)::DOUBLE AS sum_feats,
         |  (SELECT sum(w) FROM l WHERE l.doc_id = d.doc_id)::BIGINT AS sum_labels
+        | FROM d ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // the pickle oracle replays the metadata record as closed forms
+    "d150_pickle" ->
+      """WITH d AS (SELECT doc_id, (5 + doc_id % 6)::BIGINT AS k
+        |  FROM documents WHERE doc_id % 7 NOT IN (0, 3, 5)),
+        | t AS (SELECT d.doc_id,
+        |   ((d.doc_id * 3 + i * i) % 1000)::BIGINT AS tok
+        |  FROM d, range(11) x(i) WHERE i < d.k)
+        | SELECT d.doc_id, 5::BIGINT AS n_keys, d.k AS n_tokens,
+        |  (SELECT sum(tok) FROM t WHERE t.doc_id = d.doc_id)::BIGINT AS sum_tokens,
+        |  ((d.doc_id % 37) * 0.25)::DOUBLE AS score,
+        |  (CASE WHEN d.doc_id % 5 = 0 THEN 'val' ELSE 'train' END) AS split
         | FROM d ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
 
     // the cdx oracle replays every column as closed forms: the SURT
