@@ -1691,6 +1691,15 @@ object PipelineQueries {
     "d150_pickle" -> ((s, dir) =>
       PickleSim.rows(s, docs(s, dir)).orderBy("doc_id")),
 
+    // strict RFC 4180 CSV — labeled data's lingua franca, where
+    // lenient readers silently shift columns: quote discipline,
+    // embedded newlines, and the ragged-row rule enforced. Damage:
+    // truncation (the unterminated-quote rule) / a BARE QUOTE mid
+    // unquoted field (lenient parsers guess; ours quarantines) / a
+    // RAGGED ROW (only the arity rule catches the column shift)
+    "d151_csv_strict" -> ((s, dir) =>
+      CsvSim.rows(s, docs(s, dir)).orderBy("doc_id")),
+
     // dictionary-compressed zstd — how small-record corpora actually
     // compress at scale: a shared dictionary (raw-content here; the
     // ZDICT structured format is the spec-pinned read path) prefixes
@@ -3911,6 +3920,22 @@ object PipelineQueries {
         |  (SELECT sum(tok) FROM t WHERE t.doc_id = d.doc_id)::BIGINT AS sum_tokens,
         |  ((d.doc_id % 37) * 0.25)::DOUBLE AS score,
         |  (CASE WHEN d.doc_id % 5 = 0 THEN 'val' ELSE 'train' END) AS split
+        | FROM d ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // the csv oracle replays the labeled grid as closed forms: ids a
+    // +1 run with the tail row, quarter vals, name-length cases
+    "d151_csv_strict" ->
+      """WITH d AS (SELECT doc_id, (4 + doc_id % 6)::BIGINT AS k
+        |  FROM documents WHERE doc_id % 7 NOT IN (0, 3, 5)),
+        | nm AS (SELECT d.doc_id,
+        |   (CASE WHEN i % 3 = 0 THEN 6 + length((d.doc_id + i)::VARCHAR)
+        |     ELSE 7 + length(d.doc_id::VARCHAR) END)::BIGINT AS nc,
+        |   ((d.doc_id + i) % 40) * 0.25 AS v
+        |  FROM d, range(10) t(i) WHERE i < d.k)
+        | SELECT d.doc_id, (d.k + 1)::BIGINT AS n_rows,
+        |  ((d.k + 1) * d.doc_id * 10 + d.k * (d.k + 1) // 2)::BIGINT AS sum_ids,
+        |  (SELECT sum(v) FROM nm WHERE nm.doc_id = d.doc_id)::DOUBLE AS sum_vals,
+        |  ((SELECT sum(nc) FROM nm WHERE nm.doc_id = d.doc_id) + 4)::BIGINT AS name_chars
         | FROM d ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
 
     // the cdx oracle replays every column as closed forms: the SURT
