@@ -1700,6 +1700,16 @@ object PipelineQueries {
     "d151_csv_strict" -> ((s, dir) =>
       CsvSim.rows(s, docs(s, dir)).orderBy("doc_id")),
 
+    // tfevents — training telemetry, stacked on the d107 TFRecord
+    // layer with a schema-exact Event/Summary walk: the brain.Event:2
+    // version handshake, scalar summaries only (other oneof members
+    // and unknown fields quarantine), steps non-decreasing. Damage:
+    // truncation (the crc layer) / a WRONG file_version (crcs fine —
+    // only the handshake catches it) / SWAPPED epochs (records and
+    // crcs intact — only the monotonicity rule catches a spliced log)
+    "d152_tfevents" -> ((s, dir) =>
+      TfEventsSim.rows(s, docs(s, dir)).orderBy("doc_id")),
+
     // dictionary-compressed zstd — how small-record corpora actually
     // compress at scale: a shared dictionary (raw-content here; the
     // ZDICT structured format is the spec-pinned read path) prefixes
@@ -3937,6 +3947,17 @@ object PipelineQueries {
         |  (SELECT sum(v) FROM nm WHERE nm.doc_id = d.doc_id)::DOUBLE AS sum_vals,
         |  ((SELECT sum(nc) FROM nm WHERE nm.doc_id = d.doc_id) + 4)::BIGINT AS name_chars
         | FROM d ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // the tfevents oracle replays the training curves as arithmetic
+    "d152_tfevents" ->
+      """SELECT doc_id,
+        |  e AS n_events, (2 * e)::BIGINT AS n_scalars,
+        |  (100 * e)::BIGINT AS last_step,
+        |  (((100 - (e - 1) * 3) + doc_id % 7) * 0.25)::DOUBLE AS final_loss,
+        |  (0.25 * (5 * e * (e - 1) / 2 + e * (doc_id % 11)))::DOUBLE AS sum_acc
+        | FROM (SELECT doc_id, (4 + doc_id % 4)::BIGINT AS e
+        |   FROM documents WHERE doc_id % 7 NOT IN (0, 3, 5))
+        | ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     // the cdx oracle replays every column as closed forms: the SURT
     // CASE on (doc_id+i)%5, the timestamp grid, slice byte lengths;
