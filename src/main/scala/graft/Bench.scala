@@ -58,7 +58,7 @@ object Bench {
     "d141_delta_log", "d142_git_pack", "d143_zstd_dict",
     "d144_tar_pax", "d145_sstable", "d146_iceberg", "d147_flac",
     "d148_safetensors", "d149_npy_npz", "d150_pickle",
-    "d151_csv_strict", "d152_tfevents")
+    "d151_csv_strict", "d152_tfevents", "d153_torrent")
 
   /** Fixed CPU-bound calibration microbench ("DotBench"): scalar dot
     * products over pinned-size float arrays with deterministic

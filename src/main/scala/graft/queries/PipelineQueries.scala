@@ -1710,6 +1710,16 @@ object PipelineQueries {
     "d152_tfevents" -> ((s, dir) =>
       TfEventsSim.rows(s, docs(s, dir)).orderBy("doc_id")),
 
+    // torrent metainfo — how public corpora are actually distributed
+    // (Academic Torrents): canonical bencode (sorted keys — infohash
+    // reproducibility rests on it), count-vs-length, every piece
+    // SHA-1 recomputed against the payload, the infohash recomputed.
+    // Damage: truncation / a LYING PIECE HASH (payload and grammar
+    // intact — only the recompute catches the poisoned shard) / the
+    // info dict UNSORTED (values intact — only the canonical rule)
+    "d153_torrent" -> ((s, dir) =>
+      TorrentSim.rows(s, docs(s, dir)).orderBy("doc_id")),
+
     // dictionary-compressed zstd — how small-record corpora actually
     // compress at scale: a shared dictionary (raw-content here; the
     // ZDICT structured format is the spec-pinned read path) prefixes
@@ -3956,6 +3966,18 @@ object PipelineQueries {
         |  (((100 - (e - 1) * 3) + doc_id % 7) * 0.25)::DOUBLE AS final_loss,
         |  (0.25 * (5 * e * (e - 1) / 2 + e * (doc_id % 11)))::DOUBLE AS sum_acc
         | FROM (SELECT doc_id, (4 + doc_id % 4)::BIGINT AS e
+        |   FROM documents WHERE doc_id % 7 NOT IN (0, 3, 5))
+        | ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+
+    // the torrent oracle replays piece geometry off the text bytes
+    "d153_torrent" ->
+      """SELECT doc_id,
+        |  ((nb + pl - 1) // pl)::BIGINT AS n_pieces,
+        |  pl AS piece_len, nb AS payload_bytes,
+        |  (7 + length(doc_id::VARCHAR))::BIGINT AS name_chars
+        | FROM (SELECT doc_id,
+        |    octet_length(encode(text))::BIGINT AS nb,
+        |    (256 + doc_id % 128)::BIGINT AS pl
         |   FROM documents WHERE doc_id % 7 NOT IN (0, 3, 5))
         | ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
