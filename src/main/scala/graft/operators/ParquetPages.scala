@@ -515,6 +515,15 @@ object ParquetFile {
     * `declared` lets the %7==5 damage lie about num_values. Returns
     * (page bytes, uncompressed size incl. header — the spec's
     * total_uncompressed_size convention). */
+  /** Page CRC (PageHeader field 4): per the format spec, CRC32 over
+    * the page's serialized data as written, EXCLUDING the header —
+    * stored as the signed i32 parquet-mr writes. */
+  private def pageCrc(data: Array[Byte]): Int = {
+    val c = new java.util.zip.CRC32
+    c.update(data, 0, data.length)
+    c.getValue.toInt
+  }
+
   private def dataPage(codec: Int, actual: Int, declared: Int,
                        values: Array[Byte]): (Array[Byte], Long) = {
     val levels = rleHybridEncode(Array.fill(actual)(1), 1)
@@ -529,6 +538,7 @@ object ParquetFile {
       s.i32(1, 0) // type: DATA_PAGE
       s.i32(2, raw.length.toLong)
       s.i32(3, comp.length.toLong)
+      s.i32(4, pageCrc(comp).toLong) // page CRC (spec: data sans header)
       s.structField(5) { d =>
         d.i32(1, declared.toLong)
         d.i32(2, ENC_PLAIN.toLong)
@@ -558,6 +568,7 @@ object ParquetFile {
       s.i32(1, 3) // type: DATA_PAGE_V2
       s.i32(2, (levels.length + data.length).toLong)
       s.i32(3, (levels.length + comp.length).toLong)
+      s.i32(4, pageCrc(levels ++ comp).toLong) // CRC: data as written
       s.structField(8) { d =>
         d.i32(1, actual.toLong) // num_values
         d.i32(2, declaredNulls.toLong) // num_nulls
@@ -930,6 +941,15 @@ object ParquetFile {
               val cSize = fi(ph, 3).toInt
               if (uSize < 0 || cSize < 0) throw Malformed
               val rawStart = tr.pos
+              if (rawStart + cSize > fStart) throw Malformed
+              // the page CRC (field 4, parquet-mr writes it by
+              // default): spec says CRC32 over the page data as
+              // written, excluding the header — VERIFIED when present
+              fiOpt(ph, 4).foreach { declared =>
+                val c = new java.util.zip.CRC32
+                c.update(b, rawStart, cSize)
+                if ((declared & 0xFFFFFFFFL) != c.getValue) throw Malformed
+              }
               // v1 + dictionary pages are compressed WHOLE; v2 pages
               // keep their level sections raw (handled in their branch)
               lazy val page = decompress(codec, b, rawStart, rawStart + cSize, uSize)
@@ -970,6 +990,22 @@ object ParquetFile {
                   }
                   val pn = fi(dh, 1).toInt
                   val enc = fi(dh, 2).toInt
+                  // the header's LEVEL encodings are part of the page
+                  // contract, not decoration (the flip sweep caught
+                  // exactly these fields sliding): when def levels are
+                  // PRESENT (optional column) they must be RLE —
+                  // anything else needs a decode we don't implement,
+                  // so it's enforced, never guessed. Where a level
+                  // section is ABSENT (required column / flat rep)
+                  // parquet-mr declares BIT_PACKED (4) vacuously —
+                  // accepted alongside RLE for exactly those fields.
+                  val defEnc = fi(dh, 3)
+                  val repEnc = fi(dh, 4)
+                  if (optional) {
+                    if (defEnc != ENC_RLE) throw Malformed
+                  } else if (defEnc != ENC_RLE && defEnc != 4)
+                    throw Malformed
+                  if (repEnc != ENC_RLE && repEnc != 4) throw Malformed
                   if (pn <= 0 || seen + pn > numValues) throw Malformed
                   // def levels (OPTIONAL columns only — REQUIRED means
                   // max_def 0 and the section is omitted entirely):

@@ -41,6 +41,28 @@ class ParquetInteropSpec extends AnyFunSuite {
     }
   }
 
+  test("page CRCs: real parquet-mr checksums verify; a flipped page byte with sizes intact quarantines") {
+    // the read-real-files test above already runs with CRC verify ON
+    // (parquet-mr writes page checksums by default) - this pins the
+    // flip class the CRC exists for: one bit in a page BODY, every
+    // size and statistic field untouched
+    val rows = rowsFor(40, 5)
+    val bytes = ParquetFile.write(rows, rowGroupCut = 16, codec = 0)
+    assert(ParquetFile.read(bytes).isDefined)
+    // flip one byte inside the first page's values region (past the
+    // footer-magic prefix and the first page header, before stats)
+    var caught = 0
+    (60 until math.min(400, bytes.length - 100)).foreach { i =>
+      val bad = bytes.clone()
+      bad(i) = (bad(i) ^ 0x04).toByte
+      if (ParquetFile.read(bad).isEmpty) caught += 1
+    }
+    // every flip in that span must be caught by SOMETHING (crc, tiling,
+    // stats, thrift grammar) - none may silently pass
+    assert(caught == math.min(400, bytes.length - 100) - 60,
+      s"a flipped byte slipped through ($caught caught)")
+  }
+
   test("Spark reads our writer's files row-identical: every codec") {
     val dir = java.nio.file.Files.createTempDirectory("pq126spec2").toFile
     for (codec <- Seq(0, 1, 2, 6)) {
