@@ -58,7 +58,8 @@ object Bench {
     "d141_delta_log", "d142_git_pack", "d143_zstd_dict",
     "d144_tar_pax", "d145_sstable", "d146_iceberg", "d147_flac",
     "d148_safetensors", "d149_npy_npz", "d150_pickle",
-    "d151_csv_strict", "d152_tfevents", "d153_torrent")
+    "d151_csv_strict", "d152_tfevents", "d153_torrent",
+    "d154_stream_decontam", "d155_rrf_ivf")
 
   /** Fixed CPU-bound calibration microbench ("DotBench"): scalar dot
     * products over pinned-size float arrays with deterministic
@@ -252,8 +253,17 @@ object Bench {
     val parFloor = parRatio // min of the two pre-run probes, vs calib
     val parBound = math.max(1.35, parFloor * 1.25)
     val parLive = calibParB / calib // the later probe: load arriving early
+    // Absolute sanity cap (r14): a STEADY pre-existing competitor
+    // inflates both pre-run probes, so the relative bound absorbs it
+    // (parBound rides on the already-inflated floor) and uniform
+    // slowdown rarely trips the spread rule. An idle 32-thread host
+    // measures par_floor 1.0–1.25 (SURVEY §8.15); a floor beyond 2.5
+    // means the probes themselves ran at well under half speed — the
+    // host was busy BEFORE we started, and the artifact must say so
+    // regardless of how steady that load stayed.
+    val PAR_FLOOR_CEILING = 2.5
     val contended = nSpreadOver3 >= 2 || drift > 0.10 ||
-      parLive > parBound
+      parLive > parBound || parFloor > PAR_FLOOR_CEILING
     // the baseline is PINNED while coverage GROWS: new headliners make
     // the raw total incomparable to BASELINE_BENCH.json (the r11
     // lesson — 13 new codec gates would read as a "regression" on

@@ -60,14 +60,26 @@ object GitObjects {
   def hex(sha: Array[Byte]): String =
     sha.map(b => f"${b & 0xff}%02x").mkString
 
-  /** Canonical tree bytes: `<mode> <name>\0` + raw id, name-sorted. */
+  /** Canonical tree bytes: `<mode> <name>\0` + raw id, ordered by
+    * git's base_name_compare — raw UTF-8 bytes compared unsigned,
+    * with a directory (mode 40000) entry keyed as name+"/". This is
+    * the same key the audit enforces, so writer and walker agree on
+    * the one canonical order real git produces. */
   def tree(entries: Seq[(String, String, Array[Byte])]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream
-    entries.sortBy(_._2).foreach { case (mode, name, sha) =>
-      out.write(s"$mode $name".getBytes("UTF-8"))
-      out.write(0)
-      out.write(sha)
+    def key(mode: String, name: String): Seq[Int] = {
+      val base = name.getBytes("UTF-8")
+      val k = if (mode == "40000") base :+ '/'.toByte else base
+      k.toSeq.map(_ & 0xFF)
     }
+    val out = new java.io.ByteArrayOutputStream
+    entries
+      .sortBy { case (mode, name, _) => key(mode, name) }(
+        math.Ordering.Implicits.seqOrdering[Seq, Int])
+      .foreach { case (mode, name, sha) =>
+        out.write(s"$mode $name".getBytes("UTF-8"))
+        out.write(0)
+        out.write(sha)
+      }
     out.toByteArray
   }
 
@@ -476,16 +488,35 @@ object GitPack {
       o.tpe match {
         case T_TREE =>
           var p = 0
-          var prevName = ""
+          // canonical tree order is git's base_name_compare: raw
+          // name bytes compared UNSIGNED, with a directory entry
+          // (mode 40000) sorted as name+"/" — so "foo.txt" (blob)
+          // precedes "foo" (tree, sorts as "foo/"). A UTF-16 String
+          // '<' on bare names gets both the non-ASCII ordering and
+          // the dir/prefix-sibling case wrong.
+          var prevKey: Array[Byte] = Array.emptyByteArray
+          def cmpUnsigned(a: Array[Byte], c: Array[Byte]): Int = {
+            val n = math.min(a.length, c.length)
+            var i = 0
+            while (i < n) {
+              val d = (a(i) & 0xFF) - (c(i) & 0xFF)
+              if (d != 0) return d
+              i += 1
+            }
+            a.length - c.length
+          }
           val b = o.content
           while (p < b.length) {
             val sp = b.indexOf(' '.toByte, p)
             if (sp < 0) throw Malformed
             val nul = b.indexOf(0.toByte, sp)
             if (nul < 0 || nul + 20 > b.length) throw Malformed
-            val name = new String(b, sp + 1, nul - sp - 1, "UTF-8")
-            if (name <= prevName) throw Malformed // canonical sort
-            prevName = name
+            val mode = new String(b, p, sp - p, "US-ASCII")
+            val nameBytes = java.util.Arrays.copyOfRange(b, sp + 1, nul)
+            val key =
+              if (mode == "40000") nameBytes :+ '/'.toByte else nameBytes
+            if (cmpUnsigned(key, prevKey) <= 0) throw Malformed // canonical sort
+            prevKey = key
             val sha = GitObjects.hex(
               java.util.Arrays.copyOfRange(b, nul + 1, nul + 21))
             val target = byId.getOrElse(sha, throw Malformed) // dangling

@@ -78,6 +78,19 @@ object PickleCodec {
       if (proto < 2 || proto > 5) throw Malformed
       val stack = scala.collection.mutable.ArrayBuffer[Any]()
       val memo = scala.collection.mutable.ArrayBuffer[P]()
+      // BINPUT can target a sparse index, so unreached slots exist in
+      // `memo` as placeholders — `filled` is the truth for the strict
+      // "a get from a never-filled slot quarantines" discipline.
+      val filled = scala.collection.mutable.BitSet()
+      def memoPut(idx: Int, v: P): Unit = {
+        while (memo.size <= idx) memo += PNone
+        memo(idx) = v
+        filled += idx
+      }
+      def memoGet(idx: Int): P = {
+        if (!filled.contains(idx)) throw Malformed // never-filled slot
+        memo(idx)
+      }
       def popP(): P = {
         if (stack.isEmpty) throw Malformed
         stack.remove(stack.size - 1) match {
@@ -191,34 +204,28 @@ object PickleCodec {
           case 'N' => stack += PNone
           case 0x94 => // MEMOIZE
             stack.lastOption match {
-              case Some(v: P) => memo += v
+              case Some(v: P) => memoPut(memo.size, v)
               case _ => throw Malformed
             }
           case 'q' => // BINPUT idx(1): protocol-2 memoization
             val idx = u8()
             stack.lastOption match {
-              case Some(v: P) =>
-                while (memo.size <= idx) memo += PNone
-                memo(idx) = v
+              case Some(v: P) => memoPut(idx, v)
               case _ => throw Malformed
             }
           case 'r' => // LONG_BINPUT idx(4)
             val idx = u32le()
             if (idx > (1 << 20)) throw Malformed
             stack.lastOption match {
-              case Some(v: P) =>
-                while (memo.size <= idx) memo += PNone
-                memo(idx.toInt) = v
+              case Some(v: P) => memoPut(idx.toInt, v)
               case _ => throw Malformed
             }
           case 'h' => // BINGET
-            val idx = u8()
-            if (idx >= memo.size) throw Malformed // never-filled slot
-            stack += memo(idx)
+            stack += memoGet(u8())
           case 'j' => // LONG_BINGET
             val idx = u32le()
-            if (idx >= memo.size) throw Malformed
-            stack += memo(idx.toInt)
+            if (idx > (1 << 20)) throw Malformed
+            stack += memoGet(idx.toInt)
           case '.' => // STOP
             if (frameEnd >= 0 && p != frameEnd) throw Malformed // frame lies
             val v = popP()

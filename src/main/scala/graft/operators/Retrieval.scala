@@ -250,6 +250,57 @@ object Retrieval {
     *
     * Inputs must expose (q_id, rank, doc_id); extra columns are
     * dropped. */
+  /** d155: hybrid RRF fusion with the SCALE dense arm — the d90 shape
+    * but the dense candidate generator is [[Similarity.ivfTopK]]
+    * (map-only cell argmax + a candidates-only join) instead of the
+    * corpus×queries brute-force scorer. d90 keeps the brute arm as
+    * the ORACLE-EXACTNESS choice (its DuckDB twin replays exact
+    * cosine ranks); this is the plan you'd deploy at 100×, gated in
+    * the d13 verdict form because the k-means cell state is
+    * engine-specific float: in-plan BOOLEAN verdicts over an
+    * oracle-computable total.
+    *
+    *  - `n_bf`: brute dense top-k row count (#queries · k — the
+    *    oracle recomputes it from the tables);
+    *  - `dense_recall_ok`: IVF dense arm recall@k vs the in-plan
+    *    brute arm above `denseRecallFloorPct` (empirical margin —
+    *    the d13 floor discipline);
+    *  - `fused_overlap_ok`: the IVF-armed fused top-k overlaps the
+    *    brute-armed fused top-k above `fusedOverlapFloorPct` — the
+    *    end-to-end claim that swapping the candidate generator
+    *    preserves the fusion, which is the property a user switching
+    *    d90 to the scale plan actually relies on. The lex arm is
+    *    shared by both fusions, so this floor sits well above the
+    *    raw dense recall. */
+  def rrfIvfVerdict(docs: DataFrame, text: Column, id: Column,
+                    queriesLex: DataFrame, qText: Column, qId: Column,
+                    emb: DataFrame, queriesEmb: DataFrame, k: Int,
+                    denseRecallFloorPct: Int = 30,
+                    fusedOverlapFloorPct: Int = 40): DataFrame = {
+    val lex = bm25TopK(docs, text, id, queriesLex, qText, qId, k)
+    def denseArm(ann: DataFrame) = ann.select(col("q_id"), col("rank"),
+      col("neighbor_id").as("doc_id"))
+    val bf = denseArm(Similarity.bruteForceTopK(emb, queriesEmb, k))
+    val ivf = denseArm(Similarity.ivfTopK(emb, queriesEmb, k))
+    val fusedBf = rrfFuse(Seq(lex, bf), k).select(col("q_id"), col("doc_id"))
+    val fusedIvf = rrfFuse(Seq(lex, ivf), k).select(col("q_id"), col("doc_id"))
+    val pairs = Seq("q_id", "doc_id")
+    val denseHits = ivf.select(col("q_id"), col("doc_id"))
+      .join(bf.select(col("q_id"), col("doc_id")), pairs, "left_semi")
+      .agg(count(lit(1)).as("_dh"))
+    val overlap = fusedIvf.join(fusedBf, pairs, "left_semi")
+      .agg(count(lit(1)).as("_oh"))
+    bf.agg(count(lit(1)).as("n_bf"))
+      .crossJoin(denseHits)
+      .crossJoin(overlap)
+      .crossJoin(fusedBf.agg(count(lit(1)).as("_nfb")))
+      .select(col("n_bf"),
+        (col("_dh") * 100L >= col("n_bf") * denseRecallFloorPct)
+          .as("dense_recall_ok"),
+        (col("_oh") * 100L >= col("_nfb") * fusedOverlapFloorPct)
+          .as("fused_overlap_ok"))
+  }
+
   def rrfFuse(lists: Seq[DataFrame], k: Int, c: Long = 60L): DataFrame = {
     require(lists.nonEmpty, "rrfFuse needs at least one ranking")
     val normalized = lists.map(_.select(col("q_id"), col("rank"), col("doc_id")))

@@ -253,8 +253,14 @@ object Similarity {
     * 1 − cos (spherical) or squared L2 (PQ subspaces). */
   private[operators] def kmeansPlusPlusSeeds(vecs: DataFrame, nCells: Int,
                                              euclidean: Boolean): Array[Array[Double]] = {
+    // the sample SCALES with nCells (4× oversampling, floor 4096) —
+    // a fixed 4096 cap silently degrades seeding once nCells nears
+    // it (seeds capped at sample size, the r13 verdict finding).
+    // Still driver-bounded: nCells is centroid state the driver holds
+    // anyway, so 4×nCells vectors is the same order of memory.
+    val sampleN = math.max(4096, 4 * nCells)
     val pts = vecs.orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(4096).select(col("vec_id"), col("v")).collect()
+      .limit(sampleN).select(col("vec_id"), col("v")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
     require(pts.nonEmpty, "k-means++ seeding needs a non-empty corpus")
     def dist2(a: Array[Double], b: Array[Double]): Double =

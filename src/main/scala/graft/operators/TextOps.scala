@@ -596,27 +596,47 @@ object TextOps {
   /** [[bigramLmScore]]'s model, materialized as driver-side maps for
     * the MAP-ONLY scoring path (streaming, or a broadcast-variable
     * deployment): per-bigram scores, per-context fallbacks (seen w₁,
-    * unseen bigram), and the unseen-context default. The maps are
-    * vocabulary-bounded — KB-scale like the k-means centroid state,
-    * never corpus-scale — which is what makes collecting them
-    * legitimate. Scores are identical to the join path's by
-    * construction (same floored-long rule; spec-pinned). */
-  def bigramLmModel(target: DataFrame, text: Column):
+    * unseen bigram), and the unseen-context default. The driver
+    * collect is CAPPED at `maxEntries` per table (top entries by
+    * count, ties by key — a deterministic slice): at 100 TB Heaps'
+    * law puts distinct bigrams at 10⁹⁺, so an uncapped collect is
+    * corpus-scale, not vocabulary-scale. V (the smoothing constant)
+    * is always the FULL distinct-unigram count (a scalar aggregate),
+    * and per-bigram scores are computed IN-PLAN before the slice, so
+    * every entry that survives the cap scores identically to the
+    * join path ([[bigramLmScore]]); entries cut by the cap fall back
+    * to the seen-w₁/unseen-default smoothing rule. When the true
+    * vocabulary fits under the cap — the gate corpus, spec-pinned —
+    * capped == full and the two paths agree exactly. */
+  def bigramLmModel(target: DataFrame, text: Column,
+                    maxEntries: Int = 1 << 20):
       (Map[String, Long], Map[String, Long], Long) = {
     val tgUni = target.select(explode(tokens(text)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
-    val uni = tgUni.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val v = uni.size.toLong.max(1L)
+    val v = tgUni.count().max(1L)
+    def score(c12: Long, c1: Long): Long =
+      math.floor((c12 + 1L) * 1000000.0 / (c1 + v)).toLong
+    val uniTop = tgUni
+      .orderBy(col("c1").desc, col("w"))
+      .limit(maxEntries)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
     val bi = target.filter(size(tokens(text)) >= 2)
       .select(explode(Dedup.zipNgrams(tokens(text), 2,
         (a, b) => concat(a, lit(" "), b))).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c12"))
+    // score in-plan (bigram joined to its w₁ context count — a
+    // distributed shuffle join, never a driver map lookup), THEN the
+    // deterministic top-M slice, THEN the bounded collect
+    val bgScore = bi
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(tgUni, col("w1") === col("w"))
+      .withColumn("s", floor((col("c12") + lit(1L)) * lit(1000000.0)
+        / (col("c1") + lit(v.toDouble))).cast("long"))
+      .orderBy(col("c12").desc, col("bg"))
+      .limit(maxEntries)
+      .select(col("bg"), col("s"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    def score(c12: Long, c1: Long): Long =
-      math.floor((c12 + 1L) * 1000000.0 / (c1 + v)).toLong
-    val bgScore = bi.map { case (bg, c12) =>
-      bg -> score(c12, uni(bg.substring(0, bg.indexOf(' ')))) }
-    val w1Score = uni.map { case (w, c1) => w -> score(0L, c1) }
+    val w1Score = uniTop.map { case (w, c1) => w -> score(0L, c1) }.toMap
     (bgScore, w1Score, score(0L, 0L))
   }
 

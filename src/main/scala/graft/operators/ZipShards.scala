@@ -161,7 +161,10 @@ object ZipCodec {
         // numpy's savez writes exactly this shape for every member.
         // The extra region must TILE in (id, size, data) blocks, and
         // the local zip64 block must carry BOTH sizes (usize then
-        // csize, the mandated order).
+        // csize, the mandated order). Legal local zip64 payloads are
+        // sizes-only (16), +offset (24), or +offset+disk (28) — a
+        // length that strands trailing bytes inside the block lies
+        // about its own tiling and is quarantined.
         def le64(i: Int): Long = u32(i) | (u32(i + 4) << 32)
         def localZip64(): (Long, Long) = {
           val exStart = lh + 30 + nameLen
@@ -175,7 +178,8 @@ object ZipCodec {
             val sz = u16(q + 2)
             if (q + 4 + sz > exStart + exLen) throw Malformed
             if (id == 0x0001) {
-              if (sz < 16 || found != null) throw Malformed
+              if ((sz != 16 && sz != 24 && sz != 28) || found != null)
+                throw Malformed
               found = (le64(q + 4), le64(q + 12)) // usize, csize
             }
             q += 4 + sz
@@ -186,15 +190,25 @@ object ZipCodec {
         val lCrc = u32(lh + 14)
         val lCsizeRaw = u32(lh + 18)
         val lUsizeRaw = u32(lh + 22)
+        val sentinel =
+          lCsizeRaw == 0xFFFFFFFFL && lUsizeRaw == 0xFFFFFFFFL
         val (lUsize, lCsize) =
-          if (lCsizeRaw == 0xFFFFFFFFL || lUsizeRaw == 0xFFFFFFFFL)
-            localZip64()
-          else (lUsizeRaw, lCsizeRaw)
+          if (lCsizeRaw == 0xFFFFFFFFL || lUsizeRaw == 0xFFFFFFFFL) {
+            // a lone sentinel (one field 0xFFFFFFFF, the other not)
+            // is malformed in every writer we accept
+            if (!sentinel) throw Malformed
+            if (streamed) (0L, 0L) // resolved below via the descriptor
+            else localZip64()
+          } else (lUsizeRaw, lCsizeRaw)
         if (streamed) {
-          // streamed shape: the local fields are ZEROS by definition —
-          // the truth arrives in the descriptor after the data, which
-          // we verify below against the central directory
-          if (lCrc != 0 || lCsize != 0 || lUsize != 0)
+          // streamed shape: the local fields are ZEROS by definition
+          // (APPNOTE 4.4.9) — except a zip64 streamed writer puts the
+          // 0xFFFFFFFF sentinel pair there with the truth deferred to
+          // the (8-byte-field) descriptor; both shapes are spec-legal
+          // and large streamed writers emit the latter. Either way
+          // crc must be zero and the descriptor below is the truth.
+          if (lCrc != 0) throw Malformed
+          if (!sentinel && (lCsizeRaw != 0 || lUsizeRaw != 0))
             throw Malformed
         } else if (lCrc != crc || lCsize != csize || lUsize != usize)
           throw Malformed
@@ -208,11 +222,17 @@ object ZipCodec {
           // entry. The signature is OPTIONAL in the spec, so a bare
           // descriptor whose crc equals the signature value is
           // ambiguous — verify BOTH framings and accept either that
-          // agrees with the central directory in full.
+          // agrees with the central directory in full. When the local
+          // header carried the zip64 sentinel pair, the descriptor's
+          // size fields are 8 bytes each (APPNOTE 4.3.9.2).
           val de = dataAt + csize.toInt
           def descOk(dd: Int): Boolean =
-            dd.toLong + 12 <= cdOff && u32(dd) == crc &&
-              u32(dd + 4) == csize && u32(dd + 8) == usize
+            if (sentinel)
+              dd.toLong + 20 <= cdOff && u32(dd) == crc &&
+                le64(dd + 4) == csize && le64(dd + 12) == usize
+            else
+              dd.toLong + 12 <= cdOff && u32(dd) == crc &&
+                u32(dd + 4) == csize && u32(dd + 8) == usize
           val signedOk = de + 4 <= cdOff && sig(de, 7, 8) && descOk(de + 4)
           if (!signedOk && !descOk(de)) throw Malformed
         }

@@ -15,6 +15,26 @@ object PipelineQueries {
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents", spread = true)
 
+  /** Unique memory-sink names for streaming gate keys (d154): Bench
+    * reps and Verify share one session, and a memory sink name can't
+    * be reused while its table is registered. */
+  private val streamGateN = new java.util.concurrent.atomic.AtomicLong()
+
+  /** The file-stream source only accepts a DIRECTORY to list; the
+    * driver test tables are single parquet files. Stage a per-(dir,
+    * table) temp directory holding one symlink to the real file —
+    * zero data copied, and the streaming scan reads the genuine
+    * driver bytes. Cached: Bench reps re-enter the same key. */
+  private val streamDirCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def streamDir(dir: String, table: String): String =
+    streamDirCache.computeIfAbsent(s"$dir/$table", _ => {
+      val d = java.nio.file.Files.createTempDirectory(s"graft_stream_$table")
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve(s"$table.parquet"),
+        java.nio.file.Paths.get(dir, s"$table.parquet"))
+      d.toString
+    })
+
   /** The IMA step table for the d110 oracle, sourced from the decoder
     * itself so the SQL replay can never drift from the Scala walk. */
   private val AdpcmOracleSteps: String =
@@ -649,6 +669,40 @@ object PipelineQueries {
             greatest(size(toks) - 1, lit(1)))).as("snippet"))
       Dedup.crossNearDup(d, bench, col("text"), col("doc_id"),
         col("snippet"), col("bench_id"))
+        .orderBy("doc_id")
+    }),
+
+    // d46's STREAMING twin as a first-class gate (SURVEY §2.6): the
+    // corpus arrives as a real Structured Streaming file source, each
+    // micro-batch is banded map-only and stream-static-joined against
+    // the broadcast pre-banded bench set (EventStream.decontaminate),
+    // run to completion with Trigger.AvailableNow into a memory sink;
+    // the per-band matches are then rolled up batch-side to d46's
+    // (doc_id, n_bench_hits, first_bench_id) shape, which the DuckDB
+    // oracle replays exactly — ingest-time blocking admits precisely
+    // the docs the batch backfill would.
+    "d154_stream_decontam" -> ((s, dir) => {
+      val toks = split(col("text"), "\\s+")
+      val bench = docs(s, dir).filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 5000000L).as("bench_id"),
+          concat_ws(" ", slice(toks, lit(1),
+            greatest(size(toks) - 1, lit(1)))).as("snippet"))
+      val path = streamDir(dir, "documents")
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$dir/documents.parquet").schema)
+        .parquet(path).select(col("doc_id"), col("text"))
+      val sink = "d154_out_" + streamGateN.incrementAndGet()
+      val q = graft.streaming.EventStream.decontaminate(stream, bench,
+          col("text"), col("doc_id"), col("snippet"), col("bench_id"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink)
+        .groupBy("doc_id")
+        .agg(countDistinct(col("bench_id")).as("n_bench_hits"),
+          min(col("bench_id")).as("first_bench_id"))
         .orderBy("doc_id")
     }),
 
@@ -1835,11 +1889,31 @@ object PipelineQueries {
       val lex = Retrieval.bm25TopK(d, col("text"), col("doc_id"),
         d.filter(col("doc_id") % 97 === 0), col("text"), col("doc_id"),
         k = 10)
+      // the brute dense arm is the ORACLE-EXACTNESS choice: its
+      // DuckDB twin replays exact cosine ranks. The deployment plan
+      // at 100× swaps in the IVF candidate generator — d155 gates
+      // exactly that swap in the d13 verdict form.
       val dense = Similarity.bruteForceTopK(e,
           e.filter(col("vec_id") % 97 === 0), k = 10)
         .select(col("q_id"), col("rank"), col("neighbor_id").as("doc_id"))
       Retrieval.rrfFuse(Seq(lex, dense), k = 10)
         .orderBy("q_id", "rank")
+    }),
+
+    // d90's SCALE plan: same hybrid fusion, dense candidates from
+    // ivfTopK (map-only cell argmax + candidates-only join — no
+    // corpus×queries scorer). The k-means cell state is
+    // engine-specific float, so the gate hashes in-plan BOOLEAN
+    // verdicts over an oracle-computable total (the d13 pattern):
+    // IVF dense recall vs the in-plan brute arm, and end-to-end
+    // fused-list overlap vs the brute-armed fusion.
+    "d155_rrf_ivf" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val e = emb(s, dir)
+      Retrieval.rrfIvfVerdict(
+        d, col("text"), col("doc_id"),
+        d.filter(col("doc_id") % 97 === 0), col("text"), col("doc_id"),
+        e, e.filter(col("vec_id") % 97 === 0), k = 10)
     }),
 
     // encoding-artifact repair (the ftfy pass): the corpus is
@@ -2584,6 +2658,26 @@ object PipelineQueries {
          |  min(b.bench_id)::BIGINT AS first_bench_id
          | FROM c_bands c JOIN b_bands b ON c.band_idx = b.band_idx AND c.band_hash = b.band_hash
          | GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin.replaceAll("\n", " "),
+    // identical replay to d46 — the streaming path is pinned to admit
+    // exactly the docs the batch decontamination flags, so its oracle
+    // IS the batch oracle (distinct bench hits per doc over the band
+    // join, min bench id first)
+    "d154_stream_decontam" ->
+      s"""WITH bench AS (SELECT doc_id + 5000000 AS bench_id,
+         |   array_to_string(list_slice(toks, 1, greatest(len(toks) - 1, 1)), ' ') AS text
+         |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents WHERE doc_id % 97 = 0)),
+         | ${polyBandCtes("c_", "documents", "doc_id")},
+         | ${polyBandCtes("b_", "bench", "bench_id")}
+         | SELECT c.doc_id, count(DISTINCT b.bench_id)::BIGINT AS n_bench_hits,
+         |  min(b.bench_id)::BIGINT AS first_bench_id
+         | FROM c_bands c JOIN b_bands b ON c.band_idx = b.band_idx AND c.band_hash = b.band_hash
+         | GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin.replaceAll("\n", " "),
+    // d13-style verdict oracle: the totals from the tables, `true`
+    // for every claimed property — hash matches iff the IVF-armed
+    // fusion actually held its recall and overlap floors in-plan
+    "d155_rrf_ivf" ->
+      """SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 97 = 0)::BIGINT * 10 AS n_bf,
+        | true AS dense_recall_ok, true AS fused_overlap_ok""".stripMargin.replaceAll("\n", " "),
     "d68_cross_corpus_dedup" ->
       s"""WITH hist AS (SELECT doc_id + 7000000 AS hist_id, text FROM documents WHERE doc_id % 2 = 0),
          | ${polyBandCtes("c_", "documents", "doc_id")},

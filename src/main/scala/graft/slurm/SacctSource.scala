@@ -4,10 +4,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Readers for sacct output dumps (the reference shells out to sacct and
-  * iterates rows one-by-one, slurm2sql.py:854-914; graft reads the same
-  * bytes as a splittable file source so a 100 TB accounting dump scans
-  * in parallel with the schema applied at the scan).
+/** Readers for sacct output — dumps AND the live subprocess (the
+  * reference shells out to sacct and iterates rows one-by-one,
+  * slurm2sql.py:854-914; graft spawns the same command on the driver,
+  * spills stdout, and reads those bytes as a splittable file source so
+  * a 100 TB accounting dump scans in parallel with the schema applied
+  * at the scan).
   *
   * Two malformed-row strategies:
   *  - default: PERMISSIVE mode + a corrupt-record column — a quarantine,
@@ -24,6 +26,74 @@ object SacctSource {
   /** `sacct -P --delimiter=';|;'` output (multi-char separator). */
   def readSacct(spark: SparkSession, path: String): DataFrame =
     readDelimited(spark, path, ";|;")
+
+  /** The `sacct -o` field list the reference requests: COLUMNS keys +
+    * COLUMNS_EXTRA minus the `_`-computed ones (slurm2sql.py:992),
+    * in the reference's order — DEDUPED: the reference's literal list
+    * repeats TRESUsageOutTot (it appears in both COLUMNS and
+    * COLUMNS_EXTRA); sacct tolerates the duplicate and the
+    * reference's `dict(zip(header, line))` silently collapses it, but
+    * a duplicated header is ambiguous for a schema'd reader, so graft
+    * requests each field exactly once. */
+  val SACCT_FIELDS: Seq[String] = Seq(
+    "JobName", "User", "Group", "Account", "SubmitLine", "State",
+    "Timelimit", "Elapsed", "Submit", "Start", "End", "Partition",
+    "ExitCode", "NodeList", "Priority", "ReqNodes", "NNodes",
+    "AllocNodes", "ReqTRES", "NTasks", "AllocTRES", "TRESUsageInTot",
+    "TRESUsageOutTot", "NCPUS", "ReqCPUS", "AllocCPUS", "CPUTime",
+    "TotalCPU", "UserCPU", "SystemCPU", "MinCPU", "MinCPUNode",
+    "MinCPUTask", "ReqMem", "AveRSS", "MaxRSS", "MaxRSSNode",
+    "MaxRSSTask", "MaxPages", "MaxVMSize", "AveDiskRead",
+    "AveDiskWrite", "MaxDiskRead", "MaxDiskWrite", "Comment",
+    "JobID", "JobIDRaw", "ConsumedEnergyRaw", "TRESUsageInAve")
+
+  /** The exact command the reference spawns (slurm2sql.py:854-858):
+    * `sacct -o <fields> -P --delimiter=';|;' <filter>`. */
+  def sacctCommand(bin: String, filter: Seq[String]): Seq[String] =
+    Seq(bin, "-o", SACCT_FIELDS.mkString(","), "-P",
+      "--delimiter=;|;") ++ filter
+
+  /** Live-sacct ingestion, the reference's PRIMARY mode
+    * (slurm2sql.py:854-866): spawn sacct on the DRIVER (sacct talks
+    * to slurmdbd from a login node — there is nothing distributed
+    * about the fetch), stream its stdout to a spill file, and hand
+    * that to [[readReassembled]] so the line-continuation semantics
+    * and the distributed parse are the SAME code path a dump ingest
+    * takes. Returns Left on spawn failure or a non-zero exit (the
+    * reference surfaces these as batch errors, slurm2sql.py:845-850).
+    * `bin` overrides the executable — the test seam; the reference's
+    * own tests stub the subprocess the same way
+    * (tests/ run against canned sacct output, never a live daemon). */
+  def spawnSacct(bin: String, filter: Seq[String]): Either[String, java.nio.file.Path] = {
+    val tmp = java.nio.file.Files.createTempFile("graft_sacct_", ".txt")
+    try {
+      val pb = new ProcessBuilder(sacctCommand(bin, filter): _*)
+      pb.redirectOutput(tmp.toFile)
+      val p = pb.start()
+      p.getOutputStream.close()
+      val err = new String(p.getErrorStream.readAllBytes(), "UTF-8")
+      val rc = p.waitFor()
+      if (rc != 0) {
+        java.nio.file.Files.deleteIfExists(tmp)
+        Left(s"sacct exited $rc${if (err.nonEmpty) ": " + err.take(500) else ""}")
+      } else Right(tmp)
+    } catch {
+      case e: java.io.IOException =>
+        java.nio.file.Files.deleteIfExists(tmp)
+        Left(s"cannot spawn $bin: ${e.getMessage}")
+    }
+  }
+
+  /** Live fetch → typed slurm table (spawn + reassembled parse +
+    * [[SlurmTable.build]]). An output with no rows at all (not even a
+    * header) maps to Left rather than a reader crash. */
+  def liveSlurmTable(spark: SparkSession, filter: Seq[String],
+                     bin: String = "sacct"): Either[String, DataFrame] =
+    spawnSacct(bin, filter).flatMap { p =>
+      val hasHeader = java.nio.file.Files.size(p) > 0
+      if (!hasHeader) Left("sacct produced no output (not even a header)")
+      else Right(SlurmTable.build(readReassembled(spark, p.toString)))
+    }
 
   /** CSV input (`--csv-input`), e.g. the reference's tests/test-data3.csv.
     * The reference reads this with "Python's default csv reader (excel

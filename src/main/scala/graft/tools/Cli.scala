@@ -408,8 +408,16 @@ object SeffCli {
   * collection and resume bookkeeping of get_history (:792-860).
   *
   *   positional WAREHOUSE   parquet warehouse dir (the `db` argument)
-  *   --sacct-input F        raw `sacct -P` dump (the sandbox twin of
-  *                          spawning sacct) / --csv-input F
+  *   --sacct-input F        raw `sacct -P` dump / --csv-input F;
+  *                          with NEITHER flag, graft spawns `sacct`
+  *                          itself — the reference's primary mode
+  *                          (slurm2sql.py:854-866): one subprocess
+  *                          per ingest, or one per day batch under a
+  *                          history flag, each fed through the same
+  *                          reassembled-parse path a dump takes
+  *   --sacct-bin B          executable for live mode (default
+  *                          `sacct`; the test seam — the reference's
+  *                          tests stub the subprocess the same way)
   *   --update/-u            merge into an existing warehouse instead
   *                          of recreating it (:750-752: without
   *                          --update or a resume flag, an existing db
@@ -461,7 +469,8 @@ object IngestCli {
       now: Option[Long] = None,
       states: Option[Seq[String]] = None,
       runningAtTime: Option[Long] = None,
-      sacctFilter: Seq[(String, String)] = Nil)
+      sacctFilter: Seq[(String, String)] = Nil,
+      sacctBin: String = "sacct")
 
   private def slurmtime(flag: String, v: String): Either[String, Long] = {
     val s = graft.functions.SlurmTimeUtil.parseOrNaN(
@@ -498,6 +507,7 @@ object IngestCli {
       val res: Either[String, Unit] = flag match {
         case "--csv-input" => value(flag, inline).map(v => a = a.copy(csvInput = Some(v)))
         case "--sacct-input" => value(flag, inline).map(v => a = a.copy(sacctInput = Some(v)))
+        case "--sacct-bin" => value(flag, inline).map(v => a = a.copy(sacctBin = v))
         case "--update" | "-u" => Right { a = a.copy(update = true) }
         case "--history" => value(flag, inline).map(v => a = a.copy(history = Some(v)))
         case "--history-resume" => Right { a = a.copy(historyResume = true) }
@@ -555,9 +565,6 @@ object IngestCli {
       res match { case Left(e) => return Left(e); case _ => }
     }
     if (a.warehouse.isEmpty) Left("warehouse directory argument is required")
-    else if (a.csvInput.isEmpty && a.sacctInput.isEmpty)
-      Left("one of --csv-input, --sacct-input is required " +
-        "(graft cannot spawn sacct in this environment)")
     else if (a.historyEnd.isDefined && a.history.isEmpty && !a.historyResume &&
       a.historyResumeOrStart.isEmpty && a.historyDays.isEmpty &&
       a.historyStart.isEmpty)
@@ -566,21 +573,57 @@ object IngestCli {
     else Right(a)
   }
 
+  /** Slurm's timestamp format for -S/-E (slurm2sql.py:110-115),
+    * rendered in UTC: the reference formats in the login node's local
+    * zone; graft pins UTC so a distributed ingest is deterministic
+    * regardless of driver locale. */
+  private def slurmTs(epoch: Long): String =
+    java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochSecond(epoch))
+
   /** Runs the ingest; returns the error-batch count (0 = clean). */
   def ingest(spark: SparkSession, a: IngestArgs): Either[String, Int] = {
     val now = a.now.getOrElse(System.currentTimeMillis() / 1000L)
-    val raw0 = a.csvInput.map(SacctSource.loadSlurmTable(spark, _))
-      .orElse(a.sacctInput.map(p => SlurmTable.build(SacctSource.readSacct(spark, p))))
-      .get
-    val raw1 = if (a.jobsOnly) raw0.filter(col("JobStep").isNull) else raw0
-    // ingest-time selection (the reference can only do this at sacct
-    // fetch time; graft filters whatever input carries the rows):
-    // state category / --running-at-time, then the sacct_filter tokens
-    val raw2 = Reports.sacct(raw1, None, None, a.states, a.runningAtTime)
-    val raw = SacctFilter(raw2, a.sacctFilter) match {
-      case Left(e) => return Left(e)
-      case Right(df) => df
+    val live = a.csvInput.isEmpty && a.sacctInput.isEmpty
+    // in-plan selection shared by every input mode (the reference can
+    // only select at sacct fetch time; graft ALSO filters in-plan so
+    // the result is exact even against a slurm version — or a test
+    // stub — that ignores a selector): jobs-only, state category /
+    // --running-at-time, then the sacct_filter tokens
+    def postFilter(raw0: DataFrame): Either[String, DataFrame] = {
+      val raw1 = if (a.jobsOnly) raw0.filter(col("JobStep").isNull) else raw0
+      val raw2 = Reports.sacct(raw1, None, None, a.states, a.runningAtTime)
+      SacctFilter(raw2, a.sacctFilter)
     }
+    // the sacct-argument form of the same selections
+    // (args_to_sacct_filter, slurm2sql.py:1039-1069) — passed to the
+    // spawned sacct so a real slurmdbd prunes server-side
+    def liveFilterArgs: Seq[String] = {
+      val states = a.states.toSeq.flatMap(ss =>
+        Seq("--endtime=now", s"--state=${ss.mkString(",")}"))
+      val rat = a.runningAtTime.toSeq.flatMap(t =>
+        Seq(s"--start=${slurmTs(t)}", s"--end=${slurmTs(t)}",
+          "--state=RUNNING"))
+      val toks = a.sacctFilter.map { case (k, v) => s"--$k=$v" }
+      states ++ rat ++ toks
+    }
+    def fetchLive(extra: Seq[String]): Either[String, DataFrame] =
+      SacctSource.liveSlurmTable(spark, liveFilterArgs ++ extra, a.sacctBin)
+        .flatMap(postFilter)
+    // dump mode reads the input ONCE; live mode fetches at use —
+    // once for a plain ingest, once per day batch in the history loop
+    // (the reference's whole reason for day batching is "avoid
+    // overloading sacct", slurm2sql.py:795-798, which only means
+    // anything if each batch is its own sacct call)
+    def rawOnce: Either[String, DataFrame] =
+      if (live) fetchLive(Nil)
+      else postFilter(
+        a.csvInput.map(SacctSource.loadSlurmTable(spark, _))
+          .orElse(a.sacctInput.map(p =>
+            SlurmTable.build(SacctSource.readSacct(spark, p))))
+          .get)
     val historyMode = a.history.isDefined || a.historyResume ||
       a.historyResumeOrStart.isDefined || a.historyDays.isDefined ||
       a.historyStart.isDefined
@@ -597,10 +640,12 @@ object IngestCli {
           "(use --update to merge instead)")
     }
     if (!historyMode) {
-      val maxT = SlurmWarehouse.mergeInto(spark, raw, a.warehouse)
-      maxT.foreach(t => SlurmWarehouse.updateLastTimestamp(
-        spark, a.warehouse, math.min(t, now)))
-      Right(0)
+      rawOnce.map { raw =>
+        val maxT = SlurmWarehouse.mergeInto(spark, raw, a.warehouse)
+        maxT.foreach(t => SlurmWarehouse.updateLastTimestamp(
+          spark, a.warehouse, math.min(t, now)))
+        0
+      }
     } else {
       val startE: Either[String, Long] =
         if (a.historyResumeOrStart.isDefined)
@@ -633,11 +678,21 @@ object IngestCli {
           Left(s"history range [$start, $stop) exceeds 100 years — " +
             "check --history/--history-days/--history-start/--now")
         else Right(())
-      } yield {
-        val ts = coalesce(col("Time"), col("Submit"))
-        HistoryCollector.collect(spark, a.warehouse,
-          (s, e) => raw.filter(ts >= s && ts < e), start, stop, now)
-      }
+        fetch <- if (live)
+          // per-batch sacct spawn with -S/-E, the reference's loop
+          // body (slurm2sql.py:838-845); a failed spawn throws inside
+          // the batch and HistoryCollector counts it as a batch error
+          Right((s: Long, e: Long) => fetchLive(Seq(
+            "-S", slurmTs(s), "-E", slurmTs(e))) match {
+            case Left(err) => throw new RuntimeException(err)
+            case Right(df) => df
+          })
+        else rawOnce.map { raw =>
+          val ts = coalesce(col("Time"), col("Submit"))
+          (s: Long, e: Long) => raw.filter(ts >= s && ts < e)
+        }
+      } yield HistoryCollector.collect(spark, a.warehouse, fetch,
+        start, stop, now)
     }
   }
 

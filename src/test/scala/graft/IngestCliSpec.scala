@@ -94,7 +94,11 @@ class IngestCliSpec extends AnyFunSuite {
 
   test("parse: warehouse and an input source are required; bad values rejected") {
     assert(IngestCli.parse(Seq("--csv-input", csvDir)).isLeft) // no warehouse
-    assert(IngestCli.parse(Seq("/tmp/wh")).isLeft)             // no input
+    // a bare warehouse is LIVE mode (spawn sacct), the reference's
+    // primary invocation — valid since r14, defaulting to `sacct`
+    assert(IngestCli.parse(Seq("/tmp/wh")).toOption.exists(_.sacctBin == "sacct"))
+    assert(IngestCli.parse(Seq("/tmp/wh", "--sacct-bin", "/opt/sacct"))
+      .toOption.exists(_.sacctBin == "/opt/sacct"))
     assert(IngestCli.parse(Seq("/tmp/wh", "--csv-input", csvDir, "--bogus")).isLeft)
     assert(IngestCli.parse(
       Seq("/tmp/wh", "--csv-input", csvDir, "--history-days", "x")).isLeft)
@@ -277,5 +281,128 @@ class IngestCliSpec extends AnyFunSuite {
     // --user composes with state categories: user1 + CANCELLED set
     val (whU, _) = run("--sacct-input", fixture, "--user=user1", "--cancelled")
     assert(SlurmWarehouse.read(spark, whU).count() == 2)
+  }
+
+  // ---- live sacct subprocess mode (slurm2sql.py:854-866) -------------
+
+  /** The sim rows as a `;|;` sacct dump with the exact header the
+    * live command requests (`-o SACCT_FIELDS`). */
+  private lazy val liveDumpFile: String = {
+    import graft.slurm.SacctSource
+    val raw = SlurmSim.raw(spark, sfDir)
+    val cols = SacctSource.SACCT_FIELDS.map(f =>
+      if (raw.columns.contains(f)) coalesce(col(f).cast("string"), lit(""))
+      else lit(""))
+    val lines = raw.select(concat_ws(";|;", cols: _*).as("l"))
+      .collect().map(_.getString(0))
+    val out = Files.createTempFile("graft_live_dump", ".txt")
+    Files.write(out, (SacctSource.SACCT_FIELDS.mkString(";|;") + "\n" +
+      lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    out.toString
+  }
+
+  /** A stub `sacct` on disk — the reference's own test strategy
+    * (tests run against canned output, never a live daemon): logs its
+    * argv (one line per spawn) and cats the canned dump; exits 3
+    * instead when the marker file exists. */
+  private def stubSacct(): (String, java.nio.file.Path) = {
+    val dir = Files.createTempDirectory("graft_stub_sacct")
+    val log = dir.resolve("argv.log")
+    val fail = dir.resolve("fail.marker")
+    val script = dir.resolve("sacct")
+    Files.write(script,
+      (s"""#!/bin/bash
+          |echo "$$@" >> $log
+          |[ -e $fail ] && exit 3
+          |cat $liveDumpFile
+          |""").stripMargin.getBytes("UTF-8"))
+    script.toFile.setExecutable(true)
+    (script.toString, dir)
+  }
+
+  test("live mode spawns sacct with the reference's exact command shape") {
+    import graft.slurm.SacctSource
+    val cmd = SacctSource.sacctCommand("sacct", Seq("--user=u1"))
+    assert(cmd.take(2) == Seq("sacct", "-o"))
+    assert(cmd(2).startsWith("JobName,User,Group,Account,SubmitLine,State"))
+    assert(cmd.drop(3).take(2) == Seq("-P", "--delimiter=;|;"))
+    assert(cmd.last == "--user=u1")
+    // the requested field list is deduped but otherwise the
+    // reference's (49 distinct of its 50-with-dup list)
+    assert(SacctSource.SACCT_FIELDS.length == 49)
+    assert(SacctSource.SACCT_FIELDS.distinct.length == 49)
+    // a missing binary is a clean error, not a crash
+    assert(SacctSource.spawnSacct("/nonexistent/sacct", Nil).isLeft)
+  }
+
+  test("live plain ingest: one spawn, warehouse equals the dump ingest") {
+    val (bin, dir) = stubSacct()
+    val wh = freshDir()
+    val a = IngestCli.parse(Seq(wh, "--sacct-bin", bin,
+      "--now", nowPin.toString)).toOption.get
+    assert(IngestCli.ingest(spark, a).toOption.get == 0)
+    val got = SlurmWarehouse.read(spark, wh)
+    assert(got.count() == direct.count() && direct.count() > 0)
+    // exactly one subprocess, no -S/-E on a plain ingest
+    val argv = new String(Files.readAllBytes(dir.resolve("argv.log")), "UTF-8")
+      .trim.linesIterator.toSeq
+    assert(argv.length == 1)
+    assert(!argv.head.contains("-S") && argv.head.contains("--delimiter=;|;"))
+  }
+
+  test("live history ingest: one spawn per day batch, -S/-E per window, resume works") {
+    val days = 3L
+    val (bin, dir) = stubSacct()
+    val wh = freshDir()
+    val a = IngestCli.parse(Seq(wh, "--sacct-bin", bin,
+      "--history-days", days.toString, "--now", nowPin.toString)).toOption.get
+    assert(IngestCli.ingest(spark, a).toOption.get == 0)
+    // the stub ignores -S/-E (returns everything each batch), so the
+    // REPLACE-merge must keep the result identical to one full dump —
+    // batch idempotency under overlapping fetches, the reference's
+    // midnight-spanning-job property
+    val got = SlurmWarehouse.read(spark, wh)
+    assert(got.count() == direct.count())
+    assert(got.groupBy("JobID").count().filter(col("count") > 1).count() == 0)
+    val argv = new String(Files.readAllBytes(dir.resolve("argv.log")), "UTF-8")
+      .trim.linesIterator.toSeq
+    // batches: UTC midnight N days back, day steps to now+6h inclusive
+    val start = (nowPin / 86400L) * 86400L - days * 86400L
+    val stop = nowPin + 6L * 3600L
+    val wantBatches = ((stop - start) / 86400L + 1).toInt
+    assert(argv.length == wantBatches, s"argv:\n${argv.mkString("\n")}")
+    // every spawn windows with -S/-E slurm timestamps
+    assert(argv.forall(l =>
+      l.matches(""".*-S \d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2} -E \d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}.*""")))
+    // the first window starts at the computed start
+    assert(argv.head.contains("-S " + java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochSecond(start))))
+    // resume: bookmark - 5 s → a short tail, no duplicates
+    Files.write(dir.resolve("argv.log"), Array.emptyByteArray)
+    val b = IngestCli.parse(Seq(wh, "--sacct-bin", bin, "--history-resume",
+      "--now", (nowPin + 3600L).toString)).toOption.get
+    assert(IngestCli.ingest(spark, b).toOption.get == 0)
+    assert(SlurmWarehouse.read(spark, wh).count() == direct.count())
+  }
+
+  test("live batch failures are counted per batch, not fatal (reference :845-850)") {
+    val (bin, dir) = stubSacct()
+    Files.createFile(dir.resolve("fail.marker"))
+    val wh = freshDir()
+    val a = IngestCli.parse(Seq(wh, "--sacct-bin", bin,
+      "--history-days", "1", "--now", nowPin.toString)).toOption.get
+    val errors = IngestCli.ingest(spark, a).toOption.get
+    assert(errors > 0, "every batch should have failed")
+    assert(whCount(wh) == 0)
+    // state selectors ride to the subprocess as sacct args
+    Files.delete(dir.resolve("fail.marker"))
+    Files.write(dir.resolve("argv.log"), Array.emptyByteArray)
+    val wh2 = freshDir()
+    val c = IngestCli.parse(Seq(wh2, "--sacct-bin", bin, "--completed",
+      "--user=user1", "--now", nowPin.toString)).toOption.get
+    assert(IngestCli.ingest(spark, c).isRight)
+    val argv2 = new String(Files.readAllBytes(dir.resolve("argv.log")), "UTF-8")
+    assert(argv2.contains("--state=") && argv2.contains("--user=user1"))
   }
 }

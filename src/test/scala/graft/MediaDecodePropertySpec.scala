@@ -1077,6 +1077,93 @@ object MediaDecodePropertySpec extends Properties("MediaDecode") {
       ZipCodec.decode(d).isEmpty
     }
 
+  /** Hand-built single-entry archive exercising the ZIP64 local-header
+    * shapes (APPNOTE 4.5.3): 0xFFFFFFFF size sentinels with the truth
+    * in the 0x0001 extra block — streamed (bit 3, 8-byte descriptor
+    * size fields per 4.3.9.2, what large streamed writers emit) or
+    * not (the numpy-savez shape). `zip64ExtraSz` ≠ 16/24/28 builds a
+    * block whose trailing bytes strand (bad tiling). */
+  private def zip64Archive(text: String, streamed: Boolean,
+                           zip64ExtraSz: Int = 16): Array[Byte] = {
+    val content = text.getBytes("UTF-8")
+    val crcv = { val c = new java.util.zip.CRC32; c.update(content); c.getValue }
+    val defl = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    defl.setInput(content); defl.finish()
+    val buf = new Array[Byte](content.length * 2 + 64)
+    val csize = defl.deflate(buf); defl.end()
+    val data = java.util.Arrays.copyOf(buf, csize)
+    val name = "a.txt".getBytes("US-ASCII")
+    val o = new java.io.ByteArrayOutputStream
+    def w16(v: Int): Unit = { o.write(v & 0xFF); o.write((v >> 8) & 0xFF) }
+    def w32(v: Long): Unit = { w16((v & 0xFFFF).toInt); w16(((v >> 16) & 0xFFFF).toInt) }
+    def w64(v: Long): Unit = { w32(v & 0xFFFFFFFFL); w32(v >>> 32) }
+    o.write(Array[Byte]('P', 'K', 3, 4))
+    w16(45); w16(if (streamed) 0x08 else 0); w16(8)
+    w16(0); w16(0)
+    w32(if (streamed) 0L else crcv)
+    w32(0xFFFFFFFFL); w32(0xFFFFFFFFL) // the sentinel pair
+    w16(name.length); w16(4 + zip64ExtraSz)
+    o.write(name)
+    w16(0x0001); w16(zip64ExtraSz)
+    w64(content.length.toLong); w64(csize.toLong)
+    var pad = zip64ExtraSz - 16
+    while (pad > 0) { o.write(0); pad -= 1 }
+    o.write(data)
+    if (streamed) {
+      o.write(Array[Byte]('P', 'K', 7, 8))
+      w32(crcv); w64(csize.toLong); w64(content.length.toLong)
+    }
+    val cdOff = o.size()
+    o.write(Array[Byte]('P', 'K', 1, 2))
+    w16(45); w16(45); w16(if (streamed) 0x08 else 0); w16(8)
+    w16(0); w16(0)
+    w32(crcv); w32(csize.toLong); w32(content.length.toLong)
+    w16(name.length); w16(0); w16(0)
+    w16(0); w16(0); w32(0)
+    w32(0L)
+    o.write(name)
+    val cdSize = o.size() - cdOff
+    o.write(Array[Byte]('P', 'K', 5, 6))
+    w16(0); w16(0); w16(1); w16(1)
+    w32(cdSize.toLong); w32(cdOff.toLong); w16(0)
+    o.toByteArray
+  }
+
+  property("zip64: a streamed sentinel entry with an 8-byte descriptor decodes") =
+    Prop.forAll(zipTextGen) { t0 =>
+      val t = if (t0.isEmpty) "x" else t0
+      ZipCodec.decode(zip64Archive(t, streamed = true)).exists(es =>
+        es.length == 1 && new String(es.head.content, "UTF-8") == t)
+    }
+
+  property("zip64: the non-streamed sentinel shape (numpy savez) decodes; sizes 16/24/28 tile") =
+    Prop.forAll(zipTextGen, Gen.oneOf(16, 24, 28)) { (t0, sz) =>
+      val t = if (t0.isEmpty) "x" else t0
+      ZipCodec.decode(zip64Archive(t, streamed = false, zip64ExtraSz = sz))
+        .exists(es => es.length == 1 &&
+          new String(es.head.content, "UTF-8") == t)
+    }
+
+  property("zip64: a block size stranding trailing bytes quarantines (bad tiling)") =
+    Prop.forAll(zipTextGen, Gen.oneOf(17, 20, 23, 27)) { (t0, sz) =>
+      val t = if (t0.isEmpty) "x" else t0
+      ZipCodec.decode(zip64Archive(t, streamed = false, zip64ExtraSz = sz)).isEmpty
+    }
+
+  property("zip64: a streamed sentinel entry with a LYING descriptor quarantines") =
+    Prop.forAll(zipTextGen, Gen.choose(0, 19)) { (t0, dByte) =>
+      val t = if (t0.isEmpty) "x" else t0
+      val enc = zip64Archive(t, streamed = true)
+      val eo = enc.length - 22
+      val cdOff = ((enc(eo + 16) & 0xFF) | ((enc(eo + 17) & 0xFF) << 8) |
+        ((enc(eo + 18) & 0xFF) << 16) | ((enc(eo + 19) & 0xFF) << 24))
+      // descriptor = 24 bytes (sig + crc4 + csize8 + usize8) before CD
+      val d = enc.clone()
+      d(cdOff - 20 + dByte) = (d(cdOff - 20 + dByte) ^ 0x04).toByte
+      ZipCodec.decode(d).isEmpty
+    }
+
   property("zip: any truncation quarantines") =
     Prop.forAll(Gen.choose(0L, 4000L), Gen.alphaNumStr, Gen.choose(1, 1 << 10)) {
       (id0, text, cut0) =>

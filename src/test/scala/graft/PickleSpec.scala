@@ -32,6 +32,26 @@ class PickleSpec extends AnyFunSuite {
         s"doc $docId should quarantine")
   }
 
+  test("strict memo discipline: a BINGET of a slot BINPUT skipped over quarantines") {
+    // BINPUT idx=5 backfills placeholder slots 0..4 — they are within
+    // memo.size but were never WRITTEN, so a get of slot 3 must
+    // quarantine, not silently return None (the r13 advice finding).
+    // push, memoize at 5, then BINGET 3, STOP — the stack would hold
+    // two values at STOP, but the get must already have thrown before
+    // STOP's arity check can mask it
+    val stream = Array[Byte](0x80.toByte, 2,
+      'K', 7, 'q', 5, 'h', 3, '.')
+    assert(decode(stream).isEmpty, "get from a skipped slot must refuse")
+    // the WRITTEN slot still serves: put at 5, get 5, tuple2, works
+    val ok = Array[Byte](0x80.toByte, 2,
+      'K', 7, 'q', 5, 'h', 5, 0x86.toByte, '.')
+    assert(decode(ok).contains(PTuple(Seq(PInt(7), PInt(7)))))
+    // LONG_BINGET beyond any slot quarantines too
+    val far = Array[Byte](0x80.toByte, 2,
+      'K', 7, 'q', 0, 'j', 9, 0, 0, 0, '.')
+    assert(decode(far).isEmpty)
+  }
+
   test("the refusal surface: every executable opcode quarantines") {
     // hand-built streams that end in each forbidden opcode
     val prefix = Array[Byte](0x80.toByte, 2)
