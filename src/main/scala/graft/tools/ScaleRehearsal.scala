@@ -81,9 +81,25 @@ object ScaleRehearsal {
       // warmup into its 1x leg, inflating t1 and UNDER-stating the
       // ratio (first-row ratios read 0.2-0.4 — overclaiming
       // sub-linearity). Warm, then measure both legs on hot code.
+      // The N× side needs the same treatment for its INPUT: the first
+      // stage of a family otherwise absorbs `big`'s materialization
+      // (scan + union + repartition + persist of the replicated
+      // corpus) into its timed N× leg — r14 measured d142's first-row
+      // ratio at 49× from exactly this, re-measured ~linear once the
+      // input was hot. Forcing the count here touches only the cached
+      // frames the stage's own closure touches.
       one
-      val t1 = time(s"$n 1x")(one)
-      val tN = time(s"$n ${factor}x")(many)
+      many
+      // min-of-2 per leg: this host has seconds-long hypervisor-steal
+      // windows (SURVEY §8.15) — two r14 back-to-back sweeps each
+      // spiked a DIFFERENT stage 20-55× (d134/d142, then d133/d141),
+      // every spike vanishing on re-measure. A single sample cannot
+      // distinguish a steal window from a plan wall; the min of two
+      // usually can (a true wall repeats, a steal window moves).
+      def minOf2(label: String)(f: => Long): Double =
+        math.min(time(label)(f), time(label)(f))
+      val t1 = minOf2(s"$n 1x")(one)
+      val tN = minOf2(s"$n ${factor}x")(many)
       println(f"  -> scale ratio ${tN / t1}%.1f (linear = $factor.0)")
     }
 
@@ -814,6 +830,97 @@ object ScaleRehearsal {
       q.stop()
       println(f"streaming near-dup throughput: $n docs in $dt%.2f s = ${n / dt}%.0f docs/s ($batchSize/batch)")
       corpus.unpersist()
+    }
+
+    // r13 format walkers (d119–d153): every one is a map-only
+    // payload-synthesis + strict-decode flatMap — no shuffle at any
+    // corpus size — so each curve must track the scan exactly. One
+    // row per walker pins that no decoder hides a super-linear wall
+    // (a quadratic inside one walker is invisible at sf0.1 gate scale
+    // and fatal at 100 TB). Split into three families so each JVM's
+    // recording stays heap-isolated (the r10 tail-pressure lesson).
+    type DF = org.apache.spark.sql.DataFrame
+    // partition-fair 1× side: the raw test parquet is single-row-group
+    // (one task), while `big` is repartition(32) — timing a 1-task 1×
+    // against a 32-task 10× reads as ratio ≈ 0.5 and would mask a
+    // quadratic decoder term up to ~32×. Spreading the 1× side makes
+    // the ratio a true per-row-cost curve.
+    lazy val base32 = base.repartition(32).persist()
+    def fmt(name: String)(f: DF => DF): Unit =
+      ratio(name, f(base32).count(), f(big).count())
+    st("formats-a") {
+      fmt("jsonl+zstd lines (d119)")(d => graft.operators.ZstdJsonlSim.lines(spark, d))
+      fmt("tf.Example walk (d120)")(d => graft.operators.TfExampleSim.stats(spark, d))
+      fmt("avro ocf walk (d121)")(d => graft.operators.AvroOcfSim.stats(spark, d))
+      fmt("snappy framed (d122)")(d => graft.operators.SnappySim.stats(spark, d))
+      fmt("zstd seekable (d123)")(d => graft.operators.ZstdSeekSim.stats(spark, d))
+      fmt("deflate (d124)")(d => graft.operators.DeflateSim.stats(spark, d))
+      fmt("bzip2 (d125)")(d => graft.operators.Bzip2Sim.stats(spark, d))
+      fmt("parquet pages (d126)")(d => graft.operators.ParquetSim.stats(spark, d))
+      fmt("http chunked (d127)")(d => graft.operators.ChunkedSim.stats(spark, d))
+      fmt("charset sniff (d128)")(d => graft.operators.CharsetSim.stats(spark, d))
+      fmt("xml rows (d129)")(d => graft.operators.XmlRowsSim.rows(spark, d))
+    }
+    st("formats-b") {
+      fmt("eml mime (d130)")(d => graft.operators.EmlSim.rows(spark, d))
+      fmt("robots rules (d131)")(d => graft.operators.RobotsSim.rows(spark, d))
+      fmt("sqlite pages (d132)")(d => graft.operators.SqliteSim.rows(spark, d))
+      fmt("orc stripes (d133)")(d => graft.operators.OrcSim.stats(spark, d))
+      fmt("xz/lzma (d134)")(d => graft.operators.XzJsonlSim.lines(spark, d))
+      fmt("parquet v2 (d135)")(d => graft.operators.ParquetV2Sim.stats(spark, d))
+      fmt("cdx index (d136)")(d => graft.operators.CdxSim.rows(spark, d))
+      fmt("sitemap xml (d137)")(d => graft.operators.SitemapSim.rows(spark, d))
+      fmt("parquet bloom (d138)")(d => graft.operators.ParquetBloomSim.stats(spark, d))
+      fmt("arrow ipc (d139)")(d => graft.operators.ArrowIpcSim.rows(spark, d))
+      fmt("roaring (d140)")(d => graft.operators.RoaringSim.rows(spark, d))
+      fmt("delta log (d141)")(d => graft.operators.DeltaLogSim.rows(spark, d))
+    }
+    st("formats-c") {
+      fmt("git pack (d142)")(d => graft.operators.GitPackSim.rows(spark, d))
+      fmt("zstd dict (d143)")(d => graft.operators.ZstdDictSim.lines(spark, d))
+      fmt("tar pax (d144)")(d => graft.operators.TarPaxSim.rows(spark, d))
+      fmt("sstable (d145)")(d => graft.operators.SsTableSim.rows(spark, d))
+      fmt("iceberg (d146)")(d => graft.operators.IcebergSim.rows(spark, d))
+      fmt("flac (d147)")(d => graft.operators.FlacSim.rows(spark, d))
+      fmt("safetensors (d148)")(d => graft.operators.SafeTensorsSim.rows(spark, d))
+      fmt("npy/npz (d149)")(d => graft.operators.NpySim.rows(spark, d))
+      fmt("pickle (d150)")(d => graft.operators.PickleSim.rows(spark, d))
+      fmt("csv strict (d151)")(d => graft.operators.CsvSim.rows(spark, d))
+      fmt("tfevents (d152)")(d => graft.operators.TfEventsSim.rows(spark, d))
+      fmt("torrent (d153)")(d => graft.operators.TorrentSim.rows(spark, d))
+    }
+
+    // adversarial LSH band skew (the VERDICT r13 ask): ONE band hash
+    // carrying ~10% of the corpus through the cross-corpus band join.
+    // Replicating one document factor×10 times makes every one of its
+    // band hashes a hot key on BOTH sides; the per-side bucket caps
+    // (Dedup cross paths) must bound reducer input so the join stays
+    // ~linear instead of exploding quadratically in the hot bucket.
+    st("skew") {
+      lazy val hotBig = {
+        val one = base.orderBy("doc_id").limit(1)
+          .select(col("text")).head.getString(0)
+        val n = (base.count() * factor / 10L).toInt
+        val hot = spark.range(n).select(
+          (col("id") + 900000000L).as("doc_id"), lit(one).as("text"),
+          lit("en").as("lang"), lit("hot").as("source"))
+        big.unionByName(hot).repartition(32).persist()
+      }
+      // production cap (MAX_FULL_BUCKET): the claim under test is
+      // that the per-side top-K bucket slice bounds reducer input on
+      // a hot band, keeping the curve ~linear where the uncapped join
+      // would go quadratic in the hot bucket
+      ratio("cross-corpus dedup, 10% hot band",
+        Dedup.crossNearDupLarge(base32,
+          base32.select((col("doc_id") + 7000000L).as("hist_id"),
+            col("text")), col("text"), col("doc_id"),
+          col("text"), col("hist_id"),
+          maxBucket = Dedup.MAX_FULL_BUCKET).count(),
+        Dedup.crossNearDupLarge(hotBig,
+          hotBig.select((col("doc_id") + 1900000000L).as("hist_id"),
+            col("text")), col("text"), col("doc_id"),
+          col("text"), col("hist_id"),
+          maxBucket = Dedup.MAX_FULL_BUCKET).count())
     }
 
     // family selection: no arg → all families IN-PROCESS (the legacy

@@ -616,6 +616,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want && got.size == 3, s"stream $got vs batch $want")
   }
 
+  test("bigramLmModel: the top-M cap is exact when the vocab fits, graceful beyond") {
+    val target = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    // gate corpus vocab sits far under the default cap: capped == full
+    val (bg, w1, dflt) = graft.operators.TextOps.bigramLmModel(
+      target, col("text"))
+    val (bgF, w1F, dfltF) = graft.operators.TextOps.bigramLmModel(
+      target, col("text"), maxEntries = Int.MaxValue)
+    assert(bg == bgF && w1 == w1F && dflt == dfltF,
+      "default cap must be invisible on the gate corpus")
+    // a tiny cap: bounded maps, every surviving entry scores exactly
+    // as the full model does (the slice is by count, scores computed
+    // in-plan BEFORE the slice — so the cap can never corrupt a
+    // surviving entry, only shrink coverage), and the default stays
+    assert(bg.nonEmpty && w1.nonEmpty)
+    val (bgC, w1C, dfltC) = graft.operators.TextOps.bigramLmModel(
+      target, col("text"), maxEntries = 3)
+    assert(bgC.size <= 3 && w1C.size <= 3)
+    assert(bgC.forall { case (k, v) => bgF(k) == v })
+    assert(w1C.forall { case (k, v) => w1F(k) == v })
+    assert(dfltC == dfltF, "V is the FULL distinct count, never the capped one")
+  }
+
   test("stateless ingest gates (phrase/html/url) match batch bit-for-bit on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
