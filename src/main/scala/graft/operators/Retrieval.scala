@@ -276,12 +276,14 @@ object Retrieval {
                     queriesLex: DataFrame, qText: Column, qId: Column,
                     emb: DataFrame, queriesEmb: DataFrame, k: Int,
                     denseRecallFloorPct: Int = 30,
-                    fusedOverlapFloorPct: Int = 40): DataFrame = {
+                    fusedOverlapFloorPct: Int = 40,
+                    centroids: Option[Array[Array[Double]]] = None): DataFrame = {
     val lex = bm25TopK(docs, text, id, queriesLex, qText, qId, k)
     def denseArm(ann: DataFrame) = ann.select(col("q_id"), col("rank"),
       col("neighbor_id").as("doc_id"))
     val bf = denseArm(Similarity.bruteForceTopK(emb, queriesEmb, k))
-    val ivf = denseArm(Similarity.ivfTopK(emb, queriesEmb, k))
+    val ivf = denseArm(Similarity.ivfTopK(emb, queriesEmb, k,
+      centroids = centroids))
     val fusedBf = rrfFuse(Seq(lex, bf), k).select(col("q_id"), col("doc_id"))
     val fusedIvf = rrfFuse(Seq(lex, ivf), k).select(col("q_id"), col("doc_id"))
     val pairs = Seq("q_id", "doc_id")

@@ -402,10 +402,24 @@ object Similarity {
     * ~n·nProbe/nCells candidates per query. `kmeansIters = 0` keeps the
     * raw seed vectors as centroids (the round-1 behavior, used by the
     * recall spec as the baseline the k-means cells must beat). */
+  /** Offline IVF training — the first half of the deployment split:
+    * train the cell state once (KB of driver/broadcast state), hand it
+    * to every subsequent [[ivfTopK]] probe. Same spherical k-means the
+    * inline path trains; exposing it is what makes the train-once /
+    * probe-many shape expressible by a user of the library. */
+  def trainIvfCentroids(emb: DataFrame, nCells: Int = 16,
+                        kmeansIters: Int = 5): Array[Array[Double]] =
+    kmeansCentroids(emb, nCells, kmeansIters)
+
   def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 2,
-              kmeansIters: Int = 5): DataFrame = {
-    val cents = kmeansCentroids(emb, nCells, kmeansIters)
+              kmeansIters: Int = 5,
+              centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    // `centroids` is the DEPLOYMENT shape: the cell state trains once
+    // (an offline job, the s26/s27 warehouse-twin trade) and every
+    // probe reuses it — retraining per query batch is gate-convenient
+    // but not what anyone runs at 100×.
+    val cents = centroids.getOrElse(kmeansCentroids(emb, nCells, kmeansIters))
     val corpus = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("n", norm(col("v")))
       .withColumn("cell", assignCell(col("v"), cents))
