@@ -59,7 +59,8 @@ object Bench {
     "d144_tar_pax", "d145_sstable", "d146_iceberg", "d147_flac",
     "d148_safetensors", "d149_npy_npz", "d150_pickle",
     "d151_csv_strict", "d152_tfevents", "d153_torrent",
-    "d154_stream_decontam", "d155_rrf_ivf")
+    "d154_stream_decontam", "d155_rrf_ivf", "d156_stream_quality",
+    "d157_stream_neardup", "d158_stream_lm")
 
   /** Fixed CPU-bound calibration microbench ("DotBench"): scalar dot
     * products over pinned-size float arrays with deterministic

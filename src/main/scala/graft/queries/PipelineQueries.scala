@@ -711,6 +711,84 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // d18's streaming twin as an oracle gate: the per-group keep
+    // thresholds are computed BATCH-side over the historical corpus
+    // (#groups rows → broadcast) and the stream filters map-only
+    // against them — the window (percent_rank) form could never run
+    // on a stream, the threshold form runs unchanged. Oracle = d18's,
+    // because the kept set is pinned equal when the thresholds come
+    // from the same corpus.
+    "d156_stream_quality" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"), col("text"))
+      val th = TextOps.qualityThresholds(d, col("text"), col("lang"),
+        keepFrac = 0.5)
+      val path = streamDir(dir, "documents")
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$dir/documents.parquet").schema)
+        .parquet(path).select(col("doc_id"), col("lang"), col("text"))
+      val sink = "d156_out_" + streamGateN.incrementAndGet()
+      val q = graft.streaming.EventStream.qualityFiltered(stream,
+          col("text"), col("lang"), col("doc_id"), th)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink).orderBy("doc_id")
+    }),
+
+    // near-dup-at-ingest as an oracle gate (the d02 family's §2.6
+    // deployment): each arriving doc computes its fused band signature
+    // map-only and stream-static joins against the pre-banded corpus;
+    // rolled up batch-side to (doc_id, n_corpus_hits, first_corpus_id).
+    // The oracle replays the band self-join (distinct corpus partners
+    // per doc, self-pairs excluded).
+    "d157_stream_neardup" -> ((s, dir) => {
+      val corpus = docs(s, dir).select(col("doc_id"), col("text"))
+      val path = streamDir(dir, "documents")
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$dir/documents.parquet").schema)
+        .parquet(path).select(col("doc_id"), col("text"))
+      val sink = "d157_out_" + streamGateN.incrementAndGet()
+      val q = graft.streaming.EventStream.nearDupAgainst(stream, corpus,
+          col("text"), col("doc_id"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink)
+        .groupBy("doc_id")
+        .agg(countDistinct(col("corpus_doc_id")).as("n_corpus_hits"),
+          min(col("corpus_doc_id")).as("first_corpus_id"))
+        .orderBy("doc_id")
+    }),
+
+    // d64's streaming twin as an oracle gate: the bigram model trains
+    // BATCH-side (bigramLmModel — capped driver maps, V computed over
+    // the full vocabulary) and each arriving doc scores MAP-ONLY by a
+    // fold over its bigram array with literal-map lookups: no explode,
+    // no shuffle, no stream state. Scores are bit-identical to the
+    // batch join path, so d64's oracle IS this gate's oracle.
+    "d158_stream_lm" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val (bg, w1, dflt) = TextOps.bigramLmModel(
+        d.filter(col("lang") === "en"), col("text"))
+      val path = streamDir(dir, "documents")
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$dir/documents.parquet").schema)
+        .parquet(path).select(col("doc_id"), col("text"))
+      val sink = "d158_out_" + streamGateN.incrementAndGet()
+      val q = graft.streaming.EventStream.lmScored(stream,
+          col("text"), col("doc_id"), bg, w1, dflt)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink).orderBy("doc_id")
+    }),
+
     // DSIR importance weighting: target seed = the English slice,
     // raw = the whole corpus; hashed-bigram buckets, integer ratio
     // scores. Fully oracle-replayed (poly hash chain = d24's). Uses
@@ -2301,6 +2379,39 @@ object PipelineQueries {
       |   UNION
       |   SELECT r.a, ed.dst FROM reach r JOIN ed ON r.b = ed.src)""".stripMargin.replaceAll("\n", " ")
 
+  /** d18's replay, shared verbatim by its streaming twin d156: the
+    * threshold-form filter admits exactly the same kept set batch or
+    * stream when the thresholds come from the same corpus. */
+  private val QualityFilterSql: String =
+    """WITH t AS (SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+      | sc AS (SELECT doc_id, lang AS grp,
+      |   (len(list_distinct(toks))::BIGINT * 1000000) // len(toks) AS rep_scaled FROM t),
+      | th AS (SELECT grp, round(quantile_cont(rep_scaled::DOUBLE, 0.5), 6) AS q_lo
+      |  FROM sc GROUP BY grp)
+      | SELECT doc_id, sc.grp, rep_scaled FROM sc JOIN th USING (grp)
+      | WHERE rep_scaled >= q_lo ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+
+  /** d64's replay, shared verbatim by its streaming twin d158: the
+    * fold-scored stream is pinned bit-identical to the batch join. */
+  private val LmScoreSql: String =
+    """WITH t AS (SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS toks FROM documents),
+      | tg AS (SELECT toks FROM t WHERE lang = 'en'),
+      | c1t AS (SELECT w, count(*)::BIGINT AS c1 FROM (SELECT unnest(toks) AS w FROM tg) GROUP BY 1),
+      | v AS (SELECT count(*)::BIGINT AS v FROM c1t),
+      | c12t AS (SELECT bg, count(*)::BIGINT AS c12 FROM (
+      |   SELECT unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])) AS bg
+      |   FROM tg WHERE len(toks) >= 2) GROUP BY 1),
+      | db AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM (
+      |   SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])) AS bg
+      |   FROM t WHERE len(toks) >= 2)),
+      | sc AS (SELECT doc_id,
+      |   floor((COALESCE(c12, 0) + 1) * 1000000.0 / (COALESCE(c1, 0) + v))::BIGINT AS s
+      |  FROM db LEFT JOIN c12t USING (bg) LEFT JOIN c1t ON db.w1 = c1t.w CROSS JOIN v),
+      | agg AS (SELECT doc_id, sum(s)::BIGINT AS lm_sum, count(*)::BIGINT AS n_bigrams FROM sc GROUP BY 1)
+      | SELECT doc_id, n_bigrams, lm_sum,
+      |  floor(lm_sum::DOUBLE / n_bigrams)::BIGINT AS lm_score
+      | FROM agg ORDER BY doc_id""".stripMargin.replaceAll("\n", " ")
+
   val oracles: Map[String, String] = Map(
     "d01_dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keeper_id
@@ -2420,14 +2531,10 @@ object PipelineQueries {
       """WITH t AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents)
         | SELECT token, count(*) AS n FROM t GROUP BY token
         | ORDER BY n DESC, token LIMIT 200""".stripMargin.replaceAll("\n", " "),
-    "d18_quality_filter" ->
-      """WITH t AS (SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS toks FROM documents),
-        | sc AS (SELECT doc_id, lang AS grp,
-        |   (len(list_distinct(toks))::BIGINT * 1000000) // len(toks) AS rep_scaled FROM t),
-        | th AS (SELECT grp, round(quantile_cont(rep_scaled::DOUBLE, 0.5), 6) AS q_lo
-        |  FROM sc GROUP BY grp)
-        | SELECT doc_id, sc.grp, rep_scaled FROM sc JOIN th USING (grp)
-        | WHERE rep_scaled >= q_lo ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "d18_quality_filter" -> QualityFilterSql,
+    // d18's streaming twin: kept set pinned equal to the batch filter
+    // when the thresholds come from the same corpus — same oracle
+    "d156_stream_quality" -> QualityFilterSql,
     "d19_doc_pack" ->
       """WITH t AS (SELECT doc_id, source,
         |   len(string_split_regex(lower(text), '\s+')) AS n_tokens FROM documents)
@@ -2684,6 +2791,17 @@ object PipelineQueries {
          |  min(b.bench_id)::BIGINT AS first_bench_id
          | FROM c_bands c JOIN b_bands b ON c.band_idx = b.band_idx AND c.band_hash = b.band_hash
          | GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin.replaceAll("\n", " "),
+    // d157: the band SELF-join replay — distinct corpus partners per
+    // doc, self-pairs excluded (the streaming near-dup gate's rollup)
+    "d157_stream_neardup" ->
+      s"""WITH ${polyBandCtes("a_", "documents", "doc_id")},
+         | ${polyBandCtes("b_", "documents", "doc_id")}
+         | SELECT a.doc_id, count(DISTINCT b.doc_id)::BIGINT AS n_corpus_hits,
+         |  min(b.doc_id)::BIGINT AS first_corpus_id
+         | FROM a_bands a JOIN b_bands b
+         |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |   AND a.doc_id != b.doc_id
+         | GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin.replaceAll("\n", " "),
     // d13-style verdict oracle: the totals from the tables, `true`
     // for every claimed property — hash matches iff the IVF-armed
     // fusion actually held its recall and overlap floors in-plan
@@ -3098,24 +3216,10 @@ object PipelineQueries {
         | WHERE n_tokens >= 5 ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     // bigram LM replay: identical add-one rule, w1 recovered from the
     // bigram key (tokens cannot contain whitespace)
-    "d64_lm_score" ->
-      """WITH t AS (SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS toks FROM documents),
-        | tg AS (SELECT toks FROM t WHERE lang = 'en'),
-        | c1t AS (SELECT w, count(*)::BIGINT AS c1 FROM (SELECT unnest(toks) AS w FROM tg) GROUP BY 1),
-        | v AS (SELECT count(*)::BIGINT AS v FROM c1t),
-        | c12t AS (SELECT bg, count(*)::BIGINT AS c12 FROM (
-        |   SELECT unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])) AS bg
-        |   FROM tg WHERE len(toks) >= 2) GROUP BY 1),
-        | db AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM (
-        |   SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])) AS bg
-        |   FROM t WHERE len(toks) >= 2)),
-        | sc AS (SELECT doc_id,
-        |   floor((COALESCE(c12, 0) + 1) * 1000000.0 / (COALESCE(c1, 0) + v))::BIGINT AS s
-        |  FROM db LEFT JOIN c12t USING (bg) LEFT JOIN c1t ON db.w1 = c1t.w CROSS JOIN v),
-        | agg AS (SELECT doc_id, sum(s)::BIGINT AS lm_sum, count(*)::BIGINT AS n_bigrams FROM sc GROUP BY 1)
-        | SELECT doc_id, n_bigrams, lm_sum,
-        |  floor(lm_sum::DOUBLE / n_bigrams)::BIGINT AS lm_score
-        | FROM agg ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
+    "d64_lm_score" -> LmScoreSql,
+    // d64's streaming twin: batch-trained model, map-only fold scoring
+    // pinned bit-identical to the join path — same oracle
+    "d158_stream_lm" -> LmScoreSql,
 
     "d76_url_curation" -> {
       val blocked = blockedDomains.map(d => s"'$d'").mkString(", ")
