@@ -1807,6 +1807,12 @@ object PipelineQueries {
     "d148_safetensors" -> ((s, dir) =>
       SafeTensorsSim.rows(s, docs(s, dir)).orderBy("doc_id")),
 
+    // GGUF (d148's quantized sibling): typed-metadata walk incl. the
+    // doc's REAL n_chars round-tripped through the kv section, the
+    // F32/F16/Q8_0 tensor tiling audits, and the damage grid
+    "d159_gguf" -> ((s, dir) =>
+      GgufSim.rows(s, docs(s, dir)).orderBy("doc_id")),
+
     // numpy .npy/.npz — the array interchange format precomputed
     // features and embedding dumps ship in: the dict-literal header
     // grammar parsed strictly, the shape-vs-bytes rule, and .npz as a
@@ -4110,6 +4116,30 @@ object PipelineQueries {
 
     // the safetensors oracle replays the exact-quarter F32 grids as
     // range arithmetic
+    // gguf: the three tensor kinds replay as range arithmetic (F32
+    // exact quarters, F16 exact halves, Q8_0 integer quants), the
+    // metadata n_chars comes straight from the table
+    "d159_gguf" ->
+      """WITH d AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 7 NOT IN (0, 3, 5)),
+        | t AS (SELECT doc_id, n_chars, tt FROM d, range(3) x(tt) WHERE tt < 1 + doc_id % 3),
+        | per AS (SELECT doc_id, n_chars, tt, (doc_id + tt) % 3 AS ty,
+        |   CASE (doc_id + tt) % 3 WHEN 0 THEN (2 + (doc_id + 2*tt) % 4) * 8
+        |    WHEN 1 THEN 16 ELSE 64 END AS ne FROM t),
+        | e AS (SELECT doc_id, sum(ne)::BIGINT AS n_elems, count(*)::BIGINT AS n_tensors FROM per GROUP BY 1),
+        | s32 AS (SELECT p.doc_id, sum(((p.doc_id + p.tt*31 + i) % 64) * 0.25)::DOUBLE AS sum_f32
+        |   FROM per p, range(48) y(i) WHERE p.ty = 0 AND i < p.ne GROUP BY 1),
+        | s16 AS (SELECT p.doc_id, sum(((p.doc_id + p.tt + i) % 32) * 0.5)::DOUBLE AS sum_f16
+        |   FROM per p, range(16) y(i) WHERE p.ty = 1 GROUP BY 1),
+        | sq AS (SELECT p.doc_id, sum((p.doc_id*7 + p.tt*13 + j) % 255 - 127)::BIGINT AS sum_q
+        |   FROM per p, range(64) z(j) WHERE p.ty = 2 GROUP BY 1)
+        | SELECT d.doc_id, 6::BIGINT AS n_kv, e.n_tensors, e.n_elems,
+        |  COALESCE(s32.sum_f32, 0)::DOUBLE AS sum_f32,
+        |  COALESCE(s16.sum_f16, 0)::DOUBLE AS sum_f16,
+        |  COALESCE(sq.sum_q, 0)::BIGINT AS sum_q,
+        |  d.n_chars::BIGINT AS meta_n_chars
+        | FROM d JOIN e USING (doc_id) LEFT JOIN s32 USING (doc_id)
+        |  LEFT JOIN s16 USING (doc_id) LEFT JOIN sq USING (doc_id)
+        | ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
     "d148_safetensors" ->
       """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 7 NOT IN (0, 3, 5)),
         | t AS (SELECT doc_id, tt FROM d, range(5) x(tt)
