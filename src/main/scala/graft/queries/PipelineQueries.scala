@@ -1813,6 +1813,13 @@ object PipelineQueries {
     "d159_gguf" -> ((s, dir) =>
       GgufSim.rows(s, docs(s, dir)).orderBy("doc_id")),
 
+    // MP3 frame walk (ISO 11172-3): sync grammar, bitrate/samplerate
+    // tables, per-frame CRC-16 recompute, ID3v2/v1 tag spans, stream
+    // splice discipline — the audio-corpus ingest questions answered
+    // without decoding audio
+    "d160_mp3_frames" -> ((s, dir) =>
+      Mp3Sim.rows(s, docs(s, dir)).orderBy("doc_id")),
+
     // numpy .npy/.npz — the array interchange format precomputed
     // features and embedding dumps ship in: the dict-literal header
     // grammar parsed strictly, the shape-vs-bytes rule, and .npz as a
@@ -4116,6 +4123,25 @@ object PipelineQueries {
 
     // the safetensors oracle replays the exact-quarter F32 grids as
     // range arithmetic
+    // mp3: frame geometry replays closed-form off the published
+    // MPEG-1 Layer III bitrate table (integer division both engines)
+    "d160_mp3_frames" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 7 NOT IN (0, 3, 5)),
+        | fr AS (SELECT doc_id, f FROM d, range(8) x(f) WHERE f < 3 + doc_id % 5),
+        | br AS (SELECT doc_id, f,
+        |   CASE 1 + (doc_id + f) % 14 WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48
+        |    WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80 WHEN 7 THEN 96 WHEN 8 THEN 112
+        |    WHEN 9 THEN 128 WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224
+        |    WHEN 13 THEN 256 ELSE 320 END AS kbps,
+        |   (doc_id + f) % 2 AS pad,
+        |   CASE WHEN (doc_id + f) % 3 = 0 THEN 1 ELSE 0 END AS prot
+        |  FROM fr)
+        | SELECT doc_id, count(*)::BIGINT AS n_frames, sum(prot)::BIGINT AS n_protected,
+        |  (count(*) * 1152)::BIGINT AS n_samples, sum(kbps)::BIGINT AS kbps_sum,
+        |  sum(144000 * kbps // 44100 + pad)::BIGINT AS music_bytes,
+        |  (CASE WHEN doc_id % 4 = 0 THEN 30 + doc_id % 50 ELSE 0 END)::BIGINT AS id3_bytes,
+        |  doc_id % 6 = 0 AS has_id3v1
+        | FROM br GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     // gguf: the three tensor kinds replay as range arithmetic (F32
     // exact quarters, F16 exact halves, Q8_0 integer quants), the
     // metadata n_chars comes straight from the table
