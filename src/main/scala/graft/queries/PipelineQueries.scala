@@ -1820,6 +1820,13 @@ object PipelineQueries {
     "d160_mp3_frames" -> ((s, dir) =>
       Mp3Sim.rows(s, docs(s, dir)).orderBy("doc_id")),
 
+    // Ogg page walk (RFC 3533): capture/lacing grammar, per-page
+    // CRC-32 recompute, continuation/BOS/EOS and granule discipline,
+    // packets reassembled across pages and round-tripped against the
+    // doc's real bytes
+    "d161_ogg_pages" -> ((s, dir) =>
+      OggSim.rows(s, docs(s, dir)).orderBy("doc_id")),
+
     // numpy .npy/.npz — the array interchange format precomputed
     // features and embedding dumps ship in: the dict-literal header
     // grammar parsed strictly, the shape-vs-bytes rule, and .npz as a
@@ -4123,6 +4130,16 @@ object PipelineQueries {
 
     // the safetensors oracle replays the exact-quarter F32 grids as
     // range arithmetic
+    // ogg: page/packet geometry replays closed-form off UTF-8 byte
+    // lengths — lacing segments = plen//255 + 1, three per page
+    "d161_ogg_pages" ->
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS L FROM documents WHERE doc_id % 7 NOT IN (0, 3, 5)),
+        | p AS (SELECT doc_id, L, ((i+1)*L)//(2 + doc_id%4) - (i*L)//(2 + doc_id%4) AS plen
+        |   FROM d, range(6) x(i) WHERE i < 2 + doc_id % 4),
+        | s AS (SELECT doc_id, max(L) AS L, sum(plen//255 + 1) AS nl, count(*) AS np FROM p GROUP BY doc_id)
+        | SELECT doc_id, ((nl + 2)//3)::BIGINT AS n_pages, np::BIGINT AS n_packets,
+        |  L::BIGINT AS payload_bytes, TRUE AS roundtrip_ok
+        | FROM s ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     // mp3: frame geometry replays closed-form off the published
     // MPEG-1 Layer III bitrate table (integer division both engines)
     "d160_mp3_frames" ->

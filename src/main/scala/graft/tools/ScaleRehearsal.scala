@@ -888,6 +888,12 @@ object ScaleRehearsal {
       fmt("csv strict (d151)")(d => graft.operators.CsvSim.rows(spark, d))
       fmt("tfevents (d152)")(d => graft.operators.TfEventsSim.rows(spark, d))
       fmt("torrent (d153)")(d => graft.operators.TorrentSim.rows(spark, d))
+      // the replicated frame carries no n_chars column; any value
+      // works for the timing curve (the gate uses the table's own)
+      fmt("gguf (d159)")(d => graft.operators.GgufSim.rows(spark,
+        d.withColumn("n_chars", length(col("text")).cast("long"))))
+      fmt("mp3 frames (d160)")(d => graft.operators.Mp3Sim.rows(spark, d))
+      fmt("ogg pages (d161)")(d => graft.operators.OggSim.rows(spark, d))
     }
 
     // adversarial LSH band skew (the VERDICT r13 ask): ONE band hash
