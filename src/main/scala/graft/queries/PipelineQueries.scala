@@ -1836,6 +1836,12 @@ object PipelineQueries {
     "d161_ogg_pages" -> ((s, dir) =>
       OggSim.rows(s, docs(s, dir)).orderBy("doc_id")),
 
+    // MessagePack records with the canonical-width discipline (every
+    // integer field spans a different width class), strict UTF-8,
+    // unique string keys, the doc's real text round-tripped
+    "d162_msgpack" -> ((s, dir) =>
+      MsgPackSim.rows(s, docs(s, dir)).orderBy("doc_id")),
+
     // numpy .npy/.npz — the array interchange format precomputed
     // features and embedding dumps ship in: the dict-literal header
     // grammar parsed strictly, the shape-vs-bytes rule, and .npz as a
@@ -4139,6 +4145,18 @@ object PipelineQueries {
 
     // the safetensors oracle replays the exact-quarter F32 grids as
     // range arithmetic
+    // msgpack: every field replays closed-form (the integer widths
+    // are data, not structure; text bytes off the table)
+    "d162_msgpack" ->
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS tb FROM documents WHERE doc_id % 7 NOT IN (0, 3, 5)),
+        | blob AS (SELECT doc_id, sum((doc_id*5 + k) % 97)::BIGINT AS bs FROM d, range(33) x(k)
+        |   WHERE k < 16 + doc_id % 17 GROUP BY doc_id)
+        | SELECT d.doc_id, 12::BIGINT AS n_keys, d.doc_id::BIGINT AS id_val,
+        |  (5000000000 + d.doc_id)::BIGINT AS huge_val,
+        |  (-200 - d.doc_id % 30000)::BIGINT AS neg16_val,
+        |  tb::BIGINT AS text_bytes, (1 + d.doc_id % 4)::BIGINT AS n_tags,
+        |  blob.bs AS blob_sum, d.doc_id % 3 = 0 AS flag
+        | FROM d JOIN blob USING (doc_id) ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
     // ogg: page/packet geometry replays closed-form off UTF-8 byte
     // lengths — lacing segments = plen//255 + 1, three per page
     "d161_ogg_pages" ->

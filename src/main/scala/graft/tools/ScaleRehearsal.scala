@@ -894,6 +894,7 @@ object ScaleRehearsal {
         d.withColumn("n_chars", length(col("text")).cast("long"))))
       fmt("mp3 frames (d160)")(d => graft.operators.Mp3Sim.rows(spark, d))
       fmt("ogg pages (d161)")(d => graft.operators.OggSim.rows(spark, d))
+      fmt("msgpack (d162)")(d => graft.operators.MsgPackSim.rows(spark, d))
     }
 
     // adversarial LSH band skew (the VERDICT r13 ask): ONE band hash
