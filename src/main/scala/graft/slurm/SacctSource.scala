@@ -68,6 +68,13 @@ object SacctSource {
     val tmp = java.nio.file.Files.createTempFile("graft_sacct_", ".txt")
     try {
       val pb = new ProcessBuilder(sacctCommand(bin, filter): _*)
+      // -S/-E are rendered in UTC (Cli.slurmTs) but sacct parses bare
+      // timestamps in the LOCAL zone of ITS process; pinning TZ here
+      // pins the interpretation, not just the rendering — without it a
+      // west-of-UTC driver shifts every history window by the offset
+      // while the bookmark still advances, permanently skipping the
+      // first |offset| hours of a backfill.
+      pb.environment().put("TZ", "UTC")
       pb.redirectOutput(tmp.toFile)
       val p = pb.start()
       p.getOutputStream.close()
@@ -86,14 +93,52 @@ object SacctSource {
 
   /** Live fetch → typed slurm table (spawn + reassembled parse +
     * [[SlurmTable.build]]). An output with no rows at all (not even a
-    * header) maps to Left rather than a reader crash. */
+    * header) maps to Left rather than a reader crash.
+    *
+    * `spillDir`: where the spawned stdout lands for the distributed
+    * read. The subprocess always writes a DRIVER-LOCAL temp first
+    * (sacct runs on the driver); with `spillDir` set the bytes are
+    * then copied to that Hadoop-FS path (hdfs://, s3a://, file:/ —
+    * resolved by the session's hadoopConfiguration) and the local
+    * temp is deleted, so EXECUTORS on a real cluster can read the
+    * scan splits. Without it the plan reads the driver-local file —
+    * correct only under a local master; callers that ingest (Cli)
+    * must pass a shared path and delete it after the ingest
+    * materializes ([[deleteSpillDir]]). */
   def liveSlurmTable(spark: SparkSession, filter: Seq[String],
-                     bin: String = "sacct"): Either[String, DataFrame] =
+                     bin: String = "sacct",
+                     spillDir: Option[String] = None): Either[String, DataFrame] =
     spawnSacct(bin, filter).flatMap { p =>
       val hasHeader = java.nio.file.Files.size(p) > 0
-      if (!hasHeader) Left("sacct produced no output (not even a header)")
-      else Right(SlurmTable.build(readReassembled(spark, p.toString)))
+      if (!hasHeader) {
+        java.nio.file.Files.deleteIfExists(p)
+        Left("sacct produced no output (not even a header)")
+      } else {
+        val readPath = spillDir match {
+          case None => p.toString
+          case Some(dir) =>
+            val dst = new org.apache.hadoop.fs.Path(dir,
+              s"sacct_${java.util.UUID.randomUUID().toString.take(12)}.txt")
+            val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            fs.mkdirs(dst.getParent)
+            // delSrc=true: the local temp is gone once the copy lands
+            fs.copyFromLocalFile(true, true,
+              new org.apache.hadoop.fs.Path(p.toUri), dst)
+            dst.toString
+        }
+        Right(SlurmTable.build(readReassembled(spark, readPath)))
+      }
     }
+
+  /** Removes a spill directory written by [[liveSlurmTable]] — called
+    * by the ingest driver AFTER the plan that reads it has
+    * materialized (the read is lazy; deleting earlier would race the
+    * scan). Missing dir is a no-op. */
+  def deleteSpillDir(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
 
   /** CSV input (`--csv-input`), e.g. the reference's tests/test-data3.csv.
     * The reference reads this with "Python's default csv reader (excel

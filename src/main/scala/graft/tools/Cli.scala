@@ -470,7 +470,8 @@ object IngestCli {
       states: Option[Seq[String]] = None,
       runningAtTime: Option[Long] = None,
       sacctFilter: Seq[(String, String)] = Nil,
-      sacctBin: String = "sacct")
+      sacctBin: String = "sacct",
+      spillDir: Option[String] = None)
 
   private def slurmtime(flag: String, v: String): Either[String, Long] = {
     val s = graft.functions.SlurmTimeUtil.parseOrNaN(
@@ -508,6 +509,7 @@ object IngestCli {
         case "--csv-input" => value(flag, inline).map(v => a = a.copy(csvInput = Some(v)))
         case "--sacct-input" => value(flag, inline).map(v => a = a.copy(sacctInput = Some(v)))
         case "--sacct-bin" => value(flag, inline).map(v => a = a.copy(sacctBin = v))
+        case "--spill-dir" => value(flag, inline).map(v => a = a.copy(spillDir = Some(v)))
         case "--update" | "-u" => Right { a = a.copy(update = true) }
         case "--history" => value(flag, inline).map(v => a = a.copy(history = Some(v)))
         case "--history-resume" => Right { a = a.copy(historyResume = true) }
@@ -576,7 +578,11 @@ object IngestCli {
   /** Slurm's timestamp format for -S/-E (slurm2sql.py:110-115),
     * rendered in UTC: the reference formats in the login node's local
     * zone; graft pins UTC so a distributed ingest is deterministic
-    * regardless of driver locale. */
+    * regardless of driver locale. The INTERPRETATION side is pinned
+    * too — SacctSource.spawnSacct sets TZ=UTC on the subprocess, so
+    * sacct parses these bare timestamps in the same zone they were
+    * rendered in (rendering-only pinning would shift every live
+    * window by the driver's UTC offset). */
   private def slurmTs(epoch: Long): String =
     java.time.format.DateTimeFormatter
       .ofPattern("yyyy-MM-dd'T'HH:mm:ss")
@@ -585,6 +591,19 @@ object IngestCli {
 
   /** Runs the ingest; returns the error-batch count (0 = clean). */
   def ingest(spark: SparkSession, a: IngestArgs): Either[String, Int] = {
+    val live0 = a.csvInput.isEmpty && a.sacctInput.isEmpty
+    // live stdout spills land on a SHARED filesystem under the
+    // warehouse (executors on a real cluster cannot read the driver's
+    // /tmp); --spill-dir points them elsewhere (e.g. a scratch FS).
+    // Deleted after the ingest materializes, even on error paths.
+    val spill = if (live0) Some(a.spillDir.getOrElse(
+      a.warehouse.stripSuffix("/") + "/_sacct_spill")) else None
+    try ingestBody(spark, a, spill)
+    finally spill.foreach(SacctSource.deleteSpillDir(spark, _))
+  }
+
+  private def ingestBody(spark: SparkSession, a: IngestArgs,
+                         spill: Option[String]): Either[String, Int] = {
     val now = a.now.getOrElse(System.currentTimeMillis() / 1000L)
     val live = a.csvInput.isEmpty && a.sacctInput.isEmpty
     // in-plan selection shared by every input mode (the reference can
@@ -610,8 +629,8 @@ object IngestCli {
       states ++ rat ++ toks
     }
     def fetchLive(extra: Seq[String]): Either[String, DataFrame] =
-      SacctSource.liveSlurmTable(spark, liveFilterArgs ++ extra, a.sacctBin)
-        .flatMap(postFilter)
+      SacctSource.liveSlurmTable(spark, liveFilterArgs ++ extra, a.sacctBin,
+        spill).flatMap(postFilter)
     // dump mode reads the input ONCE; live mode fetches at use —
     // once for a plain ingest, once per day batch in the history loop
     // (the reference's whole reason for day batching is "avoid

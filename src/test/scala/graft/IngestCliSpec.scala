@@ -386,6 +386,57 @@ class IngestCliSpec extends AnyFunSuite {
     assert(SlurmWarehouse.read(spark, wh).count() == direct.count())
   }
 
+  test("live spill lands on the shared FS under the warehouse and is removed") {
+    import graft.slurm.SacctSource
+    val t0 = System.currentTimeMillis()
+    val (bin, _) = stubSacct()
+    // unit level: liveSlurmTable with an explicit spillDir writes the
+    // subprocess stdout THERE (the path executors can read), not a
+    // driver-local temp, and the plan scans those bytes
+    val spillDir = Files.createTempDirectory("graft_spill_probe").toString + "/sp"
+    val df = SacctSource.liveSlurmTable(spark, Nil, bin, Some(spillDir))
+      .toOption.get
+    val spilled = new java.io.File(spillDir).listFiles()
+    assert(spilled != null && spilled.exists(_.getName.startsWith("sacct_")),
+      s"expected a sacct_* spill under $spillDir")
+    assert(df.count() == direct.count())
+    SacctSource.deleteSpillDir(spark, spillDir)
+    assert(!new java.io.File(spillDir).exists())
+    // ingest level: default spill dir is <warehouse>/_sacct_spill and
+    // is gone once ingest returns, while the tables it fed remain
+    val wh = freshDir()
+    val a = IngestCli.parse(Seq(wh, "--sacct-bin", bin,
+      "--now", nowPin.toString)).toOption.get
+    assert(IngestCli.ingest(spark, a).toOption.get == 0)
+    assert(!new java.io.File(wh + "/_sacct_spill").exists(),
+      "spill dir must be deleted after the ingest materializes")
+    assert(SlurmWarehouse.read(spark, wh).count() == direct.count())
+    // and no graft_sacct_* temp litter FROM THIS TEST remains in
+    // java.io.tmpdir: copyFromLocalFile(delSrc=true) moved the
+    // driver-local temp (older runs' litter is out of scope here)
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles()
+    assert(tmp == null || !tmp.exists(f =>
+      f.getName.startsWith("graft_sacct_") && f.lastModified() >= t0),
+      "driver-local sacct temp files must not outlive the ingest")
+  }
+
+  test("sacct subprocess runs with TZ=UTC (window interpretation is pinned)") {
+    import graft.slurm.SacctSource
+    // a stub that echoes its TZ: the -S/-E rendering (slurmTs, UTC)
+    // only means what it says if sacct PARSES in UTC too
+    val dir = Files.createTempDirectory("graft_stub_tz")
+    val script = dir.resolve("sacct")
+    Files.write(script,
+      """#!/bin/bash
+        |echo "TZ=$TZ"
+        |""".stripMargin.getBytes("UTF-8"))
+    script.toFile.setExecutable(true)
+    val out = SacctSource.spawnSacct(script.toString, Nil).toOption.get
+    assert(new String(Files.readAllBytes(out), "UTF-8").trim == "TZ=UTC")
+    Files.deleteIfExists(out)
+  }
+
   test("live batch failures are counted per batch, not fatal (reference :845-850)") {
     val (bin, dir) = stubSacct()
     Files.createFile(dir.resolve("fail.marker"))
