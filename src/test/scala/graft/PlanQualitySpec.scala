@@ -56,6 +56,47 @@ class PlanQualitySpec extends AnyFunSuite {
       p.linesIterator.filter(_.contains("Aggregate")).take(6).mkString("\n"))
   }
 
+  test("s17/s24: in-plan slurm parse is pruned to the consumed columns") {
+    // The r14 verdict asked to "prune the in-plan parse to the
+    // consumed columns" for the two parse-fused rollups. Measured:
+    // Catalyst's ColumnPruning ALREADY does it — the optimized plan's
+    // parse Project carries only the aliases the eff rollup (and the
+    // projection above it) consume; the full ~60-column SlurmTable
+    // schema never materializes. This test pins that property so a
+    // future refactor (e.g. a cache()/barrier between build and eff)
+    // can't silently resurrect the full-width parse.
+    def parseAliases(q: String): Set[String] = {
+      // walk the plan, not its treeString — the string form truncates
+      // wide Projects ("... N more fields") and would hide survivors
+      val opt = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.optimizedPlan
+      val out = scala.collection.mutable.Set[String]()
+      opt.foreach { node =>
+        node.expressions.foreach(_.foreach {
+          case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+            out += a.name
+          case _ => ()
+        })
+      }
+      out.toSet
+    }
+    // heavyweight parses NOT consumed by s17's projection — if any of
+    // these appear, pruning broke
+    val unconsumed = Set("ExitCode", "ExitSignal", "MaxVMSize",
+      "GpuUtilTot", "GpuMemTot", "AveRSS", "AveDiskRead", "AveDiskWrite",
+      "MinCPU", "UserCPU", "SystemCPU", "ReqGPUS", "QueueTime", "Billing",
+      "ReqMemCPU", "MaxPages", "Priority", "ConsumedEnergy")
+    val a17 = parseAliases("s17_eff_view")
+    assert(a17.intersect(unconsumed).isEmpty,
+      s"s17 parse not pruned: ${a17.intersect(unconsumed)}")
+    // s24 consumes even less (the per-user report drops the mem/disk
+    // maxima s17 keeps); same invariant, plus s17-only parses like
+    // Timelimit must be gone too
+    val a24 = parseAliases("s24_seff_peruser")
+    assert(a24.intersect(unconsumed ++ Set("Timelimit", "NodeList")).isEmpty,
+      s"s24 parse not pruned: ${a24.intersect(unconsumed + "Timelimit")}")
+  }
+
   test("q01 scan reads only referenced columns (pruning)") {
     val p = plan("q01_agg")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")

@@ -51,9 +51,16 @@ def main():
           % (st, bt, ratio, len(shared)))
     bad = [(k, v, base["queries"][k]) for k, v in shared.items()
            if base["queries"][k] > 0.05 and v / base["queries"][k] > 1.5]
+    reruns = b.get("reruns", {})
     for k, v, bv in sorted(bad, key=lambda x: -x[1] / x[2]):
-        print("  elevated: %-24s %.2fs vs baseline %.2fs (%.2fx)"
-              % (k, v, bv, v / bv))
+        # r15: rows over 1.5x got ONE deferred re-run at sweep end
+        # (min taken); a row still elevated here survived temporal
+        # de-correlation, so it's a plan signal, not a window artifact
+        rr = reruns.get(k)
+        note = (" [rerun: first %.2fs -> %.2fs, min kept]"
+                % (rr["first"], rr["rerun"])) if rr else ""
+        print("  elevated: %-24s %.2fs vs baseline %.2fs (%.2fx)%s"
+              % (k, v, bv, v / bv, note))
     if ratio > 1.10:
         print("REGRESSION: raw shared total > 1.10x baseline")
         sys.exit(1)
