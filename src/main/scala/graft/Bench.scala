@@ -61,7 +61,8 @@ object Bench {
     "d151_csv_strict", "d152_tfevents", "d153_torrent",
     "d154_stream_decontam", "d155_rrf_ivf", "d156_stream_quality",
     "d157_stream_neardup", "d158_stream_lm", "d159_gguf",
-    "d160_mp3_frames", "d161_ogg_pages", "d162_msgpack")
+    "d160_mp3_frames", "d161_ogg_pages", "d162_msgpack",
+    "d163_pdf_text")
 
   /** Fixed CPU-bound calibration microbench ("DotBench"): scalar dot
     * products over pinned-size float arrays with deterministic

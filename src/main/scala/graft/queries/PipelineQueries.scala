@@ -1842,6 +1842,15 @@ object PipelineQueries {
     "d162_msgpack" -> ((s, dir) =>
       MsgPackSim.rows(s, docs(s, dir)).orderBy("doc_id")),
 
+    // PDF text extraction: xref-table + object-graph walk (never a
+    // byte scan), FlateDecode content streams through the d124 zlib
+    // walker, BT/ET + Tj/TJ with the full literal-string escape
+    // grammar; each doc's REAL bytes round-trip through the shown
+    // strings. Damage: truncation / a lying xref offset / a lying
+    // stream /Length
+    "d163_pdf_text" -> ((s, dir) =>
+      PdfSim.rows(s, docs(s, dir)).orderBy("doc_id")),
+
     // numpy .npy/.npz — the array interchange format precomputed
     // features and embedding dumps ship in: the dict-literal header
     // grammar parsed strictly, the shape-vs-bytes rule, and .npz as a
@@ -4145,6 +4154,18 @@ object PipelineQueries {
 
     // the safetensors oracle replays the exact-quarter F32 grids as
     // range arithmetic
+    // pdf: page/object/op geometry replays closed-form off the page
+    // count; text_bytes comes straight from octet_length; the
+    // byte-exact round-trip rides as the in-plan verdict column
+    "d163_pdf_text" ->
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS L FROM documents WHERE doc_id % 7 NOT IN (0, 3, 5)),
+        | k AS (SELECT doc_id, sum(-(100 + (doc_id + i) % 50))::BIGINT AS kern_sum
+        |   FROM d, range(4) x(i) WHERE i < 1 + doc_id % 4 GROUP BY doc_id)
+        | SELECT d.doc_id, (1 + d.doc_id % 4)::BIGINT AS n_pages,
+        |  (3 + 2*(1 + d.doc_id % 4))::BIGINT AS n_objects,
+        |  (2*(1 + d.doc_id % 4))::BIGINT AS n_text_ops,
+        |  d.L::BIGINT AS text_bytes, k.kern_sum, TRUE AS roundtrip_ok
+        | FROM d JOIN k USING (doc_id) ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
     // msgpack: every field replays closed-form (the integer widths
     // are data, not structure; text bytes off the table)
     "d162_msgpack" ->
