@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Round.rd
 
@@ -430,6 +430,95 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("n")))
     topKFromScored(scored, k)
+  }
+
+  /** Materialized IVF index — the d66 postings treatment applied to
+    * ANN: the trained cell state persists as parquet next to the
+    * CELL-BUCKETED vectors (written `partitionBy("cell")`, so each
+    * cell is its own directory and a probe's `cell IN (…)` filter
+    * prunes at PARTITION level — only nProbe/nCells of the corpus is
+    * ever listed, let alone scanned). Probing needs NO training: the
+    * index is built once (an offline job), every query batch pays
+    * one KB-sized centroid read plus the pruned candidate scan —
+    * at 100 TB the vectors table is the corpus and this split is the
+    * difference between an ANN query and a full re-shuffle. */
+  def writeIvfIndex(emb: DataFrame, path: String,
+                    nCells: Int = 16, kmeansIters: Int = 5,
+                    centroids: Option[Array[Array[Double]]] = None): Unit = {
+    val cents = centroids.getOrElse(kmeansCentroids(emb, nCells, kmeansIters))
+    val spark = emb.sparkSession
+    val centRows = cents.toSeq.zipWithIndex.map { case (c, i) =>
+      Row(i, c.toSeq)
+    }
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("centroid",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(centRows, 1), centSchema)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    // norms ride in the index: the probe path never recomputes them
+    emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("n", norm(col("v")))
+      .withColumn("cell", assignCell(col("v"), cents))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+  }
+
+  /** The index's centroid state — KB-sized, read once per query batch
+    * (the same driver/broadcast shape the d155 cache uses). */
+  def readIvfCentroids(spark: SparkSession, path: String): Array[Array[Double]] =
+    spark.read.parquet(s"$path/centroids").orderBy("cell")
+      .collect().map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
+
+  /** Probe the materialized index: same cell-assignment/scoring/top-k
+    * algebra as [[ivfTopK]] (the gate proves hit-identity), but the
+    * corpus side is the PRUNED index scan. The query batch's probed
+    * cells are collected once on the driver (the batch is broadcast
+    * anyway) and pushed as a literal partition filter — `.explain`
+    * shows them under PartitionFilters, which is the property the
+    * plan spec pins. */
+  def ivfTopKFromIndex(spark: SparkSession, path: String,
+                       queries: DataFrame, k: Int,
+                       nProbe: Int = 2): DataFrame = {
+    val cents = readIvfCentroids(spark, path)
+    val q = queries.select(col("vec_id").as("q_id"),
+        toDouble(col("embedding")).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .withColumn("cell", explode(probeCells(col("qv"), cents, nProbe)))
+    val probed: Array[Int] = q.select(col("cell")).distinct()
+      .collect().map(_.getInt(0))
+    val corpus = spark.read.parquet(s"$path/vectors")
+      .filter(col("cell").isin(probed.map(Int.box): _*))
+    val scored = corpus.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("n")))
+    topKFromScored(scored, k)
+  }
+
+  /** d164 verdict: the index probe must return EXACTLY the in-memory
+    * IVF's hits (same centroids, same algebra, different storage) —
+    * counts equal and zero asymmetric rows, hashed as booleans over
+    * an oracle-computable total (the d13 pattern). */
+  def ivfIndexVerdict(spark: SparkSession, path: String,
+                      emb: DataFrame, queries: DataFrame, k: Int,
+                      centroids: Array[Array[Double]],
+                      nProbe: Int = 2): DataFrame = {
+    val mem = ivfTopK(emb, queries, k, nProbe = nProbe,
+      centroids = Some(centroids))
+      .select(col("q_id"), col("rank"), col("neighbor_id"))
+    val idx = ivfTopKFromIndex(spark, path, queries, k, nProbe)
+      .select(col("q_id"), col("rank"), col("neighbor_id"))
+    val keys = Seq("q_id", "rank", "neighbor_id")
+    mem.agg(count(lit(1)).as("n_topk"))
+      .crossJoin(idx.join(mem, keys, "left_anti")
+        .agg(count(lit(1)).as("_extra")))
+      .crossJoin(mem.join(idx, keys, "left_anti")
+        .agg(count(lit(1)).as("_missing")))
+      .select(col("n_topk"),
+        (col("_extra") === 0 && col("_missing") === 0)
+          .as("index_matches_memory"))
   }
 
   /** Embedding clustering as a first-class operator: distributed

@@ -30,6 +30,12 @@ object PipelineQueries {
   private val ivfCentroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
+  /** d164's materialized IVF index, built once per sf dir from the
+    * SAME cached centroids d155 probes with — the d66 postings-index
+    * treatment applied to ANN (train offline, probe pruned). */
+  private val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** d158's batch-trained bigram LM, once per sf dir (same trade). */
   private val lmModelCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Map[String, Long], Map[String, Long], Long)]()
@@ -2050,6 +2056,24 @@ object PipelineQueries {
         centroids = Some(cents))
     }),
 
+    // materialized IVF index probe (the d66 treatment for ANN):
+    // centroids + cell-partitioned vectors persist as parquet, the
+    // probe reads ONLY the nProbe cells (partition pruning — the plan
+    // spec pins PartitionFilters) with no training, and the verdict
+    // proves the index probe returns EXACTLY the in-memory IVF's hits
+    "d164_ann_warehouse" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = ivfCentroidCache.computeIfAbsent(dir,
+        _ => Similarity.trainIvfCentroids(e))
+      val path = ivfIndexCache.computeIfAbsent(dir, _ => {
+        val p = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+        Similarity.writeIvfIndex(e, p, centroids = Some(cents))
+        p
+      })
+      Similarity.ivfIndexVerdict(s, path, e,
+        e.filter(col("vec_id") < 50), k = 5, centroids = cents)
+    }),
+
     // encoding-artifact repair (the ftfy pass): the corpus is
     // corrupted IN-PLAN with four deterministic damage classes —
     // latin-1 mojibake (doc_id%3), U+FFFD replacement chars (%5),
@@ -2760,6 +2784,12 @@ object PipelineQueries {
     "d13_ann_ivf" ->
       """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 50)::BIGINT * 5 AS n_bf,
         | true AS recall_floor_ok, true AS multiprobe_no_worse""".stripMargin.replaceAll("\n", " "),
+    // d164: the in-memory IVF emits k rows per query (probed cells
+    // hold far more than k candidates at every gate SF), and the
+    // index probe must match it row-for-row
+    "d164_ann_warehouse" ->
+      """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 50)::BIGINT * 5 AS n_topk,
+        | true AS index_matches_memory""".stripMargin.replaceAll("\n", " "),
     "d41_kmeans_cluster" ->
       """SELECT (SELECT count(*) FROM embeddings)::BIGINT AS n_vecs,
         | 8::BIGINT AS k, true AS cohesion_improves""".stripMargin.replaceAll("\n", " "),

@@ -97,6 +97,32 @@ class PlanQualitySpec extends AnyFunSuite {
       s"s24 parse not pruned: ${a24.intersect(unconsumed + "Timelimit")}")
   }
 
+  test("d164: index probe scans only the probed cells (partition pruning)") {
+    import graft.operators.Similarity
+    val e = Tables.load(spark, dir, "embeddings")
+    val cents = Similarity.trainIvfCentroids(e)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_planspec").toString
+    Similarity.writeIvfIndex(e, path, centroids = Some(cents))
+    // one query, single-probe: exactly ONE cell directory may be read
+    val q = e.filter(col("vec_id") === 3)
+    val p = Similarity.ivfTopKFromIndex(spark, path, q, k = 3, nProbe = 1)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    // the cell filter must reach the scan as a PARTITION filter (a
+    // pushed data filter would still list/open every cell directory)
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(pf.exists(l => l.contains("cell") &&
+      (l.contains("IN") || l.contains("in") || l.contains("="))),
+      s"no cell partition filter in:\n${pf.mkString("\n")}\n$p")
+    // and the vectors scan must NOT be a full-corpus read: with
+    // nProbe=1 of 16 cells, the pruned file count is a fraction of
+    // the cell count (each cell is its own directory)
+    assert(!pf.exists(_.contains("PartitionFilters: []")),
+      "vectors scan has an empty partition filter (full corpus read)")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path))
+  }
+
   test("q01 scan reads only referenced columns (pruning)") {
     val p = plan("q01_agg")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
