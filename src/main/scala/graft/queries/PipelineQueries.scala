@@ -40,6 +40,17 @@ object PipelineQueries {
   private val lmModelCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Map[String, Long], Map[String, Long], Long)]()
 
+  /** Every per-session temp dir the gate caches create (stream
+    * staging, warehouse twins, postings/IVF indexes) registers here;
+    * ONE shutdown hook deletes them so repeated verify/bench runs in
+    * one host session don't grow /tmp monotonically (r14 ADVICE). */
+  private val tempDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val tempDirHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tempDirs.forEach(d => org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(d)))))
+  private def trackTemp(p: String): String = { tempDirHook; tempDirs.add(p); p }
+
   private val streamDirCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def streamDir(dir: String, table: String): String =
     streamDirCache.computeIfAbsent(s"$dir/$table", _ => {
@@ -47,7 +58,58 @@ object PipelineQueries {
       java.nio.file.Files.createSymbolicLink(
         d.resolve(s"$table.parquet"),
         java.nio.file.Paths.get(dir, s"$table.parquet"))
-      d.toString
+      trackTemp(d.toString)
+    })
+
+  /** Drains a finished streaming gate's memory-sink rollup into a
+    * LOCAL DataFrame and DROPS the sink table: each gate execution
+    * registers a uniquely-named memory sink (names can't be reused
+    * while registered), and without the drop every bench rep and
+    * verify pass leaves its full sink buffer pinned in driver memory
+    * for the session (r14 ADVICE). The rollups are small (per-doc /
+    * per-window rows), so the collect is bounded; callers re-apply
+    * their ORDER BY on the returned frame. */
+  private def drainSink(s: SparkSession, sink: String,
+                        out: DataFrame): DataFrame = {
+    val rows = out.collect()
+    val schema = out.schema
+    s.catalog.dropTempView(sink)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  /** d165's deterministic OUT-OF-ORDER event file set, staged once
+    * per sf dir: the events table splits into three waves by
+    * event_id % 3 — each wave spans the full time range, so waves 1
+    * and 2 are mostly LATE against the watermark wave 0 establishes —
+    * written as three single-file parquets with strictly increasing
+    * mtimes (the file-stream source orders by modification time;
+    * maxFilesPerTrigger=1 then makes each wave its own micro-batch,
+    * so the watermark advances BETWEEN waves exactly like a live
+    * ingest). Event times are minute-truncated + 1 s, so a watermark
+    * (≡ :01 mod minute) can never EQUAL a window end (≡ :00 mod hour)
+    * and the <=/< boundary convention cannot decide any row — the
+    * closed-form oracle replay is boundary-proof by construction. */
+  private val windowStreamCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def windowStreamDir(s: SparkSession, dir: String): String =
+    windowStreamCache.computeIfAbsent(dir, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_win")
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"),
+          (date_trunc("minute", col("ts")) + expr("INTERVAL 1 SECOND")).as("ts"),
+          col("event_type"), col("value"))
+      (0 until 3).foreach { w =>
+        val tmp = base.resolve(s"_w$w").toString
+        ev.filter(pmod(col("event_id"), lit(3)) === w).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).get
+        val dst = base.resolve(s"wave$w.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+        dst.toFile.setLastModified(1700000000000L + w * 60000L)
+      }
+      trackTemp(base.toString)
     })
 
   /** The IMA step table for the d110 oracle, sourced from the decoder
@@ -62,7 +124,7 @@ object PipelineQueries {
   private val idxCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def postingsIndex(s: SparkSession, dir: String): DataFrame = {
     val path = idxCache.computeIfAbsent(dir, d => {
-      val p = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
+      val p = trackTemp(java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString)
       Retrieval.postings(docs(s, d), col("text"), col("doc_id"))
         .write.mode("overwrite").parquet(p)
       p
@@ -714,10 +776,10 @@ object PipelineQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table(sink)
+      drainSink(s, sink, s.table(sink)
         .groupBy("doc_id")
         .agg(countDistinct(col("bench_id")).as("n_bench_hits"),
-          min(col("bench_id")).as("first_bench_id"))
+          min(col("bench_id")).as("first_bench_id")))
         .orderBy("doc_id")
     }),
 
@@ -744,7 +806,7 @@ object PipelineQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table(sink).orderBy("doc_id")
+      drainSink(s, sink, s.table(sink)).orderBy("doc_id")
     }),
 
     // near-dup-at-ingest as an oracle gate (the d02 family's §2.6
@@ -767,10 +829,10 @@ object PipelineQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table(sink)
+      drainSink(s, sink, s.table(sink)
         .groupBy("doc_id")
         .agg(countDistinct(col("corpus_doc_id")).as("n_corpus_hits"),
-          min(col("corpus_doc_id")).as("first_corpus_id"))
+          min(col("corpus_doc_id")).as("first_corpus_id")))
         .orderBy("doc_id")
     }),
 
@@ -801,7 +863,43 @@ object PipelineQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table(sink).orderBy("doc_id")
+      drainSink(s, sink, s.table(sink)).orderBy("doc_id")
+    }),
+
+    // the watermark/window SEMANTICS gate (q13's streaming twin under
+    // genuine out-of-order arrival): three waves arrive as separate
+    // micro-batches; the watermark wave 0 establishes drops most of
+    // waves 1–2 (their windows are already closed), the survivors
+    // merge into still-open windows, and append mode emits only
+    // FINALIZED windows. The oracle replays the whole protocol closed
+    // form: per-wave watermarks from max event times, the drop rule,
+    // the finalization cut — on-time aggregation AND late-row drops
+    // both pinned by the hash.
+    "d165_stream_window" -> ((s, dir) => {
+      val path = windowStreamDir(s, dir)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(path)
+      val sink = "d165_out_" + streamGateN.incrementAndGet()
+      val q = graft.streaming.EventStream.windowedCounts(stream)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      drainSink(s, sink, s.table(sink).select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm").as("window_start"),
+          col("event_type"), col("n"),
+          rd(col("total_value"), 2).as("total_value")))
+        .orderBy("window_start", "event_type")
     }),
 
     // DSIR importance weighting: target seed = the English slice,
@@ -2066,7 +2164,7 @@ object PipelineQueries {
       val cents = ivfCentroidCache.computeIfAbsent(dir,
         _ => Similarity.trainIvfCentroids(e))
       val path = ivfIndexCache.computeIfAbsent(dir, _ => {
-        val p = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+        val p = trackTemp(java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString)
         Similarity.writeIvfIndex(e, p, centroids = Some(cents))
         p
       })
@@ -2876,6 +2974,31 @@ object PipelineQueries {
          |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          |   AND a.doc_id != b.doc_id
          | GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin.replaceAll("\n", " "),
+    // d165: the watermark protocol replayed closed-form — wave by
+    // event_id % 3, one micro-batch per wave. MEASURED Spark 4.1.2
+    // semantics (tools/StreamProbe2, strictly-increasing wave maxima):
+    // the LATE filter in batch b uses the watermark from batch b-2's
+    // stats (the watermark computed from batch b-1 is reported for
+    // batch b but only filters in batch b+1), while EMISSION at batch
+    // b's end uses the watermark through batch b-1 — so with three
+    // waves: waves 0 and 1 never drop, wave 2 filters against
+    // max(wave0) - 30min, and append-mode finalization cuts at
+    // max(all) - 30min. Boundary-proof by construction: event times
+    // sit at :01 mod minute, window ends at :00 mod hour, never equal,
+    // so the <=/< convention cannot decide any row.
+    "d165_stream_window" ->
+      """WITH e AS (SELECT event_id, date_trunc('minute', ts) + INTERVAL 1 SECOND AS ts,
+        |   event_type, value, event_id % 3 AS wave FROM events),
+        | wm AS (SELECT
+        |   (SELECT max(ts) FROM e WHERE wave = 0) - INTERVAL 30 MINUTE AS wm2,
+        |   (SELECT max(ts) FROM e) - INTERVAL 30 MINUTE AS wmf),
+        | s AS (SELECT e.*, to_timestamp((epoch(ts)::BIGINT // 3600) * 3600) AS wstart,
+        |   to_timestamp((epoch(ts)::BIGINT // 3600) * 3600 + 3600) AS wend FROM e),
+        | kept AS (SELECT s.* FROM s, wm WHERE wave <= 1 OR wend > wm2)
+        | SELECT strftime(wstart, '%Y-%m-%d %H:%M') AS window_start, event_type,
+        |  count(*)::BIGINT AS n, round(sum(value), 2) AS total_value
+        | FROM kept, wm WHERE wend <= wmf
+        | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
     // d13-style verdict oracle: the totals from the tables, `true`
     // for every claimed property — hash matches iff the IVF-armed
     // fusion actually held its recall and overlap floors in-plan
