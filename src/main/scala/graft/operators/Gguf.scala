@@ -322,7 +322,9 @@ object Gguf {
     }
 
   /** Encode a model. Metadata values are written with these type ids:
-    * MInt → u64, MFloat → f32, MBool, MStr, MArr of MStr. `lieOffset`
+    * MInt → u64 (except `general.alignment` → u32, the type gguf.md
+    * pins and llama.cpp type-checks), MFloat → f32, MBool, MStr,
+    * MArr of MStr. `lieOffset`
     * bumps the LAST tensor's declared offset one alignment step (data
     * untouched — only the tiling audit objects); `dupKey` repeats the
     * first kv pair verbatim (both values intact — only the uniqueness
@@ -339,6 +341,12 @@ object Gguf {
     allKv.foreach { case (k, v) =>
       wstr(o, k)
       v match {
+        // gguf.md pins general.alignment as uint32 and real readers
+        // (llama.cpp's loader) type-check it — emitting it as u64
+        // would round-trip through OUR lenient decoder but not
+        // interop (r14 advice)
+        case MInt(x) if k == "general.alignment" =>
+          w32(o, 4L); w32(o, x)
         case MInt(_) => w32(o, 10L); writeValue(o, v)
         case MFloat(_) => w32(o, 6L); writeValue(o, v)
         case MBool(_) => w32(o, 7L); writeValue(o, v)

@@ -88,52 +88,66 @@ object Mp3Frames {
         if (id3Bytes > b.length) throw Malformed
         p = id3Bytes
       }
-      // ID3v1 trailer
-      val id3v1 = b.length - p >= 128 &&
+      // frame walk over [start, end): throws unless frames tile exactly
+      def walk(start: Int, end: Int): Seq[Frame] = {
+        val frames = Seq.newBuilder[Frame]
+        var q = start
+        var sr0 = -1
+        var n = 0
+        while (q < end) {
+          if (q + 4 > end) throw Malformed
+          val h1 = b(q) & 0xFF; val h2 = b(q + 1) & 0xFF
+          val h3 = b(q + 2) & 0xFF; val h4 = b(q + 3) & 0xFF
+          if (h1 != 0xFF || (h2 & 0xE0) != 0xE0) throw Malformed // sync
+          if (((h2 >> 3) & 0x3) != 3) throw Malformed // MPEG-1 only
+          if (((h2 >> 1) & 0x3) != 1) throw Malformed // Layer III only
+          val protect = (h2 & 1) == 0
+          val brIdx = (h3 >> 4) & 0xF
+          if (brIdx == 0 || brIdx == 15) throw Malformed // free / forbidden
+          val srIdx = (h3 >> 2) & 0x3
+          if (srIdx == 3) throw Malformed // reserved
+          if (sr0 < 0) sr0 = srIdx
+          else if (srIdx != sr0) throw Malformed // spliced stream
+          val padded = ((h3 >> 1) & 1) == 1
+          val mode = (h4 >> 6) & 0x3
+          if ((h4 & 0x3) == 2) throw Malformed // reserved emphasis
+          val kbps = BITRATE(brIdx)
+          val sr = SAMPLERATE(srIdx)
+          val len = 144000 * kbps / sr + (if (padded) 1 else 0)
+          if (q + len > end) throw Malformed
+          val sideInfo = if (mode == 3) 17 else 32
+          if (protect) {
+            if (4 + 2 + sideInfo > len) throw Malformed
+            val stored = ((b(q + 4) & 0xFF) << 8) | (b(q + 5) & 0xFF)
+            // CRC over the last two header bytes, then the side info
+            val crcHdr = crc16(b, q + 2, q + 4)
+            val crc = crc16(b, q + 6, q + 6 + sideInfo, crcHdr)
+            if (crc != stored) throw Malformed
+          } else if (4 + sideInfo > len) throw Malformed
+          frames += Frame(kbps, sr, padded, mode == 3, protect, len)
+          q += len
+          n += 1
+          if (n > 1000000) throw Malformed
+        }
+        val fs = frames.result()
+        if (fs.isEmpty) throw Malformed
+        fs
+      }
+      // ID3v1 trailer: the 'TAG' bytes at EOF-128 are only a TRAILER
+      // if treating them as one makes the frame walk tile exactly —
+      // a clean stream whose frame CONTENT happens to read 'TAG' at
+      // exactly EOF-128 (a protected frame's CRC bytes 0x54 0x41 with
+      // side-info 0x47 there is enough) must not be falsely truncated
+      // (r14 advice). Try with-trailer first, fall back to without;
+      // both failing is the genuine quarantine.
+      val tagAt = b.length - p >= 128 &&
         b(b.length - 128) == 'T' && b(b.length - 127) == 'A' &&
         b(b.length - 126) == 'G'
-      val end = if (id3v1) b.length - 128 else b.length
-      val frames = Seq.newBuilder[Frame]
-      var sr0 = -1
-      var n = 0
-      while (p < end) {
-        if (p + 4 > end) throw Malformed
-        val h1 = b(p) & 0xFF; val h2 = b(p + 1) & 0xFF
-        val h3 = b(p + 2) & 0xFF; val h4 = b(p + 3) & 0xFF
-        if (h1 != 0xFF || (h2 & 0xE0) != 0xE0) throw Malformed // sync
-        if (((h2 >> 3) & 0x3) != 3) throw Malformed // MPEG-1 only
-        if (((h2 >> 1) & 0x3) != 1) throw Malformed // Layer III only
-        val protect = (h2 & 1) == 0
-        val brIdx = (h3 >> 4) & 0xF
-        if (brIdx == 0 || brIdx == 15) throw Malformed // free / forbidden
-        val srIdx = (h3 >> 2) & 0x3
-        if (srIdx == 3) throw Malformed // reserved
-        if (sr0 < 0) sr0 = srIdx
-        else if (srIdx != sr0) throw Malformed // spliced stream
-        val padded = ((h3 >> 1) & 1) == 1
-        val mode = (h4 >> 6) & 0x3
-        if ((h4 & 0x3) == 2) throw Malformed // reserved emphasis
-        val kbps = BITRATE(brIdx)
-        val sr = SAMPLERATE(srIdx)
-        val len = 144000 * kbps / sr + (if (padded) 1 else 0)
-        if (p + len > end) throw Malformed
-        val sideInfo = if (mode == 3) 17 else 32
-        if (protect) {
-          if (4 + 2 + sideInfo > len) throw Malformed
-          val stored = ((b(p + 4) & 0xFF) << 8) | (b(p + 5) & 0xFF)
-          // CRC over the last two header bytes, then the side info
-          val crcHdr = crc16(b, p + 2, p + 4)
-          val crc = crc16(b, p + 6, p + 6 + sideInfo, crcHdr)
-          if (crc != stored) throw Malformed
-        } else if (4 + sideInfo > len) throw Malformed
-        frames += Frame(kbps, sr, padded, mode == 3, protect, len)
-        p += len
-        n += 1
-        if (n > 1000000) throw Malformed
-      }
-      if (p != end) throw Malformed
-      val fs = frames.result()
-      if (fs.isEmpty) throw Malformed
+      val (fs, id3v1) =
+        if (tagAt)
+          (try (walk(p, b.length - 128), true)
+           catch { case Malformed => (walk(p, b.length), false) })
+        else (walk(p, b.length), false)
       Some(Mp3(id3Bytes, id3v1, fs))
     } catch {
       case Malformed => None

@@ -24,7 +24,13 @@ import org.apache.spark.sql.types._
   *  - floats are float64 or float32 at their stated width; bools and
   *    nil are single bytes; depth is capped (a 10-byte bomb of
   *    nested fixarrays must not recurse the walker into the ground);
-  *  - exactly ONE top-level value, no trailing bytes.
+  *  - exactly ONE top-level value, no trailing bytes;
+  *  - SCOPE: integers live in Long — a uint64 above Long.MaxValue is
+  *    spec-legal and canonical but quarantines here by decision (the
+  *    ext-type rule's sibling): widening the value model to unsigned
+  *    64-bit would push BigInt through every VInt consumer for a
+  *    range no producer in this pipeline emits. A corpus that needs
+  *    it swaps VInt's carrier, not the walker.
   *
   * No msgpack implementation exists in this container (stated
   * honestly): pinned by encode∘decode identity, the canonical

@@ -49,6 +49,23 @@ class GgufSpec extends AnyFunSuite {
     }
   }
 
+  test("general.alignment encodes as u32 (the type gguf.md pins)") {
+    // interop check, not just round-trip: llama.cpp type-checks this
+    // key, so the encoder must emit type id 4 (u32) + 4 value bytes
+    // even though our lenient decoder would accept u64 too
+    val key = "general.alignment"
+    val enc = Gguf.encode(Seq(key -> Gguf.MInt(32L)), Seq.empty)
+    val tyAt = 4 + 4 + 8 + 8 + 8 + key.length // magic,ver,nT,nKv,keylen,key
+    val ty = (enc(tyAt) & 0xFF) | ((enc(tyAt + 1) & 0xFF) << 8) |
+      ((enc(tyAt + 2) & 0xFF) << 16) | ((enc(tyAt + 3) & 0xFF) << 24)
+    assert(ty == 4, s"expected u32 type id 4, got $ty")
+    val v = (enc(tyAt + 4) & 0xFF) | ((enc(tyAt + 5) & 0xFF) << 8) |
+      ((enc(tyAt + 6) & 0xFF) << 16) | ((enc(tyAt + 7) & 0xFF) << 24)
+    assert(v == 32)
+    // and it still round-trips through the decoder
+    assert(Gguf.decode(enc).exists(_.alignment == 32))
+  }
+
   test("damage grid: truncation, the lying offset, the duplicate key") {
     for (docId <- Seq(0L, 7L, 14L, 3L, 10L, 17L, 5L, 12L, 19L))
       assert(Gguf.decode(GgufSim.payloadFor(docId, 100L)).isEmpty,

@@ -28,6 +28,27 @@ class Mp3Spec extends AnyFunSuite {
     }
   }
 
+  test("'TAG' bytes inside frame content are not a trailer (tiling decides)") {
+    // one unprotected 128 kbps stereo frame (length 417); plant
+    // 'TAG' at exactly EOF-128, INSIDE the payload. The trailer
+    // interpretation would cut the frame mid-payload, so the walker
+    // must fall back to the no-trailer walk and accept (r14 advice:
+    // position alone must never truncate a clean stream).
+    val len = 144000 * 128 / 44100 // 417, no padding
+    val b = new Array[Byte](len)
+    b(0) = 0xFF.toByte; b(1) = 0xFB.toByte // MPEG-1 L3, unprotected
+    b(2) = 0x90.toByte; b(3) = 0x00        // 128 kbps, 44.1 kHz, stereo
+    val at = len - 128
+    b(at) = 'T'; b(at + 1) = 'A'; b(at + 2) = 'G'
+    val m = Mp3Frames.decode(b).getOrElse(fail("falsely truncated"))
+    assert(m.frames.size == 1 && !m.id3v1)
+    // and a REAL trailer on the same frame still reads as one
+    val tag = new Array[Byte](128)
+    tag(0) = 'T'; tag(1) = 'A'; tag(2) = 'G'
+    val m2 = Mp3Frames.decode(b ++ tag).getOrElse(fail("real trailer"))
+    assert(m2.frames.size == 1 && m2.id3v1)
+  }
+
   test("damage grid: truncation, the lying bitrate index, the flipped CRC") {
     for (docId <- Seq(0L, 7L, 14L, 3L, 10L, 17L, 5L, 12L, 19L, 26L, 33L, 40L))
       assert(Mp3Frames.decode(Mp3Sim.payloadFor(docId)).isEmpty,
