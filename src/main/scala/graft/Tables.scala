@@ -60,6 +60,11 @@ object Tables {
       // column-pruned far below 50 and stay fused.
       .config("spark.sql.codegen.maxFields", "50")
       .config("spark.ui.enabled", "false")
+      // keep the catalog warehouse out of the working directory: a
+      // default session drops a `spark-warehouse/` dir wherever it
+      // starts (repo root under sbt test, any cwd under the CLIs)
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft_spark_warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

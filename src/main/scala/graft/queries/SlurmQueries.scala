@@ -33,8 +33,13 @@ object SlurmQueries {
     * actually runs them, over the written warehouse table. The delta
     * between the pairs is the measured value of materializing. */
   private val whCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private lazy val whHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      whCache.values.forEach(p => org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(p)))))
   private def materialized(s: SparkSession, dir: String): DataFrame = {
     val path = whCache.computeIfAbsent(dir, d => {
+      whHook
       val p = java.nio.file.Files.createTempDirectory("graft_wh_bench").toString
       jsTable(s, d).write.mode("overwrite").parquet(p)
       p

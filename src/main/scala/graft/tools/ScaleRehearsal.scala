@@ -930,6 +930,57 @@ object ScaleRehearsal {
           maxBucket = Dedup.MAX_FULL_BUCKET).count())
     }
 
+    // FACTOR-100 family (r15): the dedup/ANN headliners, deployment
+    // shapes, meant to run ONCE at factor=100 (sf0.1 ×100 ≈ 2.9M docs
+    // — fits the 96 GiB JVM for these shapes) to extend the factor-10
+    // curves a full decade: a knee that 10× hides (buckets crossing a
+    // cap, a broadcast side outgrowing its hint, CC iterations
+    // deepening) shows at 100×. Recorded in SURVEY §8.
+    st("hundred") { // d34: near-dup survivors (pairs → verify → CC)
+      def survivors(df: org.apache.spark.sql.DataFrame): Long = {
+        val edges = Dedup.jaccardVerify(
+          Dedup.polyMinhashPairs(df, col("text"), col("doc_id"),
+            maxBucket = Dedup.MAX_FULL_BUCKET),
+          df, col("text"), col("doc_id"), minJaccard = 0.5)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        Components.connectedComponents(
+          df.select(col("doc_id").as("id")), edges)
+          .filter(col("id") === col("label")).count()
+      }
+      ratio("d34 neardup survivors", survivors(base), survivors(big))
+    }
+    st("hundred") { // d68: crawl=Nx against a 1x history, capped bands
+      def cross(crawl: org.apache.spark.sql.DataFrame): Long =
+        Dedup.crossNearDupLarge(crawl,
+          base.filter(col("doc_id") % 2 === 0)
+            .select((col("doc_id") + 7000000L).as("hist_id"), col("text")),
+          col("text"), col("doc_id"), col("text"), col("hist_id"),
+          maxBucket = Dedup.MAX_FULL_BUCKET).count()
+      ratio("d68 cross-corpus dedup", cross(base), cross(big))
+    }
+    st("hundred") { // d60: fixed query batch, corpus grows Nx
+      def bm(df: org.apache.spark.sql.DataFrame): Long =
+        Retrieval.bm25TopK(df, col("text"), col("doc_id"),
+          bmQ, col("text"), col("doc_id"), 10).count()
+      ratio("d60 bm25 topk", bm(base), bm(big))
+    }
+    st("hundred") { // d155 PROBE path: lex arm + IVF arm (pre-trained
+      // centroids — the deployment split; the verdict's brute arm is
+      // the proof, not the plan) fused by RRF
+      lazy val cents = Similarity.trainIvfCentroids(embBase)
+      def fused(df: org.apache.spark.sql.DataFrame,
+                e: org.apache.spark.sql.DataFrame): Long = {
+        val lex = Retrieval.bm25TopK(df, col("text"), col("doc_id"),
+          bmQ, col("text"), col("doc_id"), 10)
+        val qe = embBase.filter(col("vec_id") % 97 === 0)
+        val ivf = Similarity.ivfTopK(e, qe, 10, centroids = Some(cents))
+          .select(col("q_id"), col("rank"), col("neighbor_id").as("doc_id"))
+        Retrieval.rrfFuse(Seq(
+          lex.select(col("q_id"), col("rank"), col("doc_id")), ivf), 10).count()
+      }
+      ratio("d155 rrf+ivf probe", fused(base, embBase), fused(big, embBig))
+    }
+
     // family selection: no arg → all families IN-PROCESS (the legacy
     // single-JVM sweep; use run_rehearsal.sh for isolated recording),
     // "--list" prints the registry, otherwise a comma list of names

@@ -17,7 +17,7 @@ class CliSpec extends AnyFunSuite {
 
   /** One warehouse for the whole suite (the --db path). */
   lazy val wh: String = {
-    val dir = Files.createTempDirectory("graft_cli_wh").toString
+    val dir = SparkTestSession.tmpDir("graft_cli_wh").toString
     val slurm = SlurmTable.build(SlurmSim.jsRaw(spark, "/root/testdata/sf0.001"),
       lit(1750000000L))
     SlurmWarehouse.write(slurm, dir)
@@ -177,7 +177,7 @@ class CliSpec extends AnyFunSuite {
   test("csv input path builds the same table as the warehouse") {
     // round-trip the sim's raw sacct strings through a CSV file — the
     // reference's --csv-input (slurm2sql.py:1181)
-    val csvDir = Files.createTempDirectory("graft_cli_csv").toString + "/raw"
+    val csvDir = SparkTestSession.tmpDir("graft_cli_csv").toString + "/raw"
     SlurmSim.raw(spark, "/root/testdata/sf0.001")
       .coalesce(1).write.option("header", "true").mode("overwrite").csv(csvDir)
     val a = Cli.parse(Seq("--csv-input", csvDir, "-u", "user_7")).toOption.get

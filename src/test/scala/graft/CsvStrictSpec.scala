@@ -46,7 +46,7 @@ class CsvStrictSpec extends AnyFunSuite {
   test("interop: spark.read.csv reads our shards and we read spark.write.csv") {
     val spark = SparkTestSession.get
     import scala.jdk.CollectionConverters._
-    val dir = java.nio.file.Files.createTempDirectory("graft151").toFile
+    val dir = SparkTestSession.tmpDir("graft151").toFile
     dir.deleteOnExit()
     // direction 1: our bytes -> spark (multiLine for embedded newlines)
     val rows = CsvSim.rowsFor(6L)

@@ -23,7 +23,7 @@ class EventsEncodingSpec extends AnyFunSuite {
 
   private def writeBoth(): (String, String) = {
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("events-enc").toString
+    val base = SparkTestSession.tmpDir("events-enc").toString
     val micros = Seq(
       (1L, 1750000000000000L, 10L, "click", 1.0, "{}"),
       (2L, 1750000060000000L, 10L, "view", 2.0, "{}"),

@@ -18,7 +18,7 @@ class IngestCliSpec extends AnyFunSuite {
 
   /** The sim's raw sacct strings as a CSV file (--csv-input). */
   lazy val csvDir: String = {
-    val d = Files.createTempDirectory("graft_ingest_csv").toString + "/raw"
+    val d = SparkTestSession.tmpDir("graft_ingest_csv").toString + "/raw"
     SlurmSim.raw(spark, sfDir)
       .coalesce(1).write.option("header", "true").mode("overwrite").csv(d)
     d
@@ -28,7 +28,7 @@ class IngestCliSpec extends AnyFunSuite {
     .agg(max(coalesce(col("Time"), col("Submit")))).head.getLong(0) + 10L
 
   private def freshDir(): String =
-    Files.createTempDirectory("graft_ingest_wh").toString + "/wh"
+    SparkTestSession.tmpDir("graft_ingest_wh").toString + "/wh"
 
   private def run(args: String*): (String, Int) = {
     val wh = freshDir()
@@ -250,7 +250,7 @@ class IngestCliSpec extends AnyFunSuite {
     val src = scala.io.Source.fromFile("/root/reference/tests/test-data1.csv")
     val txt = try src.getLines().map(_.replace("|", ";|;")).mkString("\n")
               finally src.close()
-    val out = Files.createTempDirectory("graft_fixture").resolve("data1.sacct")
+    val out = SparkTestSession.tmpDir("graft_fixture").resolve("data1.sacct")
     Files.write(out, txt.getBytes("UTF-8"))
     out.toString
   }
@@ -295,7 +295,7 @@ class IngestCliSpec extends AnyFunSuite {
       else lit(""))
     val lines = raw.select(concat_ws(";|;", cols: _*).as("l"))
       .collect().map(_.getString(0))
-    val out = Files.createTempFile("graft_live_dump", ".txt")
+    val out = SparkTestSession.tmpFile("graft_live_dump", ".txt")
     Files.write(out, (SacctSource.SACCT_FIELDS.mkString(";|;") + "\n" +
       lines.mkString("\n") + "\n").getBytes("UTF-8"))
     out.toString
@@ -306,7 +306,7 @@ class IngestCliSpec extends AnyFunSuite {
     * argv (one line per spawn) and cats the canned dump; exits 3
     * instead when the marker file exists. */
   private def stubSacct(): (String, java.nio.file.Path) = {
-    val dir = Files.createTempDirectory("graft_stub_sacct")
+    val dir = SparkTestSession.tmpDir("graft_stub_sacct")
     val log = dir.resolve("argv.log")
     val fail = dir.resolve("fail.marker")
     val script = dir.resolve("sacct")
@@ -393,7 +393,7 @@ class IngestCliSpec extends AnyFunSuite {
     // unit level: liveSlurmTable with an explicit spillDir writes the
     // subprocess stdout THERE (the path executors can read), not a
     // driver-local temp, and the plan scans those bytes
-    val spillDir = Files.createTempDirectory("graft_spill_probe").toString + "/sp"
+    val spillDir = SparkTestSession.tmpDir("graft_spill_probe").toString + "/sp"
     val df = SacctSource.liveSlurmTable(spark, Nil, bin, Some(spillDir))
       .toOption.get
     val spilled = new java.io.File(spillDir).listFiles()
@@ -425,7 +425,7 @@ class IngestCliSpec extends AnyFunSuite {
     import graft.slurm.SacctSource
     // a stub that echoes its TZ: the -S/-E rendering (slurmTs, UTC)
     // only means what it says if sacct PARSES in UTC too
-    val dir = Files.createTempDirectory("graft_stub_tz")
+    val dir = SparkTestSession.tmpDir("graft_stub_tz")
     val script = dir.resolve("sacct")
     Files.write(script,
       """#!/bin/bash

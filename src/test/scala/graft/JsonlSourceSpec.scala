@@ -16,7 +16,7 @@ class JsonlSourceSpec extends AnyFunSuite {
 
   test("documents round-trip through JSONL shards losslessly") {
     val docs = Tables.load(spark, dir, "documents")
-    val out = Files.createTempDirectory("graft-jsonl").toString + "/docs"
+    val out = SparkTestSession.tmpDir("graft-jsonl").toString + "/docs"
     JsonlSource.write(docs, out)
     val back = JsonlSource.readDocuments(spark, out)
     assert(back.count() == docs.count())
@@ -24,7 +24,7 @@ class JsonlSourceSpec extends AnyFunSuite {
   }
 
   test("malformed shard lines are quarantined, not fatal and not half-parsed") {
-    val tmp = Files.createTempDirectory("graft-jsonl-bad")
+    val tmp = SparkTestSession.tmpDir("graft-jsonl-bad")
     Files.write(Paths.get(tmp.toString, "shard.jsonl"), java.util.Arrays.asList(
       """{"doc_id": 1, "text": "good line", "lang": "en", "source": "s", "n_chars": 9}""",
       """{"doc_id": 2, "text": "truncated""",

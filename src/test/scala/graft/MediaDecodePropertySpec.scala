@@ -690,7 +690,7 @@ object MediaDecodePropertySpec extends Properties("MediaDecode") {
   property("tar: GNU tar extracts our encoder's output byte-exactly") =
     Prop.forAll(Gen.choose(0L, 4000L).suchThat(id =>
       id % 7 != 0 && id % 7 != 3 && id % 7 != 5)) { id =>
-      val dir = java.nio.file.Files.createTempDirectory("graft_tar").toFile
+      val dir = SparkTestSession.tmpDir("graft_tar").toFile
       try {
         val shard = new java.io.File(dir, "shard.tar")
         java.nio.file.Files.write(shard.toPath, TarSim.cleanTar(id))
@@ -712,7 +712,7 @@ object MediaDecodePropertySpec extends Properties("MediaDecode") {
   property("tar: our decoder reads GNU-tar-written archives") =
     Prop.forAll(Gen.choose(1, 6), Gen.choose(0L, 1L << 40)) { (n, seed) =>
       val rnd = new scala.util.Random(seed)
-      val dir = java.nio.file.Files.createTempDirectory("graft_tar2").toFile
+      val dir = SparkTestSession.tmpDir("graft_tar2").toFile
       try {
         val names = (0 until n).map(i => f"m$i%02d_${rnd.nextInt(1000)}%03d.txt")
         val contents = names.map(_ =>
@@ -812,7 +812,7 @@ object MediaDecodePropertySpec extends Properties("MediaDecode") {
   property("gzip: the gzip CLI interops both directions") =
     Prop.forAll(Gen.choose(1, 3).flatMap(Gen.listOfN(_, bytesGen)),
       Gen.choose(0L, 1L << 40)) { (ms, seed) =>
-      val dir = java.nio.file.Files.createTempDirectory("graft_gz").toFile
+      val dir = SparkTestSession.tmpDir("graft_gz").toFile
       try {
         // direction 1: gzip -dc reads ours
         val ours = new java.io.File(dir, "ours.gz")

@@ -72,7 +72,7 @@ class NpySpec extends AnyFunSuite {
   }
 
   private def tempDir(): java.io.File = {
-    val d = java.nio.file.Files.createTempDirectory("graft149").toFile
+    val d = SparkTestSession.tmpDir("graft149").toFile
     d.deleteOnExit()
     d
   }

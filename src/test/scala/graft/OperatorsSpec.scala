@@ -574,7 +574,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fast.except(local).count() == 0 &&
       local.except(fast).count() == 0,
       "union-find fast path and distributed loop disagree")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val ckpt = SparkTestSession.tmpDir("graft-ckpt").toString
     val reliable = Components.connectedComponents(verts, pairs,
       checkpointDir = Some(ckpt), edgesPerPartition = 64L)
     assert(local.except(reliable).count() == 0 &&

@@ -76,7 +76,7 @@ class OrcStripesSpec extends AnyFunSuite {
     for (docId <- Seq(0L, 1L, 2L, 3L)) {
       val rows = OrcSim.rowsFor(docId, text)
       val bytes = OrcCodec.write(rows, 3, OrcSim.codecFor(docId))
-      val dir = java.nio.file.Files.createTempDirectory(s"orc133-ours-$docId")
+      val dir = SparkTestSession.tmpDir(s"orc133-ours-$docId")
       java.nio.file.Files.write(dir.resolve("part-0.orc"), bytes)
       val got = spark.read.orc(dir.toString).orderBy("id").collect()
       assert(got.length == rows.size, s"doc $docId row count")
@@ -97,7 +97,7 @@ class OrcStripesSpec extends AnyFunSuite {
         if (j % 2 == 0) s"body-$j-" + ("x" * (j % 23)) else "dup-dup-dup")
     }.toDF("id", "val", "tag", "body")
     for (codec <- Seq("none", "zlib", "snappy", "zstd")) {
-      val dir = java.nio.file.Files.createTempDirectory(s"orc133-$codec").toFile
+      val dir = SparkTestSession.tmpDir(s"orc133-$codec").toFile
       df.coalesce(1).write.option("compression", codec)
         .mode("overwrite").orc(dir.toString)
       val f = dir.listFiles().filter(_.getName.endsWith(".orc")).head
@@ -112,7 +112,7 @@ class OrcStripesSpec extends AnyFunSuite {
     // low-cardinality strings make orc-core pick DICTIONARY_V2
     val df2 = (0 until 5000).map(j => (j.toLong, 0L, 0L, s"cat-${j % 7}"))
       .toDF("id", "val", "tag", "body")
-    val dir2 = java.nio.file.Files.createTempDirectory("orc133-dict").toFile
+    val dir2 = SparkTestSession.tmpDir("orc133-dict").toFile
     df2.coalesce(1).write.option("compression", "zlib").mode("overwrite")
       .orc(dir2.toString)
     val f2 = dir2.listFiles().filter(_.getName.endsWith(".orc")).head

@@ -19,7 +19,7 @@ class ParquetInteropSpec extends AnyFunSuite {
 
   test("our walker reads REAL Spark files: every codec, dictionary pages, audit ON") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("pq126spec").toFile
+    val dir = SparkTestSession.tmpDir("pq126spec").toFile
     // tuple-derived schema: REQUIRED longs + OPTIONAL string — both
     // definition-level paths; val is low-cardinality → dictionary
     val rows = rowsFor(300, 7)
@@ -64,7 +64,7 @@ class ParquetInteropSpec extends AnyFunSuite {
   }
 
   test("Spark reads our writer's files row-identical: every codec") {
-    val dir = java.nio.file.Files.createTempDirectory("pq126spec2").toFile
+    val dir = SparkTestSession.tmpDir("pq126spec2").toFile
     for (codec <- Seq(0, 1, 2, 6)) {
       val p = new java.io.File(dir, s"ours-$codec/part-0.parquet")
       p.getParentFile.mkdirs()
@@ -126,7 +126,7 @@ class ParquetInteropSpec extends AnyFunSuite {
       val df = (0 until n).map(j => (j.toLong * 3, (j * 13 % 50).toLong,
         s"body-$j-" + ("x" * (j % 29)))).toDF("doc_id", "val", "text")
       for (codec <- Seq("uncompressed", "snappy", "gzip", "zstd")) {
-        val dir = java.nio.file.Files.createTempDirectory(s"pq135-$codec").toFile
+        val dir = SparkTestSession.tmpDir(s"pq135-$codec").toFile
         df.coalesce(1).write.option("compression", codec).mode("overwrite")
           .parquet(dir.toString)
         val f = dir.listFiles().filter(_.getName.endsWith(".parquet")).head
@@ -164,7 +164,7 @@ class ParquetInteropSpec extends AnyFunSuite {
     val n = 2000
     val df = (0 until n).map(j => (j.toLong * 7919, (j % 997).toLong, s"t-$j"))
       .toDF("doc_id", "val", "text")
-    val dir = java.nio.file.Files.createTempDirectory("pq138").toFile
+    val dir = SparkTestSession.tmpDir("pq138").toFile
     df.coalesce(1).write
       .option("parquet.bloom.filter.enabled#doc_id", "true")
       .option("parquet.bloom.filter.enabled#val", "true")
@@ -176,7 +176,7 @@ class ParquetInteropSpec extends AnyFunSuite {
     assert(info.get.numRows == n)
     // and Spark reads our bloom-carrying files back row-identical
     val want = rowsFor(40, 5).sortBy(_._1)
-    val dir2 = java.nio.file.Files.createTempDirectory("pq138o")
+    val dir2 = SparkTestSession.tmpDir("pq138o")
     java.nio.file.Files.write(dir2.resolve("p.parquet"),
       ParquetFile.write(want, 7, 0, blooms = true))
     val got = spark.read.parquet(dir2.toString).orderBy("doc_id").collect()
@@ -189,7 +189,7 @@ class ParquetInteropSpec extends AnyFunSuite {
   test("d135 interop: Spark reads our v2 writer's files row-identical") {
     val want = rowsFor(50, 3).sortBy(_._1)
     for (codec <- Seq(0, 1, 2, 6)) {
-      val dir = java.nio.file.Files.createTempDirectory(s"pq135o-$codec")
+      val dir = SparkTestSession.tmpDir(s"pq135o-$codec")
       java.nio.file.Files.write(dir.resolve("part-0.parquet"),
         ParquetFile.writeV2(want, 7, codec))
       val got = spark.read.parquet(dir.toString).orderBy("doc_id").collect()

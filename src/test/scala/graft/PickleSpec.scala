@@ -84,7 +84,7 @@ class PickleSpec extends AnyFunSuite {
 
   test("interop 1: python loads our pickles value-identical") {
     if (!pythonOk) cancel("python3 not available")
-    val f = java.io.File.createTempFile("graft150", ".pkl")
+    val f = SparkTestSession.tmpIoFile("graft150", ".pkl")
     f.deleteOnExit()
     val docId = 6L
     java.nio.file.Files.write(f.toPath,
@@ -106,7 +106,7 @@ class PickleSpec extends AnyFunSuite {
 
   test("interop 2: real pickle.dumps at protocols 2 AND 4 walk through our reader") {
     if (!pythonOk) cancel("python3 not available")
-    val dir = java.nio.file.Files.createTempDirectory("graft150").toFile
+    val dir = SparkTestSession.tmpDir("graft150").toFile
     dir.deleteOnExit()
     val (rc, out) = py(
       s"""import pickle

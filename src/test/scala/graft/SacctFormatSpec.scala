@@ -12,7 +12,7 @@ class SacctFormatSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.get
 
   private def write(lines: Seq[String]): String = {
-    val f = Files.createTempFile("sacct", ".txt")
+    val f = SparkTestSession.tmpFile("sacct", ".txt")
     Files.writeString(f, lines.mkString("\n"))
     f.toString
   }

@@ -61,7 +61,7 @@ class SacctIngestSpec extends AnyFunSuite {
   }
 
   test("embedded newline in JobName reassembles to ONE row (slurm2sql.py:888-905)") {
-    val dir = java.nio.file.Files.createTempDirectory("sacct_nl").toFile
+    val dir = SparkTestSession.tmpDir("sacct_nl").toFile
     val f = new java.io.File(dir, "dump.txt")
     val w = new java.io.PrintWriter(f)
     w.print(
@@ -87,7 +87,7 @@ class SacctIngestSpec extends AnyFunSuite {
   }
 
   test("reassembly quarantines a trailing incomplete fragment") {
-    val dir = java.nio.file.Files.createTempDirectory("sacct_frag").toFile
+    val dir = SparkTestSession.tmpDir("sacct_frag").toFile
     val f = new java.io.File(dir, "dump.txt")
     val w = new java.io.PrintWriter(f)
     w.print("JobID;|;JobName;|;User\n1;|;ok;|;alice\n2;|;dangling\n")

@@ -160,7 +160,7 @@ class SqlitePagesSpec extends AnyFunSuite {
     val text = "interop body text with some words in it repeated a bit " * 4
     val lay = SqliteCodec.write(Seq(
       SqliteSim.docsTable(11L, text), SqliteSim.metaTable(11L)))
-    val f = java.io.File.createTempFile("graft132", ".db")
+    val f = SparkTestSession.tmpIoFile("graft132", ".db")
     f.deleteOnExit()
     java.nio.file.Files.write(f.toPath, lay.bytes)
     assert(cli(f.getAbsolutePath, "PRAGMA integrity_check;") == "ok",
@@ -177,7 +177,7 @@ class SqlitePagesSpec extends AnyFunSuite {
 
   test("interop 2: a CLI-written database (overflow + interior pages) walks through our decoder") {
     if (!cliAvailable) cancel("sqlite3 CLI not available")
-    val f = java.io.File.createTempFile("cli132", ".db")
+    val f = SparkTestSession.tmpIoFile("cli132", ".db")
     f.delete()
     val mk = new StringBuilder
     mk.append("CREATE TABLE docs(id INTEGER PRIMARY KEY, val INTEGER, flag INTEGER, score REAL, body TEXT);")

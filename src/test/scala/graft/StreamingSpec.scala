@@ -434,9 +434,9 @@ class StreamingSpec extends AnyFunSuite {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import graft.slurm.SacctSource
     import graft.streaming.SlurmStream
-    val inDir = Files.createTempDirectory("slurm_drop").toString
-    val whDir = Files.createTempDirectory("slurm_wh").toString
-    val ckDir = Files.createTempDirectory("slurm_ck").toString
+    val inDir = SparkTestSession.tmpDir("slurm_drop").toString
+    val whDir = SparkTestSession.tmpDir("slurm_wh").toString
+    val ckDir = SparkTestSession.tmpDir("slurm_ck").toString
     val src = Paths.get("/root/reference/tests/test-data1.csv")
     Files.copy(src, Paths.get(inDir, "dump1.csv"), StandardCopyOption.REPLACE_EXISTING)
     val schema = SacctSource.readCsv(spark, s"$inDir/dump1.csv").schema

@@ -75,7 +75,7 @@ class TarPaxSpec extends AnyFunSuite {
   }
 
   private def tempDir(): java.io.File = {
-    val d = java.nio.file.Files.createTempDirectory("graft144").toFile
+    val d = SparkTestSession.tmpDir("graft144").toFile
     d.deleteOnExit()
     d
   }

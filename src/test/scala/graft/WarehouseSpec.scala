@@ -12,7 +12,7 @@ class WarehouseSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.get
 
   test("write/read round-trip with day partitioning and pruning") {
-    val dir = Files.createTempDirectory("graft_wh").toString
+    val dir = SparkTestSession.tmpDir("graft_wh").toString
     val slurm = SlurmTable.build(SlurmSim.raw(spark, "/root/testdata/sf0.001"),
       lit(1750000000L))
     SlurmWarehouse.write(slurm, dir)
@@ -31,7 +31,7 @@ class WarehouseSpec extends AnyFunSuite {
   }
 
   test("resume bookkeeping: second load appends only newer rows") {
-    val dir = Files.createTempDirectory("graft_wh2").toString
+    val dir = SparkTestSession.tmpDir("graft_wh2").toString
     val slurm = SlurmTable.build(SlurmSim.raw(spark, "/root/testdata/sf0.001"),
       lit(1750000000L)).cache()
     val cutoff = slurm.agg(expr("percentile_approx(Time, 0.5)")).collect()(0)
@@ -47,7 +47,7 @@ class WarehouseSpec extends AnyFunSuite {
   }
 
   test("resumeAppend replaces re-reported jobs instead of duplicating") {
-    val dir = Files.createTempDirectory("graft_wh3").toString
+    val dir = SparkTestSession.tmpDir("graft_wh3").toString
     val slurm = SlurmTable.build(SlurmSim.raw(spark, "/root/testdata/sf0.001"),
       lit(1750000000L)).cache()
     val cutoff = slurm.agg(expr("percentile_approx(Time, 0.5)")).collect()(0)
@@ -74,7 +74,7 @@ class WarehouseSpec extends AnyFunSuite {
   }
 
   test("resumeAppend keeps late rows at exactly the bookmark instant") {
-    val dir = Files.createTempDirectory("graft_wh4").toString
+    val dir = SparkTestSession.tmpDir("graft_wh4").toString
     val slurm = SlurmTable.build(SlurmSim.raw(spark, "/root/testdata/sf0.001"),
       lit(1750000000L)).cache()
     val cutoff = slurm.agg(expr("percentile_approx(Time, 0.5)")).collect()(0)
@@ -96,7 +96,7 @@ class WarehouseSpec extends AnyFunSuite {
   }
 
   test("compact: accreted day files bin-pack, results and bookmark unchanged") {
-    val dir = Files.createTempDirectory("graft_wh5").toString
+    val dir = SparkTestSession.tmpDir("graft_wh5").toString
     val slurm = SlurmTable.build(SlurmSim.raw(spark, "/root/testdata/sf0.001"),
       lit(1750000000L)).cache()
     // fragment the warehouse the way cheap append-mode daily loads do:
@@ -159,7 +159,7 @@ class WarehouseSpec extends AnyFunSuite {
   }
 
   test("compact: multi-file partitions keep DISJOINT (User,Start) spans — pruning control") {
-    val dir = Files.createTempDirectory("graft_wh6").toString
+    val dir = SparkTestSession.tmpDir("graft_wh6").toString
     import spark.implicits._
     // a partition large enough to rewrite as SEVERAL files — the
     // layout the within-file sort test above (filesAfter == 1) cannot
@@ -342,7 +342,7 @@ class WarehouseSpec extends AnyFunSuite {
     val grid = spark.range(4096).select(col("id"),
       (col("id") / 64).cast("long").as("x"),
       pmod(col("id"), lit(64L)).as("y"))
-    val dir = Files.createTempDirectory("graft_zw").toString + "/zgrid"
+    val dir = SparkTestSession.tmpDir("graft_zw").toString + "/zgrid"
     CorpusStore.writeZClustered(grid, dir, col("x"), col("y"),
       bits = 6, files = 8)
     val back = spark.read.parquet(dir)
@@ -384,7 +384,7 @@ class WarehouseSpec extends AnyFunSuite {
       min(col("y")).as("min_y"), max(col("y")).as("max_y")).collect()
     assert(hits(fx, "x", 24, 31) < 8 && hits(fx, "y", 24, 31) < 8,
       s"both-axis pruning must hold: x=${hits(fx, "x", 24, 31)} y=${hits(fx, "y", 24, 31)}")
-    val yDir = Files.createTempDirectory("graft_yw").toString + "/ygrid"
+    val yDir = SparkTestSession.tmpDir("graft_yw").toString + "/ygrid"
     grid.repartitionByRange(8, col("y")).sortWithinPartitions(col("y"))
       .write.parquet(yDir)
     val fy = spark.read.parquet(yDir)
@@ -398,7 +398,7 @@ class WarehouseSpec extends AnyFunSuite {
 
   test("history collection commits per batch and resumes after a crash") {
     import graft.slurm.HistoryCollector
-    val dir = Files.createTempDirectory("graft_wh5").toString
+    val dir = SparkTestSession.tmpDir("graft_wh5").toString
     val day = 86400L
     // completed jobs only: running rows carry the far-future Time default
     val src = SlurmTable.build(SlurmSim.raw(spark, "/root/testdata/sf0.001"),
