@@ -152,6 +152,52 @@ object Bench {
     dt
   }
 
+  /** String-workload calibration — the dot-product calib's blind
+    * spot, measured in r15: a host drift inflated every
+    * tokenization-heavy query ~1.5–2.2× (d26/d30/d43/d01…) while the
+    * FP dot loop read 1.0× and par_floor 1.08, and an A/B of the
+    * UNTOUCHED r14 tree in the same window reproduced the elevated
+    * numbers exactly — the drifted resource is allocation/branch/
+    * memory bandwidth, which a cache-resident multiply-add never
+    * touches. This probe tokenizes + hashes deterministic synthetic
+    * text (split, substring allocation, char-loop hashing — the
+    * string pipeline's actual diet). Reported single-thread and
+    * full-width; not yet a contended-flag input (no cross-round
+    * floor exists until a few rounds record it), but a cross-round
+    * reader can now SEE which host resource moved. */
+  def calibrateStr(): Double = {
+    val words = Array.tabulate(64)(i => ("w" + (i * 2654435761L % 9973)) * (1 + i % 5))
+    val doc = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < 4096) { sb.append(words(i % 64)).append(' '); i += 1 }
+      sb.toString
+    }
+    var sink = 0L
+    def pass(reps: Int): Double = {
+      val t0 = System.nanoTime()
+      var r = 0
+      while (r < reps) {
+        val toks = doc.split(" ")
+        var j = 0
+        while (j < toks.length) {
+          var h = 1469598103934665603L
+          val t = toks(j)
+          var c = 0
+          while (c < t.length) { h = (h ^ t.charAt(c)) * 1099511628211L; c += 1 }
+          sink += h
+          j += 1
+        }
+        r += 1
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    pass(64) // JIT warmup
+    val dt = (1 to 3).map(_ => pass(1024)).min
+    System.err.println(f"[bench] calib str 1024x4096w: $dt%.3f s (sink=$sink)")
+    dt
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -160,7 +206,8 @@ object Bench {
       // standalone host check (no Spark): is this machine quiet enough
       // for a trustworthy bench run right now?
       val c = calibrate(); val p = calibratePar(cpus.toInt)
-      println(f"""{"calib_sec":$c%.3f,"calib_par_sec":$p%.3f,"par_ratio":${p / c}%.2f}""")
+      val s = calibrateStr()
+      println(f"""{"calib_sec":$c%.3f,"calib_par_sec":$p%.3f,"par_ratio":${p / c}%.2f,"calib_str_sec":$s%.3f}""")
       return
     }
     val spark = Tables.session("graft-bench", cpus)
@@ -188,6 +235,7 @@ object Bench {
     val calibParB = calibratePar(cpus.toInt)
     val calibPar = math.min(calibParA, calibParB)
     val calib = calibrate()
+    val calibStr = calibrateStr()
     // baseline loaded BEFORE the sweep: the deferred re-run pass below
     // needs per-query baseline entries to pick its candidates
     val baselineQueries: Map[String, Double] = try {
@@ -331,7 +379,7 @@ object Bench {
     val rerunsJson = rerunPairs.map { case (k, first, again) =>
       f""""$k":{"first":$first%.3f,"rerun":$again%.3f}""" }
       .mkString("{", ",", "}")
-    val tail = f""""max_spread":$maxSpread%.2f,"max_spread_query":"$spreadQuery","n_spread_over3":$nSpreadOver3,"calib_sec":$calib%.3f,"calib_post_sec":$calibPost%.3f,"calib_par_sec":$calibPar%.3f,"par_floor":$parFloor%.2f,"par_live":$parLive%.2f,"host_contended":$contended,"reruns":$rerunsJson,"shared_total_sec":$sharedTotal%.3f,"baseline_shared_sec":$baselineShared%.3f,"shared_n":${shared.size},"failed":$failed,"sf":"$sfDir""""
+    val tail = f""""max_spread":$maxSpread%.2f,"max_spread_query":"$spreadQuery","n_spread_over3":$nSpreadOver3,"calib_sec":$calib%.3f,"calib_post_sec":$calibPost%.3f,"calib_par_sec":$calibPar%.3f,"par_floor":$parFloor%.2f,"par_live":$parLive%.2f,"calib_str_sec":$calibStr%.3f,"host_contended":$contended,"reruns":$rerunsJson,"shared_total_sec":$sharedTotal%.3f,"baseline_shared_sec":$baselineShared%.3f,"shared_n":${shared.size},"failed":$failed,"sf":"$sfDir""""
     val fullLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$tail}"""
     val compactLine =

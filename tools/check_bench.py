@@ -63,6 +63,12 @@ def main():
               % (k, v, bv, v / bv, note))
     if ratio > 1.10:
         print("REGRESSION: raw shared total > 1.10x baseline")
+        print("  adjudicate before believing it: tools/ab_tree.sh <pinned-commit>"
+              " <worst-query> interleaves the same query on the old tree in the"
+              " same window; if the old tree reproduces the elevated number the"
+              " host moved, not the plan (r15: the d26/d30/d43 text family read"
+              " ~2x its r10/r11-era baseline rows on BOTH trees while calib_str"
+              " drifted and calib_sec did not)")
         sys.exit(1)
     print("OK" + (" (%d elevated single queries - check plans or rerun)"
                   % len(bad) if bad else ""))
