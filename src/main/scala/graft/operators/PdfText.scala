@@ -18,9 +18,11 @@ import org.apache.spark.sql.types._
   * continuation, balanced nested parens) plus hex strings.
   *
   * Scope rules (documented decisions, the d162 discipline):
-  *  - classic xref TABLES only; xref STREAMS (PDF 1.5 compressed
-  *    xref) quarantine — a production walker adds them behind the
-  *    same offset-validation contract;
+  *  - [[extract]] walks classic xref TABLES; [[extractXrefStream]]
+  *    walks PDF 1.5 cross-reference STREAMS + object streams (the
+  *    d166 gate) — each flavor quarantines the other's anchor, and
+  *    hybrid files (a table AND a stream, /XRefStm) are out of
+  *    scope;
   *  - content operators outside {BT ET Tf Td Tj TJ} quarantine:
   *    the gate pins the text-op subset's semantics, and a strict
   *    walker surfaces out-of-scope content rather than guessing;
@@ -58,7 +60,8 @@ object PdfText {
     * compares bytes, not decoded glyphs). `kernSum` sums the numeric
     * (kerning) elements inside TJ arrays. */
   final case class Extract(nPages: Int, nObjects: Int, nTextOps: Int,
-                           textBytes: Array[Byte], kernSum: Long)
+                           textBytes: Array[Byte], kernSum: Long,
+                           nCompressed: Int = 0)
 
   // ---- object model (the subset the graph walk needs) --------------
   private sealed trait Obj
@@ -82,6 +85,7 @@ object PdfText {
     * content-stream tokenizer. */
   private final class Lexer(b: Array[Byte]) {
     var p = 0
+    def buf: Array[Byte] = b
     def eof: Boolean = p >= b.length
     private def cur: Int = { if (eof) throw Malformed; b(p) & 0xff }
     def skipWs(): Unit = {
@@ -258,12 +262,15 @@ object PdfText {
   def extract(b: Array[Byte]): Option[Extract] =
     try Some(walk(b)) catch { case Malformed => None }
 
-  private def walk(b: Array[Byte]): Extract = {
-    // header
+  /** PDF 1.5 variant: cross-reference STREAM + object streams. */
+  def extractXrefStream(b: Array[Byte]): Option[Extract] =
+    try Some(walkXrefStream(b)) catch { case Malformed => None }
+
+  /** Header + `startxref` anchor shared by both xref flavors. */
+  private def startXrefOffset(b: Array[Byte]): Int = {
     if (b.length < 16) throw Malformed
     val head = new String(b, 0, 7, "ISO-8859-1")
     if (head != "%PDF-1.") throw Malformed
-
     // tail: ... startxref \n OFFSET \n %%EOF [ws]
     var e = b.length
     while (e > 0 && isWs(b(e - 1) & 0xff)) e -= 1
@@ -276,6 +283,54 @@ object PdfText {
     val xrefOff = tail.substring(sxAt + 9).trim.toLongOption
       .getOrElse(throw Malformed)
     if (xrefOff < 0 || xrefOff >= b.length) throw Malformed
+    xrefOff.toInt
+  }
+
+  /** Parse `N 0 obj` + dict at a validated offset. */
+  private def objAt(b: Array[Byte], off: Long, num: Int): (Map[String, Obj], Lexer) = {
+    if (off < 0 || off >= b.length) throw Malformed
+    val l = new Lexer(b)
+    l.p = off.toInt
+    val gotNum = l.number()
+    val gotGen = l.number()
+    l.skipWs(); l.expect("obj")
+    if (gotNum != num || gotGen != 0) throw Malformed
+    l.obj(0) match {
+      case PDict(m) => (m, l)
+      case _ => throw Malformed
+    }
+  }
+
+  /** Read a FlateDecode stream body following a dict: framing
+    * (`stream` EOL, exactly /Length bytes, EOL, `endstream`) + zlib.
+    * zlibDecode is strict about trailing bytes (Deflate.scala's
+    * no-trailing-garbage rule), so a length one high — which smuggles
+    * the EOL byte into the stream span yet still lands on
+    * `endstream` — dies here, not at the framing check. */
+  private def readStream(sd: Map[String, Obj], ls: Lexer): Array[Byte] = {
+    val b = ls.buf
+    val len = sd.get("Length") match {
+      case Some(PNum(v)) if v >= 0 && v == math.floor(v) => v.toLong
+      case _ => throw Malformed
+    }
+    if (sd.get("Filter") != Some(PName("FlateDecode"))) throw Malformed
+    ls.skipWs()
+    ls.expect("stream")
+    if (ls.p < b.length && b(ls.p) == '\r') ls.p += 1
+    if (ls.p >= b.length || b(ls.p) != '\n') throw Malformed
+    ls.p += 1
+    if (ls.p + len > b.length) throw Malformed
+    val raw = java.util.Arrays.copyOfRange(b, ls.p, ls.p + len.toInt)
+    ls.p += len.toInt
+    if (ls.p < b.length && b(ls.p) == '\r') ls.p += 1
+    if (ls.p < b.length && b(ls.p) == '\n') ls.p += 1
+    ls.expect("endstream")
+    ls.skipWs(); ls.expect("endobj")
+    DeflateCodec.zlibDecode(raw).getOrElse(throw Malformed)
+  }
+
+  private def walk(b: Array[Byte]): Extract = {
+    val xrefOff = startXrefOffset(b)
 
     // xref table: `xref\n0 N\n` + N 20-byte entries, then trailer
     val lx = new Lexer(b)
@@ -323,35 +378,194 @@ object PdfText {
       case _ => throw Malformed
     }
 
-    // object loader: the xref offset MUST land on `N 0 obj`
-    def load(num: Int): (Map[String, Obj], Lexer) = {
+    // object loader: the xref offset MUST land on `N 0 obj`.
+    // The boolean marks "top-level" — table xref has no other kind.
+    def load(num: Int): (Map[String, Obj], Lexer, Boolean) = {
       if (num <= 0 || num >= size || !inUse(num)) throw Malformed
-      val off = offsets(num)
-      if (off < 0 || off >= b.length) throw Malformed
-      val l = new Lexer(b)
-      l.p = off.toInt
-      val gotNum = l.number()
-      val gotGen = l.number()
-      l.skipWs(); l.expect("obj")
-      if (gotNum != num || gotGen != 0) throw Malformed
-      l.obj(0) match {
-        case PDict(m) => (m, l)
-        case _ => throw Malformed
+      val (m, l) = objAt(b, offsets(num), num)
+      (m, l, true)
+    }
+    graphWalk(size, load, rootRef)
+  }
+
+  /** PDF 1.5 walk: `startxref` points at a CROSS-REFERENCE STREAM
+    * (`/Type /XRef`, FlateDecode, /W field widths, /Index ranges) and
+    * non-stream objects live compressed inside OBJECT STREAMS
+    * (`/Type /ObjStm`, type-2 entries). Strictness added on top of
+    * the table walk's inventory:
+    *  - /W exactly three positive ints; decoded bytes must TILE
+    *    exactly: rows × (w1+w2+w3) = decoded length with rows =
+    *    Σ /Index counts (a lying width breaks the tiling, not the
+    *    parse);
+    *  - /Index pairs non-negative, in-range, non-overlapping
+    *    ascending; /Size must equal the table span;
+    *  - entry 0 must be type 0 (free); the XRef stream's own entry
+    *    must be type 1 at its actual offset;
+    *  - type-2 entries: the container must be a well-formed ObjStm
+    *    (header of /N strictly-increasing offsets inside /First; the
+    *    header's object number AT THE ENTRY'S INDEX must equal the
+    *    requested number — a lying index quarantines with every byte
+    *    intact), generation implicitly 0;
+    *  - ObjStm members are not top-level: no `endobj`, no streams. */
+  private def walkXrefStream(b: Array[Byte]): Extract = {
+    val xrefOff = startXrefOffset(b)
+    // the xref stream is itself `N 0 obj <<...>> stream...endstream`
+    val xl = new Lexer(b)
+    xl.p = xrefOff
+    val xnum = { val v = xl.number(); if (v != math.floor(v)) throw Malformed; v.toInt }
+    val xgen = xl.number()
+    xl.skipWs(); xl.expect("obj")
+    if (xgen != 0) throw Malformed
+    val xd = xl.obj(0) match {
+      case PDict(m) => m
+      case _ => throw Malformed
+    }
+    if (xd.get("Type") != Some(PName("XRef"))) throw Malformed
+    val data = readStream(xd, xl)
+    val size = xd.get("Size") match {
+      case Some(PNum(v)) if v >= 1 && v == math.floor(v) => v.toInt
+      case _ => throw Malformed
+    }
+    val w = xd.get("W") match {
+      case Some(PArr(Vector(PNum(a), PNum(bb), PNum(c))))
+        if Seq(a, bb, c).forall(x => x >= 1 && x <= 8 && x == math.floor(x)) =>
+        (a.toInt, bb.toInt, c.toInt)
+      case _ => throw Malformed
+    }
+    val rowW = w._1 + w._2 + w._3
+    val index: Seq[(Int, Int)] = xd.get("Index") match {
+      case None => Seq((0, size))
+      case Some(PArr(es)) if es.length % 2 == 0 =>
+        es.grouped(2).map {
+          case Vector(PNum(f), PNum(c))
+            if f >= 0 && c >= 1 && f == math.floor(f) && c == math.floor(c) =>
+            (f.toInt, c.toInt)
+          case _ => throw Malformed
+        }.toSeq
+      case _ => throw Malformed
+    }
+    // ranges ascending, non-overlapping, inside /Size
+    index.foldLeft(0) { case (minNext, (f, c)) =>
+      if (f < minNext || f + c > size) throw Malformed
+      f + c
+    }
+    val rows = index.map(_._2).sum
+    if (rows * rowW != data.length) throw Malformed // the tiling rule
+    // decode entries: tpe(num), f2(num), f3(num)
+    val tpe = new Array[Int](size)
+    val f2 = new Array[Long](size)
+    val f3 = new Array[Long](size)
+    val present = new Array[Boolean](size)
+    var r = 0
+    index.foreach { case (first, count) =>
+      var k = 0
+      while (k < count) {
+        var o = r * rowW
+        def be(n: Int): Long = {
+          var v = 0L; var i = 0
+          while (i < n) { v = (v << 8) | (data(o + i) & 0xffL); i += 1 }
+          o += n
+          v
+        }
+        val num = first + k
+        tpe(num) = be(w._1).toInt
+        f2(num) = be(w._2)
+        f3(num) = be(w._3)
+        present(num) = true
+        r += 1; k += 1
       }
     }
-    def endObj(l: Lexer): Unit = { l.skipWs(); l.expect("endobj") }
+    if (!present(0) || tpe(0) != 0) throw Malformed // free-list head
+    // the XRef stream's own entry must be type 1 at its real offset
+    if (xnum <= 0 || xnum >= size || !present(xnum) ||
+      tpe(xnum) != 1 || f2(xnum) != xrefOff) throw Malformed
+    val rootRef = xd.get("Root") match {
+      case Some(PRef(rr)) => rr
+      case _ => throw Malformed
+    }
+
+    // object-stream cache: (decoded content, header pairs, First)
+    val objStmCache = scala.collection.mutable.Map
+      .empty[Int, (Array[Byte], Vector[(Int, Int)], Int)]
+    def objStm(num: Int): (Array[Byte], Vector[(Int, Int)], Int) =
+      objStmCache.getOrElseUpdate(num, {
+        if (num <= 0 || num >= size || !present(num) || tpe(num) != 1)
+          throw Malformed
+        val (sd, sl) = objAt(b, f2(num), num)
+        if (sd.get("Type") != Some(PName("ObjStm"))) throw Malformed
+        val content = readStream(sd, sl)
+        val n = sd.get("N") match {
+          case Some(PNum(v)) if v >= 1 && v == math.floor(v) => v.toInt
+          case _ => throw Malformed
+        }
+        val first = sd.get("First") match {
+          case Some(PNum(v)) if v >= 0 && v == math.floor(v) => v.toInt
+          case _ => throw Malformed
+        }
+        if (first > content.length) throw Malformed
+        val hl = new Lexer(content)
+        val pairs = Vector.fill(n) {
+          val on = hl.number(); val off = hl.number()
+          if (on != math.floor(on) || off != math.floor(off) ||
+            on < 1 || off < 0) throw Malformed
+          (on.toInt, off.toInt)
+        }
+        if (hl.p > first) throw Malformed // header must fit in /First
+        pairs.foldLeft(-1) { case (prev, (_, off)) =>
+          if (off <= prev || first + off > content.length) throw Malformed
+          off
+        }
+        (content, pairs, first)
+      })
+
+    def load(num: Int): (Map[String, Obj], Lexer, Boolean) = {
+      if (num <= 0 || num >= size || !present(num)) throw Malformed
+      tpe(num) match {
+        case 1 =>
+          val (m, l) = objAt(b, f2(num), num)
+          (m, l, true)
+        case 2 =>
+          val (content, pairs, first) = objStm(f2(num).toInt)
+          val idx = f3(num)
+          if (idx < 0 || idx >= pairs.length) throw Malformed
+          val (hdrNum, off) = pairs(idx.toInt)
+          if (hdrNum != num) throw Malformed // the lying-index catch
+          val l = new Lexer(content)
+          l.p = first + off
+          l.obj(0) match {
+            case PDict(m) => (m, l, false)
+            case _ => throw Malformed
+          }
+        case _ => throw Malformed // free or unknown type on the graph
+      }
+    }
+    graphWalk(size, load, rootRef)
+      .copy(nCompressed = (1 until size).count(i => present(i) && tpe(i) == 2))
+  }
+
+  /** Catalog → Pages → per-page content walk + text-op tokenizer,
+    * shared by both xref flavors. `load` returns (dict, lexer
+    * positioned after the dict, isTopLevel) — objects inside an
+    * object stream are NOT top-level: they carry no `endobj` and may
+    * not own streams (the spec's ObjStm rule; the stream-read path
+    * requires top-level and quarantines otherwise). */
+  private def graphWalk(size: Int,
+                        load: Int => (Map[String, Obj], Lexer, Boolean),
+                        rootRef: Int): Extract = {
+    def endObj(l: Lexer, top: Boolean): Unit =
+      if (top) { l.skipWs(); l.expect("endobj") }
 
     // catalog -> pages -> kids
-    val (cat, lc) = load(rootRef)
+    val (cat, lc, ct) = load(rootRef)
     if (cat.get("Type") != Some(PName("Catalog"))) throw Malformed
-    endObj(lc)
+    endObj(lc, ct)
     val pagesRef = cat.get("Pages") match {
       case Some(PRef(r)) => r
       case _ => throw Malformed
     }
-    val (pages, lp) = load(pagesRef)
+    val (pages, lp, pt) = load(pagesRef)
     if (pages.get("Type") != Some(PName("Pages"))) throw Malformed
-    endObj(lp)
+    endObj(lp, pt)
     val kids = pages.get("Kids") match {
       case Some(PArr(ks)) => ks.map {
         case PRef(r) => r
@@ -369,39 +583,17 @@ object PdfText {
     var nOps = 0
 
     kids.foreach { pref =>
-      val (page, lg) = load(pref)
+      val (page, lg, gt) = load(pref)
       if (page.get("Type") != Some(PName("Page"))) throw Malformed
       if (page.get("Parent") != Some(PRef(pagesRef))) throw Malformed
-      endObj(lg)
+      endObj(lg, gt)
       val cref = page.get("Contents") match {
         case Some(PRef(r)) => r
         case _ => throw Malformed
       }
-      val (sd, ls) = load(cref)
-      val len = sd.get("Length") match {
-        case Some(PNum(v)) if v >= 0 && v == math.floor(v) => v.toLong
-        case _ => throw Malformed
-      }
-      if (sd.get("Filter") != Some(PName("FlateDecode"))) throw Malformed
-      // `stream` then CRLF or LF, exactly Length bytes, EOL, `endstream`
-      ls.skipWs()
-      ls.expect("stream")
-      if (ls.p < b.length && b(ls.p) == '\r') ls.p += 1
-      if (ls.p >= b.length || b(ls.p) != '\n') throw Malformed
-      ls.p += 1
-      if (ls.p + len > b.length) throw Malformed
-      val raw = java.util.Arrays.copyOfRange(b, ls.p, ls.p + len.toInt)
-      ls.p += len.toInt
-      if (ls.p < b.length && b(ls.p) == '\r') ls.p += 1
-      if (ls.p < b.length && b(ls.p) == '\n') ls.p += 1
-      ls.expect("endstream") // a lying /Length breaks exactly here
-      endObj(ls)
-      // /Length must tile the filtered data EXACTLY: zlibDecode is
-      // strict about trailing bytes (Deflate.scala's no-trailing-
-      // garbage rule), so a length one high — which smuggles the EOL
-      // byte into the stream span yet still lands on `endstream` —
-      // dies here, not at the framing check
-      val content = DeflateCodec.zlibDecode(raw).getOrElse(throw Malformed)
+      val (sd, ls, st) = load(cref)
+      if (!st) throw Malformed // streams may not live inside an ObjStm
+      val content = readStream(sd, ls)
 
       // content tokenizer: postfix operand/operator stream
       val cl = new Lexer(content)
@@ -502,8 +694,8 @@ object PdfSim {
   }
 
   /** One page's content stream (pre-Flate). */
-  private def pageContent(docId: Long, page: Int, tb: Array[Byte],
-                          lo: Int, hi: Int): Array[Byte] = {
+  private[operators] def pageContent(docId: Long, page: Int, tb: Array[Byte],
+                                     lo: Int, hi: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes(UTF_8))
     val half = lo + (hi - lo) / 2
@@ -604,6 +796,160 @@ object PdfSim {
               case Some(x) =>
                 Iterator.single(Row(id, x.nPages.toLong, x.nObjects.toLong,
                   x.nTextOps.toLong, x.textBytes.length.toLong, x.kernSum,
+                  java.util.Arrays.equals(x.textBytes,
+                    text.getBytes(UTF_8))))
+              case None => Iterator.empty
+            }
+          }
+        }
+      }(enc)
+  }
+}
+
+/** The PDF 1.5 twin of [[PdfSim]]: the SAME document model (same page
+  * split, same text ops, same kerning) but with the modern file
+  * structure real corpora actually ship — non-stream objects
+  * (catalog, pages, page dicts, font) compressed into ONE object
+  * stream, content streams top-level (streams may not nest), and a
+  * cross-reference STREAM (/W [1 4 2]) closing the file. Object
+  * numbering: content 4+2i, font 3+2n, ObjStm 4+2n, XRef 5+2n ⇒
+  * size = 6+2n, n_objects = 5+2n, n_compressed = n+3.
+  *
+  * Damage %7: 0 → truncation; 3 → the catalog's type-2 entry LIES
+  * about its index within the ObjStm (points one slot over — every
+  * byte of the ObjStm intact; only the header-objnum-at-index check
+  * objects); 5 → /W lies ([1 3 2] declared over [1 4 2] data — the
+  * rows×rowWidth tiling rule objects, not the parse). */
+object PdfXSim {
+  import java.nio.charset.StandardCharsets.UTF_8
+
+  private[graft] def nPages(docId: Long): Int = PdfSim.nPages(docId)
+
+  private[graft] def build(docId: Long, text: String,
+                           lieIndex: Boolean = false,
+                           lieW: Boolean = false): Array[Byte] = {
+    val n = nPages(docId)
+    val tb = text.getBytes(UTF_8)
+    val L = tb.length
+    val fontObj = 3 + 2 * n
+    val objStmObj = 4 + 2 * n
+    val xrefObj = 5 + 2 * n
+    val size = 6 + 2 * n
+
+    // ---- the object stream: catalog, pages, page dicts, font ----
+    val members: Seq[(Int, String)] =
+      Seq(1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+        2 -> ("<< /Type /Pages /Kids [" +
+          (0 until n).map(i => s"${3 + 2 * i} 0 R").mkString(" ") +
+          s"] /Count $n >>")) ++
+      (0 until n).map { i =>
+        (3 + 2 * i) ->
+          (s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+            s"/Resources << /Font << /F1 $fontObj 0 R >> >> " +
+            s"/Contents ${4 + 2 * i} 0 R >>")
+      } ++
+      Seq(fontObj -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    val bodies = members.map(_._2.getBytes(UTF_8))
+    val offs = bodies.scanLeft(0)((a, bb) => a + bb.length + 1).init
+    val header = members.zip(offs)
+      .map { case ((num, _), o) => s"$num $o" }.mkString(" ") + "\n"
+    val first = header.getBytes(UTF_8).length
+    val objStmContent = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(header.getBytes(UTF_8))
+      bodies.foreach { bb => o.write(bb); o.write(' ') }
+      o.toByteArray
+    }
+    val objStmFlate = DeflateCodec.zlibEncode(objStmContent, 1 << 16)
+
+    // ---- file assembly ----
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(UTF_8))
+    val offsets = new Array[Long](size)
+    w("%PDF-1.5\n")
+    for (i <- 0 until n) {
+      val contObj = 4 + 2 * i
+      val lo = (i.toLong * L / n).toInt
+      val hi = ((i + 1).toLong * L / n).toInt
+      val flate = DeflateCodec.zlibEncode(
+        PdfSim.pageContent(docId, i, tb, lo, hi), 1 << 16)
+      offsets(contObj) = out.size()
+      w(s"$contObj 0 obj\n<< /Length ${flate.length} /Filter /FlateDecode >>\nstream\n")
+      out.write(flate)
+      w("\nendstream\nendobj\n")
+    }
+    offsets(objStmObj) = out.size()
+    w(s"$objStmObj 0 obj\n<< /Type /ObjStm /N ${members.length} /First $first " +
+      s"/Length ${objStmFlate.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(objStmFlate)
+    w("\nendstream\nendobj\n")
+
+    // ---- the cross-reference stream ----
+    val xrefAt = out.size()
+    offsets(xrefObj) = xrefAt
+    // entry table: (type, f2, f3) per object number
+    val entries = new Array[(Int, Long, Long)](size)
+    entries(0) = (0, 0L, 65535L)
+    members.zipWithIndex.foreach { case ((num, _), idx) =>
+      val lied = if (lieIndex && num == 1) idx + 1 else idx
+      entries(num) = (2, objStmObj.toLong, lied.toLong)
+    }
+    (0 until n).foreach { i =>
+      entries(4 + 2 * i) = (1, offsets(4 + 2 * i), 0L)
+    }
+    entries(objStmObj) = (1, offsets(objStmObj), 0L)
+    entries(xrefObj) = (1, xrefAt.toLong, 0L)
+    val data = new java.io.ByteArrayOutputStream()
+    entries.foreach { case (t, a, c) =>
+      data.write(t)
+      data.write(((a >> 24) & 0xff).toInt); data.write(((a >> 16) & 0xff).toInt)
+      data.write(((a >> 8) & 0xff).toInt); data.write((a & 0xff).toInt)
+      data.write(((c >> 8) & 0xff).toInt); data.write((c & 0xff).toInt)
+    }
+    val xFlate = DeflateCodec.zlibEncode(data.toByteArray, 1 << 16)
+    val wDecl = if (lieW) "[1 3 2]" else "[1 4 2]"
+    w(s"$xrefObj 0 obj\n<< /Type /XRef /Size $size /W $wDecl /Root 1 0 R " +
+      s"/Length ${xFlate.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(xFlate)
+    w("\nendstream\nendobj\n")
+    w(s"startxref\n$xrefAt\n" + "%%EOF\n")
+    out.toByteArray
+  }
+
+  private[graft] def payloadFor(docId: Long, text: String): Array[Byte] =
+    (docId % 7) match {
+      case 0 =>
+        val clean = build(docId, text)
+        java.util.Arrays.copyOf(clean, clean.length - 6)
+      case 3 => build(docId, text, lieIndex = true)
+      case 5 => build(docId, text, lieW = true)
+      case _ => build(docId, text)
+    }
+
+  val rowSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_pages", LongType),
+    StructField("n_objects", LongType),
+    StructField("n_compressed", LongType),
+    StructField("n_text_ops", LongType),
+    StructField("text_bytes", LongType),
+    StructField("kern_sum", LongType),
+    StructField("roundtrip_ok", BooleanType)))
+
+  def rows(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(rowSchema)
+    docs.select(col("doc_id"), col("text"))
+      .mapPartitions { it =>
+        it.grouped(Multimodal.BATCH_SIZE).flatMap { batch =>
+          batch.iterator.flatMap { r =>
+            val id = r.getLong(0)
+            val text = r.getString(1)
+            PdfText.extractXrefStream(PdfXSim.payloadFor(id, text)) match {
+              case Some(x) =>
+                Iterator.single(Row(id, x.nPages.toLong, x.nObjects.toLong,
+                  x.nCompressed.toLong, x.nTextOps.toLong,
+                  x.textBytes.length.toLong, x.kernSum,
                   java.util.Arrays.equals(x.textBytes,
                     text.getBytes(UTF_8))))
               case None => Iterator.empty

@@ -1955,6 +1955,14 @@ object PipelineQueries {
     "d163_pdf_text" -> ((s, dir) =>
       PdfSim.rows(s, docs(s, dir)).orderBy("doc_id")),
 
+    // PDF 1.5: the SAME document model through the modern file
+    // structure real corpora ship — xref STREAM (/W widths, tiling
+    // rule) + object streams (catalog/pages/font compressed as
+    // type-2 entries, header-objnum-at-index validated). Damage:
+    // truncation / a lying type-2 index / a lying /W
+    "d166_pdf_xref_stream" -> ((s, dir) =>
+      PdfXSim.rows(s, docs(s, dir)).orderBy("doc_id")),
+
     // numpy .npy/.npz — the array interchange format precomputed
     // features and embedding dumps ship in: the dict-literal header
     // grammar parsed strictly, the shape-vs-bytes rule, and .npz as a
@@ -4316,6 +4324,19 @@ object PipelineQueries {
         |   FROM d, range(4) x(i) WHERE i < 1 + doc_id % 4 GROUP BY doc_id)
         | SELECT d.doc_id, (1 + d.doc_id % 4)::BIGINT AS n_pages,
         |  (3 + 2*(1 + d.doc_id % 4))::BIGINT AS n_objects,
+        |  (2*(1 + d.doc_id % 4))::BIGINT AS n_text_ops,
+        |  d.L::BIGINT AS text_bytes, k.kern_sum, TRUE AS roundtrip_ok
+        | FROM d JOIN k USING (doc_id) ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
+    // pdf 1.5: same closed form as d163 with the xref-stream object
+    // count (catalog+pages+font+pages compressed => n+3; total
+    // objects = content n + ObjStm + XRef + compressed = 5+2n)
+    "d166_pdf_xref_stream" ->
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS L FROM documents WHERE doc_id % 7 NOT IN (0, 3, 5)),
+        | k AS (SELECT doc_id, sum(-(100 + (doc_id + i) % 50))::BIGINT AS kern_sum
+        |   FROM d, range(4) x(i) WHERE i < 1 + doc_id % 4 GROUP BY doc_id)
+        | SELECT d.doc_id, (1 + d.doc_id % 4)::BIGINT AS n_pages,
+        |  (5 + 2*(1 + d.doc_id % 4))::BIGINT AS n_objects,
+        |  ((1 + d.doc_id % 4) + 3)::BIGINT AS n_compressed,
         |  (2*(1 + d.doc_id % 4))::BIGINT AS n_text_ops,
         |  d.L::BIGINT AS text_bytes, k.kern_sum, TRUE AS roundtrip_ok
         | FROM d JOIN k USING (doc_id) ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),

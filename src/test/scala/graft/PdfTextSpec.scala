@@ -99,6 +99,52 @@ class PdfTextSpec extends AnyFunSuite {
     assert(PdfText.extract(gen.getBytes("ISO-8859-1")).isEmpty)
   }
 
+  test("xref stream: roundtrip through the 1.5 structure (d166)") {
+    import graft.operators.PdfXSim
+    for (docId <- Seq(1L, 2L, 4L, 6L, 8L, 9L, 11L, 13L, 15L, 16L, 18L, 20L)) {
+      if (docId % 7 != 0 && docId % 7 != 3 && docId % 7 != 5) {
+        val x = PdfText.extractXrefStream(PdfXSim.build(docId, TEXT)).get
+        assert(x.nPages == (1 + docId % 4).toInt)
+        assert(x.nObjects == 5 + 2 * x.nPages)
+        assert(x.nCompressed == x.nPages + 3)
+        assert(x.nTextOps == 2 * x.nPages)
+        assert(java.util.Arrays.equals(x.textBytes, utf8(TEXT)),
+          s"doc $docId text bytes")
+        assert(x.kernSum ==
+          (0 until x.nPages).map(i => -(100 + (docId + i) % 50)).sum)
+      }
+    }
+    // the flavors don't cross-accept: each quarantines the other's
+    // anchor (scope rule)
+    assert(PdfText.extract(PdfXSim.build(2L, TEXT)).isEmpty)
+    assert(PdfText.extractXrefStream(PdfSim.build(2L, TEXT)).isEmpty)
+  }
+
+  test("xref stream damage grid: truncation, the lying index, the lying /W") {
+    import graft.operators.PdfXSim
+    for (docId <- Seq(0L, 7L, 14L, 21L, 3L, 10L, 17L, 24L, 5L, 12L, 19L, 26L))
+      assert(PdfText.extractXrefStream(PdfXSim.payloadFor(docId, TEXT)).isEmpty,
+        s"doc $docId should quarantine")
+    for (docId <- Seq(1L, 2L, 4L, 6L))
+      assert(PdfText.extractXrefStream(PdfXSim.payloadFor(docId, TEXT)).nonEmpty)
+  }
+
+  test("xref stream truncation sweep (sampled) quarantines before the anchor") {
+    import graft.operators.PdfXSim
+    val clean = PdfXSim.build(2L, TEXT.take(120))
+    assert(PdfText.extractXrefStream(
+      java.util.Arrays.copyOf(clean, clean.length - 1)).nonEmpty)
+    // dense sweep over the structural tail (xref stream + trailer) +
+    // a stride through the body
+    val lastComplete = clean.length - 1
+    ((1 until lastComplete by 7) ++ (lastComplete - 400 until lastComplete))
+      .foreach { keep =>
+        assert(PdfText.extractXrefStream(
+          java.util.Arrays.copyOf(clean, keep)).isEmpty,
+          s"truncation to $keep")
+      }
+  }
+
   /** Minimal single-page PDF around a given (uncompressed) content
     * string, Flate-encoded, with a correct xref — the harness for the
     * grammar tests above. */
