@@ -1955,6 +1955,15 @@ object PipelineQueries {
     "d163_pdf_text" -> ((s, dir) =>
       PdfSim.rows(s, docs(s, dir)).orderBy("doc_id")),
 
+    // CBOR under RFC 8949 DETERMINISTIC encoding — msgpack's IETF
+    // sibling with one more rule class: map keys sorted by the
+    // bytewise order of their encoded form (the rule that makes two
+    // deterministic encoders byte-identical). Damage: truncation /
+    // a non-canonical width / the first two map entries SWAPPED
+    // (bytes intact — only the key-order rule objects)
+    "d167_cbor" -> ((s, dir) =>
+      CborSim.rows(s, docs(s, dir)).orderBy("doc_id")),
+
     // PDF 1.5: the SAME document model through the modern file
     // structure real corpora ship — xref STREAM (/W widths, tiling
     // rule) + object streams (catalog/pages/font compressed as
@@ -4340,6 +4349,19 @@ object PipelineQueries {
         |  (2*(1 + d.doc_id % 4))::BIGINT AS n_text_ops,
         |  d.L::BIGINT AS text_bytes, k.kern_sum, TRUE AS roundtrip_ok
         | FROM d JOIN k USING (doc_id) ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
+    // cbor: the d162 record model under RFC 8949 deterministic
+    // encoding — identical closed-form replay (widths and key order
+    // are structure-side rules; the FIELD VALUES replay the same)
+    "d167_cbor" ->
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS tb FROM documents WHERE doc_id % 7 NOT IN (0, 3, 5)),
+        | blob AS (SELECT doc_id, sum((doc_id*5 + k) % 97)::BIGINT AS bs FROM d, range(33) x(k)
+        |   WHERE k < 16 + doc_id % 17 GROUP BY doc_id)
+        | SELECT d.doc_id, 12::BIGINT AS n_keys, d.doc_id::BIGINT AS id_val,
+        |  (5000000000 + d.doc_id)::BIGINT AS huge_val,
+        |  (-200 - d.doc_id % 30000)::BIGINT AS neg16_val,
+        |  tb::BIGINT AS text_bytes, (1 + d.doc_id % 4)::BIGINT AS n_tags,
+        |  blob.bs AS blob_sum, d.doc_id % 3 = 0 AS flag
+        | FROM d JOIN blob USING (doc_id) ORDER BY d.doc_id""".stripMargin.replaceAll("\n", " "),
     // msgpack: every field replays closed-form (the integer widths
     // are data, not structure; text bytes off the table)
     "d162_msgpack" ->
