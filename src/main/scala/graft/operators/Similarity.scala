@@ -497,6 +497,49 @@ object Similarity {
     topKFromScored(scored, k)
   }
 
+  /** Incremental index maintenance — the operation that makes the
+    * d164 index a WAREHOUSE rather than a one-shot export: new
+    * vectors are assigned to cells MAP-ONLY against the STORED
+    * centroids (no retraining, no touch of existing cell files) and
+    * appended as new parquet files under their cell partitions. At
+    * 100 TB this is the daily-ingest shape: the append writes only
+    * |batch| rows; probes see old + new rows through the same pruned
+    * partition scan. Centroids staying fixed is the documented
+    * trade: cell balance degrades as the distribution drifts, and
+    * the refresh is an offline rebuild ([[writeIvfIndex]]), exactly
+    * like the d66 postings rebuild. */
+  def appendIvfIndex(spark: SparkSession, path: String,
+                     emb: DataFrame): Unit = {
+    val cents = readIvfCentroids(spark, path)
+    emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("n", norm(col("v")))
+      .withColumn("cell", assignCell(col("v"), cents))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
+  }
+
+  /** d168 verdict: probing an index built from a base slice then
+    * APPENDED with the rest must return EXACTLY what a from-scratch
+    * rebuild over the full corpus returns (same centroids — the
+    * append contract is "probes cannot tell"), counts equal + zero
+    * asymmetric rows over the oracle-computable nq·k total. */
+  def ivfAppendVerdict(spark: SparkSession, basePath: String,
+                       fullPath: String, queries: DataFrame,
+                       k: Int, nProbe: Int = 2): DataFrame = {
+    val appended = ivfTopKFromIndex(spark, basePath, queries, k, nProbe)
+      .select(col("q_id"), col("rank"), col("neighbor_id"))
+    val rebuilt = ivfTopKFromIndex(spark, fullPath, queries, k, nProbe)
+      .select(col("q_id"), col("rank"), col("neighbor_id"))
+    val keys = Seq("q_id", "rank", "neighbor_id")
+    rebuilt.agg(count(lit(1)).as("n_topk"))
+      .crossJoin(appended.join(rebuilt, keys, "left_anti")
+        .agg(count(lit(1)).as("_extra")))
+      .crossJoin(rebuilt.join(appended, keys, "left_anti")
+        .agg(count(lit(1)).as("_missing")))
+      .select(col("n_topk"),
+        (col("_extra") === 0 && col("_missing") === 0)
+          .as("append_matches_rebuild"))
+  }
+
   /** d164 verdict: the index probe must return EXACTLY the in-memory
     * IVF's hits (same centroids, same algebra, different storage) —
     * counts equal and zero asymmetric rows, hashed as booleans over

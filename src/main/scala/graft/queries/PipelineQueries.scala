@@ -36,6 +36,10 @@ object PipelineQueries {
   private val ivfIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** d168's appended-vs-rebuilt index pair, once per sf dir. */
+  private val ivfAppendCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
   /** d158's batch-trained bigram LM, once per sf dir (same trade). */
   private val lmModelCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Map[String, Long], Map[String, Long], Long)]()
@@ -1955,6 +1959,30 @@ object PipelineQueries {
     "d163_pdf_text" -> ((s, dir) =>
       PdfSim.rows(s, docs(s, dir)).orderBy("doc_id")),
 
+    // incremental IVF maintenance (the daily-ingest shape): build
+    // the index from the 4/5 base slice, APPEND the held-out 1/5
+    // map-only against the stored centroids (no retraining, no touch
+    // of existing cell files), and prove probes cannot tell it from
+    // a from-scratch rebuild over the full corpus
+    "d168_ann_append" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = ivfCentroidCache.computeIfAbsent(dir,
+        _ => Similarity.trainIvfCentroids(e))
+      val paths = ivfAppendCache.computeIfAbsent(dir, _ => {
+        val base = trackTemp(java.nio.file.Files
+          .createTempDirectory("graft_ivf_app").toString)
+        val full = trackTemp(java.nio.file.Files
+          .createTempDirectory("graft_ivf_reb").toString)
+        Similarity.writeIvfIndex(e.filter(col("vec_id") % 5 =!= 0), base,
+          centroids = Some(cents))
+        Similarity.appendIvfIndex(s, base, e.filter(col("vec_id") % 5 === 0))
+        Similarity.writeIvfIndex(e, full, centroids = Some(cents))
+        (base, full)
+      })
+      Similarity.ivfAppendVerdict(s, paths._1, paths._2,
+        e.filter(col("vec_id") < 50), k = 5)
+    }),
+
     // CBOR under RFC 8949 DETERMINISTIC encoding — msgpack's IETF
     // sibling with one more rule class: map keys sorted by the
     // bytewise order of their encoded form (the rule that makes two
@@ -2905,6 +2933,10 @@ object PipelineQueries {
     "d164_ann_warehouse" ->
       """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 50)::BIGINT * 5 AS n_topk,
         | true AS index_matches_memory""".stripMargin.replaceAll("\n", " "),
+    // d168: same verdict algebra over the appended-vs-rebuilt pair
+    "d168_ann_append" ->
+      """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 50)::BIGINT * 5 AS n_topk,
+        | true AS append_matches_rebuild""".stripMargin.replaceAll("\n", " "),
     "d41_kmeans_cluster" ->
       """SELECT (SELECT count(*) FROM embeddings)::BIGINT AS n_vecs,
         | 8::BIGINT AS k, true AS cohesion_improves""".stripMargin.replaceAll("\n", " "),
