@@ -62,9 +62,14 @@ object Tables {
       .config("spark.ui.enabled", "false")
       // keep the catalog warehouse out of the working directory: a
       // default session drops a `spark-warehouse/` dir wherever it
-      // starts (repo root under sbt test, any cwd under the CLIs)
+      // starts (repo root under sbt test, any cwd under the CLIs).
+      // Per-JVM suffix: managed tables are written and read within
+      // one session (saveAsTable/writeBucketed gates), and two
+      // concurrent JVMs (bench alongside sbt test) must not collide
+      // on the same managed-table directories.
       .config("spark.sql.warehouse.dir",
-        s"${System.getProperty("java.io.tmpdir")}/graft_spark_warehouse")
+        s"${System.getProperty("java.io.tmpdir")}/graft_spark_warehouse_" +
+          java.lang.ProcessHandle.current().pid())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

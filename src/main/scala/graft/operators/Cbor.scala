@@ -269,9 +269,25 @@ object CborSim {
       case 0 => java.util.Arrays.copyOf(clean, clean.length - 4)
       case 3 =>
         // re-encode the "small" value (a < 24 immediate, 1 byte) at
-        // ai 26 (5 bytes): locate it right after the "small" key
+        // ai 26 (5 bytes). The offset is computed STRUCTURALLY — sum
+        // the spans of the canonically-sorted entries before "small" —
+        // not by byte search: a text value containing the ASCII
+        // substring "esmall" would otherwise match first and the
+        // damage would land inside the string, changing the damage
+        // class this case advertises (non-canonical width only).
         val key = Cbor.encode(VStr("small"))
-        val at = indexOfSlice(clean, key) + key.length
+        val entries = recordFor(docId, text) match {
+          case VMap(kvs) => kvs.map { case (k, v) =>
+            (Cbor.encode(VStr(k)), Cbor.encode(v))
+          }.sortWith((a, b) => Cbor.byteLt(a._1, b._1))
+          case _ => sys.error("unreachable")
+        }
+        var at = 1 // 1-byte map head (12 < 24 entries)
+        var i = 0
+        while (!java.util.Arrays.equals(entries(i)._1, key)) {
+          at += entries(i)._1.length + entries(i)._2.length; i += 1
+        }
+        at += key.length
         val v = clean(at) & 0xff // immediate uint byte (major 0)
         val out = new Array[Byte](clean.length + 4)
         System.arraycopy(clean, 0, out, 0, at)
@@ -305,17 +321,6 @@ object CborSim {
         out
       case _ => clean
     }
-  }
-
-  private def indexOfSlice(hay: Array[Byte], needle: Array[Byte]): Int = {
-    var i = 0
-    while (i + needle.length <= hay.length) {
-      var j = 0
-      while (j < needle.length && hay(i + j) == needle(j)) j += 1
-      if (j == needle.length) return i
-      i += 1
-    }
-    -1
   }
 
   val rowSchema: StructType = StructType(Seq(

@@ -136,8 +136,12 @@ object PdfText {
       while (!eof && !isWs(cur) && !isDelim(cur)) {
         if (cur == '#') { // #xx hex escape in names
           if (p + 2 >= b.length) throw Malformed
-          val h = Integer.parseInt(new String(b, p + 1, 2, "ISO-8859-1"), 16)
-          sb.append(h.toChar); p += 3
+          // Non-hex digits after '#' (e.g. /A#G1) are malformed input,
+          // not a crash: quarantine like every other lexer error.
+          val hi = Character.digit((b(p + 1) & 0xff).toChar, 16)
+          val lo = Character.digit((b(p + 2) & 0xff).toChar, 16)
+          if (hi < 0 || lo < 0) throw Malformed
+          sb.append(((hi << 4) | lo).toChar); p += 3
         } else { sb.append(cur.toChar); p += 1 }
       }
       sb.toString

@@ -595,9 +595,18 @@ object IngestCli {
     // live stdout spills land on a SHARED filesystem under the
     // warehouse (executors on a real cluster cannot read the driver's
     // /tmp); --spill-dir points them elsewhere (e.g. a scratch FS).
-    // Deleted after the ingest materializes, even on error paths.
-    val spill = if (live0) Some(a.spillDir.getOrElse(
-      a.warehouse.stripSuffix("/") + "/_sacct_spill")) else None
+    // The post-ingest cleanup deletes the spill path RECURSIVELY, so
+    // what gets deleted must be graft-owned: the default base
+    // (<warehouse>/_sacct_spill) is ours and is removed whole, but a
+    // user-supplied --spill-dir may be an existing shared scratch
+    // location — spills land in a per-run subdirectory beneath it and
+    // only that subdirectory is deleted; pre-existing contents
+    // survive the ingest.
+    val spill = if (live0) Some(a.spillDir match {
+      case None => a.warehouse.stripSuffix("/") + "/_sacct_spill"
+      case Some(base) => base.stripSuffix("/") + "/graft_run_" +
+        java.util.UUID.randomUUID().toString.take(12)
+    }) else None
     try ingestBody(spark, a, spill)
     finally spill.foreach(SacctSource.deleteSpillDir(spark, _))
   }

@@ -71,6 +71,33 @@ class CborSpec extends AnyFunSuite {
       assert(Cbor.decode(CborSim.payloadFor(docId, TEXT)).nonEmpty)
   }
 
+  test("case-3 damage lands on the real 'small' entry, not inside text") {
+    // text deliberately contains the encoded-key byte pattern for
+    // "small" (0x65 's' 'm' 'a' 'l' 'l'): a byte-search locator would
+    // corrupt the string body instead of widening the "small" value.
+    val trap = "esmall decoy esmall " + TEXT
+    val damaged = CborSim.payloadFor(3L, trap)
+    assert(Cbor.decode(damaged).isEmpty, "still quarantines")
+    // the advertised damage class: widen-only — restoring the value's
+    // five ai-26 bytes back to the immediate form recovers the clean
+    // payload byte-for-byte, which only holds if the damage hit the
+    // real map entry (a string-body hit cannot be undone this way)
+    val clean = Cbor.encode(CborSim.recordFor(3L, trap))
+    val key = Cbor.encode(VStr("small"))
+    var at = -1
+    var i = 0
+    while (at < 0 && i + key.length <= clean.length) {
+      if (clean.slice(i, i + key.length).sameElements(key) &&
+          damaged.length == clean.length + 4 &&
+          (damaged(i + key.length) & 0xff) == 0x1a) at = i + key.length
+      i += 1
+    }
+    assert(at >= 0, "damage site is the byte after the real 'small' key")
+    val undone = damaged.slice(0, at) ++
+      Array(damaged(at + 4)) ++ damaged.slice(at + 5, damaged.length)
+    assert(undone.sameElements(clean), "widen-only damage class")
+  }
+
   test("every truncation quarantines; every appended byte too") {
     val clean = CborSim.payloadFor(1L, TEXT)
     (1 until clean.length).foreach { keep =>

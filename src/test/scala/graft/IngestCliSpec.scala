@@ -421,6 +421,28 @@ class IngestCliSpec extends AnyFunSuite {
       "driver-local sacct temp files must not outlive the ingest")
   }
 
+  test("user-supplied --spill-dir: pre-existing contents survive the ingest") {
+    val (bin, _) = stubSacct()
+    val scratch = SparkTestSession.tmpDir("graft_shared_scratch")
+    // the documented use case: an EXISTING shared scratch location
+    // with other tenants' files in it
+    val keeper = scratch.resolve("someone_elses_checkpoint.bin")
+    Files.write(keeper, Array[Byte](1, 2, 3))
+    val wh = freshDir()
+    val a = IngestCli.parse(Seq(wh, "--sacct-bin", bin,
+      "--spill-dir", scratch.toString,
+      "--now", nowPin.toString)).toOption.get
+    assert(IngestCli.ingest(spark, a).toOption.get == 0)
+    assert(Files.exists(keeper),
+      "pre-existing scratch contents must survive the ingest cleanup")
+    // while this run's own spill subdirectory is gone
+    val leftover = scratch.toFile.listFiles()
+    assert(leftover == null ||
+      !leftover.exists(_.getName.startsWith("graft_run_")),
+      "the per-run spill subdirectory must be deleted")
+    assert(SlurmWarehouse.read(spark, wh).count() == direct.count())
+  }
+
   test("sacct subprocess runs with TZ=UTC (window interpretation is pinned)") {
     import graft.slurm.SacctSource
     // a stub that echoes its TZ: the -S/-E rendering (slurmTs, UTC)

@@ -86,6 +86,13 @@ class PdfTextSpec extends AnyFunSuite {
     assert(PdfText.extract(handBuild("BT (a) Tj (b) ET")).isEmpty)
     // the minimal clean shape decodes
     assert(PdfText.extract(handBuild("BT (a) Tj ET")).nonEmpty)
+    // a name with a non-hex #xx escape quarantines (Option contract),
+    // never throws — /A#G1 has 'G' where a hex digit must be
+    assert(PdfText.extract(handBuild("BT /A#G1 12 Tf (a) Tj ET")).isEmpty)
+    // truncated escape at name end quarantines too
+    assert(PdfText.extract(handBuild("BT /A#4 12 Tf (a) Tj ET")).isEmpty)
+    // while a VALID #xx escape resolves (#46 = 'F')
+    assert(PdfText.extract(handBuild("BT /#461 12 Tf (a) Tj ET")).nonEmpty)
   }
 
   test("graph strictness: count mismatch, wrong parent, missing root") {
