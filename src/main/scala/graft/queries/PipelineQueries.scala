@@ -116,6 +116,68 @@ object PipelineQueries {
       trackTemp(base.toString)
     })
 
+  /** Generic wave stager (the d165 mechanics, reused by d169/d170):
+    * writes `df` split by `waveOf` into single-file parquets with
+    * strictly increasing mtimes, so the file-stream source +
+    * maxFilesPerTrigger=1 replays each wave as its own micro-batch. */
+  private def stageWaves(df: DataFrame, base: java.nio.file.Path,
+                         nWaves: Int): Unit =
+    (0 until nWaves).foreach { w =>
+      val tmp = base.resolve(s"_w$w").toString
+      df.filter(col("wave") === w).drop("wave").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      val dst = base.resolve(s"wave$w.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      dst.toFile.setLastModified(1700000000000L + w * 60000L)
+    }
+
+  /** d169's out-of-order session waves: (user_id, ts, value) split
+    * into three waves by event_id % 3 — each wave spans the full time
+    * range, so waves 1–2 arrive mostly late. Event times are
+    * minute-truncated + 1 s and the gate uses gap = 1807 s / horizon
+    * = 1801 s, so every protocol comparison (late filter ts vs
+    * watermark ≡ :01 vs :00 mod minute; timeout lastTs+gap ≡ :08 vs
+    * watermark ≡ :00) is equality-free — the oracle replay is
+    * boundary-proof by construction (the d165 lesson). */
+  private val sessionStreamCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def sessionStreamDir(s: SparkSession, dir: String): String =
+    sessionStreamCache.computeIfAbsent(dir, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_sess")
+      val ev = Tables.load(s, dir, "events")
+        .select(pmod(col("event_id"), lit(3)).as("wave"), col("user_id"),
+          (date_trunc("minute", col("ts")) + expr("INTERVAL 1 SECOND")).as("ts"),
+          col("value"))
+      stageWaves(ev, base, 3)
+      trackTemp(base.toString)
+    })
+
+  /** d170's two-sided waves: events split by event_id parity into a
+    * left and a right stream, each split into three waves by
+    * (event_id / 2) % 3. Tolerance 307 s / horizon 1801 s keep every
+    * band and watermark comparison equality-free (ts ≡ :01, band
+    * edges ≡ :08/:54, watermark ≡ :00 mod minute). */
+  private val corrStreamCache = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def corrStreamDirs(s: SparkSession, dir: String): (String, String) =
+    corrStreamCache.computeIfAbsent(dir, _ => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"),
+          pmod(floor(col("event_id") / 2).cast("long"), lit(3)).as("wave"),
+          col("user_id"),
+          (date_trunc("minute", col("ts")) + expr("INTERVAL 1 SECOND")).as("ts"),
+          col("value"))
+      val lbase = java.nio.file.Files.createTempDirectory("graft_stream_corr_l")
+      val rbase = java.nio.file.Files.createTempDirectory("graft_stream_corr_r")
+      stageWaves(ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .drop("event_id"), lbase, 3)
+      stageWaves(ev.filter(pmod(col("event_id"), lit(2)) === 1)
+        .drop("event_id"), rbase, 3)
+      (trackTemp(lbase.toString), trackTemp(rbase.toString))
+    })
+
   /** The IMA step table for the d110 oracle, sourced from the decoder
     * itself so the SQL replay can never drift from the Scala walk. */
   private val AdpcmOracleSteps: String =
@@ -904,6 +966,80 @@ object PipelineQueries {
           col("event_type"), col("n"),
           rd(col("total_value"), 2).as("total_value")))
         .orderBy("window_start", "event_type")
+    }),
+
+    // q12's streaming twin under genuine out-of-order arrival: gap
+    // sessions via flatMapGroupsWithState + EVENT-TIME TIMEOUT. Three
+    // waves (event_id % 3) arrive as separate micro-batches; the
+    // oracle replays the MEASURED protocol closed-form
+    // (tools/StreamProbe3): late rows in batch b are dropped against
+    // the watermark from batch b-2's stats, inline closes follow the
+    // q12 gap rule over (arrival-batch, ts) processing order, and the
+    // trailing no-data batches fire the remaining timeouts up to
+    // wmf = max(ts) - horizon — a final session whose lastTs + gap
+    // exceeds wmf stays open and is NOT emitted. gap 1807 s /
+    // horizon 1801 s make every comparison equality-free.
+    "d169_stream_sessions" -> ((s, dir) => {
+      val path = sessionStreamDir(s, dir)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(path)
+      val sink = "d169_out_" + streamGateN.incrementAndGet()
+      val q = graft.streaming.EventStream.sessionize(s, stream,
+          gapSeconds = 1807, horizon = "1801 seconds")
+        .writeStream.outputMode("append").format("memory")
+        .queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      drainSink(s, sink, s.table(sink).select(
+          col("user_id"), col("session_start"), col("n_events"),
+          rd(col("session_value"), 2).as("session_value")))
+        .orderBy("user_id", "session_start")
+    }),
+
+    // Stream-stream interval join (click↔impression correlate): both
+    // sides buffer watermark-bounded state; the inner-join emission
+    // rule reduces to "both rows passed their arrival-batch late
+    // filter" (a row's band partner is always younger than the
+    // eviction threshold — that is WHY wm − tolerance eviction is
+    // safe), so the oracle replays the band join over the kept rows
+    // with the measured b-2 watermark (global = min across the two
+    // sides' columns). Tolerance 307 s keeps band edges equality-free.
+    "d170_stream_correlate" -> ((s, dir) => {
+      val (lpath, rpath) = corrStreamDirs(s, dir)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      val ls = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(lpath)
+      val rs = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(rpath)
+      val sink = "d170_out_" + streamGateN.incrementAndGet()
+      val q = graft.streaming.EventStream.correlate(ls, rs,
+          toleranceS = 307, horizon = "1801 seconds")
+        .writeStream.outputMode("append").format("memory")
+        .queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      drainSink(s, sink, s.table(sink).select(
+          col("user_id"),
+          date_format(col("l_ts"), "yyyy-MM-dd HH:mm:ss").as("l_ts"),
+          date_format(col("r_ts"), "yyyy-MM-dd HH:mm:ss").as("r_ts"),
+          rd(col("l_value"), 2).as("l_value"),
+          rd(col("r_value"), 2).as("r_value")))
+        .orderBy("user_id", "l_ts", "r_ts", "l_value", "r_value")
     }),
 
     // DSIR importance weighting: target seed = the English slice,
@@ -3048,6 +3184,58 @@ object PipelineQueries {
         |  count(*)::BIGINT AS n, round(sum(value), 2) AS total_value
         | FROM kept, wm WHERE wend <= wmf
         | GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
+    // closed-form replay of the MEASURED flatMapGroupsWithState
+    // protocol (StreamProbe3): batch-b late filter uses batch b-2's
+    // stats (only wave 2 is filtered, against wave 0's max); inline
+    // session breaks follow the q12 gap rule over (wave, ts)
+    // processing order — a negative inter-wave gap MERGES (the state
+    // machine's lastTs moves backward); the final no-data batches
+    // fire timeouts up to wmf, so each user's last session emits iff
+    // its last event + gap is under wmf
+    "d169_stream_sessions" ->
+      """WITH e AS (SELECT user_id, date_trunc('minute', ts) + INTERVAL 1 SECOND AS ts,
+        |   value, event_id % 3 AS wave FROM events),
+        | wm AS (SELECT
+        |   (SELECT max(ts) FROM e WHERE wave = 0) - INTERVAL 1801 SECOND AS wm2,
+        |   (SELECT max(ts) FROM e) - INTERVAL 1801 SECOND AS wmf),
+        | kept AS (SELECT e.* FROM e, wm WHERE wave <= 1 OR ts > wm2),
+        | ord AS (SELECT user_id, wave, ts, value,
+        |   lag(ts) OVER (PARTITION BY user_id ORDER BY wave, ts) AS prev_ts FROM kept),
+        | brk AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |    OR floor(epoch(ts))::BIGINT - floor(epoch(prev_ts))::BIGINT > 1807
+        |   THEN 1 ELSE 0 END AS new_sess FROM ord),
+        | sid AS (SELECT *, (sum(new_sess) OVER (PARTITION BY user_id ORDER BY wave, ts
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id FROM brk),
+        | sess AS (SELECT user_id, session_id,
+        |   floor(epoch(first(ts ORDER BY wave, ts)))::BIGINT AS session_start,
+        |   count(*)::BIGINT AS n_events, round(sum(value), 2) AS session_value,
+        |   floor(epoch(last(ts ORDER BY wave, ts)))::BIGINT AS last_ts
+        |  FROM sid GROUP BY user_id, session_id)
+        | SELECT user_id, session_start, n_events, session_value
+        | FROM (SELECT sess.*, max(session_id) OVER (PARTITION BY user_id) AS max_sid,
+        |   floor(epoch(wm.wmf))::BIGINT AS wmf_s FROM sess, wm)
+        | WHERE session_id < max_sid OR wmf_s > last_ts + 1807
+        | ORDER BY user_id, session_start""".stripMargin.replaceAll("\n", " "),
+    // stream-stream interval join replay: a pair emits iff BOTH rows
+    // passed their arrival-batch late filter (global watermark = min
+    // across the two sides' columns, b-2 stats lag) and the band
+    // condition holds — state eviction at wm − tolerance can never
+    // drop a pair whose partner is on-time, which is exactly why that
+    // eviction bound is safe at 100 TB
+    "d170_stream_correlate" ->
+      """WITH e AS (SELECT user_id, date_trunc('minute', ts) + INTERVAL 1 SECOND AS ts,
+        |   value, event_id % 2 AS side, (event_id // 2) % 3 AS wave FROM events),
+        | wm AS (SELECT least(
+        |   (SELECT max(ts) FROM e WHERE side = 0 AND wave = 0),
+        |   (SELECT max(ts) FROM e WHERE side = 1 AND wave = 0)) - INTERVAL 1801 SECOND AS wm2),
+        | kl AS (SELECT user_id, ts, value FROM e, wm WHERE side = 0 AND (wave <= 1 OR ts > wm2)),
+        | kr AS (SELECT user_id, ts, value FROM e, wm WHERE side = 1 AND (wave <= 1 OR ts > wm2))
+        | SELECT kl.user_id, strftime(kl.ts, '%Y-%m-%d %H:%M:%S') AS l_ts,
+        |  strftime(kr.ts, '%Y-%m-%d %H:%M:%S') AS r_ts,
+        |  round(kl.value, 2) AS l_value, round(kr.value, 2) AS r_value
+        | FROM kl JOIN kr ON kl.user_id = kr.user_id
+        |  AND kr.ts >= kl.ts - INTERVAL 307 SECOND AND kr.ts <= kl.ts + INTERVAL 307 SECOND
+        | ORDER BY 1, 2, 3, 4, 5""".stripMargin.replaceAll("\n", " "),
     // d13-style verdict oracle: the totals from the tables, `true`
     // for every claimed property — hash matches iff the IVF-armed
     // fusion actually held its recall and overlap floors in-plan

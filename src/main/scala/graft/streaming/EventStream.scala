@@ -383,31 +383,68 @@ object EventStream {
       .toDF()
   }
 
-  /** Gap-based sessionization (30 min), one state entry per live user. */
+  /** Gap-based sessionization (30 min), one state entry per live user.
+    *
+    * EVENT-TIME TIMEOUT (r16): a session also closes when the
+    * watermark passes `lastTs + gap` — the q12 end-of-data closure,
+    * incrementalized. Without it (the pre-r16 NoTimeout form) an open
+    * session only ever closed when a LATER event for the same user
+    * arrived, so one-visit users were never emitted and state never
+    * shrank. The timeout fires only in a batch where the group has NO
+    * data (Spark calls the function with the new data otherwise), and
+    * the firing watermark carries the measured one-batch stats lag
+    * (tools/StreamProbe3 pins the protocol the d169 oracle replays).
+    * State: one SessionState per live user; the timeout is what
+    * bounds the live set on a real stream. */
   def sessionize(spark: SparkSession, events: DataFrame,
-                 gapSeconds: Long = 1800): DataFrame = {
+                 gapSeconds: Long = 1800,
+                 horizon: String = "30 minutes"): DataFrame = {
     import spark.implicits._
     val ds = events.select(col("user_id").cast("long"), col("ts"),
-      col("value")).as[Ev]
+      col("value")).withWatermark("ts", horizon).as[Ev]
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(
+        GroupStateTimeout.EventTimeTimeout)(
         (uid: Long, evs: Iterator[Ev], state: GroupState[SessionState]) => {
-          // sort the microbatch slice; real deployments bound slice size
-          // via watermark + trigger interval
-          val sorted = evs.toSeq.sortBy(_.ts.getTime)
-          var st = state.getOption.orNull
-          val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
-          sorted.foreach { e =>
-            val t = e.ts.getTime / 1000
-            if (st == null) st = SessionState(t, t, 1, e.value)
-            else if (t - st.lastTs > gapSeconds) {
-              closed += Session(uid, st.start, st.n, st.value)
-              st = SessionState(t, t, 1, e.value)
-            } else st = st.copy(lastTs = t, n = st.n + 1, value = st.value + e.value)
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(Session(uid, st.start, st.n, st.value))
+          } else {
+            // sort the microbatch slice; real deployments bound slice
+            // size via watermark + trigger interval
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            var st = state.getOption.orNull
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime / 1000
+              if (st == null) st = SessionState(t, t, 1, e.value)
+              else if (t - st.lastTs > gapSeconds) {
+                closed += Session(uid, st.start, st.n, st.value)
+                st = SessionState(t, t, 1, e.value)
+              } else st = st.copy(lastTs = t, n = st.n + 1, value = st.value + e.value)
+            }
+            if (st != null) {
+              val end = (st.lastTs + gapSeconds) * 1000L
+              if (end <= state.getCurrentWatermarkMs) {
+                // the session is ALREADY expired against the current
+                // watermark (a late slice, or a user quiet while the
+                // stream advanced): close it NOW. Deferring via a
+                // clamped timeout (wm + ε) is a semantic trap — when
+                // the watermark never advances again the clamped
+                // timeout never fires and the session silently never
+                // emits; closing inline keeps the emission rule the
+                // closed form the d169 oracle replays
+                // (emit iff lastTs + gap < final watermark).
+                closed += Session(uid, st.start, st.n, st.value)
+                state.remove()
+              } else {
+                state.update(st)
+                state.setTimeoutTimestamp(end)
+              }
+            }
+            closed.iterator
           }
-          if (st != null) state.update(st)
-          closed.iterator
         })
       .toDF()
   }

@@ -964,6 +964,25 @@ object ScaleRehearsal {
           bmQ, col("text"), col("doc_id"), 10).count()
       ratio("d60 bm25 topk", bm(base), bm(big))
     }
+    st("hundred") { // d66: the documented answer to d60's measured
+      // 121x knee — the postings index is PREBUILT OFFLINE (parquet,
+      // untimed, the warehouse trade), so the probe pays pruned index
+      // scans instead of per-run corpus re-tokenization
+      def indexed(df: org.apache.spark.sql.DataFrame, tag: String): String = {
+        val p = java.nio.file.Files.createTempDirectory(s"reh_bm25_$tag").toString
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))))
+        Retrieval.postings(df, col("text"), col("doc_id"))
+          .write.mode("overwrite").parquet(p)
+        p
+      }
+      lazy val idx1 = indexed(base, "1x")
+      lazy val idxN = indexed(big, "Nx")
+      def probe(p: String): Long =
+        Retrieval.bm25FromIndex(spark.read.parquet(p), bmQ,
+          col("text"), col("doc_id"), 10).count()
+      ratio("d66 bm25 warehouse probe", probe(idx1), probe(idxN))
+    }
     st("hundred") { // d155 PROBE path: lex arm + IVF arm (pre-trained
       // centroids — the deployment split; the verdict's brute arm is
       // the proof, not the plan) fused by RRF

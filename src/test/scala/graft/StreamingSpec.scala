@@ -204,6 +204,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getAs[Double]("session_value") == 3.0)
   }
 
+  test("sessionize event-time timeout emits a one-visit user once the watermark passes") {
+    // the r16 upgrade: under NoTimeout a single-event user was NEVER
+    // emitted (no later event to close the session) and state never
+    // shrank. With EventTimeTimeout the timeout fires in the first
+    // batch where the group has no data and the CURRENT watermark
+    // (b-1 stats — StreamProbe3) exceeds lastTs + gap.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val sdf = stream.toDF().toDF("user_id", "ts", "value")
+    val q = EventStream.sessionize(spark, sdf).writeStream
+      .outputMode("append").format("memory").queryName("sess_to_out").start()
+    stream.addData(Seq((1L, ts("2024-01-01 10:00:00"), 5.0)))
+    q.processAllAvailable()
+    // watermark after this batch: 12:00 − 30 min = 11:30 > 10:30
+    stream.addData(Seq((9L, ts("2024-01-01 12:00:00"), 1.0)))
+    q.processAllAvailable()
+    // u1 has no data here and the current watermark (11:30) passed
+    // its timeout (10:30) → the timeout fires IN this batch
+    stream.addData(Seq((9L, ts("2024-01-01 12:01:00"), 1.0)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sess_to_out")
+      .filter(col("user_id") === 1L).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("n_events") == 1L)
+    assert(out(0).getAs[Double]("session_value") == 5.0)
+  }
+
+  test("sessionize merges a late out-of-order slice backward (no spurious split)") {
+    // StreamProbe3's u6: a wave-1 event 10 min BEFORE its wave-0
+    // predecessor is within the gap (negative diff), so it MERGES and
+    // the state machine's lastTs moves backward — n=2, one session.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val sdf = stream.toDF().toDF("user_id", "ts", "value")
+    val q = EventStream.sessionize(spark, sdf).writeStream
+      .outputMode("append").format("memory").queryName("sess_merge_out").start()
+    // anchor LOW (05:10 → watermark 04:40) so the out-of-order 04:50
+    // stays above the late filter even though MemoryStream runs
+    // no-data batches between addData calls (unlike the staged-file
+    // gate, where the filter lags one batch — StreamProbe3)
+    stream.addData(Seq((6L, ts("2024-01-01 05:00:00"), 6.0),
+      (9L, ts("2024-01-01 05:10:00"), 1.0)))
+    q.processAllAvailable()
+    stream.addData(Seq((6L, ts("2024-01-01 04:50:00"), 0.1)))
+    q.processAllAvailable()
+    // advance the watermark past u6's session end (05:20), then one
+    // more batch so the timeout fires in a u6-quiet data batch
+    stream.addData(Seq((9L, ts("2024-01-01 07:00:00"), 1.0)))
+    q.processAllAvailable()
+    stream.addData(Seq((9L, ts("2024-01-01 07:01:00"), 1.0)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sess_merge_out")
+      .filter(col("user_id") === 6L).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Long]("session_start") == ts("2024-01-01 05:00:00").getTime / 1000,
+      "session start is the FIRST-PROCESSED event's time, not min(ts)")
+    assert(r.getAs[Long]("n_events") == 2L)
+    assert(math.abs(r.getAs[Double]("session_value") - 6.1) < 1e-9)
+  }
+
   test("streaming dedup keeps first doc per content hash across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

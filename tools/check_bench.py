@@ -1,10 +1,10 @@
 #!/usr/bin/env python3
-"""Bench regression check — the official rule (r12 policy).
+"""Bench regression check — r12 raw rule + r16 string-calibration annex.
 
-SURVEY §8.12's cross-day data shows the single-thread calib carries
+SURVEY §8.12's cross-day data shows the single-thread FP calib carries
 ±25% error on this host (turbo/thermal regimes), wider than the 10%
-drift threshold it was built to guard. So the regression rule is RAW
-and gated, not calib-normalized:
+drift threshold it was built to guard. So the default regression rule
+is RAW and gated, not calib-normalized:
 
   1. the artifact must have host_contended == false — a flagged run is
      not evidence of anything; rerun on a quiet host instead,
@@ -14,21 +14,61 @@ and gated, not calib-normalized:
      the plan (or rerun: agreement across two clean runs is the
      tie-breaker).
 
-Calib-normalized ratios remain a DIAGNOSTIC within one run's thermal
-regime (pre/post drift, par ratio); they are never the cross-day rule.
+r16 annex (VERDICT r15 item 1): the host's STRING/allocation
+throughput oscillates ~2x across hours while FP throughput stays flat
+(measured calib_str 0.231 -> 0.126 -> 0.149 across one afternoon,
+calib_sec ~0.30 throughout — SURVEY §8.19/§8.20). That drift inflates
+the tokenization-heavy rows against their r10/r11-era baseline entries
+and read as fake REGRESSIONs two rounds running, each adjudicated
+manually via tools/ab_tree.sh. The annex makes that adjudication
+automatic WITHOUT touching the pinned historic baseline:
 
-Usage: check_bench.py [BENCH_LAST.json [BASELINE_BENCH.json]]
-Exit: 0 ok, 1 regression, 2 contended (rerun).
+  - BASELINE_STR.json is ONE clean-window full sweep recorded with its
+    own calib_str_sec (r16; pinned like BASELINE_BENCH — never
+    refreshed per-round).
+  - The STR_FAMILY rows (the measured drift trackers — the d26/d28/
+    d30/d43/d63/d68/d82 set the r14/r15 verdicts watched, plus d01/
+    d64/d96 from the same A/B evidence) are adjudicated NORMALIZED:
+      (row / calib_str_sec) / (annex_row / annex_calib_str_sec)
+    family total > 1.20 or a single family row > 1.5x (normalized)
+    -> regression. The wider total threshold absorbs the probe's own
+    noise; a real plan regression shows up as a specific row blowing
+    the 1.5x per-row rule regardless.
+  - Everything else keeps the raw rule vs the historic baseline, with
+    the family rows EXCLUDED from the raw shared total (they are what
+    made it lie).
+
+Without BASELINE_STR.json (or an artifact predating calib_str_sec)
+the check degrades to the pure r12 raw rule.
+
+Usage: check_bench.py [BENCH_LAST.json [BASELINE_BENCH.json [BASELINE_STR.json]]]
+Exit: 0 ok, 1 regression, 2 contended (rerun), 3 format.
 """
 import json
+import os
 import sys
+
+# Measured string-drift trackers (see module doc). Membership is
+# evidence-based, not vibes: each row moved with calib_str across the
+# r14/r15 A/B windows while the FP calib sat flat.
+STR_FAMILY = {
+    "d01_dedup_exact", "d26_token_freq", "d28_ngram_repetition",
+    "d30_line_cleanup", "d43_dsir_weight", "d63_incremental_curation",
+    "d64_lm_score", "d68_cross_corpus_dedup", "d82_bpe_train",
+    "d96_pack_manifest",
+}
 
 
 def main():
     bench_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_LAST.json"
     base_path = sys.argv[2] if len(sys.argv) > 2 else "BASELINE_BENCH.json"
+    str_path = sys.argv[3] if len(sys.argv) > 3 else os.path.join(
+        os.path.dirname(base_path) or ".", "BASELINE_STR.json")
     b = json.load(open(bench_path))
     base = json.load(open(base_path))
+    annex = None
+    if os.path.exists(str_path):
+        annex = json.load(open(str_path))
     if b.get("host_contended"):
         print("HOST CONTENDED (max_spread %.2f, calib %.3f->%.3f, par %.3f): "
               "rerun on a quiet host before comparing" % (
@@ -41,37 +81,83 @@ def main():
         sys.exit(3)
     shared = {k: v for k, v in b["queries"].items()
               if k in base["queries"] and v >= 0}
-    st = sum(shared.values())
-    bt = sum(base["queries"][k] for k in shared)
-    if not shared or bt <= 0:
+    if not shared:
         print("no comparable shared queries - check artifact format")
         sys.exit(3)
-    ratio = st / bt
-    print("raw shared ratio: %.2f / %.2f = %.3f over %d queries"
-          % (st, bt, ratio, len(shared)))
-    bad = [(k, v, base["queries"][k]) for k, v in shared.items()
-           if base["queries"][k] > 0.05 and v / base["queries"][k] > 1.5]
+
+    # --- split: string-family rows go to the annex rule when possible
+    cs = b.get("calib_str_sec", 0) or 0
+    annex_ok = (annex is not None and cs > 0
+                and (annex.get("calib_str_sec", 0) or 0) > 0
+                and "queries" in annex)
+    fam = {}
+    if annex_ok:
+        fam = {k: v for k, v in shared.items()
+               if k in STR_FAMILY and annex["queries"].get(k, -1) > 0}
+    rest = {k: v for k, v in shared.items() if k not in fam}
+
+    regression = False
+
+    # --- raw rule over the non-family remainder (the r12 rule)
+    st = sum(rest.values())
+    bt = sum(base["queries"][k] for k in rest)
+    if bt > 0:
+        ratio = st / bt
+        print("raw shared ratio (non-str rows): %.2f / %.2f = %.3f over %d queries"
+              % (st, bt, ratio, len(rest)))
+        if ratio > 1.10:
+            regression = True
+            print("REGRESSION: raw shared total > 1.10x baseline")
     reruns = b.get("reruns", {})
-    for k, v, bv in sorted(bad, key=lambda x: -x[1] / x[2]):
-        # r15: rows over 1.5x got ONE deferred re-run at sweep end
-        # (min taken); a row still elevated here survived temporal
-        # de-correlation, so it's a plan signal, not a window artifact
-        rr = reruns.get(k)
-        note = (" [rerun: first %.2fs -> %.2fs, min kept]"
-                % (rr["first"], rr["rerun"])) if rr else ""
-        print("  elevated: %-24s %.2fs vs baseline %.2fs (%.2fx)%s"
-              % (k, v, bv, v / bv, note))
-    if ratio > 1.10:
-        print("REGRESSION: raw shared total > 1.10x baseline")
+
+    def flag_rows(rows, denom, kind):
+        bad = sorted(rows, key=lambda x: -x[1] / x[2])
+        for k, v, bv in bad:
+            rr = reruns.get(k)
+            note = (" [rerun: first %.2fs -> %.2fs, min kept]"
+                    % (rr["first"], rr["rerun"])) if rr else ""
+            print("  elevated (%s): %-24s %.2f%s vs baseline %.2f (%.2fx)%s"
+                  % (kind, k, v, denom, bv, v / bv, note))
+        return bad
+
+    raw_bad = flag_rows(
+        [(k, v, base["queries"][k]) for k, v in rest.items()
+         if base["queries"][k] > 0.05 and v / base["queries"][k] > 1.5],
+        "s", "raw")
+
+    # --- annex rule over the string family (r16)
+    fam_bad = []
+    if fam:
+        acs = annex["calib_str_sec"]
+        fn = sum(v / cs for v in fam.values())
+        fd = sum(annex["queries"][k] / acs for k in fam)
+        fratio = fn / fd if fd > 0 else 0
+        print("str-family normalized ratio: %.2f / %.2f = %.3f over %d rows "
+              "(calib_str %.3f vs annex %.3f)"
+              % (fn, fd, fratio, len(fam), cs, acs))
+        fam_bad = flag_rows(
+            [(k, (v / cs) / (annex["queries"][k] / acs), 1.0)
+             for k, v in fam.items()
+             if (v / cs) / (annex["queries"][k] / acs) > 1.5],
+            "x", "str-norm")
+        if fratio > 1.20:
+            regression = True
+            print("REGRESSION: str-family normalized total > 1.20x annex")
+    elif STR_FAMILY & set(shared):
+        print("note: no BASELINE_STR.json annex (or no calib_str_sec) - "
+              "str-family rows fell back to the raw rule; record one "
+              "clean-window sweep as BASELINE_STR.json to stop host "
+              "string-drift masquerading as regression")
+
+    if regression:
         print("  adjudicate before believing it: tools/ab_tree.sh <pinned-commit>"
               " <worst-query> interleaves the same query on the old tree in the"
               " same window; if the old tree reproduces the elevated number the"
-              " host moved, not the plan (r15: the d26/d30/d43 text family read"
-              " ~2x its r10/r11-era baseline rows on BOTH trees while calib_str"
-              " drifted and calib_sec did not)")
+              " host moved, not the plan")
         sys.exit(1)
-    print("OK" + (" (%d elevated single queries - check plans or rerun)"
-                  % len(bad) if bad else ""))
+    nbad = len(fam_bad) + len(raw_bad)
+    print("OK" + ((" (%d elevated single rows - check plans or rerun)" % nbad)
+                  if nbad else ""))
 
 
 if __name__ == "__main__":
