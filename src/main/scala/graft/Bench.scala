@@ -64,7 +64,8 @@ object Bench {
     "d160_mp3_frames", "d161_ogg_pages", "d162_msgpack",
     "d163_pdf_text", "d164_ann_warehouse", "d165_stream_window",
     "d166_pdf_xref_stream", "d167_cbor", "d168_ann_append",
-    "d169_stream_sessions", "d170_stream_correlate")
+    "d169_stream_sessions", "d170_stream_correlate",
+    "d171_parquet_nested")
 
   /** Fixed CPU-bound calibration microbench ("DotBench"): scalar dot
     * products over pinned-size float arrays with deterministic

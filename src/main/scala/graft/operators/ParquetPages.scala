@@ -463,6 +463,7 @@ object ParquetFile {
 
   // parquet enums (parquet-format)
   private val T_INT64 = 2
+  private val T_FLOAT = 4
   private val T_BYTE_ARRAY = 6
   private val ENC_PLAIN = 0
   private val ENC_PLAIN_DICT = 2
@@ -653,6 +654,318 @@ object ParquetFile {
     }
     writeFooter(out, rows.length.toLong, rgMeta, codec)
     out.toByteArray
+  }
+
+  /** One logical row of the d171 nested table: a required int64 id
+    * and an `array<float>` column — None = null list, Some(elems)
+    * with None elements = null entries (the full definition ladder). */
+  private[graft] type NestedRow = (Long, Option[Seq[Option[Float]]])
+
+  private def le32f(v: Float): Array[Byte] = {
+    val bits = java.lang.Float.floatToIntBits(v)
+    Array((bits & 0xFF).toByte, ((bits >> 8) & 0xFF).toByte,
+      ((bits >> 16) & 0xFF).toByte, ((bits >> 24) & 0xFF).toByte)
+  }
+
+  /** Write the d171 nested file: (doc_id int64, emb array<float>) with
+    * the standard 3-level LIST layout Spark writes — optional group
+    * emb (LIST) { repeated group list { optional float element } },
+    * max_def 3 / max_rep 1 — one page per chunk per row group,
+    * v1 pages ([len][rep RLE][len][def RLE][PLAIN floats]) or v2
+    * (levels outside the compressed region, lengths in the header).
+    * `lieStats` fakes the first row group's element max_value one
+    * quarter low (the d126 audit class through the nested column);
+    * `lieRows` declares the first emb v2 page's num_rows one high
+    * (the STRUCTURAL lie — a wrong row count re-chunks every list;
+    * only the repetition-level audit catches it) or, through v1
+    * pages, inflates the chunk's declared num_values (the level
+    * sections no longer tile). */
+  private[graft] def writeNested(rows: Seq[NestedRow], rowGroupCut: Int,
+                                 codec: Int, v2: Boolean,
+                                 lieStats: Boolean = false,
+                                 lieRows: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(4096)
+    out.write(MAGIC, 0, 4)
+    val groups = rows.grouped(rowGroupCut).toSeq
+    // the stats lie must target a row group that HAS float values —
+    // a group of only null/empty lists writes no stats to lie about
+    val lieGi = groups.indexWhere(_.exists(_._2.exists(_.exists(_.isDefined))))
+    val rgMeta = groups.zipWithIndex.map { case (g, gi) =>
+      // ---- doc_id: required flat int64, PLAIN (no level sections)
+      val idVals = new java.io.ByteArrayOutputStream(8 * g.length)
+      var idMin = Long.MaxValue
+      var idMax = Long.MinValue
+      g.foreach { case (id, _) =>
+        idVals.write(le64bytes(id), 0, 8)
+        if (id < idMin) idMin = id
+        if (id > idMax) idMax = id
+      }
+      val idPage = if (v2)
+        dataPageV2Req(codec, g.length, idVals.toByteArray)
+      else dataPageReq(codec, g.length, idVals.toByteArray)
+      // ---- emb: the level ladder
+      val reps = Array.newBuilder[Int]
+      val defs = Array.newBuilder[Int]
+      val vals = new java.io.ByteArrayOutputStream(64)
+      var slots = 0
+      var present = 0
+      var fMin = Float.MaxValue
+      var fMax = Float.MinValue
+      g.foreach { case (_, emb) =>
+        emb match {
+          case None => reps += 0; defs += 0; slots += 1
+          case Some(Nil) => reps += 0; defs += 1; slots += 1
+          case Some(elems) =>
+            elems.zipWithIndex.foreach { case (e, j) =>
+              reps += (if (j == 0) 0 else 1)
+              slots += 1
+              e match {
+                case None => defs += 2
+                case Some(v) =>
+                  defs += 3
+                  present += 1
+                  vals.write(le32f(v), 0, 4)
+                  if (v < fMin) fMin = v
+                  if (v > fMax) fMax = v
+              }
+            }
+        }
+      }
+      val repB = ParquetCodec.rleHybridEncode(reps.result(), 1)
+      val defB = ParquetCodec.rleHybridEncode(defs.result(), 2)
+      val declaredSlots =
+        if (lieRows && gi == 0 && !v2) slots + 1 else slots
+      val embPage = if (v2)
+        dataPageV2Nested(codec, slots,
+          if (lieRows && gi == 0) g.length + 1 else g.length,
+          slots - present, repB, defB, vals.toByteArray)
+      else dataPageNested(codec, declaredSlots, repB, defB, vals.toByteArray)
+      val statMax = if (lieStats && gi == lieGi && present > 0)
+        fMax - 0.25f else fMax
+      (g.length.toLong, Seq(
+        Chunk(idPage._1, idPage._2, T_INT64, "doc_id", g.length.toLong,
+          Some((idMin, idMax))),
+        NChunk(embPage._1, embPage._2, declaredSlots.toLong,
+          (slots - present).toLong,
+          if (present > 0) Some((fMin, statMax)) else None)))
+    }
+    // ---- layout + footer (self-contained: the nested schema tree)
+    val offs = rgMeta.map { case (_, cols) =>
+      cols.map { c =>
+        val o = out.size().toLong
+        val bytes = c match {
+          case ch: Chunk => ch.bytes
+          case nc: NChunk => nc.bytes
+        }
+        out.write(bytes, 0, bytes.length)
+        o
+      }
+    }
+    val w = new TWriter
+    w.struct { f =>
+      f.i32(1, 1)
+      f.list(2, 12, 5) { // root + doc_id + emb/list/element
+        w.structElem { s => s.str(4, "graft_schema"); s.i32(5, 2) }
+        w.structElem { s =>
+          s.i32(1, T_INT64.toLong); s.i32(3, 0); s.str(4, "doc_id")
+        }
+        w.structElem { s =>
+          s.i32(3, 1); s.str(4, "emb"); s.i32(5, 1); s.i32(6, 3) // LIST
+        }
+        w.structElem { s => s.i32(3, 2); s.str(4, "list"); s.i32(5, 1) }
+        w.structElem { s =>
+          s.i32(1, T_FLOAT.toLong); s.i32(3, 1); s.str(4, "element")
+        }
+      }
+      f.i64(3, rows.length.toLong)
+      f.list(4, 12, rgMeta.length) {
+        rgMeta.zip(offs).foreach { case ((nRows, cols), os) =>
+          w.structElem { rg =>
+            rg.list(1, 12, 2) {
+              // doc_id
+              w.structElem { cc =>
+                cc.i64(2, os(0))
+                cc.structField(3) { md =>
+                  md.i32(1, T_INT64.toLong)
+                  md.list(2, 5, 2) {
+                    w.i32Elem(ENC_PLAIN.toLong); w.i32Elem(ENC_RLE.toLong)
+                  }
+                  md.list(3, 8, 1) { w.binElem("doc_id".getBytes("UTF-8")) }
+                  md.i32(4, codec.toLong)
+                  val ch = cols(0).asInstanceOf[Chunk]
+                  md.i64(5, ch.numValues)
+                  md.i64(6, ch.uncompressed)
+                  md.i64(7, ch.bytes.length.toLong)
+                  md.i64(9, os(0))
+                  md.structField(12) { st =>
+                    st.i64(3, 0L)
+                    ch.stats.foreach { case (mn, mx) =>
+                      st.bin(5, le64bytes(mx)); st.bin(6, le64bytes(mn))
+                    }
+                  }
+                }
+              }
+              // emb.list.element
+              w.structElem { cc =>
+                cc.i64(2, os(1))
+                cc.structField(3) { md =>
+                  md.i32(1, T_FLOAT.toLong)
+                  md.list(2, 5, 2) {
+                    w.i32Elem(ENC_PLAIN.toLong); w.i32Elem(ENC_RLE.toLong)
+                  }
+                  md.list(3, 8, 3) {
+                    w.binElem("emb".getBytes("UTF-8"))
+                    w.binElem("list".getBytes("UTF-8"))
+                    w.binElem("element".getBytes("UTF-8"))
+                  }
+                  md.i32(4, codec.toLong)
+                  val nc = cols(1).asInstanceOf[NChunk]
+                  md.i64(5, nc.numValues)
+                  md.i64(6, nc.uncompressed)
+                  md.i64(7, nc.bytes.length.toLong)
+                  md.i64(9, os(1))
+                  md.structField(12) { st =>
+                    st.i64(3, nc.nulls)
+                    nc.stats.foreach { case (mn, mx) =>
+                      st.bin(5, le32f(mx)); st.bin(6, le32f(mn))
+                    }
+                  }
+                }
+              }
+            }
+            rg.i64(2, cols.map {
+              case ch: Chunk => ch.uncompressed
+              case nc: NChunk => nc.uncompressed
+            }.sum)
+            rg.i64(3, nRows)
+          }
+        }
+      }
+      f.str(6, "graft-d171")
+    }
+    val footer = w.bytes
+    out.write(footer, 0, footer.length)
+    le32(out, footer.length)
+    out.write(MAGIC, 0, 4)
+    out.toByteArray
+  }
+
+  private final case class NChunk(bytes: Array[Byte], uncompressed: Long,
+                                  numValues: Long, nulls: Long,
+                                  stats: Option[(Float, Float)])
+
+  /** v1 page for a REQUIRED flat column: no level sections at all. */
+  private def dataPageReq(codec: Int, n: Int,
+                          values: Array[Byte]): (Array[Byte], Long) = {
+    val comp = compress(codec, values)
+    val w = new TWriter
+    w.struct { s =>
+      s.i32(1, 0)
+      s.i32(2, values.length.toLong)
+      s.i32(3, comp.length.toLong)
+      s.i32(4, pageCrc(comp).toLong)
+      s.structField(5) { d =>
+        d.i32(1, n.toLong)
+        d.i32(2, ENC_PLAIN.toLong)
+        d.i32(3, 4L) // BIT_PACKED, vacuous (no def section)
+        d.i32(4, 4L)
+      }
+    }
+    val hdr = w.bytes
+    val out = new java.io.ByteArrayOutputStream(comp.length + hdr.length)
+    out.write(hdr, 0, hdr.length)
+    out.write(comp, 0, comp.length)
+    (out.toByteArray, (values.length + hdr.length).toLong)
+  }
+
+  /** v2 page for a REQUIRED flat column. */
+  private def dataPageV2Req(codec: Int, n: Int,
+                            values: Array[Byte]): (Array[Byte], Long) = {
+    val comp = compress(codec, values)
+    val w = new TWriter
+    w.struct { s =>
+      s.i32(1, 3)
+      s.i32(2, values.length.toLong)
+      s.i32(3, comp.length.toLong)
+      s.i32(4, pageCrc(comp).toLong)
+      s.structField(8) { d =>
+        d.i32(1, n.toLong); d.i32(2, 0L); d.i32(3, n.toLong)
+        d.i32(4, ENC_PLAIN.toLong); d.i32(5, 0L); d.i32(6, 0L)
+        d.bool(7, codec != 0)
+      }
+    }
+    val hdr = w.bytes
+    val out = new java.io.ByteArrayOutputStream(comp.length + hdr.length)
+    out.write(hdr, 0, hdr.length)
+    out.write(comp, 0, comp.length)
+    (out.toByteArray, (hdr.length + values.length).toLong)
+  }
+
+  /** v1 nested page: [len][rep RLE][len][def RLE][PLAIN values],
+    * compressed WHOLE (the v1 contract). */
+  private def dataPageNested(codec: Int, declaredSlots: Int,
+                             repB: Array[Byte], defB: Array[Byte],
+                             values: Array[Byte]): (Array[Byte], Long) = {
+    val body = new java.io.ByteArrayOutputStream(
+      repB.length + defB.length + values.length + 8)
+    le32(body, repB.length)
+    body.write(repB, 0, repB.length)
+    le32(body, defB.length)
+    body.write(defB, 0, defB.length)
+    body.write(values, 0, values.length)
+    val raw = body.toByteArray
+    val comp = compress(codec, raw)
+    val w = new TWriter
+    w.struct { s =>
+      s.i32(1, 0)
+      s.i32(2, raw.length.toLong)
+      s.i32(3, comp.length.toLong)
+      s.i32(4, pageCrc(comp).toLong)
+      s.structField(5) { d =>
+        d.i32(1, declaredSlots.toLong)
+        d.i32(2, ENC_PLAIN.toLong)
+        d.i32(3, ENC_RLE.toLong)
+        d.i32(4, ENC_RLE.toLong)
+      }
+    }
+    val hdr = w.bytes
+    val out = new java.io.ByteArrayOutputStream(comp.length + hdr.length)
+    out.write(hdr, 0, hdr.length)
+    out.write(comp, 0, comp.length)
+    (out.toByteArray, (raw.length + hdr.length).toLong)
+  }
+
+  /** v2 nested page: rep + def level bytes OUTSIDE the compressed
+    * region, their lengths in the header, PLAIN float data inside. */
+  private def dataPageV2Nested(codec: Int, slots: Int, declRows: Int,
+                               nulls: Int, repB: Array[Byte],
+                               defB: Array[Byte],
+                               values: Array[Byte]): (Array[Byte], Long) = {
+    val comp = compress(codec, values)
+    val w = new TWriter
+    w.struct { s =>
+      s.i32(1, 3)
+      s.i32(2, (repB.length + defB.length + values.length).toLong)
+      s.i32(3, (repB.length + defB.length + comp.length).toLong)
+      s.i32(4, pageCrc(repB ++ defB ++ comp).toLong)
+      s.structField(8) { d =>
+        d.i32(1, slots.toLong)
+        d.i32(2, nulls.toLong)
+        d.i32(3, declRows.toLong)
+        d.i32(4, ENC_PLAIN.toLong)
+        d.i32(5, defB.length.toLong)
+        d.i32(6, repB.length.toLong)
+        d.bool(7, codec != 0)
+      }
+    }
+    val hdr = w.bytes
+    val out = new java.io.ByteArrayOutputStream(comp.length + hdr.length)
+    out.write(hdr, 0, hdr.length)
+    out.write(repB, 0, repB.length)
+    out.write(defB, 0, defB.length)
+    out.write(comp, 0, comp.length)
+    (out.toByteArray,
+      (hdr.length + repB.length + defB.length + values.length).toLong)
   }
 
   private final case class Chunk(bytes: Array[Byte], uncompressed: Long,
@@ -848,9 +1161,20 @@ object ParquetFile {
     v
   }
 
+  /** Per-leaf-column walk result. Flat columns use the first eight
+    * fields (the pre-r16 shape — every call site constructs them
+    * positionally, so the nested counters default). For LIST leaves
+    * (d171): `rows` = repetition-level-0 slots (the row count the rep
+    * levels encode), `nullLists`/`emptyLists` from the definition
+    * ladder, `nulls` = every slot below max_def (parquet-mr's
+    * null_count convention), `sumF`/`minF`/`maxF` aggregate FLOAT
+    * values (exact for the sim's quarter-floats). */
   private[graft] final case class ColResult(
       path: String, tpe: Int, numValues: Long, nulls: Long,
-      sumInt: Long, minInt: Long, maxInt: Long, byteLen: Long)
+      sumInt: Long, minInt: Long, maxInt: Long, byteLen: Long,
+      rows: Long = 0L, nullLists: Long = 0L, emptyLists: Long = 0L,
+      sumF: Double = 0.0, minF: Double = Double.PositiveInfinity,
+      maxF: Double = Double.NegativeInfinity)
   private[graft] final case class PqInfo(
       numRows: Long, nRowGroups: Int, nPages: Int, cols: Seq[ColResult])
 
@@ -877,16 +1201,58 @@ object ParquetFile {
         case _ => throw Malformed
       }
       if (schema.isEmpty) throw Malformed
-      // (type, optional) per column: REQUIRED columns (max_def 0) have
-      // NO definition-level section in their v1 pages
-      val colTypes = schema.tail.map { s =>
-        val name = new String(fbin(s, 4), "UTF-8")
-        val tpe = fi(s, 1).toInt
-        if (fiOpt(s, 5).exists(_ > 0)) throw Malformed // nesting: out of scope
-        val rep = fiOpt(s, 3).getOrElse(0L)
-        if (rep > 1) throw Malformed // REPEATED: out of scope
-        name -> ((tpe, rep == 1L))
-      }.toMap
+      // leaf table: path -> (type, max_def, max_rep, outer_optional).
+      // Scope (r16, d171): FLAT columns (max_rep 0, max_def <= 1) and
+      // the standard 3-LEVEL LIST — optional/required group (LIST)
+      // { repeated group <mid> { required/optional leaf } } — the
+      // layout Spark writes for array<float>/array<long> columns.
+      // Deeper nesting, MAP, and bare REPEATED leaves stay out of
+      // scope and quarantine. The definition ladder for a list leaf:
+      // def < oOpt -> null list; def == oOpt -> empty list;
+      // def == max_def - 1 (optional element only) -> null element;
+      // def == max_def -> a concrete value. REQUIRED flat columns
+      // (max_def 0) have NO level sections in their v1 pages.
+      val colTypes = {
+        val m = scala.collection.mutable.LinkedHashMap
+          .empty[String, (Int, Int, Int, Int)]
+        def leafOk(t: Int): Unit =
+          if (t != T_INT64 && t != T_BYTE_ARRAY && t != T_FLOAT)
+            throw Malformed
+        var i = 1 // schema(0) is the root
+        while (i < schema.length) {
+          val s = schema(i); i += 1
+          val name = new String(fbin(s, 4), "UTF-8")
+          val rep = fiOpt(s, 3).getOrElse(0L).toInt
+          if (rep < 0 || rep > 1) throw Malformed // top level never REPEATED
+          val nc = fiOpt(s, 5).getOrElse(0L).toInt
+          if (nc == 0) {
+            val tpe = fi(s, 1).toInt
+            leafOk(tpe)
+            m(name) = (tpe, rep, 0, rep)
+          } else {
+            // the LIST annotation is the contract, not decoration:
+            // ConvertedType LIST (3) or the logicalType LIST union arm
+            val isList = fiOpt(s, 6).contains(3L) || (fld(s, 10) match {
+              case Some(lt: TStruct) => lt.f.contains(3)
+              case _ => false
+            })
+            if (!isList || nc != 1 || i + 1 >= schema.length) throw Malformed
+            val mid = schema(i); i += 1
+            if (fiOpt(mid, 3).getOrElse(0L) != 2L ||
+                fiOpt(mid, 5).getOrElse(0L) != 1L) throw Malformed
+            val el = schema(i); i += 1
+            if (fiOpt(el, 5).exists(_ > 0)) throw Malformed
+            val erep = fiOpt(el, 3).getOrElse(0L).toInt
+            if (erep < 0 || erep > 1) throw Malformed
+            val tpe = fi(el, 1).toInt
+            leafOk(tpe)
+            val midName = new String(fbin(mid, 4), "UTF-8")
+            val elName = new String(fbin(el, 4), "UTF-8")
+            m(s"$name.$midName.$elName") = (tpe, rep + 1 + erep, 1, rep)
+          }
+        }
+        m
+      }
       val rowGroups = flist(footer, 4).map {
         case s: TStruct => s
         case _ => throw Malformed
@@ -911,9 +1277,11 @@ object ParquetFile {
               case TBin(v) => new String(v, "UTF-8")
               case _ => throw Malformed
             }.mkString(".")
-            val (schemaTpe, optional) =
+            val (schemaTpe, maxDef, maxRep, oOpt) =
               colTypes.getOrElse(path, throw Malformed)
             if (schemaTpe != tpe) throw Malformed
+            val optional = maxDef > 0
+            val defWidth = 32 - Integer.numberOfLeadingZeros(math.max(maxDef, 1))
             val dataOff = fi(md, 9)
             val dictOff = fiOpt(md, 11)
             var pos = math.min(dataOff, dictOff.getOrElse(dataOff)).toInt
@@ -927,12 +1295,47 @@ object ParquetFile {
               else null
             var dict: Array[Long] = null // int64 dict
             var dictBin: Array[Array[Byte]] = null
+            var dictF: Array[Float] = null // float dict (d171)
             var seen = 0L
             var nulls = 0L
             var sum = 0L
             var mn = Long.MaxValue
             var mx = Long.MinValue
             var blen = 0L
+            // nested counters (d171): rep-0 slots = rows; the def
+            // ladder splits the below-max_def slots
+            var rows0 = 0L
+            var nullL = 0L
+            var emptyL = 0L
+            var fsum = 0.0
+            var fmn = Float.MaxValue
+            var fmx = Float.MinValue
+            // classify one def level; returns true iff a value follows
+            def classifyDef(d: Int): Boolean = {
+              if (d < 0 || d > maxDef) throw Malformed
+              if (d == maxDef) true
+              else {
+                nulls += 1
+                if (maxRep > 0) {
+                  if (d < oOpt) nullL += 1
+                  else if (d == oOpt) emptyL += 1
+                  // d == maxDef - 1 above oOpt: a null ELEMENT —
+                  // already in `nulls`; legal only when the element
+                  // is optional (maxDef == oOpt + 2), else unreachable
+                  // because maxDef == oOpt + 1 makes oOpt == maxDef-1
+                }
+                false
+              }
+            }
+            def addFloat(v: Float): Unit = {
+              fsum += v
+              if (v < fmn) fmn = v
+              if (v > fmx) fmx = v
+            }
+            def le32f(a: Array[Byte], p0: Int): Float =
+              java.lang.Float.intBitsToFloat((a(p0) & 0xFF) |
+                ((a(p0 + 1) & 0xFF) << 8) | ((a(p0 + 2) & 0xFF) << 16) |
+                ((a(p0 + 3) & 0xFF) << 24))
             while (seen < numValues) {
               val tr = new TReader(b, pos, fStart)
               val ph = tr.struct()
@@ -967,6 +1370,9 @@ object ParquetFile {
                     if (page.length != 8 * dn) throw Malformed
                     dict = Array.tabulate(dn)(i =>
                       le64of(java.util.Arrays.copyOfRange(page, 8 * i, 8 * i + 8)))
+                  } else if (tpe == T_FLOAT) {
+                    if (page.length != 4 * dn) throw Malformed
+                    dictF = Array.tabulate(dn)(i => le32f(page, 4 * i))
                   } else {
                     val db = Array.newBuilder[Array[Byte]]
                     var p = 0
@@ -1005,23 +1411,38 @@ object ParquetFile {
                     if (defEnc != ENC_RLE) throw Malformed
                   } else if (defEnc != ENC_RLE && defEnc != 4)
                     throw Malformed
-                  if (repEnc != ENC_RLE && repEnc != 4) throw Malformed
+                  if (maxRep > 0) {
+                    if (repEnc != ENC_RLE) throw Malformed
+                  } else if (repEnc != ENC_RLE && repEnc != 4)
+                    throw Malformed
                   if (pn <= 0 || seen + pn > numValues) throw Malformed
-                  // def levels (OPTIONAL columns only — REQUIRED means
-                  // max_def 0 and the section is omitted entirely):
-                  // 4-byte length prefix, bit width 1
+                  // level sections, rep THEN def, each a 4-byte length
+                  // prefix + RLE-hybrid. REQUIRED flat columns
+                  // (max_def 0) omit both sections entirely; LIST
+                  // leaves (d171) carry both — bit width 1 for rep
+                  // (max_rep 1 in scope), ceil(log2(max_def+1)) for def
                   var nn = pn
                   var p = 0
+                  def levelSection(width: Int): Array[Int] = {
+                    if (p + 4 > page.length) throw Malformed
+                    val ll = (page(p) & 0xFF) | ((page(p + 1) & 0xFF) << 8) |
+                      ((page(p + 2) & 0xFF) << 16) | ((page(p + 3) & 0xFF) << 24)
+                    if (ll < 0 || p + 4 + ll > page.length) throw Malformed
+                    val (levels, lEnd) = rleHybrid(page, p + 4, p + 4 + ll, width, pn)
+                    if (lEnd != p + 4 + ll) throw Malformed
+                    p += 4 + ll
+                    levels
+                  }
+                  if (maxRep > 0)
+                    levelSection(1).foreach { r =>
+                      if (r < 0 || r > maxRep) throw Malformed
+                      if (r == 0) rows0 += 1
+                    }
                   if (optional) {
-                    if (page.length < 4) throw Malformed
-                    val ll = (page(0) & 0xFF) | ((page(1) & 0xFF) << 8) |
-                      ((page(2) & 0xFF) << 16) | ((page(3) & 0xFF) << 24)
-                    if (ll < 0 || 4 + ll > page.length) throw Malformed
-                    val (levels, lEnd) = rleHybrid(page, 4, 4 + ll, 1, pn)
-                    if (lEnd != 4 + ll) throw Malformed
-                    nn = 0
-                    levels.foreach(l => if (l == 1) nn += 1 else nulls += 1)
-                    p = 4 + ll
+                    var pres = 0
+                    levelSection(defWidth).foreach(d =>
+                      if (classifyDef(d)) pres += 1)
+                    nn = pres
                   }
                   enc match {
                     case ENC_PLAIN =>
@@ -1036,6 +1457,14 @@ object ParquetFile {
                           if (v < mn) mn = v
                           if (v > mx) mx = v
                           p += 8
+                          k += 1
+                        }
+                      } else if (tpe == T_FLOAT) {
+                        if (page.length - p != 4 * nn) throw Malformed
+                        var k = 0
+                        while (k < nn) {
+                          addFloat(le32f(page, p))
+                          p += 4
                           k += 1
                         }
                       } else {
@@ -1065,6 +1494,10 @@ object ParquetFile {
                           if (collect != null) collect += v
                           if (v < mn) mn = v
                           if (v > mx) mx = v
+                        } else if (tpe == T_FLOAT) {
+                          if (dictF == null || i >= dictF.length)
+                            throw Malformed
+                          addFloat(dictF(i))
                         } else {
                           if (dictBin == null || i >= dictBin.length)
                             throw Malformed
@@ -1092,33 +1525,53 @@ object ParquetFile {
                     case _ => throw Malformed
                   }
                   if (pn <= 0 || seen + pn > numValues) throw Malformed
-                  if (repLen != 0) throw Malformed // REPEATED out of scope
-                  if (pRows != pn) throw Malformed // unnested: rows == values
-                  if (defLen < 0 || defLen + repLen > cSize ||
+                  if (defLen < 0 || repLen < 0 || defLen + repLen > cSize ||
                       defLen + repLen > uSize) throw Malformed
+                  // v2 level sections sit OUTSIDE the compressed
+                  // region, rep THEN def, no length prefixes (their
+                  // lengths live in the header). Nested leaves (d171)
+                  // must declare rep bytes; flat ones must not.
                   var nn = pn
+                  if (maxRep > 0) {
+                    if (repLen == 0) throw Malformed
+                    val (reps, rEnd) =
+                      rleHybrid(b, rawStart, rawStart + repLen, 1, pn)
+                    if (rEnd != rawStart + repLen) throw Malformed
+                    var r0 = 0L
+                    reps.foreach { r =>
+                      if (r < 0 || r > maxRep) throw Malformed
+                      if (r == 0) r0 += 1
+                    }
+                    rows0 += r0
+                    // the v2 ROW audit: num_rows must agree with the
+                    // repetition levels themselves (the structural lie
+                    // class — a wrong row count re-chunks every list)
+                    if (pRows != r0) throw Malformed
+                  } else {
+                    if (repLen != 0) throw Malformed
+                    if (pRows != pn) throw Malformed // unnested: rows == values
+                  }
                   if (optional) {
-                    val (levels, lEnd) =
-                      rleHybrid(b, rawStart, rawStart + defLen, 1, pn)
-                    if (lEnd != rawStart + defLen) throw Malformed
+                    val (levels, lEnd) = rleHybrid(b, rawStart + repLen,
+                      rawStart + repLen + defLen, defWidth, pn)
+                    if (lEnd != rawStart + repLen + defLen) throw Malformed
                     var nz = 0
-                    levels.foreach(l => if (l == 1) nz += 1)
+                    levels.foreach(l => if (classifyDef(l)) nz += 1)
                     nn = nz
                     // the v2-specific AUDIT: the header's num_nulls must
                     // agree with the definition levels themselves
                     if (declNulls != (pn - nz).toLong) throw Malformed
-                    nulls += pn - nz
                   } else if (defLen != 0 || declNulls != 0L) throw Malformed
                   val dataRaw = uSize - repLen - defLen
                   val data =
                     if (isComp)
-                      decompress(codec, b, rawStart + defLen, rawStart + cSize,
-                        dataRaw)
+                      decompress(codec, b, rawStart + repLen + defLen,
+                        rawStart + cSize, dataRaw)
                     else {
                       if (cSize - repLen - defLen != dataRaw) throw Malformed
                       if (rawStart + cSize > fStart) throw Malformed
                       java.util.Arrays.copyOfRange(
-                        b, rawStart + defLen, rawStart + cSize)
+                        b, rawStart + repLen + defLen, rawStart + cSize)
                     }
                   enc match {
                     case ENC_DELTA_BINARY_PACKED =>
@@ -1169,6 +1622,13 @@ object ParquetFile {
                           if (v > mx) mx = v
                           k += 1
                         }
+                      } else if (tpe == T_FLOAT) {
+                        if (data.length != 4 * nn) throw Malformed
+                        var k = 0
+                        while (k < nn) {
+                          addFloat(le32f(data, 4 * k))
+                          k += 1
+                        }
                       } else {
                         var p = 0
                         var k = 0
@@ -1196,6 +1656,10 @@ object ParquetFile {
                           if (collect != null) collect += v
                           if (v < mn) mn = v
                           if (v > mx) mx = v
+                        } else if (tpe == T_FLOAT) {
+                          if (dictF == null || i >= dictF.length)
+                            throw Malformed
+                          addFloat(dictF(i))
                         } else {
                           if (dictBin == null || i >= dictBin.length)
                             throw Malformed
@@ -1243,6 +1707,9 @@ object ParquetFile {
                 }
               }
             }
+            // nested ROW audit: a LIST chunk's repetition-0 count IS
+            // the row count, and it must tile the row group exactly
+            if (maxRep > 0 && rows0 != rgRows) throw Malformed
             // the stats AUDIT: declared vs recomputed
             fld(md, 12).foreach {
               case st: TStruct =>
@@ -1257,6 +1724,25 @@ object ParquetFile {
                     case _ => throw Malformed
                   }
                 }
+                if (tpe == T_FLOAT && seen > nulls) {
+                  def f32bits(v: Array[Byte]): Int = {
+                    if (v.length != 4) throw Malformed
+                    (v(0) & 0xFF) | ((v(1) & 0xFF) << 8) |
+                      ((v(2) & 0xFF) << 16) | ((v(3) & 0xFF) << 24)
+                  }
+                  st.f.get(5).foreach {
+                    case TBin(v) =>
+                      if (f32bits(v) != java.lang.Float.floatToIntBits(fmx))
+                        throw Malformed
+                    case _ => throw Malformed
+                  }
+                  st.f.get(6).foreach {
+                    case TBin(v) =>
+                      if (f32bits(v) != java.lang.Float.floatToIntBits(fmn))
+                        throw Malformed
+                    case _ => throw Malformed
+                  }
+                }
               case _ => throw Malformed
             }
             val prev = acc.getOrElse(path,
@@ -1267,7 +1753,13 @@ object ParquetFile {
               sumInt = prev.sumInt + sum,
               minInt = math.min(prev.minInt, mn),
               maxInt = math.max(prev.maxInt, mx),
-              byteLen = prev.byteLen + blen)
+              byteLen = prev.byteLen + blen,
+              rows = prev.rows + rows0,
+              nullLists = prev.nullLists + nullL,
+              emptyLists = prev.emptyLists + emptyL,
+              sumF = prev.sumF + fsum,
+              minF = math.min(prev.minF, fmn.toDouble),
+              maxF = math.max(prev.maxF, fmx.toDouble))
           case _ => throw Malformed
         }
       }
@@ -1466,6 +1958,103 @@ object ParquetBloomSim {
                     ids.get.sumInt, vs.get.sumInt, tx.get.byteLen)
               case None =>
                 Row(id, "quarantined", null, null, null, null, null)
+            }
+          }
+        }
+      }(enc)
+  }
+}
+
+/** d171 — NESTED LIST columns through the same strict walk: the
+  * (doc_id int64, emb array<float>) table in the standard 3-level
+  * layout Spark writes for embedding shards (repetition + definition
+  * levels, the full ladder: null list / empty list / null element /
+  * value), v1 pages for even docs and v2 pages for odd ones (both
+  * page forms through one gate), the d126 codec rotation. The walk
+  * recomputes rows from the REPETITION levels, splits the definition
+  * ladder, sums the float elements, and audits the footer's claims —
+  * float min/max statistics bit-compared, null_count vs the def
+  * levels, and the nested ROW audit (rep-0 count must tile the row
+  * group; v2 num_rows must agree with the rep levels themselves).
+  *
+  * Damage %7: 0 → truncation; 3 → a LYING element max_value (the
+  * audit class through the nested column); 5 → the STRUCTURAL lie —
+  * v2 declares num_rows one high (a wrong row count re-chunks every
+  * list; only the rep-level audit catches it), v1 inflates the
+  * declared num_values (the level sections no longer tile). */
+object ParquetNestedSim {
+
+  private[graft] def nRows(docId: Long): Int = (3 + docId % 5).toInt
+
+  /** Closed-form nested rows: shape by (docId+i)%4 — null list /
+    * empty list / L floats / L floats with index 1 null; values are
+    * quarter-integers, exactly representable, so every float sum
+    * replays exactly in the DuckDB oracle. */
+  private[graft] def rowsFor(docId: Long): Seq[ParquetFile.NestedRow] =
+    (0 until nRows(docId)).map { i =>
+      val id = docId * 100 + i
+      val shape = ((docId + i) % 4).toInt
+      val len = (2 + (docId + i) % 3).toInt
+      def f(j: Int): Float = ((docId * 7 + i * 13 + j * 3) % 1000) / 4.0f
+      shape match {
+        case 0 => (id, None)
+        case 1 => (id, Some(Seq.empty[Option[Float]]))
+        case 2 => (id, Some((0 until len).map(j => Some(f(j)): Option[Float])))
+        case _ => (id, Some((0 until len).map(j =>
+          if (j == 1) None: Option[Float] else Some(f(j)))))
+      }
+    }
+
+  private[graft] def payloadFor(docId: Long): Array[Byte] = {
+    val rows = rowsFor(docId)
+    val codec = ParquetSim.codecFor(docId)
+    val v2 = docId % 2 == 1
+    (docId % 7) match {
+      case 0 =>
+        val clean = ParquetFile.writeNested(rows, 2, codec, v2)
+        java.util.Arrays.copyOf(clean, clean.length - 5)
+      case 3 => ParquetFile.writeNested(rows, 2, codec, v2, lieStats = true)
+      case 5 => ParquetFile.writeNested(rows, 2, codec, v2, lieRows = true)
+      case _ => ParquetFile.writeNested(rows, 2, codec, v2)
+    }
+  }
+
+  val statsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("status", StringType),
+    StructField("n_rows", LongType),
+    StructField("n_null_lists", LongType),
+    StructField("n_empty_lists", LongType),
+    StructField("n_null_elems", LongType),
+    StructField("n_elems", LongType),
+    StructField("sum_elems", DoubleType),
+    StructField("sum_ids", LongType)))
+
+  /** Batched strict walk + audit → per-doc nested stats. */
+  def stats(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(statsSchema)
+    docs.select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.grouped(Multimodal.BATCH_SIZE).flatMap { batch =>
+          batch.iterator.map { r =>
+            val id = r.getLong(0)
+            ParquetFile.read(payloadFor(id)) match {
+              case Some(info) =>
+                val ids = info.cols.find(_.path == "doc_id")
+                val emb = info.cols.find(_.path == "emb.list.element")
+                if (ids.isEmpty || emb.isEmpty)
+                  Row(id, "quarantined", null, null, null, null, null, null, null)
+                else {
+                  val e = emb.get
+                  Row(id, "ok", e.rows,
+                    e.nullLists, e.emptyLists,
+                    e.nulls - e.nullLists - e.emptyLists,
+                    e.numValues - e.nulls,
+                    e.sumF, ids.get.sumInt)
+                }
+              case None =>
+                Row(id, "quarantined", null, null, null, null, null, null, null)
             }
           }
         }

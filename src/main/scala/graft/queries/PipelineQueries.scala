@@ -1839,6 +1839,15 @@ object PipelineQueries {
     "d126_parquet_pages" -> ((s, dir) =>
       ParquetSim.stats(s, docs(s, dir)).orderBy("doc_id")),
 
+    // NESTED parquet (d171): the 3-level LIST layout embedding shards
+    // actually ship (array<float> + repetition/definition levels),
+    // v1 pages even docs / v2 odd, codec rotation, rep-level row
+    // audit + float stats audit; quarter-float values so the oracle
+    // replay is float-exact. Interop pinned BOTH directions against
+    // Spark's parquet-mr (ParquetNestedSpec).
+    "d171_parquet_nested" -> ((s, dir) =>
+      ParquetNestedSim.stats(s, docs(s, dir)).orderBy("doc_id")),
+
     // the email-dump corpus shape (.eml, the Enron-class public
     // corpora) as a ROW SOURCE: RFC 5322 headers with FOLDING and
     // case-insensitive names, multipart/mixed boundaries, and the two
@@ -4233,6 +4242,36 @@ object PipelineQueries {
         |        ELSE octet_length(encode(b.text)) END)::BIGINT AS text_bytes
         | FROM base b JOIN vs USING (doc_id) ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
+    // d171: the nested closed form — shapes and quarter-float values
+    // replayed exactly (dyadic rationals, no rounding anywhere)
+    "d171_parquet_nested" ->
+      """WITH d AS (SELECT doc_id, (3 + doc_id % 5)::BIGINT AS k FROM documents),
+        | r AS (SELECT doc_id, k, unnest(range(k)) AS i FROM d),
+        | s AS (SELECT doc_id, k, i, ((doc_id + i) % 4)::BIGINT AS shape,
+        |   (2 + (doc_id + i) % 3)::BIGINT AS len FROM r),
+        | e AS (SELECT doc_id, i, shape, len, unnest(range(len)) AS j FROM s WHERE shape >= 2),
+        | ev AS (SELECT doc_id, ((doc_id*7 + i*13 + j*3) % 1000) / 4.0 AS v,
+        |   (shape = 3 AND j = 1) AS nul FROM e),
+        | agg AS (SELECT doc_id,
+        |   sum(CASE WHEN nul THEN 0 ELSE 1 END)::BIGINT AS n_elems,
+        |   sum(CASE WHEN nul THEN 1 ELSE 0 END)::BIGINT AS n_null_elems,
+        |   sum(CASE WHEN nul THEN 0 ELSE v END)::DOUBLE AS sum_elems
+        |  FROM ev GROUP BY doc_id),
+        | shp AS (SELECT doc_id, k,
+        |   sum(CASE WHEN shape = 0 THEN 1 ELSE 0 END)::BIGINT AS n_null_lists,
+        |   sum(CASE WHEN shape = 1 THEN 1 ELSE 0 END)::BIGINT AS n_empty_lists
+        |  FROM s GROUP BY doc_id, k)
+        | SELECT shp.doc_id,
+        |  CASE WHEN shp.doc_id % 7 IN (0, 3, 5) THEN 'quarantined' ELSE 'ok' END AS status,
+        |  CASE WHEN shp.doc_id % 7 IN (0, 3, 5) THEN NULL ELSE shp.k END AS n_rows,
+        |  CASE WHEN shp.doc_id % 7 IN (0, 3, 5) THEN NULL ELSE shp.n_null_lists END AS n_null_lists,
+        |  CASE WHEN shp.doc_id % 7 IN (0, 3, 5) THEN NULL ELSE shp.n_empty_lists END AS n_empty_lists,
+        |  CASE WHEN shp.doc_id % 7 IN (0, 3, 5) THEN NULL ELSE agg.n_null_elems END AS n_null_elems,
+        |  CASE WHEN shp.doc_id % 7 IN (0, 3, 5) THEN NULL ELSE agg.n_elems END AS n_elems,
+        |  CASE WHEN shp.doc_id % 7 IN (0, 3, 5) THEN NULL ELSE agg.sum_elems END AS sum_elems,
+        |  CASE WHEN shp.doc_id % 7 IN (0, 3, 5) THEN NULL
+        |   ELSE shp.k * shp.doc_id * 100 + shp.k * (shp.k - 1) // 2 END AS sum_ids
+        | FROM shp JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     // d135's oracle IS d126's: same logical table, two physical
     // writers (v1 PLAIN vs v2 DELTA pages), one truth
     "d135_parquet_v2" ->

@@ -964,7 +964,7 @@ object ScaleRehearsal {
           bmQ, col("text"), col("doc_id"), 10).count()
       ratio("d60 bm25 topk", bm(base), bm(big))
     }
-    st("hundred") { // d66: the documented answer to d60's measured
+    st("bm25wh") { // d66: the documented answer to d60's measured
       // 121x knee — the postings index is PREBUILT OFFLINE (parquet,
       // untimed, the warehouse trade), so the probe pays pruned index
       // scans instead of per-run corpus re-tokenization
