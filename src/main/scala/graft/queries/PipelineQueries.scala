@@ -1839,6 +1839,15 @@ object PipelineQueries {
     "d126_parquet_pages" -> ((s, dir) =>
       ParquetSim.stats(s, docs(s, dir)).orderBy("doc_id")),
 
+    // HDF5 (d172): superblock v0 (classic symbol-table root) for even
+    // docs, v2 (OHDR + lookup3 checksums) for odd; ids contiguous
+    // int64, feats chunked float32 through the v1 chunk B-tree with
+    // the deflate filter (our d124 inflate) rotating on doc_id%3.
+    // Self-pinned (no independent hdf5 on this host — documented);
+    // lookup3 pinned to the published lookup3.c vectors in-spec.
+    "d172_hdf5" -> ((s, dir) =>
+      Hdf5Sim.stats(s, docs(s, dir)).orderBy("doc_id")),
+
     // NESTED parquet (d171): the 3-level LIST layout embedding shards
     // actually ship (array<float> + repetition/definition levels),
     // v1 pages even docs / v2 odd, codec rotation, rep-level row
@@ -4242,6 +4251,25 @@ object PipelineQueries {
         |        ELSE octet_length(encode(b.text)) END)::BIGINT AS text_bytes
         | FROM base b JOIN vs USING (doc_id) ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
+    // d172: closed-form hdf5 replay — id sums arithmetic, feat sums
+    // over the quarter-float grid (dyadic → float-exact, no rounding)
+    "d172_hdf5" ->
+      """WITH d AS (SELECT doc_id, (4 + doc_id % 5)::BIGINT AS k FROM documents),
+        | g AS (SELECT doc_id, k, unnest(range(k)) AS r FROM d),
+        | e AS (SELECT doc_id, r, unnest(range(4)) AS c FROM g),
+        | fs AS (SELECT doc_id, sum(((doc_id*11 + r*5 + c*3) % 1000) / 4.0)::DOUBLE AS sf
+        |  FROM e GROUP BY doc_id)
+        | SELECT d.doc_id,
+        |  CASE WHEN d.doc_id % 7 IN (0, 3, 5) THEN 'quarantined' ELSE 'ok' END AS status,
+        |  CASE WHEN d.doc_id % 7 IN (0, 3, 5) THEN NULL
+        |   ELSE CASE WHEN d.doc_id % 2 = 1 THEN 2 ELSE 0 END END::BIGINT AS sb_version,
+        |  CASE WHEN d.doc_id % 7 IN (0, 3, 5) THEN NULL ELSE 2 END::BIGINT AS n_datasets,
+        |  CASE WHEN d.doc_id % 7 IN (0, 3, 5) THEN NULL ELSE d.k END AS n_ids,
+        |  CASE WHEN d.doc_id % 7 IN (0, 3, 5) THEN NULL
+        |   ELSE d.k * d.doc_id * 1000 + 7 * d.k * (d.k - 1) // 2 END AS sum_ids,
+        |  CASE WHEN d.doc_id % 7 IN (0, 3, 5) THEN NULL ELSE d.k * 4 END AS n_feats,
+        |  CASE WHEN d.doc_id % 7 IN (0, 3, 5) THEN NULL ELSE fs.sf END AS sum_feats
+        | FROM d JOIN fs USING (doc_id) ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     // d171: the nested closed form — shapes and quarter-float values
     // replayed exactly (dyadic rationals, no rounding anywhere)
     "d171_parquet_nested" ->
