@@ -379,3 +379,238 @@ object DeltaLogSim {
       }(enc)
   }
 }
+
+/** d173 — CHECKPOINT replay: real readers never replay a long JSON
+  * log from 0; `_last_checkpoint` names a `NN.checkpoint.parquet`
+  * whose ROWS are the reconciled table state, and the JSON commits
+  * AFTER it replay on top. The checkpoint is exactly the file worth
+  * auditing for lying state — it compresses away the history a reader
+  * would otherwise cross-check — so the d141 discipline extends to
+  * it: the checkpoint parquet walks through OUR d126 reader (full
+  * audit) and its VALUES come back through [[ParquetFile.readRows]];
+  * `_last_checkpoint.size` must equal the action count actually
+  * inside; action indices must be contiguous (state order is part of
+  * the contract); the type-code column must agree with the action
+  * JSON (a mislabeled row is a lie); a path both ADDED and
+  * TOMBSTONED in one checkpoint state quarantines; post-checkpoint
+  * commits must be version-contiguous from checkpoint+1 and their
+  * removes must hit checkpoint-or-later state; and every live file's
+  * pruning stats are still recomputed from the data bytes. */
+object DeltaCheckpoint {
+  import DeltaJson._
+  import DeltaLog.{AddEntry, Snapshot}
+
+  /** (checkpoint version, snapshot over checkpoint + commits). */
+  def replay(lastCheckpoint: String, ckptRows: Seq[(Long, Long, String)],
+             commits: Seq[(Long, String)]): (Long, Snapshot) = {
+    val lc = obj(parse(lastCheckpoint))
+    val ckVer = num(lc.getOrElse("version", throw Malformed))
+    val ckSize = num(lc.getOrElse("size", throw Malformed))
+    if (ckVer < 0) throw Malformed
+    // THE SIZE AUDIT: the sidecar's action count vs the file's rows
+    if (ckSize != ckptRows.length.toLong) throw Malformed
+    var sawProtocol = false
+    var sawMeta = false
+    val state = scala.collection.mutable.LinkedHashMap[String, AddEntry]()
+    val tombstones = scala.collection.mutable.LinkedHashSet[String]()
+    def parseAdd(body: JVal): AddEntry = {
+      val a = obj(body)
+      val path = str(a.getOrElse("path", throw Malformed))
+      if (num(a.getOrElse("size", throw Malformed)) < 0) throw Malformed
+      val stats = obj(parse(str(a.getOrElse("stats", throw Malformed))))
+      val mins = obj(stats.getOrElse("minValues", throw Malformed))
+      val maxs = obj(stats.getOrElse("maxValues", throw Malformed))
+      AddEntry(path, num(stats.getOrElse("numRecords", throw Malformed)),
+        num(mins.getOrElse("val", throw Malformed)),
+        num(maxs.getOrElse("val", throw Malformed)))
+    }
+    ckptRows.zipWithIndex.foreach { case ((idx, code, json), i) =>
+      if (idx != i.toLong) throw Malformed // contiguous state order
+      val action = obj(parse(json))
+      if (action.size != 1) throw Malformed
+      val (kind, body) = action.head
+      val wantCode = kind match {
+        case "protocol" => 0L
+        case "metaData" => 1L
+        case "add" => 2L
+        case "remove" => 3L
+        case _ => throw Malformed
+      }
+      if (code != wantCode) throw Malformed // a mislabeled row is a lie
+      kind match {
+        case "protocol" =>
+          if (sawProtocol) throw Malformed
+          val p = obj(body)
+          if (num(p.getOrElse("minReaderVersion", throw Malformed)) > 1)
+            throw Malformed
+          sawProtocol = true
+        case "metaData" =>
+          if (sawMeta) throw Malformed
+          val m = obj(body)
+          str(m.getOrElse("id", throw Malformed))
+          val fmt = obj(m.getOrElse("format", throw Malformed))
+          if (str(fmt.getOrElse("provider", throw Malformed)) != "parquet")
+            throw Malformed
+          sawMeta = true
+        case "add" =>
+          val e = parseAdd(body)
+          if (state.contains(e.path)) throw Malformed // dup add = lying state
+          state(e.path) = e
+        case "remove" =>
+          val r = obj(body)
+          tombstones += str(r.getOrElse("path", throw Malformed))
+        case _ => throw Malformed
+      }
+    }
+    if (!sawProtocol || !sawMeta) throw Malformed
+    // a path both live and tombstoned in ONE state is a contradiction
+    if (tombstones.exists(state.contains)) throw Malformed
+    // commits AFTER the checkpoint: contiguous from ckVer + 1
+    val sorted = commits.sortBy(_._1)
+    sorted.zipWithIndex.foreach { case ((v, _), i) =>
+      if (v != ckVer + 1 + i) throw Malformed
+    }
+    val KNOWN = Set("protocol", "metaData", "add", "remove", "commitInfo")
+    sorted.foreach { case (_, content) =>
+      content.split("\n").filter(_.nonEmpty).foreach { line =>
+        val action = obj(parse(line))
+        if (action.size != 1) throw Malformed
+        val (kind, body) = action.head
+        if (!KNOWN(kind)) throw Malformed
+        kind match {
+          case "add" =>
+            val e = parseAdd(body) // latest wins over checkpoint state
+            state(e.path) = e
+          case "remove" =>
+            val r = obj(body)
+            val path = str(r.getOrElse("path", throw Malformed))
+            if (!state.contains(path)) throw Malformed
+            state.remove(path)
+          case "protocol" =>
+            val p = obj(body)
+            if (num(p.getOrElse("minReaderVersion", throw Malformed)) > 1)
+              throw Malformed
+          case "metaData" =>
+            val m = obj(body)
+            val fmt = obj(m.getOrElse("format", throw Malformed))
+            if (str(fmt.getOrElse("provider", throw Malformed)) != "parquet")
+              throw Malformed
+          case "commitInfo" => obj(body)
+        }
+      }
+    }
+    (ckVer, Snapshot(1 + sorted.size, state.values.toSeq))
+  }
+}
+
+/** In-plan synthesizer + gate for d173: each doc is a CHECKPOINTED
+  * Delta table — `_last_checkpoint` → `2.checkpoint.parquet` (written
+  * by OUR parquet writer; rows = (action idx, type code, action JSON))
+  * carrying state {protocol, metaData, add f0/f2/f3, tombstone f1},
+  * then JSON commit v3 (add f4, remove f3) and, on odd docs, v4
+  * (re-add f0 — latest-wins OVER checkpoint state). Live set: f0, f2,
+  * f4. Every live file read back through the d126 walker with the
+  * stats audit ON (the d141 discipline).
+  *
+  * Damage %7: 0 → `_last_checkpoint` declares size 7 (the sidecar
+  * lie — the checkpoint itself is intact); 3 → a LYING numRecords in
+  * the CHECKPOINT's add f2 (only the read-back audit catches it);
+  * 5 → commit v3 removes a path absent from checkpoint state. */
+object DeltaCkptSim {
+  import DeltaLogSim.{fileRows, addJson}
+
+  private[graft] def tableFor(docId: Long): (String,
+      Array[Byte], Seq[(Long, String)], Map[String, Array[Byte]]) = {
+    val mode = docId % 7
+    val files = (0 until 5).map { j =>
+      s"f$j.parquet" -> ParquetFile.write(fileRows(docId, j), rowGroupCut = 4,
+        codec = Seq(0, 1, 2, 6)((docId % 4).toInt))
+    }.toMap
+    def add(j: Int): String =
+      addJson(docId, j, lieNumRecords = mode == 3 && j == 2,
+        size = files(s"f$j.parquet").length)
+    def remove(path: String): String =
+      s"""{"remove":{"path":"$path","deletionTimestamp":1700000100001,""" +
+        s""""dataChange":true}}"""
+    def info(op: String): String =
+      s"""{"commitInfo":{"timestamp":1700000000000,"operation":"$op"}}"""
+    val actions: Seq[(Long, String)] = Seq(
+      0L -> """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      1L -> (s"""{"metaData":{"id":"tbl-$docId","format":{"provider":""" +
+        s""""parquet","options":{}},"schemaString":""" +
+        s""""{\\"type\\":\\"struct\\"}","partitionColumns":[]}}"""),
+      2L -> add(0), 2L -> add(2), 2L -> add(3),
+      3L -> remove("f1.parquet"))
+    val ckptRows = actions.zipWithIndex.map { case ((code, json), i) =>
+      (i.toLong, code, json)
+    }
+    val ckpt = ParquetFile.write(ckptRows, rowGroupCut = 3,
+      codec = Seq(0, 1, 2, 6)(((docId + 1) % 4).toInt))
+    val declSize = if (mode == 0) 7 else actions.length
+    val lastCkpt = s"""{"version":2,"size":$declSize}"""
+    val v3 = (Seq(info("WRITE"), add(4), remove("f3.parquet")) ++
+      (if (mode == 5) Seq(remove("phantom.parquet")) else Nil)).mkString("\n")
+    val commits = Seq(3L -> v3) ++
+      (if (docId % 2 == 1) Seq(4L -> Seq(info("WRITE"), add(0)).mkString("\n"))
+      else Nil)
+    (lastCkpt, ckpt, commits, files)
+  }
+
+  val rowSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("ckpt_version", LongType),
+    StructField("n_versions", LongType),
+    StructField("n_live", LongType),
+    StructField("total_rows", LongType),
+    StructField("sum_ids", LongType),
+    StructField("sum_vals", LongType),
+    StructField("text_bytes", LongType)))
+
+  /** The gate: checkpoint replay + commit replay + file read-back. */
+  def rows(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(rowSchema)
+    docs.select(col("doc_id"))
+      .mapPartitions { it =>
+        it.grouped(Multimodal.BATCH_SIZE).flatMap { batch =>
+          batch.iterator.flatMap { r =>
+            val id = r.getLong(0)
+            val out =
+              try {
+                val (lastCkpt, ckptBytes, commits, files) = tableFor(id)
+                // the checkpoint parquet itself walks with the FULL
+                // d126 audit before its values are trusted
+                val ckptRows = ParquetFile.readRows(ckptBytes)
+                  .getOrElse(throw DeltaJson.Malformed)
+                val (ckVer, snap) =
+                  DeltaCheckpoint.replay(lastCkpt, ckptRows, commits)
+                var totalRows = 0L
+                var sumIds = 0L
+                var sumVals = 0L
+                var textBytes = 0L
+                snap.live.foreach { a =>
+                  val bytes = files.getOrElse(a.path, throw DeltaJson.Malformed)
+                  val info = ParquetFile.read(bytes)
+                    .getOrElse(throw DeltaJson.Malformed)
+                  val valCol = info.cols.find(_.path == "val")
+                    .getOrElse(throw DeltaJson.Malformed)
+                  if (info.numRows != a.numRecords ||
+                    valCol.minInt != a.minVal || valCol.maxInt != a.maxVal)
+                    throw DeltaJson.Malformed
+                  totalRows += info.numRows
+                  sumIds += info.cols.find(_.path == "doc_id")
+                    .getOrElse(throw DeltaJson.Malformed).sumInt
+                  sumVals += valCol.sumInt
+                  textBytes += info.cols.find(_.path == "text")
+                    .getOrElse(throw DeltaJson.Malformed).byteLen
+                }
+                Some(Row(id, ckVer, snap.nVersions.toLong,
+                  snap.live.size.toLong, totalRows, sumIds, sumVals,
+                  textBytes))
+              } catch { case _: Throwable => None }
+            out.iterator
+          }
+        }
+      }(enc)
+  }
+}

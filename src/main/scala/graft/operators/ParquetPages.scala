@@ -1178,6 +1178,95 @@ object ParquetFile {
   private[graft] final case class PqInfo(
       numRows: Long, nRowGroups: Int, nPages: Int, cols: Seq[ColResult])
 
+  /** VALUE extraction for the (doc_id, val, text) shape [[write]]
+    * emits (d173: the Delta checkpoint is a parquet file whose ROWS
+    * are the table state — the walker's aggregate surface is not
+    * enough, the replayer needs the actions back). Strictness comes
+    * in two layers: the full [[read]] audit runs FIRST (footer
+    * grammar, page tiling, CRCs, stats); then this pass re-walks the
+    * v1 PLAIN pages collecting values. Scope = our own writer's
+    * output shape (v1 pages, PLAIN, the 3-col schema) — anything
+    * else returns None, never a guess. */
+  private[graft] def readRows(b: Array[Byte]): Option[Seq[(Long, Long, String)]] =
+    try {
+      if (read(b).isEmpty) return None
+      val flen = ((b(b.length - 8) & 0xFF) | ((b(b.length - 7) & 0xFF) << 8) |
+        ((b(b.length - 6) & 0xFF) << 16) | ((b(b.length - 5) & 0xFF) << 24))
+      val fStart = b.length - 8 - flen
+      val footer = new TReader(b, fStart, b.length - 8).struct()
+      val rowGroups = flist(footer, 4).map {
+        case s: TStruct => s
+        case _ => throw Malformed
+      }
+      val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val vals = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val texts = scala.collection.mutable.ArrayBuffer.empty[String]
+      rowGroups.foreach { rg =>
+        flist(rg, 1).foreach {
+          case cc: TStruct =>
+            val md = fld(cc, 3) match {
+              case Some(s: TStruct) => s
+              case _ => throw Malformed
+            }
+            val tpe = fi(md, 1).toInt
+            val codec = fi(md, 4).toInt
+            val numValues = fi(md, 5)
+            val path = flist(md, 3).map {
+              case TBin(v) => new String(v, "UTF-8")
+              case _ => throw Malformed
+            }.mkString(".")
+            var pos = fi(md, 9).toInt
+            var seen = 0L
+            while (seen < numValues) {
+              val tr = new TReader(b, pos, fStart)
+              val ph = tr.struct()
+              if (fi(ph, 1).toInt != 0) throw Malformed // v1 PLAIN only
+              val uSize = fi(ph, 2).toInt
+              val cSize = fi(ph, 3).toInt
+              val rawStart = tr.pos
+              val page = decompress(codec, b, rawStart, rawStart + cSize, uSize)
+              pos = tr.pos + cSize
+              val dh = fld(ph, 5) match {
+                case Some(s: TStruct) => s
+                case _ => throw Malformed
+              }
+              val pn = fi(dh, 1).toInt
+              if (fi(dh, 2).toInt != ENC_PLAIN) throw Malformed
+              // our writer's columns are OPTIONAL with all-1 def levels
+              val ll = (page(0) & 0xFF) | ((page(1) & 0xFF) << 8) |
+                ((page(2) & 0xFF) << 16) | ((page(3) & 0xFF) << 24)
+              val (levels, _) = rleHybrid(page, 4, 4 + ll, 1, pn)
+              if (levels.exists(_ != 1)) throw Malformed
+              var p = 4 + ll
+              var k = 0
+              while (k < pn) {
+                if (tpe == T_INT64) {
+                  val v = le64of(java.util.Arrays.copyOfRange(page, p, p + 8))
+                  if (path == "doc_id") ids += v else vals += v
+                  p += 8
+                } else {
+                  val l = (page(p) & 0xFF) | ((page(p + 1) & 0xFF) << 8) |
+                    ((page(p + 2) & 0xFF) << 16) | ((page(p + 3) & 0xFF) << 24)
+                  texts += new String(page, p + 4, l, "UTF-8")
+                  p += 4 + l
+                }
+                k += 1
+              }
+              seen += pn
+            }
+          case _ => throw Malformed
+        }
+      }
+      if (ids.length != vals.length || ids.length != texts.length)
+        throw Malformed
+      Some(ids.indices.map(i => (ids(i), vals(i), texts(i))))
+    } catch {
+      case Malformed => None
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+      case _: MatchError => None
+    }
+
   /** Walk the whole file: footer grammar, every page of every chunk,
     * values decoded and AUDITED against the declared statistics and
     * num_values. None on any structural violation, size/count

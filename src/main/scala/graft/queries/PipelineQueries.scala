@@ -2015,6 +2015,16 @@ object PipelineQueries {
     "d141_delta_log" -> ((s, dir) =>
       DeltaLogSim.rows(s, docs(s, dir)).orderBy("doc_id")),
 
+    // Delta CHECKPOINT replay (d173, the d141 extension): real readers
+    // never replay a long JSON log from 0 — _last_checkpoint names a
+    // checkpoint parquet whose ROWS are the state; it walks through
+    // our own parquet reader (full audit + value extraction), the
+    // sidecar's size is audited, mislabeled/duplicate/contradictory
+    // state rows quarantine, post-checkpoint commits replay on top,
+    // and every live file's stats are STILL recomputed from the bytes
+    "d173_delta_checkpoint" -> ((s, dir) =>
+      DeltaCkptSim.rows(s, docs(s, dir)).orderBy("doc_id")),
+
     // git packfiles — how every code corpus ships — from the published
     // pack-v2/idx-v2 format over our own zlib (d124) and SHA-1 (d136):
     // object ids recomputed (the identity audit), both delta encodings
@@ -4496,6 +4506,25 @@ object PipelineQueries {
     // the delta oracle replays the live snapshot as closed forms: the
     // live file set from the %2 rule, per-file row grids, ids/vals/
     // text bytes as range arithmetic
+    // d173: the checkpointed-table replay — live set {f0, f2, f4}
+    // after checkpoint state + commit reconciliation
+    "d173_delta_checkpoint" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 7 NOT IN (0, 3, 5)),
+        | f AS (SELECT doc_id, j FROM d, range(5) t(j) WHERE j IN (0, 2, 4)),
+        | r AS (SELECT doc_id, j, i,
+        |   (doc_id * 1000 + j * 10 + i)::BIGINT AS id,
+        |   ((doc_id + j + i) % 97)::BIGINT AS v,
+        |   octet_length(encode('d' || doc_id || 'f' || j || 'r' || i))::BIGINT AS tb
+        |  FROM f, range(5) t(i) WHERE i < 2 + (doc_id + j) % 3)
+        | SELECT doc_id,
+        |  2::BIGINT AS ckpt_version,
+        |  (2 + doc_id % 2)::BIGINT AS n_versions,
+        |  3::BIGINT AS n_live,
+        |  count(*)::BIGINT AS total_rows,
+        |  sum(id)::BIGINT AS sum_ids,
+        |  sum(v)::BIGINT AS sum_vals,
+        |  sum(tb)::BIGINT AS text_bytes
+        | FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     "d141_delta_log" ->
       """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 7 NOT IN (0, 3, 5)),
         | f AS (SELECT doc_id, j FROM d, range(4) t(j)
