@@ -564,6 +564,87 @@ object Similarity {
           .as("index_matches_memory"))
   }
 
+  /** d174 — the INDEX HEALTH report that tells a deployment WHEN the
+    * d168 append trade has gone bad: per cell, the vector count, the
+    * size ratio against the balanced share (n · nCells / total — 1.0
+    * = perfectly balanced, the probe-cost multiplier for queries
+    * landing in that cell), and the mean cosine distance of the
+    * cell's vectors to their own stored centroid (rises as the
+    * ingest distribution drifts away from the build-time one). One
+    * pruned index scan + a broadcast centroid join + a #cells-row
+    * aggregate — the report costs one pass at any corpus size and
+    * its output is O(nCells). */
+  def ivfDriftReport(spark: SparkSession, path: String): DataFrame = {
+    val cents = readIvfCentroids(spark, path)
+    val centRows = cents.toSeq.zipWithIndex.map { case (c, i) =>
+      Row(i, c.toSeq)
+    }
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("cv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    val centDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(centRows, 1), centSchema)
+      .withColumn("cn", norm(col("cv")))
+    val perCell = spark.read.parquet(s"$path/vectors")
+      .join(broadcast(centDf), Seq("cell"))
+      .withColumn("dist",
+        lit(1.0) - dot(col("v"), col("cv")) / (col("n") * col("cn")))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), avg(col("dist")).as("mean_dist"))
+    perCell
+      .crossJoin(broadcast(perCell.agg(sum(col("n")).as("_total"))))
+      .select(col("cell"), col("n"),
+        (col("n") * cents.length / col("_total")).as("size_ratio"),
+        col("mean_dist"))
+  }
+
+  /** The documented REBUILD RULE over two [[ivfDriftReport]]s (the
+    * index as built vs after appends): rebuild when the worst cell's
+    * size_ratio exceeds `maxRatio` (that cell's probes now cost that
+    * multiple of the balanced scan — 2.0 doubles the worst probe) or
+    * any cell's share SHIFTED by more than `maxShift` absolute since
+    * build (the distribution moved; fixed centroids no longer carve
+    * it evenly). Returns one row of booleans + the verified coverage
+    * totals (the d13 verdict shape: every claim checked in-plan). */
+  def ivfDriftVerdict(before: DataFrame, after: DataFrame,
+                      maxRatio: Double = 2.0,
+                      maxShift: Double = 0.05): DataFrame = {
+    val b = before.select(col("cell"),
+      col("n").as("n_b"), col("size_ratio").as("r_b"),
+      col("mean_dist").as("d_b"))
+    val a = after.select(col("cell"),
+      col("n").as("n_a"), col("size_ratio").as("r_a"),
+      col("mean_dist").as("d_a"))
+    // full outer: a cell can be empty on one side
+    val j = a.join(b, Seq("cell"), "full_outer")
+      .select(coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("r_a"), lit(0.0)).as("r_a"),
+        coalesce(col("d_a"), lit(0.0)).as("d_a"),
+        coalesce(col("d_b"), lit(0.0)).as("d_b"))
+    val tot = j.agg(sum(col("n_a")).as("_ta"), sum(col("n_b")).as("_tb"))
+    j.crossJoin(broadcast(tot))
+      .agg(
+        first(col("_ta")).as("total_after"),
+        first(col("_tb")).as("total_before"),
+        max(col("r_a")).as("_max_ratio"),
+        // absolute per-cell share shift between the two reports
+        max(abs(col("n_a") / col("_ta") - col("n_b") / col("_tb")))
+          .as("_max_shift"),
+        max(col("d_a")).as("_max_dist"),
+        min(col("d_a")).as("_min_dist"))
+      .select(col("total_before"), col("total_after"),
+        (col("_min_dist") >= -1e-9 && col("_max_dist") <= 2.0 + 1e-9)
+          .as("dists_bounded"),
+        (col("_max_ratio") >= 1.0 - 1e-9).as("skew_floor_holds"),
+        (col("_max_shift") <= maxShift).as("shift_within_threshold"),
+        (col("_max_ratio") > maxRatio || col("_max_shift") > maxShift)
+          .as("rebuild_recommended"))
+  }
+
   /** Embedding clustering as a first-class operator: distributed
     * spherical k-means assignments (topic bucketing / domain mixing /
     * semantic dedup blocking). Centroid state is KB-sized on the

@@ -40,6 +40,12 @@ object PipelineQueries {
   private val ivfAppendCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
+  /** d174's pre-append base index (the drift report's BEFORE side —
+    * d168's base path gets appended in place, so the as-built state
+    * needs its own materialization), once per sf dir. */
+  private val ivfBaseOnlyCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** d158's batch-trained bigram LM, once per sf dir (same trade). */
   private val lmModelCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Map[String, Long], Map[String, Long], Long)]()
@@ -2147,6 +2153,44 @@ object PipelineQueries {
         e.filter(col("vec_id") < 50), k = 5)
     }),
 
+    // IVF DRIFT report (d174, the d164/d168 close-out): the per-cell
+    // health report that tells a deployment WHEN the fixed-centroid
+    // append trade needs an offline rebuild — size ratio vs balanced
+    // share + mean distance to own centroid, one pruned scan and a
+    // #cells-row aggregate. The gate compares the report of the
+    // 4/5-base index against the appended full index (the d168 pair)
+    // and pins: coverage totals (oracle-computable), cosine-bound
+    // dists, the pigeonhole skew floor, and the iid-append claim —
+    // the mod-5 held-out slice shifts no cell's share by more than
+    // the documented 0.05 rebuild threshold
+    "d174_ivf_drift" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = ivfCentroidCache.computeIfAbsent(dir,
+        _ => Similarity.trainIvfCentroids(e))
+      val baseOnly = ivfBaseOnlyCache.computeIfAbsent(dir, _ => {
+        val p = trackTemp(java.nio.file.Files
+          .createTempDirectory("graft_ivf_base").toString)
+        Similarity.writeIvfIndex(e.filter(col("vec_id") % 5 =!= 0), p,
+          centroids = Some(cents))
+        p
+      })
+      val paths = ivfAppendCache.computeIfAbsent(dir, _ => {
+        val base = trackTemp(java.nio.file.Files
+          .createTempDirectory("graft_ivf_app").toString)
+        val full = trackTemp(java.nio.file.Files
+          .createTempDirectory("graft_ivf_reb").toString)
+        Similarity.writeIvfIndex(e.filter(col("vec_id") % 5 =!= 0), base,
+          centroids = Some(cents))
+        Similarity.appendIvfIndex(s, base, e.filter(col("vec_id") % 5 === 0))
+        Similarity.writeIvfIndex(e, full, centroids = Some(cents))
+        (base, full)
+      })
+      Similarity.ivfDriftVerdict(
+        Similarity.ivfDriftReport(s, baseOnly),
+        Similarity.ivfDriftReport(s, paths._1))
+        .drop("rebuild_recommended")
+    }),
+
     // CBOR under RFC 8949 DETERMINISTIC encoding — msgpack's IETF
     // sibling with one more rule class: map keys sorted by the
     // bytewise order of their encoded form (the rule that makes two
@@ -3101,6 +3145,11 @@ object PipelineQueries {
     "d168_ann_append" ->
       """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 50)::BIGINT * 5 AS n_topk,
         | true AS append_matches_rebuild""".stripMargin.replaceAll("\n", " "),
+    "d174_ivf_drift" ->
+      """SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 5 <> 0)::BIGINT AS total_before,
+        | (SELECT count(*) FROM embeddings)::BIGINT AS total_after,
+        | true AS dists_bounded, true AS skew_floor_holds,
+        | true AS shift_within_threshold""".stripMargin.replaceAll("\n", " "),
     "d41_kmeans_cluster" ->
       """SELECT (SELECT count(*) FROM embeddings)::BIGINT AS n_vecs,
         | 8::BIGINT AS k, true AS cohesion_improves""".stripMargin.replaceAll("\n", " "),
