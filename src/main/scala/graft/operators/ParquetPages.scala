@@ -96,7 +96,16 @@ object ParquetCodec {
         val et = h & 0xF
         val n = if ((h >>> 4) == 15) varint().toInt else h >>> 4
         if (n < 0 || n > (1 << 24)) throw Malformed
-        TList((0 until n).map(_ => value(et)))
+        // bool list ELEMENTS are one raw byte each (1/2) — unlike
+        // bool FIELDS, whose value rides in the field-type nibble
+        // (ColumnIndex.null_pages is a list<bool> — d175)
+        if (et == 1 || et == 2)
+          TList((0 until n).map(_ => u8() match {
+            case 1 => TBool(true)
+            case 2 => TBool(false)
+            case _ => throw Malformed
+          }))
+        else TList((0 until n).map(_ => value(et)))
       case 11 => // map: varint size, then (if >0) key/value type byte + pairs
         val n = varint().toInt
         if (n < 0 || n > (1 << 22)) throw Malformed
@@ -173,6 +182,8 @@ object ParquetCodec {
     /** A bare list ELEMENT that is itself a struct. */
     def structElem(body: S => Unit): Unit = struct(body)
     def i32Elem(v: Long): Unit = zigzag(v)
+    def i64Elem(v: Long): Unit = zigzag(v)
+    def boolElem(v: Boolean): Unit = u8(if (v) 1 else 2)
     def binElem(v: Array[Byte]): Unit = {
       varint(v.length.toLong); out.write(v, 0, v.length)
     }
@@ -1063,6 +1074,223 @@ object ParquetFile {
 
   /** The shared footer render (v1 and v2 files differ only in their
     * pages — the footer grammar is identical). */
+  /** d175 — the PAGE-INDEX writer: the (doc_id, val, text) table in
+    * v1 PLAIN pages, `pageRows` rows per page (multiple pages per
+    * chunk — what makes a page index mean anything), with a
+    * ColumnIndex + OffsetIndex per chunk after the data region and
+    * the four ColumnChunk offset/length fields set. Bounds exact
+    * (int64 LE, UTF8 bytes untruncated), null_pages all-false (the
+    * sim writes no nulls), null_counts zeros, boundary_order
+    * computed HONESTLY from the page bounds unless `lieOrder`.
+    * `liePageMax` lowers the first row group's `val` ColumnIndex
+    * max_values[0] by one — the PAGE-pruning lie (chunk stats stay
+    * true; only the page-index audit can catch it); `lieFirstRow`
+    * bumps the second page's first_row_index — the row-skip lie;
+    * `lieOrder` claims the opposite monotonicity of the truth. */
+  private[graft] def writePaged(rows: Seq[(Long, Long, String)],
+                                rowGroupCut: Int, pageRows: Int, codec: Int,
+                                liePageMax: Boolean = false,
+                                lieFirstRow: Boolean = false,
+                                lieOrder: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(4096)
+    out.write(MAGIC, 0, 4)
+    val groups = rows.grouped(rowGroupCut).toSeq
+    final case class PageMeta(off: Long, size: Long, nRows: Int,
+                              minB: Array[Byte], maxB: Array[Byte])
+    final case class ChunkMeta(name: String, tpe: Int, off: Long,
+                               numValues: Long, uncompressed: Long,
+                               totalBytes: Long, stats: Option[(Long, Long)],
+                               pages: Seq[PageMeta])
+    def lex(a: Array[Byte], b2: Array[Byte]): Int = {
+      var i = 0
+      while (i < a.length && i < b2.length) {
+        val d = (a(i) & 0xFF) - (b2(i) & 0xFF)
+        if (d != 0) return d
+        i += 1
+      }
+      a.length - b2.length
+    }
+    val rgMetaP = groups.map { g =>
+      val cols = Seq(("doc_id", T_INT64), ("val", T_INT64),
+        ("text", T_BYTE_ARRAY)).map { case (name, tpe) =>
+        val chunkOff = out.size().toLong
+        var sMin = Long.MaxValue
+        var sMax = Long.MinValue
+        var uncomp = 0L
+        val pages = g.grouped(pageRows).map { pg =>
+          val values = new java.io.ByteArrayOutputStream(64)
+          var pMinB: Array[Byte] = null
+          var pMaxB: Array[Byte] = null
+          pg.foreach { case (id, v, t) =>
+            if (tpe == T_INT64) {
+              val x = if (name == "doc_id") id else v
+              if (x < sMin) sMin = x
+              if (x > sMax) sMax = x
+              values.write(le64bytes(x), 0, 8)
+            } else {
+              val bs = t.getBytes("UTF-8")
+              if (pMinB == null || lex(bs, pMinB) < 0) pMinB = bs
+              if (pMaxB == null || lex(bs, pMaxB) > 0) pMaxB = bs
+              le32(values, bs.length)
+              values.write(bs, 0, bs.length)
+            }
+          }
+          val (page, uncompPage) = dataPage(codec, pg.length, pg.length,
+            values.toByteArray)
+          uncomp += uncompPage
+          val off = out.size().toLong
+          out.write(page, 0, page.length)
+          val (mnB, mxB) = if (tpe == T_INT64) {
+            val xs = pg.map { case (id, v, _) =>
+              if (name == "doc_id") id else v
+            }
+            (le64bytes(xs.min), le64bytes(xs.max))
+          } else (pMinB, pMaxB)
+          PageMeta(off, page.length.toLong, pg.length, mnB, mxB)
+        }.toSeq
+        ChunkMeta(name, tpe, chunkOff, g.length.toLong, uncomp,
+          out.size().toLong - chunkOff,
+          if (tpe == T_INT64) Some((sMin, sMax)) else None, pages)
+      }
+      (g.length.toLong, cols)
+    }
+    // ---- column indexes then offset indexes (parquet-mr layout)
+    def cmpVals(tpe: Int, a: Array[Byte], b2: Array[Byte]): Int =
+      if (tpe == T_INT64) java.lang.Long.compare(le64of(a), le64of(b2))
+      else lex(a, b2)
+    val ciMeta = rgMetaP.zipWithIndex.map { case ((_, cols), gi) =>
+      cols.map { c =>
+        val off = out.size().toLong
+        val w = new TWriter
+        val asc = c.pages.sliding(2).forall {
+          case Seq(a, b2) => cmpVals(c.tpe, a.minB, b2.minB) <= 0 &&
+            cmpVals(c.tpe, a.maxB, b2.maxB) <= 0
+          case _ => true
+        }
+        val desc = c.pages.sliding(2).forall {
+          case Seq(a, b2) => cmpVals(c.tpe, a.minB, b2.minB) >= 0 &&
+            cmpVals(c.tpe, a.maxB, b2.maxB) >= 0
+          case _ => true
+        }
+        val honest = if (asc) 1L else if (desc) 2L else 0L
+        val declared =
+          if (lieOrder && gi == 0 && c.name == "val")
+            (if (asc) 2L else 1L)
+          else honest
+        w.struct { ci =>
+          ci.list(1, 1, c.pages.length) {
+            c.pages.foreach(_ => w.boolElem(false))
+          }
+          ci.list(2, 8, c.pages.length) {
+            c.pages.foreach(p => w.binElem(p.minB))
+          }
+          ci.list(3, 8, c.pages.length) {
+            c.pages.zipWithIndex.foreach { case (p, pi) =>
+              val mx = if (liePageMax && gi == 0 && c.name == "val" &&
+                pi == 0) le64bytes(le64of(p.maxB) - 1)
+              else p.maxB
+              w.binElem(mx)
+            }
+          }
+          ci.i32(4, declared)
+          ci.list(5, 6, c.pages.length) {
+            c.pages.foreach(_ => w.i64Elem(0L))
+          }
+        }
+        val bytes = w.bytes
+        out.write(bytes, 0, bytes.length)
+        (off, bytes.length)
+      }
+    }
+    val oiMeta = rgMetaP.zipWithIndex.map { case ((_, cols), gi) =>
+      cols.map { c =>
+        val off = out.size().toLong
+        val w = new TWriter
+        w.struct { oi =>
+          oi.list(1, 12, c.pages.length) {
+            var firstRow = 0L
+            c.pages.zipWithIndex.foreach { case (p, pi) =>
+              val fr = if (lieFirstRow && gi == 0 && c.name == "val" &&
+                pi == 1) firstRow + 1
+              else firstRow
+              w.structElem { pl =>
+                pl.i64(1, p.off)
+                pl.i32(2, p.size)
+                pl.i64(3, fr)
+              }
+              firstRow += p.nRows
+            }
+          }
+        }
+        val bytes = w.bytes
+        out.write(bytes, 0, bytes.length)
+        (off, bytes.length)
+      }
+    }
+    // ---- footer with the index offset/length fields
+    val w = new TWriter
+    w.struct { f =>
+      f.i32(1, 1)
+      f.list(2, 12, 4) {
+        w.structElem { s => s.str(4, "graft_schema"); s.i32(5, 3) }
+        Seq(("doc_id", T_INT64), ("val", T_INT64), ("text", T_BYTE_ARRAY))
+          .foreach { case (name, tpe) =>
+            w.structElem { s =>
+              s.i32(1, tpe.toLong)
+              s.i32(3, 1)
+              s.str(4, name)
+              if (tpe == T_BYTE_ARRAY) s.i32(6, 0)
+            }
+          }
+      }
+      f.i64(3, rows.length.toLong)
+      f.list(4, 12, rgMetaP.length) {
+        rgMetaP.zipWithIndex.foreach { case ((nRows, cols), gi) =>
+          w.structElem { rg =>
+            rg.list(1, 12, cols.length) {
+              cols.zipWithIndex.foreach { case (c, ciI) =>
+                w.structElem { cc =>
+                  cc.i64(2, c.off)
+                  cc.structField(3) { md =>
+                    md.i32(1, c.tpe.toLong)
+                    md.list(2, 5, 2) {
+                      w.i32Elem(ENC_PLAIN.toLong)
+                      w.i32Elem(ENC_RLE.toLong)
+                    }
+                    md.list(3, 8, 1) { w.binElem(c.name.getBytes("UTF-8")) }
+                    md.i32(4, codec.toLong)
+                    md.i64(5, c.numValues)
+                    md.i64(6, c.uncompressed)
+                    md.i64(7, c.totalBytes)
+                    md.i64(9, c.off)
+                    md.structField(12) { st =>
+                      st.i64(3, 0L)
+                      c.stats.foreach { case (mn, mx) =>
+                        st.bin(5, le64bytes(mx)); st.bin(6, le64bytes(mn))
+                      }
+                    }
+                  }
+                  cc.i64(4, oiMeta(gi)(ciI)._1)
+                  cc.i32(5, oiMeta(gi)(ciI)._2.toLong)
+                  cc.i64(6, ciMeta(gi)(ciI)._1)
+                  cc.i32(7, ciMeta(gi)(ciI)._2.toLong)
+                }
+              }
+            }
+            rg.i64(2, cols.map(_.uncompressed).sum)
+            rg.i64(3, nRows)
+          }
+        }
+      }
+      f.str(6, "graft-d175")
+    }
+    val footer = w.bytes
+    out.write(footer, 0, footer.length)
+    le32(out, footer.length)
+    out.write(MAGIC, 0, 4)
+    out.toByteArray
+  }
+
   private def writeFooter(out: java.io.ByteArrayOutputStream, nRowsTotal: Long,
       rgMeta: Seq[(Long, Seq[(Chunk, (Long, Option[(Long, Int)]))])],
       codec: Int): Unit = {
@@ -1399,12 +1627,50 @@ object ParquetFile {
             var fsum = 0.0
             var fmn = Float.MaxValue
             var fmx = Float.MinValue
+            // per-PAGE stats (d175): the page-index audit needs the
+            // recomputed per-page bounds/null counts/row offsets that
+            // ColumnIndex/OffsetIndex claim — a page-level lie is the
+            // pruning lie a 100 TB scan skips real data over
+            final case class PageRec(off: Long, size: Long, rows: Long,
+              nulls: Long, present: Long, minI: Long, maxI: Long,
+              minF: Float, maxF: Float, minB: Array[Byte],
+              maxB: Array[Byte], exactB: Boolean)
+            val pageRecs = scala.collection.mutable.ArrayBuffer.empty[PageRec]
+            var pMnI = Long.MaxValue
+            var pMxI = Long.MinValue
+            var pMnF = Float.MaxValue
+            var pMxF = Float.MinValue
+            var pMinB: Array[Byte] = null
+            var pMaxB: Array[Byte] = null
+            var pExactB = true
+            var pNulls = 0L
+            var pgRows = 0L
+            var pPresent = 0L
+            def pageReset(): Unit = {
+              pMnI = Long.MaxValue; pMxI = Long.MinValue
+              pMnF = Float.MaxValue; pMxF = Float.MinValue
+              pMinB = null; pMaxB = null; pExactB = true
+              pNulls = 0L; pgRows = 0L; pPresent = 0L
+            }
+            def lexCmp(x: Array[Byte], y: Array[Byte]): Int = {
+              var i = 0
+              while (i < x.length && i < y.length) {
+                val d = (x(i) & 0xFF) - (y(i) & 0xFF)
+                if (d != 0) return d
+                i += 1
+              }
+              x.length - y.length
+            }
+            def pageRecord(off: Long, size: Long): Unit =
+              pageRecs += PageRec(off, size, pgRows, pNulls, pPresent,
+                pMnI, pMxI, pMnF, pMxF, pMinB, pMaxB, pExactB)
             // classify one def level; returns true iff a value follows
             def classifyDef(d: Int): Boolean = {
               if (d < 0 || d > maxDef) throw Malformed
               if (d == maxDef) true
               else {
                 nulls += 1
+                pNulls += 1
                 if (maxRep > 0) {
                   if (d < oOpt) nullL += 1
                   else if (d == oOpt) emptyL += 1
@@ -1420,12 +1686,22 @@ object ParquetFile {
               fsum += v
               if (v < fmn) fmn = v
               if (v > fmx) fmx = v
+              if (v < pMnF) pMnF = v
+              if (v > pMxF) pMxF = v
+              pPresent += 1
+            }
+            def addBin(src: Array[Byte], from: Int, len: Int): Unit = {
+              val v = java.util.Arrays.copyOfRange(src, from, from + len)
+              if (pMinB == null || lexCmp(v, pMinB) < 0) pMinB = v
+              if (pMaxB == null || lexCmp(v, pMaxB) > 0) pMaxB = v
+              pPresent += 1
             }
             def le32f(a: Array[Byte], p0: Int): Float =
               java.lang.Float.intBitsToFloat((a(p0) & 0xFF) |
                 ((a(p0 + 1) & 0xFF) << 8) | ((a(p0 + 2) & 0xFF) << 16) |
                 ((a(p0 + 3) & 0xFF) << 24))
             while (seen < numValues) {
+              val pageStart = pos.toLong // header start (PageLocation.offset)
               val tr = new TReader(b, pos, fStart)
               val ph = tr.struct()
               val pType = fi(ph, 1).toInt
@@ -1434,6 +1710,8 @@ object ParquetFile {
               if (uSize < 0 || cSize < 0) throw Malformed
               val rawStart = tr.pos
               if (rawStart + cSize > fStart) throw Malformed
+              val pageSize = (rawStart - pageStart) + cSize // header + data
+              if (pType == 0 || pType == 3) pageReset()
               // the page CRC (field 4, parquet-mr writes it by
               // default): spec says CRC32 over the page data as
               // written, excluding the header — VERIFIED when present
@@ -1525,7 +1803,7 @@ object ParquetFile {
                   if (maxRep > 0)
                     levelSection(1).foreach { r =>
                       if (r < 0 || r > maxRep) throw Malformed
-                      if (r == 0) rows0 += 1
+                      if (r == 0) { rows0 += 1; pgRows += 1 }
                     }
                   if (optional) {
                     var pres = 0
@@ -1545,6 +1823,9 @@ object ParquetFile {
                           if (collect != null) collect += v
                           if (v < mn) mn = v
                           if (v > mx) mx = v
+                          if (v < pMnI) pMnI = v
+                          if (v > pMxI) pMxI = v
+                          pPresent += 1
                           p += 8
                           k += 1
                         }
@@ -1564,6 +1845,7 @@ object ParquetFile {
                             ((page(p + 2) & 0xFF) << 16) | ((page(p + 3) & 0xFF) << 24)
                           if (l < 0 || p + 4 + l > page.length) throw Malformed
                           blen += l
+                          addBin(page, p + 4, l)
                           p += 4 + l
                           k += 1
                         }
@@ -1583,6 +1865,9 @@ object ParquetFile {
                           if (collect != null) collect += v
                           if (v < mn) mn = v
                           if (v > mx) mx = v
+                          if (v < pMnI) pMnI = v
+                          if (v > pMxI) pMxI = v
+                          pPresent += 1
                         } else if (tpe == T_FLOAT) {
                           if (dictF == null || i >= dictF.length)
                             throw Malformed
@@ -1591,10 +1876,13 @@ object ParquetFile {
                           if (dictBin == null || i >= dictBin.length)
                             throw Malformed
                           blen += dictBin(i).length
+                          addBin(dictBin(i), 0, dictBin(i).length)
                         }
                       }
                     case _ => throw Malformed
                   }
+                  if (maxRep == 0) pgRows = pn.toLong
+                  pageRecord(pageStart, pageSize)
                   seen += pn
                 case 3 => // data page V2 (d135): levels OUTSIDE the
                   // compressed region, no length prefix, DELTA encodings
@@ -1632,6 +1920,7 @@ object ParquetFile {
                       if (r == 0) r0 += 1
                     }
                     rows0 += r0
+                    pgRows += r0
                     // the v2 ROW audit: num_rows must agree with the
                     // repetition levels themselves (the structural lie
                     // class — a wrong row count re-chunks every list)
@@ -1673,6 +1962,9 @@ object ParquetFile {
                         if (collect != null) collect += v
                         if (v < mn) mn = v
                         if (v > mx) mx = v
+                        if (v < pMnI) pMnI = v
+                        if (v > pMxI) pMxI = v
+                        pPresent += 1
                       }
                     case ENC_DELTA_LENGTH_BYTE_ARRAY =>
                       if (tpe != T_BYTE_ARRAY) throw Malformed
@@ -1681,6 +1973,8 @@ object ParquetFile {
                       if (lens.exists(_ < 0)) throw Malformed
                       if (p1 + lens.sum != data.length) throw Malformed
                       blen += lens.sum
+                      pExactB = false
+                      pPresent += nn
                     case ENC_DELTA_BYTE_ARRAY =>
                       if (tpe != T_BYTE_ARRAY) throw Malformed
                       val (pfx, p1) =
@@ -1698,6 +1992,8 @@ object ParquetFile {
                         k += 1
                       }
                       if (p2 + sfl.sum != data.length) throw Malformed
+                      pExactB = false // values not materialized here
+                      pPresent += nn
                     case ENC_PLAIN =>
                       if (tpe == T_INT64) {
                         if (data.length != 8 * nn) throw Malformed
@@ -1709,6 +2005,9 @@ object ParquetFile {
                           if (collect != null) collect += v
                           if (v < mn) mn = v
                           if (v > mx) mx = v
+                          if (v < pMnI) pMnI = v
+                          if (v > pMxI) pMxI = v
+                          pPresent += 1
                           k += 1
                         }
                       } else if (tpe == T_FLOAT) {
@@ -1727,6 +2026,7 @@ object ParquetFile {
                             ((data(p + 2) & 0xFF) << 16) | ((data(p + 3) & 0xFF) << 24)
                           if (l < 0 || p + 4 + l > data.length) throw Malformed
                           blen += l
+                          addBin(data, p + 4, l)
                           p += 4 + l
                           k += 1
                         }
@@ -1745,6 +2045,9 @@ object ParquetFile {
                           if (collect != null) collect += v
                           if (v < mn) mn = v
                           if (v > mx) mx = v
+                          if (v < pMnI) pMnI = v
+                          if (v > pMxI) pMxI = v
+                          pPresent += 1
                         } else if (tpe == T_FLOAT) {
                           if (dictF == null || i >= dictF.length)
                             throw Malformed
@@ -1753,10 +2056,13 @@ object ParquetFile {
                           if (dictBin == null || i >= dictBin.length)
                             throw Malformed
                           blen += dictBin(i).length
+                          addBin(dictBin(i), 0, dictBin(i).length)
                         }
                       }
                     case _ => throw Malformed
                   }
+                  if (maxRep == 0) pgRows = pn.toLong
+                  pageRecord(pageStart, pageSize)
                   seen += pn
                 case _ => throw Malformed // unknown page types quarantine
               }
@@ -1799,6 +2105,119 @@ object ParquetFile {
             // nested ROW audit: a LIST chunk's repetition-0 count IS
             // the row count, and it must tile the row group exactly
             if (maxRep > 0 && rows0 != rgRows) throw Malformed
+            // ---- the PAGE-INDEX audit (d175): OffsetIndex locations
+            // and ColumnIndex per-page bounds vs the pages actually
+            // walked — page-granular pruning metadata is what a 100 TB
+            // scan SKIPS data over, so a page-level lie silently drops
+            // real rows; recompute, never trust
+            def declI64(v: Array[Byte]): Long = le64of(v)
+            def declF32(v: Array[Byte]): Int = {
+              if (v.length != 4) throw Malformed
+              (v(0) & 0xFF) | ((v(1) & 0xFF) << 8) |
+                ((v(2) & 0xFF) << 16) | ((v(3) & 0xFF) << 24)
+            }
+            fiOpt(cc, 4).foreach { oiOff => // offset_index_offset
+              if (oiOff < 4 || oiOff >= fStart) throw Malformed
+              val tr2 = new TReader(b, oiOff.toInt, fStart)
+              val oi = tr2.struct()
+              fiOpt(cc, 5).foreach(l =>
+                if (l != tr2.pos - oiOff) throw Malformed)
+              val locs = flist(oi, 1).map {
+                case s: TStruct => s
+                case _ => throw Malformed
+              }
+              if (locs.length != pageRecs.length) throw Malformed
+              var firstRow = 0L
+              locs.zip(pageRecs).foreach { case (pl, rec) =>
+                if (fi(pl, 1) != rec.off) throw Malformed
+                if (fi(pl, 2) != rec.size) throw Malformed
+                // the ROW-SKIP lie: a wrong first_row_index shifts
+                // every row a reader seeks past this page
+                if (fi(pl, 3) != firstRow) throw Malformed
+                firstRow += rec.rows
+              }
+            }
+            fiOpt(cc, 6).foreach { ciOff => // column_index_offset
+              if (ciOff < 4 || ciOff >= fStart) throw Malformed
+              val tr2 = new TReader(b, ciOff.toInt, fStart)
+              val ci = tr2.struct()
+              fiOpt(cc, 7).foreach(l =>
+                if (l != tr2.pos - ciOff) throw Malformed)
+              val nullPages = flist(ci, 1).map {
+                case TBool(v) => v
+                case _ => throw Malformed
+              }
+              val minVs = flist(ci, 2).map {
+                case TBin(v) => v
+                case _ => throw Malformed
+              }
+              val maxVs = flist(ci, 3).map {
+                case TBin(v) => v
+                case _ => throw Malformed
+              }
+              val order = fi(ci, 4)
+              if (order < 0 || order > 2) throw Malformed
+              val nullCounts = fld(ci, 5) match {
+                case Some(TList(vs)) => Some(vs.map {
+                  case TI(v) => v
+                  case _ => throw Malformed
+                })
+                case None => None
+                case _ => throw Malformed
+              }
+              val np = pageRecs.length
+              if (nullPages.length != np || minVs.length != np ||
+                  maxVs.length != np) throw Malformed
+              nullCounts.foreach(ncs => if (ncs.length != np) throw Malformed)
+              pageRecs.zipWithIndex.foreach { case (rec, i) =>
+                // a page with no values must be FLAGGED null, and a
+                // flagged page must have none (the coverage lie)
+                if (nullPages(i) != (rec.present == 0L)) throw Malformed
+                nullCounts.foreach(ncs =>
+                  if (ncs(i) != rec.nulls) throw Malformed)
+                if (!nullPages(i)) tpe match {
+                  case T_INT64 =>
+                    if (declI64(minVs(i)) != rec.minI ||
+                        declI64(maxVs(i)) != rec.maxI) throw Malformed
+                  case T_FLOAT =>
+                    if (declF32(minVs(i)) !=
+                          java.lang.Float.floatToIntBits(rec.minF) ||
+                        declF32(maxVs(i)) !=
+                          java.lang.Float.floatToIntBits(rec.maxF))
+                      throw Malformed
+                  case _ =>
+                    // binary bounds may be TRUNCATED (parquet-mr
+                    // default 64 bytes): audit as BOUNDS when the
+                    // decode path materialized values, else as
+                    // internal consistency
+                    if (rec.exactB && rec.minB != null) {
+                      if (lexCmp(minVs(i), rec.minB) > 0 ||
+                          lexCmp(maxVs(i), rec.maxB) < 0) throw Malformed
+                    } else if (lexCmp(minVs(i), maxVs(i)) > 0)
+                      throw Malformed
+                }
+              }
+              // boundary_order is a CLAIM scans sort-merge on: verify
+              // the claimed monotonicity of the declared bounds
+              if (order != 0) {
+                def cmpDecl(x: Array[Byte], y: Array[Byte]): Int = tpe match {
+                  case T_INT64 => java.lang.Long.compare(declI64(x), declI64(y))
+                  case T_FLOAT => java.lang.Float.compare(
+                    java.lang.Float.intBitsToFloat(declF32(x)),
+                    java.lang.Float.intBitsToFloat(declF32(y)))
+                  case _ => lexCmp(x, y)
+                }
+                val live = pageRecs.indices.filterNot(nullPages)
+                live.sliding(2).foreach {
+                  case Seq(a2, b2) =>
+                    val cMin = cmpDecl(minVs(a2), minVs(b2))
+                    val cMax = cmpDecl(maxVs(a2), maxVs(b2))
+                    if (order == 1 && (cMin > 0 || cMax > 0)) throw Malformed
+                    if (order == 2 && (cMin < 0 || cMax < 0)) throw Malformed
+                  case _ =>
+                }
+              }
+            }
             // the stats AUDIT: declared vs recomputed
             fld(md, 12).foreach {
               case st: TStruct =>
@@ -2144,6 +2563,69 @@ object ParquetNestedSim {
                 }
               case None =>
                 Row(id, "quarantined", null, null, null, null, null, null, null)
+            }
+          }
+        }
+      }(enc)
+  }
+}
+
+/** d175 — the PAGE INDEX (ColumnIndex + OffsetIndex): page-granular
+  * pruning metadata is the structure a 100 TB scan uses to SKIP pages
+  * inside a chunk (predicate pushdown below row-group granularity)
+  * and to seek rows (first_row_index) — lies here silently drop real
+  * data, and the CHUNK-level stats stay true while a PAGE-level bound
+  * lies, so only a page-granular audit can catch them. Same logical
+  * table as d126, written in 2-row pages (multiple pages per chunk —
+  * what makes the index mean anything), indexes after the data region
+  * in the parquet-mr layout, the four ColumnChunk offset/length
+  * fields set. The walk recomputes per-page bounds / null counts /
+  * row offsets and audits every claim, including the boundary_order
+  * monotonicity CLAIM (what scans sort-merge on). Interop: real
+  * parquet-mr files (which write page indexes by default) pass the
+  * same audit in ParquetInteropSpec / ParquetNestedSpec.
+  *
+  * Damage %7: 0 → truncation; 3 → the first row group's `val`
+  * ColumnIndex max_values[0] ONE LOW (chunk stats true, pages intact
+  * — the page-pruning lie only this audit catches); 5 → the second
+  * page's first_row_index ONE HIGH (the row-seek lie). */
+object ParquetPageIdxSim {
+
+  private[graft] def payloadFor(docId: Long, text: String): Array[Byte] = {
+    val rows = ParquetSim.rowsFor(docId, text)
+    val codec = ParquetSim.codecFor(docId)
+    (docId % 7) match {
+      case 0 =>
+        val clean = ParquetFile.writePaged(rows, 4, 2, codec)
+        java.util.Arrays.copyOf(clean, clean.length - 5)
+      case 3 => ParquetFile.writePaged(rows, 4, 2, codec, liePageMax = true)
+      case 5 => ParquetFile.writePaged(rows, 4, 2, codec, lieFirstRow = true)
+      case _ => ParquetFile.writePaged(rows, 4, 2, codec)
+    }
+  }
+
+  /** Batched strict walk + audit → per-doc stats with quarantine. */
+  def stats(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(ParquetSim.statsSchema)
+    docs.select(col("doc_id"), col("text"))
+      .mapPartitions { rows =>
+        rows.grouped(Multimodal.BATCH_SIZE).flatMap { batch =>
+          batch.iterator.map { r =>
+            val id = r.getLong(0)
+            val text = r.getString(1)
+            ParquetFile.read(payloadFor(id, text)) match {
+              case Some(info) =>
+                val ids = info.cols.find(_.path == "doc_id")
+                val vs = info.cols.find(_.path == "val")
+                val tx = info.cols.find(_.path == "text")
+                if (ids.isEmpty || vs.isEmpty || tx.isEmpty)
+                  Row(id, "quarantined", null, null, null, null, null)
+                else
+                  Row(id, "ok", info.nRowGroups.toLong, info.numRows,
+                    ids.get.sumInt, vs.get.sumInt, tx.get.byteLen)
+              case None =>
+                Row(id, "quarantined", null, null, null, null, null)
             }
           }
         }

@@ -1845,6 +1845,14 @@ object PipelineQueries {
     "d126_parquet_pages" -> ((s, dir) =>
       ParquetSim.stats(s, docs(s, dir)).orderBy("doc_id")),
 
+    // PAGE INDEX (d175): ColumnIndex/OffsetIndex — page-granular
+    // pruning metadata audited against the pages actually walked;
+    // the page-max lie is invisible to every chunk-level check (the
+    // chunk stats stay true), which is exactly why the audit exists.
+    // Real parquet-mr indexes pass the same audit (interop specs).
+    "d175_parquet_pageidx" -> ((s, dir) =>
+      ParquetPageIdxSim.stats(s, docs(s, dir)).orderBy("doc_id")),
+
     // HDF5 (d172): superblock v0 (classic symbol-table root) for even
     // docs, v2 (OHDR + lookup3 checksums) for odd; ids contiguous
     // int64, feats chunked float32 through the v1 chunk B-tree with
@@ -4310,6 +4318,23 @@ object PipelineQueries {
         |        ELSE octet_length(encode(b.text)) END)::BIGINT AS text_bytes
         | FROM base b JOIN vs USING (doc_id) ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
+    // d175: d126's closed form with 4-row row groups (the paged
+    // writer's grouping), damage classes page-granular
+    "d175_parquet_pageidx" ->
+      """WITH base AS (SELECT doc_id, text, (3 + doc_id % 5)::BIGINT AS k FROM documents),
+        | rj AS (SELECT range AS j FROM range(8)),
+        | vs AS (SELECT b.doc_id, sum((b.doc_id * 7 + j * 13) % 1000)::BIGINT AS sv
+        |   FROM base b JOIN rj ON j < b.k GROUP BY b.doc_id)
+        | SELECT b.doc_id,
+        |  CASE WHEN b.doc_id % 7 IN (0, 3, 5) THEN 'quarantined' ELSE 'ok' END AS status,
+        |  (CASE WHEN b.doc_id % 7 IN (0, 3, 5) THEN NULL ELSE (b.k + 3) // 4 END)::BIGINT AS n_rowgroups,
+        |  (CASE WHEN b.doc_id % 7 IN (0, 3, 5) THEN NULL ELSE b.k END)::BIGINT AS n_rows,
+        |  (CASE WHEN b.doc_id % 7 IN (0, 3, 5) THEN NULL
+        |        ELSE b.k * b.doc_id * 1000 + b.k * (b.k - 1) // 2 END)::BIGINT AS sum_ids,
+        |  (CASE WHEN b.doc_id % 7 IN (0, 3, 5) THEN NULL ELSE vs.sv END)::BIGINT AS sum_vals,
+        |  (CASE WHEN b.doc_id % 7 IN (0, 3, 5) THEN NULL
+        |        ELSE octet_length(encode(b.text)) END)::BIGINT AS text_bytes
+        | FROM base b JOIN vs USING (doc_id) ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
     // d172: closed-form hdf5 replay — id sums arithmetic, feat sums
     // over the quarter-float grid (dyadic → float-exact, no rounding)
     "d172_hdf5" ->
