@@ -184,6 +184,42 @@ object PipelineQueries {
       (trackTemp(lbase.toString), trackTemp(rbase.toString))
     })
 
+  /** d176's duplicate-bearing out-of-order waves: groups of FIVE
+    * consecutive doc_ids stream the GROUP LEADER's text (true
+    * duplicates), split across three waves by doc_id % 3 — so a
+    * group's duplicates arrive in different micro-batches, some
+    * late. All rows of one (group, wave) share ONE timestamp
+    * (minute-grid + 1 s over a 12-hour span), so the emitted
+    * (hash, ts) pairs are deterministic even though WHICH twin the
+    * engine keeps within a batch is not. Horizon 1801 s keeps every
+    * watermark comparison equality-free mod 60. */
+  private val dedupStreamCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def dedupStreamDir(s: SparkSession, dir: String): String =
+    dedupStreamCache.computeIfAbsent(dir, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_dedup")
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      // UNIQUE-text leaders only: the corpus carries true exact-dup
+      // texts (d01's targets) — a cross-group hash collision would
+      // make the per-group emission replay wrong AND the kept twin's
+      // timestamp engine-dependent; dropping colliding leaders keeps
+      // the contract deterministic on both sides
+      val uniqLeads = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .groupBy(col("text").as("ltext"))
+        .agg(count(lit(1)).as("_n"), min(col("doc_id")).as("lid"))
+        .filter(col("_n") === 1).select(col("lid"), col("ltext"))
+      val st = d.select(col("doc_id"),
+          (floor(col("doc_id") / 5) * 5).cast("long").as("lid"),
+          pmod(col("doc_id"), lit(3)).as("wave"),
+          floor(col("doc_id") / 5).cast("long").as("grp"))
+        .join(uniqLeads, "lid")
+        .withColumn("ts", timestamp_seconds(lit(1704067200L) +
+          pmod(col("grp") * 7 + col("wave") * 347, lit(720)) * 60 + 1))
+        .select(col("wave"), col("doc_id"), col("ts"),
+          col("ltext").as("text"))
+      stageWaves(st, base, 3)
+      trackTemp(base.toString)
+    })
+
   /** The IMA step table for the d110 oracle, sourced from the decoder
     * itself so the SQL replay can never drift from the Scala walk. */
   private val AdpcmOracleSteps: String =
@@ -1008,6 +1044,44 @@ object PipelineQueries {
           col("user_id"), col("session_start"), col("n_events"),
           rd(col("session_value"), 2).as("session_value")))
         .orderBy("user_id", "session_start")
+    }),
+
+    // d01's streaming twin as an ORACLE gate (the §2.6 promotion for
+    // dropDuplicatesWithinWatermark): true duplicates spread across
+    // out-of-order waves. The MEASURED protocol (tools/StreamProbe4):
+    // state visibility AND the late filter both use the batch b-2
+    // stats watermark (a key whose expiry passed re-EMITS once the
+    // lagged watermark crosses it — dedup-within-horizon, exactly as
+    // documented); a SUPPRESSED duplicate does NOT refresh the
+    // stored expiry (pinned with a three-wave refresh discriminator);
+    // suppression is state-presence-based (no lookup-expiry check).
+    // The oracle replays emissions closed-form per duplicate group.
+    "d176_stream_dedup" -> ((s, dir) => {
+      val path = dedupStreamDir(s, dir)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(path)
+      val sink = "d176_out_" + streamGateN.incrementAndGet()
+      val q = graft.streaming.EventStream.deduplicated(stream,
+          col("text"), horizon = "1801 seconds")
+        .writeStream.outputMode("append").format("memory")
+        .queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // doc_id projected AWAY: which twin the engine keeps within a
+      // batch is engine order; the (hash, ts) emission set is the
+      // deterministic contract
+      drainSink(s, sink, s.table(sink).select(
+          col("content_hash"),
+          unix_timestamp(col("ts")).as("ts_s")))
+        .orderBy("content_hash", "ts_s")
     }),
 
     // Stream-stream interval join (click↔impression correlate): both
@@ -3301,6 +3375,36 @@ object PipelineQueries {
         |   floor(epoch(wm.wmf))::BIGINT AS wmf_s FROM sess, wm)
         | WHERE session_id < max_sid OR wmf_s > last_ts + 1807
         | ORDER BY user_id, session_start""".stripMargin.replaceAll("\n", " "),
+    // d176: emissions replayed closed-form per duplicate group —
+    // wave-0 emits; wave-1 emits iff no wave-0 (its state is always
+    // visible at batch 1, the b-2 watermark is -inf); wave-2 emits
+    // iff late-filter-kept AND (no prior emission OR the prior's
+    // expiry sits under the b-2 watermark — the measured re-emission
+    // rule, with suppressed dups never refreshing expiry)
+    "d176_stream_dedup" ->
+      """WITH leaders AS (SELECT doc_id AS lid, text FROM documents WHERE doc_id % 5 = 0),
+        | uniq AS (SELECT min(lid) AS lid, text FROM leaders GROUP BY text HAVING count(*) = 1),
+        | g AS (SELECT d.doc_id, d.doc_id // 5 AS grp, d.doc_id % 3 AS wave, u.text
+        |  FROM documents d JOIN uniq u ON u.lid = (d.doc_id // 5) * 5),
+        | r0 AS (SELECT DISTINCT grp, wave,
+        |   1704067200 + ((grp * 7 + wave * 347) % 720) * 60 + 1 AS ts_s,
+        |   md5(text) AS h FROM g),
+        | wm AS (SELECT max(ts_s) - 1801 AS wm2 FROM r0 WHERE wave = 0),
+        | kept AS (SELECT r0.* FROM r0, wm WHERE wave <= 1 OR ts_s > wm2),
+        | p AS (SELECT grp, h,
+        |   max(CASE WHEN wave = 0 THEN ts_s END) AS t0,
+        |   max(CASE WHEN wave = 1 THEN ts_s END) AS t1,
+        |   max(CASE WHEN wave = 2 THEN ts_s END) AS t2
+        |  FROM kept GROUP BY grp, h),
+        | e AS (SELECT p.*, wm.wm2 FROM p, wm)
+        | SELECT h AS content_hash, ts_s FROM (
+        |  SELECT h, t0 AS ts_s FROM e WHERE t0 IS NOT NULL
+        |  UNION ALL SELECT h, t1 FROM e WHERE t1 IS NOT NULL AND t0 IS NULL
+        |  UNION ALL SELECT h, t2 FROM e WHERE t2 IS NOT NULL AND (
+        |    (t0 IS NULL AND t1 IS NULL)
+        |    OR (t0 IS NOT NULL AND t0 + 1801 < wm2)
+        |    OR (t0 IS NULL AND t1 IS NOT NULL AND t1 + 1801 < wm2)))
+        | ORDER BY 1, 2""".stripMargin.replaceAll("\n", " "),
     // stream-stream interval join replay: a pair emits iff BOTH rows
     // passed their arrival-batch late filter (global watermark = min
     // across the two sides' columns, b-2 stats lag) and the band

@@ -39,10 +39,18 @@ object StreamProbe4 {
       base.resolve(s"wave$w.parquet").toFile
         .setLastModified(1700000000000L + w * 60000L)
     }
-    stage(Seq((1L, at(1.0), "A"), (9L, at(10.0), "M")), 0)
+    // D probes the REFRESH question: D@08:30 (wave1) is suppressed —
+    // if a suppressed dup refreshes expiry, D@09:05 (wave2) is still
+    // suppressed (expiry 09:30 > wm_late(2)=09:00); if not, D's state
+    // (expiry 02:00) is gone and 09:05 re-emits.
+    // C@09:10 (wave2, fresh hash) is the late-filter discriminator:
+    // kept iff the filter uses b-2 stats (09:00), dropped iff b-1
+    // (09:20).
+    stage(Seq((1L, at(1.0), "A"), (6L, at(1.0), "D"), (9L, at(10.0), "M")), 0)
     stage(Seq((2L, at(1.0 + 10.0 / 60), "A"), (3L, at(2.0), "B"),
-      (9L, at(10.0 + 20.0 / 60), "M2")), 1)
+      (7L, at(8.5), "D"), (9L, at(10.0 + 20.0 / 60), "M2")), 1)
     stage(Seq((4L, at(9.0 + 40.0 / 60), "A"), (5L, at(2.0 + 5.0 / 60), "B"),
+      (8L, at(9.0 + 5.0 / 60), "D"), (10L, at(9.0 + 10.0 / 60), "C"),
       (9L, at(10.0 + 40.0 / 60), "M3")), 2)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
