@@ -66,7 +66,8 @@ object Bench {
     "d166_pdf_xref_stream", "d167_cbor", "d168_ann_append",
     "d169_stream_sessions", "d170_stream_correlate",
     "d171_parquet_nested", "d172_hdf5", "d173_delta_checkpoint",
-    "d174_ivf_drift", "d175_parquet_pageidx", "d176_stream_dedup")
+    "d174_ivf_drift", "d175_parquet_pageidx", "d176_stream_dedup",
+    "d177_stream_pack")
 
   /** Fixed CPU-bound calibration microbench ("DotBench"): scalar dot
     * products over pinned-size float arrays with deterministic

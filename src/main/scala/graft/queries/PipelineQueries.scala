@@ -220,6 +220,24 @@ object PipelineQueries {
       trackTemp(base.toString)
     })
 
+  /** d177's packing waves: (stream_id, doc_id, n_tokens) split by
+    * doc_id % 3 — the running token count continues ACROSS
+    * micro-batches, so the assignment depends on arrival order
+    * (wave, then doc_id — the operator sorts its slice), which the
+    * oracle replays as a windowed prefix sum. */
+  private val packStreamCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def packStreamDir(s: SparkSession, dir: String): String =
+    packStreamCache.computeIfAbsent(dir, _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_pack")
+      val st = docs(s, dir).select(
+        pmod(col("doc_id"), lit(3)).as("wave"),
+        pmod(col("doc_id"), lit(7)).as("stream_id"),
+        col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      stageWaves(st, base, 3)
+      trackTemp(base.toString)
+    })
+
   /** The IMA step table for the d110 oracle, sourced from the decoder
     * itself so the SQL replay can never drift from the Scala walk. */
   private val AdpcmOracleSteps: String =
@@ -1082,6 +1100,38 @@ object PipelineQueries {
           col("content_hash"),
           unix_timestamp(col("ts")).as("ts_s")))
         .orderBy("content_hash", "ts_s")
+    }),
+
+    // d19's streaming twin as an ORACLE gate: token-budget pack
+    // assignment continued ACROSS micro-batches — state is ONE long
+    // per stream (the running count), no watermark anywhere, so the
+    // protocol is pure arrival-order determinism: the operator sorts
+    // each slice by doc_id, waves arrive in mtime order, and the
+    // oracle replays the whole assignment as a (wave, doc_id)
+    // windowed prefix sum. Continuation is the point: a pack spans
+    // wave boundaries whenever the budget cut lands mid-batch.
+    "d177_stream_pack" -> ((s, dir) => {
+      val path = packStreamDir(s, dir)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("stream_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_tokens",
+          org.apache.spark.sql.types.LongType)))
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(path)
+      val sink = "d177_out_" + streamGateN.incrementAndGet()
+      val q = graft.streaming.EventStream.packBudgetStreaming(s, stream,
+          budget = 1000L)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      drainSink(s, sink, s.table(sink).select(
+          col("stream_id"), col("doc_id"), col("n_tokens"), col("pack_id")))
+        .orderBy("stream_id", "doc_id")
     }),
 
     // Stream-stream interval join (click↔impression correlate): both
@@ -3375,6 +3425,16 @@ object PipelineQueries {
         |   floor(epoch(wm.wmf))::BIGINT AS wmf_s FROM sess, wm)
         | WHERE session_id < max_sid OR wmf_s > last_ts + 1807
         | ORDER BY user_id, session_start""".stripMargin.replaceAll("\n", " "),
+    // d177: the cross-batch prefix sum — pack = floor(tokens-before /
+    // budget) over (arrival wave, doc_id) order
+    "d177_stream_pack" ->
+      """WITH t AS (SELECT doc_id % 7 AS stream_id, doc_id, doc_id % 3 AS wave,
+        |   len(string_split_regex(lower(text), '\s+'))::BIGINT AS n_tokens FROM documents),
+        | o AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY stream_id
+        |   ORDER BY wave, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS acc
+        |  FROM t)
+        | SELECT stream_id, doc_id, n_tokens, (acc // 1000)::BIGINT AS pack_id
+        | FROM o ORDER BY stream_id, doc_id""".stripMargin.replaceAll("\n", " "),
     // d176: emissions replayed closed-form per duplicate group —
     // wave-0 emits; wave-1 emits iff no wave-0 (its state is always
     // visible at batch 1, the b-2 watermark is -inf); wave-2 emits
