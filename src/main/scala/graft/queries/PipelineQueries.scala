@@ -61,6 +61,43 @@ object PipelineQueries {
         .deleteQuietly(new java.io.File(d)))))
   private def trackTemp(p: String): String = { tempDirHook; tempDirs.add(p); p }
 
+  /** Stateful stream-gate shuffle sizing (optimization guide §2.2/§2.5):
+    * a stateful micro-batch runs `spark.sql.shuffle.partitions` state
+    * store tasks PER STORE PER BATCH regardless of data volume (AQE is
+    * disabled on streams, so nothing coalesces them), and the
+    * stream-stream join keeps FOUR stores per partition. At the
+    * session default (= core count) the wave gates paid 32 store
+    * open/commit cycles per store per batch to shuffle a few hundred
+    * KB — pure fixed cost that also does not shrink when the driver
+    * re-benches at a lower core count. Derive the partition count from
+    * the staged input size instead (~32 MB of input per state task,
+    * capped at the session parallelism), overridable for a real
+    * deployment via SPARK_GRAFT_STREAM_SHUFFLE — at 100 TB/day the
+    * right number is throughput- and key-cardinality-sized, never the
+    * local core count. Results are partitioning-invariant: watermarks
+    * are global per batch and state is keyed, so only task counts
+    * change (oracle-replayed both SFs after the change). */
+  private def withStreamShuffle[T](s: SparkSession, inputBytes: Long)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    val target = sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE").map(_.toInt).getOrElse {
+      val perTask = 32L << 20
+      math.min(s.sparkContext.defaultParallelism.toLong,
+        math.max(1L, (inputBytes + perTask - 1) / perTask)).toInt
+    }
+    s.conf.set(key, target.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
+  /** Total bytes under the staged stream dirs (symlinks followed). */
+  private def stagedBytes(paths: String*): Long =
+    paths.map { p =>
+      val f = new java.io.File(p)
+      if (f.isDirectory)
+        f.listFiles().filter(_.isFile).map(_.length()).sum
+      else f.length()
+    }.sum
+
   private val streamDirCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def streamDir(dir: String, table: String): String =
     streamDirCache.computeIfAbsent(s"$dir/$table", _ => {
@@ -902,6 +939,10 @@ object PipelineQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // dev probe (plan evidence for the committed plans/ dumps): the
+      // last executed micro-batch's physical plan, incl. the state
+      // store partitioning. No-op unless explicitly requested.
+      if (sys.env.contains("SPARK_GRAFT_STREAM_EXPLAIN")) q.explain()
       drainSink(s, sink, s.table(sink)
         .groupBy("doc_id")
         .agg(countDistinct(col("bench_id")).as("n_bench_hits"),
@@ -932,6 +973,10 @@ object PipelineQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // dev probe (plan evidence for the committed plans/ dumps): the
+      // last executed micro-batch's physical plan, incl. the state
+      // store partitioning. No-op unless explicitly requested.
+      if (sys.env.contains("SPARK_GRAFT_STREAM_EXPLAIN")) q.explain()
       drainSink(s, sink, s.table(sink)).orderBy("doc_id")
     }),
 
@@ -955,6 +1000,10 @@ object PipelineQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // dev probe (plan evidence for the committed plans/ dumps): the
+      // last executed micro-batch's physical plan, incl. the state
+      // store partitioning. No-op unless explicitly requested.
+      if (sys.env.contains("SPARK_GRAFT_STREAM_EXPLAIN")) q.explain()
       drainSink(s, sink, s.table(sink)
         .groupBy("doc_id")
         .agg(countDistinct(col("corpus_doc_id")).as("n_corpus_hits"),
@@ -989,6 +1038,10 @@ object PipelineQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // dev probe (plan evidence for the committed plans/ dumps): the
+      // last executed micro-batch's physical plan, incl. the state
+      // store partitioning. No-op unless explicitly requested.
+      if (sys.env.contains("SPARK_GRAFT_STREAM_EXPLAIN")) q.explain()
       drainSink(s, sink, s.table(sink)).orderBy("doc_id")
     }),
 
@@ -1003,6 +1056,7 @@ object PipelineQueries {
     // both pinned by the hash.
     "d165_stream_window" -> ((s, dir) => {
       val path = windowStreamDir(s, dir)
+      withStreamShuffle(s, stagedBytes(path)) {
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("event_id",
           org.apache.spark.sql.types.LongType),
@@ -1021,11 +1075,16 @@ object PipelineQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // dev probe (plan evidence for the committed plans/ dumps): the
+      // last executed micro-batch's physical plan, incl. the state
+      // store partitioning. No-op unless explicitly requested.
+      if (sys.env.contains("SPARK_GRAFT_STREAM_EXPLAIN")) q.explain()
       drainSink(s, sink, s.table(sink).select(
           date_format(col("window_start"), "yyyy-MM-dd HH:mm").as("window_start"),
           col("event_type"), col("n"),
           rd(col("total_value"), 2).as("total_value")))
         .orderBy("window_start", "event_type")
+      }
     }),
 
     // q12's streaming twin under genuine out-of-order arrival: gap
@@ -1041,6 +1100,7 @@ object PipelineQueries {
     // horizon 1801 s make every comparison equality-free.
     "d169_stream_sessions" -> ((s, dir) => {
       val path = sessionStreamDir(s, dir)
+      withStreamShuffle(s, stagedBytes(path)) {
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("user_id",
           org.apache.spark.sql.types.LongType),
@@ -1058,10 +1118,15 @@ object PipelineQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // dev probe (plan evidence for the committed plans/ dumps): the
+      // last executed micro-batch's physical plan, incl. the state
+      // store partitioning. No-op unless explicitly requested.
+      if (sys.env.contains("SPARK_GRAFT_STREAM_EXPLAIN")) q.explain()
       drainSink(s, sink, s.table(sink).select(
           col("user_id"), col("session_start"), col("n_events"),
           rd(col("session_value"), 2).as("session_value")))
         .orderBy("user_id", "session_start")
+      }
     }),
 
     // d01's streaming twin as an ORACLE gate (the §2.6 promotion for
@@ -1076,6 +1141,7 @@ object PipelineQueries {
     // The oracle replays emissions closed-form per duplicate group.
     "d176_stream_dedup" -> ((s, dir) => {
       val path = dedupStreamDir(s, dir)
+      withStreamShuffle(s, stagedBytes(path)) {
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
           org.apache.spark.sql.types.LongType),
@@ -1093,6 +1159,10 @@ object PipelineQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // dev probe (plan evidence for the committed plans/ dumps): the
+      // last executed micro-batch's physical plan, incl. the state
+      // store partitioning. No-op unless explicitly requested.
+      if (sys.env.contains("SPARK_GRAFT_STREAM_EXPLAIN")) q.explain()
       // doc_id projected AWAY: which twin the engine keeps within a
       // batch is engine order; the (hash, ts) emission set is the
       // deterministic contract
@@ -1100,6 +1170,7 @@ object PipelineQueries {
           col("content_hash"),
           unix_timestamp(col("ts")).as("ts_s")))
         .orderBy("content_hash", "ts_s")
+      }
     }),
 
     // d19's streaming twin as an ORACLE gate: token-budget pack
@@ -1112,6 +1183,7 @@ object PipelineQueries {
     // wave boundaries whenever the budget cut lands mid-batch.
     "d177_stream_pack" -> ((s, dir) => {
       val path = packStreamDir(s, dir)
+      withStreamShuffle(s, stagedBytes(path)) {
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("stream_id",
           org.apache.spark.sql.types.LongType),
@@ -1129,9 +1201,14 @@ object PipelineQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // dev probe (plan evidence for the committed plans/ dumps): the
+      // last executed micro-batch's physical plan, incl. the state
+      // store partitioning. No-op unless explicitly requested.
+      if (sys.env.contains("SPARK_GRAFT_STREAM_EXPLAIN")) q.explain()
       drainSink(s, sink, s.table(sink).select(
           col("stream_id"), col("doc_id"), col("n_tokens"), col("pack_id")))
         .orderBy("stream_id", "doc_id")
+      }
     }),
 
     // Stream-stream interval join (click↔impression correlate): both
@@ -1144,6 +1221,7 @@ object PipelineQueries {
     // sides' columns). Tolerance 307 s keeps band edges equality-free.
     "d170_stream_correlate" -> ((s, dir) => {
       val (lpath, rpath) = corrStreamDirs(s, dir)
+      withStreamShuffle(s, stagedBytes(lpath, rpath)) {
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("user_id",
           org.apache.spark.sql.types.LongType),
@@ -1163,6 +1241,10 @@ object PipelineQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // dev probe (plan evidence for the committed plans/ dumps): the
+      // last executed micro-batch's physical plan, incl. the state
+      // store partitioning. No-op unless explicitly requested.
+      if (sys.env.contains("SPARK_GRAFT_STREAM_EXPLAIN")) q.explain()
       drainSink(s, sink, s.table(sink).select(
           col("user_id"),
           date_format(col("l_ts"), "yyyy-MM-dd HH:mm:ss").as("l_ts"),
@@ -1170,6 +1252,7 @@ object PipelineQueries {
           rd(col("l_value"), 2).as("l_value"),
           rd(col("r_value"), 2).as("r_value")))
         .orderBy("user_id", "l_ts", "r_ts", "l_value", "r_value")
+      }
     }),
 
     // DSIR importance weighting: target seed = the English slice,
