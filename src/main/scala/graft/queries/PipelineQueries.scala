@@ -954,8 +954,14 @@ object PipelineQueries {
       q.awaitTermination()
       // dev probe (plan evidence for the committed plans/ dumps): the
       // last executed micro-batch's physical plan, incl. the state
-      // store partitioning. No-op unless explicitly requested.
-      if (sys.env.contains("SPARK_GRAFT_STREAM_EXPLAIN")) q.explain()
+      // store partitioning, plus per-batch progress timings. No-op
+      // unless explicitly requested.
+      if (sys.env.contains("SPARK_GRAFT_STREAM_EXPLAIN")) {
+        q.explain()
+        q.recentProgress.foreach(p => System.err.println(
+          s"[stream-progress] batch=${p.batchId} rows=${p.numInputRows} " +
+            s"durationMs=${p.durationMs}"))
+      }
       drainSink(s, sink, s.table(sink)
         .groupBy("doc_id")
         .agg(countDistinct(col("bench_id")).as("n_bench_hits"),
@@ -988,8 +994,14 @@ object PipelineQueries {
       q.awaitTermination()
       // dev probe (plan evidence for the committed plans/ dumps): the
       // last executed micro-batch's physical plan, incl. the state
-      // store partitioning. No-op unless explicitly requested.
-      if (sys.env.contains("SPARK_GRAFT_STREAM_EXPLAIN")) q.explain()
+      // store partitioning, plus per-batch progress timings. No-op
+      // unless explicitly requested.
+      if (sys.env.contains("SPARK_GRAFT_STREAM_EXPLAIN")) {
+        q.explain()
+        q.recentProgress.foreach(p => System.err.println(
+          s"[stream-progress] batch=${p.batchId} rows=${p.numInputRows} " +
+            s"durationMs=${p.durationMs}"))
+      }
       drainSink(s, sink, s.table(sink)).orderBy("doc_id")
     }),
 
@@ -1015,8 +1027,14 @@ object PipelineQueries {
       q.awaitTermination()
       // dev probe (plan evidence for the committed plans/ dumps): the
       // last executed micro-batch's physical plan, incl. the state
-      // store partitioning. No-op unless explicitly requested.
-      if (sys.env.contains("SPARK_GRAFT_STREAM_EXPLAIN")) q.explain()
+      // store partitioning, plus per-batch progress timings. No-op
+      // unless explicitly requested.
+      if (sys.env.contains("SPARK_GRAFT_STREAM_EXPLAIN")) {
+        q.explain()
+        q.recentProgress.foreach(p => System.err.println(
+          s"[stream-progress] batch=${p.batchId} rows=${p.numInputRows} " +
+            s"durationMs=${p.durationMs}"))
+      }
       drainSink(s, sink, s.table(sink)
         .groupBy("doc_id")
         .agg(countDistinct(col("corpus_doc_id")).as("n_corpus_hits"),
@@ -1053,8 +1071,14 @@ object PipelineQueries {
       q.awaitTermination()
       // dev probe (plan evidence for the committed plans/ dumps): the
       // last executed micro-batch's physical plan, incl. the state
-      // store partitioning. No-op unless explicitly requested.
-      if (sys.env.contains("SPARK_GRAFT_STREAM_EXPLAIN")) q.explain()
+      // store partitioning, plus per-batch progress timings. No-op
+      // unless explicitly requested.
+      if (sys.env.contains("SPARK_GRAFT_STREAM_EXPLAIN")) {
+        q.explain()
+        q.recentProgress.foreach(p => System.err.println(
+          s"[stream-progress] batch=${p.batchId} rows=${p.numInputRows} " +
+            s"durationMs=${p.durationMs}"))
+      }
       drainSink(s, sink, s.table(sink)).orderBy("doc_id")
     }),
 
@@ -1090,8 +1114,14 @@ object PipelineQueries {
       q.awaitTermination()
       // dev probe (plan evidence for the committed plans/ dumps): the
       // last executed micro-batch's physical plan, incl. the state
-      // store partitioning. No-op unless explicitly requested.
-      if (sys.env.contains("SPARK_GRAFT_STREAM_EXPLAIN")) q.explain()
+      // store partitioning, plus per-batch progress timings. No-op
+      // unless explicitly requested.
+      if (sys.env.contains("SPARK_GRAFT_STREAM_EXPLAIN")) {
+        q.explain()
+        q.recentProgress.foreach(p => System.err.println(
+          s"[stream-progress] batch=${p.batchId} rows=${p.numInputRows} " +
+            s"durationMs=${p.durationMs}"))
+      }
       drainSink(s, sink, s.table(sink).select(
           date_format(col("window_start"), "yyyy-MM-dd HH:mm").as("window_start"),
           col("event_type"), col("n"),
@@ -1133,8 +1163,14 @@ object PipelineQueries {
       q.awaitTermination()
       // dev probe (plan evidence for the committed plans/ dumps): the
       // last executed micro-batch's physical plan, incl. the state
-      // store partitioning. No-op unless explicitly requested.
-      if (sys.env.contains("SPARK_GRAFT_STREAM_EXPLAIN")) q.explain()
+      // store partitioning, plus per-batch progress timings. No-op
+      // unless explicitly requested.
+      if (sys.env.contains("SPARK_GRAFT_STREAM_EXPLAIN")) {
+        q.explain()
+        q.recentProgress.foreach(p => System.err.println(
+          s"[stream-progress] batch=${p.batchId} rows=${p.numInputRows} " +
+            s"durationMs=${p.durationMs}"))
+      }
       drainSink(s, sink, s.table(sink).select(
           col("user_id"), col("session_start"), col("n_events"),
           rd(col("session_value"), 2).as("session_value")))
@@ -1174,8 +1210,14 @@ object PipelineQueries {
       q.awaitTermination()
       // dev probe (plan evidence for the committed plans/ dumps): the
       // last executed micro-batch's physical plan, incl. the state
-      // store partitioning. No-op unless explicitly requested.
-      if (sys.env.contains("SPARK_GRAFT_STREAM_EXPLAIN")) q.explain()
+      // store partitioning, plus per-batch progress timings. No-op
+      // unless explicitly requested.
+      if (sys.env.contains("SPARK_GRAFT_STREAM_EXPLAIN")) {
+        q.explain()
+        q.recentProgress.foreach(p => System.err.println(
+          s"[stream-progress] batch=${p.batchId} rows=${p.numInputRows} " +
+            s"durationMs=${p.durationMs}"))
+      }
       // doc_id projected AWAY: which twin the engine keeps within a
       // batch is engine order; the (hash, ts) emission set is the
       // deterministic contract
@@ -1216,8 +1258,14 @@ object PipelineQueries {
       q.awaitTermination()
       // dev probe (plan evidence for the committed plans/ dumps): the
       // last executed micro-batch's physical plan, incl. the state
-      // store partitioning. No-op unless explicitly requested.
-      if (sys.env.contains("SPARK_GRAFT_STREAM_EXPLAIN")) q.explain()
+      // store partitioning, plus per-batch progress timings. No-op
+      // unless explicitly requested.
+      if (sys.env.contains("SPARK_GRAFT_STREAM_EXPLAIN")) {
+        q.explain()
+        q.recentProgress.foreach(p => System.err.println(
+          s"[stream-progress] batch=${p.batchId} rows=${p.numInputRows} " +
+            s"durationMs=${p.durationMs}"))
+      }
       drainSink(s, sink, s.table(sink).select(
           col("stream_id"), col("doc_id"), col("n_tokens"), col("pack_id")))
         .orderBy("stream_id", "doc_id")
@@ -1256,8 +1304,14 @@ object PipelineQueries {
       q.awaitTermination()
       // dev probe (plan evidence for the committed plans/ dumps): the
       // last executed micro-batch's physical plan, incl. the state
-      // store partitioning. No-op unless explicitly requested.
-      if (sys.env.contains("SPARK_GRAFT_STREAM_EXPLAIN")) q.explain()
+      // store partitioning, plus per-batch progress timings. No-op
+      // unless explicitly requested.
+      if (sys.env.contains("SPARK_GRAFT_STREAM_EXPLAIN")) {
+        q.explain()
+        q.recentProgress.foreach(p => System.err.println(
+          s"[stream-progress] batch=${p.batchId} rows=${p.numInputRows} " +
+            s"durationMs=${p.durationMs}"))
+      }
       drainSink(s, sink, s.table(sink).select(
           col("user_id"),
           date_format(col("l_ts"), "yyyy-MM-dd HH:mm:ss").as("l_ts"),

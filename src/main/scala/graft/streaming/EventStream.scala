@@ -171,27 +171,21 @@ object EventStream {
                id: org.apache.spark.sql.Column,
                bgScore: Map[String, Long], w1Score: Map[String, Long],
                defaultScore: Long): DataFrame = {
-    import graft.operators.{Dedup, TextOps}
+    import graft.operators.TextOps
     val toks = TextOps.tokens(text)
-    val bgs = Dedup.zipNgrams(toks, 2,
-      (a, b) => struct(a.as("w1"), concat(a, lit(" "), b).as("bg")))
-    // empty-map literals are untypeable; seed with an impossible key
-    // (tokens never contain whitespace, so "  " collides with nothing)
-    def mapLit(m: Map[String, Long]) =
-      typedLit(if (m.nonEmpty) m else Map("  " -> 0L))
-    val bgM = mapLit(bgScore)
-    val w1M = mapLit(w1Score)
+    // r16: the scorer used to fold over `try_element_at(typedLit(m))`
+    // lookups — a Catalyst map literal has no hash index, so every
+    // probe was a linear scan of the 10⁴–10⁵-entry model (the d158
+    // micro-batch spent ~2 s in addBatch). The model now rides as a
+    // codegen reference object with O(1) HashMap probes; the fold's
+    // rule (bigram hit → w₁ backoff → default, long sum in token
+    // order) is unchanged and the stream==batch bit-identity stays
+    // spec-pinned (StreamingSpec).
+    val model = new graft.functions.BigramLmModel(bgScore, w1Score,
+      defaultScore)
     stream.filter(size(toks) >= 2)
-      .select(id.as("doc_id"), aggregate(bgs,
-        struct(lit(0L).as("s"), lit(0L).as("n")),
-        (acc, p) => struct(
-          // try_element_at: unseen bigrams/unigrams are the NORMAL
-          // backoff path; ANSI element_at would throw on them
-          (acc.getField("s") + coalesce(
-            try_element_at(bgM, p.getField("bg")),
-            try_element_at(w1M, p.getField("w1")),
-            lit(defaultScore))).as("s"),
-          (acc.getField("n") + 1L).as("n"))).as("a"))
+      .select(id.as("doc_id"),
+        graft.functions.BigramLmScoreExpr.column(toks, model).as("a"))
       .select(col("doc_id"), col("a.n").as("n_bigrams"),
         col("a.s").as("lm_sum"),
         floor(col("a.s").cast("double") / col("a.n"))
