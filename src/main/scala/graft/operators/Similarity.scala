@@ -478,11 +478,19 @@ object Similarity {
     * cells are collected once on the driver (the batch is broadcast
     * anyway) and pushed as a literal partition filter — `.explain`
     * shows them under PartitionFilters, which is the property the
-    * plan spec pins. */
+    * plan spec pins.
+    *
+    * `centroids` (r16): callers that already hold the index's cell
+    * state (a probe service keeps it resident between query batches —
+    * the [[readIvfCentroids]] doc's own "read once per batch" shape)
+    * pass it in and skip the per-call KB parquet read job. The values
+    * are the exact rows [[writeIvfIndex]] wrote, so probe results are
+    * identical either way. */
   def ivfTopKFromIndex(spark: SparkSession, path: String,
                        queries: DataFrame, k: Int,
-                       nProbe: Int = 2): DataFrame = {
-    val cents = readIvfCentroids(spark, path)
+                       nProbe: Int = 2,
+                       centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(readIvfCentroids(spark, path))
     val q = queries.select(col("vec_id").as("q_id"),
         toDouble(col("embedding")).as("qv"))
       .withColumn("qn", norm(col("qv")))
@@ -524,10 +532,13 @@ object Similarity {
     * asymmetric rows over the oracle-computable nq·k total. */
   def ivfAppendVerdict(spark: SparkSession, basePath: String,
                        fullPath: String, queries: DataFrame,
-                       k: Int, nProbe: Int = 2): DataFrame = {
-    val appended = ivfTopKFromIndex(spark, basePath, queries, k, nProbe)
+                       k: Int, nProbe: Int = 2,
+                       centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val appended = ivfTopKFromIndex(spark, basePath, queries, k, nProbe,
+        centroids)
       .select(col("q_id"), col("rank"), col("neighbor_id"))
-    val rebuilt = ivfTopKFromIndex(spark, fullPath, queries, k, nProbe)
+    val rebuilt = ivfTopKFromIndex(spark, fullPath, queries, k, nProbe,
+        centroids)
       .select(col("q_id"), col("rank"), col("neighbor_id"))
     val keys = Seq("q_id", "rank", "neighbor_id")
     rebuilt.agg(count(lit(1)).as("n_topk"))
@@ -551,7 +562,8 @@ object Similarity {
     val mem = ivfTopK(emb, queries, k, nProbe = nProbe,
       centroids = Some(centroids))
       .select(col("q_id"), col("rank"), col("neighbor_id"))
-    val idx = ivfTopKFromIndex(spark, path, queries, k, nProbe)
+    val idx = ivfTopKFromIndex(spark, path, queries, k, nProbe,
+        Some(centroids))
       .select(col("q_id"), col("rank"), col("neighbor_id"))
     val keys = Seq("q_id", "rank", "neighbor_id")
     mem.agg(count(lit(1)).as("n_topk"))
@@ -574,8 +586,9 @@ object Similarity {
     * pruned index scan + a broadcast centroid join + a #cells-row
     * aggregate — the report costs one pass at any corpus size and
     * its output is O(nCells). */
-  def ivfDriftReport(spark: SparkSession, path: String): DataFrame = {
-    val cents = readIvfCentroids(spark, path)
+  def ivfDriftReport(spark: SparkSession, path: String,
+                     centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(readIvfCentroids(spark, path))
     val centRows = cents.toSeq.zipWithIndex.map { case (c, i) =>
       Row(i, c.toSeq)
     }

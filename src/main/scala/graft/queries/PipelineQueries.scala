@@ -2431,8 +2431,12 @@ object PipelineQueries {
         Similarity.writeIvfIndex(e, full, centroids = Some(cents))
         (base, full)
       })
+      // the gates hold the exact cell state both indexes were built
+      // from (ivfCentroidCache) — pass it through so the probe path
+      // skips two per-execution KB centroid-read jobs (r16; results
+      // identical, the index's centroid rows ARE these values)
       Similarity.ivfAppendVerdict(s, paths._1, paths._2,
-        e.filter(col("vec_id") < 50), k = 5)
+        e.filter(col("vec_id") < 50), k = 5, centroids = Some(cents))
     }),
 
     // IVF DRIFT report (d174, the d164/d168 close-out): the per-cell
@@ -2467,9 +2471,11 @@ object PipelineQueries {
         Similarity.writeIvfIndex(e, full, centroids = Some(cents))
         (base, full)
       })
+      // same trade as d168: the reports run against indexes built from
+      // the cached cell state — skip the two per-call centroid reads
       Similarity.ivfDriftVerdict(
-        Similarity.ivfDriftReport(s, baseOnly),
-        Similarity.ivfDriftReport(s, paths._1))
+        Similarity.ivfDriftReport(s, baseOnly, Some(cents)),
+        Similarity.ivfDriftReport(s, paths._1, Some(cents)))
         .drop("rebuild_recommended")
     }),
 
