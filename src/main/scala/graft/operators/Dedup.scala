@@ -187,29 +187,31 @@ object Dedup {
     * combine, permutations, band hash — is exact cross-engine integer
     * arithmetic, so the full pipeline is DuckDB-oracle-verifiable
     * (query d24; the xxhash64 path d02 stays the throughput variant,
-    * this one pins the algorithm's semantics end-to-end). Same scale
-    * shape as [[minhashCandidates]]: shingle-explode → hash once → all
-    * mins in one HashAggregate → one shuffle on (band, hash). Banding:
+    * this one pins the algorithm's semantics end-to-end). Banding:
     * 4 bands × 4 rows. maxBucket defaults to unbounded because the
     * oracle computes exact all-pairs; pass [[MAX_FULL_BUCKET]] for the
-    * capped production behavior. */
+    * capped production behavior.
+    *
+    * r16 shape: signatures come from the FUSED per-row band expression
+    * ([[polyRowBands]] — one map-only pass per doc, the stream twins'
+    * path), not the shingle-explode → 16-min HashAggregate the
+    * original pipeline used. The aggregate form shuffled one
+    * (doc_id, h) row PER SHINGLE (corpus-token-sized exchange) just to
+    * re-group them by doc_id — rows the scan had already laid out by
+    * doc. Candidate-set equality between the two forms is spec-pinned
+    * (OperatorsSpec "per-row poly bands emit the same candidates"),
+    * and the DuckDB oracle replays the same integer math either way.
+    * The only shuffle left is pairsInBuckets' (band, hash) bucket
+    * window — the one the algorithm fundamentally requires. */
   def polyMinhashPairs(docs: DataFrame, text: Column, id: Column,
                        bands: Int = 4, rows: Int = 4,
                        maxBucket: Int = Int.MaxValue): DataFrame = {
-    val exploded = docs.filter(size(TextOps.tokens(text)) >= 3)
-      .select(id.as("doc_id"), explode(polyShingleHashes(text)).as("h"))
-    val mins = polyCoefs.take(bands * rows).zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * a + b, lit(P))).as(s"m$i")
-    }
-    val sig = exploded.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-    val bandStructs = (0 until bands).map { bi =>
-      val ms = (0 until rows).map(r => col(s"m${bi * rows + r}"))
-      struct(lit(bi).as("band_idx"),
-        ms.reduceLeft((acc, m) => pmod(acc * 131L + m, lit(P))).as("band_hash"))
-    }
-    val banded = sig.select(col("doc_id"),
-      explode(array(bandStructs: _*)).as("b"))
-      .select(col("doc_id"), col("b.band_idx"), col("b.band_hash"))
+    require(bands * rows <= polyCoefs.length,
+      s"bands*rows must be <= ${polyCoefs.length} (poly coefficient pool)")
+    val banded = docs.filter(size(TextOps.tokens(text)) >= 3)
+      .select(id.as("doc_id"),
+        posexplode(polyRowBands(text, bands, rows))
+          .as(Seq("band_idx", "band_hash")))
     pairsInBuckets(banded, Seq("band_idx", "band_hash"), col("doc_id"), maxBucket)
   }
 
