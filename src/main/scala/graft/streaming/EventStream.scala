@@ -210,17 +210,19 @@ object EventStream {
                        buckets: Int = 65536): DataFrame = {
     import graft.operators.TextOps
     val feats = TextOps.classifierFeatures(text, buckets)
-    // empty-map literals are untypeable; -1 is outside [0, buckets)
-    val m = typedLit(if (weights.nonEmpty) weights else Map(-1L -> 0L))
+    // r16: the weight fold probed a Catalyst map literal —
+    // ArrayBasedMapData has no hash index, so each feature paid an
+    // O(|model|) scan (up to the 2¹⁶ bucket bound). The weights now
+    // ride as a codegen reference object with O(1) HashMap probes
+    // (the BigramLmScoreExpr/d158 fix); the miss → prior 500000 rule
+    // and the long sum order are unchanged (StreamingSpec-pinned),
+    // and the reference object is ANSI-indifferent by construction.
+    val model = new graft.functions.ClassifierWeights(weights, 500000L)
     val intDiv = graft.functions.IntMath.intDiv _
     stream
       .select(id.as("doc_id"), feats.as("_f"))
       .select(col("doc_id"), size(col("_f")).cast("long").as("n_feats"),
-        // try_element_at, not element_at: the missing-key → prior path
-        // IS the contract, and under ANSI (Spark 4's default in a
-        // user's own session) element_at throws on a miss
-        aggregate(col("_f"), lit(0L),
-          (acc, f) => acc + coalesce(try_element_at(m, f), lit(500000L)))
+        graft.functions.ClassifierScoreExpr.column(col("_f"), model)
           .as("_ws"))
       .select(col("doc_id"), col("n_feats"),
         intDiv(col("_ws"), col("n_feats")).as("clf_score"),
