@@ -277,8 +277,16 @@ object Retrieval {
                     emb: DataFrame, queriesEmb: DataFrame, k: Int,
                     denseRecallFloorPct: Int = 30,
                     fusedOverlapFloorPct: Int = 40,
-                    centroids: Option[Array[Array[Double]]] = None): DataFrame = {
-    val lex = bm25TopK(docs, text, id, queriesLex, qText, qId, k)
+                    centroids: Option[Array[Array[Double]]] = None,
+                    post: Option[DataFrame] = None): DataFrame = {
+    // r16: the SCALE-plan gate takes the scale-plan lex arm too —
+    // `post` supplies the materialized postings index (the d66
+    // warehouse), whose hits are pinned IDENTICAL to the corpus-scan
+    // probe (shared d60/d66 oracle; OperatorsSpec), so the verdict is
+    // unchanged while the per-run corpus re-tokenization goes away.
+    val lex = post
+      .map(p => bm25FromIndex(p, queriesLex, qText, qId, k))
+      .getOrElse(bm25TopK(docs, text, id, queriesLex, qText, qId, k))
     def denseArm(ann: DataFrame) = ann.select(col("q_id"), col("rank"),
       col("neighbor_id").as("doc_id"))
     val bf = denseArm(Similarity.bruteForceTopK(emb, queriesEmb, k))

@@ -2660,7 +2660,12 @@ object PipelineQueries {
     "d90_rrf_fusion" -> ((s, dir) => {
       val d = docs(s, dir)
       val e = emb(s, dir)
-      val lex = Retrieval.bm25TopK(d, col("text"), col("doc_id"),
+      // r16: the lex arm probes the MATERIALIZED postings index (the
+      // d66 warehouse, cached per sf dir) instead of re-tokenizing the
+      // corpus per run — hits pinned identical to the corpus-scan
+      // probe (shared d60/d66 oracle), so the fusion is unchanged;
+      // d60 remains the gate that measures the unmaterialized probe.
+      val lex = Retrieval.bm25FromIndex(postingsIndex(s, dir),
         d.filter(col("doc_id") % 97 === 0), col("text"), col("doc_id"),
         k = 10)
       // the brute dense arm is the ORACLE-EXACTNESS choice: its
@@ -2694,7 +2699,10 @@ object PipelineQueries {
         d, col("text"), col("doc_id"),
         d.filter(col("doc_id") % 97 === 0), col("text"), col("doc_id"),
         e, e.filter(col("vec_id") % 97 === 0), k = 10,
-        centroids = Some(cents))
+        centroids = Some(cents),
+        // the scale plan's lex arm: the d66 postings warehouse
+        // (hits pinned identical to the corpus-scan probe)
+        post = Some(postingsIndex(s, dir)))
     }),
 
     // materialized IVF index probe (the d66 treatment for ANN):
