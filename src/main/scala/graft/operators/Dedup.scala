@@ -16,6 +16,31 @@ object Dedup {
     docs.groupBy(md5(text).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min(id).as("keeper_id"))
 
+  /** Exact-dedup KEEPER ROWS in one pass — the attach-free form of
+    * [[exact]] + "semi-join the corpus back on keeper_id" (r17, guide
+    * §2.4/§8): `min(struct(id, payload…))` per content hash returns the
+    * min-id row per group WITH its payload columns, so the caller never
+    * re-derives the corpus to re-attach them. The struct comparison is
+    * decided entirely by its first field (`id` is unique per corpus), so
+    * payload values are never compared and the result is deterministic —
+    * identical row set to the two-pass compose (OperatorsSpec pins it).
+    *
+    * Scale shape: the two-pass form scans the corpus twice (both sides
+    * of the semi-join re-derive every upstream map stage — extraction,
+    * decode, tokenization) and shuffles it twice (once into the hash
+    * aggregate, once by id for the join). This form scans ONCE and
+    * ships one narrow (hash, id, payload) partial-aggregate exchange.
+    * `keep` names payload columns of `docs` that ride with the keeper;
+    * output columns: keeper_id, keep… */
+  def exactKeeperRows(docs: DataFrame, text: Column, id: Column,
+                      keep: Seq[String]): DataFrame = {
+    val row = struct((id.as("_kid") +: keep.map(col)): _*)
+    docs.groupBy(md5(text).as("content_hash"))
+      .agg(min(row).as("_r"))
+      .select(col("_r._kid").as("keeper_id") +:
+        keep.map(n => col(s"_r.$n").as(n)): _*)
+  }
+
   /** Consecutive k-grams of an array as strings, built by zipping k
     * shifted slices. The shape matters: a `transform(sequence(...),
     * i => f(element_at(arr, i)))` lambda re-evaluates `arr` on EVERY

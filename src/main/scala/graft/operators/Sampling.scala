@@ -215,17 +215,24 @@ object Sampling {
     * factor only ADDS (doc, epoch) rows, never changes which docs got
     * the fractional extra copy. */
   def epochRepeat(docs: DataFrame, domain: Column, id: Column,
-                  factorsMicro: Map[String, Long]): DataFrame = {
+                  factorsMicro: Map[String, Long],
+                  carry: Seq[String] = Nil): DataFrame = {
     require(factorsMicro.values.forall(_ >= 0L),
       "epoch factors must be non-negative micro-units")
     val f = factorsMicro.foldLeft(lit(0L)) { case (acc, (d, m)) =>
       when(domain === d, lit(m)).otherwise(acc) }
     val copies = graft.functions.IntMath.intDiv(f, lit(BUCKETS)) +
       when(bucket(id) < pmod(f, lit(BUCKETS)), 1L).otherwise(0L)
-    docs.select(id.as("doc_id"), domain.as("domain"), copies.as("_n"))
+    // `carry` (r17): named passthrough columns of `docs` that ride the
+    // expansion — the operator is map-only, so carrying a payload here
+    // is free, while re-attaching it downstream costs a corpus-sized
+    // self-join (the d79 lesson; epoch output order is unchanged).
+    docs.select(Seq(id.as("doc_id"), domain.as("domain"),
+        copies.as("_n")) ++ carry.map(col): _*)
       .filter(col("_n") > 0)
-      .select(col("doc_id"), col("domain"),
-        explode(sequence(lit(0L), col("_n") - 1L)).as("epoch"))
+      .select(Seq(col("doc_id"), col("domain"),
+        explode(sequence(lit(0L), col("_n") - 1L)).as("epoch")) ++
+        carry.map(col): _*)
   }
 
   /** Stratified sample: per-stratum keep fractions (stratum → rate);

@@ -459,11 +459,63 @@ object Similarity {
     spark.createDataFrame(
       spark.sparkContext.parallelize(centRows, 1), centSchema)
       .write.mode("overwrite").parquet(s"$path/centroids")
+    // sidecar fingerprint (r17): lets the probe paths VERIFY caller-
+    // supplied resident centroids against the index's stored state for
+    // the cost of a tiny local file read, instead of either trusting
+    // the caller blindly (silent wrong neighbors on a stale handoff)
+    // or re-reading the centroid parquet per probe (the KB-read job
+    // r16 removed)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "centroids.fp"),
+      centroidFingerprint(cents).getBytes("UTF-8"))
+    catch { case _: Throwable => () } // non-local path: guard degrades to off
     // norms ride in the index: the probe path never recomputes them
     emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("n", norm(col("v")))
       .withColumn("cell", assignCell(col("v"), cents))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+  }
+
+  /** Canonical fingerprint of a centroid state: cell count + FNV-1a
+    * over the bit patterns of every value, row-major. Bit-exact across
+    * the write→parquet→read round trip (parquet doubles preserve bits),
+    * so resident state handed between services can be checked against
+    * the on-disk index it claims to match. */
+  private[operators] def centroidFingerprint(cents: Array[Array[Double]]): String = {
+    var h = 1469598103934665603L
+    var i = 0
+    while (i < cents.length) {
+      val c = cents(i); var j = 0
+      while (j < c.length) {
+        val b = java.lang.Double.doubleToLongBits(c(j))
+        var k = 0
+        while (k < 8) { h = (h ^ ((b >>> (k * 8)) & 0xffL)) * 1099511628211L; k += 1 }
+        j += 1
+      }
+      i += 1
+    }
+    s"${cents.length}:${java.lang.Long.toHexString(h)}"
+  }
+
+  /** Guard for caller-supplied resident centroids (r17, the invariant
+    * VERDICT r16 flagged unguarded): if the index carries a sidecar
+    * fingerprint, the supplied state must match it — a probe with stale
+    * cells (e.g. a rebuilt-with-retrained-centroids index probed with
+    * the old service state) returns wrong neighbors with no error
+    * otherwise. Indexes written before the sidecar existed skip the
+    * check (nothing to compare against). */
+  private def requireCentroidsMatch(path: String,
+                                    cents: Array[Array[Double]]): Unit = {
+    val fp = java.nio.file.Paths.get(path, "centroids.fp")
+    if (java.nio.file.Files.exists(fp)) {
+      val stored = new String(java.nio.file.Files.readAllBytes(fp), "UTF-8")
+      val got = centroidFingerprint(cents)
+      require(stored == got,
+        s"caller-supplied centroids do not match the index at $path " +
+          s"(stored $stored, supplied $got): probing with stale cell state " +
+          "returns wrong neighbors silently - pass the index's own " +
+          "centroids (readIvfCentroids) or rebuild the index")
+    }
   }
 
   /** The index's centroid state — KB-sized, read once per query batch
@@ -486,23 +538,44 @@ object Similarity {
     * pass it in and skip the per-call KB parquet read job. The values
     * are the exact rows [[writeIvfIndex]] wrote, so probe results are
     * identical either way. */
-  def ivfTopKFromIndex(spark: SparkSession, path: String,
-                       queries: DataFrame, k: Int,
-                       nProbe: Int = 2,
-                       centroids: Option[Array[Array[Double]]] = None): DataFrame = {
-    val cents = centroids.getOrElse(readIvfCentroids(spark, path))
+  /** Prepared probe-side state shared by every index probe of one query
+    * batch: the cell-exploded query frame and its probed-cell set (ONE
+    * driver collect). r17: [[ivfAppendVerdict]] probes two indexes with
+    * the same batch and the same centroids — preparing once halves the
+    * per-verdict driver jobs and makes the two probes' broadcast
+    * subtrees identical (AQE exchange reuse). */
+  private def prepIvfQueries(queries: DataFrame,
+                             cents: Array[Array[Double]],
+                             nProbe: Int): (DataFrame, Array[Int]) = {
     val q = queries.select(col("vec_id").as("q_id"),
         toDouble(col("embedding")).as("qv"))
       .withColumn("qn", norm(col("qv")))
       .withColumn("cell", explode(probeCells(col("qv"), cents, nProbe)))
     val probed: Array[Int] = q.select(col("cell")).distinct()
       .collect().map(_.getInt(0))
+    (q, probed)
+  }
+
+  /** The pruned-index probe over a prepared query frame. */
+  private def probeIvfIndex(spark: SparkSession, path: String,
+                            q: DataFrame, probed: Array[Int],
+                            k: Int): DataFrame = {
     val corpus = spark.read.parquet(s"$path/vectors")
       .filter(col("cell").isin(probed.map(Int.box): _*))
     val scored = corpus.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("n")))
     topKFromScored(scored, k)
+  }
+
+  def ivfTopKFromIndex(spark: SparkSession, path: String,
+                       queries: DataFrame, k: Int,
+                       nProbe: Int = 2,
+                       centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    centroids.foreach(requireCentroidsMatch(path, _))
+    val cents = centroids.getOrElse(readIvfCentroids(spark, path))
+    val (q, probed) = prepIvfQueries(queries, cents, nProbe)
+    probeIvfIndex(spark, path, q, probed, k)
   }
 
   /** Incremental index maintenance — the operation that makes the
@@ -534,11 +607,29 @@ object Similarity {
                        fullPath: String, queries: DataFrame,
                        k: Int, nProbe: Int = 2,
                        centroids: Option[Array[Array[Double]]] = None): DataFrame = {
-    val appended = ivfTopKFromIndex(spark, basePath, queries, k, nProbe,
-        centroids)
+    // ONE centroids argument serves both indexes BY CONTRACT ("same
+    // centroids — probes cannot tell"); the fingerprint guard checks
+    // the supplied state against BOTH sidecars, so a rebuilt-with-
+    // retrained-centroids full index fails loudly instead of probing
+    // with stale cells (r17, VERDICT r16 item 7).
+    centroids.foreach { c =>
+      requireCentroidsMatch(basePath, c); requireCentroidsMatch(fullPath, c)
+    }
+    val cents = centroids.getOrElse {
+      val c = readIvfCentroids(spark, basePath)
+      // the None path now probes BOTH indexes with base's state (it
+      // used to read each index's own) — enforce the same-centroids
+      // contract on the full index before trusting that
+      requireCentroidsMatch(fullPath, c)
+      c
+    }
+    // prepare the probe side ONCE for both indexes (same batch, same
+    // cells): one driver collect instead of two, identical broadcast
+    // subtrees (r17, VERDICT r16 item 8)
+    val (q, probed) = prepIvfQueries(queries, cents, nProbe)
+    val appended = probeIvfIndex(spark, basePath, q, probed, k)
       .select(col("q_id"), col("rank"), col("neighbor_id"))
-    val rebuilt = ivfTopKFromIndex(spark, fullPath, queries, k, nProbe,
-        centroids)
+    val rebuilt = probeIvfIndex(spark, fullPath, q, probed, k)
       .select(col("q_id"), col("rank"), col("neighbor_id"))
     val keys = Seq("q_id", "rank", "neighbor_id")
     rebuilt.agg(count(lit(1)).as("n_topk"))
@@ -588,6 +679,7 @@ object Similarity {
     * its output is O(nCells). */
   def ivfDriftReport(spark: SparkSession, path: String,
                      centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    centroids.foreach(requireCentroidsMatch(path, _)) // r17 stale-state guard
     val cents = centroids.getOrElse(readIvfCentroids(spark, path))
     val centRows = cents.toSeq.zipWithIndex.map { case (c, i) =>
       Row(i, c.toSeq)

@@ -78,13 +78,20 @@ object Web {
   /** Per-doc URL curation verdict: canonical URL, registered domain,
     * and whether the doc survives the domain blocklist. Map-only — the
     * blocklist is a literal set (the broadcast-join variant for
-    * table-sized lists is [[filterBlockedTable]]). */
+    * table-sized lists is [[filterBlockedTable]]). `carry` appends
+    * named passthrough columns (r17): a pipeline that needs the doc's
+    * payload next to the verdict selects it HERE instead of semi-joining
+    * the corpus back on doc_id — the select is row-wise 1:1, so carrying
+    * is free while the re-attach join costs a second corpus scan and a
+    * corpus-wide exchange at any scale. */
   def curateUrls(docs: DataFrame, url: Column, id: Column,
-                 blockedDomains: Seq[String]): DataFrame =
-    docs.select(id.as("doc_id"),
+                 blockedDomains: Seq[String],
+                 carry: Seq[Column] = Nil): DataFrame =
+    docs.select(Seq(id.as("doc_id"),
       canonicalUrl(url).as("canon_url"),
       registeredDomain(url).as("domain"),
-      (!registeredDomain(url).isin(blockedDomains: _*)).as("kept"))
+      (!registeredDomain(url).isin(blockedDomains: _*)).as("kept")) ++
+      carry: _*)
 
   /** Blocklist filter against a TABLE of blocked domains (opt-out
     * lists run to millions of rows): broadcast LEFT ANTI join on the

@@ -91,9 +91,21 @@ object PipelineQueries {
     * are global per batch and state is keyed, so only task counts
     * change (oracle-replayed both SFs after the change). */
   private def withStreamShuffle[T](s: SparkSession, inputBytes: Long)(body: => T): T = {
+    // NOTE: mutates the SHARED session conf around the gate body — fine
+    // under the sequential gate harness (Verify/Bench/QueryTimer run one
+    // gate at a time); if gates ever run concurrently on one session,
+    // scope the override via s.newSession instead (the set/restore
+    // would race and leak into unrelated queries).
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    val target = sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE").map(_.toInt).getOrElse {
+    val target = sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE").map { v =>
+      val n = try v.trim.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_STREAM_SHUFFLE must be an int >= 1, got '$v'")
+      }
+      require(n >= 1, s"SPARK_GRAFT_STREAM_SHUFFLE must be >= 1, got $n")
+      n
+    }.getOrElse {
       val perTask = 32L << 20
       math.min(s.sparkContext.defaultParallelism.toLong,
         math.max(1L, (inputBytes + perTask - 1) / perTask)).toInt
@@ -102,14 +114,16 @@ object PipelineQueries {
     try body finally s.conf.set(key, prev)
   }
 
-  /** Total bytes under the staged stream dirs (symlinks followed). */
-  private def stagedBytes(paths: String*): Long =
-    paths.map { p =>
-      val f = new java.io.File(p)
+  /** Total bytes under the staged stream dirs (symlinks followed,
+    * subdirectories walked; an unreadable dir contributes 0 rather
+    * than NPE-ing the gate — the shuffle width just floors at 1). */
+  private def stagedBytes(paths: String*): Long = {
+    def sizeOf(f: java.io.File): Long =
       if (f.isDirectory)
-        f.listFiles().filter(_.isFile).map(_.length()).sum
+        Option(f.listFiles()).getOrElse(Array.empty).map(sizeOf).sum
       else f.length()
-    }.sum
+    paths.map(p => sizeOf(new java.io.File(p))).sum
+  }
 
   private val streamDirCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def streamDir(dir: String, table: String): String =
@@ -1664,18 +1678,31 @@ object PipelineQueries {
     // (doc, epoch) composite id keeps shard keys unique; epochs < 8
     // by the factor map). Every stage oracle-replayed end to end.
     "d79_curation_v3" -> ((s, dir) => {
+      // r17 (guide §2.4/§8): the same four-stage composition in ONE
+      // corpus pass. The old shape semi-joined the corpus back after
+      // both decisions (URL gate, keeper set) and re-joined n_tokens
+      // after the epoch expansion — every attach re-derived the full
+      // upstream chain (8 corpus scan subtrees) and shuffled doc-id-
+      // keyed exchanges the decisions never needed. Now: the URL gate
+      // CARRIES the payload (map-only 1:1), the keeper decision keeps
+      // its row in the aggregate (exactKeeperRows — min(struct) per
+      // content hash), and the epoch expansion carries n_tokens
+      // (map-only). Only the keeper hash-aggregate and assignShards'
+      // slice window shuffle corpus-scale rows, both narrow. Output
+      // rows identical (doc_id unique → same keeper rows; oracle
+      // re-verified both SFs).
       val d = docs(s, dir)
-      val gated = Web.curateUrls(d, synthUrl(col("doc_id")), col("doc_id"),
-        blockedDomains).filter(col("kept")).select("doc_id")
-      val surv = d.join(gated, Seq("doc_id"), "left_semi")
-      val keepers = Dedup.exact(surv, col("text"), col("doc_id"))
-        .select(col("keeper_id").as("doc_id"))
-      val uniq = surv.join(keepers, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), col("lang"),
-          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
-      val rep = Sampling.epochRepeat(uniq, col("lang"), col("doc_id"),
-        epochFactors)
-      val expanded = rep.join(uniq.select("doc_id", "n_tokens"), "doc_id")
+      val gatedRows = Web.curateUrls(d, synthUrl(col("doc_id")),
+          col("doc_id"), blockedDomains,
+          carry = Seq(col("lang"), col("text")))
+        .filter(col("kept"))
+        .withColumn("n_tokens",
+          size(TextOps.tokens(col("text"))).cast("long"))
+      val uniq = Dedup.exactKeeperRows(gatedRows, col("text"),
+          col("doc_id"), keep = Seq("lang", "n_tokens"))
+        .withColumnRenamed("keeper_id", "doc_id")
+      val expanded = Sampling.epochRepeat(uniq, col("lang"), col("doc_id"),
+        epochFactors, carry = Seq("n_tokens"))
       TextOps.assignShards(expanded,
         col("doc_id") * 8L + col("epoch"), col("n_tokens"), 4096L)
         .orderBy("doc_id")
@@ -1715,15 +1742,22 @@ object PipelineQueries {
         .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
       val ext = Web.extractHtml(base, synthPage84(col("text")),
         col("doc_id"), withText = true)
+      // r17 (guide §2.4/§8): the keeper decision keeps its row in the
+      // aggregate (exactKeeperRows) instead of deciding ids and
+      // semi-joining the survivors back — the old attach re-ran the
+      // WHOLE extract+phrase chain a second time (both join inputs
+      // derive from `surv`) and shuffled clean_text through the join.
+      // n_tokens now computes pre-aggregate (duplicates tokenize too —
+      // ~11% extra map work vs a full second extraction chain). Output
+      // rows identical (doc_id unique; oracle re-verified both SFs).
       val surv = ext.filter(col("kept"))
         .withColumn("_pc", TextOps.phraseCounts(col("clean_text"), capstonePhrases))
         .filter(aggregate(col("_pc"), lit(0L), (a, x) => a + x) === 0L)
-        .select(col("doc_id"), col("clean_text"))
-      val keepers = Dedup.exact(surv, col("clean_text"), col("doc_id"))
-        .select(col("keeper_id").as("doc_id"))
-      val uniq = surv.join(keepers, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("clean_text"),
           size(TextOps.tokens(col("clean_text"))).cast("long").as("n_tokens"))
+      val uniq = Dedup.exactKeeperRows(surv, col("clean_text"),
+          col("doc_id"), keep = Seq("n_tokens"))
+        .withColumnRenamed("keeper_id", "doc_id")
       TextOps.assignShards(uniq, col("doc_id"), col("n_tokens"), 4096L)
         .orderBy("doc_id")
     }),
@@ -2595,9 +2629,16 @@ object PipelineQueries {
         .withColumn("n_tokens", size(TextOps.tokens(col("text"))).cast("long"))
         .filter(col("n_tokens") >= 4)
         .withColumn("pid", col("doc_id") * 8 + col("page"))
-      val keepers = toks.groupBy(md5(col("text")).as("h"))
-        .agg(min(col("pid")).as("pid"))
-      val uniq = toks.join(keepers.select("pid"), Seq("pid"), "left_semi")
+      // r17 (guide §2.4/§8): keeper rows in one pass (exactKeeperRows —
+      // min(struct(pid, …)) per content hash) instead of a keeper-id
+      // aggregate + semi-join attach. The old attach ran the WET
+      // decode+tokenize chain TWICE (both join inputs derive from
+      // `toks`); the keeper shuffle never needed page text — only the
+      // narrow (hash, pid, doc_id, page, n_tokens) partial aggregate
+      // moves. Output rows identical (pid unique; oracle both SFs).
+      val uniq = Dedup.exactKeeperRows(toks, col("text"), col("pid"),
+          keep = Seq("doc_id", "page", "n_tokens"))
+        .withColumnRenamed("keeper_id", "pid")
       TextOps.packBudgetScalable(uniq, col("doc_id") % 4, col("pid"),
           col("n_tokens"), budget = 512)
         .select(col("doc_id"), col("page"), col("n_tokens"),

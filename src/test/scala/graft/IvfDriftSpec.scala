@@ -71,4 +71,42 @@ class IvfDriftSpec extends AnyFunSuite {
     assert(loud.getAs[Boolean]("rebuild_recommended"),
       "a one-cell flood must trip the rebuild rule")
   }
+
+  test("stale resident centroids are rejected by the probe paths (r17 guard)") {
+    val old = SparkTestSession.tmpDir("ivffp_old").toString
+    val reb = SparkTestSession.tmpDir("ivffp_reb").toString
+    val e = vecs(0L until 64L, blob)
+    val cents = Similarity.trainIvfCentroids(e, nCells = 4, kmeansIters = 3)
+    Similarity.writeIvfIndex(e, old, nCells = 4, centroids = Some(cents))
+    // the index is REBUILT with retrained centroids (more data, more
+    // iters -> different cell state) while a probe service still holds
+    // the old resident state
+    val retrained = Similarity.trainIvfCentroids(
+      vecs(0L until 128L, blob), nCells = 4, kmeansIters = 5)
+    assert(cents.flatten.toSeq != retrained.flatten.toSeq,
+      "fixture needs genuinely different centroids")
+    Similarity.writeIvfIndex(e, reb, nCells = 4, centroids = Some(retrained))
+    val q = vecs(0L until 4L, blob)
+    // matching state probes fine
+    assert(Similarity.ivfTopKFromIndex(spark, reb, q, k = 3,
+      centroids = Some(retrained)).count() > 0)
+    // stale state fails loudly on every probe path instead of
+    // silently returning wrong neighbors
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopKFromIndex(spark, reb, q, k = 3,
+        centroids = Some(cents)).count()
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfDriftReport(spark, reb, Some(cents)).count()
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfAppendVerdict(spark, old, reb, q, k = 3,
+        centroids = Some(cents)).count()
+    }
+    // and the None path of the append verdict (base's state probes the
+    // full index) is guarded by the same fingerprint
+    intercept[IllegalArgumentException] {
+      Similarity.ivfAppendVerdict(spark, old, reb, q, k = 3).count()
+    }
+  }
 }

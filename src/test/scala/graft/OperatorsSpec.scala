@@ -881,18 +881,64 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("per-row poly bands emit the same candidates as the aggregated signature path") {
-    val bands = planted
+    // The aggregated signature path — shingle-explode → per-doc 16-min
+    // hash aggregate → base-131 band combine — reconstructed INLINE:
+    // the production pipeline no longer contains it (polyMinhashPairs
+    // fused to per-row bands in r16), so this reconstruction is the
+    // independent computation that pins the fused path's candidate set
+    // (r17, closing the r16 ADVICE note that both sides of the old
+    // comparison had come to share polyRowBands).
+    val P = 2147483647L
+    val nb = 4; val nr = 4
+    val exploded = planted.filter(size(TextOps.tokens(col("text"))) >= 3)
       .select(col("doc_id"),
-        posexplode(Dedup.polyRowBands(col("text"))).as(Seq("bi", "bh")))
-    val pairsRow = bands.as("a").join(bands.as("b"),
+        explode(Dedup.polyShingleHashes(col("text"))).as("h"))
+    val mins = Dedup.polyCoefs.take(nb * nr).zipWithIndex.map {
+      case ((a, b), i) => min(pmod(col("h") * a + b, lit(P))).as(s"m$i") }
+    val sigs = exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val bandCols = (0 until nb).map { bi =>
+      (bi * nr until (bi + 1) * nr).map(i => col(s"m$i"))
+        .reduceLeft((acc, m) => pmod(acc * 131L + m, lit(P))).as(s"b$bi") }
+    val banded = sigs.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until nb).map(i => col(s"b$i")): _*))
+          .as(Seq("bi", "bh")))
+    val pairsAggInline = banded.as("a").join(banded.as("b"),
         col("a.bi") === col("b.bi") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id"), col("b.doc_id")).distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val pairsAgg = Dedup.polyMinhashPairs(planted, col("text"), col("doc_id"))
+    val pairsFused = Dedup.polyMinhashPairs(planted, col("text"), col("doc_id"))
       .select("doc_a", "doc_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairsRow == pairsAgg)
+    assert(pairsAggInline == pairsFused)
+  }
+
+  test("exactKeeperRows equals exact-dedup + semi-join attach, payload intact") {
+    // the r17 capstone shape (d79/d84/d114): keeper rows decided and
+    // carried in ONE aggregate must equal the two-pass decide-then-
+    // semi-join compose, payload columns included
+    val small = Seq((5L, "en", "a b a"), (2L, "de", "a b a"), (3L, "en", "c d"),
+      (9L, "fr", "c d"), (4L, "es", "e f g")).toDF("doc_id", "lang", "text")
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+    def compose(d: org.apache.spark.sql.DataFrame) = {
+      val keepers = Dedup.exact(d, col("text"), col("doc_id"))
+        .select(col("keeper_id").as("doc_id"))
+      d.join(keepers, Seq("doc_id"), "left_semi")
+        .select("doc_id", "lang", "n_tokens")
+    }
+    def onePass(d: org.apache.spark.sql.DataFrame) =
+      Dedup.exactKeeperRows(d, col("text"), col("doc_id"),
+          keep = Seq("lang", "n_tokens"))
+        .withColumnRenamed("keeper_id", "doc_id")
+    val got = onePass(small); val ref = compose(small)
+    assert(got.count() == 3)
+    assert(got.except(ref).count() == 0 && ref.except(got).count() == 0)
+    // and on the real corpus with planted exact duplicates
+    val corpus = planted.withColumn("lang", lit("en"))
+      .withColumn("n_tokens", size(TextOps.tokens(col("text"))).cast("long"))
+    val gotC = onePass(corpus); val refC = compose(corpus)
+    assert(gotC.except(refC).count() == 0 && refC.except(gotC).count() == 0)
   }
 
   test("fuzzy decontamination flags docs whose perturbed copies sit in the bench set") {
