@@ -96,6 +96,25 @@ object PipelineQueries {
     // gate at a time); if gates ever run concurrently on one session,
     // scope the override via s.newSession instead (the set/restore
     // would race and leak into unrelated queries).
+    // State-store provider is env-selectable (r17, VERDICT item 4's
+    // measure-don't-reason): SPARK_GRAFT_STREAM_STATESTORE=rocksdb swaps
+    // the HDFS-backed in-memory provider for RocksDB. Measured on the
+    // wave gates (d170/d176): RocksDB is a consistent loss at gate state
+    // sizes (KBs of keyed state — the JNI + disk round trip buys nothing
+    // when the whole store fits in a few pages), so the default stays
+    // HDFS-backed; a deployment whose per-partition state outgrows the
+    // executor heap flips the env. Numbers in OPTIMIZATION_r17.md.
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.get(provKey,
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    val provider = sys.env.get("SPARK_GRAFT_STREAM_STATESTORE").map {
+      case "rocksdb" =>
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      case "hdfs" =>
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+      case other => throw new IllegalArgumentException(
+        s"SPARK_GRAFT_STREAM_STATESTORE must be rocksdb|hdfs, got '$other'")
+    }
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     val target = sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE").map { v =>
@@ -111,7 +130,11 @@ object PipelineQueries {
         math.max(1L, (inputBytes + perTask - 1) / perTask)).toInt
     }
     s.conf.set(key, target.toString)
-    try body finally s.conf.set(key, prev)
+    provider.foreach(s.conf.set(provKey, _))
+    try body finally {
+      s.conf.set(key, prev)
+      if (provider.isDefined) s.conf.set(provKey, prevProv)
+    }
   }
 
   /** Total bytes under the staged stream dirs (symlinks followed,
