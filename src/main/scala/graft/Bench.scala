@@ -220,6 +220,36 @@ object Bench {
     Tables.load(spark, sfDir, "lineitem").count()
     Tables.load(spark, sfDir, "orders").count()
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // EXPLICIT per-corpus fixture stage (r17, bench contract): gates
+    // that own derived model/index state — the materialized postings
+    // index (d66), tokenizer models (d85/d100), the bigram LM (d158),
+    // IVF centroids + on-disk indexes (d155/d164/d168/d174), the slurm
+    // warehouse twins (s26/s27) and the staged stream waves — build it
+    // HERE, before any timing, by running each owning gate once
+    // untimed. Every query ALSO gets its own untimed warmup rep below
+    // (that is what has kept fixture builds out of the timed minimum
+    // since the warmup landed), so this stage changes no timed number;
+    // what it adds is the CONTRACT that reported times are
+    // order-invariant: a fixture consumer's number no longer depends on
+    // which gate touched the shared state first, in-suite or solo
+    // (QueryTimer warms identically). Untimed by design — the oracle
+    // replays every fixture's full derivation, and d60/d82/d99 keep the
+    // training/probe cost measured.
+    spark.sparkContext.setJobDescription("fixtures: untimed per-corpus model/index builds")
+    val fixtureKeys = Seq(
+      "d66_bm25_warehouse", "d85_bpe_encode", "d100_unigram_encode",
+      "d158_stream_lm", "d155_rrf_ivf", "d164_ann_warehouse",
+      "d168_ann_append", "d174_ivf_drift", "s26_eff_warehouse",
+      "s27_seff_warehouse", "d165_stream_window", "d169_stream_sessions",
+      "d170_stream_correlate", "d176_stream_dedup", "d177_stream_pack")
+    val tFix0 = System.nanoTime()
+    fixtureKeys.foreach { name =>
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] fixture $name failed: ${e.getMessage}") }
+    }
+    System.err.println(f"[bench] fixture stage (untimed): ${(System.nanoTime() - tFix0) / 1e9}%.1f s over ${fixtureKeys.size} gates")
+    spark.sparkContext.setJobDescription(null)
     // parallel calibration FIRST: its full-width burn warms the
     // package, so the single-thread pre-calib measures the same
     // thermal state the queries (and the post-calib) run in. Measured
@@ -387,8 +417,12 @@ object Bench {
     val tail = f""""max_spread":$maxSpread%.2f,"max_spread_query":"$spreadQuery","n_spread_over3":$nSpreadOver3,"calib_sec":$calib%.3f,"calib_post_sec":$calibPost%.3f,"calib_par_sec":$calibPar%.3f,"par_floor":$parFloor%.2f,"par_live":$parLive%.2f,"calib_str_sec":$calibStr%.3f,"host_contended":$contended,"reruns":$rerunsJson,"shared_total_sec":$sharedTotal%.3f,"baseline_shared_sec":$baselineShared%.3f,"shared_n":${shared.size},"failed":$failed,"sf":"$sfDir""""
     val fullLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,$tail}"""
+    // the committed per-query artifact, fingerprinted below so the
+    // stdout contract line verifiably names THIS file's content
+    val queriesSha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(qs.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
     val compactLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},$tail,"queries_file":"BENCH_LAST.json"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},$tail,"queries_file":"BENCH_LAST.json","queries_sha":"$queriesSha"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")),
@@ -396,7 +430,22 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write BENCH_LAST.json: $e") }
     println(fullLine)
-    println(compactLine)
+    // FINAL-line selection (r17, VERDICT item 1): the driver parses the
+    // contract line from a BOUNDED TAIL of combined output — measured at
+    // 2000 chars from the committed artifacts (BENCH_r10: a 1859-char
+    // full line parsed WITH its queries map; BENCH_r11: the ~3.4 KB
+    // 117-query line lost its head inside the stored 2000-char tail and
+    // parsed as null, the r12 lesson the compact line exists for). A
+    // 148-query map is ~4 KB and can never fit that window, so the
+    // per-query map rides the final line ONLY when the whole line fits
+    // a conservative tail budget (env-overridable if the driver's
+    // window is ever raised); otherwise the compact line stays last —
+    // an unparseable artifact loses the total too, which is strictly
+    // worse than a blind-per-query one. Additions-only either way: the
+    // compact form keeps every existing key and gains queries_sha, the
+    // fingerprint binding it to BENCH_LAST.json's map.
+    val tailBudget = sys.env.getOrElse("SPARK_GRAFT_TAIL_BUDGET", "1800").toInt
+    println(if (fullLine.length <= tailBudget) fullLine else compactLine)
     spark.stop()
   }
 }

@@ -51,11 +51,23 @@ import sys
 # Measured string-drift trackers (see module doc). Membership is
 # evidence-based, not vibes: each row moved with calib_str across the
 # r14/r15 A/B windows while the FP calib sat flat.
+#
+# r17 adjudication (VERDICT r16 item 5) over the four committed
+# zero-code-change windows spanning calib_str 0.147..0.335
+# (plans/r16/BENCH_{before,mid,after}.json + plans/r17/BENCH_before.json;
+# SURVEY §8.21): of the six suspected rows, only s24_seff_peruser shows
+# the tracker signature — corr(row, calib_str) = +0.95 AND the
+# cross-window cv COLLAPSES under normalization (0.22 raw -> 0.14).
+# s26/s27 read corr +0.40/-0.02 (their spread is warehouse first-run
+# materialization, the reruns show it), d94/d141 are flat rows whose cv
+# WORSENS normalized (0.06->0.29, 0.18->0.33), and d154 tracks
+# direction (corr +0.94) but at ~0.6 amplitude, so full normalization
+# over-corrects (cv 0.17->0.18) — all five stay on the raw rule.
 STR_FAMILY = {
     "d01_dedup_exact", "d26_token_freq", "d28_ngram_repetition",
     "d30_line_cleanup", "d43_dsir_weight", "d63_incremental_curation",
     "d64_lm_score", "d68_cross_corpus_dedup", "d82_bpe_train",
-    "d96_pack_manifest",
+    "d96_pack_manifest", "s24_seff_peruser",
 }
 
 
